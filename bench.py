@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced with a noop datasource write (full pipeline runs on
+executors; nothing funnels through the driver), which is how a cluster job
+would be measured — collect() would bottleneck on driver materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+# headline set: one per operator family (join/agg/window/dedup/similarity/
+# text/multimodal + the flagship)
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_local_supplier",
+    "join_left_outer",
+    "word_count",
+    "window_topk_per_group",
+    "agg_distinct",
+    "dedup_exact",
+    "minhash_lsh_candidates",
+    "ann_bruteforce_topk",
+    "text_stats",
+    "multimodal_meta",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    from kasper_spark.session import get_spark
+    from kasper_spark.registry import QUERIES, load_all_operators
+
+    load_all_operators()
+    spark = get_spark("kasper_spark-bench")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

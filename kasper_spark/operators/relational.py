@@ -1,0 +1,691 @@
+"""Relational batch operators (SURVEY.md §2.B patterns + §2.C Spark-native
+extensions), each registered with a DuckDB oracle.
+
+Reference traceability (kasper is a stream framework; these are the bounded
+twins of its demonstrated dataflow patterns):
+
+- B1/B2/B6 scan+project+filter  -> scan_filter_project
+- B3 tokenize (flatMap/explode) -> word_count (also the flagship `entry`)
+- B4 stateful keyed count/agg   -> q1_pricing_summary, agg_distinct
+- B5 equi-join (stream-stream)  -> q3_top_orders, q5_local_supplier (batch)
+- B7 nested document assembly   -> nested_order_lines
+- B8 enrichment lookup join     -> broadcast dimension joins inside q5
+- B9 multitenant keyed agg      -> multitenant_agg
+- §2.C "free from Spark" ops    -> left/semi/anti joins, rollup/cube,
+                                    windows, set ops, top-k
+
+Scale notes (100 TB mindset):
+- dimension tables (region/nation/supplier/part at TPC-H ratios) are
+  explicitly `broadcast()`-hinted so the big fact join never shuffles the
+  small side;
+- aggregates go through partial (map-side) aggregation automatically because
+  they are plain `groupBy().agg()` — no UDAFs;
+- every filter is a Column predicate on the scan so Catalyst pushes it into
+  the parquet reader (verified in tests/test_plans.py);
+- exact decimal sums (see functions/exact.py) cost one extra cast but keep
+  results order-independent, which also makes them *cluster*-deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kasper_spark.catalog import load_table
+from kasper_spark.functions.exact import (
+    dsum,
+    davg,
+    dsum_sql,
+    davg_sql,
+    money,
+    dsum_dec,
+    dsum_dec_sql,
+)
+
+# exact-decimal revenue terms shared by the TPC-H-shaped queries
+_REVENUE_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(10,4))"
+    " * (1 - CAST(l_discount AS DECIMAL(6,4)))"
+)
+_CHARGE_SQL = _REVENUE_SQL + " * (1 + CAST(l_tax AS DECIMAL(6,4)))"
+
+
+def _revenue_dec():
+    return money("l_extendedprice", 10, 4) * (
+        F.lit(1).cast("decimal(1,0)") - money("l_discount", 6, 4)
+    )
+
+
+def _charge_dec():
+    return _revenue_dec() * (
+        F.lit(1).cast("decimal(1,0)") + money("l_tax", 6, 4)
+    )
+from kasper_spark.registry import register_query
+
+
+# ---------------------------------------------------------------------------
+# B1/B2/B6 — scan, project with scalar functions, filter
+# ---------------------------------------------------------------------------
+
+@register_query(
+    "scan_filter_project",
+    oracle=f"""
+    SELECT
+        l_orderkey,
+        l_linenumber,
+        CONCAT(CAST(l_orderkey AS VARCHAR), '#', CAST(l_linenumber AS VARCHAR)) AS item_id,
+        CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS ship_year,
+        CAST(EXTRACT(month FROM l_shipdate) AS INTEGER) AS ship_month,
+        l_extendedprice * (1 - l_discount) AS net_price,
+        UPPER(l_returnflag) AS flag_upper,
+        CAST(l_quantity AS BIGINT) AS qty_int
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-01-01'
+      AND l_discount > 0.05
+    """,
+)
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan -> filter -> project with string/date/arith scalar functions.
+
+    Reference: pass-through + map patterns
+    (/root/reference/examples/hello_world_example.go:17-33,
+     /root/reference/examples/producer_example.go:25-40) and topic routing
+    filter (/root/reference/topic_processor_test.go:83-92).
+
+    The three predicates are plain Column comparisons -> Catalyst pushes them
+    into the parquet scan (PushedFilters) and prunes to the 7 needed columns.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_discount") > 0.05)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.concat(
+                F.col("l_orderkey").cast("string"),
+                F.lit("#"),
+                F.col("l_linenumber").cast("string"),
+            ).alias("item_id"),
+            F.year("l_shipdate").alias("ship_year"),
+            F.month("l_shipdate").alias("ship_month"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+            F.upper("l_returnflag").alias("flag_upper"),
+            F.col("l_quantity").cast("bigint").alias("qty_int"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B4 — hash aggregation (the word-count state pattern, TPC-H Q1 shaped)
+# ---------------------------------------------------------------------------
+
+@register_query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT
+        l_returnflag,
+        l_linestatus,
+        {dsum_sql('l_quantity')} AS sum_qty,
+        {dsum_sql('l_extendedprice')} AS sum_base_price,
+        {dsum_dec_sql(_REVENUE_SQL)} AS sum_disc_price,
+        {dsum_dec_sql(_CHARGE_SQL)} AS sum_charge,
+        {davg_sql('l_quantity')} AS avg_qty,
+        {davg_sql('l_extendedprice')} AS avg_price,
+        {davg_sql('l_discount')} AS avg_disc,
+        COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped hash aggregation — the batch twin of kasper's stateful
+    running count per key (/root/reference/examples/word_count_example.go:33-67).
+
+    Pure groupBy().agg() -> Spark does partial (map-side) aggregation before
+    the shuffle; at 100 TB the shuffle carries only (#groups x #tasks) rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum_dec(_revenue_dec()).alias("sum_disc_price"),
+            dsum_dec(_charge_dec()).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register_query(
+    "agg_distinct",
+    oracle="""
+    SELECT
+        event_type,
+        COUNT(DISTINCT user_id) AS distinct_users,
+        COUNT(*) AS n_events,
+        CAST(MIN(value) AS DOUBLE) AS min_value,
+        CAST(MAX(value) AS DOUBLE) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (SURVEY.md §2.C — absent in kasper, required by
+    the north star). count(distinct) expands to a two-phase aggregate in
+    Spark; min/max are exact so no decimal trick is needed."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("distinct_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B5/B8 — equi-joins (batch twins of the stream-stream / enrichment joins)
+# ---------------------------------------------------------------------------
+
+@register_query(
+    "q3_top_orders",
+    oracle=f"""
+    SELECT
+        l_orderkey,
+        {dsum_dec_sql(_REVENUE_SQL)} AS revenue,
+        o_orderdate,
+        o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped join + agg + top-k — batch twin of the reference's
+    stream-stream equi-join (/root/reference/topic_processor_test.go:76-155).
+
+    customer is ~1/15 of orders -> broadcast-hinted, so only orders⋈lineitem
+    shuffles (on the same key both sides). Top-k runs as TakeOrderedAndProject
+    (no full sort). Tiebreak on l_orderkey keeps the limit deterministic.
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum_dec(_revenue_dec()).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register_query(
+    "q5_local_supplier",
+    oracle=f"""
+    SELECT
+        n_name,
+        {dsum_dec_sql(_REVENUE_SQL)} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-way join — generalization of the reference's
+    enrichment-lookup pattern (/root/reference/examples/word_count_example.go:35,
+    store multi-get /root/reference/redis.go:74-106 used as a join).
+
+    region/nation/supplier are dimension-sized -> broadcast; the only big
+    shuffle is lineitem⋈orders. The date filter sits on the orders scan so it
+    is pushed down before the join.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum_dec(_revenue_dec()).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@register_query(
+    "join_left_outer",
+    oracle=f"""
+    SELECT
+        c_custkey,
+        c_name,
+        COUNT(o_orderkey) AS order_count,
+        COALESCE({dsum_sql('o_totalprice')}, 0.0) AS total_spent
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join + agg with null-safe counting (SURVEY.md §2.C).
+
+    COUNT(col) skips nulls in both engines, so customers without orders get
+    order_count = 0; the decimal sum is NULL there -> coalesced to 0.0.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("order_count"),
+            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+@register_query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_totalprice > 100000
+    )
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS). The probe side streams; no row duplication,
+    no columns from the build side cross the join — cheapest join shape for
+    existence checks at scale."""
+    cust = load_table(spark, sf_dir, "customer")
+    big_orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 100000
+    )
+    return cust.join(
+        big_orders, cust.c_custkey == big_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@register_query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders WHERE o_custkey = c_custkey
+    )
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS) — customers that never ordered."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# B3 + B4 — tokenize (explode) + keyed count: THE flagship (word count)
+# ---------------------------------------------------------------------------
+
+@register_query(
+    "word_count",
+    oracle="""
+    SELECT word, COUNT(*) AS n
+    FROM (
+        SELECT UNNEST(string_split(text, ' ')) AS word
+        FROM documents
+    )
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count: explode(split()) -> groupBy().count().
+
+    This is the reference's flagship stateful example
+    (/root/reference/examples/word_count_example.go:22-67): tokenize each
+    message value with strings.Split, keep a running per-word counter in the
+    Store. The batch twin aggregates once; the streaming twin
+    (kasper_spark.streaming) runs the same plan in update mode.
+
+    Scale: split+explode stays inside whole-stage codegen; the count is
+    partially aggregated map-side, so the shuffle is bounded by vocabulary
+    size, not corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# B7 — nested / denormalized document assembly
+# ---------------------------------------------------------------------------
+
+@register_query(
+    "nested_order_lines",
+    oracle="""
+    SELECT
+        o_orderkey,
+        o_orderstatus,
+        COUNT(*) AS n_lines,
+        STRING_AGG(CAST(l_partkey AS VARCHAR), ','
+                   ORDER BY l_linenumber, CAST(l_partkey AS VARCHAR)) AS part_keys_csv
+    FROM orders
+    JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderkey, o_orderstatus
+    """,
+)
+def nested_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denormalized document assembly — batch twin of the reference's
+    FictionAndCharacters nested-doc construction
+    (/root/reference/topic_processor_test.go:135-155).
+
+    The true nested form (collect_list(struct(...))) is exercised in
+    tests/test_golden_join.py; the oracle-checked projection serializes the
+    nested array deterministically (ordered CSV) because nested value-hash
+    representations differ across engines.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = li.select(
+        "l_orderkey",
+        F.struct(
+            F.col("l_linenumber"), F.col("l_partkey").cast("string").alias("pk")
+        ).alias("line"),
+    )
+    return (
+        orders.join(lines, orders.o_orderkey == lines.l_orderkey)
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("line")), lambda s: s["pk"]
+                ),
+                ",",
+            ).alias("part_keys_csv"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B9 — multitenant keyed aggregation
+# ---------------------------------------------------------------------------
+
+@register_query(
+    "multitenant_agg",
+    oracle=f"""
+    SELECT
+        n_name AS tenant,
+        c_mktsegment AS segment,
+        COUNT(*) AS n_customers,
+        {dsum_sql('c_acctbal')} AS sum_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name, c_mktsegment
+    """,
+)
+def multitenant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multitenant fan-in: composite (tenant, key) grouping — the Spark form
+    of the reference's MultiStore TenantKey batching
+    (/root/reference/store.go:33-44, /root/reference/multi_map.go:44-75).
+    nation plays the tenant dimension; broadcast keeps it shuffle-free."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("tenant"), F.col("c_mktsegment").alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("sum_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.C — grouping sets, windows, set ops, top-k (absent in kasper, required)
+# ---------------------------------------------------------------------------
+
+@register_query(
+    "rollup_orders",
+    oracle=f"""
+    SELECT
+        o_orderstatus,
+        o_orderpriority,
+        COUNT(*) AS n_orders,
+        {dsum_sql('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (SURVEY.md §2.C). NULL marks subtotal rows in
+    both engines identically."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("sum_price"),
+    )
+
+
+@register_query(
+    "cube_events",
+    oracle=f"""
+    SELECT
+        event_type,
+        CAST(EXTRACT(year FROM ts) AS INTEGER) AS yr,
+        COUNT(*) AS n,
+        {dsum_sql('value')} AS sum_value
+    FROM events
+    GROUP BY CUBE (event_type, CAST(EXTRACT(year FROM ts) AS INTEGER))
+    """,
+)
+def cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over the events stream table."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", F.year("ts").alias("yr"), "value")
+        .cube("event_type", "yr")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+    )
+
+
+@register_query(
+    "window_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+        SELECT
+            o_custkey, o_orderkey, o_totalprice,
+            ROW_NUMBER() OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey
+            ) AS rn
+        FROM orders
+    )
+    WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number window (north-star top-k operator).
+
+    rn <= k is recognized by Spark as a rank-limit: with AQE it evaluates as
+    a WindowGroupLimit (per-partition top-k before the shuffle), so the full
+    sort never materializes at scale. Tiebreak on o_orderkey makes row
+    numbering deterministic.
+    """
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register_query(
+    "window_running_sum",
+    oracle="""
+    SELECT
+        user_id,
+        event_id,
+        CAST(SUM(CAST(value AS DECIMAL(38,4))) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS DOUBLE) AS running_value
+    FROM events
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) sum per key — the batch analog of kasper's
+    running word-count state (/root/reference/examples/word_count_example.go:36-44):
+    every row shows the aggregate as of that message. Decimal accumulation
+    keeps prefix sums engine-exact."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(38,4)")).over(w).cast("double").alias(
+            "running_value"
+        ),
+    )
+
+
+@register_query(
+    "setop_union",
+    oracle="""
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    UNION
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+    """,
+)
+def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) — set operators are absent in kasper (§2.C)."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    b = ev.filter(F.col("event_type") == "signup").select("user_id")
+    return a.union(b).distinct()
+
+
+@register_query(
+    "setop_intersect",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    b = ev.filter(F.col("event_type") == "error").select("user_id")
+    return a.intersect(b)
+
+
+@register_query(
+    "setop_except",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'view'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "view").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    # subtract = EXCEPT DISTINCT (exceptAll is the bag-semantics variant,
+    # which keeps a row when it occurs more often in a than in b)
+    return a.subtract(b)
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction (B2/B7 — the reference carries JSON payloads end-to-end)
+# ---------------------------------------------------------------------------
+
+@register_query(
+    "json_extract_props",
+    oracle="""
+    SELECT
+        CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+        COUNT(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload parsing — the reference serializes all values as JSON
+    (/root/reference/topic_processor_test.go:43-63); from_json with an
+    explicit schema is our engine's typed boundary (SURVEY.md §1.3)."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        F.from_json(F.col("props"), "k BIGINT").alias("p")
+    )
+    return parsed.groupBy(F.col("p.k").alias("k")).agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -1,0 +1,215 @@
+"""Text analysis operators for training-data pipelines.
+
+The reference's only text processing is strings.Split tokenization
+(/root/reference/examples/word_count_example.go:32) and Sprintf formatting
+(/root/reference/examples/producer_example.go:37); these operators extend
+that to the language-ID / quality-scoring / token-counting / fingerprinting
+suite a 100 TB corpus pipeline needs.
+
+All operators are pure JVM-side expressions (split/filter/transform/regex) —
+no Python in the hot path; each scales linearly with one parquet scan and no
+shuffle except final aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kasper_spark.catalog import load_table
+from kasper_spark.registry import register_query
+
+# Tiny per-language marker lexicons for the n-gram/stopword language-ID
+# heuristic. Real pipelines plug in fastText/CLD3; the heuristic keeps the
+# operator self-contained and oracle-checkable.
+_LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "y", "que"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ist"),
+}
+
+
+def _tokens(col):
+    return F.filter(F.split(col, " "), lambda w: w != "")
+
+
+def _marker_hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(list_filter(string_split(text, ' '), w -> w <> ''), "
+        f"w -> list_contains([{words}], lower(w))))"
+    )
+
+
+def _marker_hits(col, lang: str):
+    markers = list(_LANG_MARKERS[lang])
+    return F.size(
+        F.filter(_tokens(col), lambda w: F.lower(w).isin(markers))
+    )
+
+
+@register_query(
+    "text_stats",
+    oracle="""
+    SELECT
+        doc_id,
+        length(text) AS n_chars_calc,
+        len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_words,
+        len(list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))) AS n_distinct_words,
+        CAST(len(list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))) AS DOUBLE)
+            / len(list_filter(string_split(text, ' '), w -> w <> '')) AS ttr
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics: char count, word count, vocabulary
+    size, type-token ratio. int/int division -> engine-exact doubles."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_words = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        n_words.alias("n_words"),
+        n_distinct.alias("n_distinct_words"),
+        (n_distinct.cast("double") / n_words).alias("ttr"),
+    )
+
+
+@register_query(
+    "token_count_regex",
+    oracle=r"""
+    SELECT
+        doc_id,
+        len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS n_tokens,
+        len(regexp_extract_all(text, '[0-9]+')) AS n_numeric
+    FROM documents
+    """,
+)
+def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (alpha runs + digit runs). The pattern
+    uses only portable regex constructs so Java (Spark) and RE2 (DuckDB)
+    agree."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[a-z]+|[0-9]+"), 0)).alias(
+            "n_tokens"
+        ),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[0-9]+"), 0)).alias(
+            "n_numeric"
+        ),
+    )
+
+
+@register_query(
+    "lang_id_heuristic",
+    oracle=f"""
+    SELECT
+        doc_id,
+        lang AS labeled_lang,
+        CASE
+            WHEN {_marker_hits_sql('en')} >= {_marker_hits_sql('es')}
+             AND {_marker_hits_sql('en')} >= {_marker_hits_sql('fr')}
+             AND {_marker_hits_sql('en')} >= {_marker_hits_sql('de')}
+             AND {_marker_hits_sql('en')} > 0 THEN 'en'
+            WHEN {_marker_hits_sql('es')} >= {_marker_hits_sql('fr')}
+             AND {_marker_hits_sql('es')} >= {_marker_hits_sql('de')}
+             AND {_marker_hits_sql('es')} > 0 THEN 'es'
+            WHEN {_marker_hits_sql('fr')} >= {_marker_hits_sql('de')}
+             AND {_marker_hits_sql('fr')} > 0 THEN 'fr'
+            WHEN {_marker_hits_sql('de')} > 0 THEN 'de'
+            ELSE 'und'
+        END AS predicted_lang
+    FROM documents
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID: count marker-lexicon hits per language,
+    argmax with a fixed precedence order (en > es > fr > de), 'und' when no
+    markers hit. Deterministic by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    hits = {lang: _marker_hits(text, lang) for lang in _LANG_MARKERS}
+    pred = (
+        F.when(
+            (hits["en"] >= hits["es"])
+            & (hits["en"] >= hits["fr"])
+            & (hits["en"] >= hits["de"])
+            & (hits["en"] > 0),
+            "en",
+        )
+        .when((hits["es"] >= hits["fr"]) & (hits["es"] >= hits["de"]) & (hits["es"] > 0), "es")
+        .when((hits["fr"] >= hits["de"]) & (hits["fr"] > 0), "fr")
+        .when(hits["de"] > 0, "de")
+        .otherwise("und")
+    )
+    return docs.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), pred.alias("predicted_lang")
+    )
+
+
+@register_query(
+    "quality_score",
+    oracle="""
+    SELECT
+        doc_id,
+        n_words,
+        mean_word_len,
+        CAST(
+            0.5 * (CASE WHEN n_words >= 20 THEN 1.0 ELSE n_words / 20.0 END)
+          + 0.5 * (CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)
+        AS DOUBLE) AS quality
+    FROM (
+        SELECT
+            doc_id,
+            len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_words,
+            CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                / len(list_filter(string_split(text, ' '), w -> w <> '')) AS mean_word_len
+        FROM documents
+    )
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length component + mean-word-length sanity
+    band, combined 50/50. All pointwise arithmetic -> engine-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_words = F.size(toks)
+    mean_wl = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
+        "double"
+    ) / n_words
+    length_component = F.when(n_words >= 20, F.lit(1.0)).otherwise(n_words / F.lit(20.0))
+    wl_component = F.when((mean_wl >= 3.0) & (mean_wl <= 10.0), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        (0.5 * length_component + 0.5 * wl_component).cast("double").alias("quality"),
+    )
+
+
+@register_query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT
+        doc_id,
+        md5(text) AS fingerprint,
+        substr(md5(text), 1, 2) AS bucket
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting via md5 (portable across engines; the
+    rolling-hash winnowing variant lives in minhash_lsh_candidates'
+    shingling). The 2-hex-char bucket is the shard key a 100 TB dedup
+    pipeline would partition on (256-way, uniform)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.col("text").cast("binary"))
+    return docs.select(
+        "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 2).alias("bucket")
+    )

@@ -1,0 +1,68 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+Local tests run on ``local[N]`` (single JVM); the configs below are chosen so
+the *same* logical plans scale to a 1000-executor cluster reading ~100 TB:
+
+- AQE on (runtime coalescing, skew-join splitting, dynamic broadcast) so the
+  shuffle partition count self-tunes with data volume;
+- explicit shuffle-partition default sized for the local test box, overridable
+  via env for cluster runs;
+- Arrow enabled for the (rare) pandas-UDF escape hatches;
+- parquet filter pushdown / column pruning left at defaults (on) — operators
+  are written so Catalyst can use them (checked in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    # --- scale-minded query execution ---
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # local test default; a real cluster sets this to ~2-3x total cores or
+    # relies on AQE's initialPartitionNum to coalesce down.
+    "spark.sql.shuffle.partitions": "32",
+    # --- Python interop ---
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # driver testdata carries INT64 TIMESTAMP(NANOS) parquet types, which
+    # Spark rejects by default; read them as long and let the catalog
+    # convert to proper timestamps (catalog.load_table).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # --- session behavior ---
+    "spark.sql.session.timeZone": "UTC",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": "8g",
+    # streaming state at 100 TB needs RocksDB, not the in-memory HDFS store
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
+}
+
+
+def get_spark(app_name: str = "kasper_spark", **overrides: str) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default ``*``).
+    Any ``overrides`` win over the tuned defaults.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
+    conf = dict(_DEFAULTS)
+    conf.update({k: str(v) for k, v in overrides.items()})
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
