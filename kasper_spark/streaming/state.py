@@ -1,0 +1,202 @@
+"""Stateful streaming operators.
+
+Re-expresses the reference's Store-backed processing patterns as Spark
+stateful operators:
+
+- running_word_count: B4 — the word-count example's running per-key counter
+  (/root/reference/examples/word_count_example.go:33-67). Declarative
+  streaming aggregation in update mode; Spark's state store replaces the
+  app-visible KV store, with partial aggregation and RocksDB state at scale.
+
+- assemble_documents: B5 — the characters x fictions materialized N:M join
+  (/root/reference/topic_processor_test.go:76-155). Kasper buffers both
+  sides in stores plus an inverted char->fictions index so a late-arriving
+  character re-emits every fiction it completes; a document is emitted only
+  when ALL characterIds have arrived, and re-emitted on updates
+  (downstream keyed last-write-wins). A plain stream-stream join emits
+  per-pair, not per-complete-document, so this is a custom stateful op via
+  applyInPandasWithState.
+
+  Keying: by Kafka partition — faithfully mirroring the reference, which
+  joins only within a partition and requires its input topics to be
+  co-partitioned (/root/reference/README.md:36-39,
+  /root/reference/partition_processor.go:53-77). Parallelism therefore
+  equals the topic partition count, exactly like kasper's one
+  partitionProcessor per partition. (A per-key two-stage variant that
+  removes the co-partitioning constraint is the scale path; it needs two
+  chained stateful stages — see assemble_documents_two_stage for the
+  batch-twin shape.)
+
+  State never evicts, matching the reference (stores grow forever —
+  /root/reference/topic_processor_test.go:94-133); production deployments
+  should bound it with timeouts. State is per-group JSON blobs: at kasper
+  parity (one group per Kafka partition) this is the same memory profile as
+  kasper's in-memory Map store.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# output: one row per (possibly re-)emitted complete document
+DOCUMENT_SCHEMA = StructType(
+    [
+        StructField("partition", IntegerType()),
+        StructField("fiction_id", StringType()),
+        StructField("doc_json", StringType()),
+    ]
+)
+
+# state: the three stores kasper keeps (characters, fictions, inverted index)
+_STATE_SCHEMA = StructType(
+    [
+        StructField("characters_json", StringType()),
+        StructField("fictions_json", StringType()),
+        StructField("char_to_fictions_json", StringType()),
+    ]
+)
+
+
+def running_word_count(lines: DataFrame, value_col: str = "value") -> DataFrame:
+    """Streaming running count per word (update mode downstream).
+
+    Batch/streaming twin of the reference word-count: tokenize on single
+    spaces, count per word; in streaming each micro-batch emits updated
+    (word, n) rows — kasper emitted one message per input record
+    (/root/reference/examples/word_count_example.go:36-43), which is the
+    same information at a coarser (idempotent-sink-safe) granularity.
+    """
+    return (
+        lines.select(F.explode(F.split(F.col(value_col), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def assemble_documents(messages: DataFrame) -> DataFrame:
+    """Materialized stream-stream document join (B5), keyed by partition.
+
+    ``messages``: envelope rows with at least (topic, partition, offset,
+    value:string) where value is the JSON payload; topic discriminates
+    'characters' vs 'fictions' rows (B6 routing —
+    /root/reference/topic_processor_test.go:83-92).
+
+    Emits (partition, fiction_id, doc_json) every time a fiction document
+    becomes complete or an already-complete document is updated by a
+    character re-arrival — byte-level semantics of createOutgoingMessage
+    (characters array follows the fiction's characterIds order,
+    /root/reference/topic_processor_test.go:135-155).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def process(key, pdfs, state):
+        import json
+
+        import pandas as pd
+
+        if state.exists:
+            chars_js, fics_js, idx_js = state.get
+            characters = json.loads(chars_js)
+            fictions = json.loads(fics_js)
+            char_to_fics = json.loads(idx_js)
+        else:
+            characters, fictions, char_to_fics = {}, {}, {}
+
+        out = []
+
+        def emit_if_complete(fic_id):
+            fic = fictions[fic_id]
+            if all(cid in characters for cid in fic["characterIds"]):
+                doc = {
+                    "id": fic["id"],
+                    "fictionType": fic["fictionType"],
+                    "title": fic["title"],
+                    "characters": [characters[cid] for cid in fic["characterIds"]],
+                }
+                out.append((int(key[0]), fic_id, json.dumps(doc, sort_keys=True)))
+
+        for pdf in pdfs:
+            # consumption order within the batch: per-topic offset order
+            pdf = pdf.sort_values(["topic", "offset"], kind="mergesort")
+            for _, row in pdf.iterrows():
+                payload = json.loads(row["value"])
+                if row["topic"].endswith("characters"):
+                    cid = payload["id"]
+                    characters[cid] = payload
+                    # late/updated character: re-emit every fiction that
+                    # references it (the inverted-index re-emission,
+                    # topic_processor_test.go:94-113)
+                    for fic_id in char_to_fics.get(cid, []):
+                        emit_if_complete(fic_id)
+                else:
+                    fic_id = payload["id"]
+                    fictions[fic_id] = payload
+                    for cid in payload["characterIds"]:
+                        subs = char_to_fics.setdefault(cid, [])
+                        if fic_id not in subs:
+                            subs.append(fic_id)
+                    emit_if_complete(fic_id)
+
+        state.update(
+            (json.dumps(characters), json.dumps(fictions), json.dumps(char_to_fics))
+        )
+        yield pd.DataFrame(out, columns=["partition", "fiction_id", "doc_json"])
+
+    return messages.groupBy("partition").applyInPandasWithState(
+        process,
+        outputStructType=DOCUMENT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def assemble_documents_batch(characters: DataFrame, fictions: DataFrame) -> DataFrame:
+    """Bounded twin of assemble_documents for oracle-style verification:
+    explode fiction characterIds, join characters, reassemble in
+    characterIds order, keep only complete documents. Same output as the
+    streaming op's last-write-wins final state.
+
+    Spark-first shape: explode -> broadcast-or-shuffle hash join ->
+    groupBy(fiction) with collect_list, ordered by the original array index
+    (posexplode) — no Python.
+    """
+    exploded = fictions.select(
+        F.col("id").alias("fiction_id"),
+        "fictionType",
+        "title",
+        F.size("characterIds").alias("n_needed"),
+        F.posexplode("characterIds").alias("pos", "cid"),
+    )
+    joined = exploded.join(characters, exploded.cid == characters.id, "inner")
+    return (
+        joined.groupBy("fiction_id", "fictionType", "title", "n_needed")
+        .agg(
+            F.count(F.lit(1)).alias("n_found"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("pos"),
+                        F.struct(
+                            F.col("id"), F.col("name"), F.col("wikipediaUrl")
+                        ).alias("c"),
+                    )
+                )
+            ).alias("ordered"),
+        )
+        .filter(F.col("n_found") == F.col("n_needed"))
+        .select(
+            "fiction_id",
+            "fictionType",
+            "title",
+            F.transform(F.col("ordered"), lambda s: s["c"]).alias("characters"),
+        )
+    )

@@ -1,0 +1,206 @@
+"""Streaming tier tests — all broker-less (file sources + availableNow),
+mirroring the reference's test strategy at the same seams:
+
+- running word count == batch word count (the word_count example)
+- checkpoint recovery: restart must not double-count (at-least-once ->
+  exactly-once into the memory sink)
+- characters x fictions golden join with late arrivals and re-emission
+  (topic_processor_test.go semantics, our own fixture data)
+- metrics listener sees incoming rows
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from kasper_spark.streaming.pipeline import Pipeline, PipelineConfig
+from kasper_spark.streaming.state import (
+    assemble_documents,
+    assemble_documents_batch,
+    running_word_count,
+)
+from kasper_spark.streaming.metrics import PipelineMetricsListener
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    return str(tmp_path)
+
+
+def _pipeline(spark, workdir, name):
+    return Pipeline(
+        spark,
+        PipelineConfig(name=name, checkpoint_root=os.path.join(workdir, "ckpt")),
+    )
+
+
+def _write_json_file(d, rows, fname):
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, fname)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    os.rename(tmp, path)
+
+
+LINES = [
+    "the quick brown fox",
+    "the lazy dog",
+    "the quick dog jumps",
+]
+
+
+def test_running_word_count_matches_batch(spark, workdir):
+    src = os.path.join(workdir, "lines")
+    _write_json_file(src, [{"value": l} for l in LINES], "part-0.json")
+
+    pipe = _pipeline(spark, workdir, "wc")
+    lines = pipe.file_source(src, "value string")
+    counts = running_word_count(lines)
+    qname = f"wc_{uuid.uuid4().hex[:8]}"
+    pipe.run_available_now(counts, output_mode="update", query_name=qname)
+
+    got = {
+        r["word"]: r["n"]
+        for r in spark.sql(f"SELECT word, n FROM {qname}").collect()
+    }
+    batch = (
+        spark.createDataFrame([(l,) for l in LINES], "value string")
+        .select(F.explode(F.split("value", " ")).alias("word"))
+        .groupBy("word")
+        .count()
+        .collect()
+    )
+    assert got == {r["word"]: r["count"] for r in batch}
+
+
+def test_checkpoint_recovery_no_double_count(spark, workdir):
+    """Restarting with the same checkpoint must not re-count processed
+    input (A2/A6 — offsets commit after sink write)."""
+    src = os.path.join(workdir, "lines2")
+    _write_json_file(src, [{"value": "a b a"}], "f1.json")
+
+    emitted: list[tuple[str, int]] = []
+
+    def collect_batch(df, epoch_id):
+        emitted.extend((r["word"], r["n"]) for r in df.collect())
+
+    pipe = _pipeline(spark, workdir, "wc-recover")
+    counts = running_word_count(pipe.file_source(src, "value string"))
+    pipe.run_available_now(counts, output_mode="update", for_each_batch=collect_batch)
+
+    # second run, same checkpoint, new file added
+    _write_json_file(src, [{"value": "a c"}], "f2.json")
+    pipe2 = _pipeline(spark, workdir, "wc-recover")  # same name -> same checkpoint
+    counts2 = running_word_count(pipe2.file_source(src, "value string"))
+    pipe2.run_available_now(counts2, output_mode="update", for_each_batch=collect_batch)
+
+    final = {}
+    for word, n in emitted:
+        final[word] = max(final.get(word, 0), n)
+    assert final == {"a": 3, "b": 1, "c": 1}
+
+
+# ---- golden join fixture (our own data; same shape as FIXTURES.md §1-3) ----
+
+CHARACTERS = [
+    {"id": "CH_01", "name": "Ada", "wikipediaUrl": "https://w/Ada"},
+    {"id": "CH_02", "name": "Grace", "wikipediaUrl": "https://w/Grace"},
+    {"id": "CH_03", "name": "Edsger", "wikipediaUrl": "https://w/Edsger"},
+    {"id": "CH_04", "name": "Barbara", "wikipediaUrl": "https://w/Barbara"},
+]
+
+FICTIONS = [
+    {"id": "FI_01", "fictionType": "Novel", "title": "Engines", "characterIds": ["CH_01", "CH_02"]},
+    {"id": "FI_02", "fictionType": "Film", "title": "Compilers", "characterIds": ["CH_02"]},
+    {"id": "FI_03", "fictionType": "Series", "title": "Semaphores", "characterIds": ["CH_03", "CH_04", "CH_01"]},
+]
+
+
+def _envelope(topic, payloads, start_offset=0):
+    return [
+        {
+            "topic": topic,
+            "partition": 0,
+            "offset": start_offset + i,
+            "value": json.dumps(p),
+        }
+        for i, p in enumerate(payloads)
+    ]
+
+
+def test_document_join_golden(spark, workdir):
+    """Late arrivals: fictions arrive before some characters; each document
+    appears exactly when its last character lands; character update
+    re-emits affected complete documents."""
+    src = os.path.join(workdir, "msgs")
+    # batch 1: all fictions + two characters -> only FI_02 (needs CH_02) completes
+    _write_json_file(
+        src,
+        _envelope("fictions", FICTIONS) + _envelope("characters", CHARACTERS[:2], 100),
+        "b1.json",
+    )
+
+    schema = "topic string, partition int, offset long, value string"
+    pipe = _pipeline(spark, workdir, "docjoin")
+    docs = assemble_documents(pipe.file_source(src, schema))
+
+    emitted: list[dict] = []
+
+    def collect_batch(df, epoch_id):
+        emitted.extend(r.asDict() for r in df.collect())
+
+    pipe.run_available_now(docs, output_mode="update", for_each_batch=collect_batch)
+    got1 = {e["fiction_id"] for e in emitted}
+    assert "FI_02" in got1 and "FI_01" in got1 and "FI_03" not in got1
+
+    # batch 2: remaining characters + an update to CH_02 -> FI_03 completes,
+    # FI_01/FI_02 re-emit with the updated name
+    update = {"id": "CH_02", "name": "Grace H.", "wikipediaUrl": "https://w/GraceH"}
+    _write_json_file(src, _envelope("characters", CHARACTERS[2:] + [update], 200), "b2.json")
+    emitted.clear()
+    pipe2 = _pipeline(spark, workdir, "docjoin")
+    docs2 = assemble_documents(pipe2.file_source(src, schema))
+    pipe2.run_available_now(docs2, output_mode="update", for_each_batch=collect_batch)
+
+    last = {e["fiction_id"]: json.loads(e["doc_json"]) for e in emitted}
+    assert set(last) == {"FI_01", "FI_02", "FI_03"}
+    assert [c["id"] for c in last["FI_03"]["characters"]] == ["CH_03", "CH_04", "CH_01"]
+    assert last["FI_01"]["characters"][1]["name"] == "Grace H."
+
+    # final state matches the batch twin (with updated CH_02)
+    chars_final = CHARACTERS[:1] + [update] + CHARACTERS[2:]
+    cdf = spark.createDataFrame(chars_final)
+    fdf = spark.createDataFrame(FICTIONS)
+    batch_docs = {
+        r["fiction_id"]: [c["id"] for c in r["characters"]]
+        for r in assemble_documents_batch(cdf, fdf).collect()
+    }
+    stream_docs = {k: [c["id"] for c in v["characters"]] for k, v in last.items()}
+    assert batch_docs == stream_docs
+
+
+def test_metrics_listener(spark, workdir):
+    listener = PipelineMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        src = os.path.join(workdir, "lines3")
+        _write_json_file(src, [{"value": "x y"}], "f.json")
+        pipe = _pipeline(spark, workdir, "metrics")
+        counts = running_word_count(pipe.file_source(src, "value string"))
+        qname = f"m_{uuid.uuid4().hex[:8]}"
+        pipe.run_available_now(counts, output_mode="update", query_name=qname)
+        deadline = time.time() + 10
+        while time.time() < deadline and listener.snapshot()["incoming"].get(qname, 0) < 1:
+            time.sleep(0.2)
+        assert listener.snapshot()["incoming"].get(qname, 0) >= 1
+    finally:
+        spark.streams.removeListener(listener)
