@@ -50,6 +50,11 @@ def main() -> None:
     load_all_operators()
     spark = get_spark("kasper_spark-bench")
 
+    # warm the SESSION (JVM, parquet reader, codegen infra) — not the
+    # benchmarked plans; each query below still pays its own planning cost
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]

@@ -1,4 +1,12 @@
 """Operator modules. Importing this package registers every declared query
 (SURVEY.md §2.D) into kasper_spark.registry."""
 
-from kasper_spark.operators import relational, dedup, similarity, text, multimodal  # noqa: F401
+from kasper_spark.operators import (  # noqa: F401
+    relational,
+    dedup,
+    similarity,
+    text,
+    multimodal,
+    temporal,
+    analytics,
+)

@@ -156,28 +156,55 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic: fixed hash seeds; output sorted semantics left to the
     driver (rows-only correctness check).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # small parquet = one input split; the shingle/hash work is CPU-bound,
+    # so spread it across the cluster before the expression-heavy stages
+    # (at real scale the file splits already provide this parallelism, and
+    # AQE coalesces the trailing partitions)
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par)
     toks = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
     sh = toks.select("doc_id", _shingles(F.col("toks")).alias("shingles")).filter(
         F.size("shingles") > 0
     )
 
-    # 32 minhashes: min over shingles of xxhash64(seed_i, shingle).
-    # NB: seed binding uses a factory, not a default arg — pyspark infers
-    # lambda arity, and a default arg would flip transform() into its
-    # (element, index) form.
-    def _minhash(seed: int):
-        return F.array_min(
-            F.transform(F.col("shingles"), lambda s: F.xxhash64(F.lit(seed), s))
-        )
+    # 32 minhashes via the affine-combination trick: hash each shingle
+    # TWICE (not 32x) and derive hash_i = h1 + i*h2 (pairwise-independent
+    # family). Shifts keep the arithmetic inside the positive long range so
+    # ANSI-mode overflow checks never fire: h1>>>2 < 2^62 and
+    # i*(h2>>>8) < 32*2^56 = 2^61.
+    #
+    # Shape: explode shingles -> 32 plain min() aggregates. This is both
+    # the scalable form (per-shingle rows partially aggregate map-side; no
+    # giant array columns cross the shuffle) and ~3x faster to compile than
+    # 32 nested zip_with lambdas.
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    hashed = ex.select(
+        "doc_id",
+        F.shiftrightunsigned(F.xxhash64("s"), 2).alias("h1"),
+        F.shiftrightunsigned(F.xxhash64(F.lit(7), "s"), 8).alias("h2"),
+    )
+    per_doc = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.col("h1") + i * F.col("h2")).alias(f"m{i}")
+            for i in range(_NUM_HASHES)
+        ]
+    )
+    # persist the signature table: it is tiny relative to the corpus
+    # (#docs x 32 longs ≈ 264 B/doc) and is consumed three times (banding +
+    # both sides of the candidate-pair join). Without persistence each
+    # consumer would recompute the full shingle/hash pipeline.
+    from pyspark import StorageLevel
 
-    minhashes = F.array(*[_minhash(i) for i in range(_NUM_HASHES)]).alias("mh")
-    sigs = sh.select("doc_id", minhashes)
+    sigs = per_doc.select(
+        "doc_id", F.array(*[f"m{i}" for i in range(_NUM_HASHES)]).alias("mh")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    # band signatures: md5 of the concatenated row hashes in each band
+    # band signatures: md5 of the concatenated row hashes in each band.
+    # Signatures-only rows go through the bucket shuffle — the 32-long mh
+    # arrays stay out of the wide stages and are joined back at the end
+    # (pairs dedupe on two longs instead of two arrays).
     bands = sigs.select(
         "doc_id",
-        "mh",
         F.explode(
             F.array(
                 *[
@@ -197,13 +224,17 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bs"),
-    ).select("doc_id", "mh", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
 
-    # bucket -> intra-bucket pairs (skew-capped)
+    # bucket -> intra-bucket candidate pairs (skew-capped, ids only). The
+    # distinct runs BEFORE the jaccard estimate so the (cheap) 16-byte pair
+    # rows are deduped across bands first and the 32-way signature compare
+    # runs once per surviving pair, not once per band collision (~35x less
+    # estimate work at these parameters).
     buckets = (
         bands.groupBy("band", "sig")
         .agg(
-            F.slice(F.array_sort(F.collect_list(F.struct("doc_id", "mh"))), 1, _MAX_BUCKET).alias(
+            F.slice(F.array_sort(F.collect_list("doc_id")), 1, _MAX_BUCKET).alias(
                 "members"
             )
         )
@@ -215,25 +246,19 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.flatten(
                     F.transform(
                         F.col("members"),
-                        lambda m: F.filter(
-                            F.transform(
-                                F.col("members"),
-                                lambda n: F.struct(
-                                    m["doc_id"].alias("doc_a"),
-                                    n["doc_id"].alias("doc_b"),
-                                    m["mh"].alias("mh_a"),
-                                    n["mh"].alias("mh_b"),
-                                ),
-                            ),
-                            lambda p: p["doc_a"] < p["doc_b"],
+                        lambda m: F.transform(
+                            F.filter(F.col("members"), lambda x: x > m),
+                            lambda x: F.struct(m.alias("doc_a"), x.alias("doc_b")),
                         ),
                     )
                 )
             ).alias("p")
         )
-        .select("p.doc_a", "p.doc_b", "p.mh_a", "p.mh_b")
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("mh").alias("mh_a"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("mh").alias("mh_b"))
     est = (
         F.size(
             F.filter(
@@ -243,9 +268,12 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double")
         / _NUM_HASHES
     )
-    return pairs.select(
-        "doc_a", "doc_b", est.alias("est_jaccard")
-    ).filter(F.col("est_jaccard") >= 0.2)
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= 0.2)
+    )
 
 
 @register_query("simhash_fingerprints")  # rows-only: not SQL-expressible
@@ -257,7 +285,9 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     64 sums. Near-dup docs differ in few bits (checked via hamming distance
     in tests). Entirely JVM-side expression work — no Python.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
     hashes = toks.select(
         "doc_id", F.transform(F.col("toks"), lambda t: F.xxhash64(t)).alias("hs")

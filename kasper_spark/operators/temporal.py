@@ -1,0 +1,187 @@
+"""Temporal operators: event-time windows, range joins, as-of joins.
+
+The reference has NO event-time semantics (SURVEY.md §2.C — its only clock
+is the processing-time batch ticker, /root/reference/topic_processor.go:193,
+219-232). These operators supply the event-time tier a streaming engine
+needs, each with a bounded oracle-checked twin; the streaming forms (window()
+aggregations with watermarks) are exercised in tests/test_streaming_windows.py.
+
+Scale notes:
+- tumbling windows are a plain groupBy on a derived bucket column — partial
+  aggregation applies, shuffle carries (bucket, key) groups;
+- the range join pre-buckets both sides to the hour so Spark joins on the
+  equality (user_id, bucket) pair first and applies the range predicate as
+  a post-filter — avoiding the O(n^2) theta-join a naive BETWEEN would give;
+- the as-of join uses a window over the unioned stream rather than a
+  per-row subquery (one shuffle + one sort, no N lookups).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kasper_spark.catalog import load_table
+from kasper_spark.functions.exact import dsum, dsum_sql
+from kasper_spark.registry import register_query
+
+
+@register_query(
+    "events_tumbling_1h",
+    oracle=f"""
+    SELECT
+        date_trunc('hour', ts) AS window_start,
+        event_type,
+        COUNT(*) AS n,
+        {dsum_sql('value')} AS sum_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window aggregate — batch twin of the
+    streaming groupBy(window(ts, '1 hour')) (aligned windows make
+    window.start == date_trunc('hour')). The streaming form adds a
+    watermark; same grouping, same state layout."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").start.alias("window_start"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+    )
+
+
+@register_query(
+    "events_by_day",
+    oracle="""
+    SELECT
+        CAST(date_trunc('day', ts) AS DATE) AS day,
+        COUNT(*) AS n,
+        COUNT(DISTINCT user_id) AS dau
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily rollup with distinct users (date functions + distinct agg)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day")).agg(
+        F.count(F.lit(1)).alias("n"), F.count_distinct("user_id").alias("dau")
+    )
+
+
+@register_query(
+    "join_range_events",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, event_id AS purchase_id, ts AS pts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    e AS (
+        SELECT user_id, ts AS ets FROM events WHERE event_type = 'error'
+    )
+    SELECT
+        p.user_id,
+        p.purchase_id,
+        COUNT(e.ets) AS errors_before
+    FROM p LEFT JOIN e
+      ON p.user_id = e.user_id
+     AND e.ets >= p.pts - INTERVAL 1 HOUR
+     AND e.ets < p.pts
+    GROUP BY p.user_id, p.purchase_id
+    """,
+)
+def join_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: errors within the hour before each purchase.
+
+    Spark-first shape: both sides bucket to the hour and the probe side
+    explodes into the two candidate buckets (h, h-1), turning the range
+    predicate into an equi-join on (user_id, bucket) + residual filter —
+    the standard bucketed range-join decomposition that keeps the shuffle
+    keyed and bounded instead of falling into a broadcast-nested-loop."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user_id"),
+        F.col("ts").alias("ets"),
+        F.date_trunc("hour", "ts").alias("e_bucket"),
+    )
+    # purchase probes both candidate buckets covering [pts-1h, pts)
+    pb = p.select(
+        "user_id",
+        "purchase_id",
+        "pts",
+        F.explode(
+            F.array(
+                F.date_trunc("hour", "pts"),
+                F.date_trunc("hour", F.col("pts") - F.expr("INTERVAL 1 HOUR")),
+            )
+        ).alias("bucket"),
+    ).dropDuplicates(["purchase_id", "bucket"])
+    joined = pb.join(
+        e,
+        (pb.user_id == e.e_user_id)
+        & (pb.bucket == e.e_bucket)
+        & (e.ets >= pb.pts - F.expr("INTERVAL 1 HOUR"))
+        & (e.ets < pb.pts),
+        "left",
+    )
+    return joined.groupBy("user_id", "purchase_id").agg(
+        F.count("ets").alias("errors_before")
+    )
+
+
+@register_query(
+    "asof_join_last_click",
+    oracle="""
+    SELECT
+        p.event_id AS purchase_id,
+        p.user_id,
+        (
+            SELECT MAX(c.ts) FROM events c
+            WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts <= p.ts
+        ) AS last_click_ts
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join: for each purchase, the most recent click at or
+    before it by the same user.
+
+    Spark-first shape: union both event kinds, sort within user by time,
+    and carry the last click timestamp forward with a running MAX window —
+    one shuffle + one sort for the whole table instead of a correlated
+    per-row lookup. (max(ts) over rows<=current of click-only timestamps —
+    NULL until the first click.)"""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+    )
+    # clicks sort before purchases at the same timestamp so a simultaneous
+    # click counts (ts <= p.ts), matching the oracle's <=
+    order_tag = F.when(F.col("event_type") == "click", 0).otherwise(1)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", order_tag, "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_last = tagged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.max("click_ts").over(w).alias("last_click_ts"),
+    )
+    return with_last.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "last_click_ts"
+    )

@@ -45,10 +45,4 @@ def load_all_operators() -> None:
     """Import every operator module for its registration side effects."""
     # Imports are inside the function so `import kasper_spark` stays cheap
     # and circular-import-free.
-    from kasper_spark.operators import (  # noqa: F401
-        relational,
-        dedup,
-        similarity,
-        text,
-        multimodal,
-    )
+    import kasper_spark.operators  # noqa: F401

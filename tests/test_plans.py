@@ -1,0 +1,74 @@
+"""Plan-quality gates: the physical plans we rely on at 100 TB must not
+silently regress. Each assertion maps to a scale requirement:
+
+- filter pushdown + column pruning -> scans read only needed data
+- broadcast joins for dimension tables -> no shuffle of the small side
+- rank-limit windows -> per-partition top-k, no global sort
+- TakeOrderedAndProject -> top-k without full sort
+- partial aggregation -> shuffle carries groups, not rows
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kasper_spark.registry import QUERIES, load_all_operators
+from tests.conftest import SF_SMOKE
+
+load_all_operators()
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_filter_pushdown(spark):
+    plan = _plan(spark, "scan_filter_project")
+    assert "PushedFilters: [" in plan
+    # the discount + shipdate predicates must reach the scan
+    assert "l_discount" in plan.split("PushedFilters")[1][:300]
+
+
+def test_scan_column_pruning(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    # ReadSchema must not include unused columns like l_orderkey/l_partkey
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_partkey" not in read_schema
+    assert "l_orderkey" not in read_schema
+
+
+def test_q3_broadcasts_customer(spark):
+    plan = _plan(spark, "q3_top_orders")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q5_all_dims_broadcast(spark):
+    plan = _plan(spark, "q5_local_supplier")
+    # customer/supplier/nation/region all broadcast; only lineitem-orders
+    # may shuffle
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_topk_uses_window_group_limit(spark):
+    plan = _plan(spark, "window_topk_per_group")
+    assert "WindowGroupLimit" in plan
+
+
+def test_semi_anti_join_shapes(spark):
+    semi = _plan(spark, "join_semi")
+    anti = _plan(spark, "join_anti")
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_partial_aggregation(spark):
+    plan = _plan(spark, "word_count")
+    # HashAggregate appears twice: partial (map-side) + final after shuffle
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_no_cartesian_in_oracle_checked_joins(spark):
+    for name in ("q3_top_orders", "q5_local_supplier", "join_left_outer"):
+        assert "CartesianProduct" not in _plan(spark, name), name
