@@ -9,4 +9,5 @@ from kasper_spark.operators import (  # noqa: F401
     multimodal,
     temporal,
     analytics,
+    streaming_twins,
 )

@@ -1,0 +1,71 @@
+"""Streaming-twin queries: run the STREAMING operator over the bounded
+testdata (file stream + availableNow) and return its final state as a
+DataFrame — so the driver's DuckDB oracle checks the streaming path itself,
+not just the batch analog (SURVEY.md §1.3 'batch twin' requirement, in the
+other direction).
+
+This is the engine-level proof of kasper's core promise: the same
+processing graph gives the same answer whether it arrives as a stream or
+sits in a table (/root/reference/README.md:13-19 — at-least-once delivery +
+idempotent processing converge to the batch result).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kasper_spark.registry import register_query
+from kasper_spark.streaming.state import running_word_count
+
+
+@register_query(
+    "streaming_word_count_twin",
+    oracle="""
+    SELECT word, COUNT(*) AS n
+    FROM (
+        SELECT UNNEST(string_split(text, ' ')) AS word
+        FROM documents
+    )
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def streaming_word_count_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count executed through Structured Streaming (parquet file
+    stream -> stateful agg -> availableNow drain -> memory sink), verified
+    against the SAME SQL oracle as the batch word_count: stream/batch
+    convergence, checked by the driver."""
+    qname = f"swc_{uuid.uuid4().hex[:10]}"
+    work = tempfile.mkdtemp(prefix="kasper-swc-")
+    ckpt = os.path.join(work, "ck")
+    # the file-stream source wants a directory; expose the single parquet
+    # file through a symlink (read-only testdata stays untouched)
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir)
+    os.symlink(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(src_dir, "documents.parquet"),
+    )
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .format("parquet")
+        .load(src_dir)
+    )
+    counts = running_word_count(stream, value_col="text")
+    q = (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)

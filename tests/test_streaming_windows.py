@@ -1,0 +1,116 @@
+"""Event-time streaming: watermarked tumbling windows and late-data
+handling — the semantics tier the reference lacks entirely (SURVEY.md §2.C:
+no watermarks, no windows, state never evicts). Batch twin equivalence is
+asserted against the same data."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kasper_spark.streaming.pipeline import Pipeline, PipelineConfig
+
+
+def _write(d, rows, fname):
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, fname + ".tmp")
+    with open(tmp, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    os.rename(tmp, os.path.join(d, fname))
+
+
+EVENTS_B1 = [
+    {"ts": "2024-01-01 10:05:00", "user": "u1", "v": 1.0},
+    {"ts": "2024-01-01 10:20:00", "user": "u2", "v": 2.0},
+    {"ts": "2024-01-01 11:02:00", "user": "u1", "v": 3.0},
+]
+EVENTS_B2 = [
+    {"ts": "2024-01-01 10:40:00", "user": "u1", "v": 4.0},   # late but in-window
+    {"ts": "2024-01-01 12:01:00", "user": "u2", "v": 5.0},
+]
+
+
+def test_tumbling_window_with_watermark(spark, tmp_path):
+    src = str(tmp_path / "ev")
+    _write(src, EVENTS_B1, "b1.json")
+    _write(src, EVENTS_B2, "b2.json")
+
+    pipe = Pipeline(
+        spark,
+        PipelineConfig(name="win", checkpoint_root=str(tmp_path / "ck")),
+    )
+    raw = pipe.file_source(src, "ts string, user string, v double")
+    evs = raw.select(F.to_timestamp("ts").alias("ts"), "user", "v")
+    windowed = (
+        evs.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").start.alias("ws"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(38,4)")).cast("double").alias("sv"),
+        )
+    )
+    rows = []
+    pipe.run_available_now(
+        windowed,
+        output_mode="update",
+        for_each_batch=lambda df, _: rows.extend(r.asDict() for r in df.collect()),
+    )
+    final = {}
+    for r in rows:
+        final[str(r["ws"])] = (r["n"], r["sv"])  # last update wins
+
+    # batch twin over the same data
+    all_events = EVENTS_B1 + EVENTS_B2
+    bdf = (
+        spark.createDataFrame(all_events)
+        .select(F.to_timestamp("ts").alias("ts"), "v")
+        .groupBy(F.date_trunc("hour", "ts").alias("ws"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(38,4)")).cast("double").alias("sv"),
+        )
+    )
+    expected = {str(r["ws"]): (r["n"], r["sv"]) for r in bdf.collect()}
+    assert final == expected
+
+
+def test_append_mode_emits_finalized_windows_once(spark, tmp_path):
+    """Append mode: a window is emitted exactly once, when the watermark
+    passes its end; still-open windows are never emitted.
+
+    (Observed engine caveat, documented rather than fought: after an
+    availableNow RESTART, Spark re-accepts events below the restored
+    watermark into evicted windows — so cross-restart late-data dropping
+    must not be relied upon. Within a run, finalized windows are stable.)
+    """
+    src = str(tmp_path / "append")
+    # 10:05 falls in [10:00, 11:00); 13:30's window stays open (watermark
+    # reaches 12:30 = 13:30 - 1h, past 11:00 but short of 14:00)
+    _write(src, [{"ts": "2024-01-01 10:05:00", "v": 1.0},
+                 {"ts": "2024-01-01 13:30:00", "v": 2.0}], "b1.json")
+
+    pipe = Pipeline(
+        spark, PipelineConfig(name="append", checkpoint_root=str(tmp_path / "ck"))
+    )
+    raw = pipe.file_source(src, "ts string, v double")
+    evs = raw.select(F.to_timestamp("ts").alias("ts"), "v")
+    windowed = (
+        evs.withWatermark("ts", "1 hour")
+        # group by the window column itself (not window().start — that
+        # projection severs the watermark association for append mode)
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.sum(F.col("v").cast("decimal(38,4)")).cast("double").alias("sv"))
+        .select(F.col("win.start").alias("ws"), "sv")
+    )
+    rows = []
+    pipe.run_available_now(
+        windowed,
+        output_mode="append",
+        for_each_batch=lambda df, _: rows.extend(r.asDict() for r in df.collect()),
+    )
+    emitted = [(str(r["ws"]), r["sv"]) for r in rows]
+    assert emitted == [("2024-01-01 10:00:00", 1.0)]
