@@ -62,6 +62,11 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # streaming envelope (BASELINE.md: reference targets >10k msg/s, ~1s
+    # batches): rate source -> per-message map -> count, measured over a
+    # fixed wall-clock window through the real micro-batch machinery.
+    streaming = _streaming_throughput(spark)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -70,11 +75,51 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "streaming": streaming,
                 "sf": sf,
             }
         )
     )
     spark.stop()
+
+
+def _streaming_throughput(spark, seconds: float = 8.0) -> dict:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    processed = {"rows": 0, "batches": 0}
+
+    def count_batch(df, _):
+        processed["rows"] += df.count()
+        processed["batches"] += 1
+
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "200000")
+        .option("numPartitions", "8")
+        .load()
+        .select(
+            F.col("value").cast("string").alias("key"),
+            F.format_string("Hello %d", F.col("value")).alias("value"),
+        )
+    )
+    q = (
+        stream.writeStream.foreachBatch(count_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="kasper-bench-stream-"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < seconds:
+        time.sleep(0.25)
+    q.stop()
+    elapsed = time.perf_counter() - t0
+    return {
+        "msgs_per_sec": round(processed["rows"] / elapsed),
+        "batches": processed["batches"],
+        "window_sec": round(elapsed, 1),
+    }
 
 
 if __name__ == "__main__":

@@ -10,4 +10,5 @@ from kasper_spark.operators import (  # noqa: F401
     temporal,
     analytics,
     streaming_twins,
+    grouped_map,
 )

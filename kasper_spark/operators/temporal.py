@@ -135,6 +135,74 @@ def join_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
+    "sessionize_events",
+    oracle="""
+    WITH marked AS (
+        SELECT
+            user_id, event_id, ts,
+            CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, event_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM marked
+    )
+    SELECT
+        user_id,
+        session_no,
+        COUNT(*) AS n_events,
+        MIN(ts) AS session_start,
+        MAX(ts) AS session_end,
+        CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_sec
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-minute inactivity gap) via gaps-and-islands:
+    lag -> new-session flag -> running sum -> per-session aggregation. This
+    is the batch twin of the streaming session_window() aggregation
+    (event-time semantics the reference lacks, SURVEY.md §2.C).
+
+    Scale: one shuffle on user_id serves both window passes and the final
+    groupBy (same partitioning reused); no self-join."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)) <= 1800,
+            0,
+        )
+        .otherwise(1)
+        .alias("new_session"),
+    )
+    numbered = marked.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_no"),
+    )
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
+            "duration_sec"
+        ),
+    )
+
+
+@register_query(
     "asof_join_last_click",
     oracle="""
     SELECT

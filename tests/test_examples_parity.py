@@ -1,0 +1,131 @@
+"""Parity tests for the reference's example programs (SURVEY.md §2.B):
+
+- B1 hello-world: pass-through consumer printing the message envelope
+  (/root/reference/examples/hello_world_example.go:17-33)
+- B2 producer: re-key/re-value map 'Hello {value}' -> another topic
+  (/root/reference/examples/producer_example.go:25-40)
+- B6 multi-topic routing (/root/reference/examples/multiple_input_topics_example.go)
+- B3+B4 word count end-to-end with emitted message format
+  '{word} has been seen {n} times'
+  (/root/reference/examples/word_count_example.go:36-43)
+
+All run broker-less through the Pipeline file source.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from kasper_spark.streaming.pipeline import Pipeline, PipelineConfig
+from kasper_spark.streaming.state import running_word_count
+
+
+def _write(d, rows, fname):
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, fname + ".tmp")
+    with open(tmp, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    os.rename(tmp, os.path.join(d, fname))
+
+
+ENVELOPE = "key string, value string, topic string, partition int, offset long"
+
+
+def _pipe(spark, tmp_path, name):
+    return Pipeline(
+        spark, PipelineConfig(name=name, checkpoint_root=str(tmp_path / "ck"))
+    )
+
+
+def test_hello_world_passthrough(spark, tmp_path):
+    """B1: every message's envelope passes through unchanged."""
+    src = str(tmp_path / "hello")
+    msgs = [
+        {"key": "k1", "value": "Hello world", "topic": "hello", "partition": 0, "offset": 0},
+        {"key": "k2", "value": "Hej verden", "topic": "hello", "partition": 1, "offset": 0},
+    ]
+    _write(src, msgs, "b.json")
+    pipe = _pipe(spark, tmp_path, "hello")
+    out_rows = []
+    pipe.run_available_now(
+        pipe.file_source(src, ENVELOPE),
+        for_each_batch=lambda df, _: out_rows.extend(r.asDict() for r in df.collect()),
+    )
+    assert sorted(out_rows, key=lambda r: r["key"]) == msgs
+
+
+def test_producer_map_re_value(spark, tmp_path):
+    """B2: map each message to key=key, value='Hello {value}'."""
+    src = str(tmp_path / "world")
+    _write(
+        src,
+        [{"key": "a", "value": "there", "topic": "hello", "partition": 0, "offset": 0}],
+        "b.json",
+    )
+    pipe = _pipe(spark, tmp_path, "producer")
+    mapped = pipe.file_source(src, ENVELOPE).select(
+        "key", F.format_string("Hello %s", F.col("value")).alias("value")
+    )
+    out = []
+    pipe.run_available_now(
+        mapped, for_each_batch=lambda df, _: out.extend(df.collect())
+    )
+    assert [(r["key"], r["value"]) for r in out] == [("a", "Hello there")]
+
+
+def test_multi_topic_routing(spark, tmp_path):
+    """B6: dispatch on msg.topic; unknown topic -> error branch (kasper
+    panics — we surface a dedicated 'unroutable' output instead)."""
+    src = str(tmp_path / "multi")
+    _write(
+        src,
+        [
+            {"key": "1", "value": "x", "topic": "topic-a", "partition": 0, "offset": 0},
+            {"key": "2", "value": "y", "topic": "topic-b", "partition": 0, "offset": 1},
+            {"key": "3", "value": "z", "topic": "mystery", "partition": 0, "offset": 2},
+        ],
+        "b.json",
+    )
+    pipe = _pipe(spark, tmp_path, "router")
+    routed = pipe.file_source(src, ENVELOPE).select(
+        "key",
+        F.when(F.col("topic") == "topic-a", "handler_a")
+        .when(F.col("topic") == "topic-b", "handler_b")
+        .otherwise("unroutable")
+        .alias("route"),
+    )
+    out = []
+    pipe.run_available_now(routed, for_each_batch=lambda df, _: out.extend(df.collect()))
+    assert {(r["key"], r["route"]) for r in out} == {
+        ("1", "handler_a"),
+        ("2", "handler_b"),
+        ("3", "unroutable"),
+    }
+
+
+def test_word_count_message_format(spark, tmp_path):
+    """B3+B4 with the example's output message shape:
+    '{word} has been seen {n} times', keyed by word."""
+    src = str(tmp_path / "wc")
+    _write(src, [{"value": "go go spark"}], "b.json")
+    pipe = _pipe(spark, tmp_path, "wc-fmt")
+    counts = running_word_count(pipe.file_source(src, "value string"))
+    messages = counts.select(
+        F.col("word").alias("key"),
+        F.format_string("%s has been seen %d times", F.col("word"), F.col("n")).alias(
+            "value"
+        ),
+    )
+    out = []
+    pipe.run_available_now(
+        messages, output_mode="update", for_each_batch=lambda df, _: out.extend(df.collect())
+    )
+    got = {r["key"]: r["value"] for r in out}
+    assert got == {
+        "go": "go has been seen 2 times",
+        "spark": "spark has been seen 1 times",
+    }
