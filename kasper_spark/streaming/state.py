@@ -22,10 +22,9 @@ stateful operators:
   co-partitioned (/root/reference/README.md:36-39,
   /root/reference/partition_processor.go:53-77). Parallelism therefore
   equals the topic partition count, exactly like kasper's one
-  partitionProcessor per partition. (A per-key two-stage variant that
-  removes the co-partitioning constraint is the scale path; it needs two
-  chained stateful stages — see assemble_documents_two_stage for the
-  batch-twin shape.)
+  partitionProcessor per partition. (assemble_documents_scalable is the
+  per-key two-stage variant that removes the co-partitioning constraint —
+  the 100 TB scale path.)
 
   State never evicts, matching the reference (stores grow forever —
   /root/reference/topic_processor_test.go:94-133); production deployments
@@ -157,6 +156,216 @@ def assemble_documents(messages: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def assemble_documents_scalable(
+    spark,
+    messages_path: str,
+    workdir: str,
+    envelope_schema: str = "topic string, partition int, offset long, value string",
+):
+    """Two-stage, per-key-parallel form of assemble_documents — the 100 TB
+    path. Removes kasper's topic co-partitioning requirement
+    (/root/reference/README.md:36-39): state shards by character_id then by
+    fiction_id, so parallelism scales with KEY cardinality, not partition
+    count, and no single task holds a partition's whole store.
+
+    Stage 1 (keyed by character_id): state = latest character + the set of
+    fiction refs subscribed to it (the distributed form of kasper's
+    char->fictions inverted index). Emits one (fiction, pos, character) row
+    whenever a subscription can be satisfied or a character updates.
+
+    Stage 2 (keyed by fiction_id): state = resolved characters by position.
+    Emits the complete document when all positions are filled; re-emits on
+    updates (downstream last-write-wins, as in the reference).
+
+    The stages chain through an intermediate JSON directory — the
+    re-produce-to-topic fan-out pattern the reference documents as its own
+    repartitioning escape hatch (A9, /root/reference/README.md:37-39); in
+    production the intermediate is a Kafka topic. Both stages run
+    availableNow here; returns the stage-2 emissions DataFrame (bounded).
+    """
+    import os
+    import uuid as _uuid
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    qname = f"stage2_docs_{_uuid.uuid4().hex[:8]}"
+    stage1_out = os.path.join(workdir, "stage1")
+    ck1 = os.path.join(workdir, "ck1")
+    ck2 = os.path.join(workdir, "ck2")
+
+    # ---- stage 1: key by character_id -----------------------------------
+    msgs = (
+        spark.readStream.schema(envelope_schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(messages_path)
+    )
+    routed = msgs.select(
+        "topic",
+        "offset",
+        "value",
+        F.when(
+            F.col("topic").endswith("characters"),
+            F.get_json_object("value", "$.id"),
+        ).alias("char_key"),
+    )
+    # fiction rows explode into one row per referenced character
+    fic = (
+        routed.filter(F.col("char_key").isNull())
+        .select(
+            "offset",
+            "value",
+            F.posexplode(
+                F.from_json(
+                    F.get_json_object("value", "$.characterIds"), "array<string>"
+                )
+            ).alias("pos", "cid"),
+        )
+        .select(
+            F.col("cid").alias("character_id"),
+            F.lit("ref").alias("kind"),
+            "offset",
+            F.to_json(
+                F.struct(
+                    F.get_json_object("value", "$.id").alias("fiction_id"),
+                    F.get_json_object("value", "$.fictionType").alias("fictionType"),
+                    F.get_json_object("value", "$.title").alias("title"),
+                    F.col("pos"),
+                    F.size(
+                        F.from_json(
+                            F.get_json_object("value", "$.characterIds"),
+                            "array<string>",
+                        )
+                    ).alias("n_needed"),
+                )
+            ).alias("payload"),
+        )
+    )
+    chars = routed.filter(F.col("char_key").isNotNull()).select(
+        F.col("char_key").alias("character_id"),
+        F.lit("char").alias("kind"),
+        "offset",
+        F.col("value").alias("payload"),
+    )
+    stage1_in = chars.unionByName(fic)
+
+    S1_OUT = StructType(
+        [
+            StructField("fiction_id", StringType()),
+            StructField("ref_json", StringType()),
+            StructField("char_json", StringType()),
+        ]
+    )
+    S1_STATE = StructType(
+        [
+            StructField("char_json", StringType()),
+            StructField("refs_json", StringType()),
+        ]
+    )
+
+    def stage1(key, pdfs, state):
+        import json
+
+        import pandas as pd
+
+        char_json, refs = (None, {})
+        if state.exists:
+            cj, rj = state.get
+            char_json = cj if cj else None
+            refs = json.loads(rj)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["kind", "offset"], kind="mergesort")
+            for _, row in pdf.iterrows():
+                if row["kind"] == "char":
+                    char_json = row["payload"]
+                    for ref in refs.values():  # char update -> re-emit all refs
+                        out.append((json.loads(ref)["fiction_id"], ref, char_json))
+                else:
+                    ref = row["payload"]
+                    fid = json.loads(ref)["fiction_id"]
+                    pos = json.loads(ref)["pos"]
+                    refs[f"{fid}#{pos}"] = ref
+                    if char_json is not None:
+                        out.append((fid, ref, char_json))
+        state.update((char_json if char_json else "", json.dumps(refs)))
+        yield pd.DataFrame(out, columns=["fiction_id", "ref_json", "char_json"])
+
+    q1 = (
+        stage1_in.groupBy("character_id")
+        .applyInPandasWithState(
+            stage1, S1_OUT, S1_STATE, "append", GroupStateTimeout.NoTimeout
+        )
+        # emissions form an event log (each row a new resolution event), so
+        # append mode is semantically right — and file sinks require it
+        .writeStream.outputMode("append")
+        .format("json")
+        .option("path", stage1_out)
+        .option("checkpointLocation", ck1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination()
+
+    # ---- stage 2: key by fiction_id -------------------------------------
+    resolved = (
+        spark.readStream.schema("fiction_id string, ref_json string, char_json string")
+        .option("maxFilesPerTrigger", "1")
+        .json(stage1_out)
+    )
+
+    S2_OUT = StructType(
+        [
+            StructField("fiction_id", StringType()),
+            StructField("doc_json", StringType()),
+        ]
+    )
+    S2_STATE = StructType([StructField("slots_json", StringType())])
+
+    def stage2(key, pdfs, state):
+        import json
+
+        import pandas as pd
+
+        slots = json.loads(state.get[0]) if state.exists else {}
+        out = []
+        for pdf in pdfs:
+            for _, row in pdf.iterrows():
+                ref = json.loads(row["ref_json"])
+                slots[str(ref["pos"])] = {
+                    "char": json.loads(row["char_json"]),
+                    "meta": ref,
+                }
+                n_needed = ref["n_needed"]
+                if len(slots) == n_needed:
+                    meta = ref
+                    doc = {
+                        "id": meta["fiction_id"],
+                        "fictionType": meta["fictionType"],
+                        "title": meta["title"],
+                        "characters": [
+                            slots[str(p)]["char"] for p in range(n_needed)
+                        ],
+                    }
+                    out.append((key[0], json.dumps(doc, sort_keys=True)))
+        state.update((json.dumps(slots),))
+        yield pd.DataFrame(out, columns=["fiction_id", "doc_json"])
+
+    q2 = (
+        resolved.groupBy("fiction_id")
+        .applyInPandasWithState(
+            stage2, S2_OUT, S2_STATE, "append", GroupStateTimeout.NoTimeout
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", ck2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    return spark.table(qname)
 
 
 def assemble_documents_batch(characters: DataFrame, fictions: DataFrame) -> DataFrame:
