@@ -42,17 +42,17 @@ def _tokens(col):
     return F.filter(F.split(col, " "), lambda w: w != "")
 
 
-def _shingles(tokens_col):
-    """Word-level n-gram shingles as strings, distinct."""
+def _shingles_raw(tokens_col):
+    """Word-level n-gram shingles as strings, NOT deduplicated — apply
+    array_distinct at the consumption site (see minhash_lsh_candidates for
+    why splitting the expression this way matters for the physical plan)."""
     n = _SHINGLE_N
     idx = F.sequence(F.lit(0), F.size(tokens_col) - n)
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(tokens_col, i + k + 1) for k in range(n)]
-            ),
-        )
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens_col, i + k + 1) for k in range(n)]
+        ),
     )
 
 
@@ -163,9 +163,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
     docs = load_table(spark, sf_dir, "documents").repartition(par)
     toks = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
-    sh = toks.select("doc_id", _shingles(F.col("toks")).alias("shingles")).filter(
-        F.size("shingles") > 0
-    )
+    raw = toks.select("doc_id", _shingles_raw(F.col("toks")).alias("raw"))
 
     # 32 minhashes via the affine-combination trick: hash each shingle
     # TWICE (not 32x) and derive hash_i = h1 + i*h2 (pairwise-independent
@@ -177,7 +175,17 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the scalable form (per-shingle rows partially aggregate map-side; no
     # giant array columns cross the shuffle) and ~3x faster to compile than
     # 32 nested zip_with lambdas.
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    #
+    # The explode's child is deliberately a non-attribute expression
+    # (array_distinct applied HERE, not in the projection above): when the
+    # generator child is a plain column, Catalyst's InferFiltersFromGenerate
+    # inlines the column's whole defining expression into an inferred
+    # `size(..)>0 AND isnotnull(..)` filter and pushes it below the
+    # repartition Exchange — re-running the shingle pipeline 2x per row on
+    # the UN-repartitioned (single-split) scan. Measured 18x slower at
+    # sf0.1. Empty-shingle docs are dropped by the explode itself, so no
+    # explicit size() filter is needed.
+    ex = raw.select("doc_id", F.explode(F.array_distinct("raw")).alias("s"))
     hashed = ex.select(
         "doc_id",
         F.shiftrightunsigned(F.xxhash64("s"), 2).alias("h1"),
