@@ -34,6 +34,8 @@ HEADLINE = [
     "dedup_exact",
     "minhash_lsh_candidates",
     "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
     "text_stats",
     "multimodal_meta",
 ]

@@ -126,3 +126,150 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register_query(
+    "grouping_sets_orders",
+    oracle="""
+    SELECT
+        o_orderstatus,
+        o_orderpriority,
+        CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — multi-granularity aggregation in ONE pass over the
+    fact table (vs a UNION ALL of three scans). Absent from the reference
+    (no grouping machinery at all — SURVEY.md §2.C); Spark expands the sets
+    via Expand + a single hash aggregate, so the 100 TB scan happens once
+    and each expanded row still combines map-side."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_gs_orders")
+    return orders.sparkSession.sql(
+        """
+        SELECT
+            o_orderstatus,
+            o_orderpriority,
+            CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+            COUNT(*) AS n_orders,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS DOUBLE) AS total_price
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register_query(
+    "unpivot_part_metrics",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+    FROM part WHERE p_partkey < 100
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value
+    FROM part WHERE p_partkey < 100
+    """,
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide columns -> long (metric, value) rows via the
+    native `unpivot` operator — a Generate (Expand) with NO shuffle, so it
+    scales linearly with the scan. The long form is what feature-store and
+    training-metrics pipelines ingest."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 100)
+    return part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").alias("p_retailprice"),
+    ).unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "value")
+
+
+@register_query(
+    "window_nav_lag_lead",
+    oracle="""
+    SELECT * FROM (
+        SELECT
+            user_id,
+            event_id,
+            value,
+            lag(value) OVER w AS prev_value,
+            lead(event_type) OVER w AS next_type,
+            epoch_us(ts) - lag(epoch_us(ts)) OVER w AS us_since_prev,
+            ntile(4) OVER w AS quartile
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ) WHERE user_id < 50
+    """,
+)
+def window_nav_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window navigation functions (lag/lead/ntile) — per-user event
+    sequencing, the batch twin of kasper's in-order per-partition processing
+    (/root/reference/topic_processor.go:200-216 processes each partition's
+    batch in arrival order). One shuffle on user_id; the sort is per
+    partition-group, never global."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "value",
+            F.lag("value").over(w).alias("prev_value"),
+            F.lead("event_type").over(w).alias("next_type"),
+            (
+                F.unix_micros(F.col("ts"))
+                - F.unix_micros(F.lag("ts").over(w))
+            ).alias("us_since_prev"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("user_id") < 50)
+    )
+
+
+@register_query(
+    "join_skew_salted",
+    oracle="""
+    SELECT
+        c.c_mktsegment,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o.o_totalprice AS DECIMAL(14,4))) AS DOUBLE) AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join: the fact side's join key is split into _SALT
+    deterministic sub-keys (o_orderkey % _SALT) and the dimension side is
+    replicated once per salt, so ONE hot customer key spreads over _SALT
+    reducer tasks instead of one straggler. Result is provably identical to
+    the plain join (the oracle IS the plain join).
+
+    At 100 TB this is the manual fallback when AQE's skew-join splitting
+    can't kick in (e.g. the skew is in a single shuffle block after an
+    aggregation). The dimension replication is an Expand (no extra scan).
+    """
+    _SALT = 8
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_totalprice",
+        (F.col("o_orderkey") % _SALT).alias("salt"),
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(_SALT)])))
+    )
+    return (
+        orders.join(cust, (orders.o_custkey == cust.c_custkey) & (orders.salt == cust.salt))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,4)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

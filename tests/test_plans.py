@@ -72,3 +72,24 @@ def test_partial_aggregation(spark):
 def test_no_cartesian_in_oracle_checked_joins(spark):
     for name in ("q3_top_orders", "q5_local_supplier", "join_left_outer"):
         assert "CartesianProduct" not in _plan(spark, name), name
+
+
+@pytest.mark.parametrize(
+    "name,needle",
+    [
+        ("minhash_lsh_candidates", "concat_ws"),   # shingle construction
+        ("ann_lsh_topk", "xxhash64"),              # hyperplane signatures
+    ],
+)
+def test_no_inferred_filter_duplicates_generator_input(spark, name, needle):
+    """InferFiltersFromGenerate guard (SCALING.md "Catalyst pitfall"):
+    explode over a materialized alias of an expensive array lets Catalyst
+    inline the whole defining expression into an inferred size>0 filter
+    pushed below the repartition Exchange — re-running the pipeline per row
+    on the un-repartitioned scan (18-88x slower measured). The expensive
+    expression must therefore never appear inside a Filter node."""
+    plan = _plan(spark, name)
+    for line in plan.splitlines():
+        stripped = line.strip(" +-:*")
+        if stripped.startswith("Filter ") or stripped.startswith("PushedFilters"):
+            assert needle not in line, f"{name}: expensive expr in filter: {line[:200]}"

@@ -1,0 +1,47 @@
+"""Quality gates for the approximate similarity-search paths: each ANN
+variant must recover a reasonable fraction of the exact brute-force top-k
+(recall@k). The brute-force baseline itself is oracle-checked in
+test_oracle_parity; these tests pin down the approximation quality so a
+refactor that silently destroys recall (e.g. a broken signature) fails CI
+even though every query still "runs"."""
+
+from __future__ import annotations
+
+from kasper_spark.registry import QUERIES, load_all_operators
+from tests.conftest import SF_ORACLE
+
+load_all_operators()
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def _recall(approx: dict, exact: dict) -> float:
+    hits = total = 0
+    for q, exact_ids in exact.items():
+        total += len(exact_ids)
+        hits += len(exact_ids & approx.get(q, set()))
+    return hits / total
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    exact = _topk_sets(QUERIES["ann_bruteforce_topk"](spark, SF_ORACLE))
+    ivf = _topk_sets(QUERIES["ann_ivf_topk"](spark, SF_ORACLE))
+    assert exact, "brute-force baseline returned nothing"
+    # nprobe=2 of ~7 lists: every query must get answers, and recall must
+    # clear a floor that a broken quantizer could not reach by luck
+    assert set(ivf) == set(exact)
+    assert _recall(ivf, exact) >= 0.4
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    exact = _topk_sets(QUERIES["ann_bruteforce_topk"](spark, SF_ORACLE))
+    lsh = _topk_sets(QUERIES["ann_lsh_topk"](spark, SF_ORACLE))
+    # 12-bit signatures bucket aggressively; some queries may land in
+    # singleton buckets, but aggregate recall still separates "working"
+    # from "broken" (a scrambled signature gives ~k/N ≈ 0.0x)
+    assert _recall(lsh, exact) >= 0.2
