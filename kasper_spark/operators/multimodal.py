@@ -150,3 +150,112 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract via Arrow-batched mapInPandas (STUB decode,
     real plumbing). Deterministic output: features derive from sha256."""
     return extract_features(media_table(spark, sf_dir))
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("resized_payload", BinaryType()),
+        StructField("resized_sha", StringType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("ts_ms", LongType()),
+        StructField("frame_payload", BinaryType()),
+    ]
+)
+
+_RESIZE_W, _RESIZE_H = 224, 224  # standard vision-model input
+_MAX_SAMPLED_FRAMES = 8
+
+
+@register_query("multimodal_resize")  # rows-only: decoder/resampler is a stub
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize to a fixed (w, h) via Arrow-batched mapInPandas — the
+    1:1 media-transform shape (decode -> resample -> re-encode). The
+    resample itself is a STUB (sha256-derived bytes, size proportional to
+    target area); the production plumbing is real: binary in/binary out,
+    non-image rows filtered BEFORE Python (JVM-side predicate), bounded
+    Arrow batches, output carries payload + digest so downstream can verify
+    transport integrity without re-reading blobs."""
+
+    def resize(batches):
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        def fake_resize(payload: bytes, w: int, h: int) -> bytes:
+            if payload is None:
+                raise NotImplementedError("real image decoder required")
+            # STUB: deterministic bytes standing in for the re-encoded
+            # image; length scales with target area like a real bitmap
+            seed = _hashlib.sha256(payload + w.to_bytes(2, "big") + h.to_bytes(2, "big")).digest()
+            reps = (w * h) // (16 * len(seed)) + 1
+            return (seed * reps)[: max(32, (w * h) // 16)]
+
+        for pdf in batches:
+            out = [fake_resize(p, _RESIZE_W, _RESIZE_H) for p in pdf["payload"]]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "width": _RESIZE_W,
+                    "height": _RESIZE_H,
+                    "resized_payload": out,
+                    "resized_sha": [_hashlib.sha256(b).hexdigest()[:16] for b in out],
+                }
+            )
+
+    media = media_table(spark, sf_dir).filter(F.col("media_type") == "image")
+    return media.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+@register_query("multimodal_frame_sample")  # rows-only: decoder is a stub
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling via mapInPandas — the 1:N media-transform shape
+    (one input video -> up to _MAX_SAMPLED_FRAMES output rows, evenly
+    spaced). mapInPandas (not a scalar UDF) precisely because the output
+    row count differs from the input's; each yielded frame row carries its
+    index and timestamp so downstream vision featurization is a plain
+    map over frames. Frame 'decode' is the deterministic STUB; the
+    explode-shaped plumbing, schemas, and batch handling are real.
+
+    Scale: output size is capped at _MAX_SAMPLED_FRAMES x input rows;
+    payloads stay inside the map stage (downstream should project features
+    before any shuffle)."""
+
+    def sample(batches):
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        def fake_probe(payload: bytes) -> int:
+            if payload is None:
+                raise NotImplementedError("real video demuxer required")
+            digest = _hashlib.sha256(payload).digest()
+            return 1 + int.from_bytes(digest[4:6], "big") % 300  # n_frames
+
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "ts_ms": [], "frame_payload": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = fake_probe(payload)
+                n_take = min(_MAX_SAMPLED_FRAMES, n_frames)
+                for k in range(n_take):
+                    idx = (k * n_frames) // n_take  # even spacing
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(idx)
+                    rows["ts_ms"].append(idx * 40)  # 25 fps
+                    rows["frame_payload"].append(
+                        _hashlib.sha256(payload + idx.to_bytes(4, "big")).digest()
+                    )
+            yield _pd.DataFrame(rows)
+
+    media = media_table(spark, sf_dir).filter(F.col("media_type") == "video")
+    return media.mapInPandas(sample, schema=FRAME_SCHEMA)
