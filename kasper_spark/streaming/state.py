@@ -409,3 +409,56 @@ def assemble_documents_batch(characters: DataFrame, fictions: DataFrame) -> Data
             F.transform(F.col("ordered"), lambda s: s["c"]).alias("characters"),
         )
     )
+
+
+def running_word_count_tws(
+    lines: DataFrame, value_col: str = "value", ttl_ms: int | None = None
+):
+    """Running per-word count on transformWithStateInPandas (the Spark-4
+    "state v2" API) — same semantics as running_word_count, plus the knob
+    the reference never had: opt-in per-state TTL (ttl_ms), so production
+    deployments can bound state growth where kasper's stores grew forever
+    (/root/reference/topic_processor_test.go:94-133). ttl_ms=None preserves
+    reference parity (no eviction).
+
+    Scale shape: state is one 8-byte counter per word in the RocksDB state
+    store, sharded by the groupBy key across executors; TTL cleanup happens
+    inside the store (no scan-and-delete job).
+
+    Runtime dependency: pyspark's state-v2 protocol needs google.protobuf
+    on driver and workers (absent in some minimal images — the matching
+    test importorskips it; this function stays import-clean regardless)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    # nested class: cloudpickle serializes it by value so workers launched
+    # from a foreign cwd need no importable kasper_spark (same reasoning as
+    # operators/multimodal.py)
+    class WordCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._n = handle.getValueState("n", "n bigint", ttlDurationMs=ttl_ms)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            total = sum(len(pdf) for pdf in rows)
+            prev = self._n.get()[0] if self._n.exists() else 0
+            n = prev + total
+            self._n.update((n,))
+            yield pd.DataFrame({"word": [key[0]], "n": [n]})
+
+        def close(self) -> None:
+            pass
+
+    words = (
+        lines.select(F.explode(F.split(F.col(value_col), " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    return words.groupBy("word").transformWithStateInPandas(
+        WordCount(),
+        outputStructType="word string, n bigint",
+        outputMode="Update",
+        timeMode="None" if ttl_ms is None else "ProcessingTime",
+    )

@@ -204,3 +204,29 @@ def test_metrics_listener(spark, workdir):
         assert listener.snapshot()["incoming"].get(qname, 0) >= 1
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_tws_word_count_matches_batch(spark, workdir):
+    """transformWithStateInPandas twin: final per-word counts across two
+    micro-batches must equal the batch groupBy over all lines.
+
+    Skipped where pyspark's state-v2 protobuf dependency (google.protobuf)
+    is absent — the operator itself is import-clean either way."""
+    pytest.importorskip("google.protobuf")
+    from kasper_spark.streaming.state import running_word_count_tws
+
+    src = os.path.join(workdir, "tws-src")
+    _write_json_file(src, [{"value": v} for v in LINES[:2]], "b1.json")
+    _write_json_file(src, [{"value": v} for v in LINES[2:]], "b2.json")
+    pipe = _pipeline(spark, workdir, f"tws-{uuid.uuid4().hex[:8]}")
+    counts = running_word_count_tws(pipe.file_source(src, "value string"))
+    qname = f"tws_counts_{uuid.uuid4().hex[:8]}"
+    pipe.run_available_now(counts, query_name=qname, output_mode="update")
+    last = {}
+    for r in spark.table(qname).collect():  # update mode: later rows win
+        last[r["word"]] = r["n"]
+    expected = {}
+    for line in LINES:
+        for w in line.split():
+            expected[w] = expected.get(w, 0) + 1
+    assert last == expected
