@@ -20,14 +20,30 @@ from pyspark.sql.streaming import StreamingQueryListener
 
 
 class PipelineMetricsListener(StreamingQueryListener):
-    """Accumulates per-query incoming/outgoing counts and source lag."""
+    """Accumulates per-query incoming/outgoing counts and source lag.
 
-    def __init__(self) -> None:
+    Pass a MetricsProvider (streaming/observability.py) to additionally
+    publish the reference's three built-in metrics through the pluggable
+    facade, exactly as kasper creates them from its provider at
+    /root/reference/topic_processor.go:133-135."""
+
+    def __init__(self, provider=None) -> None:
         self._lock = threading.Lock()
         self.incoming = defaultdict(int)  # query name -> rows consumed
         self.outgoing = defaultdict(int)  # query name -> rows produced
         self.lag = defaultdict(int)  # query name -> offsets behind latest
         self.batches = defaultdict(int)
+        self._c_in = self._c_out = self._g_lag = None
+        if provider is not None:
+            self._c_in = provider.new_counter(
+                "incoming_message_count", "rows consumed", "query"
+            )
+            self._c_out = provider.new_counter(
+                "outgoing_message_count", "rows produced", "query"
+            )
+            self._g_lag = provider.new_gauge(
+                "messages_behind_high_water_mark_count", "source lag", "query"
+            )
 
     # -- listener callbacks -------------------------------------------------
 
@@ -53,6 +69,11 @@ class PipelineMetricsListener(StreamingQueryListener):
                     except (TypeError, ValueError):
                         pass
             self.lag[name] = lag
+            if self._c_in is not None:
+                self._c_in.inc(int(p.numInputRows or 0), str(name))
+                if sink_rows and int(sink_rows) > 0:
+                    self._c_out.inc(int(sink_rows), str(name))
+                self._g_lag.set(lag, str(name))
 
     def onQueryIdle(self, event) -> None:  # noqa: N802
         pass

@@ -189,7 +189,10 @@ def test_document_join_golden(spark, workdir):
 
 
 def test_metrics_listener(spark, workdir):
-    listener = PipelineMetricsListener()
+    from kasper_spark.streaming.observability import InMemoryMetricsProvider
+
+    provider = InMemoryMetricsProvider()
+    listener = PipelineMetricsListener(provider=provider)
     spark.streams.addListener(listener)
     try:
         src = os.path.join(workdir, "lines3")
@@ -202,6 +205,9 @@ def test_metrics_listener(spark, workdir):
         while time.time() < deadline and listener.snapshot()["incoming"].get(qname, 0) < 1:
             time.sleep(0.2)
         assert listener.snapshot()["incoming"].get(qname, 0) >= 1
+        # built-ins also flow through the provider facade (A22)
+        c_in = provider.metrics["incoming_message_count"]
+        assert c_in.values[(qname,)] >= 1
     finally:
         spark.streams.removeListener(listener)
 
