@@ -162,3 +162,74 @@ class ElasticsearchStore(Store):
 
     def flush(self) -> None:
         self._c.indices.flush(index=self._index)
+
+
+class MultiElasticsearchStore(MultiStore):
+    """Multitenant ES store: tenant -> index via a user-supplied tenancy
+    mapping, mirroring ElasticsearchTenancy
+    (/root/reference/multi_elasticsearch.go:31-41: the app decides how a
+    tenant maps onto (index, type); ES 8 has no mapping types, so the
+    mapping target is just the index name). Bulk fetch is ONE _mget
+    spanning per-tenant indices (/root/reference/multi_elasticsearch.go:
+    93-129); push pre-creates missing indices then issues one _bulk
+    (/root/reference/multi_elasticsearch.go:133-167)."""
+
+    def __init__(
+        self,
+        hosts: list[str] | None = None,
+        index_for_tenant=lambda tenant: f"kasper_{tenant}",
+    ):
+        if _es is None:
+            raise ImportError(
+                "elasticsearch client not installed; MultiElasticsearchStore unavailable"
+            )
+        self._c = _es.Elasticsearch(hosts or ["http://localhost:9200"])
+        self._index_for = index_for_tenant
+        self._tenants: dict[str, ElasticsearchStore] = {}
+
+    def tenant(self, tenant: str) -> ElasticsearchStore:
+        # lazily create + cache per-tenant handles
+        # (/root/reference/multi_elasticsearch.go:70-78)
+        if tenant not in self._tenants:
+            store = ElasticsearchStore.__new__(ElasticsearchStore)
+            store._c = self._c
+            store._index = self._index_for(tenant)
+            self._tenants[tenant] = store
+        return self._tenants[tenant]
+
+    def all_tenants(self) -> list[str]:
+        return sorted(self._tenants)
+
+    def fetch(self, keys: list[TenantKey]) -> dict[TenantKey, bytes]:
+        if not keys:
+            return {}
+        docs = [
+            {"_index": self._index_for(tk.tenant), "_id": tk.key} for tk in keys
+        ]
+        res = self._c.mget(docs=docs)
+        out: dict[TenantKey, bytes] = {}
+        for tk, d in zip(keys, res["docs"]):
+            if d.get("found"):
+                out[tk] = json.dumps(d["_source"]).encode()
+        return out
+
+    def push(self, entries: dict[TenantKey, bytes]) -> None:
+        if not entries:
+            return
+        for tk in entries:
+            self.tenant(tk.tenant)  # warm handle cache / tenant listing
+            idx = self._index_for(tk.tenant)
+            if not self._c.indices.exists(index=idx):
+                self._c.indices.create(index=idx)
+        ops = []
+        for tk, v in entries.items():
+            ops.append({"index": {"_index": self._index_for(tk.tenant), "_id": tk.key}})
+            ops.append(json.loads(v))
+        resp = self._c.bulk(operations=ops)
+        if resp.get("errors"):
+            reasons = [
+                i["index"].get("error", {}).get("reason", "?")
+                for i in resp["items"]
+                if i.get("index", {}).get("error")
+            ][:5]
+            raise RuntimeError(f"bulk push failed: {reasons}")
