@@ -1,0 +1,112 @@
+"""Property-based invariants (hypothesis) — the layer the reference lacks
+(SURVEY.md §5: no property tests upstream). Each property pins an invariant
+the engine's 100 TB design depends on, independent of any oracle:
+
+- exact decimal sums are PARTITIONING-INVARIANT (the whole point of the
+  decimal-backed aggregation in functions/exact.py);
+- the salted join is result-equivalent to the plain join for any data;
+- sessionization matches a sequential single-machine reference for any
+  event-time sequence.
+
+Examples are kept small and bounded (each runs a Spark job); determinism
+matters more than volume here.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=200,
+    ),
+    parts=st.integers(min_value=1, max_value=7),
+)
+@settings(**_SETTINGS)
+def test_decimal_sum_partitioning_invariant(spark, vals, parts):
+    """sum(cast(x as decimal)) must not depend on how rows are partitioned —
+    this is what makes results cluster-deterministic (double sums are not)."""
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    agg = lambda d: (
+        d.agg(F.sum(F.col("v").cast("decimal(20,6)")).cast("double").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert agg(df.coalesce(1)) == agg(df.repartition(parts))
+
+
+@given(
+    orders=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 3)),  # (custkey, salt-seed)
+        min_size=0,
+        max_size=60,
+    ),
+    customers=st.sets(st.integers(0, 12), max_size=13),
+)
+@settings(**_SETTINGS)
+def test_salted_join_equals_plain_join(spark, orders, customers):
+    """Salting (fact key + salt column vs dimension replicated per salt)
+    must be a pure physical rewrite: row-for-row identical to the plain
+    equi-join, including duplicate fact keys and unmatched rows."""
+    SALT = 4
+    odf = spark.createDataFrame(
+        [(i, ck) for i, (ck, _) in enumerate(orders)] or [(None, None)],
+        "oid long, custkey long",
+    ).filter(F.col("oid").isNotNull())
+    cdf = spark.createDataFrame(
+        [(c, f"c{c}") for c in customers] or [(None, None)], "custkey long, name string"
+    ).filter(F.col("custkey").isNotNull())
+
+    plain = odf.join(cdf, "custkey").select("oid", "custkey", "name")
+
+    salted_o = odf.withColumn("salt", (F.col("oid") % SALT))
+    salted_c = cdf.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(SALT)]))
+    )
+    salted = (
+        salted_o.join(salted_c, ["custkey", "salt"]).select("oid", "custkey", "name")
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+@given(
+    gaps=st.lists(st.integers(min_value=1, max_value=7200), min_size=1, max_size=40),
+)
+@settings(**_SETTINGS)
+def test_sessionize_matches_sequential_reference(spark, gaps):
+    """30-minute-gap sessionization (the window/lag form used by
+    sessionize_events) must agree with the obvious single-pass reference
+    on any inter-arrival sequence."""
+    GAP_S = 1800
+    ts = [0]
+    for g in gaps:
+        ts.append(ts[-1] + g)
+    # sequential reference: new session when gap > GAP_S
+    expected_sessions = 1 + sum(1 for g in gaps if g > GAP_S)
+
+    df = spark.createDataFrame(
+        [(1, t) for t in ts], "user_id long, epoch long"
+    ).select("user_id", F.timestamp_seconds("epoch").alias("ts"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sessions = (
+        df.withColumn("new_sess", (gap.isNull() | (gap > GAP_S)).cast("int"))
+        .withColumn("sess_id", F.sum("new_sess").over(w))
+        .agg(F.countDistinct("sess_id").alias("n"))
+        .collect()[0]["n"]
+    )
+    assert sessions == expected_sessions
