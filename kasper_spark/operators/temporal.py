@@ -253,3 +253,39 @@ def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_last.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"), "user_id", "last_click_ts"
     )
+
+
+@register_query(
+    "events_sliding_1h_15m",
+    oracle=f"""
+    SELECT
+        ws AS window_start,
+        COUNT(*) AS n,
+        {dsum_sql('value')} AS sum_value
+    FROM (
+        -- the 4 sliding windows covering each ts: the event's 15-min
+        -- time_bucket, stepping back 15 min three times (timestamp-native
+        -- arithmetic; double epoch() math misassigns sub-second events)
+        SELECT value,
+               time_bucket(INTERVAL '15 minutes', ts)
+                   - k * INTERVAL '15 minutes' AS ws
+        FROM events CROSS JOIN (SELECT unnest(range(4)) AS k)
+    )
+    GROUP BY ws
+    """,
+)
+def events_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time window: 1-hour windows every 15 minutes — each
+    event lands in 4 overlapping windows (Spark expands via Expand, a
+    map-side 4x row multiplication BEFORE the keyed shuffle, so partial
+    aggregation still applies; same operator the streaming twin uses with a
+    watermark). The oracle derives the same 4 covering windows per event
+    with a LATERAL generate_series.
+
+    Absent from the reference (no event-time at all — SURVEY.md §2.C);
+    required by the full-query-capability north star."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").start.alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+    )

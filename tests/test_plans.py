@@ -93,3 +93,21 @@ def test_no_inferred_filter_duplicates_generator_input(spark, name, needle):
         stripped = line.strip(" +-:*")
         if stripped.startswith("Filter ") or stripped.startswith("PushedFilters"):
             assert needle not in line, f"{name}: expensive expr in filter: {line[:200]}"
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("grouping_sets_orders", 1),   # ONE scan + Expand, not a UNION of scans
+        ("unpivot_part_metrics", 0),   # wide->long with NO shuffle at all
+        ("events_sliding_1h_15m", 1),  # 4x window Expand, one keyed shuffle
+    ],
+)
+def test_expand_based_ops_single_pass(spark, name, max_exchanges):
+    """Multi-granularity / multi-window / unpivot operators must compile to
+    an Expand over a single scan (map-side row multiplication), never to
+    repeated scans or extra shuffles — the difference between 1 and N passes
+    over 100 TB."""
+    plan = _plan(spark, name)
+    assert "Expand" in plan, f"{name}: expected Expand-based plan"
+    assert plan.count("Exchange") <= max_exchanges, plan[:500]
