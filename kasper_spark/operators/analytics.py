@@ -273,3 +273,51 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+@register_query(
+    "math_date_functions",
+    oracle="""
+    SELECT
+        o_orderkey,
+        year(o_orderdate) AS yr,
+        month(o_orderdate) AS mo,
+        dayofweek(o_orderdate) + 1 AS dow,
+        CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_date,
+        datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_95,
+        round(o_totalprice, 1) AS price_rounded,
+        abs(o_totalprice - 100000.0) AS dist_from_100k,
+        floor(o_totalprice / 1000) AS price_k,
+        CAST(power(2.0, CAST(o_orderkey % 10 AS DOUBLE)) AS DOUBLE) AS pow2,
+        sqrt(CAST(o_orderkey AS DOUBLE)) AS root,
+        greatest(o_totalprice, 50000.0) AS floored_price
+    FROM orders WHERE o_orderkey < 500
+    """,
+)
+def math_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar math/date battery (B2's function-library dimension — the
+    reference's only scalar ops are Split/Sprintf/strconv, SURVEY.md §2.C).
+    All JVM-side, whole-stage-codegen; every function is
+    pushdown-transparent (the o_orderkey predicate still reaches the scan).
+
+    Spark's datediff(end, start) and DuckDB's datediff(part, start, end)
+    argue argument order differently; both sides here compute
+    days-since-1995-01-01. dayofweek differs by one (Spark 1=Sunday,
+    DuckDB 0=Sunday) — the oracle adds 1."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_95"
+        ),
+        F.round("o_totalprice", 1).alias("price_rounded"),
+        F.abs(F.col("o_totalprice") - 100000.0).alias("dist_from_100k"),
+        F.floor(F.col("o_totalprice") / 1000).cast("double").alias("price_k"),
+        F.pow(F.lit(2.0), (F.col("o_orderkey") % 10).cast("double")).alias("pow2"),
+        F.sqrt(F.col("o_orderkey").cast("double")).alias("root"),
+        F.greatest(F.col("o_totalprice"), F.lit(50000.0)).alias("floored_price"),
+    )

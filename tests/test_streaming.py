@@ -236,3 +236,36 @@ def test_tws_word_count_matches_batch(spark, workdir):
         for w in line.split():
             expected[w] = expected.get(w, 0) + 1
     assert last == expected
+
+
+def test_stream_static_enrichment_join(spark, workdir):
+    """B8 streaming form: per-record store Get becomes ONE broadcast hash
+    join of the stream against a Store snapshot (bridge.store_to_df) —
+    kasper did a network RTT per record
+    (/root/reference/examples/word_count_example.go:35)."""
+    from kasper_spark.stores.bridge import store_to_df
+    from kasper_spark.stores.memory import MapStore
+
+    dim = MapStore()
+    dim.put_all({"u1": b"Ada", "u2": b"Edsger"})
+    dim_df = store_to_df(spark, dim, value_decoder=lambda b: b.decode())
+
+    src = os.path.join(workdir, "enrich-src")
+    _write_json_file(
+        src,
+        [
+            {"key": "u1", "amount": 10},
+            {"key": "u2", "amount": 20},
+            {"key": "u3", "amount": 30},  # no dim row -> left join null
+        ],
+        "b1.json",
+    )
+    pipe = _pipeline(spark, workdir, f"enrich-{uuid.uuid4().hex[:8]}")
+    stream = pipe.file_source(src, "key string, amount long")
+    enriched = stream.join(
+        F.broadcast(dim_df.withColumnRenamed("value", "name")), "key", "left"
+    )
+    qname = f"enriched_{uuid.uuid4().hex[:8]}"
+    pipe.run_available_now(enriched, query_name=qname)
+    got = {r["key"]: (r["name"], r["amount"]) for r in spark.table(qname).collect()}
+    assert got == {"u1": ("Ada", 10), "u2": ("Edsger", 20), "u3": (None, 30)}
