@@ -269,3 +269,15 @@ def test_stream_static_enrichment_join(spark, workdir):
     pipe.run_available_now(enriched, query_name=qname)
     got = {r["key"]: (r["name"], r["amount"]) for r in spark.table(qname).collect()}
     assert got == {"u1": ("Ada", 10), "u2": ("Edsger", 20), "u3": (None, 30)}
+
+
+def test_config_naming_parity():
+    """Mirror of the reference's config unit test
+    (/root/reference/topic_processor_config_test.go:9-21): the consumer
+    group derives from the processor name with the kasper prefix, and the
+    checkpoint path is name-scoped."""
+    cfg = PipelineConfig(name="hello", checkpoint_root="/tmp/ck")
+    assert cfg.group_id_prefix == "kasper-topic-processor-hello"
+    assert cfg.checkpoint_location == "/tmp/ck/hello"
+    assert cfg.batch_size == 1000  # reference default (config.go:40-42)
+    assert cfg.batch_wait_seconds == 5.0  # reference default (config.go:43-45)
