@@ -129,3 +129,22 @@ def test_word_count_message_format(spark, tmp_path):
         "go": "go has been seen 2 times",
         "spark": "spark has been seen 1 times",
     }
+
+
+def test_runnable_examples_smoke(spark, capsys):
+    """The shipped examples/ scripts (the reference also ships runnable
+    examples) must execute broker-less end-to-end via their main()."""
+    import examples.hello_world as hw
+    import examples.multiple_input_topics as mt
+    import examples.producer as pr
+    import examples.word_count as wc
+
+    hw.main(spark)
+    wc.main(spark)
+    mt.main(spark)
+    pr.main(spark)
+    out = capsys.readouterr().out
+    assert "Got message: key='k0'" in out
+    assert "the has been seen 3 times" in out
+    assert "[handled-by-beta] beta/1: b1" in out
+    assert "greetings written to" in out
