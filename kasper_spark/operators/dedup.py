@@ -45,15 +45,23 @@ def _tokens(col):
 def _shingles_raw(tokens_col):
     """Word-level n-gram shingles as strings, NOT deduplicated — apply
     array_distinct at the consumption site (see minhash_lsh_candidates for
-    why splitting the expression this way matters for the physical plan)."""
+    why splitting the expression this way matters for the physical plan).
+
+    Documents with fewer than n tokens yield an EMPTY array: without the
+    guard, sequence(0, size-n) with size<n produces a DESCENDING index list
+    and element_at hits index 0 / out-of-range — an ANSI INVALID_ARRAY_INDEX
+    crash that would kill the whole job on one short document."""
     n = _SHINGLE_N
     idx = F.sequence(F.lit(0), F.size(tokens_col) - n)
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(tokens_col, i + k + 1) for k in range(n)]
+    return F.when(
+        F.size(tokens_col) >= n,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tokens_col, i + k + 1) for k in range(n)]
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
 
 
 @register_query(

@@ -225,7 +225,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nbits = _LSH_TABLES * _LSH_BITS
     # all plane dots in one pass: planes j=0..nbits-1, component j,d =
-    # xxhash64(j, d) % 10000 / 5000.0 - 1.0 in [-1, 1)
+    # pmod(xxhash64(j, d), 10000) / 5000.0 - 1.0 in [-1, 1). pmod, not %:
+    # Spark's % keeps the dividend's sign, so % would give (-3, 1) with a
+    # mean of -1 — every hyperplane then shares a -sum(v) bias and the
+    # population collapses into the all-zeros/all-ones buckets.
     plane_dots = F.transform(
         F.sequence(F.lit(0), F.lit(nbits - 1)),
         lambda j: F.aggregate(
@@ -233,7 +236,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("embedding"),
                 F.sequence(F.lit(0), F.size(F.col("embedding")) - 1),
                 lambda x, d: x.cast("double")
-                * (F.xxhash64(j, d) % 10000 / F.lit(5000.0) - F.lit(1.0)),
+                * (F.pmod(F.xxhash64(j, d), F.lit(10000)) / F.lit(5000.0) - F.lit(1.0)),
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,

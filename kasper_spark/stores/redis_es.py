@@ -105,6 +105,19 @@ class MultiRedisStore(MultiStore):
         r.mset({f"{tk.tenant}/{self._prefix}/{tk.key}": v for tk, v in entries.items()})
 
 
+def _bulk_index(client, ops) -> None:
+    """One _bulk call; surface the first few per-item errors
+    (/root/reference/elasticsearch.go:199-215)."""
+    resp = client.bulk(operations=ops)
+    if resp.get("errors"):
+        reasons = [
+            i["index"].get("error", {}).get("reason", "?")
+            for i in resp["items"]
+            if i.get("index", {}).get("error")
+        ][:5]
+        raise RuntimeError(f"bulk write failed: {reasons}")
+
+
 class ElasticsearchStore(Store):
     """ES-backed Store: one index per store, values are JSON docs."""
 
@@ -115,6 +128,15 @@ class ElasticsearchStore(Store):
             )
         self._c = _es.Elasticsearch(hosts or ["http://localhost:9200"])
         self._index = index
+
+    @classmethod
+    def _from_client(cls, client, index: str) -> "ElasticsearchStore":
+        """Build a store sharing an existing client connection (used by the
+        multitenant router so every tenant handle reuses one client)."""
+        store = cls.__new__(cls)
+        store._c = client
+        store._index = index
+        return store
 
     def get(self, key: str) -> bytes | None:
         try:
@@ -144,15 +166,7 @@ class ElasticsearchStore(Store):
         for k, v in kvs.items():
             ops.append({"index": {"_index": self._index, "_id": k}})
             ops.append(json.loads(v))
-        resp = self._c.bulk(operations=ops)
-        if resp.get("errors"):
-            # surface the first few item errors (elasticsearch.go:199-215)
-            reasons = [
-                i["index"].get("error", {}).get("reason", "?")
-                for i in resp["items"]
-                if i.get("index", {}).get("error")
-            ][:5]
-            raise RuntimeError(f"bulk put failed: {reasons}")
+        _bulk_index(self._c, ops)
 
     def delete(self, key: str) -> None:
         try:
@@ -191,10 +205,9 @@ class MultiElasticsearchStore(MultiStore):
         # lazily create + cache per-tenant handles
         # (/root/reference/multi_elasticsearch.go:70-78)
         if tenant not in self._tenants:
-            store = ElasticsearchStore.__new__(ElasticsearchStore)
-            store._c = self._c
-            store._index = self._index_for(tenant)
-            self._tenants[tenant] = store
+            self._tenants[tenant] = ElasticsearchStore._from_client(
+                self._c, self._index_for(tenant)
+            )
         return self._tenants[tenant]
 
     def all_tenants(self) -> list[str]:
@@ -216,20 +229,16 @@ class MultiElasticsearchStore(MultiStore):
     def push(self, entries: dict[TenantKey, bytes]) -> None:
         if not entries:
             return
-        for tk in entries:
-            self.tenant(tk.tenant)  # warm handle cache / tenant listing
-            idx = self._index_for(tk.tenant)
+        # pre-create per DISTINCT tenant, not per key: a 10k-key batch for
+        # one tenant is one exists() round trip, not 10k
+        # (/root/reference/multi_elasticsearch.go:133-167 pre-creates per index)
+        for tenant in {tk.tenant for tk in entries}:
+            self.tenant(tenant)  # warm handle cache / tenant listing
+            idx = self._index_for(tenant)
             if not self._c.indices.exists(index=idx):
                 self._c.indices.create(index=idx)
         ops = []
         for tk, v in entries.items():
             ops.append({"index": {"_index": self._index_for(tk.tenant), "_id": tk.key}})
             ops.append(json.loads(v))
-        resp = self._c.bulk(operations=ops)
-        if resp.get("errors"):
-            reasons = [
-                i["index"].get("error", {}).get("reason", "?")
-                for i in resp["items"]
-                if i.get("index", {}).get("error")
-            ][:5]
-            raise RuntimeError(f"bulk push failed: {reasons}")
+        _bulk_index(self._c, ops)

@@ -100,8 +100,19 @@ class InMemoryMetricsProvider(MetricsProvider):
         self.metrics: dict[str, _Metric] = {}
 
     def _make(self, cls, name: str, label_names: tuple[str, ...]):
-        if name not in self.metrics:
-            self.metrics[name] = cls(name, label_names)
+        existing = self.metrics.get(name)
+        if existing is not None:
+            # re-registration must agree on kind and label arity — a
+            # mismatch would otherwise surface later as a baffling
+            # AttributeError/ValueError at observation time
+            if type(existing) is not cls or existing.label_names != label_names:
+                raise ValueError(
+                    f"metric {name!r} already registered as "
+                    f"{type(existing).__name__}{existing.label_names}, "
+                    f"requested {cls.__name__}{label_names}"
+                )
+            return existing
+        self.metrics[name] = cls(name, label_names)
         return self.metrics[name]
 
     def new_counter(self, name, help, *label_names):
@@ -144,24 +155,44 @@ try:  # optional backend, mirroring the reference's Prometheus provider
     class PrometheusMetricsProvider(MetricsProvider):
         def __init__(self, registry=None):
             self._registry = registry or _prom.REGISTRY
+            # cache by name: prometheus_client raises 'Duplicated timeseries'
+            # on re-registration, but a provider must be reusable across
+            # pipeline restarts (each PipelineMetricsListener re-creates the
+            # three built-ins — /root/reference/prometheus.go caches the same
+            # way via promauto + registry lookup)
+            self._cache: dict[str, object] = {}
+
+        def _cached(self, name, build):
+            if name not in self._cache:
+                self._cache[name] = build()
+            return self._cache[name]
 
         def new_counter(self, name, help, *label_names):
-            c = Counter(name, label_names)
-            pc = _prom.Counter(name, help, list(label_names), registry=self._registry)
-            c.inc = lambda amount=1.0, *labels: pc.labels(*labels).inc(amount)  # type: ignore[method-assign]
-            return c
+            def build():
+                c = Counter(name, label_names)
+                pc = _prom.Counter(name, help, list(label_names), registry=self._registry)
+                c.inc = lambda amount=1.0, *labels: pc.labels(*labels).inc(amount)  # type: ignore[method-assign]
+                return c
+
+            return self._cached(name, build)
 
         def new_gauge(self, name, help, *label_names):
-            g = Gauge(name, label_names)
-            pg = _prom.Gauge(name, help, list(label_names), registry=self._registry)
-            g.set = lambda value, *labels: pg.labels(*labels).set(value)  # type: ignore[method-assign]
-            return g
+            def build():
+                g = Gauge(name, label_names)
+                pg = _prom.Gauge(name, help, list(label_names), registry=self._registry)
+                g.set = lambda value, *labels: pg.labels(*labels).set(value)  # type: ignore[method-assign]
+                return g
+
+            return self._cached(name, build)
 
         def new_summary(self, name, help, *label_names):
-            s = Summary(name, label_names)
-            ps = _prom.Summary(name, help, list(label_names), registry=self._registry)
-            s.observe = lambda value, *labels: ps.labels(*labels).observe(value)  # type: ignore[method-assign]
-            return s
+            def build():
+                s = Summary(name, label_names)
+                ps = _prom.Summary(name, help, list(label_names), registry=self._registry)
+                s.observe = lambda value, *labels: ps.labels(*labels).observe(value)  # type: ignore[method-assign]
+                return s
+
+            return self._cached(name, build)
 
 except ImportError:  # prometheus_client not installed — facade still works
     PrometheusMetricsProvider = None  # type: ignore[assignment]

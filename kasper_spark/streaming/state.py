@@ -238,6 +238,13 @@ def assemble_documents_scalable(
                             "array<string>",
                         )
                     ).alias("n_needed"),
+                    # fiction VERSION = the fiction message's offset: stage 2
+                    # resets its slots when a newer version arrives and
+                    # ignores refs from older ones, so a fiction update that
+                    # shrinks/reorders characterIds can never mix slots from
+                    # two versions (stale stage-1 subscriptions re-emit old
+                    # refs forever — the version gate makes them inert)
+                    F.col("offset").alias("v"),
                 )
             ).alias("payload"),
         )
@@ -328,11 +335,16 @@ def assemble_documents_scalable(
 
         import pandas as pd
 
-        slots = json.loads(state.get[0]) if state.exists else {}
+        st = json.loads(state.get[0]) if state.exists else {"v": -1, "slots": {}}
+        version, slots = st["v"], st["slots"]
         out = []
         for pdf in pdfs:
             for _, row in pdf.iterrows():
                 ref = json.loads(row["ref_json"])
+                if ref["v"] < version:
+                    continue  # stale fiction version — inert
+                if ref["v"] > version:
+                    version, slots = ref["v"], {}  # fiction updated: reset
                 slots[str(ref["pos"])] = {
                     "char": json.loads(row["char_json"]),
                     "meta": ref,
@@ -349,7 +361,7 @@ def assemble_documents_scalable(
                         ],
                     }
                     out.append((key[0], json.dumps(doc, sort_keys=True)))
-        state.update((json.dumps(slots),))
+        state.update((json.dumps({"v": version, "slots": slots}),))
         yield pd.DataFrame(out, columns=["fiction_id", "doc_json"])
 
     q2 = (

@@ -41,3 +41,29 @@ def test_scalable_join_matches_batch_twin(spark, tmp_path):
     assert stream == batch
     # character payloads fully resolved, in characterIds order
     assert last["FI_03"]["characters"][0]["name"] == "Edsger"
+
+
+def test_scalable_join_fiction_update_resets_slots(spark, tmp_path):
+    """A fiction update that SHRINKS characterIds must produce the updated
+    document, not crash on stale slots or mix characters from two versions
+    (the version gate in stage 2). Stale stage-1 subscriptions for the
+    dropped character keep re-emitting old refs — they must stay inert."""
+    src = str(tmp_path / "msgs")
+    fi1_v1 = {"id": "FI_01", "fictionType": "Novel", "title": "Engines",
+              "characterIds": ["CH_01", "CH_02"]}
+    fi1_v2 = {"id": "FI_01", "fictionType": "Novel", "title": "Engines v2",
+              "characterIds": ["CH_02"]}
+    chars = CHARACTERS[:2]
+    # v1 completes with both characters, then v2 drops CH_01, then CH_01
+    # updates (stale subscription re-fires)
+    _write_json_file(src, _envelope("fictions", [fi1_v1]) + _envelope("characters", chars, 100), "b1.json")
+    _write_json_file(src, _envelope("fictions", [fi1_v2], 300), "b2.json")
+    ch01_update = dict(CHARACTERS[0], name="Ada Updated")
+    _write_json_file(src, _envelope("characters", [ch01_update], 400), "b3.json")
+
+    docs = assemble_documents_scalable(spark, src, str(tmp_path / "work"))
+    emitted = [r.asDict() for r in docs.collect()]
+    assert emitted
+    last = json.loads(emitted[-1]["doc_json"])
+    assert last["title"] == "Engines v2"
+    assert [c["id"] for c in last["characters"]] == ["CH_02"]

@@ -32,8 +32,9 @@ def test_ivf_recall_vs_bruteforce(spark):
     exact = _topk_sets(QUERIES["ann_bruteforce_topk"](spark, SF_ORACLE))
     ivf = _topk_sets(QUERIES["ann_ivf_topk"](spark, SF_ORACLE))
     assert exact, "brute-force baseline returned nothing"
-    # nprobe=2 of ~7 lists: every query must get answers, and recall must
-    # clear a floor that a broken quantizer could not reach by luck
+    # nprobe=4 of ~18 centroid lists at sf0.01 (measured recall ~0.5):
+    # every query must get answers, and recall must clear a floor a broken
+    # quantizer could not reach by luck
     assert set(ivf) == set(exact)
     assert _recall(ivf, exact) >= 0.4
 
@@ -41,7 +42,7 @@ def test_ivf_recall_vs_bruteforce(spark):
 def test_lsh_recall_vs_bruteforce(spark):
     exact = _topk_sets(QUERIES["ann_bruteforce_topk"](spark, SF_ORACLE))
     lsh = _topk_sets(QUERIES["ann_lsh_topk"](spark, SF_ORACLE))
-    # 12-bit signatures bucket aggressively; some queries may land in
-    # singleton buckets, but aggregate recall still separates "working"
-    # from "broken" (a scrambled signature gives ~k/N ≈ 0.0x)
+    # 8 tables x 6 bits (measured recall ~0.45 at sf0.01): some queries may
+    # land in singleton buckets, but aggregate recall still separates
+    # "working" from "broken" (a scrambled signature gives ~k/N ≈ 0.0x)
     assert _recall(lsh, exact) >= 0.2
