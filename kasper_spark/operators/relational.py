@@ -689,3 +689,83 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.groupBy(F.col("p.k").alias("k")).agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@register_query(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT
+        COUNT(*) AS n_items,
+        CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS forecast_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filtered global aggregate — the pushdown
+    showcase. All four predicates reach the parquet scan (row-group
+    skipping on shipdate at 100 TB makes this an I/O-bound scan of a date
+    slice, not a full pass); the aggregate is a single partial+final pair
+    with no grouping key at all."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_revenue_dec()).cast("double").alias("forecast_revenue"),
+        )
+    )
+
+
+@register_query(
+    "array_functions",
+    oracle="""
+    WITH per_order AS (
+        SELECT
+            l_orderkey,
+            list_sort(list(l_linenumber)) AS lines,
+            list_sort(list(DISTINCT l_returnflag)) AS flags
+        FROM lineitem
+        WHERE l_orderkey < 200
+        GROUP BY l_orderkey
+    )
+    SELECT
+        l_orderkey,
+        len(lines) AS n_lines,
+        lines[1] AS first_line,
+        lines[-1] AS last_line,
+        list_contains(flags, 'R') AS any_returned,
+        array_to_string(flags, ',') AS flags_csv,
+        len(list_filter(lines, x -> x % 2 = 0)) AS n_even_lines
+    FROM per_order
+    """,
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function battery over collect_list/collect_set (B7's
+    array-construction dimension): sort, index, contains, join-to-string,
+    lambda filter — all JVM expression work on grouped arrays. The
+    groupBy shuffles only (orderkey, linenumber, returnflag); arrays are
+    built post-shuffle, never shipped."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_linenumber")).alias("lines"),
+        F.array_sort(F.collect_set("l_returnflag")).alias("flags"),
+    )
+    return per_order.select(
+        "l_orderkey",
+        F.size("lines").alias("n_lines"),
+        F.element_at("lines", 1).alias("first_line"),
+        F.element_at("lines", -1).alias("last_line"),
+        F.array_contains("flags", "R").alias("any_returned"),
+        F.array_join("flags", ",").alias("flags_csv"),
+        F.size(F.filter("lines", lambda x: x % 2 == 0)).alias("n_even_lines"),
+    )

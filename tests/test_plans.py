@@ -111,3 +111,12 @@ def test_expand_based_ops_single_pass(spark, name, max_exchanges):
     plan = _plan(spark, name)
     assert "Expand" in plan, f"{name}: expected Expand-based plan"
     assert plan.count("Exchange") <= max_exchanges, plan[:500]
+
+
+def test_q6_all_predicates_pushed(spark):
+    """Q6 is the pushdown showcase: shipdate range, discount range, and
+    quantity predicates must all reach the parquet scan."""
+    plan = _plan(spark, "q6_forecast_revenue")
+    pushed = plan.split("PushedFilters")[1][:500]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
