@@ -321,3 +321,52 @@ def math_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(F.col("o_orderkey").cast("double")).alias("root"),
         F.greatest(F.col("o_totalprice"), F.lit(50000.0)).alias("floored_price"),
     )
+
+
+@register_query(
+    "stats_moments",
+    oracle="""
+    WITH sums AS (
+        SELECT
+            l_returnflag,
+            COUNT(*) AS n,
+            SUM(CAST(l_quantity AS BIGINT)) AS sq,
+            SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sq2
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT
+        l_returnflag,
+        n,
+        CAST(sq AS DOUBLE) / n AS avg_qty,
+        CAST(sq2 AS DOUBLE) / n - (CAST(sq AS DOUBLE) / n) * (CAST(sq AS DOUBLE) / n)
+            AS var_pop_qty,
+        sqrt(CAST(sq2 AS DOUBLE) / n - (CAST(sq AS DOUBLE) / n) * (CAST(sq AS DOUBLE) / n))
+            AS stddev_pop_qty
+    FROM sums
+    """,
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean/variance/stddev via exact integer moment sums. The built-in
+    var_pop/stddev aggregates accumulate doubles in partition order —
+    nondeterministic across cluster layouts AND engines — so the moments
+    are summed exactly (bigint: quantities are integers, squares fit well
+    under 2^63) and the identical double arithmetic runs once at the end.
+    Same two-phase partial-aggregation profile as any sum/count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("sq"),
+        F.sum(q * q).alias("sq2"),
+    )
+    n = F.col("n")
+    mean = F.col("sq").cast("double") / n
+    var = F.col("sq2").cast("double") / n - mean * mean
+    return sums.select(
+        "l_returnflag",
+        "n",
+        mean.alias("avg_qty"),
+        var.alias("var_pop_qty"),
+        F.sqrt(var).alias("stddev_pop_qty"),
+    )
