@@ -114,3 +114,53 @@ def test_append_mode_emits_finalized_windows_once(spark, tmp_path):
     )
     emitted = [(str(r["ws"]), r["sv"]) for r in rows]
     assert emitted == [("2024-01-01 10:00:00", 1.0)]
+
+
+def test_session_window_streaming(spark, tmp_path):
+    """Streaming session_window (30-min gap) in append mode: a session is
+    emitted exactly when the watermark passes its gap-end — so after the
+    drain, CLOSED sessions match the batch twin and the still-open tail
+    session is (correctly) absent. This pins the semantics a naive test
+    would paper over by using a complete-drain assumption."""
+    src = str(tmp_path / "sess-ev")
+    rows = [
+        # u1: two sessions (10:00-10:20 burst, then 11:30)
+        {"ts": "2024-01-01 10:00:00", "user": "u1", "v": 1.0},
+        {"ts": "2024-01-01 10:20:00", "user": "u1", "v": 1.0},
+        {"ts": "2024-01-01 11:30:00", "user": "u1", "v": 1.0},
+        # u2: one session
+        {"ts": "2024-01-01 10:05:00", "user": "u2", "v": 1.0},
+    ]
+    _write(src, rows[:2], "b1.json")
+    _write(src, rows[2:], "b2.json")
+    pipe = Pipeline(
+        spark, PipelineConfig(name="sess-win", checkpoint_root=str(tmp_path / "ck"))
+    )
+    evs = pipe.file_source(src, "ts timestamp, user string, v double")
+    sessions = (
+        evs.withWatermark("ts", "0 seconds")
+        .groupBy("user", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user", F.col("w.start").alias("start"), "n")
+    )
+    pipe.run_available_now(sessions, query_name="sess_out", output_mode="append")
+    got = {
+        (r["user"], str(r["start"])): r["n"]
+        for r in spark.table("sess_out").collect()
+    }
+
+    batch = (
+        spark.createDataFrame(
+            [(r["ts"], r["user"], r["v"]) for r in rows], "ts string, user string, v double"
+        )
+        .select(F.col("ts").cast("timestamp").alias("ts"), "user")
+        .groupBy("user", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user", F.col("w.start").alias("start"), "n")
+    )
+    expected = {(r["user"], str(r["start"])): r["n"] for r in batch.collect()}
+    open_key = ("u1", "2024-01-01 11:30:00")  # watermark (11:30) < gap-end
+    assert open_key in expected and open_key not in got
+    closed_expected = {k: v for k, v in expected.items() if k != open_key}
+    assert got == closed_expected
+    assert got[("u1", "2024-01-01 10:00:00")] == 2  # merged burst session
