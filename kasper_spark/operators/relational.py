@@ -769,3 +769,75 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("flags", ",").alias("flags_csv"),
         F.size(F.filter("lines", lambda x: x % 2 == 0)).alias("n_even_lines"),
     )
+
+
+@register_query(
+    "join_full_outer",
+    oracle="""
+    SELECT
+        COALESCE(c.c_custkey, -1) AS custkey,
+        c.c_name,
+        o.o_orderkey,
+        o.o_totalprice
+    FROM (SELECT * FROM customer WHERE c_custkey < 60) c
+    FULL OUTER JOIN (SELECT * FROM orders WHERE o_custkey < 40) o
+        ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join — completes the join-type matrix (inner/left/semi/
+    anti elsewhere). Both sides filtered to force unmatched rows in BOTH
+    directions. Full outer cannot broadcast either side (every row of both
+    must surface), so it is always a shuffle join keyed on the equi-key —
+    at 100 TB both sides partial-shuffle once; AQE handles the skew."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 60)
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 40)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "full_outer")
+        .select(
+            F.coalesce(F.col("c_custkey"), F.lit(-1)).alias("custkey"),
+            "c_name",
+            "o_orderkey",
+            "o_totalprice",
+        )
+    )
+
+
+@register_query(
+    "window_rank_functions",
+    oracle="""
+    SELECT * FROM (
+        SELECT
+            o_custkey,
+            o_orderkey,
+            rank() OVER w AS rnk,
+            dense_rank() OVER w AS drnk,
+            percent_rank() OVER w AS prnk,
+            cume_dist() OVER w AS cdist
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ) WHERE o_custkey < 30
+    """,
+)
+def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function battery (rank/dense_rank/percent_rank/cume_dist)
+    per customer by order value. percent_rank/cume_dist are ratios of
+    integer positions — engine-exact doubles. One shuffle on the partition
+    key; the per-group sort never becomes a global sort."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.percent_rank().over(w).alias("prnk"),
+            F.cume_dist().over(w).alias("cdist"),
+        )
+        .filter(F.col("o_custkey") < 30)
+    )
