@@ -38,6 +38,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "text_stats",
     "multimodal_meta",
+    "training_data_pipeline",
 ]
 
 

@@ -213,3 +213,86 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 2).alias("bucket")
     )
+
+
+@register_query(
+    "training_data_pipeline",
+    oracle="""
+    WITH scored AS (
+        SELECT
+            doc_id, lang, source, text,
+            len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_words,
+            CAST(
+                0.5 * (CASE WHEN len(list_filter(string_split(text, ' '), w -> w <> '')) >= 20
+                       THEN 1.0
+                       ELSE len(list_filter(string_split(text, ' '), w -> w <> '')) / 20.0 END)
+              + 0.5 * (CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                                / len(list_filter(string_split(text, ' '), w -> w <> ''))
+                            BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)
+            AS DOUBLE) AS quality
+        FROM documents
+        WHERE len(list_filter(string_split(text, ' '), w -> w <> '')) > 0
+    ),
+    kept AS (SELECT * FROM scored WHERE quality >= 0.75),
+    deduped AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY md5(lower(trim(text))) ORDER BY doc_id
+            ) AS rn
+            FROM kept
+        ) WHERE rn = 1
+    )
+    SELECT
+        lang,
+        source,
+        COUNT(*) AS n_docs,
+        SUM(n_words) AS total_tokens,
+        CAST(SUM(CAST(quality AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*) AS avg_quality
+    FROM deduped
+    GROUP BY lang, source
+    """,
+)
+def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite LLM-training-data pipeline, end to end in ONE logical
+    plan: quality scoring -> threshold filter -> exact dedup (deterministic
+    keeper per normalized-content digest) -> per-(lang, source) corpus
+    stats. Every stage is the operator declared elsewhere (quality_score,
+    dedup_exact, token counting) composed declaratively, so Catalyst
+    optimizes ACROSS stages — the quality filter prunes before the dedup
+    shuffle, the scan reads only (doc_id, lang, source, text).
+
+    At 100 TB: one scan, one shuffle on the 16-byte digest, one shuffle for
+    the final small aggregate. The near-dup (MinHash) stage chains after
+    this as a candidate-pair join (rows-only — see minhash_lsh_candidates).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_words = F.size(toks)
+    mean_wl = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
+        "double"
+    ) / n_words
+    quality = (
+        0.5 * F.when(n_words >= 20, F.lit(1.0)).otherwise(n_words / F.lit(20.0))
+        + 0.5
+        * F.when((mean_wl >= 3.0) & (mean_wl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    ).cast("double")
+
+    scored = docs.filter(n_words > 0).select(
+        "doc_id", "lang", "source", "text", n_words.alias("n_words"), quality.alias("quality")
+    )
+    kept = scored.filter(F.col("quality") >= 0.75)
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(
+        F.md5(F.lower(F.trim(F.col("text"))).cast("binary"))
+    ).orderBy("doc_id")
+    deduped = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+
+    return deduped.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_tokens"),
+        (F.sum(F.col("quality").cast("decimal(10,6)")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_quality"
+        ),
+    )
