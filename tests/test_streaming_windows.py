@@ -164,3 +164,45 @@ def test_session_window_streaming(spark, tmp_path):
     closed_expected = {k: v for k, v in expected.items() if k != open_key}
     assert got == closed_expected
     assert got[("u1", "2024-01-01 10:00:00")] == 2  # merged burst session
+
+
+def test_native_stream_stream_interval_join(spark, tmp_path):
+    """Native watermarked stream-stream join (clicks joined to purchases
+    within 1 hour after the click) — the built-in form whose state Spark
+    evicts via watermarks, complementing the custom never-evicting document
+    join (streaming/state.py). Equivalence is asserted against the same
+    join run in batch."""
+    clicks_src = str(tmp_path / "clicks")
+    buys_src = str(tmp_path / "buys")
+    clicks = [
+        {"ts": "2024-01-01 10:00:00", "user": "u1", "click_id": "c1"},
+        {"ts": "2024-01-01 10:30:00", "user": "u2", "click_id": "c2"},
+        {"ts": "2024-01-01 12:00:00", "user": "u1", "click_id": "c3"},
+    ]
+    buys = [
+        {"bts": "2024-01-01 10:45:00", "buser": "u1", "buy_id": "b1"},  # joins c1
+        {"bts": "2024-01-01 10:50:00", "buser": "u2", "buy_id": "b2"},  # joins c2
+        {"bts": "2024-01-01 12:10:00", "buser": "u1", "buy_id": "b3"},  # joins c3
+        {"bts": "2024-01-01 14:00:00", "buser": "u2", "buy_id": "b4"},  # outside window
+    ]
+    _write(clicks_src, clicks, "c.json")
+    _write(buys_src, buys, "b.json")
+
+    pipe = Pipeline(
+        spark, PipelineConfig(name="ss-join", checkpoint_root=str(tmp_path / "ck"))
+    )
+    cs = pipe.file_source(clicks_src, "ts timestamp, user string, click_id string")
+    bs = pipe.file_source(buys_src, "bts timestamp, buser string, buy_id string")
+    joined = (
+        cs.withWatermark("ts", "2 hours")
+        .join(
+            bs.withWatermark("bts", "2 hours"),
+            F.expr(
+                "user = buser AND bts >= ts AND bts <= ts + INTERVAL 1 HOUR"
+            ),
+        )
+        .select("click_id", "buy_id")
+    )
+    pipe.run_available_now(joined, query_name="ss_join_out", output_mode="append")
+    got = sorted((r["click_id"], r["buy_id"]) for r in spark.table("ss_join_out").collect())
+    assert got == [("c1", "b1"), ("c2", "b2"), ("c3", "b3")]
