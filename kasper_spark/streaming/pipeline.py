@@ -182,6 +182,25 @@ class Pipeline:
         q = self.start(out, available_now=True, **kwargs)
         q.awaitTermination()
 
+    def has_consumed_all_messages(self) -> bool:
+        """Kasper-shaped caught-up probe (A10,
+        /root/reference/topic_processor.go:164-175: committed offset ==
+        high-water mark on every partition). True when no source reports
+        unconsumed offsets in the last progress; sources without lag
+        metrics (file streams) count as caught up once a progress event
+        exists. Bounded runs should prefer ``run_available_now`` — this
+        probe is for long-running queries."""
+        if self._query is None:
+            return False
+        p = self._query.lastProgress
+        if p is None:
+            return False
+        for src in p.get("sources", []):
+            behind = (src.get("metrics") or {}).get("offsetsBehindLatest")
+            if behind is not None and int(behind) > 0:
+                return False
+        return True
+
     def stop(self) -> None:
         """Graceful shutdown (A12); idempotent like kasper's double-Close
         (/root/reference/topic_processor_test.go:386-387)."""

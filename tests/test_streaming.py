@@ -281,3 +281,14 @@ def test_config_naming_parity():
     assert cfg.checkpoint_location == "/tmp/ck/hello"
     assert cfg.batch_size == 1000  # reference default (config.go:40-42)
     assert cfg.batch_wait_seconds == 5.0  # reference default (config.go:43-45)
+
+
+def test_has_consumed_all_messages_probe(spark, workdir):
+    src = os.path.join(workdir, "probe-src")
+    _write_json_file(src, [{"value": "a b"}], "f.json")
+    pipe = _pipeline(spark, workdir, f"probe-{uuid.uuid4().hex[:8]}")
+    assert pipe.has_consumed_all_messages() is False  # nothing started
+    counts = running_word_count(pipe.file_source(src, "value string"))
+    pipe.run_available_now(counts, output_mode="update",
+                           query_name=f"p_{uuid.uuid4().hex[:8]}")
+    assert pipe.has_consumed_all_messages() is True  # drained
