@@ -841,3 +841,45 @@ def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("o_custkey") < 30)
     )
+
+
+@register_query(
+    "json_roundtrip",
+    oracle="""
+    SELECT
+        event_id,
+        k,
+        to_json(struct_pack(
+            event_id := event_id,
+            event_type := event_type,
+            k2 := k * 2
+        )) AS payload_json
+    FROM (
+        SELECT event_id, event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        FROM events WHERE event_id < 500
+    )
+    """,
+)
+def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-schema JSON boundary (SURVEY.md §1.3: payloads are opaque
+    bytes + from_json/to_json at the edges): parse the props document with
+    a declared schema, compute, re-serialize with to_json. Both engines
+    emit identical compact JSON for int/string fields (field order = struct
+    order), so the round-trip is oracle-checked byte-for-byte."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    parsed = ev.select(
+        "event_id",
+        "event_type",
+        F.from_json(F.col("props"), "k bigint").alias("p"),
+    ).select("event_id", "event_type", F.col("p.k").alias("k"))
+    return parsed.select(
+        "event_id",
+        "k",
+        F.to_json(
+            F.struct(
+                "event_id",
+                "event_type",
+                (F.col("k") * 2).alias("k2"),
+            )
+        ).alias("payload_json"),
+    )
