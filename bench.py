@@ -118,11 +118,49 @@ def _streaming_throughput(spark, seconds: float = 8.0) -> dict:
         time.sleep(0.25)
     q.stop()
     elapsed = time.perf_counter() - t0
-    return {
+    out = {
         "msgs_per_sec": round(processed["rows"] / elapsed),
         "batches": processed["batches"],
         "window_sec": round(elapsed, 1),
     }
+    out.update(_stateful_throughput(spark))
+    return out
+
+
+def _stateful_throughput(spark, seconds: float = 8.0) -> dict:
+    """Stateful path (B4): rate source -> keyed running count in update
+    mode — every row hits the RocksDB state store, the workload kasper's
+    word-count example represents. Reported separately because state-store
+    round trips, not row parsing, bound this path."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "200000")
+        .option("numPartitions", "8")
+        .load()
+        .groupBy((F.col("value") % 10000).alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("noop")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="kasper-bench-state-"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < seconds:
+        time.sleep(0.25)
+    # input rows actually ingested by the stateful operator, from the
+    # engine's own progress accounting (foreachBatch sums of cumulative
+    # per-key counts would double-count across batches)
+    rows = sum(int(p["numInputRows"]) for p in q.recentProgress)
+    q.stop()
+    elapsed = time.perf_counter() - t0
+    return {"stateful_msgs_per_sec": round(rows / elapsed)}
 
 
 if __name__ == "__main__":
