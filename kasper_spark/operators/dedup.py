@@ -330,3 +330,67 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         fp.alias("simhash"),
     ).withColumn("bucket16", F.shiftrightunsigned(F.col("simhash"), 48))
+
+
+@register_query("neardup_clusters")  # rows-only: iterative fixpoint algorithm
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the MinHash
+    candidate-pair graph via min-label propagation — the step that turns
+    pairwise candidates into keep-one-per-group dedup decisions.
+
+    Iteration k: label(v) <- min(label(v), min label of v's neighbors),
+    repeated to fixpoint (bounded by graph diameter; near-dup clusters are
+    shallow, so this converges in a handful of rounds). Each round is one
+    shuffle keyed by doc_id; lineage is cut per round with localCheckpoint
+    so the plan does not grow with iterations — the standard shape for
+    iterative algorithms on DataFrames (label propagation, PageRank-style
+    loops). Deterministic: cluster id = min doc_id in the component.
+
+    Output: (doc_id, cluster_id) for every doc that has at least one
+    near-dup candidate (est_jaccard >= 0.5); singletons are implicitly
+    their own cluster and omitted (at 100 TB they are ~all docs)."""
+    pairs = minhash_lsh_candidates(spark, sf_dir).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    # undirected edge list, both directions
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(10):  # diameter bound; near-dup components are shallow
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()  # cut lineage: plan stays O(1) per round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
