@@ -296,3 +296,54 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_quality"
         ),
     )
+
+
+@register_query(
+    "deterministic_split",
+    oracle="""
+    WITH h AS (
+        SELECT
+            doc_id, lang,
+            CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '/split-seed-1'), 1, 8)) AS BIGINT) % 100 AS bucket
+        FROM documents
+    )
+    SELECT
+        CASE WHEN bucket < 80 THEN 'train'
+             WHEN bucket < 90 THEN 'val'
+             ELSE 'test' END AS split,
+        COUNT(*) AS n_docs,
+        COUNT(DISTINCT lang) AS n_langs
+    FROM h
+    GROUP BY 1
+    """,
+)
+def deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test assignment (80/10/10) by hashing the
+    stable document key — NO RNG, so the split is identical across engines,
+    runs, cluster sizes, and repartitions (Spark's sample()/randomSplit()
+    are none of those). The md5-prefix construction is portable SQL: both
+    engines hash the same string and take the same 32-bit prefix.
+
+    At 100 TB this is a map-only stage: no shuffle to assign, and the
+    assignment can be recomputed anywhere from the key alone — the property
+    that makes splits auditable long after the pipeline ran."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("/split-seed-1"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
