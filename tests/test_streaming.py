@@ -292,3 +292,42 @@ def test_has_consumed_all_messages_probe(spark, workdir):
     pipe.run_available_now(counts, output_mode="update",
                            query_name=f"p_{uuid.uuid4().hex[:8]}")
     assert pipe.has_consumed_all_messages() is True  # drained
+
+
+def test_multitenant_streaming_fanout(spark, workdir):
+    """B9 end-to-end through a real streaming query: per-(tenant, key)
+    running counts pushed into a MultiStore via foreachBatch in update
+    mode. Later micro-batches overwrite earlier counts per key
+    (last-write-wins), so the store must end at the full-data counts."""
+    from kasper_spark.stores.bridge import multi_foreach_batch_writer
+    from kasper_spark.stores.memory import MultiMapStore
+
+    src = os.path.join(workdir, "mt-src")
+    rows_b1 = [
+        {"tenant": "acme", "key": "clicks", "n": 1},
+        {"tenant": "acme", "key": "clicks", "n": 1},
+        {"tenant": "globex", "key": "clicks", "n": 1},
+    ]
+    rows_b2 = [
+        {"tenant": "acme", "key": "clicks", "n": 1},
+        {"tenant": "globex", "key": "views", "n": 1},
+    ]
+    _write_json_file(src, rows_b1, "b1.json")
+    _write_json_file(src, rows_b2, "b2.json")
+
+    ms = MultiMapStore()
+    pipe = _pipeline(spark, workdir, f"mt-{uuid.uuid4().hex[:8]}")
+    counts = (
+        pipe.file_source(src, "tenant string, key string, n long")
+        .groupBy("tenant", "key")
+        .agg(F.count(F.lit(1)).alias("value"))
+    )
+    pipe.run_available_now(
+        counts,
+        output_mode="update",
+        for_each_batch=multi_foreach_batch_writer(ms),
+    )
+    assert ms.tenant("acme").get("clicks") == b"3"
+    assert ms.tenant("globex").get("clicks") == b"1"
+    assert ms.tenant("globex").get("views") == b"1"
+    assert sorted(ms.all_tenants()) == ["acme", "globex"]
