@@ -120,3 +120,37 @@ def test_q6_all_predicates_pushed(spark):
     pushed = plan.split("PushedFilters")[1][:500]
     for col in ("l_shipdate", "l_discount", "l_quantity"):
         assert col in pushed, f"{col} not pushed: {pushed}"
+
+
+# bounded-|Q| cross joins by design (broadcast side is the small query set)
+_INTENTIONAL_BNLJ = {
+    "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "embedding_neardup_pairs",
+    "tokenset_jaccard_pairs",
+}
+# iterative/streaming queries execute during construction — skip plan-only audit
+_AUDIT_SKIP = {"neardup_clusters"}
+
+
+def test_repo_wide_plan_hygiene(spark):
+    """Every registered batch query's physical plan must be free of
+    accidental scale hazards: no CartesianProduct ever, BNLJ only on the
+    allow-listed bounded cross joins, and no scan reading more than 8
+    columns (the widest intentional projection in the corpus)."""
+    problems = []
+    for name in sorted(QUERIES):
+        if name in _AUDIT_SKIP or name.startswith("multimodal"):
+            continue
+        plan = _plan(spark, name)
+        if "CartesianProduct" in plan:
+            problems.append(f"{name}: CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in _INTENTIONAL_BNLJ:
+            problems.append(f"{name}: unexpected BroadcastNestedLoopJoin")
+        import re as _re
+
+        for m in _re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+            cols = [c for c in m.group(1).split(",") if c]
+            if len(cols) > 8:
+                problems.append(f"{name}: scan reads {len(cols)} columns")
+    assert not problems, "\n".join(problems)
