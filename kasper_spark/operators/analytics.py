@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kasper_spark.catalog import load_table
-from kasper_spark.functions.exact import dsum_sql, money
+from kasper_spark.functions.exact import dsum, dsum_dec, dsum_sql, money
 from kasper_spark.registry import register_query
 
 _SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
@@ -369,4 +369,104 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean.alias("avg_qty"),
         var.alias("var_pop_qty"),
         F.sqrt(var).alias("stddev_pop_qty"),
+    )
+
+
+@register_query(
+    "corr_covar_qty_discount",
+    oracle="""
+    WITH sums AS (
+        SELECT
+            l_linestatus,
+            COUNT(*) AS n,
+            SUM(CAST(l_quantity AS BIGINT)) AS sx,
+            CAST(SUM(CAST(l_discount AS DECIMAL(10,4))) AS DOUBLE) AS sy,
+            SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+            CAST(CAST(SUM(CAST(l_discount AS DECIMAL(10,4))
+                          * CAST(l_discount AS DECIMAL(10,4)))
+                 AS DECIMAL(38,6)) AS DOUBLE) AS syy,
+            CAST(CAST(SUM(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(20,0))
+                          * CAST(l_discount AS DECIMAL(10,4)))
+                 AS DECIMAL(38,6)) AS DOUBLE) AS sxy
+        FROM lineitem
+        GROUP BY l_linestatus
+    )
+    SELECT
+        l_linestatus,
+        n,
+        sxy / n - (CAST(sx AS DOUBLE) / n) * (sy / n) AS cov_pop,
+        (sxy / n - (CAST(sx AS DOUBLE) / n) * (sy / n))
+            / sqrt((CAST(sxx AS DOUBLE) / n
+                        - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+                   * (syy / n - (sy / n) * (sy / n))) AS corr
+    FROM sums
+    """,
+)
+def corr_covar_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + population covariance via exact moment sums.
+
+    Spark's built-in corr()/covar_pop() accumulate doubles in partition
+    order (co-moment streaming update), so their last ulp depends on the
+    cluster layout — useless for a bit-exact oracle AND non-reproducible
+    between runs at 100 TB. Here all five moments are exact reductions
+    (bigint for integer-valued quantity, decimal for 2-decimal discount;
+    the cross moment multiplies decimals so no double product ever hits a
+    rounding tie), then the textbook formulas run once in IEEE double —
+    identical on any partitioning and any engine. Plan-wise this is one
+    partial-aggregated groupBy: the shuffle carries 5 accumulators per
+    group, not rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("bigint")
+    y = money("l_discount", 10, 4)
+    sums = li.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        dsum_dec(y * y).alias("syy"),
+        dsum_dec(x.cast("decimal(20,0)") * y).alias("sxy"),
+    )
+    n = F.col("n")
+    mx = F.col("sx").cast("double") / n
+    my = F.col("sy") / n
+    cov = F.col("sxy") / n - mx * my
+    varx = F.col("sxx").cast("double") / n - mx * mx
+    vary = F.col("syy") / n - my * my
+    return sums.select(
+        "l_linestatus",
+        "n",
+        cov.alias("cov_pop"),
+        (cov / F.sqrt(varx * vary)).alias("corr"),
+    )
+
+
+@register_query(
+    "histogram_totalprice",
+    oracle=f"""
+    SELECT
+        CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+        CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) * 25000.0 AS bucket_lo,
+        COUNT(*) AS n,
+        {dsum_sql('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (25k-wide buckets over order value) — the
+    one-pass distribution profile a data-quality sweep runs over every
+    numeric column. floor(x / width) is pointwise IEEE arithmetic (engine-
+    exact, unlike quantile sketches) and compiles to a plain partial-
+    aggregated groupBy on ~20 derived keys: shuffle volume is buckets x
+    tasks regardless of input size, the ideal 100 TB profile."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / F.lit(25000.0))
+    return orders.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice").alias("sum_price"),
+    ).select(
+        "bucket",
+        (F.col("bucket") * F.lit(25000.0)).alias("bucket_lo"),
+        "n",
+        "sum_price",
     )

@@ -69,3 +69,65 @@ def streaming_word_count_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(qname)
+
+
+@register_query(
+    "streaming_tumbling_window_twin",
+    oracle="""
+    SELECT
+        date_trunc('hour', ts) AS window_start,
+        event_type,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def streaming_tumbling_window_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregation executed through Structured
+    Streaming (parquet file stream -> watermark -> window agg -> availableNow
+    drain -> memory sink), verified against the SAME SQL oracle as the batch
+    events_tumbling_1h: the streaming window operator itself is what the
+    DuckDB hash-check certifies. Complete output mode so every window is in
+    the final table (the watermark still exercises the event-time tracking
+    path; with availableNow + bounded input no window can be late-dropped)."""
+    qname = f"stw_{uuid.uuid4().hex[:10]}"
+    work = tempfile.mkdtemp(prefix="kasper-stw-")
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir)
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    # ts is INT64 TIMESTAMP(NANOS) in the driver parquet; same long->micros
+    # conversion the bounded catalog applies (kasper_spark/catalog.py).
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long,"
+            " event_type string, value double, props string"
+        )
+        .format("parquet")
+        .load(src_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"), "event_type", "n", "sum_value"
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
