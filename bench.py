@@ -56,7 +56,11 @@ def main() -> None:
     # warm the SESSION (JVM, parquet reader, codegen infra) — not the
     # benchmarked plans; each query below still pays its own planning cost
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # decimal-aggregation codegen path (used by the exact-sum queries)
+    spark.range(1_000_000).selectExpr("sum(cast(id as decimal(12,4)))").collect()
+    # parquet footer/metadata readers for a small and the largest table
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

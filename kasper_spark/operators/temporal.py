@@ -289,3 +289,41 @@ def events_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour", "15 minutes").start.alias("window_start"))
         .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
     )
+
+
+@register_query(
+    "scd2_user_event_intervals",
+    oracle="""
+    SELECT
+        user_id,
+        event_id,
+        event_type,
+        ts AS valid_from,
+        LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        CASE WHEN LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  IS NULL THEN TRUE ELSE FALSE END AS is_current
+    FROM events
+    WHERE user_id < 200
+    """,
+)
+def scd2_user_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 style validity intervals: each per-user event becomes a
+    [valid_from, valid_to) version row, open-ended on the latest (the
+    dimension-history build every warehouse load runs). One shuffle+sort by
+    user_id — the same profile as any per-key window; event_id breaks ts
+    ties so the intervals are deterministic on any partitioning. The
+    user_id predicate is pushed to the parquet scan (bounded probe set,
+    same shape as the other bounded-subset queries)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    valid_to = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )

@@ -347,3 +347,47 @@ def deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("lang").alias("n_langs"),
         )
     )
+
+
+@register_query(
+    "ngram_bigram_counts",
+    oracle="""
+    SELECT bigram, COUNT(*) AS n
+    FROM (
+        SELECT UNNEST(list_transform(
+                   range(1, len(words)),
+                   i -> words[i] || ' ' || words[i + 1])) AS bigram
+        FROM (
+            SELECT list_filter(string_split(text, ' '), w -> w <> '') AS words
+            FROM documents
+        )
+    )
+    GROUP BY bigram
+    HAVING COUNT(*) >= 3
+    """,
+)
+def ngram_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequencies (n-gram language-model counts).
+
+    The bigram list is built per document with map-side array expressions
+    (transform over sequence) — NO per-token window/shuffle, so the only
+    shuffle is the final partially-aggregated groupBy on the bigram key.
+    At 100 TB that matters: a lead()-window formulation would shuffle every
+    token; this shuffles one row per distinct bigram per task. The >= 3
+    floor is the standard LM count-pruning knob (and keeps output bounded
+    by the true high-frequency vocabulary, not corpus size)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(words, i + 1), F.element_at(words, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 3)
+    )
