@@ -99,17 +99,15 @@ def streaming_tumbling_window_twin(spark: SparkSession, sf_dir: str) -> DataFram
         os.path.join(sf_dir, "events.parquet"),
         os.path.join(src_dir, "events.parquet"),
     )
-    # ts is INT64 TIMESTAMP(NANOS) in the driver parquet; same long->micros
-    # conversion the bounded catalog applies (kasper_spark/catalog.py).
-    stream = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long,"
-            " event_type string, value double, props string"
-        )
-        .format("parquet")
-        .load(src_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    # ts is INT64 TIMESTAMP(NANOS) in the driver parquet. How it surfaces
+    # depends on the session (nanosAsLong -> bigint; other configs may map
+    # it to a timestamp type), so take the stream schema from a batch
+    # schema inference and apply the SAME conversion rule as the bounded
+    # catalog (kasper_spark/catalog.py) instead of hard-coding either.
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    stream = spark.readStream.schema(raw.schema).format("parquet").load(src_dir)
+    if dict(raw.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour"), "event_type")
