@@ -391,3 +391,45 @@ def ngram_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 3)
     )
+
+
+@register_query(
+    "corpus_mix_sample",
+    oracle="""
+    WITH h AS (
+        SELECT
+            lang, n_chars,
+            CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '/mix-seed-1'), 1, 8)) AS BIGINT) % 100 AS bucket
+        FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_kept, SUM(n_chars) AS chars_kept
+    FROM h
+    WHERE bucket < (CASE WHEN lang = 'en' THEN 40 ELSE 100 END)
+    GROUP BY lang
+    """,
+)
+def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixing: downsample the over-represented
+    language (en, ~44% of the corpus) to a 40% keep-rate while keeping the
+    rest whole — the rebalancing step every LLM training-data pipeline runs
+    before tokenization. Same portable md5-prefix hash as
+    deterministic_split (different seed string, so the two decisions are
+    independent): NO RNG, map-only assignment, reproducible on any engine,
+    partitioning, or rerun — sample()/randomSplit() are none of those.
+    At 100 TB the filter drops rows before anything shuffles; the only
+    shuffle carries per-language partial aggregates."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("/mix-seed-1"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    rate = F.when(F.col("lang") == "en", F.lit(40)).otherwise(F.lit(100))
+    return (
+        docs.filter(bucket < rate)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("n_chars").alias("chars_kept"))
+    )
