@@ -470,3 +470,61 @@ def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "sum_price",
     )
+
+
+@register_query(
+    "cohort_retention",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    ),
+    c AS (
+        SELECT user_id, day, MIN(day) OVER (PARTITION BY user_id) AS cohort_day
+        FROM days
+    ),
+    pu AS (
+        SELECT user_id, cohort_day,
+               MAX(CASE WHEN day = cohort_day + 1 THEN 1 ELSE 0 END) AS d1,
+               MAX(CASE WHEN day = cohort_day + 7 THEN 1 ELSE 0 END) AS d7
+        FROM c
+        GROUP BY user_id, cohort_day
+    )
+    SELECT cohort_day,
+           COUNT(*) AS cohort_size,
+           CAST(SUM(d1) AS BIGINT) AS retained_d1,
+           CAST(SUM(d7) AS BIGINT) AS retained_d7
+    FROM pu
+    GROUP BY cohort_day
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (day-1 / day-7): users grouped by first-active day,
+    counted again if they return exactly 1 / 7 days later — the standard
+    product-analytics rollup. Formulated for scale: cohort day comes from a
+    min-over-user window (one shuffle, no fact⋈agg(fact) self-join), then
+    per-user boolean flags aggregate on the SAME user_id partitioning (no
+    extra exchange — subset-key grouping reuses it), and only then does the
+    tiny per-cohort rollup shuffle. The obvious triple count_distinct
+    formulation would Expand the fact 3x instead; per-user flags carry one
+    row per user into the final agg."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    cohort = F.min("day").over(Window.partitionBy("user_id"))
+    per_user = (
+        days.withColumn("cohort_day", cohort)
+        .groupBy("user_id", "cohort_day")
+        .agg(
+            F.max((F.col("day") == F.date_add("cohort_day", 1)).cast("int")).alias("d1"),
+            F.max((F.col("day") == F.date_add("cohort_day", 7)).cast("int")).alias("d7"),
+        )
+    )
+    return per_user.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size"),
+        F.sum("d1").alias("retained_d1"),
+        F.sum("d7").alias("retained_d7"),
+    )
