@@ -528,3 +528,69 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("d1").alias("retained_d1"),
         F.sum("d7").alias("retained_d7"),
     )
+
+
+@register_query(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH pu AS (
+        SELECT
+            user_id,
+            MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+            MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+            MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events
+        GROUP BY user_id
+    ),
+    flags AS (
+        SELECT
+            CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS s1,
+            CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                 THEN 1 ELSE 0 END AS s2,
+            CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                      AND t_purchase > t_click
+                 THEN 1 ELSE 0 END AS s3
+        FROM pu
+    )
+    SELECT
+        CAST(SUM(s1) AS BIGINT) AS step1_view,
+        CAST(SUM(s2) AS BIGINT) AS step2_click,
+        CAST(SUM(s3) AS BIGINT) AS step3_purchase,
+        COUNT(*) AS n_users
+    FROM flags
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view -> click -> purchase): a user counts
+    at step k only if the k-th event first happens strictly AFTER the
+    (k-1)-th first happened — the product-analytics query engines like
+    Snowplow/Amplitude run constantly. One pass: conditional MIN per step
+    collapses each user's history map-side (3 timestamps per user cross the
+    shuffle, not their events), then the ordering flags and the global
+    rollup are a few comparisons on one row per user. NULL comparisons
+    propagate to false in both engines, so missing steps drop out without
+    explicit guards."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(step: str):
+        return F.min(F.when(F.col("event_type") == step, F.col("ts")))
+
+    pu = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    s1 = F.when(F.col("t_view").isNotNull(), 1).otherwise(0)
+    s2 = F.when(F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view")), 1).otherwise(0)
+    s3 = F.when(
+        F.col("t_view").isNotNull()
+        & (F.col("t_click") > F.col("t_view"))
+        & (F.col("t_purchase") > F.col("t_click")),
+        1,
+    ).otherwise(0)
+    return pu.select(s1.alias("s1"), s2.alias("s2"), s3.alias("s3")).agg(
+        F.sum("s1").alias("step1_view"),
+        F.sum("s2").alias("step2_click"),
+        F.sum("s3").alias("step3_purchase"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
