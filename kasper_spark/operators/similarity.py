@@ -482,3 +482,43 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= _TOP_K)
     )
+
+
+@register_query(
+    "embedding_label_centroids",
+    oracle="""
+    SELECT
+        label,
+        CAST(i AS BIGINT) AS pos,
+        CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,4))) AS DOUBLE)
+            / COUNT(*) AS mean_v,
+        COUNT(*) AS n
+    FROM (
+        SELECT label, embedding, UNNEST(range(1, len(embedding) + 1)) AS i
+        FROM embeddings
+    )
+    GROUP BY label, CAST(i AS BIGINT)
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors in long (label, pos, mean) form — the
+    k-means / IVF centroid-update step, and the class-prototype build for
+    nearest-centroid classification. posexplode fans each vector into dim
+    rows, but partial aggregation collapses them map-side to labels x dim
+    accumulators per task before the shuffle — at 100 TB the exchange
+    carries centroids, not vectors. Components sum through decimal
+    (order-independent) so centroids are bit-identical on any partitioning;
+    long form keeps the oracle comparison element-wise instead of
+    array-equality."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "v")).select(
+        "label",
+        (F.col("pos") + 1).cast("bigint").alias("pos"),
+        F.col("v").cast("double").alias("v"),
+    )
+    return ex.groupBy("label", "pos").agg(
+        (F.sum(F.col("v").cast("decimal(38,4)")).cast("double") / F.count(F.lit(1))).alias(
+            "mean_v"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
