@@ -129,3 +129,61 @@ def streaming_tumbling_window_twin(spark: SparkSession, sf_dir: str) -> DataFram
     )
     q.awaitTermination()
     return spark.table(qname)
+
+
+@register_query(
+    "streaming_dedup_twin",
+    oracle="""
+    SELECT lang, COUNT(DISTINCT md5(lower(trim(text)))) AS n_unique
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def streaming_dedup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup executed through Structured Streaming: file stream ->
+    content digest -> dropDuplicates (streaming state keeps one row per
+    key) -> availableNow drain -> memory sink, then a bounded per-language
+    count over the sink, checked against COUNT(DISTINCT digest) SQL.
+
+    This is the operator that turns the reference's at-least-once delivery
+    (/root/reference/README.md:18-19 — redelivery on crash between produce
+    and offset commit) into exactly-once results: replayed messages hash to
+    an already-seen key and drop. Dedup key is (lang, digest) so the kept
+    row's lang is deterministic even if identical text appears under two
+    languages. At scale the state store holds one 16-byte digest per
+    distinct document (RocksDB-backed); production jobs bound it with
+    withWatermark before dropDuplicates."""
+    qname = f"sdd_{uuid.uuid4().hex[:10]}"
+    work = tempfile.mkdtemp(prefix="kasper-sdd-")
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir)
+    os.symlink(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(src_dir, "documents.parquet"),
+    )
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .format("parquet")
+        .load(src_dir)
+        .select(
+            "lang",
+            F.md5(F.lower(F.trim(F.col("text"))).cast("binary")).alias("digest"),
+        )
+        .dropDuplicates(["lang", "digest"])
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(qname)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
