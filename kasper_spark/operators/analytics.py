@@ -594,3 +594,43 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("s3").alias("step3_purchase"),
         F.count(F.lit(1)).alias("n_users"),
     )
+
+
+@register_query(
+    "profile_orders_columns",
+    oracle="""
+    SELECT
+        COUNT(*) AS n_rows,
+        CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS custkey_nulls,
+        COUNT(DISTINCT o_custkey) AS custkey_distinct,
+        COUNT(DISTINCT o_orderstatus) AS status_distinct,
+        COUNT(DISTINCT o_orderpriority) AS priority_distinct,
+        MIN(o_totalprice) AS price_min,
+        MAX(o_totalprice) AS price_max,
+        MIN(o_orderdate) AS date_min,
+        MAX(o_orderdate) AS date_max
+    FROM orders
+    """,
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profile (row count, null counts, distinct
+    cardinalities, min/max ranges) — the data-quality sweep run before any
+    table enters a training pipeline. Multiple exact COUNT(DISTINCT)s make
+    Catalyst Expand the input once per distinct column; that is the price
+    of exactness and it is documented here deliberately — the 100 TB
+    profiler swaps them for approx_count_distinct (see
+    approx_distinct_users) and keeps this exact form for audit reruns on
+    samples. min/max/null-count all combine map-side."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("custkey_nulls"),
+        F.countDistinct("o_custkey").alias("custkey_distinct"),
+        F.countDistinct("o_orderstatus").alias("status_distinct"),
+        F.countDistinct("o_orderpriority").alias("priority_distinct"),
+        F.min("o_totalprice").alias("price_min"),
+        F.max("o_totalprice").alias("price_max"),
+        F.min("o_orderdate").alias("date_min"),
+        F.max("o_orderdate").alias("date_max"),
+    )
