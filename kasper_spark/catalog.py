@@ -47,6 +47,12 @@ _NANO_TS_COLS = {
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # nanosAsLong is a runtime SQL conf; set it here (not only in the tuned
+    # session factory) so load_table works with ANY SparkSession — the
+    # correctness driver builds its own bare session, and without this the
+    # read of events.parquet (INT64 TIMESTAMP(NANOS,false)) throws
+    # PARQUET_TYPE_ILLEGAL before the conversion below can run.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in _NANO_TS_COLS.get(name, ()):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":

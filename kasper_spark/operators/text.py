@@ -246,7 +246,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lang,
         source,
         COUNT(*) AS n_docs,
-        SUM(n_words) AS total_tokens,
+        CAST(SUM(n_words) AS BIGINT) AS total_tokens,
         CAST(SUM(CAST(quality AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*) AS avg_quality
     FROM deduped
     GROUP BY lang, source
@@ -402,7 +402,7 @@ def ngram_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '/mix-seed-1'), 1, 8)) AS BIGINT) % 100 AS bucket
         FROM documents
     )
-    SELECT lang, COUNT(*) AS n_kept, SUM(n_chars) AS chars_kept
+    SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS chars_kept
     FROM h
     WHERE bucket < (CASE WHEN lang = 'en' THEN 40 ELSE 100 END)
     GROUP BY lang

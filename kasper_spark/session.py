@@ -37,7 +37,10 @@ _DEFAULTS = {
     # --- session behavior ---
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",
-    "spark.driver.memory": "8g",
+    # NOTE: spark.driver.memory cannot be set here — in in-process PySpark
+    # the driver JVM heap is fixed at gateway launch. Pass it via
+    # PYSPARK_SUBMIT_ARGS="--driver-memory 8g pyspark-shell" or
+    # spark-defaults.conf / spark-submit on a real deployment.
     # streaming state at 100 TB needs RocksDB, not the in-memory HDFS store
     "spark.sql.streaming.stateStore.providerClass": (
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"

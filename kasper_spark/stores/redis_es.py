@@ -139,9 +139,11 @@ class ElasticsearchStore(Store):
         return store
 
     def get(self, key: str) -> bytes | None:
+        # Only a missing doc (404) maps to None; connectivity/auth/cluster
+        # errors propagate (the reference surfaces everything but NotFound).
         try:
             doc = self._c.get(index=self._index, id=key)
-        except Exception:
+        except _es.exceptions.NotFoundError:
             return None
         return json.dumps(doc["_source"]).encode()
 
@@ -170,9 +172,9 @@ class ElasticsearchStore(Store):
 
     def delete(self, key: str) -> None:
         try:
-            self._c.delete(index=self._index, id=key)  # 404 swallowed below
-        except Exception:
-            pass
+            self._c.delete(index=self._index, id=key)
+        except _es.exceptions.NotFoundError:
+            pass  # delete of a missing key is a no-op (elasticsearch.go:165-179)
 
     def flush(self) -> None:
         self._c.indices.flush(index=self._index)

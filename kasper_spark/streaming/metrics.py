@@ -62,10 +62,22 @@ class PipelineMetricsListener(StreamingQueryListener):
             lag = 0
             for src in p.sources:
                 m = src.metrics or {}
-                behind = m.get("offsetsBehindLatest") or m.get("estimatedTotalBytesBehindLatest")
+                # Kafka source metric keys are min/max/avgOffsetsBehindLatest;
+                # a bare "offsetsBehindLatest" is never emitted. Prefer max
+                # (worst partition) then fall back.
+                behind = None
+                for key in (
+                    "maxOffsetsBehindLatest",
+                    "avgOffsetsBehindLatest",
+                    "minOffsetsBehindLatest",
+                    "estimatedTotalBytesBehindLatest",
+                ):
+                    if m.get(key) is not None:
+                        behind = m[key]
+                        break
                 if behind is not None:
                     try:
-                        lag += int(behind)
+                        lag += int(float(behind))
                     except (TypeError, ValueError):
                         pass
             self.lag[name] = lag

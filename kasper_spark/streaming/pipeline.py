@@ -196,8 +196,22 @@ class Pipeline:
         if p is None:
             return False
         for src in p.get("sources", []):
-            behind = (src.get("metrics") or {}).get("offsetsBehindLatest")
-            if behind is not None and int(behind) > 0:
+            m = src.get("metrics") or {}
+            # Spark's Kafka source emits min/max/avgOffsetsBehindLatest (and
+            # estimatedTotalBytesBehindLatest) — there is no bare
+            # "offsetsBehindLatest" key. max is the per-partition worst case,
+            # matching kasper's every-partition-caught-up semantics.
+            behind = None
+            for key in (
+                "maxOffsetsBehindLatest",
+                "avgOffsetsBehindLatest",
+                "minOffsetsBehindLatest",
+                "estimatedTotalBytesBehindLatest",
+            ):
+                if m.get(key) is not None:
+                    behind = m[key]
+                    break
+            if behind is not None and float(behind) > 0:
                 return False
         return True
 
