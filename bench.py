@@ -75,19 +75,28 @@ def main() -> None:
     streaming = _streaming_throughput(spark)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "streaming": streaming,
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "streaming": streaming,
+            "sf": sf,
+        }
     )
-    spark.stop()
+    # Emit the result line LAST, after Spark is fully stopped with logging
+    # silenced: in round 1 the driver lost this JSON because an
+    # executor-shutdown ERROR trace ("Block broadcast_N does not exist",
+    # logged by a TaskCompletionListener racing query teardown) landed after
+    # it in the captured output stream.
+    try:
+        spark.sparkContext.setLogLevel("OFF")
+        spark.stop()
+    except Exception:
+        pass
+    sys.stderr.flush()
+    print(line, flush=True)
 
 
 def _streaming_throughput(spark, seconds: float = 8.0) -> dict:
@@ -121,6 +130,7 @@ def _streaming_throughput(spark, seconds: float = 8.0) -> dict:
     while time.perf_counter() - t0 < seconds:
         time.sleep(0.25)
     q.stop()
+    q.awaitTermination(30)  # let teardown finish before the next query starts
     elapsed = time.perf_counter() - t0
     out = {
         "msgs_per_sec": round(processed["rows"] / elapsed),
@@ -163,6 +173,7 @@ def _stateful_throughput(spark, seconds: float = 8.0) -> dict:
     # per-key counts would double-count across batches)
     rows = sum(int(p["numInputRows"]) for p in q.recentProgress)
     q.stop()
+    q.awaitTermination(30)  # fully terminate before spark.stop() later
     elapsed = time.perf_counter() - t0
     return {"stateful_msgs_per_sec": round(rows / elapsed)}
 
