@@ -3,6 +3,7 @@
 
 from kasper_spark.operators import (  # noqa: F401
     relational,
+    tpch_more,
     dedup,
     similarity,
     text,

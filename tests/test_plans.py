@@ -128,6 +128,9 @@ _INTENTIONAL_BNLJ = {
     "ann_ivf_topk",
     "embedding_neardup_pairs",
     "tokenset_jaccard_pairs",
+    # 1-row broadcast of a global scalar-subquery threshold (TPC-H Q22
+    # shape) — the same physical shape Spark gives a ScalarSubquery.
+    "q22_idle_rich_customers",
 }
 # iterative/streaming queries execute during construction — skip plan-only audit
 _AUDIT_SKIP = {"neardup_clusters"}
@@ -138,6 +141,11 @@ def test_repo_wide_plan_hygiene(spark):
     accidental scale hazards: no CartesianProduct ever, BNLJ only on the
     allow-listed bounded cross joins, and no scan reading more than 8
     columns (the widest intentional projection in the corpus)."""
+    # ReadSchema is scan *metadata*, truncated at maxMetadataStringLength
+    # (default 100 chars) in plan strings; a truncated schema has no closing
+    # '>' and a newline-crossing regex would count unrelated plan text as
+    # columns. Raise the limit so every schema prints whole.
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
     problems = []
     for name in sorted(QUERIES):
         if name in _AUDIT_SKIP or name.startswith("multimodal"):
@@ -149,7 +157,7 @@ def test_repo_wide_plan_hygiene(spark):
             problems.append(f"{name}: unexpected BroadcastNestedLoopJoin")
         import re as _re
 
-        for m in _re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        for m in _re.finditer(r"ReadSchema: struct<([^>\n]*)>", plan):
             cols = [c for c in m.group(1).split(",") if c]
             if len(cols) > 8:
                 problems.append(f"{name}: scan reads {len(cols)} columns")
