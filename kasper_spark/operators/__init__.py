@@ -12,4 +12,5 @@ from kasper_spark.operators import (  # noqa: F401
     analytics,
     streaming_twins,
     grouped_map,
+    io_formats,
 )

@@ -1,0 +1,138 @@
+"""File source/sink coverage: CSV, JSON-lines, ORC, and partitioned parquet.
+
+The reference's only source/sink is Kafka (SURVEY.md §2.C "File-format
+sources/sinks: none"); its values are opaque bytes the app JSON-decodes
+(/root/reference/elasticsearch.go:115-118 even *requires* JSON). A Spark
+engine replacing it needs the standard file formats as first-class
+sources/sinks, so each query here drives a real write -> read round trip
+through one format and is hash-checked against the oracle reading the
+ORIGINAL table — certifying the format path is lossless, not just runnable.
+
+Scale notes (100 TB mindset):
+- every read supplies an EXPLICIT schema: schema inference is a full extra
+  pass over the data (CSV/JSON) and is banned in this engine's hot paths;
+- CSV round-trips only exact types (ints/strings) — doubles survive Spark's
+  shortest-round-trip float formatting, but keeping money columns out of CSV
+  is the recommended practice this module demonstrates;
+- the partitioned-parquet query shows the layout decision that matters most
+  at 100 TB: partitionBy(low-cardinality time key) => partition pruning turns
+  a full scan into a single-partition read (tests/test_io_formats.py asserts
+  PartitionFilters in the plan);
+- writes land in a per-call temp dir; at scale this is the sink side of A5
+  (bulk flush then commit) with the same rename-free semantics parquet
+  committers provide.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kasper_spark.catalog import load_table
+from kasper_spark.registry import register_query
+
+
+def _workdir(tag: str) -> str:
+    return tempfile.mkdtemp(prefix=f"kasper-io-{tag}-")
+
+
+@register_query(
+    "csv_roundtrip_nation",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def csv_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink -> CSV source round trip (header on, explicit read schema).
+    Nation is all ints+strings, the types CSV represents exactly."""
+    out = os.path.join(_workdir("csv"), "nation_csv")
+    load_table(spark, sf_dir, "nation").write.mode("overwrite").option(
+        "header", "true"
+    ).csv(out)
+    return (
+        spark.read.schema("n_nationkey int, n_name string, n_regionkey int")
+        .option("header", "true")
+        .csv(out)
+    )
+
+
+@register_query(
+    "jsonl_roundtrip_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders
+    WHERE o_orderkey < 2000
+    """,
+)
+def jsonl_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink -> source round trip with an explicit schema,
+    including a timestamp (ISO-8601 text in the file, parsed back to the
+    identical micros under the session's UTC zone) and a double
+    (shortest-round-trip formatting both ways). JSON-lines is the
+    reference's de-facto value format — every store value is an app-level
+    JSON document (/root/reference/topic_processor_test.go:43-63)."""
+    out = os.path.join(_workdir("jsonl"), "orders_json")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    orders.write.mode("overwrite").json(out)
+    return spark.read.schema(
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    ).json(out)
+
+
+@register_query(
+    "orc_roundtrip_supplier",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def orc_roundtrip_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink -> source round trip. ORC stores doubles in binary IEEE
+    form, so s_acctbal survives bit-exactly; like parquet it carries its
+    own schema and column statistics (predicate pushdown works the same
+    way)."""
+    out = os.path.join(_workdir("orc"), "supplier_orc")
+    load_table(spark, sf_dir, "supplier").write.mode("overwrite").orc(out)
+    return spark.read.orc(out)
+
+
+@register_query(
+    "partitioned_parquet_prune",
+    oracle="""
+    SELECT
+        CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS o_month,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+    FROM orders
+    WHERE CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) = 1996
+    GROUP BY o_month
+    ORDER BY o_month
+    """,
+)
+def partitioned_parquet_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet write, then a partition-PRUNED read:
+    orders land under o_year=YYYY/ directories; the o_year = 1996 filter is
+    resolved against directory names only (PartitionFilters in the scan —
+    asserted in tests/test_io_formats.py), so the other years' files are
+    never opened. At 100 TB this is the difference between scanning one
+    year and scanning every year — the single most effective data-layout
+    optimization Spark offers, and the batch analog of kasper's
+    topic-partition data placement (/root/reference/config.go:15-18:
+    input partitions ARE the layout)."""
+    out = os.path.join(_workdir("part"), "orders_by_year")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.withColumn("o_year", F.year("o_orderdate")).write.mode(
+        "overwrite"
+    ).partitionBy("o_year").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("o_year") == 1996)
+        .groupBy(F.month("o_orderdate").alias("o_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,4)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("o_month")
+    )

@@ -187,3 +187,76 @@ def streaming_dedup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_unique"))
     )
+
+
+@register_query(
+    "streaming_session_window_twin",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER w < INTERVAL 30 MINUTE
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def streaming_session_window_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap sessionization executed through Structured Streaming's
+    native session_window operator (parquet file stream -> watermark ->
+    session_window(ts, '30 minutes') -> availableNow drain -> memory sink),
+    checked against the gaps-and-islands SQL.
+
+    Semantics note: session_window treats a gap of EXACTLY the timeout as a
+    new session (windows [t, t+30m) merge only on strict overlap), so the
+    oracle's new-session rule is `gap >= 30 minutes` — subtly different
+    from the batch sessionize_events operator, whose rule is `gap > 30
+    minutes`; both are valid conventions, each oracle encodes its own.
+
+    This is the operator the reference cannot express at all: kasper's only
+    notion of time is the processing-time batch ticker
+    (/root/reference/topic_processor.go:193,219-232 — SURVEY.md §2.C
+    'Event-time semantics: none'). At 100 TB the session state is
+    RocksDB-backed and evicted by the watermark; per-user sessions are
+    independent, so the shuffle key (user_id) distributes perfectly."""
+    qname = f"ssw_{uuid.uuid4().hex[:10]}"
+    work = tempfile.mkdtemp(prefix="kasper-ssw-")
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir)
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    stream = spark.readStream.schema(raw.schema).format("parquet").load(src_dir)
+    if dict(raw.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("user_id"),
+            F.col("session_window.start").alias("session_start"),
+            F.col("n_events"),
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
