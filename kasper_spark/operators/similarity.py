@@ -522,3 +522,106 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register_query(
+    "ann_int8_topk",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, embedding,
+               greatest(CAST(list_max(list_transform(embedding, x -> abs(x)))
+                             AS DOUBLE), 1e-30) / 127.0 AS sc
+        FROM embeddings
+    ),
+    r AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> round(CAST(x AS DOUBLE) / sc) * sc) AS re
+        FROM base
+    ),
+    q AS (
+        SELECT vec_id AS query_id, re AS qe,
+               sqrt({dot_exact_sql('re', 're')}) AS qn
+        FROM r WHERE vec_id < {_N_QUERY}
+    ),
+    c AS (
+        SELECT vec_id AS neighbor_id, re AS ce,
+               sqrt({dot_exact_sql('re', 're')}) AS cn
+        FROM r
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               {dot_exact_sql('qe', 'ce')} / (qn * cn) AS cosine
+        FROM q JOIN c ON query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS rank
+        FROM scored
+    )
+    WHERE rank <= {_TOP_K}
+    """,
+)
+def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k cosine neighbors over int8-QUANTIZED vectors — the memory-
+    compression path every 100 TB vector store takes (4x smaller than
+    float32, 8x smaller than float64: a 64-dim corpus drops from 512 B to
+    64 B + one scale per vector). Symmetric per-vector quantization:
+    sc = max|v|/127, q_i = round(v_i/sc) in [-127, 127]; search runs on the
+    dequantized q_i*sc values, so the whole pipeline — including the
+    recall-loss the quantization introduces — is deterministic and
+    SQL-checkable, unlike an opaque fp8/int8 kernel.
+
+    The reference keeps opaque byte values (/root/reference/store.go:18-31)
+    and leaves numerics to the app; this is that escape hatch made
+    declarative. Same plan shape as ann_bruteforce_topk: the 20-query side
+    broadcasts, candidates stream past it, per-group rank-limit takes the
+    top 5 without a global sort."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sc = (
+        F.greatest(
+            F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x))).cast(
+                "double"
+            ),
+            F.lit(1e-30),
+        )
+        / F.lit(127.0)
+    )
+    base = emb.select("vec_id", "embedding", sc.alias("sc"))
+    rec = base.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") / F.col("sc")) * F.col("sc"),
+        ).alias("re"),
+    )
+    with_norm = rec.select(
+        "vec_id", "re", F.sqrt(dot_exact(F.col("re"), F.col("re"))).alias("nrm")
+    )
+    q = with_norm.filter(F.col("vec_id") < _N_QUERY).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("re").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    c = with_norm.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("re").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot_exact(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.select(
+        "query_id", "neighbor_id", "cosine", F.row_number().over(w).alias("rank")
+    ).filter(F.col("rank") <= _TOP_K)

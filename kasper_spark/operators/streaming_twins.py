@@ -260,3 +260,89 @@ def streaming_session_window_twin(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     q.awaitTermination()
     return spark.table(qname)
+
+
+@register_query(
+    "streaming_join_twin",
+    oracle="""
+    SELECT
+        c.event_id AS click_id,
+        p.event_id AS purchase_id,
+        c.user_id AS user_id,
+        c.ts AS click_ts,
+        p.ts AS purchase_ts
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def streaming_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM inner join through the real streaming path: clicks and
+    purchases (two filtered views of one file stream) joined on user with a
+    1-hour event-time range, both sides watermarked, availableNow drain to
+    a memory sink — checked against the plain SQL join.
+
+    This is the reference's flagship pattern B5 run on Spark's native
+    stream-stream join machinery instead of hand-rolled KV state
+    (/root/reference/topic_processor_test.go:76-155 buffers both sides in
+    Stores and emits on completion; SURVEY.md §7 'Hard parts'). The
+    event-time range condition is what makes it bounded: each side's state
+    evicts rows older than watermark + 1 hour, so state size is
+    O(rate x window), not O(history) — kasper's stores never evict
+    (topic_processor_test.go:94-133), which at 100 TB is the difference
+    between a working join and an OOM."""
+    qname = f"ssj_{uuid.uuid4().hex[:10]}"
+    work = tempfile.mkdtemp(prefix="kasper-ssj-")
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir)
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    stream = spark.readStream.schema(raw.schema).format("parquet").load(src_dir)
+    if dict(raw.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        "click_ts",
+        "purchase_ts",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)

@@ -433,3 +433,138 @@ def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("n_chars").alias("chars_kept"))
     )
+
+
+@register_query(
+    "gopher_quality_filters",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+        FROM documents
+    ),
+    wf AS (
+        SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM words GROUP BY doc_id, w
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_words,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(MAX(c) AS BIGINT) AS top_cnt,
+               CAST(SUM(c * length(w)) AS BIGINT) AS total_chars
+        FROM wf GROUP BY doc_id
+    )
+    SELECT doc_id, n_words, n_distinct,
+           total_chars / n_words AS mean_word_len,
+           top_cnt / n_words AS top_word_share,
+           1.0 - (n_distinct / n_words) AS dup_word_frac,
+           CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                      AND (total_chars / n_words) BETWEEN 3.0 AND 8.0
+                      AND (top_cnt / n_words) <= 0.12
+                      AND (1.0 - (n_distinct / n_words)) <= 0.95
+                THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM per_doc
+    """,
+)
+def gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/length quality gates (the rule family from
+    the Gopher/MassiveText and RefinedWeb cleaning pipelines, adapted to
+    the testdata's single-line documents): word-count bounds, mean word
+    length band, top-word share cap (catches "word word word ..." spam),
+    and duplicate-word fraction cap. All four metrics derive from integer
+    counts, and every ratio is one bigint/bigint IEEE division — so the
+    keep/drop decision is bit-deterministic on any engine or partitioning,
+    which is what lets a 100 TB cleaning run be resumed/re-sharded safely.
+
+    One explode + two partial-aggregating shuffles (doc x word, then doc);
+    the word-frequency table is the same intermediate the tfidf operator
+    uses — in a combined pipeline Catalyst computes it once."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("w"))
+    wf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = wf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_cnt"),
+        F.sum(F.col("c") * F.length("w")).alias("total_chars"),
+    )
+    mean_wl = F.col("total_chars") / F.col("n_words")
+    top_share = F.col("top_cnt") / F.col("n_words")
+    dup_frac = F.lit(1.0) - (F.col("n_distinct") / F.col("n_words"))
+    keep = (
+        F.col("n_words").between(50, 100000)
+        & mean_wl.between(3.0, 8.0)
+        & (top_share <= 0.12)
+        & (dup_frac <= 0.95)
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        mean_wl.alias("mean_word_len"),
+        top_share.alias("top_word_share"),
+        dup_frac.alias("dup_word_frac"),
+        keep.cast("int").alias("keep"),
+    )
+
+
+@register_query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+        FROM documents
+    ),
+    wf AS (
+        SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM words GROUP BY doc_id, w
+    ),
+    df AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM wf GROUP BY w
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT doc_id, term, score, rank FROM (
+        SELECT wf.doc_id AS doc_id, wf.w AS term,
+               (wf.c * (n.n_docs + 1)) / (df.df + 1) AS score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY wf.doc_id
+                   ORDER BY (wf.c * (n.n_docs + 1)) / (df.df + 1) DESC, wf.w
+               ) AS rank
+        FROM wf JOIN df ON wf.w = df.w CROSS JOIN n
+    )
+    WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by a rational tf-idf score
+    (tf x (N+1)/(df+1) — the log-free form, monotone in the classic idf for
+    a fixed term, and exactly computable: integer multiply then ONE double
+    division, so ranking ties break identically on every engine; ln() would
+    differ in the last ulp between libm implementations).
+
+    Plan shape at 100 TB: the doc-term frequency table shuffles on
+    (doc_id, w); document frequency is a second partial-aggregated shuffle
+    on w only; N is a 1-row broadcast (the scalar-subquery form); the final
+    rank-limit window runs per doc_id partition with no global sort. The
+    df side joins BROADCAST when the vocabulary is small, shuffle-hash when
+    it is not — AQE decides from runtime sizes."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("w"))
+    wf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    df = wf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = (F.col("c") * (F.col("n_docs") + F.lit(1))) / (F.col("df") + F.lit(1))
+    w_rank = Window.partitionBy("doc_id").orderBy(F.desc(score), F.asc("w"))
+    return (
+        wf.join(df, "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.col("w").alias("term"),
+            score.alias("score"),
+            F.row_number().over(w_rank).alias("rank"),
+        )
+        .filter(F.col("rank") <= 3)
+    )

@@ -126,11 +126,13 @@ def test_q6_all_predicates_pushed(spark):
 _INTENTIONAL_BNLJ = {
     "ann_bruteforce_topk",
     "ann_ivf_topk",
+    "ann_int8_topk",
     "embedding_neardup_pairs",
     "tokenset_jaccard_pairs",
     # 1-row broadcast of a global scalar-subquery threshold (TPC-H Q22
     # shape) — the same physical shape Spark gives a ScalarSubquery.
     "q22_idle_rich_customers",
+    "tfidf_top_terms",  # 1-row broadcast of the corpus doc count
 }
 # iterative/streaming queries execute during construction — skip plan-only audit
 _AUDIT_SKIP = {"neardup_clusters"}
