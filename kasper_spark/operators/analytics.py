@@ -634,3 +634,46 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderdate").alias("date_min"),
         F.max("o_orderdate").alias("date_max"),
     )
+
+
+@register_query(
+    "agg_argmax_battery",
+    oracle="""
+    SELECT
+        event_type,
+        arg_max(event_id, ts) AS latest_event_id,
+        arg_min(event_id, ts) AS earliest_event_id,
+        CAST(COUNT(CASE WHEN value > 50.0 THEN 1 END) AS BIGINT) AS n_high,
+        CAST(bool_or(value > 99.0) AS INTEGER) AS any_extreme,
+        CAST(bool_and(value >= 0.0) AS INTEGER) AS all_nonneg
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def agg_argmax_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax-family aggregate battery: max_by/min_by (the "which row won"
+    aggregates that otherwise need a self-join or rank window), count_if,
+    bool_or/bool_and. One partial-aggregating shuffle for all six — the
+    single-pass replacement for the multi-query loop an imperative
+    Process() implementation would run (/root/reference/examples/
+    word_count_example.go:33-44 keeps exactly this kind of per-key
+    extremum by hand).
+
+    Determinism note: max_by's tie behavior is engine-defined, so the
+    ordering value is the event timestamp DISAMBIGUATED by event_id —
+    ties are impossible and both engines pick the same row."""
+    ev = load_table(spark, sf_dir, "events")
+    # tie-free ordering key: (ts, event_id) packed into a struct compare
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.max_by("event_id", ordk).alias("latest_event_id"),
+            F.min_by("event_id", ordk).alias("earliest_event_id"),
+            F.count_if(F.col("value") > 50.0).alias("n_high"),
+            F.bool_or(F.col("value") > 99.0).cast("int").alias("any_extreme"),
+            F.bool_and(F.col("value") >= 0.0).cast("int").alias("all_nonneg"),
+        )
+        .orderBy("event_type")
+    )

@@ -883,3 +883,94 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("payload_json"),
     )
+
+
+@register_query(
+    "setop_except_all",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'view'
+    EXCEPT ALL
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — the multiset (bag) variant: each view-occurrence of a
+    user is cancelled by one purchase-occurrence, keeping multiplicity.
+    Complements setop_except's set semantics; Spark compiles it to a
+    single-shuffle counted anti-cancel rather than a distinct + anti join.
+    (Absent from the reference: SURVEY.md §2.C 'set ops: none'.)"""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("user_id")
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return views.exceptAll(purch)
+
+
+@register_query(
+    "setop_intersect_all",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'view'
+    INTERSECT ALL
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag intersection: a user appears min(#views,
+    #purchases) times. Same single-shuffle counted form as EXCEPT ALL."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("user_id")
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return views.intersectAll(purch)
+
+
+@register_query(
+    "window_range_frame_trailing",
+    oracle="""
+    SELECT * FROM (
+        SELECT
+            user_id,
+            event_id,
+            ts,
+            CAST(SUM(CAST(value AS DECIMAL(38,4)))
+                 OVER (PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) AS trailing_1h_sum,
+            COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                AS trailing_1h_n
+        FROM events
+    ) WHERE user_id < 50
+    """,
+)
+def window_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per-user trailing 1-hour sum/count at every
+    event — the sliding metric (rate limiting, rolling spend, anomaly
+    windows) that rows-based frames cannot express when events are
+    irregularly spaced. Value sums go through decimal so every trailing
+    window is order-exact.
+
+    RANGE frames need an ordering expression with interval arithmetic;
+    Spark's Window.orderBy over a timestamp supports rangeBetween only on
+    numeric/interval bounds, so the implementation orders by the epoch-
+    microsecond long and bounds the frame in microseconds — semantically
+    identical to the SQL INTERVAL form (UTC, no DST gaps in epoch space).
+    At 100 TB one shuffle on user_id; each partition evaluates its frames
+    with a sliding two-pointer, O(n) per user."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(38,4)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_1h_sum"),
+        F.count(F.lit(1)).over(w).alias("trailing_1h_n"),
+    )

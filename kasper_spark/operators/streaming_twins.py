@@ -346,3 +346,78 @@ def streaming_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(qname)
+
+
+@register_query(
+    "streaming_stateful_count_twin",
+    oracle="""
+    SELECT word, COUNT(*) AS n
+    FROM (
+        SELECT UNNEST(string_split(text, ' ')) AS word
+        FROM documents
+    )
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def streaming_stateful_count_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running word count through the CUSTOM STATEFUL OPERATOR path
+    (applyInPandasWithState) — the declarative twins above use Spark's
+    built-in aggregation; this one runs user Python against per-key state,
+    which is the literal Spark form of kasper's Process() + Store surface
+    (/root/reference/topic_processor.go:101-109 hands user code a batch and
+    a KV store; /root/reference/examples/word_count_example.go:33-44 is
+    this exact loop). Oracle-checked against the same word-count SQL, so
+    the driver gate certifies the pandas-state machinery end to end.
+
+    The state row is one bigint per word in the state store (RocksDB at
+    scale), sharded by the groupBy key; update-mode rows re-emit per batch,
+    so the final table reduces with max(n) — counts only grow, making that
+    reduction exact regardless of how availableNow batched the input."""
+    qname = f"ssc_{uuid.uuid4().hex[:10]}"
+    work = tempfile.mkdtemp(prefix="kasper-ssc-")
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir)
+    os.symlink(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(src_dir, "documents.parquet"),
+    )
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .format("parquet")
+        .load(src_dir)
+    )
+    words = stream.select(F.explode(F.split(F.col("text"), " ")).alias("word")).filter(
+        F.col("word") != ""
+    )
+
+    # nested fn: cloudpickle pickles it by value, so executors launched
+    # from a foreign cwd need no importable kasper_spark
+    def count_words(key, pdfs, state):
+        import pandas as pd
+
+        total = sum(len(pdf) for pdf in pdfs)
+        prev = state.get[0] if state.exists else 0
+        n = prev + total
+        state.update((n,))
+        yield pd.DataFrame({"word": [key[0]], "n": [n]})
+
+    counts = words.groupBy("word").applyInPandasWithState(
+        count_words,
+        outputStructType="word string, n bigint",
+        stateStructType="n bigint",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    q = (
+        counts.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).groupBy("word").agg(F.max("n").alias("n"))
