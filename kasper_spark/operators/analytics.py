@@ -677,3 +677,40 @@ def agg_argmax_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register_query(
+    "pivot_native",
+    oracle=f"""
+    SELECT
+        n_name,
+        {", ".join(
+            'CAST(COUNT(CASE WHEN c_mktsegment = ' + chr(39) + s + chr(39) + ' THEN 1 END) AS BIGINT) AS "' + s + '"'
+            for s in _SEGMENTS
+        )}
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def pivot_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native df.groupBy().pivot() with EXPLICIT pivot values — customer
+    counts per (nation x market segment). Explicit values matter at scale:
+    without them Spark runs an extra distinct-collect job over 100 TB just
+    to discover the column set (and the result schema becomes
+    data-dependent, which breaks downstream contracts). With them the
+    pivot compiles to the same single-pass conditional aggregation as the
+    portable form (pivot_segment_by_nation), one shuffle on the grouping
+    key."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .pivot("c_mktsegment", list(_SEGMENTS))
+        .agg(F.count(F.lit(1)))
+        # pivot leaves NULL where a (nation, segment) cell has no rows;
+        # SQL's COUNT(CASE ...) yields 0 — align.
+        .na.fill(0, subset=list(_SEGMENTS))
+        .orderBy("n_name")
+    )

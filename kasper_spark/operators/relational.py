@@ -974,3 +974,80 @@ def window_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("trailing_1h_sum"),
         F.count(F.lit(1)).over(w).alias("trailing_1h_n"),
     )
+
+
+@register_query(
+    "inmem_lookup_join",
+    oracle="""
+    WITH weights(event_type, weight) AS (
+        VALUES ('view', 1.0), ('click', 3.0), ('signup', 5.0),
+               ('purchase', 10.0), ('error', 0.0)
+    )
+    SELECT
+        e.event_type,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(w.weight AS DECIMAL(10,4))) AS DOUBLE) AS weighted_events
+    FROM events e
+    JOIN weights w ON e.event_type = w.event_type
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def inmem_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrichment against an IN-MEMORY lookup table — the Spark form of the
+    reference's Map store used as a dimension (A21,
+    /root/reference/map.go:4-64: NewMap handed to Process() as the join
+    side). createDataFrame builds the table driver-side; broadcast() ships
+    it once per executor, so the fact scan streams past a hash map — no
+    shuffle at any scale, the exact physical behavior kasper gets from an
+    in-process Go map, minus the per-row call overhead."""
+    weights = spark.createDataFrame(
+        [("view", 1.0), ("click", 3.0), ("signup", 5.0), ("purchase", 10.0), ("error", 0.0)],
+        "event_type string, weight double",
+    )
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.join(F.broadcast(weights), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("weight").cast("decimal(10,4)")).cast("double").alias(
+                "weighted_events"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register_query(
+    "lateral_posexplode",
+    oracle="""
+    SELECT
+        o_orderkey,
+        CAST(i - 1 AS INTEGER) AS pos,
+        CAST(lines[i] AS BIGINT) AS linenumber
+    FROM (
+        SELECT o_orderkey, list_sort(list(l_linenumber)) AS lines
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey < 500
+        GROUP BY o_orderkey
+    ), UNNEST(generate_series(1, len(lines))) AS t(i)
+    """,
+)
+def lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (LATERAL VIEW with ordinal) — collect each order's line
+    numbers into a sorted array, then fan back out WITH POSITIONS: the
+    array-ordinal round trip that nested-document pipelines (B7,
+    /root/reference/topic_processor_test.go:135-155) use to keep element
+    order stable through assembly/disassembly. Generate is map-side —
+    the only shuffle is the collect_list groupBy."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    li = load_table(spark, sf_dir, "lineitem")
+    nested = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(F.array_sort(F.collect_list("l_linenumber")).alias("lines"))
+    )
+    return nested.select(
+        "o_orderkey", F.posexplode(F.col("lines")).alias("pos", "linenumber")
+    )
