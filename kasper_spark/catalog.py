@@ -44,15 +44,23 @@ _NANO_TS_COLS = {
 }
 
 
+def ensure_nanos_as_long(spark: SparkSession) -> None:
+    """Make nano-timestamp parquet readable under ANY SparkSession.
+
+    nanosAsLong is a runtime SQL conf; setting it here (not only in the
+    tuned session factory) means table reads work with a BARE session too —
+    the correctness driver builds its own, and without this the read of
+    events.parquet (INT64 TIMESTAMP(NANOS,false)) throws
+    PARQUET_TYPE_ILLEGAL. Any code that reads the driver parquet directly
+    (e.g. streaming twins inferring a file-stream schema) must call this
+    first."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    # nanosAsLong is a runtime SQL conf; set it here (not only in the tuned
-    # session factory) so load_table works with ANY SparkSession — the
-    # correctness driver builds its own bare session, and without this the
-    # read of events.parquet (INT64 TIMESTAMP(NANOS,false)) throws
-    # PARQUET_TYPE_ILLEGAL before the conversion below can run.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_nanos_as_long(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in _NANO_TS_COLS.get(name, ()):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":

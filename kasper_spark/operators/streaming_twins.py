@@ -19,6 +19,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kasper_spark.catalog import ensure_nanos_as_long
 from kasper_spark.registry import register_query
 from kasper_spark.streaming.state import running_word_count
 
@@ -104,6 +105,7 @@ def streaming_tumbling_window_twin(spark: SparkSession, sf_dir: str) -> DataFram
     # it to a timestamp type), so take the stream schema from a batch
     # schema inference and apply the SAME conversion rule as the bounded
     # catalog (kasper_spark/catalog.py) instead of hard-coding either.
+    ensure_nanos_as_long(spark)  # bare driver sessions reject nano-ts parquet
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     stream = spark.readStream.schema(raw.schema).format("parquet").load(src_dir)
     if dict(raw.dtypes)["ts"] == "bigint":
@@ -236,6 +238,7 @@ def streaming_session_window_twin(spark: SparkSession, sf_dir: str) -> DataFrame
         os.path.join(sf_dir, "events.parquet"),
         os.path.join(src_dir, "events.parquet"),
     )
+    ensure_nanos_as_long(spark)  # bare driver sessions reject nano-ts parquet
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     stream = spark.readStream.schema(raw.schema).format("parquet").load(src_dir)
     if dict(raw.dtypes)["ts"] == "bigint":
@@ -302,6 +305,7 @@ def streaming_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(sf_dir, "events.parquet"),
         os.path.join(src_dir, "events.parquet"),
     )
+    ensure_nanos_as_long(spark)  # bare driver sessions reject nano-ts parquet
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     stream = spark.readStream.schema(raw.schema).format("parquet").load(src_dir)
     if dict(raw.dtypes)["ts"] == "bigint":
