@@ -85,3 +85,36 @@ def grouped_map_topn_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").applyInPandas(
         topn_share, schema="event_type string, n_users long, top3_share_pct double"
     )
+
+
+@register_query(
+    "pandas_udf_token_count",
+    oracle=r"""
+    SELECT
+        doc_id,
+        len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS n_tokens
+    FROM documents
+    """,
+)
+def pandas_udf_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALAR pandas UDF (Arrow-vectorized) token counting — the row-level
+    Process() analog (A4), complementing applyInPandas (grouped) and
+    applyInPandasWithState (stateful) elsewhere. Same result as the pure
+    JVM token_count_regex, so the oracle certifies the Arrow
+    serialize->pandas->deserialize path is value-exact.
+
+    Scale: the UDF runs per Arrow batch (10k rows/batch per the session
+    factory) inside the scan stage — no shuffle, no collect; throughput is
+    bounded by Arrow transfer + pandas regex, which is why the JVM form is
+    the hot-path default and this is the escape hatch."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    # nested so cloudpickle serializes by value (foreign-cwd workers have
+    # no importable kasper_spark)
+    @F.pandas_udf("int")
+    def n_tokens(texts):
+        import pandas as pd  # noqa: F401 (worker-side import)
+
+        return texts.str.count(r"[a-z]+|[0-9]+").astype("int32")
+
+    return docs.select("doc_id", n_tokens(F.col("text")).alias("n_tokens"))
