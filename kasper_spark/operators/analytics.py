@@ -714,3 +714,116 @@ def pivot_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill(0, subset=list(_SEGMENTS))
         .orderBy("n_name")
     )
+
+
+@register_query(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS edge,
+           CAST(COUNT(*) AS BIGINT) AS n_orphans
+    FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey)
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           CAST(COUNT(*) AS BIGINT)
+    FROM customer WHERE NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey)
+    UNION ALL
+    SELECT 'nation.n_regionkey->region',
+           CAST(COUNT(*) AS BIGINT)
+    FROM nation WHERE NOT EXISTS (SELECT 1 FROM region WHERE r_regionkey = n_regionkey)
+    ORDER BY edge
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table foreign-key audit: orphan-row counts for every FK edge
+    of the star schema in ONE result — the pre-flight every 100 TB
+    ingestion should run before joins silently drop rows. Each edge is a
+    left-anti join (no payload columns, no row duplication); dimension
+    sides broadcast, the two fact-fact edges shuffle on their key. Edges
+    are independent, so Spark schedules them as parallel stages of one
+    job rather than six sequential queries."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    def orphans(edge, child, key, parent, pkey, bcast):
+        p = F.broadcast(parent) if bcast else parent
+        return (
+            child.join(p, child[key] == parent[pkey], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(edge).alias("edge"), "n_orphans")
+        )
+
+    return (
+        orphans("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey", False)
+        .unionAll(orphans("lineitem.l_partkey->part", li, "l_partkey", part, "p_partkey", True))
+        .unionAll(orphans("lineitem.l_suppkey->supplier", li, "l_suppkey", supp, "s_suppkey", True))
+        .unionAll(orphans("orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey", True))
+        .unionAll(orphans("customer.c_nationkey->nation", cust, "c_nationkey", nation, "n_nationkey", True))
+        .unionAll(orphans("nation.n_regionkey->region", nation, "n_regionkey", region, "r_regionkey", True))
+        .orderBy("edge")
+    )
+
+
+@register_query(
+    "mom_revenue_growth",
+    oracle="""
+    WITH monthly AS (
+        SELECT
+            CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+            CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS o_month,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+        FROM orders
+        GROUP BY o_year, o_month
+    )
+    SELECT o_year, o_month, revenue,
+           LAG(revenue) OVER (ORDER BY o_year, o_month) AS prev_revenue,
+           (revenue - LAG(revenue) OVER (ORDER BY o_year, o_month))
+               / LAG(revenue) OVER (ORDER BY o_year, o_month) * 100.0 AS growth_pct
+    FROM monthly
+    ORDER BY o_year, o_month
+    """,
+)
+def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the window-over-aggregate
+    composition (agg first, then lag over the tiny monthly series). The
+    expensive pass is the partial-aggregated monthly rollup; the window
+    runs over ~n_months rows, so the single-partition window (no
+    PARTITION BY) is harmless at any scale — a window over the RAW fact
+    table would be the mistake. First month's growth is NULL on both
+    engines (lag of nothing)."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,4)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    w = Window.orderBy("o_year", "o_month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "o_year",
+        "o_month",
+        "revenue",
+        prev.alias("prev_revenue"),
+        ((F.col("revenue") - prev) / prev * F.lit(100.0)).alias("growth_pct"),
+    ).orderBy("o_year", "o_month")

@@ -331,3 +331,57 @@ def test_multitenant_streaming_fanout(spark, workdir):
     assert ms.tenant("globex").get("clicks") == b"1"
     assert ms.tenant("globex").get("views") == b"1"
     assert sorted(ms.all_tenants()) == ["acme", "globex"]
+
+
+def test_lag_probe_reads_kafka_metric_keys(spark, workdir):
+    """The caught-up probe must read the metric keys Spark's Kafka source
+    actually emits (min/max/avgOffsetsBehindLatest,
+    estimatedTotalBytesBehindLatest) — a bare 'offsetsBehindLatest' key
+    never exists, and reading it made the probe always-True against real
+    Kafka. Simulated via a stubbed lastProgress (no broker in CI)."""
+    pipe = _pipeline(spark, workdir, f"lagkeys-{uuid.uuid4().hex[:8]}")
+
+    class _FakeQuery:
+        def __init__(self, metrics):
+            self.lastProgress = {"sources": [{"metrics": metrics}]}
+
+    # behind on the worst partition -> NOT caught up
+    pipe._query = _FakeQuery({"maxOffsetsBehindLatest": "42",
+                              "avgOffsetsBehindLatest": "3.5",
+                              "minOffsetsBehindLatest": "0"})
+    assert pipe.has_consumed_all_messages() is False
+    # fully caught up
+    pipe._query = _FakeQuery({"maxOffsetsBehindLatest": "0",
+                              "avgOffsetsBehindLatest": "0.0",
+                              "minOffsetsBehindLatest": "0"})
+    assert pipe.has_consumed_all_messages() is True
+    # only the bytes estimate present (older connector variants)
+    pipe._query = _FakeQuery({"estimatedTotalBytesBehindLatest": "1024"})
+    assert pipe.has_consumed_all_messages() is False
+    # no lag metrics at all (file sources) -> caught up once progress exists
+    pipe._query = _FakeQuery({})
+    assert pipe.has_consumed_all_messages() is True
+    pipe._query = None
+
+
+def test_metrics_listener_lag_from_kafka_keys():
+    """PipelineMetricsListener must aggregate lag from the real Kafka
+    metric keys (preferring the per-partition worst case)."""
+    from types import SimpleNamespace
+
+    from kasper_spark.streaming.metrics import PipelineMetricsListener
+
+    listener = PipelineMetricsListener()
+    progress = SimpleNamespace(
+        name="q1",
+        id="id1",
+        numInputRows=10,
+        sink=SimpleNamespace(numOutputRows=10),
+        sources=[
+            SimpleNamespace(metrics={"maxOffsetsBehindLatest": "7",
+                                     "avgOffsetsBehindLatest": "2.0"}),
+            SimpleNamespace(metrics={"estimatedTotalBytesBehindLatest": "100"}),
+        ],
+    )
+    listener.onQueryProgress(SimpleNamespace(progress=progress))
+    assert listener.messages_behind_high_water_mark("q1") == 107
