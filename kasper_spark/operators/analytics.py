@@ -827,3 +827,67 @@ def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("prev_revenue"),
         ((F.col("revenue") - prev) / prev * F.lit(100.0)).alias("growth_pct"),
     ).orderBy("o_year", "o_month")
+
+
+@register_query("approx_percentile_totalprice")  # rows-only: sketch impls differ
+def approx_percentile_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch) over order values per
+    status — the percentile path when exact sort-based percentiles are too
+    expensive at 100 TB (the sketch is mergeable, one pass, bounded
+    memory). Rows-only: DuckDB's approx sketch differs by design;
+    tests/test_approx_quality.py bounds the rank error against the exact
+    percentile instead."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias(
+            "approx_p50_p90_p99"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register_query(
+    "upsert_snapshot",
+    oracle="""
+    WITH updates AS (
+        SELECT c_custkey,
+               c_acctbal + 100.0 AS new_acctbal,
+               'GOLD' AS new_segment
+        FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT
+        c.c_custkey,
+        c.c_name,
+        COALESCE(u.new_acctbal, c.c_acctbal) AS c_acctbal,
+        COALESCE(u.new_segment, c.c_mktsegment) AS c_mktsegment,
+        CAST(CASE WHEN u.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS was_updated
+    FROM customer c
+    LEFT JOIN updates u ON c.c_custkey = u.c_custkey
+    """,
+)
+def upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-INTO-shaped snapshot upsert: apply an update batch to the
+    current snapshot with matched-row overwrites (left join + coalesce) —
+    the batch form of the reference's Store.Put/PutAll upsert loop
+    (/root/reference/store.go:23-26, redis.go:111-136) and the exact
+    pattern a foreachBatch sink runs per micro-batch to maintain a
+    materialized table. Spark's MERGE INTO needs a v2 catalog table; this
+    join-coalesce form is plan-identical for insert-free upserts and works
+    on any snapshot. One shuffle on the key (or none, broadcast, when the
+    update batch is small — AQE decides; here the update side derives from
+    the same scan, so Spark reuses it)."""
+    cust = load_table(spark, sf_dir, "customer")
+    updates = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("u_custkey"),
+        (F.col("c_acctbal") + 100.0).alias("new_acctbal"),
+        F.lit("GOLD").alias("new_segment"),
+    )
+    return cust.join(
+        updates, cust.c_custkey == updates.u_custkey, "left"
+    ).select(
+        "c_custkey",
+        "c_name",
+        F.coalesce("new_acctbal", "c_acctbal").alias("c_acctbal"),
+        F.coalesce("new_segment", "c_mktsegment").alias("c_mktsegment"),
+        F.col("u_custkey").isNotNull().cast("int").alias("was_updated"),
+    )

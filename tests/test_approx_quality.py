@@ -1,0 +1,37 @@
+"""Quality gate for the rows-only approx_percentile sketch: the sketch
+answer must sit within the configured rank-error bound of the exact
+percentile (the determinism/quality check rows-only queries carry in
+place of the SQL oracle)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kasper_spark.catalog import load_table
+from kasper_spark.registry import QUERIES, load_all_operators
+from tests.conftest import SF_SMOKE
+
+load_all_operators()
+
+
+def test_approx_percentile_within_rank_error(spark):
+    got = {
+        r["o_orderstatus"]: r["approx_p50_p90_p99"]
+        for r in QUERIES["approx_percentile_totalprice"](spark, SF_SMOKE).collect()
+    }
+    orders = load_table(spark, SF_SMOKE, "orders")
+    for status, approx in got.items():
+        vals = sorted(
+            r[0]
+            for r in orders.filter(F.col("o_orderstatus") == status)
+            .select("o_totalprice")
+            .collect()
+        )
+        n = len(vals)
+        for q, a in zip((0.5, 0.9, 0.99), approx):
+            # accuracy 10000 -> rank error <= n/10000; allow 2x slack plus
+            # one position for interpolation-vs-nearest-rank differences
+            tol = max(2, 2 * n // 10000 + 2)
+            lo = vals[max(0, int(q * n) - tol)]
+            hi = vals[min(n - 1, int(q * n) + tol)]
+            assert lo <= a <= hi, (status, q, a, lo, hi)
