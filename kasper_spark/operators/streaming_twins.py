@@ -425,3 +425,55 @@ def streaming_stateful_count_twin(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     q.awaitTermination()
     return spark.table(qname).groupBy("word").agg(F.max("n").alias("n"))
+
+
+@register_query(
+    "streaming_dedup_watermark_twin",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_unique_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def streaming_dedup_watermark_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED-STATE streaming dedup: dropDuplicatesWithinWatermark keeps a
+    (event_type, user_id) key only until the watermark passes its event
+    time + the delay, then evicts — the production form of the unbounded
+    streaming_dedup_twin. With availableNow over bounded input whose span
+    (30 days) exceeds any intra-run watermark advance, no key expires
+    mid-run, so the result equals DISTINCT and stays oracle-checkable
+    while the query still exercises the eviction-capable operator. At
+    100 TB this is the dedup that never OOMs: state is
+    O(keys-per-watermark-window), not O(all keys ever)."""
+    qname = f"sdw_{uuid.uuid4().hex[:10]}"
+    work = tempfile.mkdtemp(prefix="kasper-sdw-")
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir)
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    ensure_nanos_as_long(spark)  # bare driver sessions reject nano-ts parquet
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    stream = spark.readStream.schema(raw.schema).format("parquet").load(src_dir)
+    if dict(raw.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    deduped = (
+        stream.select("event_type", "user_id", "ts")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_type", "user_id"])
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(qname)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique_users"))
+    )

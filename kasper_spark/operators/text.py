@@ -568,3 +568,38 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= 3)
     )
+
+
+@register_query(
+    "text_normalize",
+    oracle="""
+    SELECT
+        doc_id,
+        md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                ' +', ' ', 'g'))) AS canon_digest,
+        length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                   ' +', ' ', 'g'))) AS canon_len
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization pass before dedup: lowercase -> non-alnum to
+    space -> collapse runs -> trim, fingerprinted. This is the
+    normalization that decides what 'duplicate' MEANS for every dedup
+    operator downstream (exact digest, MinHash shingles, SimHash) — kept
+    as its own operator so pipelines share one definition instead of
+    drifting. Pure map-side expression work; only the digest (16 B/doc)
+    flows onward, never the normalized text."""
+    docs = load_table(spark, sf_dir, "documents")
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(canon.cast("binary")).alias("canon_digest"),
+        F.length(canon).alias("canon_len"),
+    )
