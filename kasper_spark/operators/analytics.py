@@ -891,3 +891,27 @@ def upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("new_segment", "c_mktsegment").alias("c_mktsegment"),
         F.col("u_custkey").isNotNull().cast("int").alias("was_updated"),
     )
+
+
+@register_query("hll_mergeable_sketches")  # rows-only: sketch bytes are engine-specific
+def hll_mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE HLL sketches (Apache DataSketches via hll_sketch_agg):
+    build one user-cardinality sketch per (day, event_type), then union
+    the per-day sketches into per-type totals WITHOUT rescanning the
+    facts — the two-level rollup pattern that makes 100 TB cardinality
+    dashboards incremental (store daily sketch bytes ~1 KB each; any
+    date-range distinct is a sketch union, not a scan). Rows-only: sketch
+    serialization is engine-specific; tests/test_approx_quality.py bounds
+    the estimates against exact distincts."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users_total"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .orderBy("event_type")
+    )

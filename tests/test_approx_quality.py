@@ -35,3 +35,24 @@ def test_approx_percentile_within_rank_error(spark):
             lo = vals[max(0, int(q * n) - tol)]
             hi = vals[min(n - 1, int(q * n) + tol)]
             assert lo <= a <= hi, (status, q, a, lo, hi)
+
+
+def test_hll_union_matches_exact_distinct(spark):
+    """Unioning per-day sketches must estimate the per-type TOTAL distinct
+    count within HLL error (~2% at default lgK=12; allow 5%)."""
+    got = {
+        r["event_type"]: r["approx_users_total"]
+        for r in QUERIES["hll_mergeable_sketches"](spark, SF_SMOKE).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for etype, est in got.items():
+        assert abs(est - exact[etype]) <= max(2, 0.05 * exact[etype]), (
+            etype, est, exact[etype],
+        )

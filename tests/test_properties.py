@@ -110,3 +110,31 @@ def test_sessionize_matches_sequential_reference(spark, gaps):
         .collect()[0]["n"]
     )
     assert sessions == expected_sessions
+
+
+@given(
+    a=st.lists(st.integers(min_value=0, max_value=5), max_size=30),
+    b=st.lists(st.integers(min_value=0, max_value=5), max_size=30),
+)
+@settings(**_SETTINGS)
+def test_bag_setops_multiset_laws(spark, a, b):
+    """exceptAll/intersectAll must obey the multiset laws:
+    count(x, A exceptAll B) == max(0, cA(x)-cB(x)) and
+    count(x, A intersectAll B) == min(cA(x), cB(x))."""
+    from collections import Counter
+
+    A = spark.createDataFrame([(x,) for x in a] or [(None,)], "v int").filter(
+        "v IS NOT NULL"
+    )
+    B = spark.createDataFrame([(x,) for x in b] or [(None,)], "v int").filter(
+        "v IS NOT NULL"
+    )
+    ca, cb = Counter(a), Counter(b)
+    got_exc = Counter(r["v"] for r in A.exceptAll(B).collect())
+    got_int = Counter(r["v"] for r in A.intersectAll(B).collect())
+    want_exc = Counter({k: ca[k] - cb[k] for k in ca if ca[k] > cb[k]})
+    want_int = Counter(
+        {k: min(ca[k], cb[k]) for k in ca if min(ca[k], cb[k]) > 0 and k in cb}
+    )
+    assert got_exc == +want_exc
+    assert got_int == +want_int
