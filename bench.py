@@ -39,6 +39,13 @@ HEADLINE = [
     "text_stats",
     "multimodal_meta",
     "training_data_pipeline",
+    # round-2 families (first benched in r02 — r01's record was lost to the
+    # output-ordering bug, so this round sets the baseline)
+    "q7_volume_shipping",     # multi-dim join + year rollup
+    "q18_large_orders",       # HAVING sub-aggregate + semi join back
+    "tfidf_top_terms",        # corpus-wide text join (df x wf)
+    "gopher_quality_filters", # two-level word-frequency aggregation
+    "window_range_frame_trailing",  # time-RANGE window frames
 ]
 
 
