@@ -231,7 +231,11 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer is NOT hint-broadcast: at TPC-H ratios it is 1/10th of
+        # orders (TBs at 100 TB), and a broadcast() hint is FORCED — AQE
+        # never demotes it. Below the size threshold Catalyst still
+        # auto-broadcasts; above it this correctly shuffles.
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum_dec(_revenue_dec()).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -279,7 +283,11 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer is NOT hint-broadcast: at TPC-H ratios it is 1/10th of
+        # orders (TBs at 100 TB), and a broadcast() hint is FORCED — AQE
+        # never demotes it. Below the size threshold Catalyst still
+        # auto-broadcasts; above it this correctly shuffles.
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
             F.broadcast(supp),
             (li.l_suppkey == supp.s_suppkey)

@@ -23,11 +23,12 @@ phone prefix. The *plan shapes* — which is what matters for engine parity and
 scale behavior — are unchanged.
 
 Scale notes (100 TB mindset):
-- nation/supplier/part are broadcast; customer follows q5's broadcast choice
-  (at true TPC-H ratios it is 1/40th of orders — still far under a 64 MB
-  threshold per 1 TB of lineitem only at low SF; at cluster scale AQE demotes
-  it to shuffle join automatically, which is why the hint is `broadcast()`
-  on the *dimension* side only and never a forced strategy).
+- nation/supplier/part are `broadcast()`-hinted (true fixed-size
+  dimensions). customer is NOT hinted: a hint forces the strategy (AQE never
+  demotes it), and customer grows with the fact tables — below the size
+  threshold Catalyst auto-broadcasts it anyway, above it the shuffle join is
+  the correct plan. Measured: the forced variant OOMs the broadcast build at
+  the 10x scale-up (tools/scale10x.py).
 - every date/brand/size filter sits directly on the scan column so it reaches
   the parquet reader as a pushed filter (tests/test_plans.py asserts this
   repo-wide).
@@ -131,7 +132,11 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer is NOT hint-broadcast: at TPC-H ratios it is 1/10th of
+        # orders (TBs at 100 TB), and a broadcast() hint is FORCED — AQE
+        # never demotes it. Below the size threshold Catalyst still
+        # auto-broadcasts; above it this correctly shuffles.
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(
@@ -329,7 +334,11 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     return (
         orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer is NOT hint-broadcast: at TPC-H ratios it is 1/10th of
+        # orders (TBs at 100 TB), and a broadcast() hint is FORCED — AQE
+        # never demotes it. Below the size threshold Catalyst still
+        # auto-broadcasts; above it this correctly shuffles.
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(dsum("l_quantity").alias("sum_qty"))

@@ -37,10 +37,12 @@ _DEFAULTS = {
     # --- session behavior ---
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",
-    # NOTE: spark.driver.memory cannot be set here — in in-process PySpark
-    # the driver JVM heap is fixed at gateway launch. Pass it via
-    # PYSPARK_SUBMIT_ARGS="--driver-memory 8g pyspark-shell" or
-    # spark-defaults.conf / spark-submit on a real deployment.
+    # NOTE: spark.driver.memory cannot be set via builder configs — in
+    # in-process PySpark the driver JVM heap is fixed at gateway launch.
+    # get_spark() therefore injects it through PYSPARK_SUBMIT_ARGS *before*
+    # the gateway starts (no-op if a JVM is already up). The default 1 GiB
+    # heap cannot even build a broadcast near the 64 MB threshold below
+    # (hash relations explode ~10x over their serialized size).
     # streaming state at 100 TB needs RocksDB, not the in-memory HDFS store
     "spark.sql.streaming.stateStore.providerClass": (
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
@@ -55,6 +57,15 @@ def get_spark(app_name: str = "kasper_spark", **overrides: str) -> SparkSession:
     Any ``overrides`` win over the tuned defaults.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    # Give the in-process driver JVM a real heap BEFORE the gateway exists.
+    # Builder-level spark.driver.memory is ignored in this mode; the submit
+    # args are honored. If a JVM/gateway is already running this is a no-op
+    # (and harmless), so sessions keep getOrCreate() semantics.
+    from pyspark import SparkContext
+
+    if SparkContext._gateway is None and "PYSPARK_SUBMIT_ARGS" not in os.environ:
+        mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        os.environ["PYSPARK_SUBMIT_ARGS"] = f"--driver-memory {mem} pyspark-shell"
     builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
     conf = dict(_DEFAULTS)
     conf.update({k: str(v) for k, v in overrides.items()})
