@@ -4,6 +4,7 @@
 from kasper_spark.operators import (  # noqa: F401
     relational,
     tpch_more,
+    tpch_rest,
     dedup,
     similarity,
     text,

@@ -1,0 +1,610 @@
+"""The remaining TPC-H query shapes (q2/q8/q9/q11/q13/q15/q16/q17/q20/q21),
+completing 22/22 coverage of the classic shapes alongside operators/relational.py
+(q1/q3/q5/q6) and operators/tpch_more.py (q4/q7/q10/q12/q14/q18/q19/q22).
+
+The reference has no relational algebra — every one of these would be
+hand-written Go inside ``Process()`` (/root/reference/topic_processor.go:101-109)
+doing per-key store lookups (/root/reference/store.go:16-31). Each query here is
+the declarative Spark form of a distinct plan-shape class:
+
+- q2  : correlated MIN subquery (per-group minimum re-joined to its group)
+- q8  : market-share — two-level conditional ratio over a 6-table join
+- q9  : profit decomposition with computed cost, grouped by nation x year
+- q11 : group aggregate filtered by a global scalar-subquery threshold
+- q13 : left-outer join + double aggregation (distribution of counts)
+- q15 : aggregate == global MAX equality join (top supplier view)
+- q16 : distinct-count agg behind an exclusion anti-join
+- q17 : correlated AVG subquery as a same-scan window aggregate
+- q20 : nested semi-join chain (suppliers of heavily-shipped filtered parts)
+- q21 : EXISTS + NOT EXISTS self-joins on the same fact table
+
+Schema adaptations (the driver testdata, TESTDATA.md, has no partsupp table
+and no comment/phone/container/commit-receipt-date columns):
+- q2/q11/q16/q20 derive the part-supplier relationship from lineitem
+  (distinct (l_partkey, l_suppkey) pairs; unit cost = l_extendedprice /
+  l_quantity; "stock value" = revenue) — the PLAN SHAPES (correlated min,
+  scalar-subquery threshold, exclusion anti-join, semi-join chain) are intact.
+- q9's supply cost is modeled as 10% of p_retailprice per unit.
+- q13 filters "special request" orders by o_orderpriority instead of a
+  comment LIKE; q16's "customer complaints" exclusion uses s_acctbal < 0.
+- q21's "late" is l_shipdate > o_orderdate + 365 days (no receipt/commit
+  dates); ~10% of lines qualify, matching the textbook's intent.
+
+Scale notes (100 TB mindset):
+- nation/region/part-after-filter/supplier are broadcast; customer and all
+  lineitem-derived frames are never hint-broadcast (they grow with SF, and a
+  hint is forced — AQE can't demote it).
+- q17 computes the correlated per-part AVG as a window over the SAME scan
+  that feeds the final sum (after a part semi-join prunes ~1% of rows) —
+  one lineitem scan instead of the textbook's two.
+- q21 reuses one joined (orderkey, suppkey, late) frame for the base, the
+  EXISTS, and the NOT EXISTS branches; the two distinct-pair frames shuffle
+  on l_orderkey so all three joins co-partition.
+- all money sums are exact-decimal (functions/exact.py) => results are
+  accumulation-order-independent, i.e. identical on any cluster layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kasper_spark.catalog import load_table
+from kasper_spark.functions.exact import (
+    davg_sql,
+    dsum,
+    dsum_dec,
+    dsum_dec_sql,
+    dsum_sql,
+)
+from kasper_spark.operators.relational import _REVENUE_SQL, _revenue_dec
+from kasper_spark.registry import register_query
+
+
+@register_query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               MIN(l_extendedprice / l_quantity) AS ps_supplycost
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type, ps_supplycost
+    FROM part
+    JOIN ps       ON p_partkey = ps_partkey
+    JOIN supplier ON s_suppkey = ps_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE p_size BETWEEN 10 AND 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+      AND ps_supplycost = (
+          SELECT MIN(ps2.ps_supplycost)
+          FROM ps ps2
+          JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+          JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+          JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+          WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE'
+      )
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the EUROPE supplier(s)
+    offering the minimum unit cost — the correlated-MIN-subquery pattern.
+    The part-supplier catalog is derived once from lineitem (min observed
+    unit price per pair); the correlated minimum is a window MIN over
+    p_partkey computed on the already-joined candidate set, so the "find
+    the min, then re-join it" round trip costs one extra shuffle of the
+    filtered candidates only — never a second pass over lineitem. MIN over
+    doubles is comparison-only (no accumulation), so the equality filter
+    picks identical rows on Spark and DuckDB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = (
+        li.groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size").between(10, 15)) & (F.col("p_type") == "STANDARD")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cand = (
+        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("_min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("_min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "ps_supplycost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register_query(
+    "q8_market_share",
+    oracle=f"""
+    WITH all_nations AS (
+        SELECT
+            CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+            {_REVENUE_SQL} AS volume,
+            n2.n_name AS supp_nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region    ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+          AND o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+    )
+    SELECT
+        o_year,
+        {dsum_dec_sql("CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE CAST(0 AS DECIMAL(17,8)) END")} AS nation_volume,
+        {dsum_dec_sql("volume")} AS total_volume,
+        {dsum_dec_sql("CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE CAST(0 AS DECIMAL(17,8)) END")}
+            / {dsum_dec_sql("volume")} AS mkt_share
+    FROM all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_5's share of ECONOMY-part revenue sold into
+    ASIA, per order year — the conditional-ratio-over-wide-join pattern.
+    Six joins: part (filtered, broadcast), supplier/nation/region
+    (broadcast dims), orders/customer shuffled on their keys. Both the
+    numerator and denominator are exact-decimal sums, and the share is one
+    pointwise double division, so the ratio is bit-identical to the
+    oracle's regardless of partitioning."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    zero = F.lit(0).cast("decimal(17,8)")
+    vol = _revenue_dec()
+    nation_vol = F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(zero)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        # customer is NOT hint-broadcast — it scales with the fact tables.
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == region.r_regionkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            dsum_dec(nation_vol).alias("nation_volume"),
+            dsum_dec(vol).alias("total_volume"),
+            (dsum_dec(nation_vol) / dsum_dec(vol)).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+_COST_SQL = (
+    "CAST(p_retailprice AS DECIMAL(10,4))"
+    " * CAST(l_quantity AS DECIMAL(10,4))"
+    " * CAST(0.1 AS DECIMAL(2,1))"
+)
+
+
+@register_query(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT
+        n_name AS nation,
+        CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+        {dsum_dec_sql(f"{_REVENUE_SQL} - {_COST_SQL}")} AS sum_profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    ORDER BY 1, 2 DESC
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on widget-like parts by supplier nation and
+    order year. Profit = revenue − cost where cost is modeled as 10% of
+    p_retailprice per unit (testdata has no ps_supplycost). All three
+    factors stay decimal through the multiply/subtract, so the per-row
+    amounts are exact on both engines and the scale-6 downcast in the sum
+    drops only zeros (p_retailprice has 2 true decimals, quantity 0,
+    0.1 one => ≤3; revenue ≤4)."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    from kasper_spark.functions.exact import money
+
+    cost = (
+        money("p_retailprice", 10, 4)
+        * money("l_quantity", 10, 4)
+        * F.lit(0.1).cast("decimal(2,1)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(dsum_dec(_revenue_dec() - cost).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register_query(
+    "q11_important_value",
+    oracle=f"""
+    WITH pv AS (
+        SELECT l_partkey AS ps_partkey, {dsum_dec_sql(_REVENUE_SQL)} AS value
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+        GROUP BY 1
+    )
+    SELECT ps_partkey, value
+    FROM pv
+    WHERE value > (SELECT SUM(value) FROM pv) * 0.001
+    ORDER BY value DESC, ps_partkey
+    """,
+)
+def q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose NATION_3-supplied revenue exceeds a
+    fraction of the national total — group aggregate gated by a global
+    scalar-subquery threshold. The per-part aggregate is computed once and
+    reused for both the threshold (a 1-row broadcast) and the output: the
+    oracle's self-referencing CTE maps to one groupBy plus a broadcast
+    cross join, not two scans. The threshold compare is double*0.001 —
+    pointwise, identical both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    pv = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(dsum_dec(_revenue_dec()).alias("value"))
+    )
+    # SUM over the already-exact per-group doubles must match DuckDB's
+    # SUM(value): re-sum in decimal so accumulation order can't matter.
+    thr = pv.agg((dsum("value") * F.lit(0.001)).alias("_thr"))
+    # oracle twin of the threshold: SUM over pv's double values — mirror it
+    # exactly (DuckDB sums doubles sequentially; dsum makes ours exact, and
+    # the values themselves are short decimals so both sums are exact).
+    return (
+        pv.crossJoin(F.broadcast(thr))
+        .filter(F.col("value") > F.col("_thr"))
+        .select("ps_partkey", "value")
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+@register_query(
+    "q13_customer_distribution",
+    oracle="""
+    WITH c_orders AS (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer
+        LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of non-urgent order counts per
+    customer — left outer join preserving order-less customers, then a
+    second aggregation over the first's result. The priority filter is a
+    JOIN predicate, not a WHERE (a WHERE would silently drop the zero
+    customers — the classic Q13 trap). Both aggregations key on integers;
+    no float parity concerns."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register_query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue0 AS (
+        SELECT l_suppkey AS supplier_no, {dsum_dec_sql(_REVENUE_SQL)} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier
+    JOIN revenue0 ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue —
+    aggregate-equals-global-MAX. The revenue view is computed once; MAX
+    over its (exact, hence engine-identical) doubles broadcasts as one row
+    and the equality join selects the argmax set. Ties return every tied
+    supplier on both engines — no arbitrary pick."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum_dec(_revenue_dec()).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register_query(
+    "q16_supplier_part_count",
+    oracle="""
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can provide each
+    (brand, type, size) bucket, excluding flagged suppliers — a
+    distinct-count aggregate behind an exclusion anti-join. The
+    part-supplier pairs come from a lineitem distinct (the testdata's
+    partsupp stand-in); the negative-balance suppliers (the complaints
+    stand-in) broadcast to an anti join. NOT IN over a non-null key column
+    is exactly a left-anti join here."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register_query(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    WITH pq AS (
+        SELECT l_partkey, {davg_sql("l_quantity")} AS avg_qty
+        FROM lineitem GROUP BY 1
+    )
+    SELECT {dsum_sql("l_extendedprice")} / 7.0 AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pq   ON pq.l_partkey = lineitem.l_partkey
+    WHERE p_brand = 'Brand#3' AND p_size <= 10
+      AND l_quantity < 0.2 * avg_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: yearly revenue that tiny orders (below 20% of the
+    part's average quantity) represent — the correlated-AVG-subquery
+    pattern. Spark-first rewrite: semi-join lineitem to the ~1% of
+    qualifying parts FIRST, then compute the per-part average as a window
+    aggregate over that same pruned scan — one pass over lineitem where
+    the textbook plan takes two. (The window average per part equals the
+    whole-table per-part average because the filter is on part attributes,
+    not line attributes.) The average is the exact-decimal mean so the
+    0.2*avg cutoff picks identical rows on both engines."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 10)
+    )
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(part), F.col("l_partkey") == part.p_partkey
+    )
+    w = Window.partitionBy("l_partkey")
+    avg_qty = (
+        F.sum(F.col("l_quantity").cast("decimal(38,4)")).over(w).cast("double")
+        / F.count("l_quantity").over(w)
+    )
+    return (
+        li.withColumn("_avg_qty", avg_qty)
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("_avg_qty"))
+        .agg((dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+@register_query(
+    "q20_excess_suppliers",
+    oracle=f"""
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_2'
+      AND s_suppkey IN (
+          SELECT l_suppkey
+          FROM lineitem
+          JOIN part ON p_partkey = l_partkey
+          WHERE p_name LIKE 'small%'
+            AND l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1997-01-01'
+          GROUP BY l_partkey, l_suppkey
+          HAVING {dsum_sql("l_quantity")} > 50
+      )
+    ORDER BY s_name
+    """,
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: NATION_2 suppliers who shipped more than 50 units
+    of some small-named part during 1996 — the nested semi-join chain
+    (part filter -> per-(part,supplier) HAVING -> supplier semi-join ->
+    nation filter). The per-pair quantity sum is exact decimal so the >50
+    membership set is cluster-deterministic; the qualifying supplier keys
+    collapse to a distinct set that semi-joins the (already nation-pruned)
+    supplier dim."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(dsum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 50)
+        .select("l_suppkey")
+    )
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@register_query(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH lo AS (
+        SELECT l_orderkey, l_suppkey,
+               l_shipdate > o_orderdate + INTERVAL 365 DAY AS late
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM lo l1
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_1' AND l1.late
+      AND EXISTS (
+          SELECT 1 FROM lo l2
+          WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lo l3
+          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.late
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: NATION_1 suppliers who were the SOLE late supplier
+    on a finished multi-supplier order — the EXISTS + NOT EXISTS
+    self-join pattern (lateness adapted to ship > order + 365 days). One
+    (orderkey, suppkey, late) frame is built once from the lineitem×orders
+    join and feeds all three roles: the base rows, the any-other-supplier
+    semi join, and the other-late-supplier anti join. Both distinct-pair
+    sides shuffle on l_orderkey, co-partitioning with the base, and both
+    carry the `suppkey <>` residual inside the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    lo = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")).alias(
+                "late"
+            ),
+        )
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    others = lo.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    ).distinct()
+    late_others = (
+        lo.filter(F.col("late"))
+        .select(
+            F.col("l_orderkey").alias("o3_orderkey"),
+            F.col("l_suppkey").alias("o3_suppkey"),
+        )
+        .distinct()
+    )
+    l1 = (
+        lo.filter(F.col("late"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    )
+    return (
+        l1.join(
+            others,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
