@@ -394,3 +394,61 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     edges.unpersist()
     return labels
+
+
+@register_query(
+    "levenshtein_block_pairs",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, source, lang, substr(text, 1, 30) AS p
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.p, b.p) AS dist
+    FROM d a
+    JOIN d b ON a.source = b.source AND a.lang = b.lang
+            AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.p, b.p) <= 18
+    ORDER BY doc_a, doc_b
+    """,
+)
+def levenshtein_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup candidates with BLOCKING: compare document
+    prefixes only within the same (source, lang) block — the classic
+    fuzzy-dedup recipe that turns an O(n²) corpus-wide comparison into
+    per-block equi-join work. Complements the token-set (Jaccard), MinHash,
+    SimHash, and embedding near-dup operators with a character-level
+    similarity the others can't see (typo-level edits).
+
+    Scale: the equi-join on the block key shuffles both sides once;
+    levenshtein runs JVM-side with the threshold form (early-exits the DP
+    once the distance exceeds 18, turning the O(30²) worst case into
+    O(30·18) for far pairs). Block keys bound the quadratic term: at 100 TB
+    the (source, lang) blocks need a finer key (source, lang, length
+    bucket) to keep the per-block pair count linear-ish — same plan shape.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", F.substring("text", 1, 30).alias("p")
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"), "source", "lang", F.col("p").alias("pa")
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("source").alias("source_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("p").alias("pb"),
+    )
+    dist = F.levenshtein(F.col("pa"), F.col("pb"), 18)
+    return (
+        a.join(
+            b,
+            (F.col("source") == F.col("source_b"))
+            & (F.col("lang") == F.col("lang_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .withColumn("dist", dist)
+        .filter(F.col("dist") >= 0)
+        .select("doc_a", "doc_b", "dist")
+        .orderBy("doc_a", "doc_b")
+    )

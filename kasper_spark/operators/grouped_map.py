@@ -118,3 +118,87 @@ def pandas_udf_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         return texts.str.count(r"[a-z]+|[0-9]+").astype("int32")
 
     return docs.select("doc_id", n_tokens(F.col("text")).alias("n_tokens"))
+
+
+@register_query(
+    "cogroup_balance_gap",
+    oracle="""
+    WITH cb AS (
+        SELECT c_nationkey AS nk, COUNT(*) AS n_cust,
+               CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM customer GROUP BY 1
+    ), sb AS (
+        SELECT s_nationkey AS nk, COUNT(*) AS n_supp,
+               CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM supplier GROUP BY 1
+    )
+    SELECT
+        COALESCE(cb.nk, sb.nk) AS n_nationkey,
+        COALESCE(n_cust, 0) AS n_cust,
+        COALESCE(n_supp, 0) AS n_supp,
+        cb.cents / 100.0 / n_cust AS avg_cust_bal,
+        sb.cents / 100.0 / n_supp AS avg_supp_bal,
+        cb.cents / 100.0 / n_cust - sb.cents / 100.0 / n_supp AS bal_gap
+    FROM cb FULL OUTER JOIN sb ON cb.nk = sb.nk
+    ORDER BY n_nationkey
+    """,
+)
+def cogroup_balance_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COGROUPED applyInPandas: per nation, align the customer group with
+    the supplier group in one Python function and compare average balances
+    — the two-sided Process() analog (kasper's B5 join pattern,
+    /root/reference/topic_processor_test.go:76-155, where both sides of a
+    key meet in user code). Spark shuffles both tables by nationkey and
+    hands each key's pair of pandas frames to the function.
+
+    Float parity trick: balances have 2 decimals, so summing integer
+    CENTS (exact int64) and dividing once at the end gives bit-identical
+    doubles on any engine and any accumulation order — the pandas-side
+    equivalent of functions/exact.py.
+
+    Scale: cogroup = one shuffle per side on the key, then a streamed
+    Arrow zip per key; per-nation groups are the only memory unit."""
+    cust = load_table(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    supp = load_table(spark, sf_dir, "supplier").select("s_nationkey", "s_acctbal")
+
+    # nested for pickle-by-value (foreign-cwd workers)
+    def gap(key, left, right):
+        import numpy as np
+        import pandas as pd
+
+        n_cust = len(left)
+        n_supp = len(right)
+        avg_c = (
+            float(np.round(left["c_acctbal"].to_numpy() * 100).astype("int64").sum())
+            / 100.0 / n_cust
+            if n_cust
+            else None
+        )
+        avg_s = (
+            float(np.round(right["s_acctbal"].to_numpy() * 100).astype("int64").sum())
+            / 100.0 / n_supp
+            if n_supp
+            else None
+        )
+        gap_v = avg_c - avg_s if (avg_c is not None and avg_s is not None) else None
+        return pd.DataFrame(
+            {
+                "n_nationkey": [int(key[0])],
+                "n_cust": [n_cust],
+                "n_supp": [n_supp],
+                "avg_cust_bal": [avg_c],
+                "avg_supp_bal": [avg_s],
+                "bal_gap": [gap_v],
+            }
+        )
+
+    return (
+        cust.groupBy("c_nationkey")
+        .cogroup(supp.groupBy("s_nationkey"))
+        .applyInPandas(
+            gap,
+            "n_nationkey int, n_cust bigint, n_supp bigint, "
+            "avg_cust_bal double, avg_supp_bal double, bal_gap double",
+        )
+        .orderBy("n_nationkey")
+    )

@@ -1059,3 +1059,42 @@ def lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nested.select(
         "o_orderkey", F.posexplode(F.col("lines")).alias("pos", "linenumber")
     )
+
+
+@register_query(
+    "variant_extract_props",
+    oracle="""
+    SELECT
+        event_type,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def variant_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payloads through Spark's VARIANT type (parse_json ->
+    variant_get): the open-schema counterpart of json_extract_props'
+    fixed-schema from_json. The reference's values are schema-on-read JSON
+    blobs (/root/reference/elasticsearch.go:115-118 requires JSON;
+    ES dynamic mapping infers types) — VARIANT is the Spark-native answer:
+    parse once into a binary-encoded tree, extract typed paths lazily.
+
+    Scale: variant_get is JVM-side and codegen'd; the binary encoding
+    avoids re-tokenizing the JSON per extraction (two extractions here,
+    one parse), which is the advantage over get_json_object at wide
+    extraction fan-outs."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return (
+        ev.select("event_type", F.variant_get(v, "$.k", "bigint").alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

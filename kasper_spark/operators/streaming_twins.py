@@ -477,3 +477,63 @@ def streaming_dedup_watermark_twin(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_unique_users"))
     )
+
+
+@register_query(
+    "streaming_enrich_static_twin",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def streaming_enrich_static_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join through the real streaming path: the
+    events stream joins the bounded customer dimension per micro-batch,
+    then aggregates by segment — kasper's per-record store lookup before
+    emit (B8, /root/reference/examples/word_count_example.go:35, the
+    Get-against-store enrichment) as a declarative stream-static join.
+
+    Unlike kasper (one Redis RTT per key, /root/reference/redis.go:54-69),
+    the dimension is joined in-plan: Spark re-plans the static side each
+    micro-batch and picks broadcast vs shuffle by size — no per-row
+    network round trips, and the dim can update between batches.
+
+    Scale: the static side here is small enough to auto-broadcast; a
+    100 TB dim would shuffle — both correct, same declaration."""
+    from kasper_spark.catalog import load_table
+
+    qname = f"ses_{uuid.uuid4().hex[:10]}"
+    work = tempfile.mkdtemp(prefix="kasper-ses-")
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir)
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    ensure_nanos_as_long(spark)  # bare driver sessions reject nano-ts parquet
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    stream = spark.readStream.schema(raw.schema).format("parquet").load(src_dir)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    agg = (
+        stream.join(cust, stream.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,4)")).cast("double").alias("sum_value"),
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).orderBy("c_mktsegment")

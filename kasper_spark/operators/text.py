@@ -603,3 +603,87 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(canon.cast("binary")).alias("canon_digest"),
         F.length(canon).alias("canon_len"),
     )
+
+
+@register_query(
+    "udtf_sentence_split",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(UNNEST(generate_series(1, len(parts))) - 1 AS INTEGER) AS pos,
+           UNNEST(parts) AS sentence
+    FROM (SELECT doc_id, string_split(text, '. ') AS parts FROM documents)
+    """,
+)
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) splitting each document into positioned
+    sentences via a LATERAL join — the 0..N-outputs-per-input shape of
+    kasper's Process() callback (/root/reference/topic_processor.go:101-109
+    emits any number of messages per input; SURVEY.md §2.C 'UDTF surface').
+
+    This is the API-surface demo of Spark 4's @udtf; the SCALE path for
+    this exact job is the JVM split+posexplode (lateral_posexplode
+    operator) — a Python UDTF runs row-at-a-time in a Python worker, so
+    reach for it only when the per-row logic genuinely needs Python."""
+    import uuid as _uuid
+
+    from pyspark.sql.functions import lit, udtf
+
+    # nested class so cloudpickle ships it by value to foreign-cwd workers
+    class SentenceSplit:
+        def eval(self, text: str):
+            for i, s in enumerate((text or "").split(". ")):
+                yield i, s
+
+    fn = udtf(SentenceSplit, returnType="pos int, sentence string")
+    tag = _uuid.uuid4().hex[:10]
+    spark.udtf.register(f"sentence_split_{tag}", fn)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView(f"docs_{tag}")
+    return spark.sql(
+        f"""
+        SELECT t.doc_id, s.pos, s.sentence
+        FROM docs_{tag} t, LATERAL sentence_split_{tag}(t.text) s
+        """
+    )
+
+
+@register_query(
+    "stratified_topn_md5",
+    oracle="""
+    SELECT lang, doc_id, rk
+    FROM (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    )
+    WHERE rk <= 3
+    ORDER BY lang, rk
+    """,
+)
+def stratified_topn_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: top-3 documents per language by
+    MD5 of the key — a PORTABLE pseudo-random order (md5 hex strings
+    compare identically everywhere), so the sampled set is reproducible
+    across engines, runs, and cluster layouts. This is how a training-data
+    pipeline pins an audit sample per stratum without engine-specific
+    rand(seed) semantics (Spark's sampleBy is seed-stable only within
+    Spark — no oracle could check it).
+
+    Scale: one shuffle on lang; rank truncation happens inside the window
+    so only 3 rows per stratum survive the exchange. For heavy skew (one
+    lang = 90% of docs) pre-aggregate with a per-partition top-3 first —
+    here row_number is already partial-pushed by Spark's WindowGroupLimit."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 3)
+        .orderBy("lang", "rk")
+    )
