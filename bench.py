@@ -70,10 +70,15 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # one broken query must not lose the record
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
 
     # streaming envelope (BASELINE.md: reference targets >10k msg/s, ~1s
@@ -82,16 +87,17 @@ def main() -> None:
     streaming = _streaming_throughput(spark)
 
     total = round(sum(timings.values()), 3)
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "streaming": streaming,
-            "sf": sf,
-        }
-    )
+    record = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "streaming": streaming,
+        "sf": sf,
+    }
+    if errors:
+        record["errors"] = errors
+    line = json.dumps(record)
     # Emit the result line LAST, after Spark is fully stopped with logging
     # silenced: in round 1 the driver lost this JSON because an
     # executor-shutdown ERROR trace ("Block broadcast_N does not exist",

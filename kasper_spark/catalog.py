@@ -31,12 +31,14 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Timestamp columns stored as INT64 TIMESTAMP(NANOS) in the driver parquet.
-# Spark has no nanosecond timestamp type; with
-# spark.sql.legacy.parquet.nanosAsLong they surface as long nanos, which we
-# convert to microsecond timestamps here (integer div — no double roundtrip,
-# so no precision loss). DuckDB reads the same columns as TIMESTAMP_NS and
-# truncates identically when compared at micro precision.
+# Timestamp columns in the driver parquet have shipped as either
+# INT64 TIMESTAMP(NANOS,false) (earlier drops) or TIMESTAMP(MICROS,
+# isAdjustedToUTC=false) (current drops, which Spark reads as
+# TIMESTAMP_NTZ). Both are normalized to a session-UTC TIMESTAMP (LTZ)
+# so every operator sees ONE type: epoch arithmetic (unix_micros,
+# cast-to-long) is defined for LTZ only, and with the session pinned to
+# UTC the wall-clock values match DuckDB's naive TIMESTAMP reads of the
+# same files exactly.
 _NANO_TS_COLS = {
     "orders": ("o_orderdate",),
     "lineitem": ("l_shipdate",),
@@ -45,16 +47,35 @@ _NANO_TS_COLS = {
 
 
 def ensure_nanos_as_long(spark: SparkSession) -> None:
-    """Make nano-timestamp parquet readable under ANY SparkSession.
+    """Make the driver parquet readable/deterministic under ANY SparkSession.
 
-    nanosAsLong is a runtime SQL conf; setting it here (not only in the
+    Both keys are runtime SQL confs; setting them here (not only in the
     tuned session factory) means table reads work with a BARE session too —
-    the correctness driver builds its own, and without this the read of
-    events.parquet (INT64 TIMESTAMP(NANOS,false)) throws
-    PARQUET_TYPE_ILLEGAL. Any code that reads the driver parquet directly
-    (e.g. streaming twins inferring a file-stream schema) must call this
-    first."""
+    the correctness driver builds its own. nanosAsLong keeps older
+    INT64 TIMESTAMP(NANOS,false) drops readable (they'd throw
+    PARQUET_TYPE_ILLEGAL); the UTC pin makes the TIMESTAMP_NTZ -> TIMESTAMP
+    normalization in load_table deterministic regardless of machine TZ.
+    Any code that reads the driver parquet directly (e.g. streaming twins
+    inferring a file-stream schema) must call this first."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def normalize_driver_ts(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    """Normalize driver-parquet timestamp columns to session-UTC TIMESTAMP.
+
+    Handles both historical encodings (see _NANO_TS_COLS comment); applies
+    to batch tables and to file-stream DataFrames whose schema was inferred
+    from the same parquet (streaming twins)."""
+    dtypes = dict(df.dtypes)
+    for c in cols:
+        if c not in dtypes:
+            continue
+        if dtypes[c] == "bigint":  # legacy nano drop, read as long
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+        elif dtypes[c] == "timestamp_ntz":  # current micro drop
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -62,10 +83,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     ensure_nanos_as_long(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for c in _NANO_TS_COLS.get(name, ()):
-        if c in df.columns and dict(df.dtypes)[c] == "bigint":
-            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
-    return df
+    return normalize_driver_ts(df, _NANO_TS_COLS.get(name, ()))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

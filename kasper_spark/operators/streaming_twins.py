@@ -19,7 +19,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kasper_spark.catalog import ensure_nanos_as_long
+from kasper_spark.catalog import ensure_nanos_as_long, normalize_driver_ts
 from kasper_spark.registry import register_query
 from kasper_spark.streaming.state import running_word_count
 
@@ -100,16 +100,14 @@ def streaming_tumbling_window_twin(spark: SparkSession, sf_dir: str) -> DataFram
         os.path.join(sf_dir, "events.parquet"),
         os.path.join(src_dir, "events.parquet"),
     )
-    # ts is INT64 TIMESTAMP(NANOS) in the driver parquet. How it surfaces
-    # depends on the session (nanosAsLong -> bigint; other configs may map
-    # it to a timestamp type), so take the stream schema from a batch
-    # schema inference and apply the SAME conversion rule as the bounded
-    # catalog (kasper_spark/catalog.py) instead of hard-coding either.
+    # ts encoding varies across driver-testdata drops (nano-as-long vs
+    # TIMESTAMP_NTZ micros), so take the stream schema from a batch schema
+    # inference and apply the SAME normalization as the bounded catalog
+    # (kasper_spark/catalog.py) instead of hard-coding either.
     ensure_nanos_as_long(spark)  # bare driver sessions reject nano-ts parquet
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     stream = spark.readStream.schema(raw.schema).format("parquet").load(src_dir)
-    if dict(raw.dtypes)["ts"] == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = normalize_driver_ts(stream, ("ts",))
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour"), "event_type")
@@ -241,8 +239,7 @@ def streaming_session_window_twin(spark: SparkSession, sf_dir: str) -> DataFrame
     ensure_nanos_as_long(spark)  # bare driver sessions reject nano-ts parquet
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     stream = spark.readStream.schema(raw.schema).format("parquet").load(src_dir)
-    if dict(raw.dtypes)["ts"] == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = normalize_driver_ts(stream, ("ts",))
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", "30 minutes"), "user_id")
@@ -308,8 +305,7 @@ def streaming_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_nanos_as_long(spark)  # bare driver sessions reject nano-ts parquet
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     stream = spark.readStream.schema(raw.schema).format("parquet").load(src_dir)
-    if dict(raw.dtypes)["ts"] == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = normalize_driver_ts(stream, ("ts",))
     clicks = (
         stream.filter(F.col("event_type") == "click")
         .select(
@@ -456,8 +452,7 @@ def streaming_dedup_watermark_twin(spark: SparkSession, sf_dir: str) -> DataFram
     ensure_nanos_as_long(spark)  # bare driver sessions reject nano-ts parquet
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     stream = spark.readStream.schema(raw.schema).format("parquet").load(src_dir)
-    if dict(raw.dtypes)["ts"] == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = normalize_driver_ts(stream, ("ts",))
     deduped = (
         stream.select("event_type", "user_id", "ts")
         .withWatermark("ts", "1 hour")
