@@ -6,6 +6,7 @@ services exist (import-gated, like kasper's KASPER_CI_HOST gating)."""
 from __future__ import annotations
 
 import json
+import os
 
 import pytest
 
@@ -102,7 +103,7 @@ def test_store_to_df_roundtrip(spark):
 def test_foreach_batch_writer(spark):
     store = MapStore()
     df = spark.createDataFrame([("a", "1"), ("b", "2")], "key string, value string")
-    foreach_batch_writer(store)(df, 0)
+    foreach_batch_writer(store, small_output=True)(df, 0)
     assert store.as_dict() == {"a": b"1", "b": b"2"}
 
 
@@ -111,7 +112,7 @@ def test_multi_foreach_batch_writer(spark):
     df = spark.createDataFrame(
         [("t1", "a", "1"), ("t2", "b", "2")], "tenant string, key string, value string"
     )
-    multi_foreach_batch_writer(ms)(df, 0)
+    multi_foreach_batch_writer(ms, small_output=True)(df, 0)
     assert ms.tenant("t1").get("a") == b"1"
     assert ms.tenant("t2").get("b") == b"2"
 
@@ -127,3 +128,144 @@ def test_enrichment_join_via_store(spark):
     out = facts.join(F.broadcast(dim), "key", "left").collect()
     got = {r["key"]: r["value"] for r in out}
     assert got == {"w1": "cat-a", "w2": "cat-b", "w3": None}
+
+
+def test_partitioned_store_writer_no_collect(spark, tmp_path):
+    """Scale path: store_factory builds a per-partition client ON THE
+    EXECUTOR and writes pipelined put_all batches — nothing is collected
+    to the driver. Proven by recording writer PIDs: every write must come
+    from a Python worker process, never the driver."""
+    from kasper_spark.stores.base import Store
+
+    target = str(tmp_path / "kv")
+    os.makedirs(target)
+
+    class FileStore(Store):
+        """Shared-filesystem KV store: one file per key (hex-encoded),
+        plus a PID marker per put_all so the test can see who wrote."""
+
+        def __init__(self, root):
+            self.root = root
+
+        def get(self, key):
+            p = os.path.join(self.root, key.encode().hex())
+            if not os.path.exists(p):
+                return None
+            with open(p, "rb") as f:
+                return f.read()
+
+        def get_all(self, keys):
+            out = {}
+            for k in keys:
+                v = self.get(k)
+                if v is not None:
+                    out[k] = v
+            return out
+
+        def put(self, key, value):
+            with open(os.path.join(self.root, key.encode().hex()), "wb") as f:
+                f.write(value)
+
+        def put_all(self, kvs):
+            for k, v in kvs.items():
+                self.put(k, v)
+            open(os.path.join(self.root, f"_pid_{os.getpid()}"), "w").close()
+
+        def delete(self, key):
+            p = os.path.join(self.root, key.encode().hex())
+            if os.path.exists(p):
+                os.remove(p)
+
+        def flush(self):
+            pass
+
+    df = spark.range(0, 200, 1, 4).selectExpr(
+        "concat('k', id) AS key", "cast(id AS string) AS value"
+    )
+    writer = foreach_batch_writer(
+        store_factory=lambda: FileStore(target), batch_size=32
+    )
+    writer(df, 0)
+
+    back = FileStore(target)
+    assert back.get("k0") == b"0"
+    assert back.get("k199") == b"199"
+    keys = [f for f in os.listdir(target) if not f.startswith("_pid_")]
+    assert len(keys) == 200
+    writer_pids = {
+        int(f.split("_pid_")[1]) for f in os.listdir(target) if f.startswith("_pid_")
+    }
+    assert writer_pids, "no writes recorded"
+    assert os.getpid() not in writer_pids, "store write happened on the driver"
+
+
+def test_partitioned_multi_store_writer_no_collect(spark, tmp_path):
+    """Scale path for MultiStore: per-partition push batches, tenant ->
+    subdirectory, written by executor workers only."""
+    from kasper_spark.stores.base import MultiStore
+
+    target = str(tmp_path / "mt")
+    os.makedirs(target)
+
+    class FileMultiStore(MultiStore):
+        def __init__(self, root):
+            self.root = root
+
+        def tenant(self, tenant):
+            raise NotImplementedError("write-only test store")
+
+        def all_tenants(self):
+            return sorted(os.listdir(self.root))
+
+        def fetch(self, keys):
+            out = {}
+            for tk in keys:
+                p = os.path.join(self.root, tk.tenant, tk.key.encode().hex())
+                if os.path.exists(p):
+                    with open(p, "rb") as f:
+                        out[tk] = f.read()
+            return out
+
+        def push(self, entries):
+            for tk, v in entries.items():
+                d = os.path.join(self.root, tk.tenant)
+                os.makedirs(d, exist_ok=True)
+                with open(os.path.join(d, tk.key.encode().hex()), "wb") as f:
+                    f.write(v)
+            open(os.path.join(self.root, f"_pid_{os.getpid()}"), "w").close()
+
+    df = spark.range(0, 100, 1, 4).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 'acme' ELSE 'globex' END AS tenant",
+        "concat('k', id) AS key",
+        "cast(id AS string) AS value",
+    )
+    writer = multi_foreach_batch_writer(
+        store_factory=lambda: FileMultiStore(target), batch_size=16
+    )
+    writer(df, 0)
+
+    back = FileMultiStore(target)
+    got = back.fetch([TenantKey("acme", "k0"), TenantKey("globex", "k1")])
+    assert got[TenantKey("acme", "k0")] == b"0"
+    assert got[TenantKey("globex", "k1")] == b"1"
+    assert set(back.all_tenants()) - {"acme", "globex"} == {
+        f for f in os.listdir(target) if f.startswith("_pid_")
+    }
+    writer_pids = {
+        int(f.split("_pid_")[1]) for f in os.listdir(target) if f.startswith("_pid_")
+    }
+    assert writer_pids and os.getpid() not in writer_pids
+
+
+def test_store_writer_requires_explicit_small_output():
+    """Driver-side collect is opt-in only: a bare store instance without
+    small_output=True must be rejected with guidance to the scale path."""
+    store = MapStore()
+    with pytest.raises(ValueError, match="small_output=True"):
+        foreach_batch_writer(store)
+    with pytest.raises(ValueError, match="small_output=True"):
+        multi_foreach_batch_writer(MultiMapStore())
+    with pytest.raises(ValueError, match="exactly one"):
+        foreach_batch_writer()
+    with pytest.raises(ValueError, match="exactly one"):
+        foreach_batch_writer(store, store_factory=lambda: MapStore())

@@ -325,7 +325,7 @@ def test_multitenant_streaming_fanout(spark, workdir):
     pipe.run_available_now(
         counts,
         output_mode="update",
-        for_each_batch=multi_foreach_batch_writer(ms),
+        for_each_batch=multi_foreach_batch_writer(ms, small_output=True),
     )
     assert ms.tenant("acme").get("clicks") == b"3"
     assert ms.tenant("globex").get("clicks") == b"1"
