@@ -308,24 +308,36 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = toks.select(
         "doc_id", F.transform(F.col("toks"), lambda t: F.xxhash64(t)).alias("hs")
     )
-    # bit_sums[i] = sum over tokens of (bit i set ? +1 : -1); bits are static
-    # Python ints so shiftright/shiftleft get literal shift amounts.
-    def _bit_sum(bit: int):
-        return F.aggregate(
-            F.col("hs"),
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
-                F.lit(-1)
-            ),
-        )
-
-    fp = None
-    for bit in range(64):
-        contrib = F.when(
-            _bit_sum(bit) > 0, F.shiftleft(F.lit(1).cast("bigint"), bit)
-        ).otherwise(F.lit(0).cast("bigint"))
-        fp = contrib if fp is None else fp.bitwiseOR(contrib)
+    # Single pass over the token hashes: one aggregate folds every hash into
+    # an array<int> of 64 bit-sums (bit_sums[i] = Σ tokens (bit i set ? +1 :
+    # -1)), instead of 64 independent aggregates each re-traversing the
+    # array. shiftright/shiftleft take the bit index as a column here, so we
+    # go through call_function (the Python wrappers only accept int shifts).
+    idx = F.sequence(F.lit(0), F.lit(63))
+    bit_sums = F.aggregate(
+        F.col("hs"),
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.transform(
+            idx,
+            lambda i: F.element_at(acc, i + 1)
+            + F.when(
+                F.call_function("shiftright", h, i).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        ),
+    )
+    # fingerprint: bit i set iff bit_sums[i] > 0
+    fp = F.aggregate(
+        F.zip_with(
+            bit_sums,
+            idx,
+            lambda s, i: F.when(
+                s > 0, F.call_function("shiftleft", F.lit(1).cast("bigint"), i)
+            ).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
     return hashes.select(
         "doc_id",
         fp.alias("simhash"),
