@@ -344,19 +344,94 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("bucket16", F.shiftrightunsigned(F.col("simhash"), 48))
 
 
+def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14). Each round contracts star edges toward the component minimum,
+    roughly halving component diameter, so convergence is O(log d) rounds —
+    a 100 TB chain-shaped component (which would silently mislabel under
+    k-bounded min-label propagation) converges in ~log2(n) rounds here.
+
+    ``edges``: first two columns are the undirected endpoints (self-loops
+    and duplicates tolerated). Returns (doc_id, cluster_id) for every
+    endpoint, cluster_id = min id in the component. Raises RuntimeError if
+    the fixpoint is not reached within max_rounds — loud, never a silent
+    mislabel.
+
+    Per round: two shuffles (neighborhood min + re-key), lineage cut with
+    localCheckpoint so the plan stays O(1) per round.
+    """
+    a, b = edges.columns[:2]
+    e = (
+        edges.select(F.col(a).alias("x"), F.col(b).alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .select(F.greatest("x", "y").alias("hi"), F.least("x", "y").alias("lo"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("hi").alias("doc_id"))
+        .unionAll(e.select(F.col("lo").alias("doc_id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        # large-star: connect every larger neighbor v > u to min(N(u) + {u})
+        nbrs = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionAll(
+            e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        mins = (
+            nbrs.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
+        )
+        ls = (
+            nbrs.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # small-star: connect every smaller neighbor (and u itself) to the
+        # min smaller neighbor; edges are already directed hi -> lo
+        mins_s = ls.groupBy("hi").agg(F.min("lo").alias("m"))
+        ss = (
+            ls.join(mins_s, "hi")
+            .select(F.col("lo").alias("x"), F.col("m").alias("y"))
+            .unionAll(mins_s.select(F.col("hi").alias("x"), F.col("m").alias("y")))
+            .filter(F.col("x") != F.col("y"))
+            .select(F.greatest("x", "y").alias("hi"), F.least("x", "y").alias("lo"))
+            .distinct()
+            .localCheckpoint()
+        )
+        changed = (
+            ss.exceptAll(e).unionAll(e.exceptAll(ss)).limit(1).count()
+        )
+        e = ss
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+    # fixpoint is a union of stars: every edge points child -> component min
+    child = e.groupBy(F.col("hi").alias("doc_id")).agg(
+        F.min("lo").alias("cluster_id")
+    )
+    return nodes.join(child, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+    )
+
+
 @register_query("neardup_clusters")  # rows-only: iterative fixpoint algorithm
 def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the MinHash
-    candidate-pair graph via min-label propagation — the step that turns
-    pairwise candidates into keep-one-per-group dedup decisions.
-
-    Iteration k: label(v) <- min(label(v), min label of v's neighbors),
-    repeated to fixpoint (bounded by graph diameter; near-dup clusters are
-    shallow, so this converges in a handful of rounds). Each round is one
-    shuffle keyed by doc_id; lineage is cut per round with localCheckpoint
-    so the plan does not grow with iterations — the standard shape for
-    iterative algorithms on DataFrames (label propagation, PageRank-style
-    loops). Deterministic: cluster id = min doc_id in the component.
+    candidate-pair graph — the step that turns pairwise candidates into
+    keep-one-per-group dedup decisions. Uses alternating large-star /
+    small-star (see connected_components) so convergence is logarithmic in
+    component diameter, with a loud failure instead of a silent mislabel.
+    Deterministic: cluster id = min doc_id in the component.
 
     Output: (doc_id, cluster_id) for every doc that has at least one
     near-dup candidate (est_jaccard >= 0.5); singletons are implicitly
@@ -364,48 +439,7 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_candidates(spark, sf_dir).filter(
         F.col("est_jaccard") >= 0.5
     )
-    # undirected edge list, both directions
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-        )
-        .persist()
-    )
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("doc_id"))
-        .localCheckpoint()
-    )
-    for _ in range(10):  # diameter bound; near-dup components are shallow
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy(F.col("src").alias("doc_id"))
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
-                ).alias("cluster_id"),
-            )
-            .localCheckpoint()  # cut lineage: plan stays O(1) per round
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    edges.unpersist()
-    return labels
+    return connected_components(pairs.select("doc_a", "doc_b"))
 
 
 @register_query(

@@ -43,3 +43,57 @@ def test_components_cover_every_candidate_edge(spark):
         )
     # sanity: some cluster actually groups >1 doc
     assert any(len(m) > 1 for m in members.values())
+
+
+def test_chain_graph_diameter20_converges(spark):
+    """A 21-node chain (diameter 20) — the shape that silently mislabeled
+    under k-bounded min-label propagation — must fully collapse to one
+    cluster rooted at the min node, thanks to large-star/small-star's
+    logarithmic convergence."""
+    from kasper_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "a long, b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {i: 0 for i in range(21)}
+
+
+def test_random_graph_matches_union_find_oracle(spark):
+    """Components on a deterministic pseudo-random graph must match a
+    driver-side union-find oracle, including multiple components,
+    duplicate edges, reversed edges, and self-loops."""
+    import random
+
+    from kasper_spark.operators.dedup import connected_components
+
+    rng = random.Random(42)
+    n = 300
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(260)]
+    edges += [(b, a) for a, b in edges[:40]]  # reversed duplicates
+    edges += [(i, i) for i in range(0, n, 37)]  # self-loops
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {v for e in edges if e[0] != e[1] for v in e}
+    expected = {v: find(v) for v in touched}
+
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(df).collect()
+    }
+    assert got == expected
