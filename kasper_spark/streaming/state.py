@@ -80,7 +80,7 @@ def running_word_count(lines: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
-def assemble_documents(messages: DataFrame) -> DataFrame:
+def assemble_documents(messages: DataFrame, ttl_ms: int | None = None) -> DataFrame:
     """Materialized stream-stream document join (B5), keyed by partition.
 
     ``messages``: envelope rows with at least (topic, partition, offset,
@@ -93,6 +93,13 @@ def assemble_documents(messages: DataFrame) -> DataFrame:
     character re-arrival — byte-level semantics of createOutgoingMessage
     (characters array follows the fiction's characterIds order,
     /root/reference/topic_processor_test.go:135-155).
+
+    ``ttl_ms`` (opt-in; default None = reference parity, state never
+    evicts): inactivity TTL on the join state via the group-state
+    processing-time timeout — a key idle for ttl_ms has its three state
+    blobs dropped, bounding state growth the reference never bounded. The
+    timeout is re-armed on every batch that touches the key. See
+    assemble_documents_tws for the state-v2 (timer-based) form.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -100,6 +107,12 @@ def assemble_documents(messages: DataFrame) -> DataFrame:
         import json
 
         import pandas as pd
+
+        if ttl_ms is not None and state.hasTimedOut:
+            # idle past the TTL window: evict everything for this key
+            state.remove()
+            yield pd.DataFrame([], columns=["partition", "fiction_id", "doc_json"])
+            return
 
         if state.exists:
             chars_js, fics_js, idx_js = state.get
@@ -147,6 +160,8 @@ def assemble_documents(messages: DataFrame) -> DataFrame:
         state.update(
             (json.dumps(characters), json.dumps(fictions), json.dumps(char_to_fics))
         )
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(out, columns=["partition", "fiction_id", "doc_json"])
 
     return messages.groupBy("partition").applyInPandasWithState(
@@ -154,7 +169,11 @@ def assemble_documents(messages: DataFrame) -> DataFrame:
         outputStructType=DOCUMENT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
 
 
@@ -471,6 +490,127 @@ def running_word_count_tws(
     return words.groupBy("word").transformWithStateInPandas(
         WordCount(),
         outputStructType="word string, n bigint",
+        outputMode="Update",
+        timeMode="None" if ttl_ms is None else "ProcessingTime",
+    )
+
+
+def assemble_documents_tws(
+    messages: DataFrame, ttl_ms: int | None = None
+) -> DataFrame:
+    """B5 document join on transformWithStateInPandas (state v2), with the
+    knob the reference never had: opt-in state TTL via processing-time
+    TIMERS. The reference's stores grow forever
+    (/root/reference/topic_processor_test.go:94-133); at 100 TB a
+    never-evicting join state is a slow leak, so production deployments set
+    ttl_ms and idle keys are wiped by the state store's timer sweep — no
+    scan-and-delete job, no driver involvement.
+
+    Semantics are identical to assemble_documents while state is live
+    (same emission rules, same byte-stable doc_json). TTL is an
+    INACTIVITY window: each batch that touches a key re-arms one timer at
+    now+ttl_ms; if the key stays idle past that, handleExpiredTimer clears
+    all three state blobs (characters, fictions, inverted index), so a
+    later completing character finds no fiction to complete — exactly the
+    trade a bounded-state deployment opts into. ttl_ms=None preserves
+    reference parity (no timers, no eviction).
+
+    Runtime dependency: pyspark's state-v2 protocol needs google.protobuf
+    on driver and workers (the matching test importorskips it)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    # nested class: cloudpickle serializes it by value so workers launched
+    # from a foreign cwd need no importable kasper_spark
+    class AssembleDocs(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._h = handle
+            self._chars = handle.getValueState("characters", "j string")
+            self._fics = handle.getValueState("fictions", "j string")
+            self._idx = handle.getValueState("char_to_fictions", "j string")
+
+        def _load(self, vs):
+            import json
+
+            return json.loads(vs.get()[0]) if vs.exists() else {}
+
+        def handleInputRows(self, key, rows, timerValues):
+            import json
+
+            import pandas as pd
+
+            characters = self._load(self._chars)
+            fictions = self._load(self._fics)
+            char_to_fics = self._load(self._idx)
+            out = []
+
+            def emit_if_complete(fic_id):
+                fic = fictions[fic_id]
+                if all(cid in characters for cid in fic["characterIds"]):
+                    doc = {
+                        "id": fic["id"],
+                        "fictionType": fic["fictionType"],
+                        "title": fic["title"],
+                        "characters": [
+                            characters[cid] for cid in fic["characterIds"]
+                        ],
+                    }
+                    out.append(
+                        (int(key[0]), fic_id, json.dumps(doc, sort_keys=True))
+                    )
+
+            for pdf in rows:
+                pdf = pdf.sort_values(["topic", "offset"], kind="mergesort")
+                for _, row in pdf.iterrows():
+                    payload = json.loads(row["value"])
+                    if row["topic"].endswith("characters"):
+                        cid = payload["id"]
+                        characters[cid] = payload
+                        for fic_id in char_to_fics.get(cid, []):
+                            emit_if_complete(fic_id)
+                    else:
+                        fic_id = payload["id"]
+                        fictions[fic_id] = payload
+                        for cid in payload["characterIds"]:
+                            subs = char_to_fics.setdefault(cid, [])
+                            if fic_id not in subs:
+                                subs.append(fic_id)
+                        emit_if_complete(fic_id)
+
+            self._chars.update((json.dumps(characters),))
+            self._fics.update((json.dumps(fictions),))
+            self._idx.update((json.dumps(char_to_fics),))
+            if ttl_ms is not None:
+                # sliding inactivity window: one timer per key, re-armed on
+                # every batch that touches the key
+                for t in self._h.listTimers():
+                    self._h.deleteTimer(t)
+                self._h.registerTimer(
+                    timerValues.getCurrentProcessingTimeInMs() + ttl_ms
+                )
+            yield pd.DataFrame(
+                out, columns=["partition", "fiction_id", "doc_json"]
+            )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            import pandas as pd
+
+            self._chars.clear()
+            self._fics.clear()
+            self._idx.clear()
+            self._h.deleteTimer(expiredTimerInfo.getExpiryTimeInMs())
+            yield pd.DataFrame(
+                [], columns=["partition", "fiction_id", "doc_json"]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return messages.groupBy("partition").transformWithStateInPandas(
+        AssembleDocs(),
+        outputStructType=DOCUMENT_SCHEMA,
         outputMode="Update",
         timeMode="None" if ttl_ms is None else "ProcessingTime",
     )

@@ -385,3 +385,128 @@ def test_metrics_listener_lag_from_kafka_keys():
     )
     listener.onQueryProgress(SimpleNamespace(progress=progress))
     assert listener.messages_behind_high_water_mark("q1") == 107
+
+
+def test_tws_document_join_golden_parity(spark, workdir):
+    """The transformWithStateInPandas form of the B5 join (TTL off) must
+    reproduce the golden fixture: same completions, same re-emissions,
+    same final docs as the batch twin."""
+    pytest.importorskip("google.protobuf")
+    from kasper_spark.streaming.state import assemble_documents_tws
+
+    src = os.path.join(workdir, "tws-docjoin-src")
+    _write_json_file(
+        src,
+        _envelope("fictions", FICTIONS) + _envelope("characters", CHARACTERS[:2], 100),
+        "b1.json",
+    )
+    update = {"id": "CH_02", "name": "Grace H.", "wikipediaUrl": "https://w/GraceH"}
+    _write_json_file(src, _envelope("characters", CHARACTERS[2:] + [update], 200), "b2.json")
+
+    schema = "topic string, partition int, offset long, value string"
+    pipe = _pipeline(spark, workdir, f"twsdoc-{uuid.uuid4().hex[:8]}")
+    docs = assemble_documents_tws(pipe.file_source(src, schema))
+    emitted: list[dict] = []
+
+    def collect_batch(df, epoch_id):
+        emitted.extend(r.asDict() for r in df.collect())
+
+    pipe.run_available_now(docs, output_mode="update", for_each_batch=collect_batch)
+    last = {e["fiction_id"]: json.loads(e["doc_json"]) for e in emitted}
+    assert set(last) == {"FI_01", "FI_02", "FI_03"}
+    assert [c["id"] for c in last["FI_03"]["characters"]] == ["CH_03", "CH_04", "CH_01"]
+    assert last["FI_01"]["characters"][1]["name"] == "Grace H."
+
+    chars_final = CHARACTERS[:1] + [update] + CHARACTERS[2:]
+    batch_docs = {
+        r["fiction_id"]: [c["id"] for c in r["characters"]]
+        for r in assemble_documents_batch(
+            spark.createDataFrame(chars_final), spark.createDataFrame(FICTIONS)
+        ).collect()
+    }
+    stream_docs = {k: [c["id"] for c in v["characters"]] for k, v in last.items()}
+    assert batch_docs == stream_docs
+
+
+def test_tws_document_join_ttl_evicts_idle_state(spark, workdir):
+    """With ttl_ms set, join state for an idle key is wiped by the timer
+    sweep: a character arriving after the window finds no buffered fiction,
+    so the document never completes. The control run (TTL off) over the
+    exact same files DOES emit it — proving the eviction, not the data,
+    made the difference."""
+    pytest.importorskip("google.protobuf")
+    from kasper_spark.streaming.state import assemble_documents_tws
+
+    fic = {"id": "FI_T", "fictionType": "Novel", "title": "T", "characterIds": ["CX_1", "CX_2"]}
+    c1 = {"id": "CX_1", "name": "One", "wikipediaUrl": "u1"}
+    c2 = {"id": "CX_2", "name": "Two", "wikipediaUrl": "u2"}
+    other = {"id": "CX_OTHER", "name": "Other", "wikipediaUrl": "u3"}
+
+    def seed(src):
+        # b1: fiction + first character on partition 0 (incomplete)
+        _write_json_file(src, _envelope("fictions", [fic]) + _envelope("characters", [c1], 10), "b1.json")
+        # b2: traffic on partition 1 only -> a micro-batch in which
+        # partition 0 is idle and its (tiny) TTL timer fires
+        _write_json_file(
+            src,
+            [{"topic": "characters", "partition": 1, "offset": 0, "value": json.dumps(other)}],
+            "b2.json",
+        )
+        # b3: the completing character, after the idle window
+        _write_json_file(src, _envelope("characters", [c2], 20), "b3.json")
+
+    schema = "topic string, partition int, offset long, value string"
+    results = {}
+    for label, ttl in [("ttl", 1), ("no_ttl", None)]:
+        src = os.path.join(workdir, f"ttl-src-{label}")
+        seed(src)
+        pipe = _pipeline(spark, workdir, f"ttl-{label}-{uuid.uuid4().hex[:8]}")
+        docs = assemble_documents_tws(pipe.file_source(src, schema), ttl_ms=ttl)
+        emitted: list[dict] = []
+
+        def collect_batch(df, epoch_id):
+            emitted.extend(r.asDict() for r in df.collect())
+
+        pipe.run_available_now(docs, output_mode="update", for_each_batch=collect_batch)
+        results[label] = {e["fiction_id"] for e in emitted}
+
+    assert "FI_T" in results["no_ttl"], "control run must complete the document"
+    assert "FI_T" not in results["ttl"], "evicted state must not complete the document"
+
+
+def test_document_join_ttl_evicts_idle_state_v1(spark, workdir):
+    """Same eviction contract as the TWS form, on the state-v1 path
+    (applyInPandasWithState + ProcessingTimeTimeout) — runnable without the
+    state-v2 protobuf dependency, so the eviction behavior is exercised in
+    every CI environment."""
+    fic = {"id": "FI_T", "fictionType": "Novel", "title": "T", "characterIds": ["CX_1", "CX_2"]}
+    c1 = {"id": "CX_1", "name": "One", "wikipediaUrl": "u1"}
+    c2 = {"id": "CX_2", "name": "Two", "wikipediaUrl": "u2"}
+    other = {"id": "CX_OTHER", "name": "Other", "wikipediaUrl": "u3"}
+
+    def seed(src):
+        _write_json_file(src, _envelope("fictions", [fic]) + _envelope("characters", [c1], 10), "b1.json")
+        _write_json_file(
+            src,
+            [{"topic": "characters", "partition": 1, "offset": 0, "value": json.dumps(other)}],
+            "b2.json",
+        )
+        _write_json_file(src, _envelope("characters", [c2], 20), "b3.json")
+
+    schema = "topic string, partition int, offset long, value string"
+    results = {}
+    for label, ttl in [("ttl", 1), ("no_ttl", None)]:
+        src = os.path.join(workdir, f"ttlv1-src-{label}")
+        seed(src)
+        pipe = _pipeline(spark, workdir, f"ttlv1-{label}-{uuid.uuid4().hex[:8]}")
+        docs = assemble_documents(pipe.file_source(src, schema), ttl_ms=ttl)
+        emitted: list[dict] = []
+
+        def collect_batch(df, epoch_id):
+            emitted.extend(r.asDict() for r in df.collect())
+
+        pipe.run_available_now(docs, output_mode="update", for_each_batch=collect_batch)
+        results[label] = {e["fiction_id"] for e in emitted}
+
+    assert "FI_T" in results["no_ttl"], "control run must complete the document"
+    assert "FI_T" not in results["ttl"], "evicted state must not complete the document"
