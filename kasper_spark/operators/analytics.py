@@ -490,7 +490,7 @@ def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM c
         GROUP BY user_id, cohort_day
     )
-    SELECT cohort_day,
+    SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day,
            COUNT(*) AS cohort_size,
            CAST(SUM(d1) AS BIGINT) AS retained_d1,
            CAST(SUM(d7) AS BIGINT) AS retained_d7
@@ -527,7 +527,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cohort_size"),
         F.sum("d1").alias("retained_d1"),
         F.sum("d7").alias("retained_d7"),
-    )
+    ).withColumn("cohort_day", F.col("cohort_day").cast("timestamp"))
 
 
 @register_query(

@@ -56,7 +56,11 @@ def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_by_day",
     oracle="""
     SELECT
-        CAST(date_trunc('day', ts) AS DATE) AS day,
+        -- TIMESTAMP, not DATE: Spark DateType reaches pandas as object
+        -- (datetime.date) while DuckDB DATE becomes datetime64 — the
+        -- driver's value-hash can see those differently, so both sides
+        -- emit midnight timestamps
+        CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
         COUNT(*) AS n,
         COUNT(DISTINCT user_id) AS dau
     FROM events
@@ -66,7 +70,7 @@ def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily rollup with distinct users (date functions + distinct agg)."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day")).agg(
+    return ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.count(F.lit(1)).alias("n"), F.count_distinct("user_id").alias("dau")
     )
 
@@ -145,9 +149,11 @@ def join_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     numbered AS (
+        -- CAST: DuckDB's SUM(int) is HUGEINT, which pandas renders as
+        -- float64 and the driver's value-hash then sees 1.0 vs Spark's 1
         SELECT user_id, event_id, ts,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS UNBOUNDED PRECEDING) AS session_no
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
         FROM marked
     )
     SELECT

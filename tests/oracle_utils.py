@@ -32,6 +32,22 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def _dtype_class(s: pd.Series) -> str:
+    """Coarse dtype class used to mirror the driver's value-hash behavior:
+    the driver hashes pandas values as-is, so an int64-vs-float64 drift
+    (e.g. DuckDB HUGEINT -> float64 vs Spark bigint) hashes `361` vs
+    `361.0` and fails even when every value is identical."""
+    if pd.api.types.is_bool_dtype(s):
+        return "boolean"
+    if pd.api.types.is_integer_dtype(s):
+        return "integer"
+    if pd.api.types.is_float_dtype(s):
+        return "floating"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    return "other"
+
+
 def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str) -> list[str]:
     """Return a list of human-readable mismatch descriptions (empty = match)."""
     problems: list[str] = []
@@ -41,6 +57,31 @@ def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str) -
     d_cols = sorted(duck_pdf.columns)
     if s_cols != d_cols:
         return [f"{name}: columns {s_cols} != {d_cols}"]
+    # dtype-class gate (mirrors the driver's exact value-hash): integer vs
+    # floating per column must agree between engines. One documented
+    # exemption: NULL promotion — pandas renders a nullable integer column
+    # as float64 (NaN for NULL), so integer-vs-floating is tolerated only
+    # when the floating side actually contains a NaN.
+    for c in s_cols:
+        sc, dc = _dtype_class(spark_pdf[c]), _dtype_class(duck_pdf[c])
+        if sc == dc:
+            continue
+        pair = {sc, dc}
+        if pair == {"integer", "floating"}:
+            float_side = spark_pdf[c] if sc == "floating" else duck_pdf[c]
+            if float_side.isna().any():
+                # NULL promotion: fall through to the value comparison,
+                # which will pinpoint the NaN-vs-int row (a NaN on one side
+                # with an integer dtype on the other is a real value
+                # difference, not a rendering artifact).
+                continue
+        problems.append(
+            f"{name}.{c}: dtype class {sc} (spark) != {dc} (duckdb) — "
+            "driver value-hash would fail even on equal values; CAST the "
+            "oracle (or Spark side) so integer/floating classes agree"
+        )
+    if problems:
+        return problems
     s = _canon(spark_pdf)
     d = _canon(duck_pdf)
     for c in s.columns:

@@ -39,3 +39,30 @@ def test_rows_only_deterministic(spark, name):
     rows2 = sorted(map(str, QUERIES[name](spark, SF_SMOKE).collect()))
     assert rows1 == rows2, f"{name}: nondeterministic output"
     assert df1.columns, name
+
+
+def test_dtype_class_gate_catches_int_float_drift():
+    """The driver hashes pandas values exactly, so DuckDB-HUGEINT-vs-Spark-
+    bigint drift (361.0 vs 361) must fail locally too — this is the gate
+    that would have caught the two-rounds-red q12 before shipping."""
+    import pandas as pd
+
+    from tests.oracle_utils import compare_frames
+
+    s = pd.DataFrame({"k": ["a"], "n": pd.Series([361], dtype="int64")})
+    d = pd.DataFrame({"k": ["a"], "n": pd.Series([361.0], dtype="float64")})
+    problems = compare_frames(s, d, "t")
+    assert problems and "dtype class" in problems[0]
+
+    # spark DateType arrives as object(datetime.date); duck DATE as
+    # datetime64 — also a hash hazard, also flagged
+    import datetime
+
+    s2 = pd.DataFrame({"d": pd.Series([datetime.date(2024, 1, 1)], dtype=object)})
+    d2 = pd.DataFrame({"d": pd.to_datetime(pd.Series(["2024-01-01"]))})
+    problems2 = compare_frames(s2, d2, "t2")
+    assert problems2 and "dtype class" in problems2[0]
+
+    # matching float columns (NULL promotion on both sides) still pass
+    f = pd.DataFrame({"n": pd.Series([1.0, float("nan")])})
+    assert not compare_frames(f.copy(), f.copy(), "t3")
