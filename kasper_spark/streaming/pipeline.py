@@ -73,6 +73,22 @@ class PipelineConfig:
         return os.path.join(self.checkpoint_root, self.name)
 
 
+def _uses_processing_time_timeout(out: DataFrame) -> bool:
+    """True when the plan contains a stateful operator armed with a
+    processing-time timeout/timer: applyInPandasWithState with
+    ProcessingTimeTimeout, or transformWithStateInPandas with
+    timeMode=ProcessingTime. Detected from the analyzed plan string
+    (the timeout conf prints inside the FlatMapGroupsInPandasWithState /
+    TransformWithStateInPySpark nodes)."""
+    plan = out._jdf.queryExecution().analyzed().toString()
+    if "ProcessingTimeTimeout" in plan:
+        return True
+    return any(
+        "TransformWithState" in line and "ProcessingTime" in line
+        for line in plan.splitlines()
+    )
+
+
 class Pipeline:
     """Build and run one streaming pipeline: source -> transform -> sink.
 
@@ -134,6 +150,22 @@ class Pipeline:
         stop — kasper's HasConsumedAllMessages loop (A10,
         /root/reference/topic_processor.go:164-175)."""
         cfg = self.config
+        if available_now and _uses_processing_time_timeout(out):
+            # A bounded (availableNow) run of a plan with a processing-time
+            # timeout never terminates: after the data drains, Spark keeps
+            # scheduling empty micro-batches to advance the processing-time
+            # clock for the armed timers (observed: 24+ consecutive 0-row
+            # epochs, isActive forever — round-3 postmortem). Refuse loudly
+            # instead of hanging the caller.
+            raise ValueError(
+                "available_now=True cannot drain a plan with a processing-"
+                "time timeout (applyInPandasWithState ProcessingTimeTimeout "
+                "/ transformWithState timeMode=ProcessingTime): Spark keeps "
+                "constructing empty micro-batches for the armed timers and "
+                "the query never terminates. Run it with the processing-"
+                "time trigger (start(..., available_now=False)) and stop() "
+                "it explicitly, or build the operator with ttl_ms=None."
+            )
         writer = out.writeStream.outputMode(output_mode).option(
             "checkpointLocation", self.config.checkpoint_location
         )

@@ -495,35 +495,22 @@ def running_word_count_tws(
     )
 
 
-def assemble_documents_tws(
-    messages: DataFrame, ttl_ms: int | None = None
-) -> DataFrame:
-    """B5 document join on transformWithStateInPandas (state v2), with the
-    knob the reference never had: opt-in state TTL via processing-time
-    TIMERS. The reference's stores grow forever
-    (/root/reference/topic_processor_test.go:94-133); at 100 TB a
-    never-evicting join state is a slow leak, so production deployments set
-    ttl_ms and idle keys are wiped by the state store's timer sweep — no
-    scan-and-delete job, no driver involvement.
+def _make_assemble_docs_processor(ttl_ms: int | None):
+    """Factory for the AssembleDocs StatefulProcessor (state v2).
 
-    Semantics are identical to assemble_documents while state is live
-    (same emission rules, same byte-stable doc_json). TTL is an
-    INACTIVITY window: each batch that touches a key re-arms one timer at
-    now+ttl_ms; if the key stays idle past that, handleExpiredTimer clears
-    all three state blobs (characters, fictions, inverted index), so a
-    later completing character finds no fiction to complete — exactly the
-    trade a bounded-state deployment opts into. ttl_ms=None preserves
-    reference parity (no timers, no eviction).
-
-    Runtime dependency: pyspark's state-v2 protocol needs google.protobuf
-    on driver and workers (the matching test importorskips it)."""
+    Split out of assemble_documents_tws so the TTL/eviction logic is
+    unit-testable without the state-v2 runtime: executing
+    transformWithStateInPandas needs google.protobuf on the workers (absent
+    in minimal images), but the processor itself only needs a handle/state
+    duck-type — tests drive init/handleInputRows/handleExpiredTimer with
+    fakes (tests/test_streaming.py::test_tws_assemble_docs_processor_unit).
+    The class stays nested so cloudpickle serializes it by value (workers
+    launched from a foreign cwd need no importable kasper_spark)."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
     )
 
-    # nested class: cloudpickle serializes it by value so workers launched
-    # from a foreign cwd need no importable kasper_spark
     class AssembleDocs(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._h = handle
@@ -608,8 +595,35 @@ def assemble_documents_tws(
         def close(self) -> None:
             pass
 
+    return AssembleDocs()
+
+
+def assemble_documents_tws(
+    messages: DataFrame, ttl_ms: int | None = None
+) -> DataFrame:
+    """B5 document join on transformWithStateInPandas (state v2), with the
+    knob the reference never had: opt-in state TTL via processing-time
+    TIMERS. The reference's stores grow forever
+    (/root/reference/topic_processor_test.go:94-133); at 100 TB a
+    never-evicting join state is a slow leak, so production deployments set
+    ttl_ms and idle keys are wiped by the state store's timer sweep — no
+    scan-and-delete job, no driver involvement.
+
+    Semantics are identical to assemble_documents while state is live
+    (same emission rules, same byte-stable doc_json). TTL is an
+    INACTIVITY window: each batch that touches a key re-arms one timer at
+    now+ttl_ms; if the key stays idle past that, handleExpiredTimer clears
+    all three state blobs (characters, fictions, inverted index), so a
+    later completing character finds no fiction to complete — exactly the
+    trade a bounded-state deployment opts into. ttl_ms=None preserves
+    reference parity (no timers, no eviction).
+
+    Runtime dependency: pyspark's state-v2 protocol needs google.protobuf
+    on driver and workers (the matching test importorskips it; the TTL
+    logic itself is additionally unit-tested protobuf-free via
+    _make_assemble_docs_processor)."""
     return messages.groupBy("partition").transformWithStateInPandas(
-        AssembleDocs(),
+        _make_assemble_docs_processor(ttl_ms),
         outputStructType=DOCUMENT_SCHEMA,
         outputMode="Update",
         timeMode="None" if ttl_ms is None else "ProcessingTime",

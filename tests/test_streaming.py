@@ -428,50 +428,98 @@ def test_tws_document_join_golden_parity(spark, workdir):
     assert batch_docs == stream_docs
 
 
-def test_tws_document_join_ttl_evicts_idle_state(spark, workdir):
-    """With ttl_ms set, join state for an idle key is wiped by the timer
-    sweep: a character arriving after the window finds no buffered fiction,
-    so the document never completes. The control run (TTL off) over the
-    exact same files DOES emit it — proving the eviction, not the data,
-    made the difference."""
-    pytest.importorskip("google.protobuf")
-    from kasper_spark.streaming.state import assemble_documents_tws
+# --- TTL eviction fixtures (shared by the v1 and TWS forms) --------------
 
-    fic = {"id": "FI_T", "fictionType": "Novel", "title": "T", "characterIds": ["CX_1", "CX_2"]}
-    c1 = {"id": "CX_1", "name": "One", "wikipediaUrl": "u1"}
-    c2 = {"id": "CX_2", "name": "Two", "wikipediaUrl": "u2"}
-    other = {"id": "CX_OTHER", "name": "Other", "wikipediaUrl": "u3"}
+_TTL_FIC = {"id": "FI_T", "fictionType": "Novel", "title": "T", "characterIds": ["CX_1", "CX_2"]}
+_TTL_C1 = {"id": "CX_1", "name": "One", "wikipediaUrl": "u1"}
+_TTL_C2 = {"id": "CX_2", "name": "Two", "wikipediaUrl": "u2"}
+_TTL_OTHER = {"id": "CX_OTHER", "name": "Other", "wikipediaUrl": "u3"}
+_TTL_SCHEMA = "topic string, partition int, offset long, value string"
+_TTL_TOTAL_ROWS = 4  # fiction + c1 (b1), other (b2), c2 (b3)
 
-    def seed(src):
-        # b1: fiction + first character on partition 0 (incomplete)
-        _write_json_file(src, _envelope("fictions", [fic]) + _envelope("characters", [c1], 10), "b1.json")
-        # b2: traffic on partition 1 only -> a micro-batch in which
-        # partition 0 is idle and its (tiny) TTL timer fires
-        _write_json_file(
-            src,
-            [{"topic": "characters", "partition": 1, "offset": 0, "value": json.dumps(other)}],
-            "b2.json",
-        )
-        # b3: the completing character, after the idle window
-        _write_json_file(src, _envelope("characters", [c2], 20), "b3.json")
 
-    schema = "topic string, partition int, offset long, value string"
+def _seed_ttl_source(src):
+    """Three files -> three micro-batches (maxFilesPerTrigger=1), with
+    explicit mtimes so the file source's mod-time ordering is deterministic:
+    b1: fiction + first character on partition 0 (incomplete);
+    b2: traffic on partition 1 only — a batch in which partition 0 is idle
+        and its (tiny) TTL timer fires;
+    b3: the completing character, after the idle window."""
+    _write_json_file(src, _envelope("fictions", [_TTL_FIC]) + _envelope("characters", [_TTL_C1], 10), "b1.json")
+    _write_json_file(
+        src,
+        [{"topic": "characters", "partition": 1, "offset": 0, "value": json.dumps(_TTL_OTHER)}],
+        "b2.json",
+    )
+    _write_json_file(src, _envelope("characters", [_TTL_C2], 20), "b3.json")
+    t0 = time.time() - 60
+    for i, f in enumerate(["b1.json", "b2.json", "b3.json"]):
+        os.utime(os.path.join(src, f), (t0 + 2 * i, t0 + 2 * i))
+
+
+def _run_ttl_eviction_pair(spark, workdir, op, tag):
+    """Drive the eviction contract for one operator form.
+
+    TTL run: a plan with a processing-time timeout cannot be drained by
+    availableNow (Spark keeps scheduling empty micro-batches to advance the
+    timer clock — the round-3 hang), so it runs on a fast processing-time
+    trigger, polls progress until all input rows are consumed, then stops.
+    Control run (ttl None): plain bounded availableNow drain."""
     results = {}
     for label, ttl in [("ttl", 1), ("no_ttl", None)]:
-        src = os.path.join(workdir, f"ttl-src-{label}")
-        seed(src)
-        pipe = _pipeline(spark, workdir, f"ttl-{label}-{uuid.uuid4().hex[:8]}")
-        docs = assemble_documents_tws(pipe.file_source(src, schema), ttl_ms=ttl)
+        src = os.path.join(workdir, f"{tag}-src-{label}")
+        _seed_ttl_source(src)
+        pipe = Pipeline(
+            spark,
+            PipelineConfig(
+                name=f"{tag}-{label}-{uuid.uuid4().hex[:8]}",
+                checkpoint_root=os.path.join(workdir, "ckpt"),
+                batch_wait_seconds=0.3,
+            ),
+        )
+        docs = op(pipe.file_source(src, _TTL_SCHEMA), ttl_ms=ttl)
         emitted: list[dict] = []
 
         def collect_batch(df, epoch_id):
             emitted.extend(r.asDict() for r in df.collect())
 
-        pipe.run_available_now(docs, output_mode="update", for_each_batch=collect_batch)
+        if ttl is None:
+            pipe.run_available_now(docs, output_mode="update", for_each_batch=collect_batch)
+        else:
+            q = pipe.start(docs, output_mode="update", for_each_batch=collect_batch)
+            try:
+                deadline = time.time() + 180
+                consumed = 0
+                while time.time() < deadline:
+                    consumed = sum(
+                        p["numInputRows"] for p in (q.recentProgress or [])
+                    )
+                    if consumed >= _TTL_TOTAL_ROWS:
+                        break
+                    time.sleep(0.2)
+                assert consumed >= _TTL_TOTAL_ROWS, (
+                    f"{tag}: only {consumed}/{_TTL_TOTAL_ROWS} input rows "
+                    "consumed before the poll deadline"
+                )
+            finally:
+                pipe.stop()
         results[label] = {e["fiction_id"] for e in emitted}
 
     assert "FI_T" in results["no_ttl"], "control run must complete the document"
     assert "FI_T" not in results["ttl"], "evicted state must not complete the document"
+
+
+def test_tws_document_join_ttl_evicts_idle_state(spark, workdir):
+    """With ttl_ms set, join state for an idle key is wiped by the timer
+    sweep: a character arriving after the window finds no buffered fiction,
+    so the document never completes. The control run (TTL off) over the
+    exact same files DOES emit it — proving the eviction, not the data,
+    made the difference. (The TTL logic itself also runs protobuf-free in
+    test_tws_assemble_docs_processor_unit below.)"""
+    pytest.importorskip("google.protobuf")
+    from kasper_spark.streaming.state import assemble_documents_tws
+
+    _run_ttl_eviction_pair(spark, workdir, assemble_documents_tws, "ttl-tws")
 
 
 def test_document_join_ttl_evicts_idle_state_v1(spark, workdir):
@@ -479,34 +527,136 @@ def test_document_join_ttl_evicts_idle_state_v1(spark, workdir):
     (applyInPandasWithState + ProcessingTimeTimeout) — runnable without the
     state-v2 protobuf dependency, so the eviction behavior is exercised in
     every CI environment."""
-    fic = {"id": "FI_T", "fictionType": "Novel", "title": "T", "characterIds": ["CX_1", "CX_2"]}
-    c1 = {"id": "CX_1", "name": "One", "wikipediaUrl": "u1"}
-    c2 = {"id": "CX_2", "name": "Two", "wikipediaUrl": "u2"}
-    other = {"id": "CX_OTHER", "name": "Other", "wikipediaUrl": "u3"}
+    _run_ttl_eviction_pair(spark, workdir, assemble_documents, "ttl-v1")
 
-    def seed(src):
-        _write_json_file(src, _envelope("fictions", [fic]) + _envelope("characters", [c1], 10), "b1.json")
-        _write_json_file(
-            src,
-            [{"topic": "characters", "partition": 1, "offset": 0, "value": json.dumps(other)}],
-            "b2.json",
+
+def test_available_now_refuses_processing_time_timeout(spark, workdir):
+    """Bounded drains of processing-time-timeout plans never terminate
+    (round-3 hang); the pipeline must refuse them loudly up front instead
+    of spinning empty micro-batches forever."""
+    src = os.path.join(workdir, "refuse-src")
+    _seed_ttl_source(src)
+    pipe = _pipeline(spark, workdir, f"refuse-{uuid.uuid4().hex[:8]}")
+    docs = assemble_documents(pipe.file_source(src, _TTL_SCHEMA), ttl_ms=1000)
+    with pytest.raises(ValueError, match="processing-time timeout"):
+        pipe.run_available_now(
+            docs, output_mode="update", for_each_batch=lambda df, eid: None
         )
-        _write_json_file(src, _envelope("characters", [c2], 20), "b3.json")
+    # ttl_ms=None (reference parity, no timers) still drains fine
+    emitted: list[dict] = []
+    docs2 = assemble_documents(pipe.file_source(src, _TTL_SCHEMA), ttl_ms=None)
+    pipe.run_available_now(
+        docs2,
+        output_mode="update",
+        for_each_batch=lambda df, eid: emitted.extend(r.asDict() for r in df.collect()),
+    )
+    assert {e["fiction_id"] for e in emitted} == {"FI_T"}
 
-    schema = "topic string, partition int, offset long, value string"
-    results = {}
-    for label, ttl in [("ttl", 1), ("no_ttl", None)]:
-        src = os.path.join(workdir, f"ttlv1-src-{label}")
-        seed(src)
-        pipe = _pipeline(spark, workdir, f"ttlv1-{label}-{uuid.uuid4().hex[:8]}")
-        docs = assemble_documents(pipe.file_source(src, schema), ttl_ms=ttl)
-        emitted: list[dict] = []
 
-        def collect_batch(df, epoch_id):
-            emitted.extend(r.asDict() for r in df.collect())
+# --- protobuf-free exercise of the TWS TTL logic -------------------------
+# Executing transformWithStateInPandas requires google.protobuf on the
+# workers (absent in minimal images, so the integration test above skips
+# there). The processor itself is pure Python over a handle/state
+# duck-type, so the TTL semantics — timer arm, re-arm, eviction wiping all
+# three blobs — run everywhere via these fakes.
 
-        pipe.run_available_now(docs, output_mode="update", for_each_batch=collect_batch)
-        results[label] = {e["fiction_id"] for e in emitted}
 
-    assert "FI_T" in results["no_ttl"], "control run must complete the document"
-    assert "FI_T" not in results["ttl"], "evicted state must not complete the document"
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def clear(self):
+        self._v = None
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+        self.timers = []
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.states.setdefault(name, _FakeValueState())
+
+    def listTimers(self):
+        return list(self.timers)
+
+    def registerTimer(self, t):
+        self.timers.append(t)
+
+    def deleteTimer(self, t):
+        if t in self.timers:
+            self.timers.remove(t)
+
+
+class _FakeTimerValues:
+    def __init__(self, now_ms):
+        self._now = now_ms
+
+    def getCurrentProcessingTimeInMs(self):
+        return self._now
+
+
+class _FakeExpiredTimer:
+    def __init__(self, t):
+        self._t = t
+
+    def getExpiryTimeInMs(self):
+        return self._t
+
+
+def test_tws_assemble_docs_processor_unit():
+    import pandas as pd
+
+    from kasper_spark.streaming.state import _make_assemble_docs_processor
+
+    cols = ["topic", "partition", "offset", "value"]
+
+    def batch(rows):
+        return [pd.DataFrame(rows, columns=cols)]
+
+    fic_row = ("fictions", 0, 0, json.dumps(_TTL_FIC))
+    c1_row = ("characters", 0, 10, json.dumps(_TTL_C1))
+    c2_row = ("characters", 0, 20, json.dumps(_TTL_C2))
+
+    # --- TTL path: arm, re-arm, expire, then the late character finds
+    # nothing to complete
+    proc = _make_assemble_docs_processor(ttl_ms=1000)
+    h = _FakeHandle()
+    proc.init(h)
+    out1 = list(proc.handleInputRows((0,), batch([fic_row, c1_row]), _FakeTimerValues(1000)))
+    assert sum(len(p) for p in out1) == 0, "incomplete doc must not emit"
+    assert h.timers == [2000], "timer armed at now + ttl"
+
+    out2 = list(proc.handleInputRows((0,), batch([]), _FakeTimerValues(1500)))
+    assert sum(len(p) for p in out2) == 0
+    assert h.timers == [2500], "touching the key re-arms the single timer"
+
+    list(proc.handleExpiredTimer((0,), _FakeTimerValues(2600), _FakeExpiredTimer(2500)))
+    assert h.timers == []
+    assert all(not s.exists() for s in h.states.values()), (
+        "eviction must wipe all three state blobs"
+    )
+
+    out3 = list(proc.handleInputRows((0,), batch([c2_row]), _FakeTimerValues(3000)))
+    assert sum(len(p) for p in out3) == 0, "evicted fiction must not complete"
+
+    # --- control: same inputs, no TTL -> document completes
+    proc2 = _make_assemble_docs_processor(ttl_ms=None)
+    h2 = _FakeHandle()
+    proc2.init(h2)
+    list(proc2.handleInputRows((0,), batch([fic_row, c1_row]), _FakeTimerValues(1000)))
+    out = list(proc2.handleInputRows((0,), batch([c2_row]), _FakeTimerValues(3000)))
+    emitted = pd.concat(out)
+    assert list(emitted["fiction_id"]) == ["FI_T"]
+    doc = json.loads(emitted["doc_json"].iloc[0])
+    assert [c["id"] for c in doc["characters"]] == ["CX_1", "CX_2"]
+    assert h2.timers == [], "ttl_ms=None must never arm timers"
