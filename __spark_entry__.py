@@ -27,13 +27,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.D."""
+    """One entry per implemented operator from SURVEY.md §2.D.
+
+    Ordered via registry.driver_ordered: the driver samples a 50-entry
+    prefix per round, so entries still lacking a green driver row are
+    rotated to the front (see registry.DRIVER_SAMPLE_PRIORITY)."""
     load_all_operators()
-    return dict(_registry.QUERIES)
+    return _registry.driver_ordered(_registry.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle SQL per query; keys absent here are rows-only checks
     (non-SQL-expressible operators: LSH internals, pandas-UDF stubs)."""
     load_all_operators()
-    return dict(_registry.ORACLES)
+    return _registry.driver_ordered(_registry.ORACLES)
