@@ -1,0 +1,155 @@
+"""Live-broker Kafka smoke tests, mirroring the reference's CI gate: kasper
+demands KASPER_CI_HOST and seeded topics
+(/root/reference/topic_processor_test.go:15-21,
+/root/reference/ci/docker-compose.yml:1-27,
+/root/reference/ci/populate_topics.go:24-92). Here the gate is
+KASPER_SPARK_CI_BROKERS=host:port — absent (the sandbox default), every
+test skips cleanly and kafka_source/kafka_sink remain config-only.
+
+Runtime note: pyspark ships without the Kafka connector; a broker run also
+needs spark-sql-kafka on the classpath (spark.jars.packages
+org.apache.spark:spark-sql-kafka-0-10_2.13:<spark version>). If the env var
+is set but the connector is missing, the test skips with that pointer
+rather than failing on an environment problem."""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from kasper_spark.streaming.pipeline import Pipeline, PipelineConfig
+
+BROKERS = os.environ.get("KASPER_SPARK_CI_BROKERS", "")
+
+pytestmark = pytest.mark.skipif(
+    not BROKERS,
+    reason="set KASPER_SPARK_CI_BROKERS=host:port to run live-broker tests",
+)
+
+
+def _require_kafka_connector(spark):
+    try:
+        spark.read.format("kafka").option(
+            "kafka.bootstrap.servers", BROKERS
+        ).option("subscribe", "connector-probe").load()
+    except Exception as e:  # pragma: no cover - env-dependent
+        if "Failed to find data source" in str(e):
+            pytest.skip(
+                "spark-sql-kafka connector not on the classpath "
+                "(add org.apache.spark:spark-sql-kafka-0-10_2.13 via "
+                "spark.jars.packages)"
+            )
+        raise
+
+
+def test_kafka_roundtrip_smoke(spark, tmp_path):
+    """kafka_source -> transform -> kafka_sink -> batch read-back: the
+    full A1/A5/A6 path against a real broker. Topics are per-run unique
+    (auto-created); the bounded drain uses availableNow, which is safe
+    here because the plan holds no processing-time timers."""
+    _require_kafka_connector(spark)
+    run = uuid.uuid4().hex[:8]
+    t_in, t_out = f"kasper-spark-in-{run}", f"kasper-spark-out-{run}"
+
+    payloads = {k: json.dumps({"n": i}) for i, k in enumerate("abc")}
+    seed = spark.createDataFrame(
+        [(k, v) for k, v in payloads.items()], "key string, value string"
+    )
+    (
+        seed.write.format("kafka")
+        .option("kafka.bootstrap.servers", BROKERS)
+        .option("topic", t_in)
+        .save()
+    )
+
+    cfg = PipelineConfig(
+        name=f"kafka-smoke-{run}",
+        brokers=BROKERS.split(","),
+        input_topics=[t_in],
+        checkpoint_root=str(tmp_path / "ck"),
+    )
+    pipe = Pipeline(spark, cfg)
+    src = pipe.kafka_source()
+    out = src.select(
+        "key",
+        F.upper(F.col("value").cast("string")).cast("binary").alias("value"),
+    )
+    q = pipe.kafka_sink(out, t_out, available_now=True)
+    q.awaitTermination()
+    pipe.stop()
+
+    got = (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", BROKERS)
+        .option("subscribe", t_out)
+        .option("startingOffsets", "earliest")
+        .load()
+        .select(F.col("key").cast("string"), F.col("value").cast("string"))
+        .collect()
+    )
+    assert {(r["key"], r["value"]) for r in got} == {
+        (k, v.upper()) for k, v in payloads.items()
+    }
+
+
+def test_kafka_stale_offset_clamp(spark, tmp_path):
+    """A1 stale-offset semantics (/root/reference/partition_processor.go:41-44:
+    out-of-range stored offsets clamp to the valid range instead of
+    crashing). Spark's analog is failOnDataLoss=false: a checkpoint whose
+    offsets predate retention/deletion must resume from the earliest valid
+    offset, not abort. Simulated by deleting+recreating the input topic
+    under an existing checkpoint."""
+    _require_kafka_connector(spark)
+    run = uuid.uuid4().hex[:8]
+    t_in = f"kasper-spark-clamp-{run}"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, "key string, value string").write.format(
+            "kafka"
+        ).option("kafka.bootstrap.servers", BROKERS).option("topic", t_in).save()
+
+    write_batch([("k1", "v1"), ("k2", "v2")])
+
+    cfg = PipelineConfig(
+        name=f"kafka-clamp-{run}",
+        brokers=BROKERS.split(","),
+        input_topics=[t_in],
+        checkpoint_root=str(tmp_path / "ck"),
+    )
+    seen: list[str] = []
+
+    def drain():
+        pipe = Pipeline(spark, cfg)
+        pipe.run_available_now(
+            pipe.kafka_source().select(F.col("value").cast("string").alias("v")),
+            output_mode="append",
+            for_each_batch=lambda df, eid: seen.extend(
+                r["v"] for r in df.collect()
+            ),
+        )
+
+    drain()
+    assert sorted(seen) == ["v1", "v2"]
+
+    # delete + recreate the topic: the checkpointed offsets are now beyond
+    # the (empty) topic's range
+    kafka_admin = pytest.importorskip(
+        "kafka.admin", reason="kafka-python needed for topic admin"
+    )
+    KafkaAdminClient, NewTopic = kafka_admin.KafkaAdminClient, kafka_admin.NewTopic
+
+    admin = KafkaAdminClient(bootstrap_servers=BROKERS)
+    admin.delete_topics([t_in])
+    import time as _time
+
+    _time.sleep(2)
+    admin.create_topics([NewTopic(t_in, num_partitions=1, replication_factor=1)])
+    write_batch([("k3", "v3")])
+
+    seen.clear()
+    drain()  # must clamp + resume, not raise
+    assert seen == ["v3"]

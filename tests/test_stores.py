@@ -269,3 +269,43 @@ def test_store_writer_requires_explicit_small_output():
         foreach_batch_writer()
     with pytest.raises(ValueError, match="exactly one"):
         foreach_batch_writer(store, store_factory=lambda: MapStore())
+
+
+def test_es_schema_inference_rejects_non_date_if_available():
+    """Dynamic-mapping failure-mode parity
+    (/root/reference/elasticsearch_test.go:43-49 single put, :121-137 bulk):
+    the first write makes ES infer `color` as a date field; a later write
+    with a non-date string must surface an error — as the client's 400 on a
+    single put, and as a RuntimeError from _bulk_index's per-item error
+    scan on a bulk put. Uses a throwaway index so inference state is
+    isolated; gated like the other ES tests."""
+    import uuid as _uuid
+
+    try:
+        from kasper_spark.stores.redis_es import ElasticsearchStore
+
+        store = ElasticsearchStore(index=f"kasper-dyn-{_uuid.uuid4().hex[:8]}")
+        store.get("ping")
+    except Exception:
+        pytest.skip("elasticsearch unavailable")
+    try:
+        # trick dynamic mapping into typing `color` as date...
+        store.put(
+            "vorgansharax",
+            b'{"color": "2009-11-15T14:12:12", "name": "Vorgansharax"}',
+        )
+        # ...then a plain string must be rejected, not silently coerced
+        with pytest.raises(Exception):
+            store.put("vorgansharax", b'{"color": "", "name": "Vorgansharax"}')
+        with pytest.raises(RuntimeError, match="bulk write failed"):
+            store.put_all(
+                {
+                    f"vorgansharax{i}": b'{"color": "", "name": "Vorgansharax"}'
+                    for i in range(1, 8)
+                }
+            )
+    finally:
+        try:
+            store._c.indices.delete(index=store._index)
+        except Exception:
+            pass
