@@ -687,3 +687,82 @@ def stratified_topn_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .orderBy("lang", "rk")
     )
+
+
+@register_query(
+    "ngram_decontaminate",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - 2),
+                      i -> array_to_string(list_slice(t, i, i + 3), ' '))) AS shingle
+        FROM toks WHERE len(t) >= 4
+    ),
+    ev AS (
+        SELECT shingle, MIN(doc_id) AS eval_doc_id
+        FROM sh WHERE doc_id % 41 = 0 GROUP BY shingle
+    ),
+    tr AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE doc_id % 41 <> 0)
+    SELECT t.doc_id,
+           COUNT(*) AS n_shared_shingles,
+           MIN(e.eval_doc_id) AS min_eval_doc_id
+    FROM tr t JOIN ev e USING (shingle)
+    GROUP BY t.doc_id
+    """,
+)
+def ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share a word
+    n-gram with the evaluation set — the standard guard against test-set
+    leakage in LLM training corpora (the operation the reference's engine
+    has no analog for; declared under the LLM-pipeline additions). The
+    "benchmark" here is the deterministic doc_id % 41 == 0 slice of
+    `documents`, standing in for a real eval suite. n=4 is sized to the
+    synthetic testdata's vocabulary; production pipelines use 8-13-gram
+    windows — the plan shape is identical, only the `n` constant changes.
+
+    Output: one row per contaminated training doc with the count of
+    distinct shared shingles and the smallest offending eval doc id.
+
+    Scale shape (the part that matters at 100 TB): the eval side is tiny
+    by construction (benchmark suites are KBs-to-MBs vs a 100 TB corpus),
+    so it is deduped per shingle and BROADCAST; the training corpus's
+    shingles then stream map-side through the broadcast hash join with no
+    shuffle of the corpus. Deliberately NO pre-distinct on the training
+    shingles — that would shuffle every (doc, shingle) pair; instead the
+    join prunes ~everything first and the one real shuffle (groupBy
+    doc_id + count distinct) carries only the contaminated survivors.
+    The explode stays JVM-side (sequence/transform/slice/concat_ws)."""
+    n = 4
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    sh = (
+        docs.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, n)),
+                )
+            ).alias("shingle"),
+        )
+    )
+    ev = (
+        sh.filter(F.col("doc_id") % 41 == 0)
+        .groupBy("shingle")
+        .agg(F.min("doc_id").alias("eval_doc_id"))
+    )
+    tr = sh.filter(F.col("doc_id") % 41 != 0)
+    return (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("shingle").alias("n_shared_shingles"),
+            F.min("eval_doc_id").alias("min_eval_doc_id"),
+        )
+    )

@@ -166,3 +166,17 @@ def test_repo_wide_plan_hygiene(spark):
             if len(cols) > 8:
                 problems.append(f"{name}: scan reads {len(cols)} columns")
     assert not problems, "\n".join(problems)
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """ngram_decontaminate's 100 TB contract: the (tiny) eval shingle set
+    broadcasts; the corpus-side shingles must NOT shuffle before the join
+    (no Exchange between the corpus scan/explode and the BroadcastHashJoin)."""
+    plan = _plan(spark, "ngram_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # stream side of the broadcast join is the exploded corpus: everything
+    # from the scan up to the join must be exchange-free
+    stream_side = plan.split("BroadcastHashJoin")[1]
+    probe_segment = stream_side.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in probe_segment
