@@ -46,6 +46,8 @@ HEADLINE = [
     "tfidf_top_terms",        # corpus-wide text join (df x wf)
     "gopher_quality_filters", # two-level word-frequency aggregation
     "window_range_frame_trailing",  # time-RANGE window frames
+    # round-4 additions (new keys set their baseline this round)
+    "ngram_decontaminate",    # broadcast eval-shingle join, no corpus shuffle
 ]
 
 
