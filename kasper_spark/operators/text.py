@@ -766,3 +766,121 @@ def ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("eval_doc_id").alias("min_eval_doc_id"),
         )
     )
+
+
+@register_query(
+    "dup_ngram_quality",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+        FROM documents
+    ),
+    g2 AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                       i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS g
+        FROM toks WHERE len(t) >= 2
+    ),
+    c2 AS (
+        SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(length(g) AS BIGINT) AS L
+        FROM g2 GROUP BY doc_id, g
+    ),
+    a2 AS (
+        SELECT doc_id,
+               CAST(SUM(c * L) AS BIGINT) AS occ,
+               CAST(SUM(CASE WHEN c > 1 THEN c * L ELSE 0 END) AS BIGINT) AS dup,
+               CAST(MAX(c * L) AS BIGINT) AS topm
+        FROM c2 GROUP BY doc_id
+    ),
+    g3 AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+                       i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS g
+        FROM toks WHERE len(t) >= 3
+    ),
+    c3 AS (
+        SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(length(g) AS BIGINT) AS L
+        FROM g3 GROUP BY doc_id, g
+    ),
+    a3 AS (
+        SELECT doc_id,
+               CAST(SUM(c * L) AS BIGINT) AS occ,
+               CAST(SUM(CASE WHEN c > 1 THEN c * L ELSE 0 END) AS BIGINT) AS dup,
+               CAST(MAX(c * L) AS BIGINT) AS topm
+        FROM c3 GROUP BY doc_id
+    )
+    SELECT a2.doc_id,
+           a2.dup / a2.occ AS dup_2gram_char_frac,
+           a2.topm / a2.occ AS top_2gram_char_frac,
+           COALESCE(a3.dup / a3.occ, 0.0) AS dup_3gram_char_frac,
+           COALESCE(a3.topm / a3.occ, 0.0) AS top_3gram_char_frac,
+           CAST(CASE WHEN a2.dup / a2.occ <= 0.20
+                      AND a2.topm / a2.occ <= 0.15
+                      AND COALESCE(a3.dup / a3.occ, 0.0) <= 0.10
+                THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM a2 LEFT JOIN a3 USING (doc_id)
+    """,
+)
+def dup_ngram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram repetition quality signals (the FineWeb/RefinedWeb
+    dup_ngram_frac family, complementing gopher_quality_filters' word-level
+    gates): per document, the fraction of 2-/3-gram occurrence characters
+    that belong to REPEATED n-grams, and the character share of the single
+    heaviest n-gram — catching "foo bar foo bar foo bar" template spam that
+    word-level duplicate fractions under-count. Char mass (count x n-gram
+    length) rather than raw counts, so long repeated phrases weigh more, as
+    in FineWeb's char-fraction variants; "heaviest by char mass" replaces
+    "most frequent" to keep the metric arg-max-free and therefore
+    tie-deterministic on every engine.
+
+    All ratios are bigint/bigint IEEE divisions -> bit-stable keep/drop on
+    any engine or partitioning (same resume/re-shard argument as the
+    gopher filters).
+
+    Scale: per n-gram size, one explode + two shuffles that partial-
+    aggregate map-side ((doc, gram) then doc); the two per-doc aggregates
+    join on doc_id where AQE reuses the co-partitioned exchanges. Nothing
+    leaves the JVM."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+
+    def gram_stats(n: int):
+        g = (
+            docs.select("doc_id", toks.alias("t"))
+            .filter(F.size("t") >= n)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("t") - (n - 1)),
+                        lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, n)),
+                    )
+                ).alias("g"),
+            )
+        )
+        c = g.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+        mass = F.col("c") * F.length("g").cast("long")
+        return c.groupBy("doc_id").agg(
+            F.sum(mass).alias("occ"),
+            F.sum(F.when(F.col("c") > 1, mass).otherwise(F.lit(0))).alias("dup"),
+            F.max(mass).alias("topm"),
+        )
+
+    a2 = gram_stats(2)
+    a3 = gram_stats(3).withColumnsRenamed(
+        {"occ": "occ3", "dup": "dup3", "topm": "topm3"}
+    )
+    joined = a2.join(a3, "doc_id", "left")
+    dup2 = F.col("dup") / F.col("occ")
+    top2 = F.col("topm") / F.col("occ")
+    dup3 = F.coalesce(F.col("dup3") / F.col("occ3"), F.lit(0.0))
+    top3 = F.coalesce(F.col("topm3") / F.col("occ3"), F.lit(0.0))
+    keep = (dup2 <= 0.20) & (top2 <= 0.15) & (dup3 <= 0.10)
+    return joined.select(
+        "doc_id",
+        dup2.alias("dup_2gram_char_frac"),
+        top2.alias("top_2gram_char_frac"),
+        dup3.alias("dup_3gram_char_frac"),
+        top3.alias("top_3gram_char_frac"),
+        keep.cast("int").alias("keep"),
+    )
