@@ -625,3 +625,74 @@ def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "query_id", "neighbor_id", "cosine", F.row_number().over(w).alias("rank")
     ).filter(F.col("rank") <= _TOP_K)
+
+
+_SEMDEDUP_BOUND = 200  # bounded subset for the oracle-exact form
+_SEMDEDUP_THETA = 0.35  # sized to the synthetic embeddings (max pair cos ~0.44)
+
+
+@register_query(
+    "semantic_dedup_leader",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding,
+               sqrt({dot_exact_sql('embedding', 'embedding')}) AS nrm
+        FROM embeddings WHERE vec_id < {_SEMDEDUP_BOUND}
+    ),
+    p AS (
+        SELECT a.vec_id AS lo, b.vec_id AS hi
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE {dot_exact_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)
+              >= {_SEMDEDUP_THETA}
+    )
+    SELECT e.vec_id,
+           CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_shadows
+    FROM e
+    LEFT JOIN (SELECT lo, COUNT(*) AS n FROM p GROUP BY lo) cnt
+      ON cnt.lo = e.vec_id
+    WHERE e.vec_id NOT IN (SELECT hi FROM p)
+    """,
+)
+def semantic_dedup_leader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) deduplication, leader rule: keep a vector
+    iff NO lower-id vector lies within cosine >= theta of it — the SemDeDup
+    move of collapsing near-duplicate semantic neighborhoods to one
+    representative, with the smallest id as the deterministic leader (no
+    arg-max, no RNG, no iteration: the keep set is a pure function of the
+    pair set, so re-running on re-sharded data gives byte-identical
+    output). n_shadows counts the higher-id vectors each survivor
+    dominates, i.e. how much the corpus shrank into it.
+
+    Oracle-exact form: bounded |subset| with decimal-exact cosines (same
+    convention as embedding_neardup_pairs; the all-pairs BNLJ is
+    allow-listed in the plan audit). The 100 TB path swaps the all-pairs
+    stage for LSH/IVF candidate generation (ann_lsh_topk's bucketing) and
+    keeps the SAME leader anti-join downstream — leader-by-global-id is
+    monotone in the candidate set, so approximate candidates degrade
+    gracefully into approximate dedup (the standard SemDeDup trade), and
+    the anti-join + count are one doc-keyed shuffle each."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _SEMDEDUP_BOUND
+    )
+    e = emb.select(
+        "vec_id", "embedding", norm_exact(F.col("embedding")).alias("nrm")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = dot_exact(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    pairs = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cos >= _SEMDEDUP_THETA)
+        .select(F.col("a.vec_id").alias("lo"), F.col("b.vec_id").alias("hi"))
+    )
+    dominated = pairs.select(F.col("hi").alias("vec_id")).distinct()
+    shadows = pairs.groupBy("lo").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        e.join(dominated, "vec_id", "left_anti")
+        .join(shadows, e.vec_id == shadows.lo, "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_shadows"),
+        )
+    )

@@ -128,6 +128,7 @@ _INTENTIONAL_BNLJ = {
     "ann_ivf_topk",
     "ann_int8_topk",
     "embedding_neardup_pairs",
+    "semantic_dedup_leader",  # bounded-subset all-pairs + leader anti-join
     "tokenset_jaccard_pairs",
     # 1-row broadcast of a global scalar-subquery threshold (TPC-H Q22
     # shape) — the same physical shape Spark gives a ScalarSubquery.
