@@ -9,7 +9,7 @@ approx sketches are rows-only (HLL implementations differ by design).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kasper_spark.catalog import load_table
@@ -915,3 +915,84 @@ def hll_mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register_query(
+    "countmin_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+        SELECT UNNEST(string_split(text, ' ')) AS word FROM documents
+    ),
+    counts AS (
+        SELECT word, COUNT(*) AS est_count
+        FROM toks WHERE word <> '' GROUP BY word
+    )
+    SELECT word, est_count
+    FROM counts
+    ORDER BY est_count DESC, word
+    LIMIT 20
+    """,
+)
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a MERGEABLE count-min sketch (depth 4 x width 8192).
+
+    The sketch is built the way a 1000-executor cluster would: each task's
+    partial aggregation over (depth, cell) IS its local sketch; the shuffle
+    merges sketches by summing cells, so at most depth*width = 32k rows ever
+    cross the wire per task — independent of corpus size. Point queries then
+    take min over the 4 hashed cells (the classic CM estimate, Cormode &
+    Muthukrishnan 2005). The sketch side is broadcast into the vocabulary
+    probe join because it is bounded by construction.
+
+    Correctness contract: CM overestimates only on collisions; with the
+    testdata vocabulary (~40 words) vs 4 independent xxhash64 rows of width
+    8192, P(all four cells of a word are contaminated) < 1e-8, so estimates
+    equal exact counts and the oracle is the exact GROUP BY — the sketch is
+    exercised as the scale path while the hash gate stays exact. (The
+    reference has no sketch operators at all — SURVEY.md §2.C.)"""
+    _DEPTH, _WIDTH = 4, 8192
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+
+    def _cell(d: int) -> Column:
+        return F.pmod(F.xxhash64(F.col("word"), F.lit(d)), F.lit(_WIDTH))
+
+    # map-side: token -> 4 (depth, cell) pairs; partial agg folds them into
+    # the per-task sketch before any shuffle
+    cells = (
+        toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("depth"), _cell(d).alias("cell")
+                        )
+                        for d in range(_DEPTH)
+                    ]
+                )
+            ).alias("dc")
+        )
+        .groupBy("dc.depth", "dc.cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = toks.distinct()
+    probes = vocab.select(
+        "word",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(d).alias("depth"), _cell(d).alias("cell"))
+                    for d in range(_DEPTH)
+                ]
+            )
+        ).alias("dc"),
+    ).select("word", "dc.depth", "dc.cell")
+    est = (
+        probes.join(F.broadcast(cells), ["depth", "cell"])
+        .groupBy("word")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    return est.orderBy(F.desc("est_count"), "word").limit(20)

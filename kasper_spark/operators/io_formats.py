@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kasper_spark.catalog import load_table
+from kasper_spark.functions.exact import dsum_dec, money
 from kasper_spark.registry import register_query
 
 
@@ -135,4 +136,68 @@ def partitioned_parquet_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total"),
         )
         .orderBy("o_month")
+    )
+
+
+@register_query(
+    "bucketed_join_no_shuffle",
+    oracle="""
+    SELECT
+        o_orderpriority,
+        COUNT(*) AS n_lines,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,4))
+                      * (1 - CAST(l_discount AS DECIMAL(6,4))))
+             AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact-fact join via BUCKETED tables: both sides are written
+    bucketBy(8, orderkey) + sortBy, so the sort-merge join consumes the
+    stored layout directly — ZERO Exchange operators in the join plan
+    (asserted in tests/test_io_formats.py).
+
+    This is THE layout decision for repeated 100 TB fact-fact joins: the
+    shuffle is paid once at write time and amortized over every subsequent
+    join/aggregation on the bucket key. It is also the batch analog of the
+    reference's co-partitioned topic consumption
+    (/root/reference/topic_processor.go:117-130: partition i of every topic
+    is processed by the same loop — i.e. the data arrives pre-bucketed by
+    key, which is exactly what bucketBy persists for batch). The merge hint
+    pins SMJ so the demonstration doesn't degrade to a broadcast at toy
+    scale; on a real cluster SMJ is what AQE would pick for two large
+    bucketed facts anyway."""
+    wd = _workdir("bucketed")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    for name, df, key in (
+        ("kasper_bkt_orders", orders.select("o_orderkey", "o_orderpriority"), "o_orderkey"),
+        ("kasper_bkt_lineitem", li, "l_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.option("path", os.path.join(wd, name))
+            .bucketBy(8, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    o = spark.table("kasper_bkt_orders")
+    l = spark.table("kasper_bkt_lineitem")
+    revenue = money("l_extendedprice", 10, 4) * (
+        F.lit(1).cast("decimal(1,0)") - money("l_discount", 6, 4)
+    )
+    return (
+        o.hint("merge")
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum_dec(revenue).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
     )

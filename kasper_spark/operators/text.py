@@ -884,3 +884,78 @@ def dup_ngram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         top3.alias("top_3gram_char_frac"),
         keep.cast("int").alias("keep"),
     )
+
+
+@register_query(
+    "vocab_coverage",
+    oracle="""
+    WITH counts AS (
+        SELECT word, COUNT(*) AS cnt
+        FROM (
+            SELECT UNNEST(string_split(text, ' ')) AS word FROM documents
+        )
+        WHERE word <> ''
+        GROUP BY word
+    ),
+    ranked AS (
+        SELECT
+            word,
+            cnt,
+            ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rank,
+            CAST(SUM(cnt) OVER (
+                ORDER BY cnt DESC, word
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS BIGINT) AS cum_cnt,
+            CAST(SUM(cnt) OVER () AS BIGINT) AS total
+        FROM counts
+    )
+    SELECT
+        rank, word, cnt, cum_cnt,
+        (cum_cnt * 10000) // total AS coverage_bp
+    FROM ranked
+    ORDER BY rank
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary rank/frequency coverage table — the tokenizer-design
+    question "how many types cover 95% of tokens?" answered in one pass.
+
+    Scale shape: the corpus-sized work is the exploded word count, which is
+    partial-aggregated map-side so the shuffle carries only the vocabulary.
+    The ranking window is deliberately UNPARTITIONED — that is safe exactly
+    because its input is the post-aggregation vocabulary (types, not
+    tokens): for natural-language corpora the type count grows ~O(corpus^k)
+    with k~0.5 (Heaps' law), so even a 100 TB corpus yields a vocab that
+    fits one task. Coverage is reported in integer basis points via exact
+    bigint arithmetic (cum*10000 div total), so the hash gate never touches
+    a float. (No reference counterpart — corpus analytics beyond word_count
+    are engine extensions; SURVEY.md §2.C.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql.window import Window
+
+    order = Window.orderBy(F.desc("cnt"), "word")
+    cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    total = Window.partitionBy()
+    ranked = counts.select(
+        F.row_number().over(order).alias("rank"),
+        "word",
+        "cnt",
+        F.sum("cnt").over(cum).alias("cum_cnt"),
+        F.sum("cnt").over(total).alias("total"),
+    )
+    return ranked.select(
+        "rank",
+        "word",
+        "cnt",
+        "cum_cnt",
+        # integer division on BOTH engines (Spark DIV / DuckDB //) — plain
+        # `/` would divide in double and the engines round the cast back to
+        # integer differently (Spark truncates, DuckDB rounds)
+        F.expr("cum_cnt * 10000 DIV total").alias("coverage_bp"),
+    ).orderBy("rank")

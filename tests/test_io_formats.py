@@ -51,3 +51,34 @@ def test_csv_json_orc_roundtrips_lossless(spark):
     orders = load_table(spark, SF_SMOKE, "orders").filter(F.col("o_orderkey") < 2000)
     got = QUERIES["jsonl_roundtrip_orders"](spark, SF_SMOKE)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, orders.collect()))
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """The whole point of bucketBy: the stored layout satisfies the join's
+    distribution requirement, so the SMJ runs with ZERO Exchange operators
+    between the scans and the join. (The final groupBy still exchanges —
+    that one carries 5 rows.)"""
+    from kasper_spark.registry import QUERIES, load_all_operators
+
+    load_all_operators()
+    # run the registered query once so the bucketed tables exist
+    out = QUERIES["bucketed_join_no_shuffle"](spark, SF_SMOKE)
+    assert out.count() == 5
+
+    o = spark.table("kasper_bkt_orders")
+    l = spark.table("kasper_bkt_lineitem")
+    joined = o.hint("merge").join(l, o.o_orderkey == l.l_orderkey)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+
+    # and the join itself is correct against a non-bucketed replan
+    expect = (
+        load_table(spark, SF_SMOKE, "orders")
+        .join(
+            load_table(spark, SF_SMOKE, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .count()
+    )
+    assert joined.count() == expect
