@@ -959,3 +959,107 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         # integer differently (Spark truncates, DuckDB rounds)
         F.expr("cum_cnt * 10000 DIV total").alias("coverage_bp"),
     ).orderBy("rank")
+
+
+@register_query(
+    "substring_dup_spans",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, i AS start,
+               array_to_string(t[i : i + 7], ' ') AS gram
+        FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS s(i)
+        WHERE len(t) >= 8
+    ),
+    dup AS (
+        SELECT doc_id, start
+        FROM grams
+        QUALIFY COUNT(*) OVER (PARTITION BY gram) > 1
+    ),
+    isl AS (
+        SELECT doc_id, start,
+               CAST(SUM(CASE WHEN prev IS NULL OR start - prev > 8
+                             THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY start
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS island
+        FROM (
+            SELECT doc_id, start,
+                   LAG(start) OVER (PARTITION BY doc_id ORDER BY start) AS prev
+            FROM dup
+        )
+    )
+    SELECT
+        doc_id,
+        CAST(MIN(start) AS BIGINT) AS span_start,
+        CAST(MAX(start) + 7 AS BIGINT) AS span_end,
+        CAST(MAX(start) + 7 - MIN(start) + 1 AS BIGINT) AS n_tokens
+    FROM isl
+    GROUP BY doc_id, island
+    ORDER BY doc_id, span_start
+    """,
+)
+def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring SPANS: token positions whose 8-word shingle
+    occurs more than once anywhere in the corpus, merged into maximal
+    contiguous regions per document — the primitive behind suffix-array
+    substring dedup of training corpora (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"), re-expressed as shingle
+    counting + gaps-and-islands instead of a suffix array (which is
+    inherently sequential and cannot shard across executors).
+
+    Scale shape: everything until the final island merge is JVM
+    expressions — split/slice/concat_ws build the shingles map-side, the
+    duplicate test is one count-per-gram shuffle (partial-aggregated), and
+    island merging re-shuffles only the surviving duplicate positions by
+    doc_id. At 100 TB the gram strings would be xxhash64'd to 8 bytes
+    before the exchange (collision odds ~n^2/2^64 are acceptable for span
+    FLAGGING; the strings are kept here so the DuckDB oracle can replay the
+    exact grouping). The reference has no corpus operators at all
+    (SURVEY.md §2.C)."""
+    k = 8
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda w: w != "").alias("t"),
+    ).filter(F.size("t") >= k)
+    grams = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("t") - k + 1)).alias("start"),
+        "t",
+    ).select(
+        "doc_id",
+        "start",
+        F.concat_ws(" ", F.slice("t", F.col("start"), k)).alias("gram"),
+    )
+    from pyspark.sql.window import Window
+
+    dup = grams.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    ).filter(F.col("n") > 1)
+    by_doc = Window.partitionBy("doc_id").orderBy("start")
+    run = by_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    isl = dup.withColumn("prev", F.lag("start").over(by_doc)).withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev").isNull() | (F.col("start") - F.col("prev") > k),
+                1,
+            ).otherwise(0)
+        ).over(run),
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("start").cast("bigint").alias("span_start"),
+            (F.max("start") + k - 1).cast("bigint").alias("span_end"),
+            (F.max("start") + k - 1 - F.min("start") + 1)
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_tokens")
+        .orderBy("doc_id", "span_start")
+    )
