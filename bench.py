@@ -48,6 +48,8 @@ HEADLINE = [
     "window_range_frame_trailing",  # time-RANGE window frames
     # round-4 additions (new keys set their baseline this round)
     "ngram_decontaminate",    # broadcast eval-shingle join, no corpus shuffle
+    "substring_dup_spans",    # corpus-wide repeated-substring spans
+    "countmin_heavy_hitters", # mergeable CM sketch, bounded shuffle
 ]
 
 

@@ -56,3 +56,29 @@ def test_hll_union_matches_exact_distinct(spark):
         assert abs(est - exact[etype]) <= max(2, 0.05 * exact[etype]), (
             etype, est, exact[etype],
         )
+
+
+def test_countmin_never_underestimates_and_matches_exact_here(spark):
+    """CM sketch law: estimate >= true count ALWAYS (one-sided error); and
+    at this vocab-vs-width ratio the estimates are exactly the true counts
+    (the regime the SQL oracle relies on)."""
+    est = {
+        r["word"]: r["est_count"]
+        for r in QUERIES["countmin_heavy_hitters"](spark, SF_SMOKE).collect()
+    }
+    docs = load_table(spark, SF_SMOKE, "documents")
+    exact = {
+        r["word"]: r["n"]
+        for r in docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert est, "heavy-hitter list is empty"
+    for w, e in est.items():
+        assert e >= exact[w], (w, e, exact[w])
+        assert e == exact[w], (w, e, exact[w])
+    # and the list really is the top of the exact distribution
+    topk = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[: len(est)]
+    assert set(est) == {w for w, _ in topk}
