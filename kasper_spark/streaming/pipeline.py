@@ -259,3 +259,46 @@ class Pipeline:
     @property
     def last_progress(self):
         return self._query.lastProgress if self._query is not None else None
+
+
+def idempotent_foreach_batch(
+    ledger_dir: str,
+    write_fn: Callable[[DataFrame, int], None],
+):
+    """Wrap a foreachBatch writer into an EXACTLY-ONCE sink protocol.
+
+    Spark's foreachBatch is at-least-once: a crash between the sink write
+    and the checkpoint commit replays the whole micro-batch on restart —
+    the same window the reference leaves open (produce-then-commit,
+    /root/reference/topic_processor.go:150-162: a crash between Produce and
+    CommitMessages re-emits the batch). This wrapper closes it with the
+    standard two-part recipe:
+
+    1. ``write_fn`` MUST be batchId-deterministic and overwrite-idempotent
+       (e.g. write parquet to ``out/batch_id=<id>/`` with mode=overwrite,
+       or MERGE on a key): a replay of batch N reproduces byte-identical
+       output in the same place, so duplicates cannot exist.
+    2. After ``write_fn`` returns, a ``<id>.done`` marker is committed to
+       ``ledger_dir`` via write-to-temp + atomic rename. On replay the
+       marker short-circuits the write entirely — the cheap fast path; the
+       overwrite semantics of (1) are the correctness backstop for a crash
+       BETWEEN write and marker (the marker alone would be a
+       lost-update-window bug, which is why both halves exist).
+
+    At scale the ledger lives on the DFS next to the sink (rename is atomic
+    on HDFS/ABFS; on S3 use a transactional table format's app-id/version
+    txn log instead — same protocol, different marker store).
+    """
+    os.makedirs(ledger_dir, exist_ok=True)
+
+    def fn(df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(ledger_dir, f"{batch_id}.done")
+        if os.path.exists(marker):
+            return  # replayed batch, already fully committed
+        write_fn(df, batch_id)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(batch_id))
+        os.replace(tmp, marker)  # atomic commit point
+
+    return fn

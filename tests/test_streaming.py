@@ -660,3 +660,63 @@ def test_tws_assemble_docs_processor_unit():
     doc = json.loads(emitted["doc_json"].iloc[0])
     assert [c["id"] for c in doc["characters"]] == ["CX_1", "CX_2"]
     assert h2.timers == [], "ttl_ms=None must never arm timers"
+
+
+def test_idempotent_foreach_batch_skips_replayed_batch(tmp_path):
+    """Unit: the marker ledger short-circuits a replay of a committed
+    batch."""
+    from kasper_spark.streaming.pipeline import idempotent_foreach_batch
+
+    calls = []
+    fn = idempotent_foreach_batch(
+        str(tmp_path / "ledger"), lambda df, bid: calls.append(bid)
+    )
+    fn(None, 7)
+    fn(None, 7)  # replay — must be skipped
+    fn(None, 8)
+    assert calls == [7, 8]
+
+
+def test_idempotent_foreach_batch_exactly_once_across_crash(spark, workdir):
+    """Integration: crash BETWEEN the sink write and the checkpoint commit
+    (the at-least-once window, /root/reference/topic_processor.go:150-162),
+    then restart from the same checkpoint. The replayed batch overwrites
+    its own deterministic output path, so the sink holds every source row
+    exactly once."""
+    from kasper_spark.streaming.pipeline import idempotent_foreach_batch
+
+    src = os.path.join(workdir, "xo-src")
+    out = os.path.join(workdir, "xo-out")
+    _write_json_file(src, [{"value": "r1"}, {"value": "r2"}], "f1.json")
+    _write_json_file(src, [{"value": "r3"}], "f2.json")
+
+    crashed = {"done": False}
+
+    def write_batch(df, batch_id):
+        # batchId-deterministic overwrite target (recipe requirement 1)
+        df.write.mode("overwrite").parquet(
+            os.path.join(out, f"batch_id={batch_id}")
+        )
+        if not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash after write, before commit")
+
+    fn = idempotent_foreach_batch(os.path.join(workdir, "xo-ledger"), write_batch)
+
+    pipe = _pipeline(spark, workdir, "xo")
+    lines = pipe.file_source(src, "value string")
+    try:
+        pipe.run_available_now(lines, for_each_batch=fn)
+        assert False, "first run should have crashed"
+    except Exception:
+        pipe.stop()
+
+    pipe2 = _pipeline(spark, workdir, "xo")  # same checkpoint
+    pipe2.run_available_now(
+        pipe2.file_source(src, "value string"), for_each_batch=fn
+    )
+
+    got = sorted(
+        r["value"] for r in spark.read.parquet(out).select("value").collect()
+    )
+    assert got == ["r1", "r2", "r3"]
