@@ -177,6 +177,117 @@ def assemble_documents(messages: DataFrame, ttl_ms: int | None = None) -> DataFr
     )
 
 
+def assemble_documents_event_ttl(
+    messages: DataFrame,
+    ttl_ms: int,
+    event_time_col: str = "event_ts",
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """B5 document join with EVENT-TIME TTL eviction — the production form
+    of the TTL knob.
+
+    Same emission semantics as :func:`assemble_documents`, but idle state is
+    evicted when the WATERMARK passes ``last activity + ttl_ms`` (one-shot
+    event-time timeout, re-armed on every batch that touches the key).
+    Event time fixes both problems wall-clock TTL has at scale:
+
+    - **bounded drains terminate**: the watermark is data-driven, so after
+      an availableNow run consumes the last file/offset there is no clock
+      left to chase — unlike ProcessingTimeTimeout, where Spark schedules
+      empty micro-batches forever to advance the wall clock for armed
+      timers (round-3 postmortem; ``Pipeline.start`` refuses that
+      combination). This variant is safe under ``run_available_now``.
+    - **replays are deterministic**: reprocessing a month of history evicts
+      keys at the same *stream positions* as the live run did, not
+      whenever the reprocessing job's wall clock happens to tick past the
+      TTL — so a backfill produces byte-identical output.
+
+    ``messages`` must carry an ``event_time_col`` timestamp column (the
+    Kafka source's ``timestamp`` column, or a parsed payload time);
+    ``watermark_delay`` is the usual lateness allowance and is orthogonal
+    to the TTL. Keys whose timeout lies beyond the final watermark simply
+    remain in state when the query stops — eviction is a state-size bound,
+    not an output contract.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def process(key, pdfs, state):
+        import json
+
+        import pandas as pd
+
+        if state.hasTimedOut:
+            # watermark passed last activity + ttl: evict the three blobs
+            state.remove()
+            yield pd.DataFrame([], columns=["partition", "fiction_id", "doc_json"])
+            return
+
+        if state.exists:
+            chars_js, fics_js, idx_js = state.get
+            characters = json.loads(chars_js)
+            fictions = json.loads(fics_js)
+            char_to_fics = json.loads(idx_js)
+        else:
+            characters, fictions, char_to_fics = {}, {}, {}
+
+        out = []
+
+        def emit_if_complete(fic_id):
+            fic = fictions[fic_id]
+            if all(cid in characters for cid in fic["characterIds"]):
+                doc = {
+                    "id": fic["id"],
+                    "fictionType": fic["fictionType"],
+                    "title": fic["title"],
+                    "characters": [characters[cid] for cid in fic["characterIds"]],
+                }
+                out.append((int(key[0]), fic_id, json.dumps(doc, sort_keys=True)))
+
+        last_seen_ms = 0
+        for pdf in pdfs:
+            ts_max = pdf[event_time_col].max()
+            if pd.notna(ts_max):
+                last_seen_ms = max(last_seen_ms, int(ts_max.value // 1_000_000))
+            pdf = pdf.sort_values(["topic", "offset"], kind="mergesort")
+            for _, row in pdf.iterrows():
+                payload = json.loads(row["value"])
+                if row["topic"].endswith("characters"):
+                    cid = payload["id"]
+                    characters[cid] = payload
+                    for fic_id in char_to_fics.get(cid, []):
+                        emit_if_complete(fic_id)
+                else:
+                    fic_id = payload["id"]
+                    fictions[fic_id] = payload
+                    for cid in payload["characterIds"]:
+                        subs = char_to_fics.setdefault(cid, [])
+                        if fic_id not in subs:
+                            subs.append(fic_id)
+                    emit_if_complete(fic_id)
+
+        state.update(
+            (json.dumps(characters), json.dumps(fictions), json.dumps(char_to_fics))
+        )
+        # one-shot event-time timer: must be strictly beyond the current
+        # watermark or Spark rejects it (a key whose activity is already
+        # older than watermark-ttl gets the earliest legal slot instead)
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(last_seen_ms + ttl_ms, wm + 1))
+        yield pd.DataFrame(out, columns=["partition", "fiction_id", "doc_json"])
+
+    return (
+        messages.withWatermark(event_time_col, watermark_delay)
+        .groupBy("partition")
+        .applyInPandasWithState(
+            process,
+            outputStructType=DOCUMENT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def assemble_documents_scalable(
     spark,
     messages_path: str,

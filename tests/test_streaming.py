@@ -720,3 +720,68 @@ def test_idempotent_foreach_batch_exactly_once_across_crash(spark, workdir):
         r["value"] for r in spark.read.parquet(out).select("value").collect()
     )
     assert got == ["r1", "r2", "r3"]
+
+
+def test_document_join_event_time_ttl_evicts_and_drains_bounded(spark, workdir):
+    """Event-time TTL: eviction driven by the WATERMARK, so — unlike the
+    processing-time form above — a bounded availableNow drain terminates
+    (no wall clock to chase) AND the eviction point is a deterministic
+    stream position, replay-safe. Sequence: incomplete fiction at 10:00;
+    other-partition traffic moves the watermark past 10:00+1h, firing the
+    idle key's timer; the completing character then arrives to evicted
+    state, so the document never emits. The no-TTL control over the same
+    files does emit it."""
+    from kasper_spark.streaming.state import assemble_documents_event_ttl
+
+    schema = _TTL_SCHEMA + ", event_ts timestamp"
+
+    def env(topic, payloads, ts, partition=0, start_offset=0):
+        return [
+            {
+                "topic": topic,
+                "partition": partition,
+                "offset": start_offset + i,
+                "value": json.dumps(p),
+                "event_ts": ts,
+            }
+            for i, p in enumerate(payloads)
+        ]
+
+    def seed(src):
+        _write_json_file(src, env("fictions", [_TTL_FIC], "2026-01-01T10:00:00Z")
+                         + env("characters", [_TTL_C1], "2026-01-01T10:00:00Z", start_offset=10), "b1.json")
+        _write_json_file(src, env("characters", [_TTL_OTHER], "2026-01-01T12:00:00Z", partition=1), "b2.json")
+        _write_json_file(src, env("characters", [_TTL_OTHER], "2026-01-01T12:00:01Z", partition=1, start_offset=1), "b3.json")
+        _write_json_file(src, env("characters", [_TTL_C2], "2026-01-01T12:00:02Z", start_offset=20), "b4.json")
+        t0 = time.time() - 60
+        for i, f in enumerate(["b1.json", "b2.json", "b3.json", "b4.json"]):
+            os.utime(os.path.join(src, f), (t0 + 2 * i, t0 + 2 * i))
+
+    results = {}
+    for label in ("ttl", "no_ttl"):
+        src = os.path.join(workdir, f"ettl-src-{label}")
+        seed(src)
+        pipe = Pipeline(
+            spark,
+            PipelineConfig(
+                name=f"ettl-{label}-{uuid.uuid4().hex[:8]}",
+                checkpoint_root=os.path.join(workdir, "ckpt"),
+            ),
+        )
+        lines = pipe.file_source(src, schema)
+        docs = (
+            assemble_documents_event_ttl(lines, ttl_ms=3_600_000)
+            if label == "ttl"
+            else assemble_documents(lines)
+        )
+        emitted: list[dict] = []
+
+        def collect_batch(df, epoch_id):
+            emitted.extend(r.asDict() for r in df.collect())
+
+        # BOTH runs drain bounded — the processing-time form cannot do this
+        pipe.run_available_now(docs, output_mode="update", for_each_batch=collect_batch)
+        results[label] = {e["fiction_id"] for e in emitted}
+
+    assert "FI_T" in results["no_ttl"], "control run must complete the document"
+    assert "FI_T" not in results["ttl"], "evicted state must not complete the document"
