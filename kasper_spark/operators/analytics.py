@@ -917,6 +917,43 @@ def hll_mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# count-min sketch geometry, shared with the streaming twin
+# (operators/streaming_twins.py): depth 4 pairwise-independent xxhash64
+# rows of width 8192
+CM_DEPTH, CM_WIDTH = 4, 8192
+
+
+def _cm_cell(d: int) -> Column:
+    return F.pmod(F.xxhash64(F.col("word"), F.lit(d)), F.lit(CM_WIDTH))
+
+
+def cm_depth_cells() -> Column:
+    """Array of (depth, cell) structs for a `word` column — the map-side
+    expansion both the batch and streaming sketch builds share."""
+    return F.array(
+        *[
+            F.struct(F.lit(d).alias("depth"), _cm_cell(d).alias("cell"))
+            for d in range(CM_DEPTH)
+        ]
+    )
+
+
+def cm_topk_from_cells(toks: DataFrame, cells: DataFrame, k: int = 20) -> DataFrame:
+    """Point-query the merged sketch for every vocabulary word (min over
+    the 4 hashed cells — the CM estimate) and return the top-k. The cells
+    side is bounded at CM_DEPTH*CM_WIDTH rows by construction, hence the
+    broadcast."""
+    probes = toks.distinct().select(
+        "word", F.explode(cm_depth_cells()).alias("dc")
+    ).select("word", "dc.depth", "dc.cell")
+    est = (
+        probes.join(F.broadcast(cells), ["depth", "cell"])
+        .groupBy("word")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    return est.orderBy(F.desc("est_count"), "word").limit(k)
+
+
 @register_query(
     "countmin_heavy_hitters",
     oracle="""
@@ -950,49 +987,16 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal exact counts and the oracle is the exact GROUP BY — the sketch is
     exercised as the scale path while the hash gate stays exact. (The
     reference has no sketch operators at all — SURVEY.md §2.C.)"""
-    _DEPTH, _WIDTH = 4, 8192
     docs = load_table(spark, sf_dir, "documents")
     toks = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")
     )
-
-    def _cell(d: int) -> Column:
-        return F.pmod(F.xxhash64(F.col("word"), F.lit(d)), F.lit(_WIDTH))
-
     # map-side: token -> 4 (depth, cell) pairs; partial agg folds them into
     # the per-task sketch before any shuffle
     cells = (
-        toks.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(d).alias("depth"), _cell(d).alias("cell")
-                        )
-                        for d in range(_DEPTH)
-                    ]
-                )
-            ).alias("dc")
-        )
+        toks.select(F.explode(cm_depth_cells()).alias("dc"))
         .groupBy("dc.depth", "dc.cell")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    vocab = toks.distinct()
-    probes = vocab.select(
-        "word",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(d).alias("depth"), _cell(d).alias("cell"))
-                    for d in range(_DEPTH)
-                ]
-            )
-        ).alias("dc"),
-    ).select("word", "dc.depth", "dc.cell")
-    est = (
-        probes.join(F.broadcast(cells), ["depth", "cell"])
-        .groupBy("word")
-        .agg(F.min("cnt").alias("est_count"))
-    )
-    return est.orderBy(F.desc("est_count"), "word").limit(20)
+    return cm_topk_from_cells(toks, cells)

@@ -532,3 +532,73 @@ def streaming_enrich_static_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(qname).orderBy("c_mktsegment")
+
+
+@register_query(
+    "streaming_countmin_twin",
+    oracle="""
+    WITH toks AS (
+        SELECT UNNEST(string_split(text, ' ')) AS word FROM documents
+    ),
+    counts AS (
+        SELECT word, COUNT(*) AS est_count
+        FROM toks WHERE word <> '' GROUP BY word
+    )
+    SELECT word, est_count
+    FROM counts
+    ORDER BY est_count DESC, word
+    LIMIT 20
+    """,
+)
+def streaming_countmin_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch built THROUGH Structured Streaming: the (depth,
+    cell) expansion runs per micro-batch and the stateful complete-mode
+    aggregation IS the incremental sketch merge — each batch's partial
+    cells fold into the running sketch exactly like executor partials fold
+    in the batch build (the mergeability law, exercised end-to-end).
+    Heavy-hitter point queries then probe the final merged sketch and are
+    hash-checked against the same exact-count oracle as
+    countmin_heavy_hitters: streaming and batch sketches converge to the
+    identical answer over the same data."""
+    from kasper_spark.catalog import load_table
+    from kasper_spark.operators.analytics import cm_depth_cells, cm_topk_from_cells
+
+    qname = f"scm_{uuid.uuid4().hex[:10]}"
+    work = tempfile.mkdtemp(prefix="kasper-scm-")
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir)
+    os.symlink(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(src_dir, "documents.parquet"),
+    )
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .format("parquet")
+        .load(src_dir)
+    )
+    stoks = stream.select(
+        F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    cells = (
+        stoks.select(F.explode(cm_depth_cells()).alias("dc"))
+        .groupBy("dc.depth", "dc.cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    q = (
+        cells.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # probe the STREAM-built sketch with the bounded vocabulary
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    return cm_topk_from_cells(toks, spark.table(qname))
