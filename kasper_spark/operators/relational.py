@@ -1098,3 +1098,66 @@ def variant_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def split_json_dlq(df: DataFrame, col: str, schema: str):
+    """Typed-boundary split: rows whose ``col`` parses under ``schema`` vs
+    a dead-letter quarantine of the rest (NULL input counts as dead — a
+    missing payload is not a valid document).
+
+    The reference's apps hard-require decodable JSON
+    (/root/reference/elasticsearch.go:115-118) and a single poison message
+    would fail the batch; at 100 TB scale the engine must instead quarantine
+    and continue — this is that valve, as a reusable two-DataFrame split.
+    Both branches stem from one projection, so a persisted upstream is
+    scanned once; the parse itself is JVM-side from_json (no Python).
+    Returns (parsed, dead): parsed carries the struct column ``p``; dead
+    carries the raw payload for replay/forensics.
+
+    Validity = the payload is well-formed JSON (``try_parse_json`` non-null
+    — PERMISSIVE ``from_json`` alone can't detect this: it returns an
+    all-null STRUCT for garbage, not NULL). Well-formed-but-wrong-shape
+    payloads parse with null fields, matching DuckDB's ``json_valid``
+    boundary exactly.
+    """
+    valid = F.try_parse_json(F.col(col)).isNotNull()
+    parsed = df.filter(valid).withColumn("p", F.from_json(F.col(col), schema))
+    dead = df.filter(~valid)
+    return parsed, dead
+
+
+@register_query(
+    "json_parse_dlq_audit",
+    oracle="""
+    SELECT
+        event_type,
+        COUNT(*) FILTER (WHERE props IS NOT NULL AND json_valid(props)) AS n_parsed,
+        COUNT(*) FILTER (WHERE props IS NULL OR NOT json_valid(props)) AS n_dead
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def json_parse_dlq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type parse/dead-letter audit over the events payloads — the
+    monitoring face of split_json_dlq (whose split semantics are unit-
+    tested against crafted poison payloads in tests/test_examples_parity.py).
+    On healthy data every n_dead is 0; the query certifies the counting
+    path so a poisoned 100 TB ingest shows up as a per-type dead count,
+    not a failed job."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed, dead = split_json_dlq(ev, "props", "k BIGINT")
+    return (
+        parsed.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_parsed"))
+        .join(
+            dead.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_dead")),
+            "event_type",
+            "full_outer",
+        )
+        .select(
+            "event_type",
+            F.coalesce("n_parsed", F.lit(0)).alias("n_parsed"),
+            F.coalesce("n_dead", F.lit(0)).alias("n_dead"),
+        )
+        .orderBy("event_type")
+    )

@@ -148,3 +148,28 @@ def test_runnable_examples_smoke(spark, capsys):
     assert "the has been seen 3 times" in out
     assert "[handled-by-beta] beta/1: b1" in out
     assert "greetings written to" in out
+
+
+def test_split_json_dlq_quarantines_poison_payloads(spark):
+    """Crafted poison batch: valid objects parse; malformed JSON and NULL
+    payloads route to the dead-letter side; nothing is lost or duplicated."""
+    from kasper_spark.operators.relational import split_json_dlq
+
+    rows = [
+        ("ok1", '{"k": 1}'),
+        ("ok2", '{"k": 2, "extra": "ignored"}'),
+        ("bad_syntax", '{"k": '),
+        ("bad_garbage", "not json at all"),
+        ("bad_null", None),
+    ]
+    df = spark.createDataFrame(rows, "id string, props string")
+    parsed, dead = split_json_dlq(df, "props", "k BIGINT")
+    assert sorted(r["id"] for r in parsed.select("id").collect()) == ["ok1", "ok2"]
+    assert sorted(r["id"] for r in dead.select("id").collect()) == [
+        "bad_garbage",
+        "bad_null",
+        "bad_syntax",
+    ]
+    # parsed side carries the typed struct; dead side carries the raw payload
+    assert {r["p"]["k"] for r in parsed.select("p").collect()} == {1, 2}
+    assert "props" in dead.columns and "p" not in dead.columns
