@@ -173,3 +173,42 @@ def test_split_json_dlq_quarantines_poison_payloads(spark):
     # parsed side carries the typed struct; dead side carries the raw payload
     assert {r["p"]["k"] for r in parsed.select("p").collect()} == {1, 2}
     assert "props" in dead.columns and "p" not in dead.columns
+
+
+def test_split_json_dlq_streaming_foreach_batch(spark, tmp_path):
+    """DLQ in streaming: one file-stream pass, split per micro-batch inside
+    foreachBatch, both sides landed to parquet — the quarantine valve a
+    poison message must hit at 100 TB instead of failing the query."""
+    from kasper_spark.operators.relational import split_json_dlq
+
+    src = os.path.join(str(tmp_path), "dlq-src")
+    os.makedirs(src, exist_ok=True)
+    rows = [
+        {"id": "ok1", "props": json.dumps({"k": 1})},
+        {"id": "bad", "props": "{oops"},
+        {"id": "ok2", "props": json.dumps({"k": 2})},
+    ]
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    ok_dir = os.path.join(str(tmp_path), "ok")
+    dead_dir = os.path.join(str(tmp_path), "dead")
+
+    def route(df, batch_id):
+        parsed, dead = split_json_dlq(df, "props", "k BIGINT")
+        parsed.select("id", "p.k").write.mode("append").parquet(ok_dir)
+        dead.write.mode("append").parquet(dead_dir)
+
+    pipe = Pipeline(
+        spark,
+        PipelineConfig(name="dlq-stream", checkpoint_root=os.path.join(str(tmp_path), "ck")),
+    )
+    stream = pipe.file_source(src, "id string, props string")
+    pipe.run_available_now(stream, for_each_batch=route)
+
+    ok = {(r["id"], r["k"]) for r in spark.read.parquet(ok_dir).collect()}
+    dead = [r.asDict() for r in spark.read.parquet(dead_dir).collect()]
+    assert ok == {("ok1", 1), ("ok2", 2)}
+    assert [d["id"] for d in dead] == ["bad"]
+    assert dead[0]["props"] == "{oops"  # raw payload preserved for replay
