@@ -170,6 +170,14 @@ def bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale; on a real cluster SMJ is what AQE would pick for two large
     bucketed facts anyway."""
     wd = _workdir("bucketed")
+    # trust sortBy metadata on read (off by default since Spark 3.0 because
+    # MULTI-file buckets only guarantee per-file order and a sorted scan
+    # would then plan harmfully; the repartition below writes exactly one
+    # file per bucket, which is the precondition that makes this safe).
+    # With it, the merge join runs with zero Exchange AND zero Sort.
+    # Scope note: the flag only affects bucketed-table scans, and the only
+    # bucketed tables in this engine are the ones this operator writes.
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
@@ -180,7 +188,14 @@ def bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         (
-            df.write.option("path", os.path.join(wd, name))
+            # repartition on the bucket key first: Spark's repartition hash
+            # (pmod of Murmur3) is the same function bucketing uses, so each
+            # task holds exactly one bucket and writes exactly ONE file per
+            # bucket — the precondition for the reader to trust the sortBy
+            # metadata and elide the merge-join Sort (multi-file buckets
+            # only guarantee per-file order, so Spark re-sorts them)
+            df.repartition(8, F.col(key))
+            .write.option("path", os.path.join(wd, name))
             .bucketBy(8, key)
             .sortBy(key)
             .mode("overwrite")

@@ -71,6 +71,9 @@ def test_bucketed_join_has_no_exchange(spark):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan
+    # one file per bucket + trusted sortBy metadata: the merge join needs
+    # no Sort either — both sides stream straight off the sorted scans
+    assert "Sort [" not in plan
 
     # and the join itself is correct against a non-bucketed replan
     expect = (
