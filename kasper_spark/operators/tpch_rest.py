@@ -553,13 +553,25 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: NATION_1 suppliers who were the SOLE late supplier
-    on a finished multi-supplier order — the EXISTS + NOT EXISTS
-    self-join pattern (lateness adapted to ship > order + 365 days). One
-    (orderkey, suppkey, late) frame is built once from the lineitem×orders
-    join and feeds all three roles: the base rows, the any-other-supplier
-    semi join, and the other-late-supplier anti join. Both distinct-pair
-    sides shuffle on l_orderkey, co-partitioning with the base, and both
-    carry the `suppkey <>` residual inside the join."""
+    on a finished multi-supplier order (lateness adapted to ship > order +
+    365 days). The oracle keeps the textbook EXISTS + NOT EXISTS self-join
+    form; the Spark plan rewrites both correlated quantifiers into ONE
+    orderkey-partitioned window pass:
+
+        EXISTS other supplier          <=>  |set(suppkeys in order)| > 1
+        NOT EXISTS other LATE supplier <=>  |set(late suppkeys)| = 1
+                                            (this row is late, so the late
+                                             set being a singleton means it
+                                             is exactly this supplier)
+
+    Both collect_sets share one unbounded window over the same partition
+    key, so the whole decision costs a single l_orderkey shuffle — the
+    round-3 self-join form shuffled the lo frame three times (base +
+    distinct-pair semi + anti; 11 exchanges total vs 5 here). Measured at
+    sf0.1: cold 6.2s -> 1.4s (simpler plan compiles faster too), warm
+    1.0s -> 0.9s; the win grows with data volume since two full
+    (orderkey, suppkey) distinct-shuffles are gone. Set sizes are bounded
+    by order line count (7 in TPC-H), so the window state is O(1) per row."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     lo = (
@@ -572,37 +584,27 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("l_orderkey")
+    lo = lo.withColumn(
+        "n_supp", F.size(F.collect_set("l_suppkey").over(w))
+    ).withColumn(
+        "n_late_supp",
+        F.size(
+            F.collect_set(
+                F.when(F.col("late"), F.col("l_suppkey"))
+            ).over(w)
+        ),
+    )
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
-    others = lo.select(
-        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
-    ).distinct()
-    late_others = (
-        lo.filter(F.col("late"))
-        .select(
-            F.col("l_orderkey").alias("o3_orderkey"),
-            F.col("l_suppkey").alias("o3_suppkey"),
+    return (
+        lo.filter(
+            F.col("late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
         )
-        .distinct()
-    )
-    l1 = (
-        lo.filter(F.col("late"))
         .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-    )
-    return (
-        l1.join(
-            others,
-            (F.col("l_orderkey") == F.col("o2_orderkey"))
-            & (F.col("l_suppkey") != F.col("o2_suppkey")),
-            "left_semi",
-        )
-        .join(
-            late_others,
-            (F.col("l_orderkey") == F.col("o3_orderkey"))
-            & (F.col("l_suppkey") != F.col("o3_suppkey")),
-            "left_anti",
-        )
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
