@@ -498,3 +498,128 @@ def levenshtein_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "dist")
         .orderBy("doc_a", "doc_b")
     )
+
+
+def _pagerank_oracle_sql(iters: int = 8) -> str:
+    """Generate the unrolled PageRank oracle: the same Jaccard graph, the
+    same 8 synchronous iterations, the same decimal-exact contribution sums
+    (see pagerank_neardup_graph for why each arithmetic step is
+    engine-exact)."""
+    head = """
+    WITH sets AS (
+        SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), w -> w <> '')) AS ws
+        FROM documents
+        WHERE doc_id < 40
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_filter(a.ws, w -> list_contains(b.ws, w))) AS DOUBLE)
+                / (len(a.ws) + len(b.ws) - len(list_filter(a.ws, w -> list_contains(b.ws, w)))) >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+    r0 AS (
+        SELECT src AS doc_id, CAST(1 AS DOUBLE) / nn.n AS rank FROM deg, nn
+    )"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""
+    r{i} AS (
+        SELECT
+            e.dst AS doc_id,
+            CAST(0.15 AS DOUBLE) / nn.n
+              + CAST(0.85 AS DOUBLE)
+              * CAST(SUM(CAST(r.rank / d.outdeg AS DECIMAL(38,14))) AS DOUBLE) AS rank
+        FROM edges e
+        JOIN r{i - 1} r ON e.src = r.doc_id
+        JOIN deg d ON e.src = d.src
+        CROSS JOIN nn
+        GROUP BY e.dst, nn.n
+    )""")
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT r{iters}.doc_id, deg.outdeg AS n_neighbors, r{iters}.rank AS pagerank
+    FROM r{iters} JOIN deg ON r{iters}.doc_id = deg.src
+    ORDER BY pagerank DESC, doc_id
+    """
+    )
+
+
+@register_query("pagerank_neardup_graph", oracle=_pagerank_oracle_sql())
+def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-duplicate similarity graph (8 synchronous
+    iterations, damping 0.85) — "which documents sit at the center of a
+    duplication cluster": the authority signal a dedup pipeline uses to
+    pick canonical representatives.
+
+    This is the engine's second ITERATIVE operator (after the
+    large-star/small-star connected components) and the first with a FLOAT
+    fixpoint that is still hash-exact against the SQL oracle. The trick is
+    the same dsum discipline as everywhere else: per-edge contributions
+    rank/outdeg are pointwise double ops (IEEE-deterministic on both
+    engines); the order-dependent step — summing contributions per target —
+    runs in DECIMAL(38,14) (exact, associative), and only the finished sum
+    is cast back to double. Every iteration is therefore bit-identical on
+    any partitioning, any engine (the oracle unrolls the same 8 steps —
+    _pagerank_oracle_sql). Scale 14 obeys the functions/exact.py cast rule:
+    per-node sums stay < 1, so the summed unscaled value < 10^14 < 2^53 and
+    the decimal->double cast is correctly rounded on both engines (scale 18
+    was observed to diverge in the last ulp, exactly as that rule predicts).
+
+    Scale shape: per iteration, one shuffle of edges-joined-ranks by dst
+    (AQE broadcasts the rank side while it is small; at web scale both
+    sides shuffle on their keys — the standard synchronous PageRank round).
+    The demo graph is the bounded tokenset_jaccard_pairs candidate set; at
+    100 TB the edges come from minhash_lsh_candidates instead, and each
+    iteration would checkpoint to cut lineage exactly as neardup_clusters
+    does. Graph is symmetric (undirected near-dup relation), so every node
+    has an in-edge and the dangling-mass term vanishes."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    sets = docs.select(
+        "doc_id", F.array_distinct(_tokens(F.col("text"))).alias("ws")
+    )
+    a, b = sets.alias("a"), sets.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
+    union = F.size(F.col("a.ws")) + F.size(F.col("b.ws")) - inter
+    pairs = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(inter.cast("double") / union >= 0.5)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # the candidate graph is consumed 8 times; materialize it once
+    edges = edges.persist()
+    deg = deg.persist()
+    n = deg.count()  # also forces deg (and edges) so the loop reuses them
+    ranks = deg.select("src", (F.lit(1.0) / n).alias("rank")).withColumnRenamed(
+        "src", "doc_id"
+    )
+    for _ in range(8):
+        contribs = (
+            edges.join(ranks, edges.src == ranks.doc_id)
+            .join(deg, "src")
+            .select(
+                "dst",
+                (F.col("rank") / F.col("outdeg")).cast("decimal(38,14)").alias("c"),
+            )
+        )
+        ranks = contribs.groupBy("dst").agg(
+            (F.lit(0.15) / n + F.lit(0.85) * F.sum("c").cast("double")).alias("rank")
+        ).withColumnRenamed("dst", "doc_id")
+    return (
+        ranks.join(deg, ranks.doc_id == deg.src)
+        .select("doc_id", F.col("outdeg").alias("n_neighbors"), F.col("rank").alias("pagerank"))
+        .orderBy(F.desc("pagerank"), "doc_id")
+    )

@@ -97,3 +97,19 @@ def test_random_graph_matches_union_find_oracle(spark):
         for r in connected_components(df).collect()
     }
     assert got == expected
+
+
+def test_pagerank_is_a_probability_distribution(spark):
+    """Structural invariants of the PageRank fixpoint: ranks are positive
+    and sum to 1 (up to the documented 1e-14-per-term quantization) — a
+    broken edge symmetrization or dangling-mass leak shows up here long
+    before the oracle hash does."""
+    from kasper_spark.registry import QUERIES
+
+    rows = QUERIES["pagerank_neardup_graph"](spark, SF_ORACLE).collect()
+    assert rows, "graph should be non-empty at smoke scale"
+    total = sum(r["pagerank"] for r in rows)
+    assert abs(total - 1.0) < 1e-9, total
+    assert all(r["pagerank"] > 0 for r in rows)
+    # symmetric graph: neighbor counts match the edge-list degrees
+    assert all(r["n_neighbors"] >= 1 for r in rows)
