@@ -82,3 +82,37 @@ def test_countmin_never_underestimates_and_matches_exact_here(spark):
     # and the list really is the top of the exact distribution
     topk = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[: len(est)]
     assert set(est) == {w for w, _ in topk}
+
+
+def test_countmin_sketches_merge_by_cell_sum(spark):
+    """Mergeability law: the sketch of a union is the cell-wise sum of the
+    per-subset sketches — the property that makes per-task partials, per-day
+    rollups, and cross-datacenter merges all the same operation."""
+    from pyspark.sql import functions as F
+
+    from kasper_spark.operators.analytics import cm_depth_cells
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    toks = docs.select(
+        (F.col("doc_id") % 2 == 0).alias("half"),
+        F.explode(F.split("text", " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    per_half = (
+        toks.select("half", F.explode(cm_depth_cells()).alias("dc"))
+        .groupBy("half", "dc.depth", "dc.cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    merged = {
+        (r["depth"], r["cell"]): r["s"]
+        for r in per_half.groupBy("depth", "cell")
+        .agg(F.sum("cnt").alias("s"))
+        .collect()
+    }
+    direct = {
+        (r["depth"], r["cell"]): r["cnt"]
+        for r in toks.select(F.explode(cm_depth_cells()).alias("dc"))
+        .groupBy("dc.depth", "dc.cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert merged == direct and len(direct) > 0
