@@ -212,3 +212,23 @@ def test_split_json_dlq_streaming_foreach_batch(spark, tmp_path):
     assert ok == {("ok1", 1), ("ok2", 2)}
     assert [d["id"] for d in dead] == ["bad"]
     assert dead[0]["props"] == "{oops"  # raw payload preserved for replay
+
+
+def test_training_pipeline_example(spark):
+    """The curation walkthrough composes registered operators end-to-end;
+    counts must be monotone non-increasing and the dedup/decontamination
+    stages must actually remove something at smoke scale."""
+    import examples.training_pipeline as tp
+    from tests.conftest import SF_SMOKE
+
+    c = tp.main(spark, SF_SMOKE)
+    order = [
+        "total",
+        "after_exact_dedup",
+        "after_quality_gate",
+        "after_decontamination",
+        "final_keep_list",
+    ]
+    vals = [c[k] for k in order]
+    assert vals == sorted(vals, reverse=True)
+    assert c["final_keep_list"] < c["total"]
