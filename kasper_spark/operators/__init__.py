@@ -14,4 +14,5 @@ from kasper_spark.operators import (  # noqa: F401
     streaming_twins,
     grouped_map,
     io_formats,
+    privacy,
 )

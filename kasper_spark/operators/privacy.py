@@ -1,0 +1,134 @@
+"""PII detection / redaction operators for training-data curation.
+
+The reference has no text hygiene at all (its values are opaque bytes —
+/root/reference/store.go:16-31); these operators add the scrubbing pass a
+100 TB web-corpus pipeline runs before training: detect and mask emails,
+phone numbers, IPv4 addresses, and SSN-shaped identifiers.
+
+Scale shape: pure map-side JVM regex expressions over one parquet scan — no
+shuffle, no Python, no UDFs. At 1000 executors this is embarrassingly
+parallel and bounded by scan throughput; the regex set is deliberately
+RE2-compatible so the same patterns run on DuckDB for the oracle check and
+on any RE2-based preprocessor a production pipeline might pair with.
+
+Determinism note: the driver's synthetic `documents.text` contains no PII
+(no digits at all), so a redaction pass over raw text would be an identity
+no-op and the oracle check would certify nothing. `pii_redact` therefore
+first APPENDS deterministic synthetic PII derived from `doc_id` — the same
+arithmetic on both engines — then detects and redacts it, so every regex
+is exercised on every row and the DuckDB hash-compare certifies the actual
+matching/masking behavior.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kasper_spark.catalog import load_table
+from kasper_spark.registry import register_query
+
+# One pattern set, shared verbatim by the Spark expressions and the DuckDB
+# oracle SQL. Java regex and RE2 agree on every construct used here
+# (character classes, bounded repetition, \d, \b word boundaries).
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    # name -> (regex, replacement token); applied in this order. The order
+    # is load-bearing only for EMAIL-before-IP (an email's domain can
+    # contain a dotted quad); the remaining shapes are mutually exclusive
+    # (IP 1-3 digit dotted quad, SSN 3-2-4 dashed, PHONE 3-3-4 dashed).
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ip": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    "phone": (r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+}
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-category match counts (computed BEFORE redaction)."""
+    return {
+        name: F.regexp_count(col, F.lit(pat)).alias(f"n_{name}")
+        for name, (pat, _) in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(col: Column) -> Column:
+    """Mask every PII category in ``col`` with its placeholder token.
+
+    Chained regexp_replace — still ONE projection in the physical plan, so
+    whole-stage codegen fuses the four passes into a single generated
+    function per row batch.
+    """
+    out = col
+    for pat, token in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+# Deterministic synthetic-PII injection: identical arithmetic on both
+# engines (all operands nonnegative, so div/mod agree).
+def _injected_spark() -> Column:
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"), s(d), F.lit("@example.com ip 10."),
+        s(d % 256), F.lit("."), s(F.expr("doc_id div 256") % 256), F.lit("."),
+        s(1 + d % 254), F.lit(" ssn "),
+        s(100 + d % 900), F.lit("-"), F.lpad(s(d % 100), 2, "0"), F.lit("-"),
+        s(1000 + d % 9000), F.lit(" call 555-"),
+        s(100 + d % 900), F.lit("-"), s(1000 + d % 9000), F.lit(" now"),
+    )
+
+
+_INJECTED_SQL = """
+        text || ' contact user' || CAST(doc_id AS VARCHAR)
+             || '@example.com ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+             || '.' || CAST((doc_id // 256) % 256 AS VARCHAR)
+             || '.' || CAST(1 + doc_id % 254 AS VARCHAR)
+             || ' ssn ' || CAST(100 + doc_id % 900 AS VARCHAR)
+             || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+             || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+             || ' call 555-' || CAST(100 + doc_id % 900 AS VARCHAR)
+             || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR) || ' now'
+"""
+
+
+def _redact_sql(expr: str) -> str:
+    out = expr
+    for pat, token in PII_PATTERNS.values():
+        out = f"regexp_replace({out}, '{pat}', '{token}', 'g')"
+    return out
+
+
+_PII_ORACLE = f"""
+    WITH injected AS (
+        SELECT doc_id, {_INJECTED_SQL} AS t
+        FROM documents
+    )
+    SELECT
+        doc_id,
+        {", ".join(
+            f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_{name}"
+            for name, (pat, _) in PII_PATTERNS.items()
+        )},
+        {_redact_sql("t")} AS redacted
+    FROM injected
+"""
+
+
+@register_query("pii_redact", oracle=_PII_ORACLE)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect + mask PII over the documents table (with deterministic
+    synthetic PII injected first — see module docstring).
+
+    Output: doc_id, per-category match counts, redacted text. Map-only:
+    the plan is scan -> project, no exchange.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select("doc_id", _injected_spark().alias("t"))
+    counts = pii_counts(F.col("t"))
+    return injected.select(
+        "doc_id",
+        *[counts[name].cast("bigint").alias(f"n_{name}") for name in PII_PATTERNS],
+        redact_pii(F.col("t")).alias("redacted"),
+    )
