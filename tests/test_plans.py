@@ -182,3 +182,51 @@ def test_decontaminate_broadcasts_eval_side(spark):
     stream_side = plan.split("BroadcastHashJoin")[1]
     probe_segment = stream_side.split("BroadcastExchange")[0]
     assert "Exchange hashpartitioning" not in probe_segment
+
+
+def test_runtime_bloom_filter_injectable(spark):
+    """100 TB runtime-filtering contract: our declarative join shapes stay
+    eligible for Spark's InjectRuntimeFilter. Locally the fact side is far
+    under applicationSideScanSizeThreshold (10 GB) and dimension sides
+    broadcast, so no bloom appears in normal runs — but at cluster scale a
+    selective fact-fact shuffle join crosses the thresholds and Catalyst
+    must be able to inject `bloom_filter_agg` + `might_contain` on the big
+    side. Emulate the at-scale condition (thresholds down, broadcast off)
+    and pin the injection; config mutations are restored so later tests see
+    the tuned session."""
+    import pyspark.sql.functions as F
+
+    from kasper_spark.catalog import load_table
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        o = (
+            load_table(spark, SF_SMOKE, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey", "o_totalprice")
+        )
+        li = load_table(spark, SF_SMOKE, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        plan = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
