@@ -130,17 +130,40 @@ class TopicDirStreamReader(DataSourceStreamReader):
 
     def __init__(self, options):
         self.root = options["path"]
+        # A3 batching parity: like the Kafka source's maxOffsetsPerTrigger
+        # (kasper Config.BatchSize), cap how far one micro-batch may advance
+        # each partition. The cap is applied between consecutive triggers of
+        # a run (the reader only learns the checkpoint position when
+        # partitions() hands it the start offsets, so the first batch after
+        # a restart is capped relative to that start once it is observed).
+        self.cap = int(
+            options.get("maxrecordspertrigger", options.get("maxRecordsPerTrigger", 0))
+        )
+        self._prev: dict | None = None
 
     def initialOffset(self) -> dict:
         return {str(pid): 0 for pid in sorted(_partition_dirs(self.root))}
 
     def latestOffset(self) -> dict:
-        return {
+        actual = {
             str(pid): _count_records(pdir)
             for pid, pdir in sorted(_partition_dirs(self.root).items())
         }
+        if not self.cap:
+            return actual
+        base = self._prev or {p: 0 for p in actual}
+        end = {p: min(n, base.get(p, 0) + self.cap) for p, n in actual.items()}
+        self._prev = end
+        return end
 
     def partitions(self, start: dict, end: dict):
+        if self.cap:
+            # learn the true consumed position (checkpoint-restored starts
+            # can be ahead of our conservative cap base)
+            merged = dict(self._prev or {})
+            for p, s in start.items():
+                merged[p] = max(merged.get(p, 0), s)
+            self._prev = merged
         return [
             _RangePartition(self.root, int(pid), start.get(pid, 0), stop)
             for pid, stop in sorted(end.items())

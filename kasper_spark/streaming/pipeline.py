@@ -133,6 +133,23 @@ class Pipeline:
             .load(path)
         )
 
+    def topic_dir_source(self, path: str) -> DataFrame:
+        """Broker-less Kafka-twin source: the kasper_topic_dir connector
+        (kasper_spark/sources/topic_dir.py) — partitioned ordered logs with
+        monotone offsets, checkpoint resume (A2) and per-trigger batch-size
+        caps (A3), through Spark's real connector machinery. This is the
+        sandbox-executable form of kafka_source(); both expose the same
+        downstream surface."""
+        from kasper_spark.sources.topic_dir import register_topic_dir_source
+
+        register_topic_dir_source(self.spark)
+        return (
+            self.spark.readStream.format("kasper_topic_dir")
+            .option("path", path)
+            .option("maxRecordsPerTrigger", str(self.config.batch_size))
+            .load()
+        )
+
     # ---- sinks (A5/B1) ---------------------------------------------------
 
     def start(

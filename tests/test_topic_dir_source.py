@@ -122,3 +122,47 @@ def test_writer_roundtrip_and_key_routing(spark):
         df.write.format("kasper_topic_dir").option("path", root).mode(
             "overwrite"
         ).save()
+
+
+def test_reader_batch_size_cap(topic):
+    """A3 parity: maxRecordsPerTrigger caps how far each trigger advances
+    (kasper Config.BatchSize)."""
+    r = TopicDirStreamReader({"path": topic, "maxrecordspertrigger": "2"})
+    first = r.latestOffset()
+    assert first == {"0": 2, "1": 1}  # p=0 capped at 2 of 3
+    r.partitions({"0": 0, "1": 0}, first)
+    second = r.latestOffset()
+    assert second == {"0": 3, "1": 1}  # next trigger advances the rest
+
+
+def test_pipeline_end_to_end_topic_roundtrip(spark, topic):
+    """Reference hello-world/producer pattern through custom connectors:
+    topic_dir source -> transform -> topic_dir sink (foreachBatch produce,
+    checkpoint commits after the write — A6 ordering), then read the output
+    topic back."""
+    import tempfile as _tf
+
+    from kasper_spark.streaming.pipeline import Pipeline, PipelineConfig
+
+    out_topic = _tf.mkdtemp(prefix="kasper-topic-out-")
+    cfg = PipelineConfig(
+        name=f"e2e-{os.path.basename(out_topic)}",
+        checkpoint_root=_tf.mkdtemp(prefix="kasper-topic-e2e-ck-"),
+        batch_size=1000,
+    )
+    p = Pipeline(spark, cfg)
+    src = p.topic_dir_source(topic)
+    transformed = src.select(
+        "key", F.upper(F.col("value")).alias("value"), "ts"
+    )
+
+    def produce(df, _bid):
+        df.write.format("kasper_topic_dir").option("path", out_topic).option(
+            "partitions", "2"
+        ).mode("append").save()
+
+    p.run_available_now(transformed, for_each_batch=produce)
+    back = spark.read.format("kasper_topic_dir").option("path", out_topic).load()
+    assert sorted(r["value"] for r in back.collect()) == ["V0", "V1", "V2", "V3"]
+    for r in back.collect():
+        assert r["partition"] == hash_str(r["key"]) % 2
