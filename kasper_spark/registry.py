@@ -60,13 +60,15 @@ def load_all_operators() -> None:
 # after these. Ordering is presentation-only: names, implementations and
 # oracles are untouched.
 # ROUND-5 ROTATION TODO: after the r04 ledger lands, rotate the next
-# never-sampled cohort into this window: the ten round-4 additions
+# never-sampled cohort into this window: the twelve round-4 additions
 # (ngram_decontaminate, dup_ngram_quality, semantic_dedup_leader,
 # countmin_heavy_hitters, vocab_coverage, bucketed_join_no_shuffle,
 # substring_dup_spans, streaming_countmin_twin, json_parse_dlq_audit,
-# pagerank_neardup_graph), profile_orders_columns, and any r04 reds. All
-# 134 entries were verified green against a BARE local[32] session at
-# sf0.01 on 2026-08-14, so rotation order is about coverage, not risk.
+# pagerank_neardup_graph, pii_redact, zorder_key_events),
+# profile_orders_columns, and any r04 reds. The first 134 entries were
+# verified green against a BARE local[32] session at sf0.01 on 2026-08-14
+# (pii_redact and zorder_key_events likewise, later the same day), so
+# rotation order is about coverage, not risk.
 DRIVER_SAMPLE_PRIORITY: list[str] = [
     # freshly-fixed oracles — must re-sample to prove the fix
     "q12_late_priority_class",
