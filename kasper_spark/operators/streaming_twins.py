@@ -602,3 +602,68 @@ def streaming_countmin_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("word") != "")
     )
     return cm_topk_from_cells(toks, spark.table(qname))
+
+
+@register_query(
+    "streaming_topic_dir_twin",
+    oracle="""
+    SELECT CAST(user_id AS VARCHAR) AS key, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def streaming_topic_dir_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key message counts through the kasper_topic_dir connector, end
+    to end: events -> produce (key-hash routed, distributed writer) ->
+    stream-consume through Spark's connector machinery -> stateful count ->
+    drain — hash-checked against plain SQL over the original table.
+
+    This certifies the connector's delivery contract with the oracle, not
+    just unit tests: every message written is consumed exactly once, keys
+    survive the produce/consume round trip, and the streaming aggregate
+    over the log converges to the batch answer (the reference's core
+    at-least-once + idempotent-processing promise,
+    /root/reference/README.md:13-19, exercised through a real pluggable
+    source instead of a file-stream approximation).
+    """
+    from kasper_spark.sources.topic_dir import register_topic_dir_source
+
+    register_topic_dir_source(spark)
+    ensure_nanos_as_long(spark)
+    work = tempfile.mkdtemp(prefix="kasper-stdt-")
+    topic = os.path.join(work, "topic")
+
+    events = normalize_driver_ts(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")), ("ts",)
+    )
+    (
+        events.select(
+            F.col("user_id").cast("string").alias("key"),
+            F.col("event_type").alias("value"),
+            "ts",
+        )
+        .write.format("kasper_topic_dir")
+        .option("path", topic)
+        .option("partitions", "4")
+        .mode("append")
+        .save()
+    )
+
+    qname = f"stdt_{uuid.uuid4().hex[:10]}"
+    counts = (
+        spark.readStream.format("kasper_topic_dir")
+        .option("path", topic)
+        .load()
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
