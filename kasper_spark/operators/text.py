@@ -1063,3 +1063,67 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "span_start", "span_end", "n_tokens")
         .orderBy("doc_id", "span_start")
     )
+
+
+@register_query(
+    "unigram_rarity_quality",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+        FROM documents
+    ),
+    cf AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS cf FROM words GROUP BY w
+    ),
+    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM words)
+    SELECT
+        words.doc_id AS doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_words,
+        CAST(SUM(cf.cf) AS BIGINT) AS sum_cf,
+        CAST(SUM(cf.cf) AS DOUBLE) / (COUNT(*) * ANY_VALUE(total.t)) AS mean_token_prob
+    FROM words JOIN cf ON words.w = cf.w CROSS JOIN total
+    GROUP BY words.doc_id
+    """,
+)
+def unigram_rarity_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram probability under the corpus's own
+    unigram distribution — the rare-token-soup detector: OCR garbage,
+    boilerplate code dumps, and non-prose documents score near the corpus
+    floor, while fluent text sits near the token-frequency mean. The
+    standard curation form is a unigram-LM cross-entropy; this is the
+    log-free rational equivalent (same tfidf_top_terms reasoning: ln()
+    differs in the last ulp between libm implementations, while an integer
+    sum + ONE double division is engine-exact and
+    partitioning-independent).
+
+    mean_token_prob(d) = (1/|d|) * sum over token instances of cf(w)/T
+                       = sum_cf / (n_words * T)
+
+    Scale shape: tokens partial-aggregate into per-(doc, word) counts, the
+    corpus frequency table cf is a second partial-aggregated shuffle on w
+    (vocabulary-sized), and T is a 1-row broadcast. The tokens-to-cf join
+    broadcasts when the vocabulary is small and shuffle-hashes otherwise
+    (AQE decides) — identical topology to tfidf_top_terms, whose
+    intermediates Catalyst shares in a combined pipeline.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("w"))
+    wf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    cf = wf.groupBy("w").agg(F.sum("c").alias("cf"))
+    total = wf.agg(F.sum("c").alias("t"))
+    per_doc = (
+        wf.join(cf, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.sum(F.col("c") * F.col("cf")).alias("sum_cf"),
+        )
+    )
+    return per_doc.crossJoin(total).select(
+        "doc_id",
+        "n_words",
+        "sum_cf",
+        (F.col("sum_cf").cast("double") / (F.col("n_words") * F.col("t"))).alias(
+            "mean_token_prob"
+        ),
+    )

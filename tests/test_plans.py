@@ -137,6 +137,7 @@ _INTENTIONAL_BNLJ = {
     "q11_important_value",  # 1-row broadcast: national total threshold
     "q15_top_supplier",  # 1-row broadcast: global max revenue
     "tfidf_top_terms",  # 1-row broadcast of the corpus doc count
+    "unigram_rarity_quality",  # 1-row broadcast of the corpus token total
 }
 # iterative/streaming queries execute during construction — skip plan-only audit
 _AUDIT_SKIP = {"neardup_clusters"}
