@@ -50,6 +50,8 @@ HEADLINE = [
     "ngram_decontaminate",    # broadcast eval-shingle join, no corpus shuffle
     "substring_dup_spans",    # corpus-wide repeated-substring spans
     "countmin_heavy_hitters", # mergeable CM sketch, bounded shuffle
+    "pii_redact",             # map-only 4-pattern regex scrub (codegen'd)
+    "unigram_rarity_quality", # corpus-LM quality: wf/cf shuffles + 1-row T
 ]
 
 

@@ -45,6 +45,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -226,6 +227,94 @@ class TopicDirWriter(DataSourceWriter):
         return _WroteFiles(written)
 
 
+class TopicDirStreamWriter(DataSourceStreamWriter):
+    """Streaming produce side with the replay window CLOSED.
+
+    The reference's protocol is produce -> await acks -> commit offsets
+    (/root/reference/topic_processor.go:240-263): a crash between produce
+    and commit redelivers the batch — at-least-once, duplicates possible.
+    This writer upgrades that to exactly-once per epoch:
+
+    - tasks stage their partition files under temp names (never visible to
+      readers, which only list ``*.jsonl``);
+    - ``commit(messages, batchId)`` renames the staged files to
+      batchId-deterministic names and drops an atomically-renamed marker in
+      ``_epochs/``; a REPLAYED epoch (crash after sink commit but before
+      the checkpoint offset commit) finds its marker and discards the
+      re-staged files instead of appending duplicates;
+    - ``abort`` deletes staged files, so failed epochs leave nothing.
+
+    This is the connector-native form of the idempotent_foreach_batch
+    recipe (streaming/pipeline.py): the marker ledger IS the transaction
+    log a table format would provide at 100 TB.
+
+    File names embed the zero-padded epoch so per-partition log order stays
+    lexicographic. Don't mix the batch writer and the stream writer in one
+    topic dir unless arrival-order across the two doesn't matter.
+    """
+
+    def __init__(self, options):
+        self.root = options["path"]
+        self.n_partitions = int(options.get("partitions", "4"))
+
+    # executors ---------------------------------------------------------
+    def write(self, iterator):
+        staged: list[tuple[int, str]] = []
+        buckets: dict[int, list[str]] = {}
+        for row in iterator:
+            key = row["key"]
+            pid = (hash_str(key) % self.n_partitions) if key is not None else 0
+            ts = row["ts"]
+            epoch = ts.replace(tzinfo=timezone.utc).timestamp() if ts else 0.0
+            buckets.setdefault(pid, []).append(
+                json.dumps(
+                    {"key": key, "value": row["value"], "ts": epoch},
+                    ensure_ascii=True,
+                )
+            )
+        for pid, lines in buckets.items():
+            pdir = os.path.join(self.root, f"p={pid}")
+            os.makedirs(pdir, exist_ok=True)
+            tmp = os.path.join(pdir, f".stage-{uuid.uuid4().hex}.tmp")
+            with open(tmp, "w", encoding="utf-8") as fh:
+                fh.write("\n".join(lines) + "\n")
+            staged.append((pid, tmp))
+        return _WroteFiles(staged)
+
+    # driver ------------------------------------------------------------
+    def _marker(self, batch_id: int) -> str:
+        return os.path.join(self.root, "_epochs", f"{batch_id:012d}.committed")
+
+    def commit(self, messages, batchId: int) -> None:
+        staged = [f for m in messages if m is not None for f in m.files]
+        marker = self._marker(batchId)
+        if os.path.exists(marker):
+            # replayed epoch: the data is already in the log — drop the
+            # restaged copies (exactly-once)
+            for _pid, tmp in staged:
+                if os.path.exists(tmp):
+                    os.remove(tmp)
+            return
+        for seq, (pid, tmp) in enumerate(staged):
+            final = os.path.join(
+                self.root, f"p={pid}", f"e{batchId:012d}-{seq:05d}.jsonl"
+            )
+            os.rename(tmp, final)
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        mtmp = marker + ".tmp"
+        with open(mtmp, "w") as fh:
+            fh.write("committed\n")
+        os.rename(mtmp, marker)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            for _pid, tmp in m.files:
+                if os.path.exists(tmp):
+                    os.remove(tmp)
+
+
 def hash_str(s: str) -> int:
     """FNV-1a 32-bit — a stable cross-process key hash (Python's builtin
     hash() is salted per process, which would scatter a key across
@@ -254,6 +343,9 @@ class TopicDirDataSource(DataSource):
         if overwrite:
             raise ValueError("kasper_topic_dir is append-only (a log, like Kafka)")
         return TopicDirWriter(self.options)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return TopicDirStreamWriter(self.options)
 
 
 def register_topic_dir_source(spark) -> None:

@@ -166,3 +166,83 @@ def test_pipeline_end_to_end_topic_roundtrip(spark, topic):
     assert sorted(r["value"] for r in back.collect()) == ["V0", "V1", "V2", "V3"]
     for r in back.collect():
         assert r["partition"] == hash_str(r["key"]) % 2
+
+
+def test_stream_writer_exactly_once_epochs(spark, topic):
+    """writeStream through the connector: epochs land atomically with
+    batchId-deterministic names; a re-run on the same checkpoint appends
+    nothing; new source data appends exactly the new records."""
+    import tempfile as _tf
+
+    out = _tf.mkdtemp(prefix="kasper-topic-sw-")
+    ck = _tf.mkdtemp(prefix="kasper-topic-sw-ck-")
+
+    def run():
+        q = (
+            spark.readStream.format("kasper_topic_dir")
+            .option("path", topic)
+            .load()
+            .select("key", "value", "ts")
+            .writeStream.format("kasper_topic_dir")
+            .option("path", out)
+            .option("partitions", "2")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def values():
+        return sorted(
+            r["value"]
+            for r in spark.read.format("kasper_topic_dir")
+            .option("path", out)
+            .load()
+            .collect()
+        )
+
+    run()
+    assert values() == ["v0", "v1", "v2", "v3"]
+    run()  # no new input, same checkpoint -> no duplicates
+    assert values() == ["v0", "v1", "v2", "v3"]
+
+    _seed(topic, 1, [("z", "v9", 9.0)], "002.jsonl")
+    run()
+    assert values() == ["v0", "v1", "v2", "v3", "v9"]
+
+    # no stray staging files; epoch markers exist
+    for pdir in os.listdir(out):
+        if pdir.startswith("p="):
+            assert all(
+                f.endswith(".jsonl") for f in os.listdir(os.path.join(out, pdir))
+            )
+    assert os.listdir(os.path.join(out, "_epochs"))
+
+
+def test_stream_writer_commit_replay_is_idempotent(tmp_path):
+    """Unit drive of the commit protocol: a replayed batchId discards its
+    restaged files instead of appending duplicates; abort cleans staging."""
+    from kasper_spark.sources.topic_dir import TopicDirStreamWriter, _WroteFiles
+
+    root = str(tmp_path / "t")
+    w = TopicDirStreamWriter({"path": root, "partitions": "2"})
+
+    def stage(content: str):
+        pdir = os.path.join(root, "p=0")
+        os.makedirs(pdir, exist_ok=True)
+        tmp = os.path.join(pdir, f".stage-{content}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(json.dumps({"key": "k", "value": content, "ts": 1.0}) + "\n")
+        return _WroteFiles([(0, tmp)])
+
+    w.commit([stage("a")], batchId=7)
+    files = os.listdir(os.path.join(root, "p=0"))
+    assert files == ["e000000000007-00000.jsonl"]
+
+    # crash-after-sink-commit replay: same batchId staged again
+    w.commit([stage("a-replayed")], batchId=7)
+    assert os.listdir(os.path.join(root, "p=0")) == ["e000000000007-00000.jsonl"]
+
+    m = stage("b")
+    w.abort([m], batchId=8)
+    assert os.listdir(os.path.join(root, "p=0")) == ["e000000000007-00000.jsonl"]
