@@ -623,3 +623,139 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("outdeg").alias("n_neighbors"), F.col("rank").alias("pagerank"))
         .orderBy(F.desc("pagerank"), "doc_id")
     )
+
+
+def _lpa_oracle_sql(iters: int = 8) -> str:
+    """Unrolled label-propagation oracle: same Jaccard graph as pagerank,
+    same self-loop-damped synchronous votes, same min-label tie-break."""
+    head = """
+    WITH sets AS (
+        SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), w -> w <> '')) AS ws
+        FROM documents
+        WHERE doc_id < 40
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_filter(a.ws, w -> list_contains(b.ws, w))) AS DOUBLE)
+                / (len(a.ws) + len(b.ws) - len(list_filter(a.ws, w -> list_contains(b.ws, w)))) >= 0.5
+    ),
+    nodes AS (
+        SELECT DISTINCT doc_a AS node FROM pairs
+        UNION
+        SELECT DISTINCT doc_b AS node FROM pairs
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+        UNION ALL
+        SELECT node AS src, node AS dst FROM nodes
+    ),
+    l0 AS (SELECT node, node AS label FROM nodes)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""
+    l{i} AS (
+        SELECT node, label FROM (
+            SELECT v.node AS node, v.label AS label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.node ORDER BY v.cnt DESC, v.label
+                   ) AS rn
+            FROM (
+                SELECT e.dst AS node, l.label AS label, COUNT(*) AS cnt
+                FROM edges e JOIN l{i - 1} l ON e.src = l.node
+                GROUP BY e.dst, l.label
+            ) v
+        ) WHERE rn = 1
+    )""")
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT
+        l{iters}.node AS doc_id,
+        l{iters}.label AS community,
+        CAST(COUNT(*) OVER (PARTITION BY l{iters}.label) AS BIGINT) AS community_size
+    FROM l{iters}
+    ORDER BY community, doc_id
+    """
+    )
+
+
+@register_query("label_propagation_communities", oracle=_lpa_oracle_sql())
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation over the near-duplicate graph —
+    community detection: where connected components answer "which docs are
+    transitively linked at all", LPA's majority vote splits a component
+    into densely-linked duplication families (two clusters bridged by one
+    borderline pair stay separate communities).
+
+    Determinism (the classic LPA pitfall, solved): every step is INTEGER
+    arithmetic — votes are counts, the winner is (max count, then MIN
+    label) via a rank-1 window — and the iteration count is fixed (8), so
+    the result is bit-identical on any partitioning and any engine; the
+    oracle unrolls the same 8 steps. A self-loop per node adds the node's
+    own label to its vote, damping the 2-coloring oscillation synchronous
+    LPA exhibits on bipartite-ish regions.
+
+    Scale shape: per iteration, votes = one shuffle of (edges join labels)
+    by dst + a partial-aggregated count; the argmax is a per-node window
+    over label-count rows (vocabulary of labels per node is bounded by its
+    degree, so WindowGroupLimit keeps it heap-local). Same demo graph as
+    pagerank_neardup_graph (bounded all-pairs, allow-listed); at 100 TB
+    the edges come from minhash_lsh_candidates and each round checkpoints
+    to cut lineage, exactly as neardup_clusters does."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    sets = docs.select(
+        "doc_id", F.array_distinct(_tokens(F.col("text"))).alias("ws")
+    )
+    a, b = sets.alias("a"), sets.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
+    union = F.size(F.col("a.ws")) + F.size(F.col("b.ws")) - inter
+    pairs = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(inter.cast("double") / union >= 0.5)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    nodes = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .union(pairs.select(F.col("doc_b").alias("node")))
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .unionAll(nodes.select(F.col("node").alias("src"), F.col("node").alias("dst")))
+        .persist()
+    )
+    edges.count()  # materialize: the graph is consumed 8 times
+    labels = nodes.select("node", F.col("node").alias("label"))
+    by_votes = Window.partitionBy("node").orderBy(
+        F.desc("cnt"), F.asc("label")
+    )
+    for _ in range(8):
+        votes = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node2"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumnRenamed("node2", "node")
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(by_votes))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("community"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("label"))
+        .cast("bigint")
+        .alias("community_size"),
+    ).orderBy("community", "doc_id")

@@ -131,6 +131,7 @@ _INTENTIONAL_BNLJ = {
     "semantic_dedup_leader",  # bounded-subset all-pairs + leader anti-join
     "tokenset_jaccard_pairs",
     "pagerank_neardup_graph",  # same bounded (doc_id<40) all-pairs edge build
+    "label_propagation_communities",  # same bounded all-pairs edge build
     # 1-row broadcast of a global scalar-subquery threshold (TPC-H Q22
     # shape) — the same physical shape Spark gives a ScalarSubquery.
     "q22_idle_rich_customers",
