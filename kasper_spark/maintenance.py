@@ -1,0 +1,75 @@
+"""Table-maintenance utilities: small-file compaction.
+
+The operational reality of a 100 TB lake the reference never faces (its
+only storage is Kafka + KV stores): streaming sinks and fine-grained
+partitioned writes accrete thousands of KB-sized files, and at scan time
+each file costs a task schedule + footer read + (on object stores) a
+request round trip — a 100k-file partition can spend more time on file
+overhead than on data. Compaction rewrites a directory into ~target-sized
+files.
+
+Design:
+- `plan_compaction` is METADATA-ONLY (file listing + sizes, no data read):
+  it bin-packs files into merge groups and is cheap enough to run in a
+  scheduler loop to decide IF compaction is worth it.
+- `compact_parquet_dir` does the rewrite with a single coalesce-free
+  `repartition(n)` sized from the real byte total — an even shuffle-round
+  rewrite (coalesce would inherit the skew of the input files). Row-group
+  integrity, schema, and values are preserved (round-trip-tested).
+- Rewrites land in a NEW directory; swapping it in is the caller's
+  (atomic-rename / table-format-transaction) concern. Compacting in place
+  under readers is exactly the race a table format's snapshot isolation
+  exists to solve.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import SparkSession
+
+
+def plan_compaction(
+    path: str, target_bytes: int, small_file_factor: float = 0.5
+) -> list[list[str]]:
+    """Bin-pack the parquet files under ``path`` into merge groups of
+    ~``target_bytes``. Files already >= ``small_file_factor * target_bytes``
+    are left alone (rewriting them buys nothing). Returns only groups with
+    2+ files — an empty plan means the directory is already well-laid-out.
+
+    First-fit-decreasing on size; deterministic (size desc, then name)."""
+    files = sorted(
+        ((os.path.getsize(f), f) for f in glob.glob(os.path.join(path, "*.parquet"))),
+        key=lambda t: (-t[0], t[1]),
+    )
+    small = [(sz, f) for sz, f in files if sz < target_bytes * small_file_factor]
+    groups: list[tuple[int, list[str]]] = []
+    for sz, f in small:
+        placed = False
+        for i, (gsz, members) in enumerate(groups):
+            if gsz + sz <= target_bytes:
+                groups[i] = (gsz + sz, members + [f])
+                placed = True
+                break
+        if not placed:
+            groups.append((sz, [f]))
+    return [members for _gsz, members in groups if len(members) > 1]
+
+
+def compact_parquet_dir(
+    spark: SparkSession, src: str, dst: str, target_bytes: int
+) -> int:
+    """Rewrite the parquet directory ``src`` into ``dst`` with files of
+    ~``target_bytes``. Returns the number of output part-files requested.
+
+    Sizing note: parquet re-encodes (and often re-compresses better, since
+    bigger row groups mean bigger dictionary/RLE runs), so output files
+    come out <= target; the goal is bounding file COUNT, not hitting an
+    exact size."""
+    total = sum(
+        os.path.getsize(f) for f in glob.glob(os.path.join(src, "*.parquet"))
+    )
+    n = max(1, -(-total // target_bytes))  # ceil
+    spark.read.parquet(src).repartition(n).write.mode("overwrite").parquet(dst)
+    return n

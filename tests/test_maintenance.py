@@ -1,0 +1,57 @@
+"""Small-file compaction: metadata-only planning + lossless rewrite."""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+
+import pytest
+
+from kasper_spark.catalog import load_table
+from kasper_spark.maintenance import compact_parquet_dir, plan_compaction
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def fragmented(spark):
+    """orders written as many tiny files (a streaming-sink-shaped mess)."""
+    src = tempfile.mkdtemp(prefix="kasper-frag-")
+    load_table(spark, SF_SMOKE, "orders").repartition(40).write.mode(
+        "overwrite"
+    ).parquet(src)
+    return src
+
+
+def test_plan_compaction_is_metadata_only_and_packs(fragmented):
+    files = glob.glob(os.path.join(fragmented, "*.parquet"))
+    assert len(files) == 40
+    total = sum(os.path.getsize(f) for f in files)
+    target = total // 4
+    plan = plan_compaction(fragmented, target)
+    # every group has 2+ files, stays under target, and no file repeats
+    seen = set()
+    for group in plan:
+        assert len(group) > 1
+        assert sum(os.path.getsize(f) for f in group) <= target
+        for f in group:
+            assert f not in seen
+            seen.add(f)
+    assert len(seen) > 30  # the tiny files overwhelmingly get packed
+
+    # an already-compacted directory yields an empty plan
+    assert plan_compaction(fragmented, target_bytes=1) == []
+
+
+def test_compact_roundtrip_and_file_count(spark, fragmented):
+    dst = tempfile.mkdtemp(prefix="kasper-compact-")
+    total = sum(
+        os.path.getsize(f) for f in glob.glob(os.path.join(fragmented, "*.parquet"))
+    )
+    n = compact_parquet_dir(spark, fragmented, dst, target_bytes=total // 4 + 1)
+    out_files = glob.glob(os.path.join(dst, "*.parquet"))
+    assert len(out_files) == n <= 5
+
+    before = sorted(map(str, spark.read.parquet(fragmented).collect()))
+    after = sorted(map(str, spark.read.parquet(dst).collect()))
+    assert before == after
