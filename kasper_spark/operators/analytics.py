@@ -1000,3 +1000,76 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return cm_topk_from_cells(toks, cells)
+
+
+@register_query(
+    "incremental_agg_merge",
+    oracle="""
+    WITH parts AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS s
+        FROM orders
+        WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY o_orderpriority
+        UNION ALL
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS s
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        GROUP BY o_orderpriority
+    )
+    SELECT
+        o_orderpriority,
+        CAST(SUM(n) AS BIGINT) AS n_orders,
+        CAST(CAST(SUM(s) AS DECIMAL(38,6)) AS DOUBLE) AS total_price,
+        CAST(CAST(SUM(s) AS DECIMAL(38,6)) AS DOUBLE) / SUM(n) AS avg_price
+    FROM parts
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: yesterday's snapshot partials +
+    today's delta partials merge into the same answer as a full recompute
+    (certified by the oracle's plain-GROUP-BY-equivalent form).
+
+    This is the 100 TB pattern that makes daily metrics affordable — the
+    history is never re-aggregated, only its partial STATE (count + exact
+    decimal sum per group) is merged with the new day's partials. The
+    state decomposition is the algebraic one: avg is NOT averaged across
+    partials (non-associative); it is derived from the merged sum/count at
+    the end. The decimal sums make the merge bit-exact AND
+    order-independent, so snapshot+delta equals full-recompute equals any
+    re-bracketing of days — the property incremental pipelines silently
+    assume and double arithmetic silently violates.
+
+    Plan shape: each side partially aggregates map-side; the union merges
+    group states in ONE final hash aggregate (groups x 2 rows). Per-group
+    decimal-4 unscaled sums stay < 2^53 through sf0.1 (functions/exact.py
+    cast rule); a 100 TB deployment keeps the snapshot state as a table
+    and unions only (state, delta) — identical topology.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    pivot = "1997-01-01"
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(money("o_totalprice", 12, 4)).alias("s"),
+        )
+
+    snapshot = partials(orders.filter(F.col("o_orderdate") < pivot))
+    delta = partials(orders.filter(F.col("o_orderdate") >= pivot))
+    merged_sum = F.sum("s").cast("decimal(38,6)").cast("double")
+    return (
+        snapshot.unionAll(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n").alias("n_orders"),
+            merged_sum.alias("total_price"),
+            (merged_sum / F.sum("n")).alias("avg_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
