@@ -759,3 +759,81 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("bigint")
         .alias("community_size"),
     ).orderBy("community", "doc_id")
+
+
+_CC_CANONICAL_ORACLE = """
+    WITH RECURSIVE sets AS (
+        SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), w -> w <> '')) AS ws
+        FROM documents
+        WHERE doc_id < 40
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_filter(a.ws, w -> list_contains(b.ws, w))) AS DOUBLE)
+                / (len(a.ws) + len(b.ws) - len(list_filter(a.ws, w -> list_contains(b.ws, w)))) >= 0.5
+    ),
+    nodes AS (
+        SELECT DISTINCT doc_a AS node FROM pairs
+        UNION
+        SELECT DISTINCT doc_b AS node FROM pairs
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.node = e.src
+    )
+    SELECT
+        node AS doc_id,
+        CAST(MIN(r) AS BIGINT) AS cluster_id,
+        CAST(node = MIN(r) AS BIGINT) AS is_canonical
+    FROM reach
+    GROUP BY node
+    ORDER BY doc_id
+"""
+
+
+@register_query("neardup_cc_canonical", oracle=_CC_CANONICAL_ORACLE)
+def neardup_cc_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components + canonical-representative choice over the
+    bounded Jaccard graph — the HASH-CERTIFIED instance of the large-star/
+    small-star algorithm.
+
+    neardup_clusters (the production form over MinHash candidates) is
+    rows-only: LSH internals are not SQL-expressible. This query runs the
+    IDENTICAL connected_components() implementation on the exact Jaccard
+    graph the pagerank/LPA queries use, where the ground truth IS
+    SQL-expressible — DuckDB computes the transitive closure with a
+    recursive CTE and takes MIN(reachable) per node. A hash match here
+    certifies the iterative Spark algorithm (star contractions, fixpoint
+    detection, min-id labeling) against an independent formulation, on top
+    of the existing union-find property tests.
+
+    Output: every node with >=1 near-dup edge, its component min-id, and
+    the keep/drop decision (canonical = the min-id doc) a dedup pipeline
+    acts on. Scale: the closure oracle is O(n * component) and exists only
+    for verification; the Spark side is the same O(log d)-round CC that
+    runs on the full corpus."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    sets = docs.select(
+        "doc_id", F.array_distinct(_tokens(F.col("text"))).alias("ws")
+    )
+    a, b = sets.alias("a"), sets.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
+    union = F.size(F.col("a.ws")) + F.size(F.col("b.ws")) - inter
+    pairs = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(inter.cast("double") / union >= 0.5)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    cc = connected_components(pairs)
+    return cc.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).cast("bigint").alias("is_canonical"),
+    ).orderBy("doc_id")

@@ -132,6 +132,7 @@ _INTENTIONAL_BNLJ = {
     "tokenset_jaccard_pairs",
     "pagerank_neardup_graph",  # same bounded (doc_id<40) all-pairs edge build
     "label_propagation_communities",  # same bounded all-pairs edge build
+    "neardup_cc_canonical",  # same bounded all-pairs edge build
     # 1-row broadcast of a global scalar-subquery threshold (TPC-H Q22
     # shape) — the same physical shape Spark gives a ScalarSubquery.
     "q22_idle_rich_customers",
