@@ -696,3 +696,105 @@ def semantic_dedup_leader(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_shadows"),
         )
     )
+
+
+def _power_iter_oracle_sql(iters: int = 4, dim: int = 64) -> str:
+    """Unrolled power-iteration oracle: same e1 start, same per-row double
+    dots (left-to-right fold on both engines), same decimal-exact per-dim
+    sums, same max-abs renormalization."""
+    head = f"""
+    WITH v0 AS (
+        SELECT list_transform(generate_series(1, {dim}),
+                              i -> CASE WHEN i = 1 THEN CAST(1.0 AS DOUBLE)
+                                        ELSE CAST(0.0 AS DOUBLE) END) AS v
+    )"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f"""
+    s{k} AS (
+        SELECT embedding,
+               {dot_double_sql("embedding", "vv.v")} AS s
+        FROM embeddings CROSS JOIN v{k - 1} vv
+    ),
+    w{k} AS (
+        SELECT t.i AS dim,
+               CAST(SUM(CAST(s * CAST(embedding[t.i] AS DOUBLE)
+                             AS DECIMAL(30,6))) AS DOUBLE) AS w
+        FROM s{k} CROSS JOIN generate_series(1, {dim}) AS t(i)
+        GROUP BY t.i
+    ),
+    v{k} AS (
+        SELECT list(w / (SELECT MAX(ABS(w)) FROM w{k}) ORDER BY dim) AS v
+        FROM w{k}
+    )""")
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT CAST(dim AS INT) AS dim,
+           w / (SELECT MAX(ABS(w)) FROM w{iters}) AS loading
+    FROM w{iters}
+    ORDER BY dim
+    """
+    )
+
+
+@register_query("embedding_power_iteration", oracle=_power_iter_oracle_sql())
+def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding cloud by 4 rounds of power
+    iteration — the PCA building block a curation pipeline uses to find
+    (and deflate) the dominant-axis bias in an embedding space.
+
+    The third ITERATIVE operator (after CC and PageRank), and like PageRank
+    it is hash-exact against an unrolled SQL oracle despite a float
+    fixpoint. Determinism discipline per round:
+      - s_i = x_i . v is a fixed-order left-to-right double fold —
+        pointwise identical on both engines (the dot_double contract);
+      - w_j = sum_i s_i * x_ij is the ORDER-DEPENDENT step, so each term
+        is cast to DECIMAL(30,6) and summed exactly (scale 6: computed
+        doubles round identically on both engines at this scale — the
+        embedding_norms rule; unscaled stays far under 2^53);
+      - renormalization divides by max|w_j| (an exactly-determined double),
+        avoiding sqrt-norms in the loop entirely.
+
+    Scale shape per round: one scan of the (vec_id-partitioned) corpus;
+    the per-dim reduction is a posexplode to (dim, term) rows that
+    partially aggregates map-side, so the shuffle carries dim x tasks rows
+    (64 x tasks), not the corpus. Driver state is the 64-float v between
+    rounds (like PageRank's n — O(d), not O(rows)). At a billion vectors
+    this is the standard distributed power iteration; more components =
+    deflate and repeat, or switch to randomized block iteration with the
+    same per-round shape."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    dim = 64
+    v = [1.0] + [0.0] * (dim - 1)
+
+    def w_frame(v_list: list[float]) -> DataFrame:
+        litv = F.array(*[F.lit(float(c)) for c in v_list])
+        s = emb.select(dot_double(F.col("embedding"), litv).alias("s"), "embedding")
+        terms = s.select(
+            "s", F.posexplode("embedding").alias("pos", "x")
+        ).select(
+            (F.col("pos") + 1).alias("dim"),
+            (F.col("s") * F.col("x").cast("double")).cast("decimal(30,6)").alias("t"),
+        )
+        return terms.groupBy("dim").agg(F.sum("t").cast("double").alias("w"))
+
+    for _ in range(3):
+        rows = w_frame(v).collect()
+        w = {r["dim"]: r["w"] for r in rows}
+        m = max(abs(x) for x in w.values())
+        v = [w[d + 1] / m for d in range(dim)]
+
+    final = w_frame(v)
+    m_col = F.max(F.abs("w")).over(Window.partitionBy())
+    return (
+        final.select(
+            F.col("dim").cast("int").alias("dim"),
+            (F.col("w") / m_col).alias("loading"),
+        )
+        .orderBy("dim")
+    )
