@@ -215,10 +215,17 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.array(*[f"m{i}" for i in range(_NUM_HASHES)]).alias("mh")
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    # band signatures: md5 of the concatenated row hashes in each band.
-    # Signatures-only rows go through the bucket shuffle — the 32-long mh
-    # arrays stay out of the wide stages and are joined back at the end
-    # (pairs dedupe on two longs instead of two arrays).
+    # band signatures: xxhash64 over the band's row hashes (band id as the
+    # first operand separates the hash families). A 64-bit signature is
+    # enough for BUCKETING: a cross-signature collision only merges two
+    # buckets (extra candidate pairs, later rejected by the est_jaccard
+    # threshold) and can never drop a true pair — and it is ~4x cheaper to
+    # compute than the md5-of-concat form this replaced (no string concat,
+    # no binary cast, no 128-bit digest) and shuffles 8 B instead of a
+    # 32-char string per row. Signatures-only rows go through the bucket
+    # shuffle — the 32-long mh arrays stay out of the wide stages and are
+    # joined back at the end (pairs dedupe on two longs instead of two
+    # arrays).
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -226,14 +233,12 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at(F.col("mh"), b * _ROWS_PER_BAND + r + 1)
-                                    for r in range(_ROWS_PER_BAND)
-                                ],
-                            ).cast("binary")
+                        F.xxhash64(
+                            F.lit(b),
+                            *[
+                                F.element_at(F.col("mh"), b * _ROWS_PER_BAND + r + 1)
+                                for r in range(_ROWS_PER_BAND)
+                            ],
                         ).alias("sig"),
                     )
                     for b in range(_BANDS)
