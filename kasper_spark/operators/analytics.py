@@ -1073,3 +1073,86 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register_query(
+    "dq_constraint_report",
+    oracle="""
+    WITH m AS (
+        SELECT
+            CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(COUNT(o_custkey) AS BIGINT) AS n_custkey,
+            CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct_keys,
+            CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS n_status_ok,
+            CAST(SUM(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_price_pos,
+            MIN(o_totalprice) AS min_price,
+            MAX(o_totalprice) AS max_price
+        FROM orders
+    )
+    SELECT 'completeness_o_custkey' AS check_name, CAST(n_custkey AS DOUBLE) / n AS value FROM m
+    UNION ALL
+    SELECT 'uniqueness_o_orderkey', CAST(n_distinct_keys AS DOUBLE) / n FROM m
+    UNION ALL
+    SELECT 'compliance_status_domain', CAST(n_status_ok AS DOUBLE) / n FROM m
+    UNION ALL
+    SELECT 'compliance_price_positive', CAST(n_price_pos AS DOUBLE) / n FROM m
+    UNION ALL
+    SELECT 'min_o_totalprice', min_price FROM m
+    UNION ALL
+    SELECT 'max_o_totalprice', max_price FROM m
+    ORDER BY check_name
+    """,
+)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint report (the Deequ/dbt-test pattern) computed
+    in ONE aggregation pass: column completeness, key uniqueness, domain
+    compliance, value bounds — the audit a 100 TB ingest runs before
+    publishing a partition, where "one pass" vs "one query per check" is
+    the difference between reading the data once and N times.
+
+    All ratios are int/int -> ONE double division (engine-exact); the
+    single-row metric state then unpivots to the (constraint, value) long
+    form downstream alerting consumes. Plan: scan -> partial agg -> 1-row
+    final agg -> Expand; the only shuffle carries one row per task. The
+    exact COUNT(DISTINCT) rewrites to a two-phase aggregate; at extreme
+    key cardinality swap in approx_count_distinct (HLL) with the same
+    report shape.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_custkey").alias("n_custkey"),
+        F.count_distinct(F.col("o_orderkey")).alias("n_distinct_keys"),
+        F.sum(
+            F.when(F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).alias("n_status_ok"),
+        F.sum(F.when(F.col("o_totalprice") > 0, 1).otherwise(0)).alias("n_price_pos"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+    n = F.col("n").cast("double")
+    checks = [
+        ("completeness_o_custkey", F.col("n_custkey") / n),
+        ("uniqueness_o_orderkey", F.col("n_distinct_keys") / n),
+        ("compliance_status_domain", F.col("n_status_ok") / n),
+        ("compliance_price_positive", F.col("n_price_pos") / n),
+        ("min_o_totalprice", F.col("min_price")),
+        ("max_o_totalprice", F.col("max_price")),
+    ]
+    return (
+        m.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(name).alias("check_name"),
+                            value.cast("double").alias("value"),
+                        )
+                        for name, value in checks
+                    ]
+                )
+            ).alias("c")
+        )
+        .select("c.check_name", "c.value")
+        .orderBy("check_name")
+    )
