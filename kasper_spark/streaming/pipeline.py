@@ -133,22 +133,29 @@ class Pipeline:
             .load(path)
         )
 
-    def topic_dir_source(self, path: str) -> DataFrame:
+    def topic_dir_source(self, path: str, rate_limited: bool = False) -> DataFrame:
         """Broker-less Kafka-twin source: the kasper_topic_dir connector
         (kasper_spark/sources/topic_dir.py) — partitioned ordered logs with
-        monotone offsets, checkpoint resume (A2) and per-trigger batch-size
-        caps (A3), through Spark's real connector machinery. This is the
-        sandbox-executable form of kafka_source(); both expose the same
-        downstream surface."""
+        monotone offsets, checkpoint resume (A2) and opt-in per-trigger
+        batch-size caps (A3), through Spark's real connector machinery.
+        This is the sandbox-executable form of kafka_source(); both expose
+        the same downstream surface.
+
+        ``rate_limited=True`` applies config.batch_size as the per-trigger
+        cap — for LIVE (processing-time trigger) runs only: Python stream
+        sources don't implement Trigger.AvailableNow natively, so Spark
+        drains bounded runs as ONE batch up to latestOffset, and a cap
+        would make that single batch stop short of the end of the log.
+        Default off so run_available_now() always consumes everything."""
         from kasper_spark.sources.topic_dir import register_topic_dir_source
 
         register_topic_dir_source(self.spark)
-        return (
-            self.spark.readStream.format("kasper_topic_dir")
-            .option("path", path)
-            .option("maxRecordsPerTrigger", str(self.config.batch_size))
-            .load()
-        )
+        reader = self.spark.readStream.format("kasper_topic_dir").option("path", path)
+        if rate_limited:
+            reader = reader.option(
+                "maxRecordsPerTrigger", str(self.config.batch_size)
+            )
+        return reader.load()
 
     # ---- sinks (A5/B1) ---------------------------------------------------
 
