@@ -333,3 +333,59 @@ def scd2_user_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.alias("valid_to"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+@register_query(
+    "session_window_native",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS ns
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    )
+    SELECT
+        user_id,
+        MIN(ts) AS session_start,
+        MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM numbered
+    GROUP BY user_id, sid
+    """,
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window aggregation in batch mode, certified
+    against an independent gaps-and-islands formulation — the complement of
+    sessionize_events (which implements the islands form itself).
+
+    Two semantic details the cross-check pins down exactly:
+    - the gap is STRICT: an event arriving exactly 30:00 after the previous
+      one starts a NEW session (session_window merges [ts, ts+gap)
+      intervals on overlap, and touching intervals don't overlap), so the
+      oracle's lag comparison is `<`, not `<=`;
+    - the native operator's session_end is last_event + gap (the window's
+      half-open upper bound), not the last event time.
+
+    Scale: session_window compiles to ONE shuffle on the grouping key plus
+    a per-partition sort-merge of overlapping windows — same cost shape as
+    the islands form, with the merge logic inside the engine (and shared
+    with the streaming path, where state eviction rides the watermark)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

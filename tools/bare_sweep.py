@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Full oracle sweep under DRIVER-LIKE conditions: a BARE SparkSession
+(none of session.py's tuned confs) from a foreign cwd, every oracle-backed
+registry query vs DuckDB at the given sf dir (default sf0.01 — the driver's
+correctness scale).
+
+This is the strongest local predictor of CORRECTNESS_r{N}: the grading
+driver builds its own session, so anything that silently depends on our
+tuned confs (nanosAsLong, UTC, shuffle partitions) fails HERE first.
+Rows-only queries are run for non-emptiness + determinism of schema.
+
+Usage: python tools/bare_sweep.py [sf_dir] [name_prefix_filter]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+os.chdir("/tmp")  # foreign cwd: catches pickle-by-reference worker bugs
+
+import duckdb  # noqa: E402
+from pyspark.sql import SparkSession  # noqa: E402
+
+from kasper_spark.catalog import TABLES  # noqa: E402
+from kasper_spark.registry import ORACLES, QUERIES, load_all_operators  # noqa: E402
+from tests.oracle_utils import run_both  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    prefix = sys.argv[2] if len(sys.argv) > 2 else ""
+    load_all_operators()
+
+    spark = (
+        SparkSession.builder.appName("bare-sweep").master("local[*]").getOrCreate()
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{os.path.join(sf_dir, t + '.parquet')}')"
+        )
+
+    failures: list[str] = []
+    names = [n for n in QUERIES if n.startswith(prefix)]
+    for i, name in enumerate(names):
+        t0 = time.time()
+        try:
+            if name in ORACLES:
+                problems = run_both(
+                    spark, con, QUERIES[name], ORACLES[name], sf_dir, name
+                )
+                status = "ok" if not problems else "FAIL " + "; ".join(problems)
+            else:
+                df = QUERIES[name](spark, sf_dir)
+                n_rows = df.count()
+                status = f"ok rows-only ({n_rows} rows)"
+                if not df.columns:
+                    status = "FAIL rows-only: no columns"
+        except Exception as exc:  # noqa: BLE001 — report, keep sweeping
+            status = f"FAIL exception: {type(exc).__name__}: {exc}"
+        if status.startswith("FAIL"):
+            failures.append(f"{name}: {status}")
+        print(f"[{i + 1}/{len(names)}] {name}: {status} ({time.time() - t0:.1f}s)", flush=True)
+
+    print(f"\n{len(names) - len(failures)}/{len(names)} green")
+    for f in failures:
+        print("  " + f)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
