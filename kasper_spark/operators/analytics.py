@@ -1156,3 +1156,71 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c.check_name", "c.value")
         .orderBy("check_name")
     )
+
+
+@register_query(
+    "try_functions_battery",
+    oracle="""
+    WITH crafted AS (
+        SELECT
+            CASE WHEN o_orderkey % 3 = 0 THEN 'not-a-number'
+                 ELSE CAST(o_orderkey AS VARCHAR) END AS int_str,
+            CASE WHEN o_orderkey % 4 = 0 THEN 'garbage'
+                 ELSE strftime(o_orderdate, '%Y-%m-%d') END AS ts_str,
+            o_totalprice,
+            o_orderkey % 5 AS divisor
+        FROM orders
+    )
+    SELECT
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CASE WHEN try_cast(int_str AS BIGINT) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cast_null,
+        CAST(SUM(try_cast(int_str AS BIGINT)) AS BIGINT) AS sum_cast,
+        CAST(SUM(CASE WHEN o_totalprice / divisor IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_div_null,
+        CAST(CAST(SUM(CAST(o_totalprice / divisor AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_div,
+        CAST(SUM(CASE WHEN try_strptime(ts_str, '%Y-%m-%d') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ts_null,
+        MIN(try_strptime(ts_str, '%Y-%m-%d')) AS min_ts
+    FROM crafted
+    """,
+)
+def try_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The error-safe scalar battery: try_cast / try_divide /
+    try_to_timestamp over deterministically-poisoned inputs — the
+    row-level complement of the DLQ split (json_parse_dlq_audit): at 100 TB
+    a handful of malformed rows must become NULLs you can count (and
+    quarantine), never a task-killing exception 6 hours into the job.
+    Spark 4 runs ANSI mode by default, where plain CAST/division THROW on
+    bad input, so the try_* family is the scale-safety idiom this engine
+    standardizes on.
+
+    Cross-engine note: DuckDB's plain `/` already yields NULL on zero
+    divisors (its try_divide equivalent) and try_strptime mirrors
+    try_to_timestamp (each side spells the same date format in its own
+    syntax). The order-dependent double sum goes through the usual
+    decimal-exact discipline. Map-only + one 1-row aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    crafted = orders.select(
+        F.when(k % 3 == 0, F.lit("not-a-number"))
+        .otherwise(k.cast("string"))
+        .alias("int_str"),
+        F.when(k % 4 == 0, F.lit("garbage"))
+        .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .alias("ts_str"),
+        "o_totalprice",
+        (k % 5).alias("divisor"),
+    )
+    cast_val = F.expr("try_cast(int_str AS BIGINT)")
+    div_val = F.try_divide(F.col("o_totalprice"), F.col("divisor"))
+    ts_val = F.try_to_timestamp(F.col("ts_str"), F.lit("yyyy-MM-dd"))
+    return crafted.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(cast_val.isNull(), 1).otherwise(0)).alias("n_cast_null"),
+        F.sum(cast_val).alias("sum_cast"),
+        F.sum(F.when(div_val.isNull(), 1).otherwise(0)).alias("n_div_null"),
+        F.sum(div_val.cast("decimal(38,6)"))
+        .cast("decimal(38,6)")
+        .cast("double")
+        .alias("sum_div"),
+        F.sum(F.when(ts_val.isNull(), 1).otherwise(0)).alias("n_ts_null"),
+        F.min(ts_val).alias("min_ts"),
+    )

@@ -68,7 +68,8 @@ def load_all_operators() -> None:
 # streaming_topic_dir_twin, unigram_rarity_quality,
 # label_propagation_communities, incremental_agg_merge,
 # neardup_cc_canonical, embedding_power_iteration,
-# dq_constraint_report, session_window_native),
+# dq_constraint_report, session_window_native,
+# try_functions_battery),
 # profile_orders_columns, and any r04 reds. The first 134 entries were
 # verified green against a BARE local[32] session at sf0.01 on 2026-08-14
 # (pii_redact and zorder_key_events likewise, later the same day), so
