@@ -19,6 +19,26 @@ from collections import defaultdict
 from pyspark.sql.streaming import StreamingQueryListener
 
 
+def _offset_dict_lag(end, latest) -> int:
+    """Sum of per-partition (latest - end) gaps for offsets serialized as
+    JSON objects of partition -> integer index; 0 when either side is
+    missing or shaped differently (e.g. Kafka's nested topic dicts are
+    handled by the metric keys above, file sources have no offsets)."""
+    import json
+
+    try:
+        e, l = json.loads(end), json.loads(latest)
+        if not (isinstance(e, dict) and isinstance(l, dict)):
+            return 0
+        return sum(
+            max(0, int(l[p]) - int(e.get(p, 0)))
+            for p in l
+            if isinstance(l[p], (int, str)) and str(l[p]).lstrip("-").isdigit()
+        )
+    except (TypeError, ValueError, KeyError):
+        return 0
+
+
 class PipelineMetricsListener(StreamingQueryListener):
     """Accumulates per-query incoming/outgoing counts and source lag.
 
@@ -80,6 +100,19 @@ class PipelineMetricsListener(StreamingQueryListener):
                         lag += int(float(behind))
                     except (TypeError, ValueError):
                         pass
+                else:
+                    # Generic v2-source fallback (covers the Python
+                    # DataSource API, e.g. kasper_topic_dir, which emits no
+                    # lag metrics): when endOffset and latestOffset are
+                    # both {partition: index} JSON dicts, the per-partition
+                    # gap is the high-water-mark lag, summed like kasper's
+                    # per-partition gauge. Rate-limited readers that cap
+                    # their own latestOffset under-report here exactly as
+                    # they under-report to Spark's planner.
+                    lag += _offset_dict_lag(
+                        getattr(src, "endOffset", None),
+                        getattr(src, "latestOffset", None),
+                    )
             self.lag[name] = lag
             if self._c_in is not None:
                 self._c_in.inc(int(p.numInputRows or 0), str(name))

@@ -387,6 +387,34 @@ def test_metrics_listener_lag_from_kafka_keys():
     assert listener.messages_behind_high_water_mark("q1") == 107
 
 
+def test_metrics_listener_lag_from_offset_dicts():
+    """Python DataSource sources (kasper_topic_dir) emit no lag metrics;
+    the listener must fall back to per-partition endOffset-vs-latestOffset
+    gaps (A11 semantics through the generic v2 progress fields)."""
+    from types import SimpleNamespace
+
+    from kasper_spark.streaming.metrics import PipelineMetricsListener
+
+    listener = PipelineMetricsListener()
+    progress = SimpleNamespace(
+        name="q2",
+        id="id2",
+        numInputRows=4,
+        sink=SimpleNamespace(numOutputRows=4),
+        sources=[
+            SimpleNamespace(
+                metrics={},
+                endOffset='{"0": 2, "1": 5}',
+                latestOffset='{"0": 6, "1": 5}',
+            ),
+            # file-stream-like source: no offsets -> contributes 0
+            SimpleNamespace(metrics={}, endOffset=None, latestOffset=None),
+        ],
+    )
+    listener.onQueryProgress(SimpleNamespace(progress=progress))
+    assert listener.messages_behind_high_water_mark("q2") == 4
+
+
 def test_tws_document_join_golden_parity(spark, workdir):
     """The transformWithStateInPandas form of the B5 join (TTL off) must
     reproduce the golden fixture: same completions, same re-emissions,
