@@ -70,9 +70,11 @@ def load_all_operators() -> None:
 # neardup_cc_canonical, embedding_power_iteration,
 # dq_constraint_report, session_window_native,
 # try_functions_battery),
-# profile_orders_columns, and any r04 reds. The first 134 entries were
-# verified green against a BARE local[32] session at sf0.01 on 2026-08-14
-# (pii_redact and zorder_key_events likewise, later the same day), so
+# profile_orders_columns, and any r04 reds. A FULL bare-local[32]-session
+# sweep at sf0.01 (tools/bare_sweep.py, foreign cwd — the driver-condition
+# mirror) ran 143/143 green on 2026-08-14 late in round 4; the two queries
+# added after that sweep (session_window_native, try_functions_battery)
+# were individually driver-sim-checked green at sf0.01 the same day. So
 # rotation order is about coverage, not risk.
 DRIVER_SAMPLE_PRIORITY: list[str] = [
     # freshly-fixed oracles — must re-sample to prove the fix
