@@ -842,3 +842,115 @@ def neardup_cc_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).cast("bigint").alias("is_canonical"),
     ).orderBy("doc_id")
+
+
+_TRIANGLE_ORACLE = """
+    WITH sets AS (
+        SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), w -> w <> '')) AS ws
+        FROM documents
+        WHERE doc_id < 40
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_filter(a.ws, w -> list_contains(b.ws, w))) AS DOUBLE)
+                / (len(a.ws) + len(b.ws) - len(list_filter(a.ws, w -> list_contains(b.ws, w)))) >= 0.5
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+            SELECT doc_a AS node FROM pairs
+            UNION ALL
+            SELECT doc_b AS node FROM pairs
+        ) GROUP BY node
+    ),
+    tri AS (
+        SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e2.doc_a = e1.doc_b
+        JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ),
+    tcount AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY node
+    )
+    SELECT
+        deg.node AS doc_id,
+        deg.degree AS degree,
+        CAST(COALESCE(tcount.n_triangles, 0) AS BIGINT) AS n_triangles,
+        CASE WHEN deg.degree >= 2
+             THEN CAST(2 * COALESCE(tcount.n_triangles, 0) AS DOUBLE)
+                  / (deg.degree * (deg.degree - 1))
+             ELSE CAST(0.0 AS DOUBLE) END AS clustering_coeff
+    FROM deg LEFT JOIN tcount ON deg.node = tcount.node
+    ORDER BY doc_id
+"""
+
+
+@register_query("triangle_clustering_coeff", oracle=_TRIANGLE_ORACLE)
+def triangle_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over the
+    near-dup graph — motif analysis that separates CLIQUE-like duplication
+    families (template spam: every copy resembles every other, coefficient
+    -> 1) from STAR-like ones (one canonical doc with many partial
+    derivatives, coefficient -> 0); the two need different dedup policies.
+
+    Algorithm: canonical a<b<c edge orientation counts each triangle once
+    via two equi-joins over the (lo, hi) pair list — the standard
+    distributed triangle enumeration; at web scale the join keys are
+    degree-ordered (orient edges low-degree -> high-degree) so the heavy
+    join's fan-out is bounded by arboricity, same plan shape. Coefficient
+    = 2T / (d(d-1)): integer arithmetic + ONE double division
+    (engine-exact). Same bounded demo graph as the pagerank/LPA/CC family
+    (allow-listed all-pairs build); at 100 TB the edges come from
+    minhash_lsh_candidates."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    sets = docs.select(
+        "doc_id", F.array_distinct(_tokens(F.col("text"))).alias("ws")
+    )
+    a, b = sets.alias("a"), sets.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
+    union = F.size(F.col("a.ws")) + F.size(F.col("b.ws")) - inter
+    pairs = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(inter.cast("double") / union >= 0.5)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .persist()
+    )
+    deg = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .unionAll(pairs.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = pairs.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
+    e3 = pairs.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
+    tri = (
+        e1.join(e2, e1.b == e2.b2)
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    tcount = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    t = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("bigint")
+    d = F.col("degree")
+    return (
+        deg.join(tcount, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            "degree",
+            t.alias("n_triangles"),
+            F.when(d >= 2, (2 * t).cast("double") / (d * (d - 1)))
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coeff"),
+        )
+        .orderBy("doc_id")
+    )

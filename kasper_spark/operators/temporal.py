@@ -389,3 +389,74 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register_query(
+    "gapfill_hourly_events",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+        FROM events
+    ),
+    hours AS (
+        SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    spine AS (SELECT event_type, hour_ts FROM types CROSS JOIN hours),
+    agg AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+               CAST(COUNT(*) AS BIGINT) AS n, {dsum_sql('value')} AS s
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    )
+    SELECT
+        spine.event_type AS event_type,
+        spine.hour_ts AS hour_ts,
+        CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_events,
+        agg.s AS sum_value,
+        last_value(agg.s IGNORE NULLS) OVER (
+            PARTITION BY spine.event_type ORDER BY spine.hour_ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS filled_sum
+    FROM spine LEFT JOIN agg
+      ON spine.event_type = agg.event_type AND spine.hour_ts = agg.hour_ts
+    """,
+)
+def gapfill_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification: an hourly date spine per event type with
+    zero-filled counts and forward-filled (last-observation-carried-
+    forward) sums — the gap-filling pattern dashboards and feature
+    pipelines need, since a groupBy over sparse events silently OMITS
+    empty buckets instead of reporting them as zeros.
+
+    Plan shape: the spine is sequence()+explode over a 1-row bounds
+    aggregate crossed with the distinct type set — spine size is
+    (hours x types), a function of the TIME RANGE, not the event volume,
+    so at 100 TB it is still thousands of rows (the cross join is a
+    bounded broadcast, allow-listed). The event-side aggregation partially
+    aggregates map-side; the left join broadcasts the spine; the forward
+    fill is one per-type window over spine-sized data."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hour_ts")
+    )
+    spine = ev.select("event_type").distinct().crossJoin(hours)
+    agg = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("s"))
+    joined = spine.join(agg, ["event_type", "hour_ts"], "left")
+    ffill = Window.partitionBy("event_type").orderBy("hour_ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return joined.select(
+        "event_type",
+        "hour_ts",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        F.col("s").alias("sum_value"),
+        F.last("s", ignorenulls=True).over(ffill).alias("filled_sum"),
+    )

@@ -133,6 +133,7 @@ _INTENTIONAL_BNLJ = {
     "pagerank_neardup_graph",  # same bounded (doc_id<40) all-pairs edge build
     "label_propagation_communities",  # same bounded all-pairs edge build
     "neardup_cc_canonical",  # same bounded all-pairs edge build
+    "triangle_clustering_coeff",  # same bounded all-pairs edge build
     # 1-row broadcast of a global scalar-subquery threshold (TPC-H Q22
     # shape) — the same physical shape Spark gives a ScalarSubquery.
     "q22_idle_rich_customers",
@@ -140,6 +141,7 @@ _INTENTIONAL_BNLJ = {
     "q15_top_supplier",  # 1-row broadcast: global max revenue
     "tfidf_top_terms",  # 1-row broadcast of the corpus doc count
     "unigram_rarity_quality",  # 1-row broadcast of the corpus token total
+    "gapfill_hourly_events",  # bounded spine: distinct types x hour sequence
 }
 # iterative/streaming queries execute during construction — skip plan-only audit
 _AUDIT_SKIP = {"neardup_clusters"}
