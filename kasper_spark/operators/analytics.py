@@ -1224,3 +1224,111 @@ def try_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(ts_val.isNull(), 1).otherwise(0)).alias("n_ts_null"),
         F.min(ts_val).alias("min_ts"),
     )
+
+
+@register_query(
+    "equidepth_histogram_totalprice",
+    oracle="""
+    WITH tiled AS (
+        SELECT o_totalprice,
+               ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+        FROM orders
+    )
+    SELECT
+        CAST(bucket AS BIGINT) AS bucket,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        MIN(o_totalprice) AS lo,
+        MAX(o_totalprice) AS hi
+    FROM tiled
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def equidepth_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH (quantile) histogram: 10 buckets of equal row count with
+    their value ranges — the profile that stays readable under skew, where
+    the equi-width histogram (histogram_totalprice) collapses into one hot
+    bucket. The two together are the standard column-profiling pair.
+
+    Ties are broken by o_orderkey so bucket assignment (and therefore the
+    hash) is total-order deterministic on both engines. Exactness note:
+    this verification form pays one global sort (ntile over the whole
+    table); the at-scale form is approxQuantile bucket BOUNDARIES (one
+    stats pass, map-side bucketing) — same trade documented on
+    zorder_key_events, whose layout writer shows that path."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    tiled = orders.select(
+        "o_totalprice",
+        F.ntile(10)
+        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .alias("bucket"),
+    )
+    return (
+        tiled.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .select(F.col("bucket").cast("bigint").alias("bucket"), "n", "lo", "hi")
+        .orderBy("bucket")
+    )
+
+
+@register_query(
+    "table_checksum_orders",
+    oracle="""
+    WITH hashed AS (
+        SELECT
+            o_orderkey % 16 AS bucket,
+            md5(CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus
+                || '|' || o_orderpriority) AS h
+        FROM orders
+    )
+    SELECT
+        CAST(bucket AS BIGINT) AS bucket,
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(list_sum(list_transform(generate_series(1, 10), i ->
+            CAST(strpos('0123456789abcdef', substr(h, i, 1)) - 1 AS BIGINT)
+                << (4 * (10 - i)))) AS BIGINT)) AS BIGINT) AS checksum
+    FROM hashed
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed, order-independent table checksum — the cross-system
+    reconciliation primitive: after replicating/migrating 100 TB, compare
+    16 (bucket, n_rows, checksum) rows instead of 100 TB of data, and
+    binary-search any mismatch bucket by re-running with a finer modulus.
+
+    Determinism across engines is the whole point, so the row hash avoids
+    both engine-native hash functions (Spark's xxhash64 and DuckDB's hash
+    disagree by design) and float formatting: md5 over a '|'-canonicalized
+    string of integer/text key columns, identical bytes on both sides. The
+    40-bit prefix keeps per-bucket SUMs far from bigint overflow (~1e12
+    per row; rescale buckets/modulus before ~1e6 rows x buckets at 100 TB,
+    or sum modulo a prime). Addition is commutative, so the checksum is
+    independent of partitioning and row order — exactly what a
+    replication audit needs. One map-side hash + a 16-group aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    h = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            "o_orderstatus",
+            "o_orderpriority",
+        ).cast("binary")
+    )
+    hashed = orders.select(
+        (F.col("o_orderkey") % 16).alias("bucket"),
+        F.conv(F.substring(h, 1, 10), 16, 10).cast("bigint").alias("hv"),
+    )
+    return (
+        hashed.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("hv").alias("checksum"))
+        .select(F.col("bucket").cast("bigint").alias("bucket"), "n_rows", "checksum")
+        .orderBy("bucket")
+    )
