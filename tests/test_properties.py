@@ -138,3 +138,58 @@ def test_bag_setops_multiset_laws(spark, a, b):
     )
     assert got_exc == +want_exc
     assert got_int == +want_int
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=65535),
+            st.integers(min_value=0, max_value=65535),
+        ),
+        min_size=1,
+        max_size=50,
+        unique=True,
+    )
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_zorder_interleave_is_bijective(spark, pairs):
+    """interleave_bits16 must be a bijection on 16-bit pairs: the Python
+    reference de-interleave recovers (u, v) exactly — distinct pairs can
+    never collide into one Z-value (a collision would let file pruning
+    silently conflate two hyper-rectangles)."""
+    from kasper_spark.operators.io_formats import interleave_bits16
+
+    df = spark.createDataFrame(pairs, "u long, v long")
+    rows = df.select("u", "v", interleave_bits16(F.col("u"), F.col("v")).alias("z")).collect()
+    for r in rows:
+        u = sum(((r["z"] >> (2 * i)) & 1) << i for i in range(16))
+        v = sum(((r["z"] >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (u, v) == (r["u"], r["v"])
+
+
+_PII_SAFE_WORD = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu")), min_size=1, max_size=8
+)
+
+
+@given(
+    words=st.lists(_PII_SAFE_WORD, min_size=0, max_size=6),
+    email_local=st.text(alphabet="abcdefghij0123456789._", min_size=1, max_size=10),
+    phone_mid=st.integers(min_value=100, max_value=999),
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pii_redaction_plants_are_always_caught(spark, words, email_local, phone_mid):
+    """Property: whatever letter-only prose surrounds them, a planted email
+    and a planted phone are always masked, and letter-only prose itself is
+    never altered."""
+    from kasper_spark.operators.privacy import redact_pii
+
+    local = email_local.strip("._") or "a"
+    prose = " ".join(words)
+    planted = f"{prose} {local}@example.org call 555-{phone_mid}-1234 {prose}".strip()
+    df = spark.createDataFrame([(planted,), (prose,)], "t string")
+    out = {r["t"]: r["red"] for r in df.select("t", redact_pii(F.col("t")).alias("red")).collect()}
+    assert "<EMAIL>" in out[planted]
+    assert "<PHONE>" in out[planted]
+    assert f"{local}@" not in out[planted]
+    assert out[prose] == prose  # letter-only prose passes through untouched
