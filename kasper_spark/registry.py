@@ -71,7 +71,7 @@ def load_all_operators() -> None:
 # dq_constraint_report, session_window_native,
 # try_functions_battery, gapfill_hourly_events,
 # triangle_clustering_coeff, equidepth_histogram_totalprice,
-# table_checksum_orders),
+# table_checksum_orders, multimodal_pgm_codec),
 # profile_orders_columns, and any r04 reds. A FULL bare-local[32]-session
 # sweep at sf0.01 (tools/bare_sweep.py, foreign cwd — the driver-condition
 # mirror) ran 143/143 green on 2026-08-14 late in round 4; the two queries
