@@ -137,17 +137,20 @@ def test_runnable_examples_smoke(spark, capsys):
     import examples.hello_world as hw
     import examples.multiple_input_topics as mt
     import examples.producer as pr
+    import examples.topic_roundtrip as tr
     import examples.word_count as wc
 
     hw.main(spark)
     wc.main(spark)
     mt.main(spark)
     pr.main(spark)
+    tr.main(spark)
     out = capsys.readouterr().out
     assert "Got message: key='k0'" in out
     assert "the has been seen 3 times" in out
     assert "[handled-by-beta] beta/1: b1" in out
     assert "greetings written to" in out
+    assert "-> HELLO WORLD" in out
 
 
 def test_split_json_dlq_quarantines_poison_payloads(spark):
