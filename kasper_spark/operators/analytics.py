@@ -1332,3 +1332,56 @@ def table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("bucket").cast("bigint").alias("bucket"), "n_rows", "checksum")
         .orderBy("bucket")
     )
+
+
+@register_query(
+    "map_functions_battery",
+    oracle="""
+    WITH per AS (
+        SELECT o_orderpriority AS p, o_orderstatus AS s, CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders GROUP BY o_orderpriority, o_orderstatus
+    )
+    SELECT
+        p AS o_orderpriority,
+        string_agg(s, ',' ORDER BY s) AS statuses,
+        CAST(SUM(c) AS BIGINT) AS total,
+        CAST(COALESCE(MAX(CASE WHEN s = 'O' THEN c END), 0) AS BIGINT) AS n_open,
+        CAST(SUM(CASE WHEN c > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_big_statuses
+    FROM per GROUP BY p
+    ORDER BY p
+    """,
+)
+def map_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-type scalar battery: build a status->count map per priority with
+    map_from_entries, then drive map_keys / map_values / element_at /
+    map_filter / aggregate over it — the map-column family the engine's
+    other batteries (string/math/date/array/json/variant) don't touch.
+    The oracle computes the same SEMANTICS relationally (DuckDB's map type
+    has no higher-order functions), which is exactly the point: outputs
+    are scalars derived from the map, so the comparison certifies the map
+    operators' results, not an engine-specific map encoding.
+
+    Scale: the map is per-GROUP state (bounded by the status domain), not
+    per-row — the standard way to keep small keyed lookups inside a row
+    without a second shuffle. sort_array before map_from_entries pins
+    entry order so array_join(map_keys) is deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    m = per.groupBy("o_orderpriority").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("o_orderstatus", "c")))
+        ).alias("m")
+    )
+    return m.select(
+        "o_orderpriority",
+        F.array_join(F.map_keys("m"), ",").alias("statuses"),
+        F.aggregate(
+            F.map_values("m"), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("total"),
+        F.coalesce(F.element_at("m", F.lit("O")), F.lit(0)).cast("bigint").alias("n_open"),
+        F.size(F.map_filter("m", lambda _k, v: v > 50)).cast("bigint").alias(
+            "n_big_statuses"
+        ),
+    ).orderBy("o_orderpriority")

@@ -71,13 +71,14 @@ def load_all_operators() -> None:
 # dq_constraint_report, session_window_native,
 # try_functions_battery, gapfill_hourly_events,
 # triangle_clustering_coeff, equidepth_histogram_totalprice,
-# table_checksum_orders, multimodal_pgm_codec),
-# profile_orders_columns, and any r04 reds. A FULL bare-local[32]-session
-# sweep at sf0.01 (tools/bare_sweep.py, foreign cwd — the driver-condition
-# mirror) ran 143/143 green on 2026-08-14 late in round 4; the two queries
-# added after that sweep (session_window_native, try_functions_battery)
-# were individually driver-sim-checked green at sf0.01 the same day. So
-# rotation order is about coverage, not risk.
+# table_checksum_orders, multimodal_pgm_codec,
+# map_functions_battery),
+# profile_orders_columns, and any r04 reds. FULL bare-local[32]-session
+# sweeps (tools/bare_sweep.py, foreign cwd — the driver-condition mirror)
+# ran 143/143 green at sf0.01 and, later the same day (2026-08-14, late
+# round 4), 149/149 green at sf0.1 — every registered query incl. all
+# round-4 additions, at 10x the driver's correctness scale. So rotation
+# order is about coverage, not risk.
 DRIVER_SAMPLE_PRIORITY: list[str] = [
     # freshly-fixed oracles — must re-sample to prove the fix
     "q12_late_priority_class",
