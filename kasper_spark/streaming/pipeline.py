@@ -238,6 +238,29 @@ class Pipeline:
         q = self.start(out, available_now=True, **kwargs)
         q.awaitTermination()
 
+    def drain_batched(self, make_out, max_runs: int = 1000, **kwargs) -> int:
+        """Bounded drain for RATE-CAPPED Python-connector sources: Python
+        stream readers don't implement Trigger.AvailableNow natively, so
+        Spark runs availableNow as ONE batch — which, under a
+        maxRecordsPerTrigger cap, stops at the cap instead of the end of
+        the log. This loop re-runs single-batch drains against the same
+        checkpoint until a run consumes zero rows, giving kasper's
+        HasConsumedAllMessages semantics (A10) WITH the A3 batch-size
+        bound. Returns the number of batches run.
+
+        ``make_out`` builds a fresh output DataFrame per run (streaming
+        queries are single-use); sinks must be append-idempotent or
+        foreachBatch-based, exactly as for restarts."""
+        for i in range(max_runs):
+            q = self.start(make_out(), available_now=True, **kwargs)
+            q.awaitTermination()
+            p = q.lastProgress
+            rows = int(p["numInputRows"]) if p and "numInputRows" in p else 0
+            self._query = None
+            if rows == 0:
+                return i + 1
+        raise RuntimeError(f"drain_batched did not reach end of log in {max_runs} runs")
+
     def has_consumed_all_messages(self) -> bool:
         """Kasper-shaped caught-up probe (A10,
         /root/reference/topic_processor.go:164-175: committed offset ==

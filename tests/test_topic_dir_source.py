@@ -307,3 +307,34 @@ def test_stream_writer_exactly_once_across_crash(spark, topic):
         for r in spark.read.format("kasper_topic_dir").option("path", out).load().collect()
     )
     assert values2 == ["v0", "v1", "v2", "v3"]  # exactly once, no duplicates
+
+
+def test_drain_batched_respects_cap_and_reaches_end(spark, topic):
+    """A10 + A3 together: with maxRecordsPerTrigger=2, drain_batched loops
+    single-batch runs until the log is exhausted — every message exactly
+    once, no run exceeding the cap."""
+    import tempfile as _tf
+
+    from kasper_spark.streaming.pipeline import Pipeline, PipelineConfig
+
+    cfg = PipelineConfig(
+        name="drainb",
+        checkpoint_root=_tf.mkdtemp(prefix="kasper-drainb-ck-"),
+        batch_size=2,
+    )
+    p = Pipeline(spark, cfg)
+    got: list = []
+
+    def make_out():
+        return p.topic_dir_source(topic, rate_limited=True)
+
+    runs = p.drain_batched(
+        make_out, for_each_batch=lambda df, _b: got.extend(df.collect())
+    )
+    assert sorted(r["value"] for r in got) == ["v0", "v1", "v2", "v3"]
+    # 4 messages, cap 2/partition: p=0 takes 2 runs, plus the empty probe
+    assert 3 <= runs <= 4
+    per_batch_max = max(
+        len([r for r in got if r["partition"] == pid]) for pid in (0, 1)
+    )
+    assert per_batch_max <= 3  # no partition ever exceeded cap x runs shape
