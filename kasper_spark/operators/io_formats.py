@@ -333,3 +333,43 @@ def write_zorder_layout(
         .mode("overwrite")
         .parquet(path)
     )
+
+
+@register_query(
+    "xml_roundtrip_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    """,
+)
+def xml_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source/sink coverage (Spark 4 native to_xml/from_xml): serialize
+    each order row to an XML document string, parse it back with an
+    explicit schema, and emit the recovered columns — hash-checked against
+    the ORIGINAL table, certifying the codec is lossless for
+    ints/strings/doubles (the same contract the CSV/JSONL/ORC round trips
+    pin for their formats; doubles survive because Spark's XML writer uses
+    shortest-round-trip formatting).
+
+    Scale: both directions are map-only expression work (no Python, no
+    shuffle); schema is EXPLICIT on the parse side — schema inference over
+    XML is a full extra pass and stays banned in hot paths, same rule as
+    the other formats in this module."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    xml = orders.select(
+        F.to_xml(
+            F.struct("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+        ).alias("doc")
+    )
+    parsed = xml.select(
+        F.from_xml(
+            F.col("doc"),
+            "o_orderkey BIGINT, o_orderstatus STRING, o_orderpriority STRING, "
+            "o_totalprice DOUBLE",
+        ).alias("r")
+    )
+    return parsed.select("r.o_orderkey", "r.o_orderstatus", "r.o_orderpriority",
+                         "r.o_totalprice")
