@@ -1161,3 +1161,39 @@ def json_parse_dlq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register_query(
+    "union_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           CAST(NULL AS VARCHAR) AS o_orderpriority, 'v1' AS src
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, CAST(NULL AS DOUBLE) AS o_totalprice,
+           o_orderpriority, 'v2' AS src
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two generations of the same table — v1
+    lacks o_orderpriority, v2 dropped o_totalprice — combined with
+    unionByName(allowMissingColumns=True), which aligns columns BY NAME
+    and null-fills the gaps.
+
+    This is the 100 TB reality of long-lived datasets: a year of parquet
+    partitions written by three pipeline versions must still union into
+    one frame. Positional unionAll would mis-align or reject the frames;
+    by-name union with null-fill is the contract this query certifies
+    (the oracle spells out the aligned + null-padded equivalent). Map-only:
+    two scans, no shuffle; at scale the generations are different
+    partition directories and mergeSchema-style reads compile to the same
+    aligned union."""
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", F.lit("v1").alias("src")
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", F.lit("v2").alias("src")
+    )
+    return v1.unionByName(v2, allowMissingColumns=True)

@@ -72,7 +72,8 @@ def load_all_operators() -> None:
 # try_functions_battery, gapfill_hourly_events,
 # triangle_clustering_coeff, equidepth_histogram_totalprice,
 # table_checksum_orders, multimodal_pgm_codec,
-# map_functions_battery, xml_roundtrip_orders),
+# map_functions_battery, xml_roundtrip_orders,
+# union_schema_evolution),
 # profile_orders_columns, and any r04 reds. FULL bare-local[32]-session
 # sweeps (tools/bare_sweep.py, foreign cwd — the driver-condition mirror)
 # ran 143/143 green at sf0.01 and, later the same day (2026-08-14, late
