@@ -51,14 +51,33 @@ def main(spark=None, sf_dir: str = "/root/testdata/sf0.001") -> dict:
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    final = clean.join(losers, "doc_id", "left_anti")
+    deduped = clean.join(losers, "doc_id", "left_anti")
+
+    # 5. rarity gate: drop rare-token-soup outliers (bottom of the corpus
+    # unigram-probability distribution — OCR garbage, non-prose)
+    rarity = QUERIES["unigram_rarity_quality"](spark, sf_dir).select(
+        "doc_id", "mean_token_prob"
+    )
+    floor = rarity.approxQuantile("mean_token_prob", [0.02], 0.0)[0]
+    final = deduped.join(rarity, "doc_id").filter(
+        F.col("mean_token_prob") >= floor
+    ).select("doc_id")
+
+    # 6. PII scrub on the survivors: counts only here; the redacted text
+    # itself is what a real pipeline would write out
+    pii = QUERIES["pii_redact"](spark, sf_dir).join(final, "doc_id")
+    n_masked = pii.filter(
+        (F.col("n_email") + F.col("n_phone") + F.col("n_ip") + F.col("n_ssn")) > 0
+    ).count()
 
     counts = {
         "total": total,
         "after_exact_dedup": kept_exact.count(),
         "after_quality_gate": gated.count(),
         "after_decontamination": clean.count(),
+        "after_neardup_dedup": deduped.count(),
         "final_keep_list": final.count(),
+        "kept_docs_pii_masked": n_masked,
     }
     for k, v in counts.items():
         print(f"{k:24s} {v}")
