@@ -38,23 +38,36 @@ def plan_compaction(
     are left alone (rewriting them buys nothing). Returns only groups with
     2+ files — an empty plan means the directory is already well-laid-out.
 
+    Partition-aware: files are grouped WITHIN their containing directory
+    (merging across Hive partitions would rewrite rows into the wrong
+    partition), so a partitioned table yields per-partition merge groups.
+
     First-fit-decreasing on size; deterministic (size desc, then name)."""
     files = sorted(
-        ((os.path.getsize(f), f) for f in glob.glob(os.path.join(path, "*.parquet"))),
+        (
+            (os.path.getsize(f), f)
+            for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        ),
         key=lambda t: (-t[0], t[1]),
     )
     small = [(sz, f) for sz, f in files if sz < target_bytes * small_file_factor]
-    groups: list[tuple[int, list[str]]] = []
+    by_dir: dict[str, list[tuple[int, str]]] = {}
     for sz, f in small:
-        placed = False
-        for i, (gsz, members) in enumerate(groups):
-            if gsz + sz <= target_bytes:
-                groups[i] = (gsz + sz, members + [f])
-                placed = True
-                break
-        if not placed:
-            groups.append((sz, [f]))
-    return [members for _gsz, members in groups if len(members) > 1]
+        by_dir.setdefault(os.path.dirname(f), []).append((sz, f))
+    out: list[list[str]] = []
+    for _dir in sorted(by_dir):
+        groups: list[tuple[int, list[str]]] = []
+        for sz, f in by_dir[_dir]:
+            placed = False
+            for i, (gsz, members) in enumerate(groups):
+                if gsz + sz <= target_bytes:
+                    groups[i] = (gsz + sz, members + [f])
+                    placed = True
+                    break
+            if not placed:
+                groups.append((sz, [f]))
+        out.extend(members for _gsz, members in groups if len(members) > 1)
+    return out
 
 
 def compact_parquet_dir(
@@ -66,10 +79,21 @@ def compact_parquet_dir(
     Sizing note: parquet re-encodes (and often re-compresses better, since
     bigger row groups mean bigger dictionary/RLE runs), so output files
     come out <= target; the goal is bounding file COUNT, not hitting an
-    exact size."""
-    total = sum(
-        os.path.getsize(f) for f in glob.glob(os.path.join(src, "*.parquet"))
-    )
+    exact size.
+
+    Flat directories only: a Hive-PARTITIONED table must be compacted one
+    leaf directory at a time (rewriting across partitions would flatten
+    the partition columns into data and destroy pruning), so this refuses
+    nested layouts instead of silently collapsing them."""
+    flat = glob.glob(os.path.join(src, "*.parquet"))
+    nested = glob.glob(os.path.join(src, "**", "*.parquet"), recursive=True)
+    if not flat and nested:
+        raise ValueError(
+            f"{src} is a partitioned layout ({len(nested)} files in "
+            "subdirectories): compact each leaf directory (see "
+            "plan_compaction's per-directory groups) instead of the root"
+        )
+    total = sum(os.path.getsize(f) for f in flat)
     n = max(1, -(-total // target_bytes))  # ceil
     spark.read.parquet(src).repartition(n).write.mode("overwrite").parquet(dst)
     return n

@@ -55,11 +55,14 @@ SCHEMA = "key string, value string, partition int, offset long, ts timestamp"
 
 
 def _partition_dirs(root: str) -> dict[int, str]:
+    """Map partition id -> directory, SKIPPING foreign entries (a stray
+    'p=0.bak' file or tooling artifact must not kill the whole stream)."""
     out = {}
     if os.path.isdir(root):
         for name in os.listdir(root):
-            if name.startswith("p="):
-                out[int(name[2:])] = os.path.join(root, name)
+            path = os.path.join(root, name)
+            if name.startswith("p=") and name[2:].isdigit() and os.path.isdir(path):
+                out[int(name[2:])] = path
     return out
 
 
@@ -69,16 +72,33 @@ def _log_files(pdir: str) -> list[str]:
     )
 
 
-def _count_records(pdir: str) -> int:
+def _line_count(path: str) -> int:
+    """Newline count via buffered binary reads — no JSON parsing."""
     n = 0
-    for f in _log_files(pdir):
-        with open(f, "rb") as fh:
-            n += sum(1 for _ in fh)
+    with open(path, "rb") as fh:
+        while chunk := fh.read(1 << 20):
+            n += chunk.count(b"\n")
     return n
 
 
+def _count_records(pdir: str) -> int:
+    return sum(_line_count(f) for f in _log_files(pdir))
+
+
+def _decode_ts(raw):
+    """Round-trip-preserving: null stays null (never epoch 0)."""
+    if raw is None:
+        return None
+    return datetime.fromtimestamp(raw, tz=timezone.utc).replace(tzinfo=None)
+
+
 def _read_range(root: str, pid: int, start: int, end: int):
-    """Yield messages [start, end) of partition ``pid`` as schema tuples."""
+    """Yield messages [start, end) of partition ``pid`` as schema tuples.
+
+    Files wholly below ``start`` are skipped with a raw newline count (no
+    JSON decode) — cheap line-skipping for long-lived capped streams. At
+    real scale the per-(immutable-)file counts would be cached in a
+    sidecar index; the access pattern is already file-skipping here."""
     pdir = os.path.join(root, f"p={pid}")
     if not os.path.isdir(pdir) or end <= start:
         return
@@ -86,16 +106,18 @@ def _read_range(root: str, pid: int, start: int, end: int):
     for f in _log_files(pdir):
         if idx >= end:
             return
+        if idx < start:
+            n = _line_count(f)
+            if idx + n <= start:
+                idx += n
+                continue
         with open(f, encoding="utf-8") as fh:
             for line in fh:
                 if idx >= end:
                     return
                 if idx >= start:
                     m = json.loads(line)
-                    ts = datetime.fromtimestamp(m["ts"], tz=timezone.utc).replace(
-                        tzinfo=None
-                    )
-                    yield (m.get("key"), m["value"], pid, idx, ts)
+                    yield (m.get("key"), m["value"], pid, idx, _decode_ts(m["ts"]))
                 idx += 1
 
 
@@ -187,44 +209,84 @@ class _WroteFiles(WriterCommitMessage):
         self.files = files
 
 
+def _bucket_rows(iterator, n_partitions: int) -> dict[int, list[str]]:
+    """Shared produce-side encoding for both writers: stable key-hash
+    routing (sarama default-partitioner semantics; None keys go to p=0 —
+    round-robin would be nondeterministic) and JSON line encoding with
+    ts=null preserved as null (never epoch 0)."""
+    buckets: dict[int, list[str]] = {}
+    for row in iterator:
+        key = row["key"]
+        pid = (hash_str(key) % n_partitions) if key is not None else 0
+        ts = row["ts"]
+        epoch = (
+            ts.replace(tzinfo=timezone.utc).timestamp() if ts is not None else None
+        )
+        buckets.setdefault(pid, []).append(
+            json.dumps(
+                {"key": key, "value": row["value"], "ts": epoch},
+                ensure_ascii=True,
+            )
+        )
+    return buckets
+
+
+def _stage_buckets(root: str, buckets: dict[int, list[str]]) -> list[tuple[int, str]]:
+    """Write each bucket to a reader-INVISIBLE temp file (readers list only
+    ``*.jsonl``); the driver-side commit renames them in."""
+    staged = []
+    for pid, lines in buckets.items():
+        pdir = os.path.join(root, f"p={pid}")
+        os.makedirs(pdir, exist_ok=True)
+        tmp = os.path.join(pdir, f".stage-{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write("\n".join(lines) + "\n")
+        staged.append((pid, tmp))
+    return staged
+
+
 class TopicDirWriter(DataSourceWriter):
-    """Produce side: hash-partition rows by key (sarama default-partitioner
-    semantics) and append one immutable jsonl file per (task, partition).
-    Files are written under a temp name and renamed in, so concurrent
-    readers never observe partial lines — the rename IS the bulk 'flush
-    then commit' of the reference's Sender (/root/reference/sender.go:27-40).
-    """
+    """Produce side (batch). Tasks STAGE their partition files under temp
+    names; only the driver-side ``commit`` renames them to reader-visible
+    names — so task retries and speculative duplicates never surface
+    (their temps are simply dropped by ``abort``/left invisible), and a
+    failed job leaves nothing behind. The rename-in-commit IS the bulk
+    'flush then commit' of the reference's Sender
+    (/root/reference/sender.go:27-40).
+
+    Visible names carry a millisecond-clock prefix + sequence so a LATER
+    append always sorts AFTER existing files — the lexicographic append
+    contract the reader's offsets depend on (a random-uuid name could sort
+    before existing files and remap every offset in the partition).
+    Concurrent batch writers on one topic from machines with skewed clocks
+    would need a coordinator; the stream writer's epoch names provide that
+    ordering for streaming jobs."""
 
     def __init__(self, options):
         self.root = options["path"]
         self.n_partitions = int(options.get("partitions", "4"))
 
     def write(self, iterator):
-        buckets: dict[int, list[str]] = {}
-        for row in iterator:
-            key = row["key"]
-            # Stable key-hash routing; None keys round-robin would be
-            # nondeterministic, so route them to partition 0.
-            pid = (hash_str(key) % self.n_partitions) if key is not None else 0
-            ts = row["ts"]
-            epoch = ts.replace(tzinfo=timezone.utc).timestamp() if ts else 0.0
-            buckets.setdefault(pid, []).append(
-                json.dumps(
-                    {"key": key, "value": row["value"], "ts": epoch},
-                    ensure_ascii=True,
-                )
-            )
-        written = []
-        for pid, lines in buckets.items():
-            pdir = os.path.join(self.root, f"p={pid}")
-            os.makedirs(pdir, exist_ok=True)
-            name = f"{uuid.uuid4().hex}.jsonl"
-            tmp = os.path.join(pdir, f".{name}.tmp")
-            with open(tmp, "w", encoding="utf-8") as fh:
-                fh.write("\n".join(lines) + "\n")
-            os.rename(tmp, os.path.join(pdir, name))
-            written.append(os.path.join(pdir, name))
-        return _WroteFiles(written)
+        return _WroteFiles(
+            _stage_buckets(self.root, _bucket_rows(iterator, self.n_partitions))
+        )
+
+    def commit(self, messages) -> None:
+        import time
+
+        prefix = f"b{int(time.time() * 1000):013d}"
+        staged = [f for m in messages if m is not None for f in m.files]
+        for seq, (pid, tmp) in enumerate(staged):
+            final = os.path.join(self.root, f"p={pid}", f"{prefix}-{seq:05d}.jsonl")
+            os.rename(tmp, final)
+
+    def abort(self, messages) -> None:
+        for m in messages or []:
+            if m is None:
+                continue
+            for _pid, tmp in m.files:
+                if os.path.exists(tmp):
+                    os.remove(tmp)
 
 
 class TopicDirStreamWriter(DataSourceStreamWriter):
@@ -259,27 +321,9 @@ class TopicDirStreamWriter(DataSourceStreamWriter):
 
     # executors ---------------------------------------------------------
     def write(self, iterator):
-        staged: list[tuple[int, str]] = []
-        buckets: dict[int, list[str]] = {}
-        for row in iterator:
-            key = row["key"]
-            pid = (hash_str(key) % self.n_partitions) if key is not None else 0
-            ts = row["ts"]
-            epoch = ts.replace(tzinfo=timezone.utc).timestamp() if ts else 0.0
-            buckets.setdefault(pid, []).append(
-                json.dumps(
-                    {"key": key, "value": row["value"], "ts": epoch},
-                    ensure_ascii=True,
-                )
-            )
-        for pid, lines in buckets.items():
-            pdir = os.path.join(self.root, f"p={pid}")
-            os.makedirs(pdir, exist_ok=True)
-            tmp = os.path.join(pdir, f".stage-{uuid.uuid4().hex}.tmp")
-            with open(tmp, "w", encoding="utf-8") as fh:
-                fh.write("\n".join(lines) + "\n")
-            staged.append((pid, tmp))
-        return _WroteFiles(staged)
+        return _WroteFiles(
+            _stage_buckets(self.root, _bucket_rows(iterator, self.n_partitions))
+        )
 
     # driver ------------------------------------------------------------
     def _marker(self, batch_id: int) -> str:

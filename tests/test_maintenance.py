@@ -55,3 +55,31 @@ def test_compact_roundtrip_and_file_count(spark, fragmented):
     before = sorted(map(str, spark.read.parquet(fragmented).collect()))
     after = sorted(map(str, spark.read.parquet(dst).collect()))
     assert before == after
+
+
+def test_plan_compaction_is_partition_aware(spark, fragmented):
+    """Groups never span Hive partition directories; the root of a
+    partitioned layout is refused by the rewriter instead of flattened."""
+    import shutil
+
+    from kasper_spark.catalog import load_table
+    from kasper_spark.maintenance import compact_parquet_dir, plan_compaction
+
+    root = tempfile.mkdtemp(prefix="kasper-part-frag-")
+    ev = load_table(spark, SF_SMOKE, "events")
+    ev.withColumn("bucket", (ev.user_id % 3)).repartition(10).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(root)
+
+    total = sum(
+        os.path.getsize(f)
+        for f in glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True)
+    )
+    plan = plan_compaction(root, total // 2)
+    assert plan  # the tiny per-partition files are packable
+    for group in plan:
+        assert len({os.path.dirname(f) for f in group}) == 1  # never cross-partition
+
+    with pytest.raises(ValueError, match="partitioned layout"):
+        compact_parquet_dir(spark, root, root + "-out", total // 2)
+    shutil.rmtree(root)

@@ -338,3 +338,63 @@ def test_drain_batched_respects_cap_and_reaches_end(spark, topic):
         len([r for r in got if r["partition"] == pid]) for pid in (0, 1)
     )
     assert per_batch_max <= 3  # no partition ever exceeded cap x runs shape
+
+
+def test_batch_writer_appends_sort_after_existing(spark):
+    """Append-order contract: a SECOND batch write's files must sort after
+    the first batch's, so committed offsets never remap (uuid-only names
+    could sort earlier and silently shift every offset)."""
+    register_topic_dir_source(spark)
+    root = tempfile.mkdtemp(prefix="kasper-topic-order-")
+
+    def write(vals):
+        df = spark.createDataFrame([("k", v) for v in vals], "key string, value string")
+        df.coalesce(1).withColumn("ts", F.timestamp_seconds(F.lit(1))).write.format(
+            "kasper_topic_dir"
+        ).option("path", root).option("partitions", "1").mode("append").save()
+
+    write(["first-0", "first-1"])
+    first_offsets = {
+        r["value"]: r["offset"]
+        for r in spark.read.format("kasper_topic_dir").option("path", root).load().collect()
+    }
+    write(["second-0"])
+    after = {
+        r["value"]: r["offset"]
+        for r in spark.read.format("kasper_topic_dir").option("path", root).load().collect()
+    }
+    assert after["first-0"] == first_offsets["first-0"]  # offsets stable
+    assert after["first-1"] == first_offsets["first-1"]
+    assert after["second-0"] == 2  # new data appends at the end
+
+
+def test_null_ts_roundtrips_as_null(spark):
+    """ts=null survives the produce/consume round trip (not epoch 0), and
+    an externally seeded literal null ts reads without crashing."""
+    register_topic_dir_source(spark)
+    root = tempfile.mkdtemp(prefix="kasper-topic-nullts-")
+    df = spark.createDataFrame(
+        [("k", "v")], "key string, value string"
+    ).withColumn("ts", F.lit(None).cast("timestamp"))
+    df.write.format("kasper_topic_dir").option("path", root).option(
+        "partitions", "1"
+    ).mode("append").save()
+    pdir = os.path.join(root, "p=0")
+    with open(os.path.join(pdir, "zz-external.jsonl"), "w") as fh:
+        fh.write(json.dumps({"key": "e", "value": "ext", "ts": None}) + "\n")
+
+    rows = {
+        r["value"]: r["ts"]
+        for r in spark.read.format("kasper_topic_dir").option("path", root).load().collect()
+    }
+    assert rows["v"] is None
+    assert rows["ext"] is None
+
+
+def test_reader_skips_foreign_entries(spark, topic):
+    """A stray 'p=0.bak' file next to the partition dirs must be ignored,
+    not crash every offset computation."""
+    open(os.path.join(topic, "p=0.bak"), "w").close()
+    os.makedirs(os.path.join(topic, "p=junk"), exist_ok=True)
+    r = TopicDirStreamReader({"path": topic})
+    assert r.latestOffset() == {"0": 3, "1": 1}
