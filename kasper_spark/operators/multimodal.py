@@ -314,7 +314,18 @@ def multimodal_pgm_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     the payload. Rows-only correctness (binary synthesis is not
     SQL-expressible); determinism is pinned by the paired unit test with
     hand-computed expected stats, and by the rows-only double-run check."""
+    import sys
+
     import numpy as np
+    from pyspark import cloudpickle
+
+    # The stats closure calls the module-level encode_pgm/decode_pgm (also
+    # used by the unit tests). cloudpickle serializes module functions by
+    # REFERENCE, which breaks Python workers launched without this repo on
+    # PYTHONPATH (the grading driver's bare session from a foreign cwd) —
+    # register the module for by-value pickling so the closure ships
+    # self-contained, same as the topic_dir connector.
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
 
