@@ -87,12 +87,18 @@ def compact_parquet_dir(
     nested layouts instead of silently collapsing them."""
     flat = glob.glob(os.path.join(src, "*.parquet"))
     nested = glob.glob(os.path.join(src, "**", "*.parquet"), recursive=True)
-    if not flat and nested:
+    if len(nested) > len(flat):
+        # nested is the recursive superset of flat: ANY file under a
+        # subdirectory means a (possibly mixed) partitioned layout, which
+        # this flat rewrite would flatten or silently drop rows from.
         raise ValueError(
-            f"{src} is a partitioned layout ({len(nested)} files in "
-            "subdirectories): compact each leaf directory (see "
-            "plan_compaction's per-directory groups) instead of the root"
+            f"{src} has {len(nested) - len(flat)} parquet files in "
+            "subdirectories (partitioned or mixed layout): compact each "
+            "leaf directory (see plan_compaction's per-directory groups) "
+            "instead of the root"
         )
+    if not flat:
+        raise ValueError(f"no parquet files under {src}")
     total = sum(os.path.getsize(f) for f in flat)
     n = max(1, -(-total // target_bytes))  # ceil
     spark.read.parquet(src).repartition(n).write.mode("overwrite").parquet(dst)

@@ -306,9 +306,9 @@ def write_zorder_layout(
     n_buckets = 1 << bits
     qs = [i / n_buckets for i in range(1, n_buckets)]
     a, b = dims
-    bounds_a, bounds_b = (
-        df.approxQuantile(c, qs, 0.0) for c in dims
-    )
+    # ONE stats pass for both dimensions (a per-column loop would scan the
+    # dataset once per dimension)
+    bounds_a, bounds_b = df.approxQuantile(list(dims), qs, 0.0)
 
     def bucket(col, bounds):
         # bucket id = number of boundaries below the value, as ONE flat
@@ -324,9 +324,16 @@ def write_zorder_layout(
         F.shiftleft(bucket(a, bounds_a), shift),
         F.shiftleft(bucket(b, bounds_b), shift),
     )
+    # DISTRIBUTED clustered write: range-partition on the z-value so every
+    # task sorts only its slice (a coalesce(1) total sort would serialize
+    # the write through one task and OOM at scale); sized so each range
+    # partition lands as ~one rows_per_file file. Output files cover
+    # disjoint z-ranges (part numbering follows range order), which is all
+    # the min/max stat pruning needs.
+    n_out = max(1, df.count() // rows_per_file)
     (
         df.withColumn("_z", z)
-        .coalesce(1)
+        .repartitionByRange(n_out, "_z")
         .sortWithinPartitions("_z")
         .drop("_z")
         .write.option("maxRecordsPerFile", rows_per_file)

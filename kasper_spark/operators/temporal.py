@@ -341,7 +341,7 @@ def scd2_user_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH marked AS (
         SELECT user_id, ts,
                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                         < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS ns
+                         <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS ns
         FROM events
     ),
     numbered AS (
@@ -365,10 +365,12 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessionize_events (which implements the islands form itself).
 
     Two semantic details the cross-check pins down exactly:
-    - the gap is STRICT: an event arriving exactly 30:00 after the previous
-      one starts a NEW session (session_window merges [ts, ts+gap)
-      intervals on overlap, and touching intervals don't overlap), so the
-      oracle's lag comparison is `<`, not `<=`;
+    - the gap is INCLUSIVE: an event arriving exactly 30:00 after the
+      previous one CONTINUES the session — Spark merges touching
+      [ts, ts+gap) windows, verified empirically (events at 10:00:00 and
+      10:30:00 with a 30-minute gap yield ONE session 10:00->11:00), and
+      pinned by test_session_window_exact_gap_merges; so the oracle's lag
+      comparison is `<=`, matching sessionize_events' convention;
     - the native operator's session_end is last_event + gap (the window's
       half-open upper bound), not the last event time.
 

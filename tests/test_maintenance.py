@@ -80,6 +80,27 @@ def test_plan_compaction_is_partition_aware(spark, fragmented):
     for group in plan:
         assert len({os.path.dirname(f) for f in group}) == 1  # never cross-partition
 
-    with pytest.raises(ValueError, match="partitioned layout"):
+    with pytest.raises(ValueError, match="subdirectories"):
         compact_parquet_dir(spark, root, root + "-out", total // 2)
     shutil.rmtree(root)
+
+
+def test_compact_refuses_mixed_layout_and_empty_dir(spark, fragmented):
+    """Mixed root+partitioned layouts are refused (a flat rewrite would
+    silently drop the root-level rows); empty dirs fail with a clear
+    message, not a schema-inference error."""
+    import shutil
+
+    from kasper_spark.maintenance import compact_parquet_dir
+
+    mixed = tempfile.mkdtemp(prefix="kasper-mixed-")
+    src_file = glob.glob(os.path.join(fragmented, "*.parquet"))[0]
+    shutil.copy(src_file, os.path.join(mixed, "root.parquet"))
+    os.makedirs(os.path.join(mixed, "k=2"))
+    shutil.copy(src_file, os.path.join(mixed, "k=2", "nested.parquet"))
+    with pytest.raises(ValueError, match="subdirectories"):
+        compact_parquet_dir(spark, mixed, mixed + "-out", 1 << 20)
+
+    empty = tempfile.mkdtemp(prefix="kasper-empty-")
+    with pytest.raises(ValueError, match="no parquet files"):
+        compact_parquet_dir(spark, empty, empty + "-out", 1 << 20)

@@ -206,3 +206,24 @@ def test_native_stream_stream_interval_join(spark, tmp_path):
     pipe.run_available_now(joined, query_name="ss_join_out", output_mode="append")
     got = sorted((r["click_id"], r["buy_id"]) for r in spark.table("ss_join_out").collect())
     assert got == [("c1", "b1"), ("c2", "b2"), ("c3", "b3")]
+
+
+def test_session_window_exact_gap_merges(spark):
+    """Pin Spark's exact-gap-boundary semantics: an event arriving exactly
+    gap-after the previous one CONTINUES the session (touching windows
+    merge) — the convention session_window_native's oracle must encode
+    with `<=` (a strict `<` oracle would disagree on any exact-gap data,
+    which the driver fixtures happen not to contain)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:30:00")],
+        "user_id long, s string",
+    ).select("user_id", F.col("s").cast("timestamp").alias("ts"))
+    rows = (
+        df.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert len(rows) == 1 and rows[0]["n"] == 2
+    assert rows[0]["sw"]["end"].isoformat() == "2024-01-01T11:00:00"
