@@ -1283,8 +1283,9 @@ def equidepth_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFram
     WITH hashed AS (
         SELECT
             o_orderkey % 16 AS bucket,
-            md5(CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus
-                || '|' || o_orderpriority) AS h
+            md5(COALESCE(CAST(o_orderkey AS VARCHAR), chr(1))
+                || '|' || COALESCE(o_orderstatus, chr(1))
+                || '|' || COALESCE(o_orderpriority, chr(1))) AS h
         FROM orders
     )
     SELECT
@@ -1314,12 +1315,18 @@ def table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent of partitioning and row order — exactly what a
     replication audit needs. One map-side hash + a 16-group aggregate."""
     orders = load_table(spark, sf_dir, "orders")
+    # NULL-safe canonicalization: concat_ws silently SKIPS nulls (making
+    # ('x', NULL, 'y') and ('x', 'y', NULL) collide, and diverging from the
+    # oracle's NULL-propagating '||'), so every column is coalesced to a
+    # control-char sentinel (\x01 cannot appear in these text domains) on
+    # BOTH engines before hashing.
+    sent = "\x01"
     h = F.md5(
         F.concat_ws(
             "|",
-            F.col("o_orderkey").cast("string"),
-            "o_orderstatus",
-            "o_orderpriority",
+            F.coalesce(F.col("o_orderkey").cast("string"), F.lit(sent)),
+            F.coalesce(F.col("o_orderstatus"), F.lit(sent)),
+            F.coalesce(F.col("o_orderpriority"), F.lit(sent)),
         ).cast("binary")
     )
     hashed = orders.select(

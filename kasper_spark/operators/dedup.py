@@ -146,6 +146,42 @@ def tokenset_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- shared bounded Jaccard demo graph (iterative/motif family) ----------
+# ONE definition for the graph that pagerank / label propagation /
+# connected components / triangle counting all analyze — a drift in the
+# threshold, tokenization, or bound would otherwise have to be fixed in
+# four Python copies plus four oracle CTEs.
+
+_JACCARD_GRAPH_CTE = """sets AS (
+        SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), w -> w <> '')) AS ws
+        FROM documents
+        WHERE doc_id < 40
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_filter(a.ws, w -> list_contains(b.ws, w))) AS DOUBLE)
+                / (len(a.ws) + len(b.ws) - len(list_filter(a.ws, w -> list_contains(b.ws, w)))) >= 0.5
+    )"""
+
+
+def _bounded_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b) edges of the bounded (doc_id < 40) token-set Jaccard
+    graph at threshold 0.5 — the Python twin of _JACCARD_GRAPH_CTE."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    sets = docs.select(
+        "doc_id", F.array_distinct(_tokens(F.col("text"))).alias("ws")
+    )
+    a, b = sets.alias("a"), sets.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
+    union = F.size(F.col("a.ws")) + F.size(F.col("b.ws")) - inter
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(inter.cast("double") / union >= 0.5)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+
+
 @register_query("minhash_lsh_candidates")  # rows-only: not SQL-expressible
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dup candidates (no O(n^2) compare).
@@ -217,12 +253,16 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # band signatures: xxhash64 over the band's row hashes (band id as the
     # first operand separates the hash families). A 64-bit signature is
-    # enough for BUCKETING: a cross-signature collision only merges two
-    # buckets (extra candidate pairs, later rejected by the est_jaccard
-    # threshold) and can never drop a true pair — and it is ~4x cheaper to
-    # compute than the md5-of-concat form this replaced (no string concat,
-    # no binary cast, no 128-bit digest) and shuffles 8 B instead of a
-    # 32-char string per row. Signatures-only rows go through the bucket
+    # enough for BUCKETING: a cross-signature collision merges two buckets,
+    # which by itself only ADDS candidate pairs (later rejected by the
+    # est_jaccard threshold); the one second-order caveat is the _MAX_BUCKET
+    # cap below — a merged bucket that crosses the cap can truncate pairs a
+    # separate bucket would have kept. That needs a collision among the
+    # ~|docs|x8 band rows (~n^2/2^65 — negligible even at 10^9 docs, and any
+    # affected pair usually shares other bands). In exchange the signature
+    # is ~4x cheaper than the md5-of-concat form this replaced (no string
+    # concat, no binary cast, no 128-bit digest) and shuffles 8 B instead
+    # of a 32-char string per row. Signatures-only rows go through the bucket
     # shuffle — the 32-long mh arrays stay out of the wide stages and are
     # joined back at the end (pairs dedupe on two longs instead of two
     # arrays).
@@ -511,17 +551,7 @@ def _pagerank_oracle_sql(iters: int = 8) -> str:
     (see pagerank_neardup_graph for why each arithmetic step is
     engine-exact)."""
     head = """
-    WITH sets AS (
-        SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), w -> w <> '')) AS ws
-        FROM documents
-        WHERE doc_id < 40
-    ),
-    pairs AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM sets a JOIN sets b ON a.doc_id < b.doc_id
-        WHERE CAST(len(list_filter(a.ws, w -> list_contains(b.ws, w))) AS DOUBLE)
-                / (len(a.ws) + len(b.ws) - len(list_filter(a.ws, w -> list_contains(b.ws, w)))) >= 0.5
-    ),
+    WITH """ + _JACCARD_GRAPH_CTE + """,
     edges AS (
         SELECT doc_a AS src, doc_b AS dst FROM pairs
         UNION ALL
@@ -588,18 +618,7 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration would checkpoint to cut lineage exactly as neardup_clusters
     does. Graph is symmetric (undirected near-dup relation), so every node
     has an in-edge and the dangling-mass term vanishes."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
-    sets = docs.select(
-        "doc_id", F.array_distinct(_tokens(F.col("text"))).alias("ws")
-    )
-    a, b = sets.alias("a"), sets.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
-    union = F.size(F.col("a.ws")) + F.size(F.col("b.ws")) - inter
-    pairs = (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .filter(inter.cast("double") / union >= 0.5)
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    )
+    pairs = _bounded_jaccard_pairs(spark, sf_dir)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -634,17 +653,7 @@ def _lpa_oracle_sql(iters: int = 8) -> str:
     """Unrolled label-propagation oracle: same Jaccard graph as pagerank,
     same self-loop-damped synchronous votes, same min-label tie-break."""
     head = """
-    WITH sets AS (
-        SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), w -> w <> '')) AS ws
-        FROM documents
-        WHERE doc_id < 40
-    ),
-    pairs AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM sets a JOIN sets b ON a.doc_id < b.doc_id
-        WHERE CAST(len(list_filter(a.ws, w -> list_contains(b.ws, w))) AS DOUBLE)
-                / (len(a.ws) + len(b.ws) - len(list_filter(a.ws, w -> list_contains(b.ws, w)))) >= 0.5
-    ),
+    WITH """ + _JACCARD_GRAPH_CTE + """,
     nodes AS (
         SELECT DISTINCT doc_a AS node FROM pairs
         UNION
@@ -714,18 +723,7 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     to cut lineage, exactly as neardup_clusters does."""
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
-    sets = docs.select(
-        "doc_id", F.array_distinct(_tokens(F.col("text"))).alias("ws")
-    )
-    a, b = sets.alias("a"), sets.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
-    union = F.size(F.col("a.ws")) + F.size(F.col("b.ws")) - inter
-    pairs = (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .filter(inter.cast("double") / union >= 0.5)
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    )
+    pairs = _bounded_jaccard_pairs(spark, sf_dir)
     nodes = (
         pairs.select(F.col("doc_a").alias("node"))
         .union(pairs.select(F.col("doc_b").alias("node")))
@@ -767,17 +765,7 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 _CC_CANONICAL_ORACLE = """
-    WITH RECURSIVE sets AS (
-        SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), w -> w <> '')) AS ws
-        FROM documents
-        WHERE doc_id < 40
-    ),
-    pairs AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM sets a JOIN sets b ON a.doc_id < b.doc_id
-        WHERE CAST(len(list_filter(a.ws, w -> list_contains(b.ws, w))) AS DOUBLE)
-                / (len(a.ws) + len(b.ws) - len(list_filter(a.ws, w -> list_contains(b.ws, w)))) >= 0.5
-    ),
+    WITH RECURSIVE """ + _JACCARD_GRAPH_CTE + """,
     nodes AS (
         SELECT DISTINCT doc_a AS node FROM pairs
         UNION
@@ -824,18 +812,7 @@ def neardup_cc_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     acts on. Scale: the closure oracle is O(n * component) and exists only
     for verification; the Spark side is the same O(log d)-round CC that
     runs on the full corpus."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
-    sets = docs.select(
-        "doc_id", F.array_distinct(_tokens(F.col("text"))).alias("ws")
-    )
-    a, b = sets.alias("a"), sets.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
-    union = F.size(F.col("a.ws")) + F.size(F.col("b.ws")) - inter
-    pairs = (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .filter(inter.cast("double") / union >= 0.5)
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    )
+    pairs = _bounded_jaccard_pairs(spark, sf_dir)
     cc = connected_components(pairs)
     return cc.select(
         "doc_id",
@@ -845,17 +822,7 @@ def neardup_cc_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TRIANGLE_ORACLE = """
-    WITH sets AS (
-        SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), w -> w <> '')) AS ws
-        FROM documents
-        WHERE doc_id < 40
-    ),
-    pairs AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM sets a JOIN sets b ON a.doc_id < b.doc_id
-        WHERE CAST(len(list_filter(a.ws, w -> list_contains(b.ws, w))) AS DOUBLE)
-                / (len(a.ws) + len(b.ws) - len(list_filter(a.ws, w -> list_contains(b.ws, w)))) >= 0.5
-    ),
+    WITH """ + _JACCARD_GRAPH_CTE + """,
     deg AS (
         SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
             SELECT doc_a AS node FROM pairs
@@ -906,19 +873,7 @@ def triangle_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     (engine-exact). Same bounded demo graph as the pagerank/LPA/CC family
     (allow-listed all-pairs build); at 100 TB the edges come from
     minhash_lsh_candidates."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
-    sets = docs.select(
-        "doc_id", F.array_distinct(_tokens(F.col("text"))).alias("ws")
-    )
-    a, b = sets.alias("a"), sets.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
-    union = F.size(F.col("a.ws")) + F.size(F.col("b.ws")) - inter
-    pairs = (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .filter(inter.cast("double") / union >= 0.5)
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .persist()
-    )
+    pairs = _bounded_jaccard_pairs(spark, sf_dir).persist()
     deg = (
         pairs.select(F.col("doc_a").alias("node"))
         .unionAll(pairs.select(F.col("doc_b").alias("node")))

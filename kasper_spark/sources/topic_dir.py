@@ -405,5 +405,12 @@ def register_topic_dir_source(spark) -> None:
 
     from pyspark import cloudpickle
 
+    # idempotent per session: repeated calls (e.g. drain_batched building a
+    # source per run) would otherwise re-register every time, paying a
+    # py4j round trip and spamming 'replaced a previously registered data
+    # source' warnings over the log
+    if getattr(spark, "_kasper_topic_dir_registered", False):
+        return
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
     spark.dataSource.register(TopicDirDataSource)
+    spark._kasper_topic_dir_registered = True

@@ -26,17 +26,30 @@ def _offset_dict_lag(end, latest) -> int:
     handled by the metric keys above, file sources have no offsets)."""
     import json
 
+    def _as_int(v):
+        if isinstance(v, int):
+            return v
+        if isinstance(v, str) and v.lstrip("-").isdigit():
+            return int(v)
+        return None
+
     try:
         e, l = json.loads(end), json.loads(latest)
         if not (isinstance(e, dict) and isinstance(l, dict)):
             return 0
-        return sum(
-            max(0, int(l[p]) - int(e.get(p, 0)))
-            for p in l
-            if isinstance(l[p], (int, str)) and str(l[p]).lstrip("-").isdigit()
-        )
-    except (TypeError, ValueError, KeyError):
+    except (TypeError, ValueError):
         return 0
+    # per-partition guard: one unparseable END value (e.g. a just-added
+    # partition serialized as null) must not zero the WHOLE gauge — that
+    # would mask a growing backlog, the exact condition it exists to expose
+    total = 0
+    for p, lv in l.items():
+        latest_i = _as_int(lv)
+        if latest_i is None:
+            continue
+        end_i = _as_int(e.get(p, 0))
+        total += max(0, latest_i - (end_i if end_i is not None else 0))
+    return total
 
 
 class PipelineMetricsListener(StreamingQueryListener):

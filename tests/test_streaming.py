@@ -415,6 +415,18 @@ def test_metrics_listener_lag_from_offset_dicts():
     assert listener.messages_behind_high_water_mark("q2") == 4
 
 
+def test_metrics_listener_lag_partial_offsets_still_report():
+    """One unparseable end-side partition (e.g. a just-added partition
+    serialized as null) must not zero the whole gauge — valid partitions
+    keep reporting their backlog."""
+    from kasper_spark.streaming.metrics import _offset_dict_lag
+
+    assert _offset_dict_lag('{"0": "5", "1": null}', '{"0": "9", "1": "100"}') == 104
+    assert _offset_dict_lag('{"0": 2}', '{"0": 6, "1": "bad"}') == 4
+    assert _offset_dict_lag(None, '{"0": 1}') == 0
+    assert _offset_dict_lag('{"0": 1}', '{"t": {"0": 5}}') == 0  # nested shape
+
+
 def test_tws_document_join_golden_parity(spark, workdir):
     """The transformWithStateInPandas form of the B5 join (TTL off) must
     reproduce the golden fixture: same completions, same re-emissions,
