@@ -96,7 +96,7 @@ def test_kafka_roundtrip_smoke(spark, tmp_path):
     }
 
 
-def test_kafka_stale_offset_clamp(spark, tmp_path):
+def test_kafka_stale_offset_clamp_topic_recreate(spark, tmp_path):
     """A1 stale-offset semantics (/root/reference/partition_processor.go:41-44:
     out-of-range stored offsets clamp to the valid range instead of
     crashing). Spark's analog is failOnDataLoss=false: a checkpoint whose
