@@ -36,6 +36,7 @@ in streaming/pipeline.py carry the same semantics against a live broker.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import uuid
@@ -116,8 +117,27 @@ def _read_range(root: str, pid: int, start: int, end: int):
                 if idx >= end:
                     return
                 if idx >= start:
-                    m = json.loads(line)
-                    yield (m.get("key"), m["value"], pid, idx, _decode_ts(m["ts"]))
+                    # Partition files are connector-private, but a single
+                    # malformed or ts-less line (truncated write, foreign
+                    # tooling) must not wedge the stream forever — the same
+                    # offset range is retried on every trigger, so raising
+                    # here is permanent. Skip the line but keep its offset
+                    # slot: idx counts raw lines, matching _line_count, so
+                    # offsets stay aligned for the rest of the log.
+                    try:
+                        m = json.loads(line)
+                        rec = (m.get("key"), m["value"], pid, idx, _decode_ts(m["ts"]))
+                    except (ValueError, KeyError, TypeError) as e:
+                        import sys
+
+                        print(
+                            f"topic_dir: skipping malformed line at "
+                            f"p={pid} offset {idx} in {f}: {e!r}",
+                            file=sys.stderr,
+                        )
+                        rec = None
+                    if rec is not None:
+                        yield rec
                 idx += 1
 
 
@@ -274,8 +294,23 @@ class TopicDirWriter(DataSourceWriter):
     def commit(self, messages) -> None:
         import time
 
-        prefix = f"b{int(time.time() * 1000):013d}"
         staged = [f for m in messages if m is not None for f in m.files]
+        # Two commits landing in the same millisecond would mint identical
+        # b{ms}-{seq} names and os.rename would silently overwrite the
+        # earlier batch's files (data loss). Bump the clock prefix until no
+        # target name exists — the bumped prefix still sorts after every
+        # existing file, preserving the later-append-sorts-after contract.
+        # (Concurrent writers from different processes still need a
+        # coordinator, as documented above.)
+        ms = int(time.time() * 1000)
+        while any(
+            os.path.exists(
+                os.path.join(self.root, f"p={pid}", f"b{ms:013d}-{seq:05d}.jsonl")
+            )
+            for seq, (pid, _tmp) in enumerate(staged)
+        ):
+            ms += 1
+        prefix = f"b{ms:013d}"
         for seq, (pid, tmp) in enumerate(staged):
             final = os.path.join(self.root, f"p={pid}", f"{prefix}-{seq:05d}.jsonl")
             os.rename(tmp, final)
@@ -339,6 +374,17 @@ class TopicDirStreamWriter(DataSourceStreamWriter):
                 if os.path.exists(tmp):
                     os.remove(tmp)
             return
+        # Marker-less commit: a driver crash mid-commit (after some renames,
+        # before the marker landed) leaves a partially visible epoch; the
+        # replay's task layout may differ, which would strand stale
+        # e{batchId}-* files beside the replayed ones (duplicate rows).
+        # Remove any existing files for this epoch before renaming the
+        # freshly staged set, so the commit is a clean overwrite.
+        epoch_glob = f"e{batchId:012d}-"
+        for pdir in glob.glob(os.path.join(self.root, "p=*")):
+            for stale in os.listdir(pdir):
+                if stale.startswith(epoch_glob) and stale.endswith(".jsonl"):
+                    os.remove(os.path.join(pdir, stale))
         for seq, (pid, tmp) in enumerate(staged):
             final = os.path.join(
                 self.root, f"p={pid}", f"e{batchId:012d}-{seq:05d}.jsonl"

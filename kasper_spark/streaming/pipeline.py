@@ -254,8 +254,16 @@ class Pipeline:
         for i in range(max_runs):
             q = self.start(make_out(), available_now=True, **kwargs)
             q.awaitTermination()
-            p = q.lastProgress
-            rows = int(p["numInputRows"]) if p and "numInputRows" in p else 0
+            # Sum input rows over the whole run, not just lastProgress: a
+            # stateful query with a watermark can append a trailing no-data
+            # batch, whose lastProgress reads numInputRows=0 even though
+            # this run DID consume backlog — reading only lastProgress
+            # would end the drain early with log still unread.
+            rows = sum(
+                int(p["numInputRows"])
+                for p in (q.recentProgress or [])
+                if p and "numInputRows" in p
+            )
             self._query = None
             if rows == 0:
                 return i + 1

@@ -398,3 +398,119 @@ def test_reader_skips_foreign_entries(spark, topic):
     os.makedirs(os.path.join(topic, "p=junk"), exist_ok=True)
     r = TopicDirStreamReader({"path": topic})
     assert r.latestOffset() == {"0": 3, "1": 1}
+
+
+def test_batch_writer_same_millisecond_commits_never_collide(tmp_path, monkeypatch):
+    """ADVICE r04: two batch commits in one millisecond minted identical
+    b{ms}-{seq} names and the second os.rename silently overwrote the
+    first (data loss). The commit now bumps the clock prefix until no
+    target exists — both batches must survive, and the second must still
+    sort after the first (append contract)."""
+    from kasper_spark.sources.topic_dir import TopicDirWriter, _WroteFiles
+
+    root = str(tmp_path / "t")
+    w = TopicDirWriter({"path": root, "partitions": "1"})
+    monkeypatch.setattr("time.time", lambda: 1.0)  # frozen clock
+
+    def stage(content: str):
+        pdir = os.path.join(root, "p=0")
+        os.makedirs(pdir, exist_ok=True)
+        tmp = os.path.join(pdir, f".stage-{content}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(json.dumps({"key": "k", "value": content, "ts": 1.0}) + "\n")
+        return _WroteFiles([(0, tmp)])
+
+    w.commit([stage("first")])
+    w.commit([stage("second")])  # same frozen millisecond
+    files = sorted(os.listdir(os.path.join(root, "p=0")))
+    assert len(files) == 2, f"second commit overwrote the first: {files}"
+    contents = []
+    for f in files:
+        with open(os.path.join(root, "p=0", f)) as fh:
+            contents.append(json.loads(fh.read())["value"])
+    assert contents == ["first", "second"]  # later append sorts after
+
+
+def test_stream_writer_markerless_partial_epoch_is_cleaned(tmp_path):
+    """ADVICE r04: a driver crash mid-commit (some renames done, marker not
+    yet written) leaves a partially visible epoch; if the replay's task
+    layout differs, stale e{batchId}-* files from the crashed attempt
+    would survive beside the replayed ones (duplicate rows). The commit
+    now clears existing files for a marker-less epoch first."""
+    from kasper_spark.sources.topic_dir import TopicDirStreamWriter, _WroteFiles
+
+    root = str(tmp_path / "t")
+    w = TopicDirStreamWriter({"path": root, "partitions": "2"})
+
+    # simulate the crashed attempt: one file of epoch 7 already renamed
+    # into place (seq 00001 — a layout the replay won't reproduce), no marker
+    pdir = os.path.join(root, "p=0")
+    os.makedirs(pdir, exist_ok=True)
+    with open(os.path.join(pdir, "e000000000007-00001.jsonl"), "w") as fh:
+        fh.write(json.dumps({"key": "k", "value": "crashed-attempt", "ts": 1.0}) + "\n")
+
+    def stage(content: str):
+        tmp = os.path.join(pdir, f".stage-{content}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(json.dumps({"key": "k", "value": content, "ts": 1.0}) + "\n")
+        return _WroteFiles([(0, tmp)])
+
+    w.commit([stage("replayed")], batchId=7)
+    files = sorted(os.listdir(pdir))
+    assert files == ["e000000000007-00000.jsonl"], files
+    with open(os.path.join(pdir, files[0])) as fh:
+        assert json.loads(fh.read())["value"] == "replayed"
+
+
+def test_malformed_line_skipped_not_wedged(spark, tmp_path):
+    """ADVICE r04: one malformed or ts-less line raised on every retry and
+    permanently wedged the stream. It is now skipped (offset slot kept, so
+    later offsets stay aligned with the raw line count)."""
+    register_topic_dir_source(spark)
+    root = str(tmp_path / "t")
+    _seed(root, 0, [("a", "v0", 1.0)], "000.jsonl")
+    pdir = os.path.join(root, "p=0")
+    with open(os.path.join(pdir, "000.jsonl"), "a") as fh:
+        fh.write("this is not json\n")
+        fh.write(json.dumps({"key": "c", "value": "no-ts-field"}) + "\n")
+        fh.write(json.dumps({"key": "d", "value": "v3", "ts": 4.0}) + "\n")
+
+    rows = sorted(
+        spark.read.format("kasper_topic_dir").option("path", root).load().collect(),
+        key=lambda r: r["offset"],
+    )
+    # offsets 1 (malformed) and 2 (ts-less) are skipped; offset 3 keeps its
+    # slot — proof the raw-line offset math survived the bad lines
+    assert [(r["offset"], r["value"]) for r in rows] == [(0, "v0"), (3, "v3")]
+
+
+def test_drain_batched_survives_trailing_no_data_batch(spark, monkeypatch):
+    """ADVICE r04: drain_batched read only lastProgress; a stateful run
+    appending a trailing no-data batch reads numInputRows=0 there and the
+    drain exited early with backlog remaining. It now sums numInputRows
+    across recentProgress for the run."""
+    from kasper_spark.streaming.pipeline import Pipeline, PipelineConfig
+
+    cfg = PipelineConfig(name="drain-test", brokers=[], input_topics=[])
+    pipe = Pipeline(spark, cfg)
+
+    class FakeQuery:
+        def __init__(self, progresses):
+            self.recentProgress = progresses
+            self.lastProgress = progresses[-1] if progresses else None
+
+        def awaitTermination(self):
+            pass
+
+    # run 1: consumed 5 rows then a trailing watermark-only batch (0 rows);
+    # run 2: truly empty — the drain must do BOTH runs, not stop after #1
+    runs = [
+        FakeQuery([{"numInputRows": 5}, {"numInputRows": 0}]),
+        FakeQuery([{"numInputRows": 0}]),
+    ]
+    calls = []
+    monkeypatch.setattr(
+        Pipeline, "start", lambda self, out, **kw: calls.append(1) or runs[len(calls) - 1]
+    )
+    n = pipe.drain_batched(lambda: None)
+    assert n == 2 and len(calls) == 2
