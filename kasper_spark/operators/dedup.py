@@ -545,13 +545,14 @@ def levenshtein_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pagerank_oracle_sql(iters: int = 8) -> str:
-    """Generate the unrolled PageRank oracle: the same Jaccard graph, the
-    same 8 synchronous iterations, the same decimal-exact contribution sums
-    (see pagerank_neardup_graph for why each arithmetic step is
-    engine-exact)."""
+def _pagerank_oracle_sql(iters: int = 8, graph_cte: str | None = None) -> str:
+    """Generate the unrolled PageRank oracle: the same graph CTE (bounded
+    Jaccard by default; the md5-LSH scale-path graph for
+    pagerank_lsh_graph), the same 8 synchronous iterations, the same
+    decimal-exact contribution sums (see pagerank_neardup_graph for why
+    each arithmetic step is engine-exact)."""
     head = """
-    WITH """ + _JACCARD_GRAPH_CTE + """,
+    WITH """ + (graph_cte or _JACCARD_GRAPH_CTE) + """,
     edges AS (
         SELECT doc_a AS src, doc_b AS dst FROM pairs
         UNION ALL
@@ -616,9 +617,16 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     The demo graph is the bounded tokenset_jaccard_pairs candidate set; at
     100 TB the edges come from minhash_lsh_candidates instead, and each
     iteration would checkpoint to cut lineage exactly as neardup_clusters
-    does. Graph is symmetric (undirected near-dup relation), so every node
+    does (pagerank_lsh_graph certifies exactly that composition). Graph is
+    symmetric (undirected near-dup relation), so every node
     has an in-edge and the dangling-mass term vanishes."""
-    pairs = _bounded_jaccard_pairs(spark, sf_dir)
+    return _pagerank_over_pairs(_bounded_jaccard_pairs(spark, sf_dir))
+
+
+def _pagerank_over_pairs(pairs: DataFrame, iters: int = 8) -> DataFrame:
+    """8-iteration decimal-exact PageRank over an undirected (doc_a, doc_b)
+    pair list — shared by the bounded-Jaccard demo graph and the md5-LSH
+    scale-path graph (pagerank_lsh_graph)."""
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -630,7 +638,7 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = deg.select("src", (F.lit(1.0) / n).alias("rank")).withColumnRenamed(
         "src", "doc_id"
     )
-    for _ in range(8):
+    for _ in range(iters):
         contribs = (
             edges.join(ranks, edges.src == ranks.doc_id)
             .join(deg, "src")
@@ -649,11 +657,12 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lpa_oracle_sql(iters: int = 8) -> str:
-    """Unrolled label-propagation oracle: same Jaccard graph as pagerank,
-    same self-loop-damped synchronous votes, same min-label tie-break."""
+def _lpa_oracle_sql(iters: int = 8, graph_cte: str | None = None) -> str:
+    """Unrolled label-propagation oracle: same graph CTE as pagerank
+    (parametrizable, see _pagerank_oracle_sql), same self-loop-damped
+    synchronous votes, same min-label tie-break."""
     head = """
-    WITH """ + _JACCARD_GRAPH_CTE + """,
+    WITH """ + (graph_cte or _JACCARD_GRAPH_CTE) + """,
     nodes AS (
         SELECT DISTINCT doc_a AS node FROM pairs
         UNION
@@ -720,10 +729,17 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     degree, so WindowGroupLimit keeps it heap-local). Same demo graph as
     pagerank_neardup_graph (bounded all-pairs, allow-listed); at 100 TB
     the edges come from minhash_lsh_candidates and each round checkpoints
-    to cut lineage, exactly as neardup_clusters does."""
+    to cut lineage, exactly as neardup_clusters does (lpa_lsh_graph
+    certifies exactly that composition)."""
+    return _lpa_over_pairs(_bounded_jaccard_pairs(spark, sf_dir))
+
+
+def _lpa_over_pairs(pairs: DataFrame, iters: int = 8) -> DataFrame:
+    """8-iteration deterministic LPA over an undirected (doc_a, doc_b) pair
+    list — shared by the bounded-Jaccard demo graph and the md5-LSH
+    scale-path graph (lpa_lsh_graph)."""
     from pyspark.sql.window import Window
 
-    pairs = _bounded_jaccard_pairs(spark, sf_dir)
     nodes = (
         pairs.select(F.col("doc_a").alias("node"))
         .union(pairs.select(F.col("doc_b").alias("node")))
@@ -742,7 +758,7 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     by_votes = Window.partitionBy("node").orderBy(
         F.desc("cnt"), F.asc("label")
     )
-    for _ in range(8):
+    for _ in range(iters):
         votes = (
             edges.join(labels, edges.src == labels.node)
             .groupBy(F.col("dst").alias("node2"), "label")
@@ -909,3 +925,181 @@ def triangle_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Scale-path graph certification: PageRank / LPA over LSH candidates.
+#
+# The bounded (doc_id < 40) Jaccard graph above exists so the oracle stays
+# tractable; the production composition is minhash_lsh_candidates -> graph
+# algorithm. These queries hash-certify exactly that composition: the SAME
+# shingle -> minhash -> band -> bucket -> verify pipeline, over the FULL
+# documents table, feeding the SAME PageRank/LPA iterations — with one
+# substitution that makes a DuckDB oracle possible: the hash family is
+# md5-derived (both engines compute bit-identical md5 hex; the 60-bit h1 /
+# 52-bit h2 slices keep h1 + i*h2 inside BIGINT for i < 32) instead of
+# xxhash64 (Spark-only). The xxhash64 form stays the throughput operator;
+# this form proves the composition end-to-end against SQL. No bucket cap
+# here: the cap is a skew guard whose SQL twin (per-bucket list slice)
+# would certify the cap, not the algorithm.
+
+
+def _build_lsh_graph_cte() -> str:
+    min_cols = ",\n               ".join(
+        f"MIN(h1 + {i} * h2) AS m{i}" for i in range(_NUM_HASHES)
+    )
+    band_union = "\n        UNION ALL\n        ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || '|' || ".join(
+            f"CAST(m{b * _ROWS_PER_BAND + r} AS VARCHAR)"
+            for r in range(_ROWS_PER_BAND)
+        )
+        + " AS bsig FROM sigs"
+        for b in range(_BANDS)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN x.m{i} = y.m{i} THEN 1 ELSE 0 END)" for i in range(_NUM_HASHES)
+    )
+    return f"""sets AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, t.s AS s
+        FROM sets, UNNEST(
+            CASE WHEN len(toks) >= {_SHINGLE_N}
+                 THEN list_transform(generate_series(1, len(toks) - {_SHINGLE_N - 1}),
+                          i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+                 ELSE [] END) AS t(s)
+    ),
+    hs AS (
+        SELECT doc_id,
+               CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) AS h1,
+               CAST('0x' || substring(md5(s), 17, 13) AS BIGINT) AS h2
+        FROM sh
+    ),
+    sigs AS (
+        SELECT doc_id, {min_cols}
+        FROM hs GROUP BY doc_id
+    ),
+    bands AS (
+        {band_union}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b USING (band, bsig)
+        WHERE a.doc_id < b.doc_id
+    ),
+    pairs AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c JOIN sigs x ON c.doc_a = x.doc_id
+                    JOIN sigs y ON c.doc_b = y.doc_id
+        WHERE ({agree}) / {_NUM_HASHES}.0 >= 0.5
+    )"""
+
+
+_LSH_GRAPH_CTE = _build_lsh_graph_cte()
+
+
+def _md5_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b) LSH near-dup edges over the FULL documents table —
+    the Python twin of _LSH_GRAPH_CTE, same plan shape as
+    minhash_lsh_candidates (shingle explode -> partial-agg minhash ->
+    band-signature bucket shuffle -> intra-bucket pairs -> signature
+    verify) with the md5 hash family so both engines agree bit-for-bit."""
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par)
+    toks = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    raw = toks.select("doc_id", _shingles_raw(F.col("toks")).alias("raw"))
+    # non-attribute explode child: see minhash_lsh_candidates on the
+    # InferFiltersFromGenerate plan trap
+    ex = raw.select("doc_id", F.explode(F.array_distinct("raw")).alias("s"))
+    dig = F.md5("s")
+    hashed = ex.select(
+        "doc_id",
+        F.conv(F.substring(dig, 1, 15), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(dig, 17, 13), 16, 10).cast("long").alias("h2"),
+    )
+    sigs = hashed.groupBy("doc_id").agg(
+        *[F.min(F.col("h1") + i * F.col("h2")).alias(f"m{i}") for i in range(_NUM_HASHES)]
+    )
+    from pyspark import StorageLevel
+
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"m{b * _ROWS_PER_BAND + r}").cast("string")
+                                for r in range(_ROWS_PER_BAND)
+                            ],
+                        ).alias("bsig"),
+                    )
+                    for b in range(_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig"))
+    buckets = (
+        bands.groupBy("band", "bsig")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("members"))
+        .filter(F.size("members") > 1)
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("members"),
+                        lambda m: F.transform(
+                            F.filter(F.col("members"), lambda x: x > m),
+                            lambda x: F.struct(m.alias("doc_a"), x.alias("doc_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    mh = sigs.select(
+        "doc_id", F.array(*[f"m{i}" for i in range(_NUM_HASHES)]).alias("mh")
+    )
+    a = mh.select(F.col("doc_id").alias("doc_a"), F.col("mh").alias("mh_a"))
+    b = mh.select(F.col("doc_id").alias("doc_b"), F.col("mh").alias("mh_b"))
+    agree = F.size(
+        F.filter(F.zip_with(F.col("mh_a"), F.col("mh_b"), lambda x, y: x == y), lambda e: e)
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(agree.cast("double") / _NUM_HASHES >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+
+
+@register_query(
+    "pagerank_lsh_graph", oracle=_pagerank_oracle_sql(graph_cte=_LSH_GRAPH_CTE)
+)
+def pagerank_lsh_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the LSH-candidate near-dup graph — the 100 TB
+    composition (minhash/LSH candidates -> graph algorithm) hash-certified
+    end-to-end: full documents table, no doc_id bound, no all-pairs join
+    anywhere (the graph is built by the banding bucket shuffle), and the
+    oracle recomputes the identical pipeline in SQL thanks to the
+    md5-derived hash family (see _LSH_GRAPH_CTE block comment)."""
+    return _pagerank_over_pairs(_md5_lsh_pairs(spark, sf_dir))
+
+
+@register_query("lpa_lsh_graph", oracle=_lpa_oracle_sql(graph_cte=_LSH_GRAPH_CTE))
+def lpa_lsh_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities over the LSH-candidate graph — the
+    scale-path twin of label_propagation_communities, certified like
+    pagerank_lsh_graph (same md5-LSH edge set, same unrolled-SQL oracle)."""
+    return _lpa_over_pairs(_md5_lsh_pairs(spark, sf_dir))
