@@ -407,6 +407,25 @@ def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
     localCheckpoint so the plan stays O(1) per round.
     """
     a, b = edges.columns[:2]
+
+    def fingerprint(df: DataFrame) -> tuple:
+        """(count, order-independent hash-sum) of a distinct edge set — the
+        table_checksum primitive turned inward: one map-side-combined
+        aggregate per round instead of the two full-width exceptAll
+        shuffles this replaced. Two distinct sets with equal count and
+        equal sum of per-edge 63-bit hashes are equal up to a hash-sum
+        collision (~n/2^63 — far below any operational risk; a collision
+        here could only end the loop one round early, and the fixpoint
+        check below runs on the FINAL set regardless). DECIMAL(38,0) keeps
+        the sum exact at any edge count."""
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.shiftrightunsigned(F.xxhash64("hi", "lo"), 1).cast("decimal(38,0)")
+            ).alias("h"),
+        ).first()
+        return (r["n"], r["h"])
+
     e = (
         edges.select(F.col(a).alias("x"), F.col(b).alias("y"))
         .filter(F.col("x") != F.col("y"))
@@ -414,6 +433,7 @@ def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    fp_e = fingerprint(e)
     nodes = (
         e.select(F.col("hi").alias("doc_id"))
         .unionAll(e.select(F.col("lo").alias("doc_id")))
@@ -450,11 +470,10 @@ def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
             .distinct()
             .localCheckpoint()
         )
-        changed = (
-            ss.exceptAll(e).unionAll(e.exceptAll(ss)).limit(1).count()
-        )
-        e = ss
-        if changed == 0:
+        fp_ss = fingerprint(ss)
+        changed = fp_ss != fp_e
+        e, fp_e = ss, fp_ss
+        if not changed:
             break
     else:
         raise RuntimeError(

@@ -229,15 +229,36 @@ class _WroteFiles(WriterCommitMessage):
         self.files = files
 
 
-def _bucket_rows(iterator, n_partitions: int) -> dict[int, list[str]]:
+def _bucket_rows(
+    iterator, n_partitions: int, null_key_routing: str = "fixed"
+) -> dict[int, list[str]]:
     """Shared produce-side encoding for both writers: stable key-hash
-    routing (sarama default-partitioner semantics; None keys go to p=0 —
-    round-robin would be nondeterministic) and JSON line encoding with
-    ts=null preserved as null (never epoch 0)."""
+    routing (sarama default-partitioner semantics) and JSON line encoding
+    with ts=null preserved as null (never epoch 0).
+
+    ``null_key_routing`` decides where None-key messages land:
+    - ``fixed`` (default): all to p=0 — deterministic across retries and
+      runs, the property the exactly-once replay proofs rely on;
+    - ``roundrobin``: spread across partitions in task-arrival order —
+      Kafka's null-key behavior, better load balance for null-heavy
+      producers; per-run nondeterministic placement, so only use it where
+      downstream consumers don't assume replay-stable partitioning.
+    """
+    if null_key_routing not in ("fixed", "roundrobin"):
+        raise ValueError(
+            f"nullKeyRouting must be 'fixed' or 'roundrobin', got {null_key_routing!r}"
+        )
     buckets: dict[int, list[str]] = {}
+    rr = 0
     for row in iterator:
         key = row["key"]
-        pid = (hash_str(key) % n_partitions) if key is not None else 0
+        if key is not None:
+            pid = hash_str(key) % n_partitions
+        elif null_key_routing == "roundrobin":
+            pid = rr % n_partitions
+            rr += 1
+        else:
+            pid = 0
         ts = row["ts"]
         epoch = (
             ts.replace(tzinfo=timezone.utc).timestamp() if ts is not None else None
@@ -285,10 +306,17 @@ class TopicDirWriter(DataSourceWriter):
     def __init__(self, options):
         self.root = options["path"]
         self.n_partitions = int(options.get("partitions", "4"))
+        # Spark lowercases DataSource option keys on some paths; accept both
+        self.null_key_routing = options.get(
+            "nullKeyRouting", options.get("nullkeyrouting", "fixed")
+        )
 
     def write(self, iterator):
         return _WroteFiles(
-            _stage_buckets(self.root, _bucket_rows(iterator, self.n_partitions))
+            _stage_buckets(
+                self.root,
+                _bucket_rows(iterator, self.n_partitions, self.null_key_routing),
+            )
         )
 
     def commit(self, messages) -> None:
@@ -353,11 +381,17 @@ class TopicDirStreamWriter(DataSourceStreamWriter):
     def __init__(self, options):
         self.root = options["path"]
         self.n_partitions = int(options.get("partitions", "4"))
+        self.null_key_routing = options.get(
+            "nullKeyRouting", options.get("nullkeyrouting", "fixed")
+        )
 
     # executors ---------------------------------------------------------
     def write(self, iterator):
         return _WroteFiles(
-            _stage_buckets(self.root, _bucket_rows(iterator, self.n_partitions))
+            _stage_buckets(
+                self.root,
+                _bucket_rows(iterator, self.n_partitions, self.null_key_routing),
+            )
         )
 
     # driver ------------------------------------------------------------

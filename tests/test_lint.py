@@ -14,7 +14,7 @@ import ast
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
-SCAN_DIRS = ["kasper_spark", "tests", "examples", "tools"]
+SCAN_DIRS = ["kasper_spark", "tests", "examples", "tools", "ci"]
 SCAN_FILES = ["__spark_entry__.py", "bench.py"]
 
 

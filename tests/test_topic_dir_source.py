@@ -514,3 +514,48 @@ def test_drain_batched_survives_trailing_no_data_batch(spark, monkeypatch):
     )
     n = pipe.drain_batched(lambda: None)
     assert n == 2 and len(calls) == 2
+
+
+def test_null_key_roundrobin_routing_spreads_partitions(spark, tmp_path):
+    """nullKeyRouting=roundrobin spreads a null-heavy batch across
+    partitions (Kafka's null-key behavior) instead of the deterministic
+    default of pinning every null-key message to p=0."""
+    register_topic_dir_source(spark)
+    fixed_root = str(tmp_path / "fixed")
+    rr_root = str(tmp_path / "rr")
+    df = spark.createDataFrame(
+        [(None, f"v{i}", None) for i in range(40)],
+        "key string, value string, ts timestamp",
+    ).coalesce(1)
+
+    df.write.format("kasper_topic_dir").option("path", fixed_root).option(
+        "partitions", "4"
+    ).mode("append").save()
+    df.write.format("kasper_topic_dir").option("path", rr_root).option(
+        "partitions", "4"
+    ).option("nullKeyRouting", "roundrobin").mode("append").save()
+
+    def counts(root):
+        out = {}
+        for pid in range(4):
+            pdir = os.path.join(root, f"p={pid}")
+            n = 0
+            if os.path.isdir(pdir):
+                for f in os.listdir(pdir):
+                    if f.endswith(".jsonl"):
+                        with open(os.path.join(pdir, f)) as fh:
+                            n += sum(1 for _ in fh)
+            out[pid] = n
+        return out
+
+    assert counts(fixed_root) == {0: 40, 1: 0, 2: 0, 3: 0}
+    assert counts(rr_root) == {0: 10, 1: 10, 2: 10, 3: 10}
+
+
+def test_null_key_routing_rejects_unknown_mode(spark, tmp_path):
+    register_topic_dir_source(spark)
+    df = spark.createDataFrame([(None, "v", None)], "key string, value string, ts timestamp")
+    with pytest.raises(Exception, match="nullKeyRouting"):
+        df.write.format("kasper_topic_dir").option("path", str(tmp_path / "x")).option(
+            "nullKeyRouting", "random"
+        ).mode("append").save()
