@@ -1122,3 +1122,107 @@ def lpa_lsh_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale-path twin of label_propagation_communities, certified like
     pagerank_lsh_graph (same md5-LSH edge set, same unrolled-SQL oracle)."""
     return _lpa_over_pairs(_md5_lsh_pairs(spark, sf_dir))
+
+
+@register_query(
+    "lsh_candidates_md5",
+    oracle="WITH "
+    + _LSH_GRAPH_CTE
+    + """
+    SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b
+    """,
+)
+def lsh_candidates_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH candidate-pair surface itself, hash-certified: same banding
+    pipeline as minhash_lsh_candidates (which stays rows-only because
+    xxhash64 is Spark-only), md5 hash family so DuckDB recomputes the
+    identical pair list. Closes the oracle gap on the LSH tier: the
+    candidate set, not just graph algorithms consuming it, now has an
+    exact cross-engine proof."""
+    return _md5_lsh_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+def _simhash_md5_oracle_sql(bits: int = 60) -> str:
+    bit_sums = ",\n               ".join(
+        f"SUM(CASE WHEN (h1 >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN CAST(1 AS BIGINT) << {j} ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, t.tok AS tok
+        FROM (
+            SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ts
+            FROM documents
+        ), UNNEST(ts) AS t(tok)
+    ),
+    h AS (
+        SELECT doc_id, CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS h1
+        FROM toks
+    ),
+    bits AS (
+        SELECT doc_id,
+               {bit_sums}
+        FROM h GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST({fp} AS BIGINT) AS simhash,
+           CAST(({fp}) >> {bits - 16} AS BIGINT) AS bucket16
+    FROM bits
+    ORDER BY doc_id
+    """
+
+
+@register_query("simhash_md5_certified", oracle=_simhash_md5_oracle_sql())
+def simhash_md5_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash with a cross-engine proof: same TF-weighted ±1 bit-vote fold
+    as simhash_fingerprints (which stays rows-only on xxhash64), but votes
+    come from the 60-bit md5-derived token hash, so the oracle recomputes
+    the identical fingerprint in SQL. 60 bits (not 64) keeps every shift
+    inside the positive BIGINT range on both engines — hamming-distance
+    semantics are unchanged, and the bucket is the fingerprint's top 16
+    bits exactly as in the 64-bit form."""
+    bits = 60
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    hashes = toks.select(
+        "doc_id",
+        F.transform(
+            F.col("toks"),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+        ).alias("hs"),
+    )
+    idx = F.sequence(F.lit(0), F.lit(bits - 1))
+    bit_sums = F.aggregate(
+        F.col("hs"),
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.transform(
+            idx,
+            lambda i: F.element_at(acc, i + 1)
+            + F.when(
+                F.call_function("shiftright", h, i).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        ),
+    )
+    fp = F.aggregate(
+        F.zip_with(
+            bit_sums,
+            idx,
+            lambda s, i: F.when(
+                s > 0, F.call_function("shiftleft", F.lit(1).cast("bigint"), i)
+            ).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return (
+        hashes.select("doc_id", fp.alias("simhash"))
+        .withColumn("bucket16", F.shiftrightunsigned(F.col("simhash"), bits - 16))
+        .orderBy("doc_id")
+    )

@@ -105,6 +105,8 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     # -- new round-5 queries: sample them the round they land --
     "pagerank_lsh_graph",
     "lpa_lsh_graph",
+    "lsh_candidates_md5",
+    "simhash_md5_certified",
     # -- re-confirm the r04 oracle fixes --
     "q12_late_priority_class",
     "sessionize_events",
