@@ -798,3 +798,178 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# --------------------------------------------------------------------------
+# Oracle-certified hyperplane LSH ANN.
+#
+# ann_lsh_topk stays rows-only because its hyperplanes are derived with
+# xxhash64 inside the engine. This variant makes the hyperplanes
+# PRECOMPUTED deterministic constants — md5-derived integers k in [0,
+# 10000), reproducible from the recipe k[j][d] = int(md5(f"{j}_{d}")[:15],
+# 16) % 10000, mapped to weights (k - 5000) / 5000.0 in [-1, 1) — embedded
+# as literals in BOTH the Spark plan and the SQL oracle. Each weight is one
+# exact-integer-to-double division, so the two engines derive bit-identical
+# hyperplanes, and the whole candidate pipeline (plane dots -> sign bits ->
+# bucket join -> exact cosine re-rank -> top-k) hash-matches end-to-end.
+# Operationally this IS the production shape: real systems generate planes
+# once from a seed and broadcast them, rather than re-hashing per row.
+
+
+def _lsh_plane_ints(n_planes: int, dim: int) -> list[list[int]]:
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{j}_{d}".encode()).hexdigest()[:15], 16) % 10000
+            for d in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+_CERT_DIM = 64  # embeddings.embedding is array<float>[64] (TESTDATA.md)
+_CERT_PLANES = _lsh_plane_ints(_LSH_TABLES * _LSH_BITS, _CERT_DIM)
+
+
+def _ann_lsh_certified_oracle_sql() -> str:
+    values = ",\n            ".join(
+        f"({j}, {_CERT_PLANES[j]})" for j in range(_LSH_TABLES * _LSH_BITS)
+    )
+    plane_dot = (
+        "list_sum(list_transform(generate_series(1, len(e.embedding)), "
+        "i -> CAST(e.embedding[i] AS DOUBLE) * ((p.kw[i] - 5000) / 5000.0)))"
+    )
+    return f"""
+    WITH planes AS (
+        SELECT t.j AS j, t.kw AS kw FROM (VALUES
+            {values}
+        ) AS t(j, kw)
+    ),
+    pv AS (
+        SELECT e.vec_id, p.j, {plane_dot} AS pd
+        FROM embeddings e CROSS JOIN planes p
+    ),
+    sigs AS (
+        SELECT vec_id, j // {_LSH_BITS} AS tbl,
+               SUM(CASE WHEN pd > 0
+                        THEN 1 << ({_LSH_BITS - 1} - (j % {_LSH_BITS}))
+                        ELSE 0 END) AS bucket
+        FROM pv GROUP BY vec_id, j // {_LSH_BITS}
+    ),
+    nrm AS (
+        SELECT vec_id, embedding,
+               sqrt({dot_exact_sql('embedding', 'embedding')}) AS nrm
+        FROM embeddings
+    ),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM sigs q JOIN sigs c ON q.tbl = c.tbl AND q.bucket = c.bucket
+        WHERE q.vec_id < {_N_QUERY} AND q.vec_id <> c.vec_id
+    ),
+    scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               {dot_exact_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cosine
+        FROM cand
+        JOIN nrm a ON a.vec_id = cand.query_id
+        JOIN nrm b ON b.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS rank
+        FROM scored
+    )
+    WHERE rank <= {_TOP_K}
+    """
+
+
+@register_query("ann_lsh_certified", oracle=_ann_lsh_certified_oracle_sql())
+def ann_lsh_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN with a cross-engine proof (see block comment):
+    same table/bit parameters and the same bucket-join -> exact-re-rank ->
+    top-k shape as ann_lsh_topk, with broadcast-constant hyperplanes
+    instead of in-engine xxhash derivation. Scale shape is identical: one
+    narrow (vec_id, table, bucket) row per table per vector through the
+    bucket shuffle, candidates deduped before the exact re-rank."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes_col = F.array(
+        *[
+            F.array(*[F.lit(k) for k in row])
+            for row in _CERT_PLANES
+        ]
+    )
+    plane_dots = F.transform(
+        planes_col,
+        lambda kw: F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                kw,
+                lambda x, k: x.cast("double") * ((k - 5000) / F.lit(5000.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    buckets = F.transform(
+        F.sequence(F.lit(0), F.lit(_LSH_TABLES - 1)),
+        lambda t: F.aggregate(
+            F.sequence(F.lit(0), F.lit(_LSH_BITS - 1)),
+            F.lit(0),
+            lambda acc, j: acc * 2
+            + F.when(
+                F.element_at(F.col("pd"), t * _LSH_BITS + j + 1) > 0, F.lit(1)
+            ).otherwise(F.lit(0)),
+        ),
+    )
+    signed = emb.select(
+        "vec_id",
+        "embedding",
+        norm_exact(F.col("embedding")).alias("nrm"),
+        plane_dots.alias("pd"),
+    ).select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        F.posexplode(buckets).alias("table", "bucket"),
+    )
+    q = signed.filter(F.col("vec_id") < _N_QUERY).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+        "table",
+        "bucket",
+    )
+    c = signed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+        F.col("table").alias("table_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    cand = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("table") == F.col("table_b"))
+            & (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select("query_id", "qe", "qn", "neighbor_id", "ce", "cn")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        (dot_exact(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.select(
+            "query_id", "neighbor_id", "cosine", F.row_number().over(w).alias("rank")
+        ).filter(F.col("rank") <= _TOP_K)
+    )

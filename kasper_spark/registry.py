@@ -107,6 +107,7 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "lpa_lsh_graph",
     "lsh_candidates_md5",
     "simhash_md5_certified",
+    "ann_lsh_certified",
     # -- re-confirm the r04 oracle fixes --
     "q12_late_priority_class",
     "sessionize_events",
