@@ -799,8 +799,11 @@ def _lpa_over_pairs(pairs: DataFrame, iters: int = 8) -> DataFrame:
     ).orderBy("community", "doc_id")
 
 
-_CC_CANONICAL_ORACLE = """
-    WITH RECURSIVE """ + _JACCARD_GRAPH_CTE + """,
+def _cc_canonical_oracle_sql(graph_cte: str | None = None) -> str:
+    """Recursive-CTE transitive-closure CC oracle over a graph CTE (bounded
+    Jaccard by default; the md5-LSH scale-path graph for cc_lsh_graph)."""
+    return """
+    WITH RECURSIVE """ + (graph_cte or _JACCARD_GRAPH_CTE) + """,
     nodes AS (
         SELECT DISTINCT doc_a AS node FROM pairs
         UNION
@@ -824,6 +827,9 @@ _CC_CANONICAL_ORACLE = """
     GROUP BY node
     ORDER BY doc_id
 """
+
+
+_CC_CANONICAL_ORACLE = _cc_canonical_oracle_sql()
 
 
 @register_query("neardup_cc_canonical", oracle=_CC_CANONICAL_ORACLE)
@@ -856,8 +862,12 @@ def neardup_cc_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-_TRIANGLE_ORACLE = """
-    WITH """ + _JACCARD_GRAPH_CTE + """,
+def _triangle_oracle_sql(graph_cte: str | None = None) -> str:
+    """Triangle/clustering-coefficient oracle over a graph CTE (bounded
+    Jaccard by default; the md5-LSH scale-path graph for
+    triangle_lsh_graph)."""
+    return """
+    WITH """ + (graph_cte or _JACCARD_GRAPH_CTE) + """,
     deg AS (
         SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
             SELECT doc_a AS node FROM pairs
@@ -891,6 +901,9 @@ _TRIANGLE_ORACLE = """
 """
 
 
+_TRIANGLE_ORACLE = _triangle_oracle_sql()
+
+
 @register_query("triangle_clustering_coeff", oracle=_TRIANGLE_ORACLE)
 def triangle_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts + local clustering coefficient over the
@@ -907,8 +920,16 @@ def triangle_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     = 2T / (d(d-1)): integer arithmetic + ONE double division
     (engine-exact). Same bounded demo graph as the pagerank/LPA/CC family
     (allow-listed all-pairs build); at 100 TB the edges come from
-    minhash_lsh_candidates."""
-    pairs = _bounded_jaccard_pairs(spark, sf_dir).persist()
+    minhash_lsh_candidates (triangle_lsh_graph certifies exactly that
+    composition)."""
+    return _triangles_over_pairs(_bounded_jaccard_pairs(spark, sf_dir))
+
+
+def _triangles_over_pairs(pairs: DataFrame) -> DataFrame:
+    """Per-node triangle count + clustering coefficient over an undirected
+    a<b pair list — shared by the bounded demo graph and the md5-LSH
+    scale-path graph (triangle_lsh_graph)."""
+    pairs = pairs.persist()
     deg = (
         pairs.select(F.col("doc_a").alias("node"))
         .unionAll(pairs.select(F.col("doc_b").alias("node")))
@@ -1226,3 +1247,34 @@ def simhash_md5_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("bucket16", F.shiftrightunsigned(F.col("simhash"), bits - 16))
         .orderBy("doc_id")
     )
+
+
+@register_query(
+    "cc_lsh_graph", oracle=_cc_canonical_oracle_sql(graph_cte=_LSH_GRAPH_CTE)
+)
+def cc_lsh_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components + canonical choice over the LSH-candidate graph
+    — the full-corpus scale-path composition (neardup_clusters' shape)
+    hash-certified: same large-star/small-star connected_components() core,
+    edges from the md5-LSH banding pipeline instead of the bounded
+    all-pairs build, ground truth via DuckDB's recursive-CTE transitive
+    closure over the identical pair list."""
+    pairs = _md5_lsh_pairs(spark, sf_dir)
+    cc = connected_components(pairs)
+    return cc.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).cast("bigint").alias("is_canonical"),
+    ).orderBy("doc_id")
+
+
+@register_query(
+    "triangle_lsh_graph", oracle=_triangle_oracle_sql(graph_cte=_LSH_GRAPH_CTE)
+)
+def triangle_lsh_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts + clustering coefficient over the LSH-candidate
+    graph — completes the scale-path certification of the graph-motif
+    family (pagerank_lsh_graph, lpa_lsh_graph, cc_lsh_graph): every graph
+    operator now has a driver-checkable oracle row on edges produced by
+    the production LSH pipeline, not only on the bounded demo graph."""
+    return _triangles_over_pairs(_md5_lsh_pairs(spark, sf_dir))

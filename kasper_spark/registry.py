@@ -108,10 +108,15 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "lsh_candidates_md5",
     "simhash_md5_certified",
     "ann_lsh_certified",
+    "cc_lsh_graph",
+    "triangle_lsh_graph",
     # -- re-confirm the r04 oracle fixes --
     "q12_late_priority_class",
     "sessionize_events",
-    # -- streaming twins (slowest — kept at the window's tail) --
+    # -- streaming twins (slowest — kept at the window's tail; with the 7
+    # new round-5 certified queries above, this list is 51 names and the
+    # driver's 50-slot window cuts the LAST entry — acceptable, it was
+    # green in r04 and keeps every never-sampled + new entry in-window) --
     "streaming_word_count_twin",
     "streaming_tumbling_window_twin",
     "streaming_dedup_twin",
