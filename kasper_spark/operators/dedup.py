@@ -984,7 +984,10 @@ def _triangles_over_pairs(pairs: DataFrame) -> DataFrame:
 # would certify the cap, not the algorithm.
 
 
-def _build_lsh_graph_cte() -> str:
+def _build_lsh_bands_cte() -> str:
+    """CTE prefix through the ``bands`` table (doc_id, band, bsig) — shared
+    by the graph queries (which add candidate pairs + verification) and the
+    streaming dedup-at-ingest twin (which joins bands directly)."""
     min_cols = ",\n               ".join(
         f"MIN(h1 + {i} * h2) AS m{i}" for i in range(_NUM_HASHES)
     )
@@ -996,9 +999,6 @@ def _build_lsh_graph_cte() -> str:
         )
         + " AS bsig FROM sigs"
         for b in range(_BANDS)
-    )
-    agree = " + ".join(
-        f"(CASE WHEN x.m{i} = y.m{i} THEN 1 ELSE 0 END)" for i in range(_NUM_HASHES)
     )
     return f"""sets AS (
         SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
@@ -1024,7 +1024,17 @@ def _build_lsh_graph_cte() -> str:
     ),
     bands AS (
         {band_union}
-    ),
+    )"""
+
+
+_LSH_BANDS_CTE = _build_lsh_bands_cte()
+
+
+def _build_lsh_graph_cte() -> str:
+    agree = " + ".join(
+        f"(CASE WHEN x.m{i} = y.m{i} THEN 1 ELSE 0 END)" for i in range(_NUM_HASHES)
+    )
+    return _LSH_BANDS_CTE + f""",
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b USING (band, bsig)

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kasper_spark.catalog import ensure_nanos_as_long, normalize_driver_ts
+from kasper_spark.operators.dedup import _LSH_BANDS_CTE
 from kasper_spark.registry import register_query
 from kasper_spark.streaming.state import running_word_count
 
@@ -667,3 +668,141 @@ def streaming_topic_dir_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(qname)
+
+
+@register_query(
+    "streaming_lsh_dedup_twin",
+    oracle="""
+    WITH """
+    + _LSH_BANDS_CTE
+    + """
+    SELECT
+        a.doc_id,
+        CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS n_earlier_mates,
+        CAST(COUNT(DISTINCT b.doc_id) > 0 AS BIGINT) AS is_near_dup
+    FROM bands a
+    LEFT JOIN bands b
+      ON a.band = b.band AND a.bsig = b.bsig AND b.doc_id < a.doc_id
+    GROUP BY a.doc_id
+    ORDER BY a.doc_id
+    """,
+)
+def streaming_lsh_dedup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-at-ingest: MinHash/LSH band signatures computed INSIDE a
+    Structured Streaming plan (file stream -> per-row banding -> epoch-
+    idempotent signature store), then the near-dup audit over the
+    accumulated store — the composition a training pipeline runs so newly
+    crawled documents are flagged against everything already ingested.
+
+    Determinism vs batching: micro-batch boundaries are not deterministic,
+    so the per-doc verdict must not depend on ARRIVAL order — the flag is
+    "shares >=1 band bucket with a LOWER doc_id", a pure function of the
+    corpus, evaluated over the completed signature store after the
+    availableNow drain. The streaming stage is the signature EXTRACTION
+    (the expensive, perfectly incremental part: stateless per-row
+    expressions, no shuffle, no state store); the audit join runs over
+    signatures only (~100 B/doc), never re-touching document text. At
+    100 TB: extraction scales with ingest rate; the audit is the
+    (band, bsig) bucket join of minhash_lsh_candidates, incremental per
+    epoch if run batch-vs-store instead of store-vs-store.
+
+    Signatures use the md5 hash family, and the per-row array_min form
+    here provably equals the batch path's explode+groupBy partial-agg min
+    (same value set, same hashes) — so one SQL oracle certifies both.
+    Epoch idempotency: each batch writes batch={epoch} with overwrite —
+    a replayed epoch overwrites its own output, never duplicates
+    (the connector-native form is sources/topic_dir.py's epoch ledger)."""
+    from kasper_spark.operators.dedup import (
+        _BANDS,
+        _NUM_HASHES,
+        _ROWS_PER_BAND,
+        _shingles_raw,
+        _tokens,
+    )
+
+    work = tempfile.mkdtemp(prefix="kasper-slsh-")
+    src_dir = os.path.join(work, "src")
+    sig_dir = os.path.join(work, "sigs")
+    ckpt = os.path.join(work, "ck")
+    os.makedirs(src_dir)
+    os.symlink(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(src_dir, "documents.parquet"),
+    )
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .format("parquet")
+        .load(src_dir)
+    )
+    # per-row minhash: mh_i = min over distinct shingles of h1 + i*h2 —
+    # streaming-safe (no aggregation state), value-identical to the batch
+    # explode+groupBy form in dedup._md5_lsh_pairs
+    shingles = F.array_distinct(_shingles_raw(_tokens(F.col("text"))))
+    hp = F.transform(
+        shingles,
+        lambda s: F.struct(
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(F.md5(s), 17, 13), 16, 10).cast("long").alias("h2"),
+        ),
+    )
+    mh = F.transform(
+        F.sequence(F.lit(0), F.lit(_NUM_HASHES - 1)),
+        lambda i: F.array_min(
+            F.transform(F.col("hp"), lambda p: p["h1"] + i * p["h2"])
+        ),
+    )
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(_BANDS - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.concat_ws(
+                "|",
+                *[
+                    F.element_at(F.col("mh"), b * _ROWS_PER_BAND + r + 1).cast(
+                        "string"
+                    )
+                    for r in range(_ROWS_PER_BAND)
+                ],
+            ).alias("bsig"),
+        ),
+    )
+    sig_stream = (
+        stream.select("doc_id", hp.alias("hp"))
+        .filter(F.size("hp") > 0)
+        .select("doc_id", mh.alias("mh"))
+        .select("doc_id", F.explode(bands).alias("bs"))
+        .select("doc_id", F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig"))
+    )
+
+    def append_sigs(df, epoch_id: int) -> None:
+        df.write.mode("overwrite").parquet(os.path.join(sig_dir, f"batch={epoch_id}"))
+
+    q = (
+        sig_stream.writeStream.foreachBatch(append_sigs)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    store = spark.read.option("recursiveFileLookup", "true").parquet(sig_dir)
+    a = store.alias("a")
+    b = store.alias("b")
+    mates = F.count_distinct(F.col("b.doc_id"))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("b.doc_id") < F.col("a.doc_id")),
+            "left",
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(
+            mates.cast("bigint").alias("n_earlier_mates"),
+            (mates > 0).cast("bigint").alias("is_near_dup"),
+        )
+        .orderBy("doc_id")
+    )

@@ -110,9 +110,10 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "ann_lsh_certified",
     "cc_lsh_graph",
     "triangle_lsh_graph",
-    # -- re-confirm the r04 oracle fixes --
-    "q12_late_priority_class",
-    "sessionize_events",
+    "streaming_lsh_dedup_twin",
+    # (q12_late_priority_class / sessionize_events re-confirmation dropped
+    # from the window: both already re-sampled GREEN in r04, and the slots
+    # are better spent giving every new round-5 query a hard driver row)
     # -- streaming twins (slowest — kept at the window's tail; with the 7
     # new round-5 certified queries above, this list is 51 names and the
     # driver's 50-slot window cuts the LAST entry — acceptable, it was
