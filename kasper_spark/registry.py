@@ -55,9 +55,10 @@ def load_all_operators() -> None:
 # that have NEVER had a driver row. This round-5 rotation puts all 34 at
 # the front (they all pass the local oracle sweep at sf0.001/sf0.01 and the
 # bare-session sf0.1 sweep, so rotation is about coverage, not risk),
-# reserves the next slots for new round-5 queries so they get a hard
-# driver row immediately, and spends the tail re-confirming the r04 fixes
-# (q12_late_priority_class, sessionize_events) plus the streaming twins.
+# gives every new round-5 query a hard driver row, and spends the tail
+# re-confirming the streaming twins (the r04 fixes q12_late_priority_class
+# and sessionize_events were already re-sampled green in r04, so their
+# slots went to the new queries).
 # Entries not listed keep registration order after these. Ordering is
 # presentation-only: names, implementations and oracles are untouched.
 # ROUND-5 EVIDENCE: tools/bare_sweep.py (bare local[32] session, foreign
@@ -119,10 +120,8 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     # (q12_late_priority_class / sessionize_events re-confirmation dropped
     # from the window: both already re-sampled GREEN in r04, and the slots
     # are better spent giving every new round-5 query a hard driver row)
-    # -- streaming twins (slowest — kept at the window's tail; with the 7
-    # new round-5 certified queries above, this list is 51 names and the
-    # driver's 50-slot window cuts the LAST entry — acceptable, it was
-    # green in r04 and keeps every never-sampled + new entry in-window) --
+    # -- streaming twins (slowest — kept at the window's tail; the list is
+    # exactly 50 names: 34 never-sampled + 8 new + 8 twins) --
     "streaming_word_count_twin",
     "streaming_tumbling_window_twin",
     "streaming_dedup_twin",
