@@ -1127,3 +1127,92 @@ def unigram_rarity_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_token_prob"
         ),
     )
+
+
+_PACK_BUDGET = 512  # tokens per training sequence (demo budget)
+
+
+@register_query(
+    "pack_sequences_by_source",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, source, n_tok,
+               SUM(n_tok) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_tok
+        FROM toks
+    ),
+    assigned AS (
+        SELECT source, (cum_tok - n_tok) // {_PACK_BUDGET} AS seq_id, n_tok
+        FROM cum
+    )
+    SELECT
+        source,
+        CAST(seq_id AS BIGINT) AS seq_id,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        CAST(SUM(n_tok) AS DOUBLE) / {_PACK_BUDGET} AS fill_ratio
+    FROM assigned
+    GROUP BY source, seq_id
+    ORDER BY source, seq_id
+    """,
+)
+def pack_sequences_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training-batch preparation: concatenate
+    documents (in stable doc_id order, within their source shard) into
+    fixed-token-budget training sequences, reporting per-sequence doc
+    count, token count and fill ratio — the step that turns a cleaned
+    corpus into dense fixed-length training rows without RNG.
+
+    Assignment rule: a doc starts in the sequence its cumulative-token
+    PREFIX falls into — seq_id = (cum_tok - n_tok) div budget. This is the
+    streaming/greedy concatenation rule (docs can straddle a boundary;
+    fill_ratio ~1 except each shard's tail), and it is a pure function of
+    (source, doc_id, n_tok): deterministic across partitionings and
+    engines, no RNG, re-runnable for exact reproduction of a training run.
+
+    Scale: the window is PARTITION BY source — each shard's running sum is
+    independent, so the plan is one hash-partition by source + an in-order
+    scan per shard (WindowExec, no global ordering, no single-partition
+    bottleneck; at 100 TB sources are further split into shard keys and
+    sequences numbered (shard, seq_id)). Everything is JVM expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.size(_tokens(F.col("text"))).cast("bigint").alias("n_tok")
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    assigned = toks.select(
+        "source",
+        "n_tok",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / _PACK_BUDGET).alias(
+            "seq_id"
+        ),
+    )
+    return (
+        assigned.groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            (F.sum("n_tok").cast("double") / _PACK_BUDGET).alias("fill_ratio"),
+        )
+        .select(
+            "source",
+            F.col("seq_id").cast("bigint").alias("seq_id"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            "n_tokens",
+            "fill_ratio",
+        )
+        .orderBy("source", "seq_id")
+    )
