@@ -984,6 +984,24 @@ def _triangles_over_pairs(pairs: DataFrame) -> DataFrame:
 # would certify the cap, not the algorithm.
 
 
+# ONE canonical SQL definition of the tokenization + word-3-gram shingle
+# set (the twin of _tokens + _shingles_raw + array_distinct) — shared by
+# the LSH band pipeline, novelty scoring and winnowing so the three can
+# never drift apart.
+_SHINGLES_CTE = f"""sets AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, t.s AS s
+        FROM sets, UNNEST(
+            CASE WHEN len(toks) >= {_SHINGLE_N}
+                 THEN list_transform(generate_series(1, len(toks) - {_SHINGLE_N - 1}),
+                          i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+                 ELSE [] END) AS t(s)
+    )"""
+
+
 def _build_lsh_bands_cte() -> str:
     """CTE prefix through the ``bands`` table (doc_id, band, bsig) — shared
     by the graph queries (which add candidate pairs + verification) and the
@@ -1000,18 +1018,7 @@ def _build_lsh_bands_cte() -> str:
         + " AS bsig FROM sigs"
         for b in range(_BANDS)
     )
-    return f"""sets AS (
-        SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
-        FROM documents
-    ),
-    sh AS (
-        SELECT DISTINCT doc_id, t.s AS s
-        FROM sets, UNNEST(
-            CASE WHEN len(toks) >= {_SHINGLE_N}
-                 THEN list_transform(generate_series(1, len(toks) - {_SHINGLE_N - 1}),
-                          i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
-                 ELSE [] END) AS t(s)
-    ),
+    return _SHINGLES_CTE + f""",
     hs AS (
         SELECT doc_id,
                CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) AS h1,
@@ -1288,3 +1295,166 @@ def triangle_lsh_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator now has a driver-checkable oracle row on edges produced by
     the production LSH pipeline, not only on the bounded demo graph."""
     return _triangles_over_pairs(_md5_lsh_pairs(spark, sf_dir))
+
+
+@register_query(
+    "shingle_novelty_scores",
+    oracle="WITH "
+    + _SHINGLES_CTE
+    + """,
+    first_owner AS (
+        SELECT s, MIN(doc_id) AS owner FROM sh GROUP BY s
+    ),
+    per_doc AS (
+        SELECT sh.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN fo.owner = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_novel
+        FROM sh JOIN first_owner fo ON fo.s = sh.s
+        GROUP BY sh.doc_id
+    )
+    SELECT doc_id, n_shingles, n_novel,
+           CAST(n_novel AS DOUBLE) / n_shingles AS novelty_ratio
+    FROM per_doc
+    ORDER BY doc_id
+    """,
+)
+def shingle_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty scoring: the fraction of a doc's distinct
+    shingles that NO lower-id document contains — the memorization-control
+    signal a curriculum/dedup pipeline uses to downweight documents that
+    are mostly re-statements of earlier corpus content (novelty_ratio near
+    0 = boilerplate/duplicate; near 1 = fresh text).
+
+    Formulated for scale as FIRST-OWNER attribution, not a pairwise join:
+    one groupBy(shingle).min(doc_id) (map-side combinable; shuffle carries
+    one row per distinct shingle) plus one join back — a shingle is novel
+    exactly for its first owner. The naive earlier-doc LEFT JOIN would
+    shuffle |sh|^2-ish rows on hot shingles; this shape is linear in the
+    shingle count and skew-free (the hottest shingle is still one row
+    after the min). Deterministic: pure function of (doc_id, text)."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    raw = toks.select("doc_id", _shingles_raw(F.col("toks")).alias("raw"))
+    sh = raw.select("doc_id", F.explode(F.array_distinct("raw")).alias("s"))
+    first_owner = sh.groupBy("s").agg(F.min("doc_id").alias("owner"))
+    per_doc = (
+        sh.join(first_owner, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum((F.col("owner") == F.col("doc_id")).cast("int"))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        (F.col("n_novel").cast("double") / F.col("n_shingles")).alias("novelty_ratio"),
+    ).orderBy("doc_id")
+
+
+_WINNOW_W = 4  # winnowing window: one fingerprint per 4 consecutive shingles
+
+
+@register_query(
+    "winnowing_fingerprints",
+    oracle="""
+    WITH sets AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+        FROM documents
+    ),
+    pos_sh AS (
+        SELECT doc_id, u.x.pos AS pos, u.x.s AS s
+        FROM (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= {n}
+                        THEN list_transform(generate_series(1, len(toks) - {nm1}),
+                                 i -> {{'pos': i,
+                                       's': toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]}})
+                        ELSE [] END AS ps
+            FROM sets
+        ), UNNEST(ps) AS u(x)
+    ),
+    hashed AS (
+        SELECT doc_id, pos,
+               CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) AS h
+        FROM pos_sh
+    ),
+    winmin AS (
+        SELECT doc_id, pos,
+               MIN(h) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN {wm1} PRECEDING AND CURRENT ROW
+               ) AS fp
+        FROM hashed
+    ),
+    fps AS (
+        SELECT DISTINCT doc_id, fp FROM winmin WHERE pos >= {w}
+    )
+    SELECT h.doc_id,
+           CAST(COUNT(DISTINCT h.pos) - {wm1} AS BIGINT) AS n_windows,
+           CAST((SELECT COUNT(*) FROM fps WHERE fps.doc_id = h.doc_id) AS BIGINT)
+               AS n_fps
+    FROM hashed h
+    GROUP BY h.doc_id
+    HAVING COUNT(DISTINCT h.pos) > {wm1}
+    ORDER BY h.doc_id
+    """.format(n=_SHINGLE_N, nm1=_SHINGLE_N - 1, w=_WINNOW_W, wm1=_WINNOW_W - 1),
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every positional shingle, keep
+    the MINIMUM hash of each sliding w-window, dedupe — a guaranteed-
+    coverage fingerprint set whose density is ~2/(w+1) of the shingle
+    count, used for plagiarism/overlap detection where MinHash's fixed-size
+    signature can miss short matches. Output: per doc, the window count
+    and selected-fingerprint count (n_fps/n_windows ~ the document's local
+    hash-diversity).
+
+    md5-family hashes make the whole pipeline oracle-checkable. Scale: the
+    sliding min is a per-doc ROWS window — partitioned by doc_id, so every
+    document winnows independently in one pass, no cross-doc shuffle
+    beyond the partition-by; fingerprint sets then feed the same
+    bucket-join machinery as LSH bands (match detection = join on fp)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    raw = toks.select("doc_id", _shingles_raw(F.col("toks")).alias("raw"))
+    pos_sh = raw.select("doc_id", F.posexplode("raw").alias("pos0", "s")).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "s"
+    )
+    hashed = pos_sh.select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(_WINNOW_W - 1), Window.currentRow)
+    )
+    winmin = hashed.select("doc_id", "pos", F.min("h").over(w).alias("fp"))
+    fps = (
+        winmin.filter(F.col("pos") >= _WINNOW_W)
+        .select("doc_id", "fp")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_fps"))
+    )
+    counts = hashed.groupBy("doc_id").agg(
+        (F.count_distinct("pos") - (_WINNOW_W - 1)).cast("bigint").alias("n_windows")
+    )
+    return (
+        counts.filter(F.col("n_windows") > 0)
+        .join(fps, "doc_id")
+        .select("doc_id", "n_windows", "n_fps")
+        .orderBy("doc_id")
+    )
