@@ -1427,10 +1427,14 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     toks = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
-    raw = toks.select("doc_id", _shingles_raw(F.col("toks")).alias("raw"))
-    pos_sh = raw.select("doc_id", F.posexplode("raw").alias("pos0", "s")).select(
-        "doc_id", (F.col("pos0") + 1).alias("pos"), "s"
-    )
+    # posexplode child is a non-attribute expression ON PURPOSE — a plain
+    # `raw` column here trips InferFiltersFromGenerate into recomputing the
+    # whole shingle pipeline below the repartition on the single-split scan
+    # (the pathology documented at minhash_lsh_candidates; observed again
+    # as a 1-task 10 s stage in this query before this form)
+    pos_sh = toks.select(
+        "doc_id", F.posexplode(_shingles_raw(F.col("toks"))).alias("pos0", "s")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "s")
     hashed = pos_sh.select(
         "doc_id",
         "pos",

@@ -735,6 +735,10 @@ def streaming_lsh_dedup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .format("parquet")
         .load(src_dir)
+        # the file source gives ONE input partition per file; without this
+        # stateless repartition the 32x-per-shingle hash work runs in a
+        # single task (measured 164 s at sf0.1 vs ~8 s spread)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     # per-row minhash: mh_i = min over distinct shingles of h1 + i*h2 —
     # streaming-safe (no aggregation state), value-identical to the batch
