@@ -100,6 +100,11 @@ def main() -> None:
         "queries": timings,
         "streaming": streaming,
         "sf": sf,
+        # measured same-code run-to-run noise on this host (BENCH_VARIANCE.md):
+        # ~±10% per batch query (max ~20% on sub-second ones); streaming
+        # throughput stable to <0.1%. Deltas inside that envelope between
+        # rounds are environment, not code.
+        "variance_note": "same-code noise ~±10%/query, ~8% total; streaming <0.1% — see BENCH_VARIANCE.md",
     }
     if errors:
         record["errors"] = errors
