@@ -1462,3 +1462,101 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_windows", "n_fps")
         .orderBy("doc_id")
     )
+
+
+@register_query(
+    "winnowing_overlap_pairs",
+    # The CTE prefix duplicates winnowing_fingerprints' oracle verbatim
+    # (sets -> pos_sh -> hashed -> winmin -> fps). Keep the two in sync —
+    # both are pinned by hash-exact parity tests, so any drift fails loudly.
+    oracle="""
+    WITH sets AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+        FROM documents
+    ),
+    pos_sh AS (
+        SELECT doc_id, u.x.pos AS pos, u.x.s AS s
+        FROM (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= {n}
+                        THEN list_transform(generate_series(1, len(toks) - {nm1}),
+                                 i -> {{'pos': i,
+                                       's': toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]}})
+                        ELSE [] END AS ps
+            FROM sets
+        ), UNNEST(ps) AS u(x)
+    ),
+    hashed AS (
+        SELECT doc_id, pos,
+               CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) AS h
+        FROM pos_sh
+    ),
+    winmin AS (
+        SELECT doc_id, pos,
+               MIN(h) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN {wm1} PRECEDING AND CURRENT ROW
+               ) AS fp
+        FROM hashed
+    ),
+    fps AS (
+        SELECT DISTINCT doc_id, fp FROM winmin WHERE pos >= {w}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fps
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 2
+    ORDER BY doc_a, doc_b
+    """.format(n=_SHINGLE_N, nm1=_SHINGLE_N - 1, w=_WINNOW_W, wm1=_WINNOW_W - 1),
+)
+def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document overlap detection from winnowing fingerprints (the
+    MOSS match step): document pairs sharing >= 2 selected fingerprints,
+    with the shared count as the overlap strength — localizes copied
+    PASSAGES (winnowing guarantees any shared run longer than w+n-1 tokens
+    yields a shared fingerprint), complementing MinHash/LSH which score
+    whole-document similarity.
+
+    Scale shape: the join key is the fingerprint value — identical to the
+    LSH bucket join; fingerprint frequency is the skew axis, and a
+    boilerplate fingerprint shared by k docs fans out k^2/2 pairs, so at
+    100 TB a frequency cap drops stop-fingerprints first (same policy and
+    rationale as _MAX_BUCKET in minhash_lsh_candidates — uncapped here so
+    the oracle certifies the algorithm, not the guard)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    # non-attribute generator child (see winnowing_fingerprints)
+    pos_sh = toks.select(
+        "doc_id", F.posexplode(_shingles_raw(F.col("toks"))).alias("pos0", "s")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "s")
+    hashed = pos_sh.select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(_WINNOW_W - 1), Window.currentRow)
+    )
+    fps = (
+        hashed.select("doc_id", "pos", F.min("h").over(w).alias("fp"))
+        .filter(F.col("pos") >= _WINNOW_W)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, ["fp"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 2)
+        .orderBy("doc_a", "doc_b")
+    )
