@@ -1560,3 +1560,58 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("shared_fps") >= 2)
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register_query(
+    "dedup_incremental_new_vs_base",
+    oracle="""
+    WITH base AS (
+        SELECT md5(lower(trim(text))) AS h, MIN(doc_id) AS base_doc
+        FROM documents WHERE doc_id < 250
+        GROUP BY md5(lower(trim(text)))
+    ),
+    new_docs AS (
+        SELECT doc_id, md5(lower(trim(text))) AS h
+        FROM documents WHERE doc_id >= 250
+    )
+    SELECT
+        n.doc_id,
+        CAST(b.h IS NOT NULL AS BIGINT) AS dup_of_base,
+        b.base_doc
+    FROM new_docs n LEFT JOIN base b ON n.h = b.h
+    ORDER BY n.doc_id
+    """,
+)
+def dedup_incremental_new_vs_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: flag each NEWLY ingested document whose
+    normalized content digest already exists in the base corpus, keeping a
+    pointer to the canonical base doc — the daily-crawl pattern where the
+    100 TB base is never rescanned per batch (its digest index is the only
+    thing consulted). The doc_id split (<250 base, >=250 new) stands in
+    for the snapshot boundary.
+
+    Scale shape: the base side reduces to (digest, min_doc) — ~48 B per
+    DISTINCT base document — so the join is new-batch-sized vs a digest
+    index; with a daily batch in the GBs and a digest index in the tens of
+    GBs this is a standard shuffle join on the digest (or a broadcast when
+    the index is partitioned/bloom-pruned per shard). The base index is
+    exactly dedup_exact's output — in production it is maintained
+    incrementally (append new digests after each batch), never recomputed."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.lower(F.trim(F.col("text"))).cast("binary"))
+    base = (
+        docs.filter(F.col("doc_id") < 250)
+        .select(h.alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("base_doc"))
+    )
+    new_docs = docs.filter(F.col("doc_id") >= 250).select("doc_id", h.alias("h"))
+    return (
+        new_docs.join(base, "h", "left")
+        .select(
+            "doc_id",
+            F.col("base_doc").isNotNull().cast("bigint").alias("dup_of_base"),
+            "base_doc",
+        )
+        .orderBy("doc_id")
+    )
