@@ -1615,3 +1615,95 @@ def dedup_incremental_new_vs_base(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("doc_id")
     )
+
+
+@register_query(
+    "cluster_lang_purity",
+    oracle="""
+    WITH RECURSIVE """
+    + _LSH_GRAPH_CTE
+    + """,
+    nodes AS (
+        SELECT DISTINCT doc_a AS node FROM pairs
+        UNION
+        SELECT DISTINCT doc_b AS node FROM pairs
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.node = e.src
+    ),
+    clusters AS (
+        SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+    ),
+    by_lang AS (
+        SELECT c.cluster_id, d.lang, COUNT(*) AS n
+        FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+        GROUP BY c.cluster_id, d.lang
+    ),
+    ranked AS (
+        SELECT cluster_id, lang, n,
+               SUM(n) OVER (PARTITION BY cluster_id) AS total,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cluster_id ORDER BY n DESC, lang
+               ) AS rn
+        FROM by_lang
+    )
+    SELECT
+        CAST(cluster_id AS BIGINT) AS cluster_id,
+        CAST(total AS BIGINT) AS n_docs,
+        lang AS top_lang,
+        CAST(n AS BIGINT) AS top_lang_n,
+        CAST(n AS DOUBLE) / total AS purity
+    FROM ranked WHERE rn = 1
+    ORDER BY cluster_id
+    """,
+)
+def cluster_lang_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language purity of near-duplicate clusters — the dedup QA metric
+    that catches tokenization-induced false merges: a genuine duplication
+    family is monolingual (purity 1.0), so low-purity clusters flag hash
+    collisions, boilerplate bridges, or translated near-copies needing a
+    different policy. Composes the certified scale-path pieces end-to-end:
+    md5-LSH candidate edges -> connected components -> per-cluster
+    majority vote (deterministic min-lang tie-break), all hash-checked
+    against the recursive-CTE oracle.
+
+    Scale: clusters come from the same O(log d)-round CC as
+    neardup_clusters; the purity pass is one (cluster, lang) count + a
+    per-cluster window over at most |langs| rows per cluster."""
+    from pyspark.sql.window import Window
+
+    pairs = _md5_lsh_pairs(spark, sf_dir)
+    cc = connected_components(pairs)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    by_lang = (
+        cc.join(docs, "doc_id")
+        .groupBy("cluster_id", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("cluster_id")
+    wr = Window.partitionBy("cluster_id").orderBy(F.desc("n"), F.asc("lang"))
+    return (
+        by_lang.select(
+            "cluster_id",
+            "lang",
+            "n",
+            F.sum("n").over(wt).alias("total"),
+            F.row_number().over(wr).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            F.col("total").cast("bigint").alias("n_docs"),
+            F.col("lang").alias("top_lang"),
+            F.col("n").cast("bigint").alias("top_lang_n"),
+            (F.col("n").cast("double") / F.col("total")).alias("purity"),
+        )
+        .orderBy("cluster_id")
+    )
