@@ -1,0 +1,99 @@
+"""Cross-operator consistency laws for the round-5 fingerprint/novelty tier.
+
+These go beyond oracle parity (which proves Spark == SQL on the same
+definition) by checking the operators against EACH OTHER's ground truth on
+real testdata:
+
+- Winnowing guarantee (Schleimer et al. §3): two documents sharing a token
+  run of length >= w + n - 1 share at least one selected fingerprint.
+  Exact duplicates (same normalized text, found independently by
+  dedup_exact) share their entire token stream, so every exact-dup pair
+  MUST appear in winnowing_overlap_pairs.
+- Novelty attribution: an exact copy contributes no first-owned shingles,
+  so every non-keeper member of a dedup_exact group must score
+  novelty_ratio == 0.0 in shingle_novelty_scores.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+import pytest
+
+from kasper_spark.registry import QUERIES, load_all_operators
+
+load_all_operators()
+
+BASE_SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def dup_sf():
+    """A fixture corpus: the sf0.001 documents plus PLANTED exact copies of
+    five of them under fresh doc_ids — sf0.001/sf0.01 contain no exact
+    duplicates, so the laws need controlled ground truth."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(BASE_SF, "documents.parquet"))
+    df = t.to_pandas()
+    max_id = int(df["doc_id"].max())
+    copies = df.head(5).copy()
+    copies["doc_id"] = [max_id + 1 + i for i in range(len(copies))]
+    out = pa.Table.from_pandas(
+        __import__("pandas").concat([df, copies], ignore_index=True),
+        preserve_index=False,
+    ).cast(t.schema)
+    d = tempfile.mkdtemp(prefix="kasper-dupfix-")
+    pq.write_table(out, os.path.join(d, "documents.parquet"))
+    return d
+
+
+def _exact_dup_groups(spark, sf_dir):
+    """doc_id groups sharing identical normalized text, via dedup_exact's
+    own definition (md5 of lower(trim(text)))."""
+    from pyspark.sql import functions as F
+
+    from kasper_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.lower(F.trim(F.col("text"))).cast("binary"))
+    rows = (
+        docs.select(h.alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .collect()
+    )
+    return [sorted(r["ids"]) for r in rows]
+
+
+def test_exact_dups_are_winnowing_overlaps(spark, dup_sf):
+    groups = _exact_dup_groups(spark, dup_sf)
+    assert len(groups) == 5
+    expected_pairs = {
+        (a, b) for g in groups for a, b in itertools.combinations(g, 2)
+    }
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["winnowing_overlap_pairs"](spark, dup_sf).collect()
+    }
+    missing = expected_pairs - got
+    assert not missing, (
+        f"winnowing guarantee violated: exact-duplicate pairs {sorted(missing)} "
+        "share their whole token stream but no selected fingerprint"
+    )
+
+
+def test_exact_dup_copies_have_zero_novelty(spark, dup_sf):
+    groups = _exact_dup_groups(spark, dup_sf)
+    copies = {doc for g in groups for doc in g[1:]}  # every non-keeper
+    assert copies
+    scores = {
+        r["doc_id"]: r["novelty_ratio"]
+        for r in QUERIES["shingle_novelty_scores"](spark, dup_sf).collect()
+    }
+    bad = {d: scores[d] for d in copies if d in scores and scores[d] != 0.0}
+    assert not bad, f"exact copies with nonzero novelty: {bad}"
