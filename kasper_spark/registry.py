@@ -121,16 +121,21 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     # (q12_late_priority_class / sessionize_events re-confirmation dropped
     # from the window: both already re-sampled GREEN in r04, and the slots
     # are better spent giving every new round-5 query a hard driver row)
-    # -- streaming twins (slowest — kept at the window's tail; the list is
-    # exactly 50 names: 34 never-sampled + 8 new + 8 twins) --
+    # -- late round-5 additions (also never driver-sampled) --
+    "pack_sequences_by_source",
+    "shingle_novelty_scores",
+    "winnowing_fingerprints",
+    "winnowing_overlap_pairs",
+    "dedup_incremental_new_vs_base",
+    "cluster_lang_purity",
+    # -- two representative streaming twins re-confirm the streaming stack
+    # (all 8 were green in r04; the other six ceded their slots to the
+    # never-sampled additions above — the window already re-exercises
+    # streaming via streaming_countmin_twin, streaming_topic_dir_twin and
+    # streaming_lsh_dedup_twin as well). List is exactly 50 names:
+    # 34 never-sampled + 14 new round-5 + 2 twins. --
     "streaming_word_count_twin",
-    "streaming_tumbling_window_twin",
-    "streaming_dedup_twin",
-    "streaming_session_window_twin",
-    "streaming_join_twin",
     "streaming_stateful_count_twin",
-    "streaming_dedup_watermark_twin",
-    "streaming_enrich_static_twin",
 ]
 
 
