@@ -973,3 +973,153 @@ def ann_lsh_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "neighbor_id", "cosine", F.row_number().over(w).alias("rank")
         ).filter(F.col("rank") <= _TOP_K)
     )
+
+
+_KMEANS_K = 8
+_KMEANS_ITERS = 2
+_KMEANS_QSCALE = 32  # q = floor(x * 32): integer grid, floor is engine-exact
+
+
+def _kmeans_oracle_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
+    """Unrolled integer-exact Lloyd iterations (see kmeans_int8_assignments
+    for the arithmetic argument)."""
+    head = f"""
+    WITH e AS (
+        SELECT vec_id, u.x.pos AS dim,
+               CAST(floor(CAST(u.x.v AS DOUBLE) * {_KMEANS_QSCALE}) AS BIGINT) AS q
+        FROM (
+            SELECT vec_id,
+                   list_transform(generate_series(1, len(embedding)),
+                       i -> {{'pos': i, 'v': embedding[i]}}) AS ps
+            FROM embeddings
+        ), UNNEST(ps) AS u(x)
+    ),
+    vv AS (SELECT vec_id, SUM(q * q) AS vv FROM e GROUP BY vec_id),
+    c0 AS (
+        SELECT vec_id AS cluster_id, dim, q AS s, CAST(1 AS BIGINT) AS n
+        FROM e WHERE vec_id < {k}
+    )"""
+    steps = []
+    for t in range(iters):
+        steps.append(f"""
+    cs{t} AS (
+        SELECT cluster_id, MAX(n) AS n, SUM(s * s) AS ss
+        FROM c{t} GROUP BY cluster_id
+    ),
+    dot{t} AS (
+        SELECT e.vec_id, c.cluster_id, SUM(e.q * c.s) AS d
+        FROM e JOIN c{t} c ON e.dim = c.dim
+        GROUP BY e.vec_id, c.cluster_id
+    ),
+    a{t} AS (
+        SELECT vec_id, cluster_id FROM (
+            SELECT d.vec_id, d.cluster_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY d.vec_id
+                       ORDER BY CAST(cs.n * cs.n * vv.vv - 2 * cs.n * d.d + cs.ss
+                                     AS DOUBLE) / (cs.n * cs.n),
+                                d.cluster_id
+                   ) AS rn
+            FROM dot{t} d
+            JOIN cs{t} cs ON cs.cluster_id = d.cluster_id
+            JOIN vv ON vv.vec_id = d.vec_id
+        ) WHERE rn = 1
+    ),
+    c{t + 1} AS (
+        SELECT a.cluster_id, e.dim, SUM(e.q) AS s, COUNT(*) AS n
+        FROM a{t} a JOIN e ON e.vec_id = a.vec_id
+        GROUP BY a.cluster_id, e.dim
+    )""")
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT a.vec_id, CAST(a.cluster_id AS BIGINT) AS cluster_id
+    FROM a{iters - 1} a
+    ORDER BY a.vec_id
+    """
+    )
+
+
+@register_query("kmeans_int8_assignments", oracle=_kmeans_oracle_sql())
+def kmeans_int8_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means on integer-quantized vectors — the IVF
+    centroid-TRAINING step (ann_ivf_topk consumes trained centroids; this
+    trains them), hash-certified by making every step integer-exact:
+
+    - vectors quantize to q = floor(32x) (floor, not round: round's
+      half-way rule differs across engines; floor is exact everywhere);
+    - centroids are never divided into floats — each is kept as the pair
+      (S = per-dim integer sum, n = member count), and the distance
+      argmin uses n^2 * ||v - S/n||^2 = n^2*||v||^2 - 2n*(v.S) + ||S||^2,
+      an exact BIGINT whose magnitude (<~1e14 here) is below 2^53, so the
+      single double division by n^2 is correctly rounded and IDENTICAL on
+      both engines; ties break to the lower cluster id;
+    - k seeds = the first k vectors (deterministic init, as IVF builds do).
+
+    Scale shape: per iteration, the vec x centroid dot products are one
+    join of the long-form corpus against the k*dim centroid table —
+    broadcast-sized for any real k — followed by a per-vector argmin
+    window and a (cluster, dim) re-sum: two map-side-combinable aggregates
+    and zero float accumulation anywhere. Empty clusters drop out
+    deterministically. The same loop at 100 TB checkpoints per round like
+    the CC/PageRank family."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # long form (non-attribute posexplode child — see the plan-trap notes)
+    e = emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("dim0", "v")
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("v").cast("double") * _KMEANS_QSCALE).cast("bigint").alias("q"),
+    )
+    e = e.persist()
+    vv = e.groupBy("vec_id").agg(F.sum(F.col("q") * F.col("q")).alias("vv"))
+    cent = e.filter(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").alias("cluster_id"), "dim", F.col("q").alias("s"), F.lit(1).cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("vec_id").orderBy("f", "cluster_id")
+    for _ in range(_KMEANS_ITERS):
+        cs = cent.groupBy("cluster_id").agg(
+            F.max("n").alias("n"), F.sum(F.col("s") * F.col("s")).alias("ss")
+        )
+        dot = (
+            e.join(cent.select("cluster_id", "dim", "s"), "dim")
+            .groupBy("vec_id", "cluster_id")
+            .agg(F.sum(F.col("q") * F.col("s")).alias("d"))
+        )
+        f = (
+            dot.join(cs, "cluster_id")
+            .join(vv, "vec_id")
+            .select(
+                "vec_id",
+                "cluster_id",
+                (
+                    (
+                        F.col("n") * F.col("n") * F.col("vv")
+                        - 2 * F.col("n") * F.col("d")
+                        + F.col("ss")
+                    ).cast("double")
+                    / (F.col("n") * F.col("n"))
+                ).alias("f"),
+            )
+        )
+        assign = (
+            f.select("vec_id", "cluster_id", F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cluster_id")
+        )
+        cent = (
+            assign.join(e, "vec_id")
+            .groupBy("cluster_id", "dim")
+            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        last_assign = assign
+    return last_assign.select(
+        "vec_id", F.col("cluster_id").cast("bigint").alias("cluster_id")
+    ).orderBy("vec_id")
