@@ -128,13 +128,12 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "winnowing_overlap_pairs",
     "dedup_incremental_new_vs_base",
     "cluster_lang_purity",
-    # -- two representative streaming twins re-confirm the streaming stack
-    # (all 8 were green in r04; the other six ceded their slots to the
-    # never-sampled additions above — the window already re-exercises
-    # streaming via streaming_countmin_twin, streaming_topic_dir_twin and
-    # streaming_lsh_dedup_twin as well). List is exactly 50 names:
-    # 34 never-sampled + 14 new round-5 + 2 twins. --
-    "streaming_word_count_twin",
+    "kmeans_int8_assignments",
+    # -- one stateful streaming twin re-confirms the streaming stack (all
+    # 8 twins were green in r04; the window already re-exercises streaming
+    # via streaming_countmin_twin, streaming_topic_dir_twin and
+    # streaming_lsh_dedup_twin). List is exactly 50 names:
+    # 34 never-sampled + 15 new round-5 + 1 twin. --
     "streaming_stateful_count_twin",
 ]
 
