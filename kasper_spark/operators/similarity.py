@@ -980,9 +980,10 @@ _KMEANS_ITERS = 2
 _KMEANS_QSCALE = 32  # q = floor(x * 32): integer grid, floor is engine-exact
 
 
-def _kmeans_oracle_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
-    """Unrolled integer-exact Lloyd iterations (see kmeans_int8_assignments
-    for the arithmetic argument)."""
+def _kmeans_cte_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
+    """Unrolled integer-exact Lloyd CTE chain through a{iters-1} (final
+    assignment) and c{iters} (final centroids) — shared by the
+    kmeans_int8_assignments oracle and the trained-IVF search oracle."""
     head = f"""
     WITH e AS (
         SELECT vec_id, u.x.pos AS dim,
@@ -1030,10 +1031,12 @@ def _kmeans_oracle_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
         FROM a{t} a JOIN e ON e.vec_id = a.vec_id
         GROUP BY a.cluster_id, e.dim
     )""")
+    return head + "," + ",".join(steps)
+
+
+def _kmeans_oracle_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
     return (
-        head
-        + ","
-        + ",".join(steps)
+        _kmeans_cte_sql(k, iters)
         + f"""
     SELECT a.vec_id, CAST(a.cluster_id AS BIGINT) AS cluster_id
     FROM a{iters - 1} a
@@ -1065,6 +1068,17 @@ def kmeans_int8_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     and zero float accumulation anywhere. Empty clusters drop out
     deterministically. The same loop at 100 TB checkpoints per round like
     the CC/PageRank family."""
+    core = _kmeans_core(spark, sf_dir)
+    return core["assign"].select(
+        "vec_id", F.col("cluster_id").cast("bigint").alias("cluster_id")
+    ).orderBy("vec_id")
+
+
+def _kmeans_core(spark: SparkSession, sf_dir: str, iters: int = _KMEANS_ITERS) -> dict:
+    """Shared Lloyd core: returns the long-form quantized corpus ``e``,
+    per-vector ``vv``, post-final-update integer centroids ``cent`` and the
+    final assignment ``assign`` (a_{iters-1}) — consumed by
+    kmeans_int8_assignments and ann_ivf_trained_topk."""
     from pyspark.sql.window import Window
 
     emb = load_table(spark, sf_dir, "embeddings").repartition(
@@ -1084,7 +1098,7 @@ def kmeans_int8_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cluster_id"), "dim", F.col("q").alias("s"), F.lit(1).cast("bigint").alias("n")
     )
     w = Window.partitionBy("vec_id").orderBy("f", "cluster_id")
-    for _ in range(_KMEANS_ITERS):
+    for _ in range(iters):
         cs = cent.groupBy("cluster_id").agg(
             F.max("n").alias("n"), F.sum(F.col("s") * F.col("s")).alias("ss")
         )
@@ -1120,6 +1134,154 @@ def kmeans_int8_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
         )
         last_assign = assign
-    return last_assign.select(
-        "vec_id", F.col("cluster_id").cast("bigint").alias("cluster_id")
-    ).orderBy("vec_id")
+    return {"e": e, "vv": vv, "cent": cent, "assign": last_assign}
+
+
+_IVF_NPROBE = 2
+
+
+def _ivf_trained_oracle_sql() -> str:
+    I = _KMEANS_ITERS
+    return (
+        _kmeans_cte_sql()
+        + f""",
+    csF AS (
+        SELECT cluster_id, MAX(n) AS n, SUM(s * s) AS ss
+        FROM c{I} GROUP BY cluster_id
+    ),
+    dotF AS (
+        SELECT e.vec_id, c.cluster_id, SUM(e.q * c.s) AS d
+        FROM e JOIN c{I} c ON e.dim = c.dim
+        GROUP BY e.vec_id, c.cluster_id
+    ),
+    fF AS (
+        SELECT d.vec_id, d.cluster_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY d.vec_id
+                   ORDER BY CAST(cs.n * cs.n * vv.vv - 2 * cs.n * d.d + cs.ss
+                                 AS DOUBLE) / (cs.n * cs.n),
+                            d.cluster_id
+               ) AS rn
+        FROM dotF d
+        JOIN csF cs ON cs.cluster_id = d.cluster_id
+        JOIN vv ON vv.vec_id = d.vec_id
+    ),
+    members AS (SELECT vec_id, cluster_id FROM fF WHERE rn = 1),
+    probe AS (
+        SELECT vec_id, cluster_id FROM fF
+        WHERE rn <= {_IVF_NPROBE} AND vec_id < {_N_QUERY}
+    ),
+    cand AS (
+        SELECT DISTINCT p.vec_id AS query_id, m.vec_id AS neighbor_id
+        FROM probe p JOIN members m ON m.cluster_id = p.cluster_id
+        WHERE m.vec_id <> p.vec_id
+    ),
+    nrm AS (
+        SELECT vec_id, embedding,
+               sqrt({dot_exact_sql('embedding', 'embedding')}) AS nrm
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               {dot_exact_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cosine
+        FROM cand
+        JOIN nrm a ON a.vec_id = cand.query_id
+        JOIN nrm b ON b.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS rank
+        FROM scored
+    )
+    WHERE rank <= {_TOP_K}
+    """
+    )
+
+
+@register_query("ann_ivf_trained_topk", oracle=_ivf_trained_oracle_sql())
+def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search over TRAINED centroids — the full index lifecycle
+    (train -> partition -> probe -> exact re-rank), hash-certified:
+    ann_ivf_topk probes fixed seed centroids; this one probes the
+    centroids produced by the integer-exact Lloyd loop
+    (kmeans_int8_assignments' core), so the certified surface covers the
+    training/search COMPOSITION, not the steps in isolation. Queries probe
+    their 2 nearest trained centroids (same integer-exact distance and
+    tie-break as training), candidates are that partition-pair's members,
+    and exact float cosine re-ranks them (the dot_exact discipline).
+
+    Scale shape: one broadcast-sized centroid table for probe routing, a
+    partition-pruned candidate join (each query touches ~2/k of the
+    corpus), and the decimal-exact re-rank only on candidates — the
+    standard IVF cost model, with the training loop's integer arithmetic
+    guaranteeing the same index is built on any cluster layout."""
+    from pyspark.sql.window import Window
+
+    core = _kmeans_core(spark, sf_dir)
+    e, vv, cent = core["e"], core["vv"], core["cent"]
+    cs = cent.groupBy("cluster_id").agg(
+        F.max("n").alias("n"), F.sum(F.col("s") * F.col("s")).alias("ss")
+    )
+    dot = (
+        e.join(cent.select("cluster_id", "dim", "s"), "dim")
+        .groupBy("vec_id", "cluster_id")
+        .agg(F.sum(F.col("q") * F.col("s")).alias("d"))
+    )
+    wf = Window.partitionBy("vec_id").orderBy("f", "cluster_id")
+    ranked = (
+        dot.join(cs, "cluster_id")
+        .join(vv, "vec_id")
+        .select(
+            "vec_id",
+            "cluster_id",
+            (
+                (
+                    F.col("n") * F.col("n") * F.col("vv")
+                    - 2 * F.col("n") * F.col("d")
+                    + F.col("ss")
+                ).cast("double")
+                / (F.col("n") * F.col("n"))
+            ).alias("f"),
+        )
+        .select("vec_id", "cluster_id", F.row_number().over(wf).alias("rn"))
+    )
+    members = ranked.filter(F.col("rn") == 1).select("vec_id", "cluster_id")
+    probe = ranked.filter(
+        (F.col("rn") <= _IVF_NPROBE) & (F.col("vec_id") < _N_QUERY)
+    ).select(F.col("vec_id").alias("query_id"), "cluster_id")
+    cand = (
+        probe.join(members, "cluster_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = emb.select("vec_id", "embedding", norm_exact(F.col("embedding")).alias("nrm"))
+    a = nrm.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    b = nrm.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    scored = (
+        cand.join(a, "query_id")
+        .join(b, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot_exact(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.select(
+            "query_id", "neighbor_id", "cosine", F.row_number().over(wr).alias("rank")
+        ).filter(F.col("rank") <= _TOP_K)
+    )

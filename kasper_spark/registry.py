@@ -129,12 +129,13 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "dedup_incremental_new_vs_base",
     "cluster_lang_purity",
     "kmeans_int8_assignments",
-    # -- one stateful streaming twin re-confirms the streaming stack (all
-    # 8 twins were green in r04; the window already re-exercises streaming
-    # via streaming_countmin_twin, streaming_topic_dir_twin and
-    # streaming_lsh_dedup_twin). List is exactly 50 names:
-    # 34 never-sampled + 15 new round-5 + 1 twin. --
-    "streaming_stateful_count_twin",
+    "ann_ivf_trained_topk",
+    # (the 8 r04-green streaming twins ceded their re-confirm slots to the
+    # never-sampled entries above; the streaming stack is still exercised
+    # in-window by streaming_countmin_twin, streaming_topic_dir_twin and
+    # streaming_lsh_dedup_twin. List is exactly 50 names: 34 never-sampled
+    # + 16 new round-5 — every registry entry without a driver row is in
+    # the window.) --
 ]
 
 
