@@ -1137,7 +1137,7 @@ def _kmeans_core(spark: SparkSession, sf_dir: str, iters: int = _KMEANS_ITERS) -
     return {"e": e, "vv": vv, "cent": cent, "assign": last_assign}
 
 
-_IVF_NPROBE = 2
+_IVF_TRAINED_NPROBE = 2
 
 
 def _ivf_trained_oracle_sql() -> str:
@@ -1169,7 +1169,7 @@ def _ivf_trained_oracle_sql() -> str:
     members AS (SELECT vec_id, cluster_id FROM fF WHERE rn = 1),
     probe AS (
         SELECT vec_id, cluster_id FROM fF
-        WHERE rn <= {_IVF_NPROBE} AND vec_id < {_N_QUERY}
+        WHERE rn <= {_IVF_TRAINED_NPROBE} AND vec_id < {_N_QUERY}
     ),
     cand AS (
         SELECT DISTINCT p.vec_id AS query_id, m.vec_id AS neighbor_id
@@ -1248,7 +1248,7 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     members = ranked.filter(F.col("rn") == 1).select("vec_id", "cluster_id")
     probe = ranked.filter(
-        (F.col("rn") <= _IVF_NPROBE) & (F.col("vec_id") < _N_QUERY)
+        (F.col("rn") <= _IVF_TRAINED_NPROBE) & (F.col("vec_id") < _N_QUERY)
     ).select(F.col("vec_id").alias("query_id"), "cluster_id")
     cand = (
         probe.join(members, "cluster_id")

@@ -40,6 +40,27 @@ def _redefinitions(tree: ast.AST, path: Path) -> list[str]:
 
     def scan_body(body: list[ast.stmt], scope: str) -> None:
         seen: dict[str, int] = {}
+        # Module-level UPPER_CASE constant reassignment is the same bug
+        # class for data, not code: a later `_FOO = 2` silently overrides an
+        # earlier `_FOO = 4` that intervening definitions captured at import
+        # time while call-time readers see the new value (this exact split
+        # shipped a wrong nprobe between ann_ivf_topk's oracle and its
+        # Spark body before this gate caught it).
+        if scope == "module":
+            const_seen: dict[str, int] = {}
+            for node in body:
+                if isinstance(node, ast.Assign) and len(node.targets) == 1:
+                    t = node.targets[0]
+                    if isinstance(t, ast.Name) and t.id.upper() == t.id and len(t.id) > 1:
+                        if t.id in const_seen:
+                            problems.append(
+                                f"{path.relative_to(REPO)}:{node.lineno}: "
+                                f"module constant `{t.id}` reassigned "
+                                f"(first at line {const_seen[t.id]}) — import-time "
+                                f"captures and call-time reads now disagree"
+                            )
+                        else:
+                            const_seen[t.id] = node.lineno
         for node in body:
             if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
                 # decorated re-binds (e.g. @overload, @prop.setter) are valid
