@@ -62,9 +62,9 @@ def load_all_operators() -> None:
 # Entries not listed keep registration order after these. Ordering is
 # presentation-only: names, implementations and oracles are untouched.
 # ROUND-5 EVIDENCE: tools/bare_sweep.py (bare local[32] session, foreign
-# cwd — the driver-condition mirror) closed the round 167/167 GREEN at
-# sf0.01 on 2026-08-14, covering every registered query including all 14
-# round-5 additions; the full pytest suite closed at 297 passed / 9
+# cwd — the driver-condition mirror) closed the round 169/169 GREEN at
+# sf0.01 on 2026-08-14, covering every registered query including all 16
+# round-5 additions; the full pytest suite closed at 299 passed / 9
 # env-gated skips. If CORRECTNESS_r05 matches this window, every registry
 # entry will have had a driver row across rounds (none left unsampled).
 DRIVER_SAMPLE_PRIORITY: list[str] = [
