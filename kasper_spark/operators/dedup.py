@@ -241,15 +241,18 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(_NUM_HASHES)
         ]
     )
-    # persist the signature table: it is tiny relative to the corpus
+    # Materialize the signature table: it is tiny relative to the corpus
     # (#docs x 32 longs ≈ 264 B/doc) and is consumed three times (banding +
-    # both sides of the candidate-pair join). Without persistence each
+    # both sides of the candidate-pair join). Without materialization each
     # consumer would recompute the full shingle/hash pipeline.
-    from pyspark import StorageLevel
-
+    # localCheckpoint (MEMORY_AND_DISK) instead of a pinned persist():
+    # same reuse, but the shingle->hash lineage is cut out of every
+    # downstream plan and the blocks are released by the ContextCleaner
+    # when the result goes out of scope — a pinned persist() with no
+    # unpersist() would bleed cache across a 169-query sweep session.
     sigs = per_doc.select(
         "doc_id", F.array(*[f"m{i}" for i in range(_NUM_HASHES)]).alias("mh")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint()
 
     # band signatures: xxhash64 over the band's row hashes (band id as the
     # first operand separates the hash families). A 64-bit signature is
@@ -634,9 +637,12 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     (AQE broadcasts the rank side while it is small; at web scale both
     sides shuffle on their keys — the standard synchronous PageRank round).
     The demo graph is the bounded tokenset_jaccard_pairs candidate set; at
-    100 TB the edges come from minhash_lsh_candidates instead, and each
-    iteration would checkpoint to cut lineage exactly as neardup_clusters
-    does (pagerank_lsh_graph certifies exactly that composition). Graph is
+    100 TB the edges come from minhash_lsh_candidates instead
+    (pagerank_lsh_graph certifies exactly that composition). Each iteration
+    eagerly localCheckpoints the rank vector — values are unchanged (the
+    checkpoint materializes exactly the computed rows) but the plan stays
+    O(1) per round instead of growing with the full upstream pipeline,
+    the same lineage discipline connected_components uses. Graph is
     symmetric (undirected near-dup relation), so every node
     has an in-edge and the dangling-mass term vanishes."""
     return _pagerank_over_pairs(_bounded_jaccard_pairs(spark, sf_dir))
@@ -645,15 +651,26 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pagerank_over_pairs(pairs: DataFrame, iters: int = 8) -> DataFrame:
     """8-iteration decimal-exact PageRank over an undirected (doc_a, doc_b)
     pair list — shared by the bounded-Jaccard demo graph and the md5-LSH
-    scale-path graph (pagerank_lsh_graph)."""
+    scale-path graph (pagerank_lsh_graph).
+
+    Lineage discipline (the scale requirement): the edge/degree tables are
+    localCheckpointed ONCE (cutting the candidate-pipeline lineage out of
+    every round's plan), and the evolving rank vector is eagerly
+    localCheckpointed EVERY round, so the physical plan is O(1) per round
+    — the same pattern connected_components uses (and the reason
+    cc_lsh_graph plans 3 exchanges). Without the per-round cut the plan
+    grows with the iteration count times the full upstream pipeline:
+    pagerank_lsh_graph planned 1,838 exchanges before this fix,
+    which at 100 TB means minutes of Catalyst planning and a full
+    recompute cascade on any eviction. Values are bit-identical either
+    way (a checkpoint materializes exactly the computed rows)."""
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # the candidate graph is consumed 8 times; materialize it once
-    edges = edges.persist()
-    deg = deg.persist()
-    n = deg.count()  # also forces deg (and edges) so the loop reuses them
+    # consumed every round: materialize once AND cut the upstream lineage
+    edges = edges.localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint()
+    n = deg.count()
     ranks = deg.select("src", (F.lit(1.0) / n).alias("rank")).withColumnRenamed(
         "src", "doc_id"
     )
@@ -666,9 +683,16 @@ def _pagerank_over_pairs(pairs: DataFrame, iters: int = 8) -> DataFrame:
                 (F.col("rank") / F.col("outdeg")).cast("decimal(38,14)").alias("c"),
             )
         )
-        ranks = contribs.groupBy("dst").agg(
-            (F.lit(0.15) / n + F.lit(0.85) * F.sum("c").cast("double")).alias("rank")
-        ).withColumnRenamed("dst", "doc_id")
+        ranks = (
+            contribs.groupBy("dst")
+            .agg(
+                (F.lit(0.15) / n + F.lit(0.85) * F.sum("c").cast("double")).alias(
+                    "rank"
+                )
+            )
+            .withColumnRenamed("dst", "doc_id")
+            .localCheckpoint()  # per-round lineage cut (see docstring)
+        )
     return (
         ranks.join(deg, ranks.doc_id == deg.src)
         .select("doc_id", F.col("outdeg").alias("n_neighbors"), F.col("rank").alias("pagerank"))
@@ -756,7 +780,13 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
 def _lpa_over_pairs(pairs: DataFrame, iters: int = 8) -> DataFrame:
     """8-iteration deterministic LPA over an undirected (doc_a, doc_b) pair
     list — shared by the bounded-Jaccard demo graph and the md5-LSH
-    scale-path graph (lpa_lsh_graph)."""
+    scale-path graph (lpa_lsh_graph).
+
+    Lineage discipline: graph localCheckpointed once, evolving label table
+    eagerly localCheckpointed per round, so the plan is O(1) per round
+    (same pattern as connected_components / _pagerank_over_pairs;
+    lpa_lsh_graph planned 1,098 exchanges before this cut). Values are
+    bit-identical — the checkpoint materializes exactly the computed rows."""
     from pyspark.sql.window import Window
 
     nodes = (
@@ -770,9 +800,9 @@ def _lpa_over_pairs(pairs: DataFrame, iters: int = 8) -> DataFrame:
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
         .unionAll(nodes.select(F.col("node").alias("src"), F.col("node").alias("dst")))
-        .persist()
+        # consumed every round: materialize once AND cut the upstream lineage
+        .localCheckpoint()
     )
-    edges.count()  # materialize: the graph is consumed 8 times
     labels = nodes.select("node", F.col("node").alias("label"))
     by_votes = Window.partitionBy("node").orderBy(
         F.desc("cnt"), F.asc("label")
@@ -788,6 +818,7 @@ def _lpa_over_pairs(pairs: DataFrame, iters: int = 8) -> DataFrame:
             votes.withColumn("rn", F.row_number().over(by_votes))
             .filter(F.col("rn") == 1)
             .select("node", "label")
+            .localCheckpoint()  # per-round lineage cut (see docstring)
         )
     return labels.select(
         F.col("node").alias("doc_id"),
@@ -928,8 +959,14 @@ def triangle_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _triangles_over_pairs(pairs: DataFrame) -> DataFrame:
     """Per-node triangle count + clustering coefficient over an undirected
     a<b pair list — shared by the bounded demo graph and the md5-LSH
-    scale-path graph (triangle_lsh_graph)."""
-    pairs = pairs.persist()
+    scale-path graph (triangle_lsh_graph).
+
+    The pair list is consumed four times (degree + the three-way triangle
+    self-join); localCheckpoint materializes it once AND cuts the upstream
+    candidate-pipeline lineage out of the plan (triangle_lsh_graph planned
+    191 exchanges before this cut — the md5-LSH pipeline repeated per
+    reference)."""
+    pairs = pairs.localCheckpoint()
     deg = (
         pairs.select(F.col("doc_a").alias("node"))
         .unionAll(pairs.select(F.col("doc_b").alias("node")))
@@ -1080,9 +1117,12 @@ def _md5_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = hashed.groupBy("doc_id").agg(
         *[F.min(F.col("h1") + i * F.col("h2")).alias(f"m{i}") for i in range(_NUM_HASHES)]
     )
-    from pyspark import StorageLevel
-
-    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    # consumed twice (banding + signature verify): localCheckpoint
+    # materializes once (MEMORY_AND_DISK) and, unlike a pinned persist(),
+    # cuts the shingle->hash lineage out of every downstream plan and is
+    # released by the ContextCleaner when the result goes out of scope —
+    # no cache bleeding into the next query of a 169-query sweep.
+    sigs = sigs.localCheckpoint()
     bands = sigs.select(
         "doc_id",
         F.explode(

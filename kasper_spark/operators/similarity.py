@@ -1066,8 +1066,10 @@ def kmeans_int8_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-sized for any real k — followed by a per-vector argmin
     window and a (cluster, dim) re-sum: two map-side-combinable aggregates
     and zero float accumulation anywhere. Empty clusters drop out
-    deterministically. The same loop at 100 TB checkpoints per round like
-    the CC/PageRank family."""
+    deterministically. The loop eagerly localCheckpoints the centroid
+    table per round (the CC/PageRank lineage discipline), so the plan is
+    O(1) per round — before that cut this query planned 38 exchanges and
+    the trained-IVF consumer 184."""
     core = _kmeans_core(spark, sf_dir)
     return core["assign"].select(
         "vec_id", F.col("cluster_id").cast("bigint").alias("cluster_id")
@@ -1092,8 +1094,15 @@ def _kmeans_core(spark: SparkSession, sf_dir: str, iters: int = _KMEANS_ITERS) -
         (F.col("dim0") + 1).alias("dim"),
         F.floor(F.col("v").cast("double") * _KMEANS_QSCALE).cast("bigint").alias("q"),
     )
-    e = e.persist()
-    vv = e.groupBy("vec_id").agg(F.sum(F.col("q") * F.col("q")).alias("vv"))
+    # Consumed every round (dot products + re-sum): localCheckpoint
+    # materializes the quantized long-form corpus once, cuts the
+    # posexplode lineage out of every round's plan, and is released by
+    # the ContextCleaner when the result goes out of scope (a pinned
+    # persist() with no unpersist() would bleed cache across the sweep).
+    e = e.localCheckpoint()
+    vv = e.groupBy("vec_id").agg(
+        F.sum(F.col("q") * F.col("q")).alias("vv")
+    ).localCheckpoint()  # per-vector norm, reused every round
     cent = e.filter(F.col("vec_id") < _KMEANS_K).select(
         F.col("vec_id").alias("cluster_id"), "dim", F.col("q").alias("s"), F.lit(1).cast("bigint").alias("n")
     )
@@ -1132,6 +1141,10 @@ def _kmeans_core(spark: SparkSession, sf_dir: str, iters: int = _KMEANS_ITERS) -
             assign.join(e, "vec_id")
             .groupBy("cluster_id", "dim")
             .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+            # per-round lineage cut: without it the centroid plan grows by
+            # one full Lloyd round per iteration (the CC/PageRank lineage
+            # discipline; values are bit-identical)
+            .localCheckpoint()
         )
         last_assign = assign
     return {"e": e, "vv": vv, "cent": cent, "assign": last_assign}

@@ -147,6 +147,41 @@ _INTENTIONAL_BNLJ = {
 _AUDIT_SKIP = {"neardup_clusters"}
 
 
+# Lineage-cut gate for the iterative family: every loop must eagerly
+# localCheckpoint its evolving state per round (the connected_components
+# discipline), so the FINAL plan's exchange count stays O(one round), not
+# O(rounds x upstream pipeline). Before this gate existed, uncut loops
+# shipped plans of 1,838 (pagerank_lsh_graph), 1,098 (lpa_lsh_graph) and
+# 184 (ann_ivf_trained_topk) exchanges — at 100 TB that is minutes of
+# Catalyst planning and a recompute cascade on any eviction. Caps are the
+# measured post-fix counts (2-20) plus headroom; a cap breach means a
+# checkpoint was dropped from a loop.
+_ITERATIVE_EXCHANGE_CAPS = {
+    "pagerank_neardup_graph": 10,
+    "pagerank_lsh_graph": 10,
+    "label_propagation_communities": 10,
+    "lpa_lsh_graph": 10,
+    "triangle_clustering_coeff": 24,
+    "triangle_lsh_graph": 24,
+    "kmeans_int8_assignments": 14,
+    "ann_ivf_trained_topk": 32,
+    "neardup_cc_canonical": 10,
+    "cc_lsh_graph": 10,
+}
+
+
+@pytest.mark.parametrize("name", sorted(_ITERATIVE_EXCHANGE_CAPS))
+def test_iterative_queries_cut_lineage(spark, name):
+    """Iterative operators (PageRank/LPA/CC/k-means/trained-IVF) must plan
+    a bounded number of exchanges regardless of iteration count — proof
+    that every round's state is checkpointed, not accumulated as lineage.
+    (These queries execute during construction: localCheckpoint is eager.)"""
+    cap = _ITERATIVE_EXCHANGE_CAPS[name]
+    plan = _plan(spark, name)
+    n = plan.count("Exchange")
+    assert n <= cap, f"{name}: {n} exchanges > cap {cap} — a per-round lineage cut regressed"
+
+
 def test_repo_wide_plan_hygiene(spark):
     """Every registered batch query's physical plan must be free of
     accidental scale hazards: no CartesianProduct ever, BNLJ only on the
