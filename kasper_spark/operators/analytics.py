@@ -836,12 +836,20 @@ def approx_percentile_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     expensive at 100 TB (the sketch is mergeable, one pass, bounded
     memory). Rows-only: DuckDB's approx sketch differs by design;
     tests/test_approx_quality.py bounds the rank error against the exact
-    percentile instead."""
+    percentile instead.
+
+    The three percentiles come back as SCALAR columns (one sketch pass —
+    Catalyst collapses the three percentile_approx calls over the same
+    column into one ApproximatePercentile aggregate — then element_at),
+    not as one array column: the driver harness canonicalizes results by
+    sorting pandas values, and array cells are unhashable/unsortable
+    there (r05 recorded TypeError: unhashable type: 'list')."""
     orders = load_table(spark, sf_dir, "orders")
+    pcts = F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000)
     return orders.groupBy("o_orderstatus").agg(
-        F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias(
-            "approx_p50_p90_p99"
-        ),
+        F.element_at(pcts, 1).alias("approx_p50"),
+        F.element_at(pcts, 2).alias("approx_p90"),
+        F.element_at(pcts, 3).alias("approx_p99"),
         F.count(F.lit(1)).alias("n"),
     )
 

@@ -418,9 +418,11 @@ def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
         shuffles this replaced. Two distinct sets with equal count and
         equal sum of per-edge 63-bit hashes are equal up to a hash-sum
         collision (~n/2^63 — far below any operational risk; a collision
-        here could only end the loop one round early, and the fixpoint
-        check below runs on the FINAL set regardless). DECIMAL(38,0) keeps
-        the sum exact at any edge count."""
+        here could only end the loop early, and the one-time EXACT
+        exceptAll verification after the loop catches exactly that case,
+        keeping the 'loud, never a silent mislabel' contract
+        probability-free). DECIMAL(38,0) keeps the sum exact at any edge
+        count."""
         r = df.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(
@@ -443,10 +445,11 @@ def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    for _ in range(max_rounds):
+    def one_round(cur: DataFrame) -> DataFrame:
+        """One large-star + small-star contraction round (lineage cut)."""
         # large-star: connect every larger neighbor v > u to min(N(u) + {u})
-        nbrs = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionAll(
-            e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        nbrs = cur.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionAll(
+            cur.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
         )
         mins = (
             nbrs.groupBy("u")
@@ -464,7 +467,7 @@ def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
         # small-star: connect every smaller neighbor (and u itself) to the
         # min smaller neighbor; edges are already directed hi -> lo
         mins_s = ls.groupBy("hi").agg(F.min("lo").alias("m"))
-        ss = (
+        return (
             ls.join(mins_s, "hi")
             .select(F.col("lo").alias("x"), F.col("m").alias("y"))
             .unionAll(mins_s.select(F.col("hi").alias("x"), F.col("m").alias("y")))
@@ -473,6 +476,9 @@ def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
             .distinct()
             .localCheckpoint()
         )
+
+    for _ in range(max_rounds):
+        ss = one_round(e)
         fp_ss = fingerprint(ss)
         changed = fp_ss != fp_e
         e, fp_e = ss, fp_ss
@@ -481,6 +487,18 @@ def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds"
+        )
+    # One-time EXACT fixpoint verification on the final set: the loop's
+    # per-round termination test is a (count, hash-sum) fingerprint, whose
+    # ~2^-63/round collision odds could in principle end the loop on a
+    # non-fixpoint. Re-run one round and demand set equality via exceptAll
+    # (exact, not probabilistic) — restoring the 'loud, never a silent
+    # mislabel' contract at the cost of one extra round, once.
+    verify = one_round(e)
+    if not (verify.exceptAll(e).isEmpty() and e.exceptAll(verify).isEmpty()):
+        raise RuntimeError(
+            "connected_components: fingerprint signalled a fixpoint but the "
+            "edge set is still changing (hash-sum collision) — rerun"
         )
     # fixpoint is a union of stars: every edge points child -> component min
     child = e.groupBy(F.col("hi").alias("doc_id")).agg(
@@ -1262,12 +1280,19 @@ def simhash_md5_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical fingerprint in SQL. 60 bits (not 64) keeps every shift
     inside the positive BIGINT range on both engines — hamming-distance
     semantics are unchanged, and the bucket is the fingerprint's top 16
-    bits exactly as in the 64-bit form."""
+    bits exactly as in the 64-bit form.
+
+    Token-less (empty/whitespace-only) docs are dropped, matching the
+    oracle, where UNNEST of an empty token list yields no rows — without
+    the filter Spark would emit (simhash=0, bucket16=0) for such docs and
+    parity would break on the first empty document in a corpus."""
     bits = 60
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    toks = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    toks = docs.select("doc_id", _tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") > 0
+    )
     hashes = toks.select(
         "doc_id",
         F.transform(

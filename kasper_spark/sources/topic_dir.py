@@ -124,10 +124,14 @@ def _read_range(root: str, pid: int, start: int, end: int):
                     # here is permanent. Skip the line but keep its offset
                     # slot: idx counts raw lines, matching _line_count, so
                     # offsets stay aligned for the rest of the log.
+                    # OverflowError/OSError: datetime.fromtimestamp raises
+                    # these (not ValueError) for out-of-range numeric ts —
+                    # without them a single absurd-ts line would re-raise on
+                    # every retrigger and wedge the stream permanently.
                     try:
                         m = json.loads(line)
                         rec = (m.get("key"), m["value"], pid, idx, _decode_ts(m["ts"]))
-                    except (ValueError, KeyError, TypeError) as e:
+                    except (ValueError, KeyError, TypeError, OverflowError, OSError) as e:
                         import sys
 
                         print(
@@ -325,19 +329,28 @@ class TopicDirWriter(DataSourceWriter):
         staged = [f for m in messages if m is not None for f in m.files]
         # Two commits landing in the same millisecond would mint identical
         # b{ms}-{seq} names and os.rename would silently overwrite the
-        # earlier batch's files (data loss). Bump the clock prefix until no
-        # target name exists — the bumped prefix still sorts after every
-        # existing file, preserving the later-append-sorts-after contract.
+        # earlier batch's files (data loss). Checking only the exact target
+        # names this commit will mint is NOT enough: a same-ms commit with
+        # a different (pid, seq) layout could mint a name that sorts BEFORE
+        # an existing same-ms file, silently shifting every subsequent
+        # line-position offset in that partition. So pick the prefix at
+        # PREFIX level: strictly greater than every b-prefix already
+        # visible in ANY partition dir — the new files then sort after all
+        # existing batch files regardless of layout, preserving the
+        # later-append-sorts-after contract the reader's offsets depend on.
         # (Concurrent writers from different processes still need a
         # coordinator, as documented above.)
         ms = int(time.time() * 1000)
-        while any(
-            os.path.exists(
-                os.path.join(self.root, f"p={pid}", f"b{ms:013d}-{seq:05d}.jsonl")
-            )
-            for seq, (pid, _tmp) in enumerate(staged)
-        ):
-            ms += 1
+        latest = -1
+        for pdir in glob.glob(os.path.join(self.root, "p=*")):
+            for name in os.listdir(pdir):
+                if (
+                    name.startswith("b")
+                    and name.endswith(".jsonl")
+                    and name[1:14].isdigit()
+                ):
+                    latest = max(latest, int(name[1:14]))
+        ms = max(ms, latest + 1)
         prefix = f"b{ms:013d}"
         for seq, (pid, tmp) in enumerate(staged):
             final = os.path.join(self.root, f"p={pid}", f"{prefix}-{seq:05d}.jsonl")

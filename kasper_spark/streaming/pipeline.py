@@ -252,6 +252,7 @@ class Pipeline:
         queries are single-use); sinks must be append-idempotent or
         foreachBatch-based, exactly as for restarts."""
         for i in range(max_runs):
+            before = self._latest_source_offsets()
             q = self.start(make_out(), available_now=True, **kwargs)
             q.awaitTermination()
             # Sum input rows over the whole run, not just lastProgress: a
@@ -265,9 +266,34 @@ class Pipeline:
                 if p and "numInputRows" in p
             )
             self._query = None
-            if rows == 0:
+            # recentProgress is a CAPPED ring buffer
+            # (spark.sql.streaming.numRecentProgressUpdates, default 100):
+            # a >100-batch run whose retained tail is all no-data batches
+            # sums to 0 even though backlog WAS consumed. The checkpoint's
+            # own offset log is the uncapped ground truth — a run that
+            # consumed anything advances the per-source offsets, so the
+            # drain only ends when BOTH signals read "no progress".
+            if rows == 0 and self._latest_source_offsets() == before:
                 return i + 1
         raise RuntimeError(f"drain_batched did not reach end of log in {max_runs} runs")
+
+    def _latest_source_offsets(self) -> tuple | None:
+        """Per-source offset lines of the newest batch in the checkpoint's
+        offset log (None if no batch exists yet). Line 0 of an offset file
+        is the version tag and line 1 the batch metadata (watermark /
+        processing-time clock — these change even on no-data batches);
+        lines 2+ are one offset JSON per source and advance only when the
+        source actually handed rows to a batch — the drain signal."""
+        d = os.path.join(
+            self.config.checkpoint_location.removeprefix("file:"), "offsets"
+        )
+        if not os.path.isdir(d):
+            return None
+        batches = [int(f) for f in os.listdir(d) if f.isdigit()]
+        if not batches:
+            return None
+        with open(os.path.join(d, str(max(batches))), encoding="utf-8") as fh:
+            return tuple(fh.read().splitlines()[2:])
 
     def has_consumed_all_messages(self) -> bool:
         """Kasper-shaped caught-up probe (A10,

@@ -16,7 +16,7 @@ load_all_operators()
 
 def test_approx_percentile_within_rank_error(spark):
     got = {
-        r["o_orderstatus"]: r["approx_p50_p90_p99"]
+        r["o_orderstatus"]: (r["approx_p50"], r["approx_p90"], r["approx_p99"])
         for r in QUERIES["approx_percentile_totalprice"](spark, SF_SMOKE).collect()
     }
     orders = load_table(spark, SF_SMOKE, "orders")

@@ -6,8 +6,12 @@ produce identical sorted results."""
 
 from __future__ import annotations
 
-import pytest
+import os
 
+import pytest
+from pyspark.sql import functions as F
+
+from kasper_spark.catalog import TABLES
 from kasper_spark.registry import QUERIES, ORACLES, load_all_operators
 from tests.conftest import SF_SMOKE
 from tests.oracle_utils import register_duck_views, run_both
@@ -66,3 +70,43 @@ def test_dtype_class_gate_catches_int_float_drift():
     # matching float columns (NULL promotion on both sides) still pass
     f = pd.DataFrame({"n": pd.Series([1.0, float("nan")])})
     assert not compare_frames(f.copy(), f.copy(), "t3")
+
+
+def test_simhash_md5_parity_with_empty_documents(spark, duck, tmp_path):
+    """ADVICE r05 latent bug: the simhash_md5_certified oracle drops
+    token-less docs (UNNEST of an empty list yields no rows) while Spark
+    used to emit (simhash=0, bucket16=0) for them — green only because the
+    shipped corpora contain no empty docs. Prove parity on a corpus that
+    DOES contain empty/whitespace-only documents."""
+    import duckdb
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    for t in TABLES:
+        src = os.path.join(SF_SMOKE, f"{t}.parquet")
+        os.symlink(src, os.path.join(sf, f"{t}.parquet"))
+    # rebuild documents with two token-less docs appended
+    docs = spark.read.parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    extra = spark.createDataFrame(
+        [(990001, "", ), (990002, "   ",)], ["doc_id", "text"]
+    )
+    aug = docs.unionByName(
+        extra.withColumns(
+            {c: F.lit(None).cast(docs.schema[c].dataType)
+             for c in docs.columns if c not in ("doc_id", "text")}
+        ).select(docs.columns),
+        allowMissingColumns=False,
+    )
+    out = os.path.join(sf, "documents_aug")
+    aug.coalesce(1).write.mode("overwrite").parquet(out)
+    os.remove(os.path.join(sf, "documents.parquet"))
+    part = [f for f in os.listdir(out) if f.endswith(".parquet")][0]
+    os.symlink(os.path.join(out, part), os.path.join(sf, "documents.parquet"))
+
+    con = duckdb.connect()
+    register_duck_views(con, sf)
+    problems = run_both(
+        spark, con, QUERIES["simhash_md5_certified"],
+        ORACLES["simhash_md5_certified"], sf, "simhash_md5_empty_docs",
+    )
+    assert not problems, "\n".join(problems)

@@ -431,6 +431,40 @@ def test_batch_writer_same_millisecond_commits_never_collide(tmp_path, monkeypat
     assert contents == ["first", "second"]  # later append sorts after
 
 
+def test_batch_writer_same_ms_different_layout_sorts_after(tmp_path, monkeypatch):
+    """ADVICE r05: the same-ms guard must work at PREFIX level, not exact
+    target-filename level. Commit 1 stages (p=0, p=1) so p=1 receives
+    b{ms}-00001; commit 2 (same frozen ms) stages only p=1, whose target
+    b{ms}-00000 does NOT exist — the old exact-name check passed and the
+    new file sorted BEFORE commit 1's p=1 file, silently shifting every
+    subsequent offset in that partition. The prefix-level pick must mint
+    a strictly greater ms prefix so the later append still sorts after."""
+    from kasper_spark.sources.topic_dir import TopicDirWriter, _WroteFiles
+
+    root = str(tmp_path / "t")
+    w = TopicDirWriter({"path": root, "partitions": "2"})
+    monkeypatch.setattr("time.time", lambda: 1.0)  # frozen clock
+
+    def stage(pid: int, content: str):
+        pdir = os.path.join(root, f"p={pid}")
+        os.makedirs(pdir, exist_ok=True)
+        tmp = os.path.join(pdir, f".stage-{content}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(json.dumps({"key": "k", "value": content, "ts": 1.0}) + "\n")
+        return _WroteFiles([(pid, tmp)])
+
+    w.commit([stage(0, "c1p0"), stage(1, "c1p1")])  # p=1 gets ...-00001
+    w.commit([stage(1, "c2p1")])  # same ms, seq 0: exact-name check passes
+    files = sorted(os.listdir(os.path.join(root, "p=1")))
+    assert len(files) == 2, files
+    contents = []
+    for f in files:
+        with open(os.path.join(root, "p=1", f)) as fh:
+            contents.append(json.loads(fh.read())["value"])
+    # the commit-2 file must sort AFTER commit 1's — offsets stay stable
+    assert contents == ["c1p1", "c2p1"], (files, contents)
+
+
 def test_stream_writer_markerless_partial_epoch_is_cleaned(tmp_path):
     """ADVICE r04: a driver crash mid-commit (some renames done, marker not
     yet written) leaves a partially visible epoch; if the replay's task
@@ -473,15 +507,19 @@ def test_malformed_line_skipped_not_wedged(spark, tmp_path):
     with open(os.path.join(pdir, "000.jsonl"), "a") as fh:
         fh.write("this is not json\n")
         fh.write(json.dumps({"key": "c", "value": "no-ts-field"}) + "\n")
+        # ADVICE r05: an out-of-range numeric ts makes fromtimestamp raise
+        # OverflowError/OSError (not ValueError) — must also be skipped,
+        # not wedge the stream
+        fh.write(json.dumps({"key": "e", "value": "absurd-ts", "ts": 1e30}) + "\n")
         fh.write(json.dumps({"key": "d", "value": "v3", "ts": 4.0}) + "\n")
 
     rows = sorted(
         spark.read.format("kasper_topic_dir").option("path", root).load().collect(),
         key=lambda r: r["offset"],
     )
-    # offsets 1 (malformed) and 2 (ts-less) are skipped; offset 3 keeps its
-    # slot — proof the raw-line offset math survived the bad lines
-    assert [(r["offset"], r["value"]) for r in rows] == [(0, "v0"), (3, "v3")]
+    # offsets 1 (malformed), 2 (ts-less) and 3 (overflow ts) are skipped;
+    # offset 4 keeps its slot — proof the raw-line offset math survived
+    assert [(r["offset"], r["value"]) for r in rows] == [(0, "v0"), (4, "v3")]
 
 
 def test_drain_batched_survives_trailing_no_data_batch(spark, monkeypatch):
