@@ -1424,6 +1424,14 @@ def shingle_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _WINNOW_W = 4  # winnowing window: one fingerprint per 4 consecutive shingles
+# Per-fingerprint membership cap for overlap detection: a boilerplate
+# fingerprint shared by k docs fans out k^2/2 pairs, so the equi-join's
+# worst case is quadratic in the hottest fingerprint's frequency. Keep the
+# first (lowest-doc_id) 64 members per fp — deterministic, and REPLICATED
+# IN THE ORACLE, so unlike the LSH _MAX_BUCKET caveat the cap itself is
+# hash-certified cross-engine. 64 caps any single fp's fan-out at ~2k
+# pairs while leaving genuine passage-overlap (shared by few docs) intact.
+_WINNOW_MAX_FP_DOCS = 64
 
 
 @register_query(
@@ -1566,14 +1574,27 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     fps AS (
         SELECT DISTINCT doc_id, fp FROM winmin WHERE pos >= {w}
+    ),
+    capped AS (
+        SELECT doc_id, fp FROM (
+            SELECT doc_id, fp,
+                   ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+            FROM fps
+        ) WHERE rn <= {cap}
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(COUNT(*) AS BIGINT) AS shared_fps
-    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
     HAVING COUNT(*) >= 2
     ORDER BY doc_a, doc_b
-    """.format(n=_SHINGLE_N, nm1=_SHINGLE_N - 1, w=_WINNOW_W, wm1=_WINNOW_W - 1),
+    """.format(
+        n=_SHINGLE_N,
+        nm1=_SHINGLE_N - 1,
+        w=_WINNOW_W,
+        wm1=_WINNOW_W - 1,
+        cap=_WINNOW_MAX_FP_DOCS,
+    ),
 )
 def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document overlap detection from winnowing fingerprints (the
@@ -1585,10 +1606,12 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the join key is the fingerprint value — identical to the
     LSH bucket join; fingerprint frequency is the skew axis, and a
-    boilerplate fingerprint shared by k docs fans out k^2/2 pairs, so at
-    100 TB a frequency cap drops stop-fingerprints first (same policy and
-    rationale as _MAX_BUCKET in minhash_lsh_candidates — uncapped here so
-    the oracle certifies the algorithm, not the guard)."""
+    boilerplate fingerprint shared by k docs fans out k^2/2 pairs. A
+    per-fp membership cap (_WINNOW_MAX_FP_DOCS, keep the lowest doc_ids)
+    bounds that quadratic tail — same policy as _MAX_BUCKET in
+    minhash_lsh_candidates, but here the cap is deterministic and
+    REPLICATED IN THE ORACLE (a rank window on both engines), so the
+    certified surface includes the guard, not just the algorithm."""
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents").repartition(
@@ -1615,8 +1638,17 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "fp")
         .distinct()
     )
-    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
-    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    # per-fp skew guard, certified by the oracle's identical rank window:
+    # keep the lowest _WINNOW_MAX_FP_DOCS doc_ids per fingerprint so one
+    # boilerplate fp can't fan out quadratically in the equi-join below
+    by_fp = Window.partitionBy("fp").orderBy("doc_id")
+    capped = (
+        fps.withColumn("rn", F.row_number().over(by_fp))
+        .filter(F.col("rn") <= _WINNOW_MAX_FP_DOCS)
+        .drop("rn")
+    )
+    a = capped.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = capped.select(F.col("doc_id").alias("doc_b"), "fp")
     return (
         a.join(b, ["fp"])
         .filter(F.col("doc_a") < F.col("doc_b"))
