@@ -103,3 +103,36 @@ def test_no_shadowed_definitions():
         tree = ast.parse(path.read_text(), filename=str(path))
         all_problems.extend(_redefinitions(tree, path))
     assert not all_problems, "shadowed definitions (F811):\n" + "\n".join(all_problems)
+
+
+def test_no_pinned_persist_in_engine_source():
+    """Cache-discipline gate (VERDICT r05 #4): a pinned ``.persist()`` /
+    ``.cache()`` with no ``unpersist()`` stays in the CacheManager until
+    session end, so one query's intermediates bleed memory pressure into
+    the next across a 169-query sweep. The engine uses eager
+    ``localCheckpoint()`` instead: same materialization + reuse, but the
+    blocks are released by the ContextCleaner once the result goes out of
+    scope, and the lineage is actually cut. Any new pinned persist must
+    come with an unpersist in the same function — or better, use
+    localCheckpoint and stay off this lint's radar entirely."""
+    problems: list[str] = []
+    for path in sorted((REPO / "kasper_spark").rglob("*.py")):
+        tree = ast.parse(path.read_text(), filename=str(path))
+        for node in ast.walk(tree):
+            if not isinstance(node, ast.FunctionDef):
+                continue
+            calls = [
+                n.func.attr
+                for n in ast.walk(node)
+                if isinstance(n, ast.Call)
+                and isinstance(n.func, ast.Attribute)
+            ]
+            pinned = sum(1 for c in calls if c in ("persist", "cache"))
+            released = sum(1 for c in calls if c == "unpersist")
+            if pinned > released:
+                problems.append(
+                    f"{path.relative_to(REPO)}: function `{node.name}` pins "
+                    f"{pinned} cache(s) but releases {released} — use "
+                    "localCheckpoint() or pair with unpersist()"
+                )
+    assert not problems, "\n".join(problems)

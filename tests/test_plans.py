@@ -270,3 +270,17 @@ def test_runtime_bloom_filter_injectable(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_no_pinned_cache_left_behind(spark):
+    """Runtime twin of the persist-discipline lint: after a heavy query
+    family runs end-to-end, Spark's CacheManager must hold nothing — the
+    sweep session runs 169 queries back-to-back, and a pinned cache from
+    one would bleed executor memory into all the rest. (localCheckpoint
+    blocks are NOT in the CacheManager; they're ContextCleaner-managed.)"""
+    for name in ("minhash_lsh_candidates", "lsh_candidates_md5",
+                 "kmeans_int8_assignments"):
+        QUERIES[name](spark, SF_SMOKE).write.format("noop").mode("overwrite").save()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        "a query left a pinned .persist()/.cache() entry in the CacheManager"
+    )
