@@ -22,6 +22,7 @@ import tempfile
 
 import pytest
 
+from kasper_spark.catalog import TABLES
 from kasper_spark.registry import QUERIES, load_all_operators
 
 load_all_operators()
@@ -97,3 +98,74 @@ def test_exact_dup_copies_have_zero_novelty(spark, dup_sf):
     }
     bad = {d: scores[d] for d in copies if d in scores and scores[d] != 0.0}
     assert not bad, f"exact copies with nonzero novelty: {bad}"
+
+
+def test_winnowing_fp_cap_certified_on_hot_fingerprint(spark, tmp_path):
+    """The per-fp membership cap (_WINNOW_MAX_FP_DOCS) only activates when
+    a fingerprint is shared by MORE docs than the cap — which never happens
+    in the shipped corpora, so the oracle-parity sweep alone would leave the
+    capped branch uncertified (the simhash empty-doc lesson). Build a corpus
+    where one boilerplate passage is shared by 100 > 64 docs and prove
+    (a) Spark/DuckDB stay hash-identical THROUGH the cap, and (b) the hot
+    fingerprint's pair fan-out is bounded by cap^2/2, not n^2/2."""
+    import duckdb
+
+    from kasper_spark.operators.dedup import _WINNOW_MAX_FP_DOCS
+    from kasper_spark.registry import ORACLES, QUERIES
+    from tests.oracle_utils import register_duck_views, run_both
+    from tests.conftest import SF_SMOKE
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(
+                os.path.join(SF_SMOKE, f"{t}.parquet"),
+                os.path.join(sf, f"{t}.parquet"),
+            )
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (i, f"{boiler} unique tail {i} alpha beta gamma", "en", "synthetic", 60)
+        for i in range(100)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(sf, "docs_out"))
+    part = [
+        f
+        for f in os.listdir(os.path.join(sf, "docs_out"))
+        if f.endswith(".parquet")
+    ][0]
+    os.symlink(
+        os.path.join(sf, "docs_out", part), os.path.join(sf, "documents.parquet")
+    )
+
+    con = duckdb.connect()
+    register_duck_views(con, sf)
+    problems = run_both(
+        spark, con, QUERIES["winnowing_overlap_pairs"],
+        ORACLES["winnowing_overlap_pairs"], sf, "winnowing_hot_fp",
+    )
+    assert not problems, "\n".join(problems)
+
+    # Fan-out bound: uncapped, the pure-boilerplate fingerprint is shared
+    # by all 100 docs and alone yields C(100,2) = 4,950 pairs. Run the
+    # Spark side with the cap disabled (monkeypatch the module constant —
+    # the oracle string is import-time-frozen, so only the Spark side
+    # moves) to measure the uncapped blow-up, then assert the capped run
+    # is strictly smaller while still detecting the overlap.
+    import kasper_spark.operators.dedup as dedup_mod
+
+    n_capped = QUERIES["winnowing_overlap_pairs"](spark, sf).count()
+    saved = dedup_mod._WINNOW_MAX_FP_DOCS
+    try:
+        dedup_mod._WINNOW_MAX_FP_DOCS = 10**9
+        n_uncapped = QUERIES["winnowing_overlap_pairs"](spark, sf).count()
+    finally:
+        dedup_mod._WINNOW_MAX_FP_DOCS = saved
+    assert n_uncapped >= 100 * 99 / 2, n_uncapped  # the hot fp went quadratic
+    assert n_capped < n_uncapped, (n_capped, n_uncapped)
+    # every fp contributes at most C(cap, 2) pairs; a handful of hot fps
+    # exist here, so the capped count must sit well under the blow-up
+    assert n_capped <= 4 * _WINNOW_MAX_FP_DOCS * (_WINNOW_MAX_FP_DOCS - 1) / 2, n_capped
+    assert n_capped > 0  # the overlap itself is still detected
