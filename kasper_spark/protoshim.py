@@ -1,0 +1,50 @@
+"""Opt-in fallback for pyspark's state-v2 protobuf dependency.
+
+``transformWithStateInPandas`` — the arbitrary-stateful-processing operator
+that mirrors the reference's ``Process()`` surface
+(/root/reference/topic_processor.go:101-109) — serializes its Python-to-JVM
+state requests with ``google.protobuf``. Where the real protobuf runtime is
+installed, nothing here does anything. Where it is absent (this sandbox has
+no network: neither ``pip install`` nor wheel vendoring is possible),
+``ensure_protobuf()`` appends the repo's clean-room mini runtime
+(``shims/google/protobuf`` — see its ``_mini.py`` docstring for exact
+scope) to ``sys.path`` AND to ``$PYTHONPATH`` so Spark's Python workers,
+which are launched by the JVM with the driver's environment, can import it
+too.
+
+Call it BEFORE the first SparkSession is created — the JVM snapshots the
+environment at launch, so a later PYTHONPATH change never reaches workers.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+_SHIMS_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "shims")
+
+
+def ensure_protobuf() -> str:
+    """Make ``google.protobuf`` importable, preferring a real installation.
+
+    Returns "real" if the genuine runtime is present, "shim" if the mini
+    runtime was activated, and raises ImportError if neither works."""
+    def _kind() -> str:
+        import google.protobuf
+
+        version = getattr(google.protobuf, "__version__", "")
+        return "shim" if "kasper-mini" in version else "real"
+
+    try:
+        return _kind()
+    except ImportError:
+        pass
+    if _SHIMS_DIR not in sys.path:
+        # APPEND, never prepend: a real protobuf installed later on the
+        # path must always win over the mini runtime.
+        sys.path.append(_SHIMS_DIR)
+    existing = os.environ.get("PYTHONPATH", "")
+    parts = existing.split(os.pathsep) if existing else []
+    if _SHIMS_DIR not in parts:
+        os.environ["PYTHONPATH"] = os.pathsep.join(parts + [_SHIMS_DIR])
+    return _kind()  # raises if the shim itself is broken

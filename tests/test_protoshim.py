@@ -1,0 +1,117 @@
+"""Unit gates for the mini-protobuf shim (shims/google/protobuf).
+
+The authoritative compatibility check is the TWS end-to-end tests in
+tests/test_streaming.py (the JVM's real protobuf parses every request the
+shim serializes and vice versa). These tests pin the wire-format details
+that an e2e failure would surface only as an opaque JVM error: golden
+bytes computed by hand from the public encoding spec
+(https://protobuf.dev/programming-guides/encoding/), presence semantics,
+oneof switching, negative varints, and unknown-field skipping.
+
+Skipped entirely when the REAL protobuf runtime is installed — then the
+shim is inert and these details are protobuf's own business.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kasper_spark.protoshim import ensure_protobuf
+
+if ensure_protobuf() != "shim":
+    pytest.skip("real protobuf installed; shim inert", allow_module_level=True)
+
+import pyspark.sql.streaming.proto.StateMessage_pb2 as sm  # noqa: E402
+
+
+def test_golden_bytes_nested_oneof():
+    """StateRequest{stateVariableRequest{valueStateCall{stateName, exists}}}
+    — every byte derived by hand: field 3 LEN -> 0x1a, field 1 LEN -> 0x0a,
+    string field 1 -> 0x0a + len + utf8, empty message field 2 -> 0x12 0x00."""
+    req = sm.StateRequest(
+        stateVariableRequest=sm.StateVariableRequest(
+            valueStateCall=sm.ValueStateCall(stateName="myState", exists=sm.Exists())
+        )
+    )
+    assert req.SerializeToString().hex() == "1a0d0a0b0a076d7953746174651200"
+
+
+def test_golden_bytes_enum_and_int():
+    """SetHandleState(state=INITIALIZED=2) nested in StatefulProcessorCall:
+    0x12 len 0x0a len 0x08 0x02 — enum encodes as a plain varint."""
+    msg = sm.StateRequest(
+        statefulProcessorCall=sm.StatefulProcessorCall(
+            setHandleState=sm.SetHandleState(state=sm.INITIALIZED)
+        )
+    )
+    assert msg.SerializeToString().hex() == "12040a020802"
+
+
+def test_proto3_default_scalars_are_omitted():
+    # statusCode=0, errorMessage="", value=b"" -> nothing on the wire
+    assert sm.StateResponse(statusCode=0, errorMessage="", value=b"").SerializeToString() == b""
+    # bool False omitted; True emitted
+    assert sm.ListStatePut(fetchWithArrow=False).SerializeToString() == b""
+    assert sm.ListStatePut(fetchWithArrow=True).SerializeToString().hex() == "1001"
+
+
+def test_reading_submessage_does_not_mark_presence():
+    """The TTLConfig trap: pyspark reads cmd.ttl only when a TTL is
+    configured — if a mere read marked presence, every state variable
+    would ship ttl{durationMs:0} and the JVM would enable 0 ms expiry."""
+    cmd = sm.StateCallCommand(stateName="x")
+    _ = cmd.ttl.durationMs  # read only
+    assert cmd.SerializeToString() == sm.StateCallCommand(stateName="x").SerializeToString()
+    cmd.ttl.durationMs = 5000  # write: presence must propagate up
+    assert b"\x88\x27" in cmd.SerializeToString()  # varint 5000 present
+
+
+def test_oneof_switch_clears_previous_member():
+    call = sm.ValueStateCall(stateName="s", exists=sm.Exists())
+    assert call.WhichOneof("method") == "exists"
+    call2 = sm.ValueStateCall(stateName="s", get=sm.Get())
+    assert call2.WhichOneof("method") == "get"
+
+
+def test_negative_int64_roundtrip():
+    raw = sm.RegisterTimer(expiryTimestampMs=-1).SerializeToString()
+    # -1 as 64-bit two's-complement varint: ten 0xff.. bytes
+    assert raw.hex() == "08ffffffffffffffffff01"
+    back = sm.RegisterTimer()
+    back.ParseFromString(raw)
+    assert back.expiryTimestampMs == -1
+
+
+def test_repeated_bytes_and_messages_roundtrip():
+    resp = sm.StateResponseWithMapIterator(
+        statusCode=1,
+        errorMessage="e",
+        kvPair=[sm.KeyAndValuePair(key=b"k", value=b"v"),
+                sm.KeyAndValuePair(key=b"k2", value=b"v2")],
+        requireNextFetch=True,
+    )
+    back = sm.StateResponseWithMapIterator()
+    back.ParseFromString(resp.SerializeToString())
+    assert [(p.key, p.value) for p in back.kvPair] == [(b"k", b"v"), (b"k2", b"v2")]
+    assert back.statusCode == 1 and back.errorMessage == "e" and back.requireNextFetch
+
+    lst = sm.StateResponseWithListGet(statusCode=0, value=[b"a", b"", b"ccc"])
+    back2 = sm.StateResponseWithListGet()
+    back2.ParseFromString(lst.SerializeToString())
+    assert list(back2.value) == [b"a", b"", b"ccc"]
+
+
+def test_unknown_fields_are_skipped():
+    """Forward compatibility: a response carrying a field this shim does
+    not know (e.g. from a newer Spark) must parse, not raise. Field 15
+    varint + field 14 length-delimited prepended to a valid payload."""
+    base = sm.StateResponse(statusCode=3).SerializeToString()
+    unknown = bytes([15 << 3 | 0, 42, 14 << 3 | 2, 2, 0xAB, 0xCD])
+    msg = sm.StateResponse()
+    msg.ParseFromString(unknown + base)
+    assert msg.statusCode == 3
+
+
+def test_fields_serialize_in_number_order():
+    resp = sm.StateResponse(value=b"v", statusCode=2, errorMessage="x")
+    assert resp.SerializeToString().hex() == "0802" + "120178" + "1a0176"
