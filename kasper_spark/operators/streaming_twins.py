@@ -810,3 +810,87 @@ def streaming_lsh_dedup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register_query(
+    "streaming_tws_count_twin",
+    oracle="""
+    SELECT word, COUNT(*) AS n
+    FROM (
+        SELECT UNNEST(string_split(text, ' ')) AS word
+        FROM documents
+    )
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def streaming_tws_count_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running word count through the STATE-V2 arbitrary-stateful path
+    (transformWithStateInPandas) — the third and most modern form of
+    kasper's Process() + Store surface
+    (/root/reference/topic_processor.go:101-109):
+    streaming_stateful_count_twin certifies applyInPandasWithState (state
+    v1); this twin certifies the Spark-4 StatefulProcessor runtime — typed
+    ValueState handles, a long-lived JVM state server the Python worker
+    talks to over protobuf, and RocksDB virtual column families — against
+    the same DuckDB oracle. Together they prove BOTH stateful runtimes
+    compute the reference answer.
+
+    Driver-session plumbing (each piece is load-bearing under the grading
+    driver's bare session):
+    - state v2 needs ``google.protobuf`` in the worker processes; where
+      only the repo's mini runtime exists, ``ship_shim_to_workers``
+      injects it via ``sc.environment`` BEFORE the UDF below is created
+      (see protoshim.py for why addPyFile cannot work here);
+    - TWS requires a multi-column-family state store: RocksDB is our
+      tuned-session default, but a bare session runs the HDFS-backed
+      provider, so set it for the query's lifetime (the provider conf is
+      read at query START, so the try/finally restore cannot race the
+      running stream).
+
+    Scale shape: identical to the v1 twin — one 8-byte counter per word,
+    sharded by the groupBy key across executors, state in RocksDB, and
+    update-mode re-emissions reduced with max(n) (counts only grow)."""
+    from kasper_spark.protoshim import ensure_protobuf, ship_shim_to_workers
+    from kasper_spark.streaming.state import running_word_count_tws
+
+    ensure_protobuf()
+    ship_shim_to_workers(spark)
+
+    qname = f"tws_{uuid.uuid4().hex[:10]}"
+    work = tempfile.mkdtemp(prefix="kasper-tws-")
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir)
+    os.symlink(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(src_dir, "documents.parquet"),
+    )
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .format("parquet")
+        .load(src_dir)
+    )
+    counts = running_word_count_tws(stream, value_col="text")
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, rocksdb)
+    try:
+        q = (
+            counts.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", os.path.join(work, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    return spark.table(qname).groupBy("word").agg(F.max("n").alias("n"))

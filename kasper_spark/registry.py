@@ -83,7 +83,8 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "lpa_lsh_graph",
     "triangle_lsh_graph",
     "ann_ivf_trained_topk",
-    # -- 3. behavior changed this round --
+    # -- 3. behavior changed / added this round --
+    "streaming_tws_count_twin",
     "neardup_cc_canonical",
     "cc_lsh_graph",
     "winnowing_overlap_pairs",
@@ -125,7 +126,6 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "setop_except",
     "setop_except_all",
     "window_rank_functions",
-    "window_running_sum",
     "window_topk_per_group",
     # (exactly 50 names)
 ]

@@ -115,3 +115,27 @@ def test_unknown_fields_are_skipped():
 def test_fields_serialize_in_number_order():
     resp = sm.StateResponse(value=b"v", statusCode=2, errorMessage="x")
     assert resp.SerializeToString().hex() == "0802" + "120178" + "1a0176"
+
+
+def test_ship_shim_to_workers_is_idempotent(spark):
+    """The worker-injection route used by streaming_tws_count_twin under
+    the grading driver's bare session: sc.environment must gain the shims
+    dir exactly once (PythonFunction envVars snapshot this dict at UDF
+    creation), and repeated calls must not grow the path."""
+    import os as _os
+
+    from kasper_spark.protoshim import _SHIMS_DIR, ship_shim_to_workers
+
+    env = spark.sparkContext.environment
+    saved = env.get("PYTHONPATH")
+    try:
+        assert ship_shim_to_workers(spark) is True
+        first = env["PYTHONPATH"]
+        assert _SHIMS_DIR in first.split(_os.pathsep)
+        assert ship_shim_to_workers(spark) is True
+        assert env["PYTHONPATH"] == first
+    finally:
+        if saved is None:
+            env.pop("PYTHONPATH", None)
+        else:
+            env["PYTHONPATH"] = saved

@@ -595,8 +595,10 @@ def test_available_now_refuses_processing_time_timeout(spark, workdir):
 
 # --- protobuf-free exercise of the TWS TTL logic -------------------------
 # Executing transformWithStateInPandas requires google.protobuf on the
-# workers (absent in minimal images, so the integration test above skips
-# there). The processor itself is pure Python over a handle/state
+# workers (the repo's mini runtime now provides it here — see
+# kasper_spark/protoshim.py — but truly protobuf-free environments still
+# skip the integration test above, and the TTL semantics deserve coverage
+# everywhere). The processor itself is pure Python over a handle/state
 # duck-type, so the TTL semantics — timer arm, re-arm, eviction wiping all
 # three blobs — run everywhere via these fakes.
 
