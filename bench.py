@@ -162,6 +162,7 @@ def _streaming_throughput(spark, seconds: float = 8.0) -> dict:
         "window_sec": round(elapsed, 1),
     }
     out.update(_stateful_throughput(spark))
+    out.update(_tws_throughput(spark))
     return out
 
 
@@ -200,6 +201,91 @@ def _stateful_throughput(spark, seconds: float = 8.0) -> dict:
     q.awaitTermination(30)  # fully terminate before spark.stop() later
     elapsed = time.perf_counter() - t0
     return {"stateful_msgs_per_sec": round(rows / elapsed)}
+
+
+def _tws_throughput(spark, seconds: float = 8.0) -> dict:
+    """State-v2 path: rate source -> keyed running count through
+    transformWithStateInPandas (StatefulProcessor + ValueState). Unlike
+    _stateful_throughput's declarative agg (state lives JVM-side), every
+    key here costs Arrow batch transfer into the Python worker plus
+    get/update round-trips over the protobuf state-server protocol — the
+    honest cost model for kasper's arbitrary Process()+Store surface
+    (/root/reference/topic_processor.go:101-109) on the modern runtime.
+    256 keys keeps the per-batch round-trip count realistic for a keyed
+    aggregation rather than measuring 10k tiny pandas frames."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kasper_spark.protoshim import ensure_protobuf, ship_shim_to_workers
+
+    try:
+        ensure_protobuf()
+    except ImportError:
+        return {"tws_msgs_per_sec": None, "tws_note": "no protobuf runtime"}
+    ship_shim_to_workers(spark)
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Count(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._n = handle.getValueState("n", "n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            total = sum(len(pdf) for pdf in rows)
+            n = (self._n.get()[0] if self._n.exists() else 0) + total
+            self._n.update((n,))
+            yield pd.DataFrame({"key": [key[0]], "n": [n]})
+
+        def close(self) -> None:
+            pass
+
+    keyed = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "200000")
+        .option("numPartitions", "8")
+        .load()
+        # TWS resolves grouping keys by column name post-projection, so the
+        # key must exist as a real column before groupBy
+        .withColumn("key", F.col("value") % 256)
+        .groupBy("key")
+    )
+    counts = keyed.transformWithStateInPandas(
+        Count(),
+        outputStructType="key bigint, n bigint",
+        outputMode="Update",
+        timeMode="None",
+    )
+    q = (
+        counts.writeStream.outputMode("update")
+        .format("noop")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="kasper-bench-tws-"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    # The first batch pays one-time state-server + Python-worker startup
+    # (~5-6 s locally), so a fixed wall window can end with zero COMPLETED
+    # data batches. Run until >=3 data-carrying batches completed (or a
+    # hard cap), then rate = rows / engine-reported processing time —
+    # robust to trigger idle time and to the startup batch.
+    deadline = time.perf_counter() + max(seconds, 4) * 5
+    while time.perf_counter() < deadline:
+        done = [p for p in q.recentProgress if int(p["numInputRows"]) > 0]
+        if len(done) >= 3:
+            break
+        time.sleep(0.5)
+    prog = [p for p in q.recentProgress if int(p["numInputRows"]) > 0]
+    q.stop()
+    q.awaitTermination(30)
+    rows = sum(int(p["numInputRows"]) for p in prog)
+    proc_sec = sum(int(p["durationMs"]["triggerExecution"]) for p in prog) / 1000.0
+    if not rows or proc_sec <= 0:
+        return {"tws_msgs_per_sec": 0}
+    return {"tws_msgs_per_sec": round(rows / proc_sec)}
 
 
 if __name__ == "__main__":

@@ -238,6 +238,42 @@ def test_tws_word_count_matches_batch(spark, workdir):
     assert last == expected
 
 
+def test_tws_checkpoint_recovery_no_double_count(spark, workdir):
+    """State-v2 form of the A2/A6 exactly-once proof: a restart from the
+    same checkpoint must restore every ValueState from the RocksDB
+    snapshot + changelog and must not re-count processed input — the
+    reference's at-least-once + idempotence contract, carried by the
+    modern stateful runtime (the v1 test above proves it for the built-in
+    aggregation path; this one proves user-managed state survives)."""
+    pytest.importorskip("google.protobuf")
+    from kasper_spark.streaming.state import running_word_count_tws
+
+    src = os.path.join(workdir, "tws-recover-src")
+    _write_json_file(src, [{"value": "a b a"}], "f1.json")
+
+    emitted: list[tuple[str, int]] = []
+
+    def collect_batch(df, epoch_id):
+        emitted.extend((r["word"], r["n"]) for r in df.collect())
+
+    pipe = _pipeline(spark, workdir, "tws-recover")
+    counts = running_word_count_tws(pipe.file_source(src, "value string"))
+    pipe.run_available_now(counts, output_mode="update", for_each_batch=collect_batch)
+    assert dict(emitted) == {"a": 2, "b": 1}
+
+    # second run, same checkpoint, new file: counts must CONTINUE (a: 2+1),
+    # not restart (a: 1) nor re-read f1 (a: 4)
+    _write_json_file(src, [{"value": "a c"}], "f2.json")
+    pipe2 = _pipeline(spark, workdir, "tws-recover")  # same name -> same checkpoint
+    counts2 = running_word_count_tws(pipe2.file_source(src, "value string"))
+    pipe2.run_available_now(counts2, output_mode="update", for_each_batch=collect_batch)
+
+    final = {}
+    for word, n in emitted:
+        final[word] = max(final.get(word, 0), n)
+    assert final == {"a": 3, "b": 1, "c": 1}
+
+
 def test_stream_static_enrichment_join(spark, workdir):
     """B8 streaming form: per-record store Get becomes ONE broadcast hash
     join of the stream against a Store snapshot (bridge.store_to_df) —
