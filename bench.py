@@ -224,42 +224,19 @@ def _tws_throughput(spark, seconds: float = 8.0) -> dict:
     except ImportError:
         return {"tws_msgs_per_sec": None, "tws_note": "no protobuf runtime"}
     ship_shim_to_workers(spark)
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessor,
-        StatefulProcessorHandle,
-    )
+    from kasper_spark.streaming.state import running_word_count_tws
 
-    class Count(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._n = handle.getValueState("n", "n bigint")
-
-        def handleInputRows(self, key, rows, timerValues):
-            import pandas as pd
-
-            total = sum(len(pdf) for pdf in rows)
-            n = (self._n.get()[0] if self._n.exists() else 0) + total
-            self._n.update((n,))
-            yield pd.DataFrame({"key": [key[0]], "n": [n]})
-
-        def close(self) -> None:
-            pass
-
-    keyed = (
+    # one single-token "word" per row = the key — so the benchmarked path
+    # is EXACTLY the code the driver-certified streaming_tws_count_twin
+    # runs, not a bench-local copy of the processor
+    stream = (
         spark.readStream.format("rate")
         .option("rowsPerSecond", "200000")
         .option("numPartitions", "8")
         .load()
-        # TWS resolves grouping keys by column name post-projection, so the
-        # key must exist as a real column before groupBy
-        .withColumn("key", F.col("value") % 256)
-        .groupBy("key")
+        .select((F.col("value") % 256).cast("string").alias("k"))
     )
-    counts = keyed.transformWithStateInPandas(
-        Count(),
-        outputStructType="key bigint, n bigint",
-        outputMode="Update",
-        timeMode="None",
-    )
+    counts = running_word_count_tws(stream, value_col="k")
     q = (
         counts.writeStream.outputMode("update")
         .format("noop")

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kasper_spark.catalog import load_table
+from kasper_spark.lineage import cut_lineage
 from kasper_spark.registry import register_query
 
 # MinHash/LSH parameters: 32 hashes = 8 bands x 4 rows. With the standard
@@ -245,14 +246,16 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (#docs x 32 longs ≈ 264 B/doc) and is consumed three times (banding +
     # both sides of the candidate-pair join). Without materialization each
     # consumer would recompute the full shingle/hash pipeline.
-    # localCheckpoint (MEMORY_AND_DISK) instead of a pinned persist():
+    # cut_lineage (localCheckpoint here; reliable checkpoint when a
+    # checkpoint dir is configured — see kasper_spark/lineage.py) instead
+    # of a pinned persist():
     # same reuse, but the shingle->hash lineage is cut out of every
     # downstream plan and the blocks are released by the ContextCleaner
     # when the result goes out of scope — a pinned persist() with no
     # unpersist() would bleed cache across a 169-query sweep session.
     sigs = per_doc.select(
         "doc_id", F.array(*[f"m{i}" for i in range(_NUM_HASHES)]).alias("mh")
-    ).localCheckpoint()
+    ).transform(cut_lineage)
 
     # band signatures: xxhash64 over the band's row hashes (band id as the
     # first operand separates the hash families). A 64-bit signature is
@@ -407,7 +410,8 @@ def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
     mislabel.
 
     Per round: two shuffles (neighborhood min + re-key), lineage cut with
-    localCheckpoint so the plan stays O(1) per round.
+    cut_lineage so the plan stays O(1) per round (executor-loss-safe on
+    clusters that set a checkpoint dir — kasper_spark/lineage.py).
     """
     a, b = edges.columns[:2]
 
@@ -436,14 +440,14 @@ def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
         .filter(F.col("x") != F.col("y"))
         .select(F.greatest("x", "y").alias("hi"), F.least("x", "y").alias("lo"))
         .distinct()
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     fp_e = fingerprint(e)
     nodes = (
         e.select(F.col("hi").alias("doc_id"))
         .unionAll(e.select(F.col("lo").alias("doc_id")))
         .distinct()
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     def one_round(cur: DataFrame) -> DataFrame:
         """One large-star + small-star contraction round (lineage cut)."""
@@ -462,7 +466,7 @@ def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
             .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
             .filter(F.col("hi") != F.col("lo"))
             .distinct()
-            .localCheckpoint()
+            .transform(cut_lineage)
         )
         # small-star: connect every smaller neighbor (and u itself) to the
         # min smaller neighbor; edges are already directed hi -> lo
@@ -474,7 +478,7 @@ def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
             .filter(F.col("x") != F.col("y"))
             .select(F.greatest("x", "y").alias("hi"), F.least("x", "y").alias("lo"))
             .distinct()
-            .localCheckpoint()
+            .transform(cut_lineage)
         )
 
     for _ in range(max_rounds):
@@ -657,7 +661,7 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     The demo graph is the bounded tokenset_jaccard_pairs candidate set; at
     100 TB the edges come from minhash_lsh_candidates instead
     (pagerank_lsh_graph certifies exactly that composition). Each iteration
-    eagerly localCheckpoints the rank vector — values are unchanged (the
+    eagerly cuts the rank vector's lineage — values are unchanged (the
     checkpoint materializes exactly the computed rows) but the plan stays
     O(1) per round instead of growing with the full upstream pipeline,
     the same lineage discipline connected_components uses. Graph is
@@ -672,9 +676,9 @@ def _pagerank_over_pairs(pairs: DataFrame, iters: int = 8) -> DataFrame:
     scale-path graph (pagerank_lsh_graph).
 
     Lineage discipline (the scale requirement): the edge/degree tables are
-    localCheckpointed ONCE (cutting the candidate-pipeline lineage out of
+    lineage-cut ONCE (cutting the candidate-pipeline lineage out of
     every round's plan), and the evolving rank vector is eagerly
-    localCheckpointed EVERY round, so the physical plan is O(1) per round
+    lineage-cut EVERY round, so the physical plan is O(1) per round
     — the same pattern connected_components uses (and the reason
     cc_lsh_graph plans 3 exchanges). Without the per-round cut the plan
     grows with the iteration count times the full upstream pipeline:
@@ -686,8 +690,8 @@ def _pagerank_over_pairs(pairs: DataFrame, iters: int = 8) -> DataFrame:
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
     # consumed every round: materialize once AND cut the upstream lineage
-    edges = edges.localCheckpoint()
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint()
+    edges = edges.transform(cut_lineage)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).transform(cut_lineage)
     n = deg.count()
     ranks = deg.select("src", (F.lit(1.0) / n).alias("rank")).withColumnRenamed(
         "src", "doc_id"
@@ -709,7 +713,7 @@ def _pagerank_over_pairs(pairs: DataFrame, iters: int = 8) -> DataFrame:
                 )
             )
             .withColumnRenamed("dst", "doc_id")
-            .localCheckpoint()  # per-round lineage cut (see docstring)
+            .transform(cut_lineage)  # per-round lineage cut (see docstring)
         )
     return (
         ranks.join(deg, ranks.doc_id == deg.src)
@@ -800,8 +804,8 @@ def _lpa_over_pairs(pairs: DataFrame, iters: int = 8) -> DataFrame:
     list — shared by the bounded-Jaccard demo graph and the md5-LSH
     scale-path graph (lpa_lsh_graph).
 
-    Lineage discipline: graph localCheckpointed once, evolving label table
-    eagerly localCheckpointed per round, so the plan is O(1) per round
+    Lineage discipline: graph lineage-cut once, evolving label table
+    eagerly lineage-cut per round, so the plan is O(1) per round
     (same pattern as connected_components / _pagerank_over_pairs;
     lpa_lsh_graph planned 1,098 exchanges before this cut). Values are
     bit-identical — the checkpoint materializes exactly the computed rows."""
@@ -819,7 +823,7 @@ def _lpa_over_pairs(pairs: DataFrame, iters: int = 8) -> DataFrame:
         )
         .unionAll(nodes.select(F.col("node").alias("src"), F.col("node").alias("dst")))
         # consumed every round: materialize once AND cut the upstream lineage
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     labels = nodes.select("node", F.col("node").alias("label"))
     by_votes = Window.partitionBy("node").orderBy(
@@ -836,7 +840,7 @@ def _lpa_over_pairs(pairs: DataFrame, iters: int = 8) -> DataFrame:
             votes.withColumn("rn", F.row_number().over(by_votes))
             .filter(F.col("rn") == 1)
             .select("node", "label")
-            .localCheckpoint()  # per-round lineage cut (see docstring)
+            .transform(cut_lineage)  # per-round lineage cut (see docstring)
         )
     return labels.select(
         F.col("node").alias("doc_id"),
@@ -980,11 +984,11 @@ def _triangles_over_pairs(pairs: DataFrame) -> DataFrame:
     scale-path graph (triangle_lsh_graph).
 
     The pair list is consumed four times (degree + the three-way triangle
-    self-join); localCheckpoint materializes it once AND cuts the upstream
+    self-join); cut_lineage materializes it once AND cuts the upstream
     candidate-pipeline lineage out of the plan (triangle_lsh_graph planned
     191 exchanges before this cut — the md5-LSH pipeline repeated per
     reference)."""
-    pairs = pairs.localCheckpoint()
+    pairs = pairs.transform(cut_lineage)
     deg = (
         pairs.select(F.col("doc_a").alias("node"))
         .unionAll(pairs.select(F.col("doc_b").alias("node")))
@@ -1135,12 +1139,12 @@ def _md5_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = hashed.groupBy("doc_id").agg(
         *[F.min(F.col("h1") + i * F.col("h2")).alias(f"m{i}") for i in range(_NUM_HASHES)]
     )
-    # consumed twice (banding + signature verify): localCheckpoint
+    # consumed twice (banding + signature verify): cut_lineage
     # materializes once (MEMORY_AND_DISK) and, unlike a pinned persist(),
     # cuts the shingle->hash lineage out of every downstream plan and is
     # released by the ContextCleaner when the result goes out of scope —
     # no cache bleeding into the next query of a 169-query sweep.
-    sigs = sigs.localCheckpoint()
+    sigs = sigs.transform(cut_lineage)
     bands = sigs.select(
         "doc_id",
         F.explode(

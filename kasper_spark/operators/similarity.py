@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kasper_spark.catalog import load_table
+from kasper_spark.lineage import cut_lineage
 from kasper_spark.registry import register_query
 
 _N_QUERY = 20  # bounded query subset for the oracle-checked baseline
@@ -1066,8 +1067,8 @@ def kmeans_int8_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-sized for any real k — followed by a per-vector argmin
     window and a (cluster, dim) re-sum: two map-side-combinable aggregates
     and zero float accumulation anywhere. Empty clusters drop out
-    deterministically. The loop eagerly localCheckpoints the centroid
-    table per round (the CC/PageRank lineage discipline), so the plan is
+    deterministically. The loop eagerly cuts the centroid table's lineage
+    per round (the CC/PageRank discipline), so the plan is
     O(1) per round — before that cut this query planned 38 exchanges and
     the trained-IVF consumer 184."""
     core = _kmeans_core(spark, sf_dir)
@@ -1094,15 +1095,15 @@ def _kmeans_core(spark: SparkSession, sf_dir: str, iters: int = _KMEANS_ITERS) -
         (F.col("dim0") + 1).alias("dim"),
         F.floor(F.col("v").cast("double") * _KMEANS_QSCALE).cast("bigint").alias("q"),
     )
-    # Consumed every round (dot products + re-sum): localCheckpoint
+    # Consumed every round (dot products + re-sum): cut_lineage
     # materializes the quantized long-form corpus once, cuts the
     # posexplode lineage out of every round's plan, and is released by
     # the ContextCleaner when the result goes out of scope (a pinned
     # persist() with no unpersist() would bleed cache across the sweep).
-    e = e.localCheckpoint()
+    e = e.transform(cut_lineage)
     vv = e.groupBy("vec_id").agg(
         F.sum(F.col("q") * F.col("q")).alias("vv")
-    ).localCheckpoint()  # per-vector norm, reused every round
+    ).transform(cut_lineage)  # per-vector norm, reused every round
     cent = e.filter(F.col("vec_id") < _KMEANS_K).select(
         F.col("vec_id").alias("cluster_id"), "dim", F.col("q").alias("s"), F.lit(1).cast("bigint").alias("n")
     )
@@ -1144,7 +1145,7 @@ def _kmeans_core(spark: SparkSession, sf_dir: str, iters: int = _KMEANS_ITERS) -
             # per-round lineage cut: without it the centroid plan grows by
             # one full Lloyd round per iteration (the CC/PageRank lineage
             # discipline; values are bit-identical)
-            .localCheckpoint()
+            .transform(cut_lineage)
         )
         last_assign = assign
     return {"e": e, "vv": vv, "cent": cent, "assign": last_assign}

@@ -341,16 +341,34 @@ class TopicDirWriter(DataSourceWriter):
         # (Concurrent writers from different processes still need a
         # coordinator, as documented above.)
         ms = int(time.time() * 1000)
+        # O(1) fast path: a root-level marker records the highest prefix
+        # ever minted, so steady-state commits skip the full-directory scan
+        # (which is O(total files ever committed) — quadratic over a
+        # long-lived sink's lifetime). The marker is written BEFORE the
+        # renames below, so it always bounds every reader-visible prefix
+        # even if a commit crashes mid-rename (the marker then simply
+        # skips a prefix — safe). Missing/corrupt marker (pre-marker dirs,
+        # manual deletion) falls back to the exhaustive scan.
+        marker = os.path.join(self.root, "_max_batch_prefix")
         latest = -1
-        for pdir in glob.glob(os.path.join(self.root, "p=*")):
-            for name in os.listdir(pdir):
-                if (
-                    name.startswith("b")
-                    and name.endswith(".jsonl")
-                    and name[1:14].isdigit()
-                ):
-                    latest = max(latest, int(name[1:14]))
+        try:
+            with open(marker, encoding="utf-8") as f:
+                latest = int(f.read().strip())
+        except (OSError, ValueError):
+            for pdir in glob.glob(os.path.join(self.root, "p=*")):
+                for name in os.listdir(pdir):
+                    if (
+                        name.startswith("b")
+                        and name.endswith(".jsonl")
+                        and name[1:14].isdigit()
+                    ):
+                        latest = max(latest, int(name[1:14]))
         ms = max(ms, latest + 1)
+        tmp_marker = marker + ".tmp"
+        os.makedirs(self.root, exist_ok=True)
+        with open(tmp_marker, "w", encoding="utf-8") as f:
+            f.write(str(ms))
+        os.replace(tmp_marker, marker)  # atomic: readers never see partial
         prefix = f"b{ms:013d}"
         for seq, (pid, tmp) in enumerate(staged):
             final = os.path.join(self.root, f"p={pid}", f"{prefix}-{seq:05d}.jsonl")

@@ -359,6 +359,13 @@ class MiniMessage:
         self._present.clear()
         self._oneof_active.clear()
         self._merge(data)
+        # Parsing INTO a message is a write: when self is an auto-vivified
+        # child (msg.sub.CopyFrom(...) routes here), the parent chain must
+        # mark the field present even for an all-defaults payload — real
+        # protobuf serializes the empty sub-message; without this the field
+        # silently vanished from the wire (caught by code review, pinned by
+        # test_copyfrom_into_vivified_child_golden_bytes).
+        self._mark_modified()
         return len(data)
 
     def _merge(self, data: bytes) -> None:
@@ -401,14 +408,15 @@ class MiniMessage:
             if spec.repeated:
                 lst = self._values.setdefault(spec.name, RepeatedField(self))
                 list.append(lst, value)
-                self._present.add(spec.name)
+                self._set_present(spec)
             else:
                 if spec.type == TYPE_MESSAGE:
                     value._parent = (self, spec.name)
                 self._values[spec.name] = value
-                self._present.add(spec.name)
-                if spec.oneof is not None:
-                    self._oneof_active[spec.oneof] = spec.name
+                # _set_present (not a bare _present.add) so a wire payload
+                # carrying two members of the same oneof keeps only the
+                # LAST one (proto3 last-wins), evicting the earlier value.
+                self._set_present(spec)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,61 @@
+"""cut_lineage policy gate (kasper_spark/lineage.py).
+
+The iterative family's per-round lineage cuts must (a) truncate the plan,
+(b) preserve rows, and (c) switch to RELIABLE checkpointing the moment a
+cluster configures sc.setCheckpointDir — the mode where an executor loss
+mid-iteration recomputes nothing and loses nothing. Locally (no dir) the
+cut stays a localCheckpoint; "losing an executor" in local[...] means the
+JVM died anyway.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from kasper_spark.lineage import cut_lineage
+
+
+def _restore_no_checkpoint_dir(sc) -> None:
+    """Clear the context's checkpoint dir (no public unset API)."""
+    setter = getattr(sc._jsc.sc(), "checkpointDir_$eq")
+    setter(sc._jvm.scala.Option.apply(None))
+
+
+def test_cut_lineage_truncates_and_preserves_rows(spark):
+    df = (
+        spark.range(1000)
+        .withColumn("g", F.col("id") % 7)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cut = cut_lineage(df)
+    # plan truncated: the aggregation pipeline is gone, replaced by a
+    # materialized-RDD scan
+    plan = cut._jdf.queryExecution().optimizedPlan().toString()
+    assert "Aggregate" not in plan, plan
+    assert sorted(r["n"] for r in cut.collect()) == sorted(
+        r["n"] for r in df.collect()
+    )
+
+
+def test_cut_lineage_uses_reliable_checkpoint_when_dir_configured(spark):
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None  # suite invariant: no dir leaks in
+    d = tempfile.mkdtemp(prefix="kasper-ckpt-")
+    sc.setCheckpointDir(d)
+    try:
+        cut = cut_lineage(spark.range(500).withColumn("x", F.col("id") * 2))
+        assert cut.count() == 500
+        # reliable mode writes rdd-* block files under the configured dir
+        written = [
+            name
+            for root, _dirs, files in os.walk(d)
+            for name in files
+        ]
+        assert written, f"no checkpoint files under {d} — fell back to local mode?"
+    finally:
+        _restore_no_checkpoint_dir(sc)
+    assert sc.getCheckpointDir() is None

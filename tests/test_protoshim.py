@@ -139,3 +139,69 @@ def test_ship_shim_to_workers_is_idempotent(spark):
             env.pop("PYTHONPATH", None)
         else:
             env["PYTHONPATH"] = saved
+
+
+def test_copyfrom_into_vivified_child_golden_bytes():
+    """CopyFrom routes through ParseFromString, which must count as a
+    WRITE to the auto-vivified child: the parent chain marks the field
+    present and the sub-message reaches the wire. Before the fix the ttl
+    config below silently vanished (serialized to just 0a0178) — a JVM
+    state server would never see the TTL. Bytes derived by hand: field 4
+    LEN -> 0x22, len 3, field 1 varint 5000 -> 08 88 27."""
+    cmd = sm.StateCallCommand(stateName="x")
+    cmd.ttl.CopyFrom(sm.TTLConfig(durationMs=5000))
+    assert cmd.HasField("ttl")
+    assert cmd.SerializeToString().hex() == "0a01782203088827"
+    # an all-defaults CopyFrom is still a write: empty sub-message on wire
+    bare = sm.StateCallCommand()
+    bare.ttl.CopyFrom(sm.TTLConfig())
+    assert bare.HasField("ttl")
+    assert bare.SerializeToString().hex() == "2200"
+
+
+def test_parse_oneof_last_wins():
+    """A wire payload carrying two members of the same oneof keeps only
+    the LAST (proto3 last-wins): the earlier member must be evicted from
+    presence, not accumulate."""
+    a = sm.StateVariableRequest(valueStateCall=sm.ValueStateCall(stateName="v"))
+    b = sm.StateVariableRequest(listStateCall=sm.ListStateCall(stateName="l"))
+    merged = sm.StateVariableRequest()
+    merged._merge(a.SerializeToString())
+    merged._merge(b.SerializeToString())
+    assert merged.WhichOneof("method") == "listStateCall"
+    assert not merged.HasField("valueStateCall")
+
+
+def test_shim_is_namespace_portion(tmp_path):
+    """shims/google must stay a NAMESPACE portion (no __init__.py): a
+    regular package would (a) fail to activate when another google.*
+    distribution already cached the namespace, and (b) shadow that other
+    distribution once active. Run the two-portion scenario in a clean
+    interpreter."""
+    import subprocess
+    import sys as _sys
+
+    other = tmp_path / "portions"
+    (other / "google" / "auth").mkdir(parents=True)
+    (other / "google" / "auth" / "__init__.py").write_text("X = 'auth-ok'\n")
+    code = (
+        "import sys\n"
+        f"sys.path.insert(0, {str(other)!r})\n"
+        "sys.path.insert(0, '/root/repo')\n"
+        "import google.auth\n"  # caches namespace 'google' WITHOUT the shim
+        "from kasper_spark.protoshim import ensure_protobuf\n"
+        "assert ensure_protobuf() == 'shim'\n"
+        "import google.protobuf\n"
+        "import google.auth as ga\n"
+        "assert ga.X == 'auth-ok'\n"
+        "print('coexist-ok')\n"
+    )
+    out = subprocess.run(
+        [_sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        env={"PATH": "/usr/bin:/bin"},
+        timeout=60,
+    )
+    assert out.returncode == 0, out.stderr
+    assert "coexist-ok" in out.stdout

@@ -597,3 +597,46 @@ def test_null_key_routing_rejects_unknown_mode(spark, tmp_path):
         df.write.format("kasper_topic_dir").option("path", str(tmp_path / "x")).option(
             "nullKeyRouting", "random"
         ).mode("append").save()
+
+
+def test_batch_writer_marker_fast_path_and_scan_fallback(tmp_path, monkeypatch):
+    """The commit-prefix pick is O(1) via the root _max_batch_prefix
+    marker on the steady state, and falls back to the exhaustive
+    directory scan when the marker is missing (pre-marker dirs, manual
+    deletion) — the same-ms safety contract must hold on BOTH paths."""
+    from kasper_spark.sources.topic_dir import TopicDirWriter, _WroteFiles
+
+    root = str(tmp_path / "t")
+    w = TopicDirWriter({"path": root, "partitions": "1"})
+    monkeypatch.setattr("time.time", lambda: 1.0)  # frozen clock
+
+    def stage(content: str):
+        pdir = os.path.join(root, "p=0")
+        os.makedirs(pdir, exist_ok=True)
+        tmp = os.path.join(pdir, f".stage-{content}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(json.dumps({"key": "k", "value": content, "ts": 1.0}) + "\n")
+        return _WroteFiles([(0, tmp)])
+
+    w.commit([stage("one")])
+    marker = os.path.join(root, "_max_batch_prefix")
+    assert os.path.exists(marker)
+    first = int(open(marker).read())
+
+    w.commit([stage("two")])  # marker fast path, same frozen ms
+    assert int(open(marker).read()) == first + 1
+
+    os.remove(marker)  # scan fallback must re-derive the bound from files
+    w.commit([stage("three")])
+    assert int(open(marker).read()) == first + 2
+    files = sorted(os.listdir(os.path.join(root, "p=0")))
+    contents = []
+    for f in files:
+        with open(os.path.join(root, "p=0", f)) as fh:
+            contents.append(json.loads(fh.read())["value"])
+    assert contents == ["one", "two", "three"]  # append order preserved
+
+    # the marker never remaps reader offsets: it is invisible to the reader
+    from kasper_spark.sources.topic_dir import _partition_dirs
+
+    assert sorted(_partition_dirs(root)) == [0]
