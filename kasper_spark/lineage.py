@@ -42,8 +42,32 @@ def cut_lineage(df: DataFrame) -> DataFrame:
 
     Reliable ``checkpoint()`` when the SparkContext has a checkpoint dir
     (fault-tolerant: survives executor loss), else ``localCheckpoint()``
-    (executor-local blocks: fine where executor loss == process death)."""
+    (executor-local blocks: fine where executor loss == process death).
+
+    Reliable-mode details that keep the trade honest:
+
+    - compute-once: a bare ``checkpoint(eager=True)`` runs the plan TWICE
+      (the eager materialization job, then the checkpoint-write job
+      re-executing the lineage). Persisting first makes the write job read
+      the cached blocks, and the pin is dropped as soon as the write
+      completes — so reliable mode costs one extra read+write of the
+      materialized rows, not a second execution of the pipeline.
+    - cleanup: checkpoint files are only garbage-collected when
+      ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (Spark's
+      default is false; our session factory sets it — a deployment that
+      builds its own session must set it alongside ``setCheckpointDir`` or
+      every per-round cut leaks a full copy onto the checkpoint volume).
+    """
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=True)
+        from pyspark.storagelevel import StorageLevel
+
+        pinned = df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            return pinned.checkpoint(eager=True)
+        finally:
+            # blocking: the repo's cache-discipline gate asserts no pinned
+            # RDDs survive a query, and non-blocking unpersist removes the
+            # registration asynchronously
+            pinned.unpersist(blocking=True)
     return df.localCheckpoint(eager=True)

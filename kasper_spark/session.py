@@ -47,6 +47,13 @@ _DEFAULTS = {
     "spark.sql.streaming.stateStore.providerClass": (
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     ),
+    # If a deployment opts into reliable lineage cuts (sc.setCheckpointDir +
+    # kasper_spark/lineage.py), out-of-scope checkpoints must be garbage-
+    # collected like cached blocks are — Spark's default (false) would leak
+    # one full materialized copy per iterative round onto the checkpoint
+    # volume, forever. Read at SparkContext construction, so it has to live
+    # here, not at the cut site. No-op when no checkpoint dir is set.
+    "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
 }
 
 

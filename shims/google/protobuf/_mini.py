@@ -231,7 +231,13 @@ class MiniMessage:
         if spec.oneof is not None:
             prev = self._oneof_active.get(spec.oneof)
             if prev is not None and prev != spec.name:
-                self._values.pop(prev, None)
+                prev_val = self._values.pop(prev, None)
+                # Detach the evicted child: a kept reference must become a
+                # free-standing message (matching real protobuf), not a
+                # live back-door that could re-mark the field present
+                # without a value (SerializeToString would then KeyError).
+                if isinstance(prev_val, MiniMessage):
+                    prev_val._parent = None
                 self._present.discard(prev)
             self._oneof_active[spec.oneof] = spec.name
         self._mark_modified()
@@ -355,6 +361,14 @@ class MiniMessage:
             raise ValueError(f"unsupported field type {spec.type}")
 
     def ParseFromString(self, data: bytes) -> int:
+        # Detach children being discarded (same contract as oneof
+        # eviction: stale references become free-standing messages/lists,
+        # never silent write paths back into this message).
+        for old in self._values.values():
+            if isinstance(old, MiniMessage):
+                old._parent = None
+            elif isinstance(old, RepeatedField):
+                old._owner = None
         self._values.clear()
         self._present.clear()
         self._oneof_active.clear()

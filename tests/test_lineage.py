@@ -42,10 +42,16 @@ def test_cut_lineage_truncates_and_preserves_rows(spark):
 
 
 def test_cut_lineage_uses_reliable_checkpoint_when_dir_configured(spark):
+    import shutil
+
     sc = spark.sparkContext
     assert sc.getCheckpointDir() is None  # suite invariant: no dir leaks in
     d = tempfile.mkdtemp(prefix="kasper-ckpt-")
     sc.setCheckpointDir(d)
+    # baseline: earlier tests' localCheckpoint blocks legitimately sit in
+    # getPersistentRDDs until the ContextCleaner collects them — only NEW
+    # pins from this cut count as a leak
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
     try:
         cut = cut_lineage(spark.range(500).withColumn("x", F.col("id") * 2))
         assert cut.count() == 500
@@ -56,6 +62,11 @@ def test_cut_lineage_uses_reliable_checkpoint_when_dir_configured(spark):
             for name in files
         ]
         assert written, f"no checkpoint files under {d} — fell back to local mode?"
+        # the cut must not leave a pinned cache behind (the compute-once
+        # persist is released as soon as the checkpoint write completes)
+        after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+        assert after <= before, f"cut_lineage leaked pins: {after - before}"
     finally:
         _restore_no_checkpoint_dir(sc)
+        shutil.rmtree(d, ignore_errors=True)
     assert sc.getCheckpointDir() is None

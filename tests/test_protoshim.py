@@ -178,16 +178,18 @@ def test_shim_is_namespace_portion(tmp_path):
     distribution already cached the namespace, and (b) shadow that other
     distribution once active. Run the two-portion scenario in a clean
     interpreter."""
+    import os as _os
     import subprocess
     import sys as _sys
 
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     other = tmp_path / "portions"
     (other / "google" / "auth").mkdir(parents=True)
     (other / "google" / "auth" / "__init__.py").write_text("X = 'auth-ok'\n")
     code = (
         "import sys\n"
         f"sys.path.insert(0, {str(other)!r})\n"
-        "sys.path.insert(0, '/root/repo')\n"
+        f"sys.path.insert(0, {repo!r})\n"
         "import google.auth\n"  # caches namespace 'google' WITHOUT the shim
         "from kasper_spark.protoshim import ensure_protobuf\n"
         "assert ensure_protobuf() == 'shim'\n"
@@ -205,3 +207,36 @@ def test_shim_is_namespace_portion(tmp_path):
     )
     assert out.returncode == 0, out.stderr
     assert "coexist-ok" in out.stdout
+
+
+def test_evicted_oneof_child_is_detached():
+    """A kept reference to an evicted oneof member must become a
+    free-standing message: writing through it must NOT re-mark the field
+    present on the original parent (which would serialize a
+    present-but-valueless field and crash) — matching real protobuf,
+    where the evicted sub-message is simply detached."""
+    m = sm.StateVariableRequest()
+    m._merge(
+        sm.StateVariableRequest(
+            valueStateCall=sm.ValueStateCall(stateName="v")
+        ).SerializeToString()
+    )
+    kept = m.valueStateCall
+    m._merge(
+        sm.StateVariableRequest(
+            listStateCall=sm.ListStateCall(stateName="l")
+        ).SerializeToString()
+    )
+    assert m.WhichOneof("method") == "listStateCall"
+    kept.stateName = "stale-write"  # free-standing now: must not leak back
+    assert m.WhichOneof("method") == "listStateCall"
+    assert not m.HasField("valueStateCall")
+    m.SerializeToString()  # present-but-valueless would KeyError here
+    # same contract for ParseFromString's wholesale replacement
+    p = sm.StateCallCommand(stateName="x")
+    p.ttl.CopyFrom(sm.TTLConfig(durationMs=5))
+    stale_child = p.ttl
+    p.ParseFromString(sm.StateCallCommand(stateName="y").SerializeToString())
+    stale_child.durationMs = 99
+    assert not p.HasField("ttl")
+    assert p.SerializeToString().hex() == "0a0179"
