@@ -70,3 +70,35 @@ def test_cut_lineage_uses_reliable_checkpoint_when_dir_configured(spark):
         _restore_no_checkpoint_dir(sc)
         shutil.rmtree(d, ignore_errors=True)
     assert sc.getCheckpointDir() is None
+
+
+def test_iterative_operator_identical_under_reliable_mode(spark):
+    """End-to-end: an iterative operator (connected components over the
+    LSH graph — 2 cuts per round) must produce IDENTICAL rows whether its
+    per-round cuts are localCheckpoints (no dir) or reliable checkpoints
+    (dir configured) — the mode switch changes fault-tolerance, never
+    values."""
+    import shutil
+
+    from kasper_spark.registry import QUERIES, load_all_operators
+
+    load_all_operators()
+    fn = QUERIES["neardup_cc_canonical"]
+    sf = "/root/testdata/sf0.001"
+
+    local_rows = sorted(map(tuple, fn(spark, sf).collect()))
+
+    sc = spark.sparkContext
+    d = tempfile.mkdtemp(prefix="kasper-ckpt-iter-")
+    sc.setCheckpointDir(d)
+    try:
+        reliable_rows = sorted(map(tuple, fn(spark, sf).collect()))
+        checkpointed = [
+            name for root, _dirs, files in os.walk(d) for name in files
+        ]
+        assert checkpointed, "no reliable checkpoint files written by the loop"
+    finally:
+        _restore_no_checkpoint_dir(sc)
+        shutil.rmtree(d, ignore_errors=True)
+
+    assert local_rows == reliable_rows
