@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from kasper_spark.catalog import load_table
 from kasper_spark.functions.exact import dsum, dsum_dec, dsum_sql, money
@@ -115,12 +116,50 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_query("approx_distinct_users")  # rows-only: HLL sketches differ by engine
+@register_query(
+    "approx_distinct_users",
+    oracle="""
+    SELECT
+        event_type,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(1 AS INTEGER) AS hll_in_bound
+    FROM events GROUP BY event_type
+    """,
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) per event type — the sketch
-    path for cardinalities too large for exact distinct at 100 TB. HLL merge
-    is order-independent, so the result is deterministic for a given
-    dataset; it is rows-only because DuckDB's approx sketch differs."""
+    path for cardinalities too large for exact distinct at 100 TB.
+
+    ERROR-CONTRACT oracle: the HLL *estimate* is engine-specific, but its
+    error guarantee is portable. The same plan computes the exact distinct
+    count and emits `hll_in_bound = |approx - exact| <= 5*rsd*exact`
+    (rsd=0.01 requested; 5x = ~5 sigma, deterministic for a fixed dataset
+    since HLL++ hashing has no RNG). The DuckDB oracle computes the exact
+    counts and asserts the contract as literal 1s — a hash match certifies
+    the sketch honored its bound. The estimate itself remains available to
+    callers of approx_users_estimates() below."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    bound = F.greatest(F.lit(2.0), F.lit(5 * 0.01) * F.col("exact_users"))
+    return agg.select(
+        "event_type",
+        "exact_users",
+        "n",
+        (F.abs(F.col("approx_users") - F.col("exact_users")) <= bound)
+        .cast("integer")
+        .alias("hll_in_bound"),
+    )
+
+
+def approx_users_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw HLL++ estimates (what a 100 TB dashboard would serve —
+    no exact-distinct pass). Kept separate from the certified contract
+    query above because sketch estimates are not portable across engines."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
@@ -829,21 +868,110 @@ def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_year", "o_month")
 
 
-@register_query("approx_percentile_totalprice")  # rows-only: sketch impls differ
+@register_query(
+    "approx_percentile_totalprice",
+    oracle="""
+    WITH ranked AS (
+        SELECT
+            o_orderstatus,
+            o_totalprice,
+            ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice) AS rn,
+            COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+        FROM orders
+    )
+    SELECT
+        o_orderstatus,
+        MIN(CASE WHEN rn >= (50 * n + 99) // 100 THEN o_totalprice END) AS exact_p50,
+        MIN(CASE WHEN rn >= (90 * n + 99) // 100 THEN o_totalprice END) AS exact_p90,
+        MIN(CASE WHEN rn >= (99 * n + 99) // 100 THEN o_totalprice END) AS exact_p99,
+        CAST(1 AS INTEGER) AS p50_in_bound,
+        CAST(1 AS INTEGER) AS p90_in_bound,
+        CAST(1 AS INTEGER) AS p99_in_bound,
+        CAST(n AS BIGINT) AS n
+    FROM ranked
+    GROUP BY o_orderstatus, n
+    """,
+)
 def approx_percentile_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (Greenwald-Khanna sketch) over order values per
     status — the percentile path when exact sort-based percentiles are too
     expensive at 100 TB (the sketch is mergeable, one pass, bounded
-    memory). Rows-only: DuckDB's approx sketch differs by design;
-    tests/test_approx_quality.py bounds the rank error against the exact
-    percentile instead.
+    memory; Catalyst collapses the three percentile_approx calls over the
+    same column into ONE ApproximatePercentile aggregate).
 
-    The three percentiles come back as SCALAR columns (one sketch pass —
-    Catalyst collapses the three percentile_approx calls over the same
-    column into one ApproximatePercentile aggregate — then element_at),
-    not as one array column: the driver harness canonicalizes results by
-    sorting pandas values, and array cells are unhashable/unsortable
-    there (r05 recorded TypeError: unhashable type: 'list')."""
+    ERROR-CONTRACT oracle: the sketch *answer* is engine-specific, but the
+    GK guarantee is portable: with accuracy A, the returned value's rank r
+    satisfies |r - ceil(p*n)| <= n/A. This plan also computes (a) the exact
+    nearest-rank percentiles (min value whose rank >= ceil(p*n) — pure
+    integer threshold arithmetic, so bit-identical in any engine) and
+    (b) the approx value's actual rank interval [count_lt+1, count_le],
+    emitting `pXX_in_bound` = does that interval intersect the guaranteed
+    band (±(n/A + 1 slack rank for boundary ties)). The DuckDB oracle
+    recomputes the exact percentiles and asserts the contract as literal
+    1s — the hash match certifies both the exact values and the bound.
+
+    Scale note: the certification twin pays one window sort per status;
+    the production path at 100 TB is the sketch alone (mergeable partials,
+    no sort) — see approx_percentile_estimates()."""
+    accuracy = 10000
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice"
+    )
+    pcts = F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], accuracy)
+    agg = orders.groupBy("o_orderstatus").agg(
+        F.element_at(pcts, 1).alias("ap50"),
+        F.element_at(pcts, 2).alias("ap90"),
+        F.element_at(pcts, 3).alias("ap99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    ranked = orders.select(
+        "o_orderstatus", "o_totalprice", F.row_number().over(w).alias("rn")
+    )
+    j = ranked.join(F.broadcast(agg), "o_orderstatus")
+    price = F.col("o_totalprice")
+
+    def k(p: int):  # ceil(p*n/100) in exact integer arithmetic
+        return F.expr(f"CAST(({p} * n + 99) DIV 100 AS BIGINT)")
+
+    res = j.groupBy("o_orderstatus", "n", "ap50", "ap90", "ap99").agg(
+        *[
+            F.min(F.when(F.col("rn") >= k(p), price)).alias(f"exact_p{p}")
+            for p in (50, 90, 99)
+        ],
+        *[
+            F.sum((price < F.col(f"ap{p}")).cast("long")).alias(f"lt{p}")
+            for p in (50, 90, 99)
+        ],
+        *[
+            F.sum((price <= F.col(f"ap{p}")).cast("long")).alias(f"le{p}")
+            for p in (50, 90, 99)
+        ],
+    )
+    err = F.floor(F.col("n") / accuracy).cast("long") + F.lit(1)
+
+    def in_bound(p: int):
+        # the approx value covers ranks (lt, le]; the GK band is k ± err
+        return (
+            (F.col(f"le{p}") >= k(p) - err) & (F.col(f"lt{p}") + 1 <= k(p) + err)
+        ).cast("integer")
+
+    return res.select(
+        "o_orderstatus",
+        "exact_p50",
+        "exact_p90",
+        "exact_p99",
+        in_bound(50).alias("p50_in_bound"),
+        in_bound(90).alias("p90_in_bound"),
+        in_bound(99).alias("p99_in_bound"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+def approx_percentile_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw GK-sketch percentiles (the one-pass 100 TB production path;
+    no window sort). Not cross-engine-hashable — the certified contract
+    form is approx_percentile_totalprice above."""
     orders = load_table(spark, sf_dir, "orders")
     pcts = F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000)
     return orders.groupBy("o_orderstatus").agg(
@@ -901,25 +1029,59 @@ def upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_query("hll_mergeable_sketches")  # rows-only: sketch bytes are engine-specific
+@register_query(
+    "hll_mergeable_sketches",
+    oracle="""
+    SELECT
+        event_type,
+        CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users_total,
+        CAST(1 AS INTEGER) AS merged_in_bound
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
 def hll_mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGEABLE HLL sketches (Apache DataSketches via hll_sketch_agg):
     build one user-cardinality sketch per (day, event_type), then union
     the per-day sketches into per-type totals WITHOUT rescanning the
     facts — the two-level rollup pattern that makes 100 TB cardinality
     dashboards incremental (store daily sketch bytes ~1 KB each; any
-    date-range distinct is a sketch union, not a scan). Rows-only: sketch
-    serialization is engine-specific; tests/test_approx_quality.py bounds
-    the estimates against exact distincts."""
+    date-range distinct is a sketch union, not a scan).
+
+    ERROR-CONTRACT oracle: sketch bytes/estimates are engine-specific, but
+    the merged estimate must land within HLL error of the exact distinct
+    over the union — `merged_in_bound` asserts |est - exact| <= 5% (default
+    lgConfigK=12 → RSE ≈ 1.04/sqrt(4096) ≈ 1.6%; 5% ≈ 3 sigma,
+    deterministic for a fixed dataset). The DuckDB oracle computes the
+    exact union distincts and literal 1s; the hash match certifies
+    MERGEABILITY end-to-end: daily sketches -> union -> estimate agrees
+    with a single exact pass over the union."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
     ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users_total"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users_total")
+    )
+    bound = F.greatest(F.lit(2.0), F.lit(0.05) * F.col("exact_users_total"))
     return (
-        daily.groupBy("event_type")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users_total"),
-            F.count(F.lit(1)).alias("n_days"),
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "exact_users_total",
+            (
+                F.abs(F.col("approx_users_total") - F.col("exact_users_total"))
+                <= bound
+            )
+            .cast("integer")
+            .alias("merged_in_bound"),
         )
         .orderBy("event_type")
     )

