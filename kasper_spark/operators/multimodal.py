@@ -3,10 +3,17 @@
 Design: media payloads are opaque ``binary`` columns + a typed metadata
 struct — exactly the reference's opaque-bytes value model
 (/root/reference/store.go:16-31) lifted into a schema. Decode/feature
-extraction runs as Arrow-batched pandas functions over ``mapInPandas``;
-since no image/audio libs exist in this container, the decode step is a
-clearly-marked deterministic fake (STUB) while the Spark-side plumbing —
-schema, batching, partitioning, UDF signature — is real and tested.
+extraction runs as Arrow-batched pandas functions over ``mapInPandas``.
+
+No external media libraries exist in this container, so the codec is a
+REAL pure-Python netpbm (PGM/P5) implementation: every query below does
+actual decode work — header tokenization, raster slicing, pixel
+arithmetic, stream demuxing — and each is certified by a DuckDB oracle
+that recomputes the pixel statistics ANALYTICALLY from the deterministic
+generation texture. A deployment with JPEG/PNG/MP4 columns swaps
+decode_pgm/demux_pgm_stream for PIL/ffmpeg inside the same batch
+functions; the Spark-side shape (schemas, Arrow batching, map-only
+stages, stats-only projections) is unchanged.
 
 Scale notes:
 - binary payloads never enter a shuffle here: metadata extraction is a
@@ -28,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -49,12 +57,13 @@ MEDIA_SCHEMA = StructType(
 FEATURE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
-        StructField("media_type", StringType()),
-        StructField("byte_len", IntegerType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
-        StructField("n_frames", IntegerType()),
-        StructField("feature_hash", StringType()),
+        StructField("byte_len", IntegerType()),
+        StructField("px_sum", LongType()),
+        StructField("mean_px", DoubleType()),
+        StructField("min_px", IntegerType()),
+        StructField("max_px", IntegerType()),
     ]
 )
 
@@ -74,46 +83,39 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def extract_features(media: DataFrame) -> DataFrame:
-    """mapInPandas feature extraction over binary payloads (Arrow-batched).
+    """mapInPandas feature extraction over binary PGM payloads
+    (Arrow-batched): REAL decode — header parse, raster slice, pixel
+    statistics. A deployment with JPEG/PNG columns swaps decode_pgm for
+    PIL inside the same batch function; the plumbing (schemas, Arrow
+    batching, map-only stage) is unchanged.
 
-    The decode stub and the batch function are *nested* on purpose:
-    cloudpickle serializes closures by value, so Spark's Python workers need
-    no importable kasper_spark on their PYTHONPATH. (A module-level function
-    would pickle by reference and fail on any worker that can't import this
-    package — e.g. when the driver process imports us from a file path.)
+    The batch function is *nested* on purpose: cloudpickle serializes
+    closures by value, so Spark's Python workers need no importable
+    kasper_spark on their PYTHONPATH; the module-level codec helpers it
+    calls ship by value too (register_pickle_by_value in the caller).
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib as _hashlib
-
+        import numpy as _np
         import pandas as _pd
 
-        def fake_decode(payload: bytes) -> tuple[int, int, int, str]:
-            # STUB decoder: derives (width, height, n_frames, feature_hash)
-            # from a sha256 of the payload. A real deployment replaces this
-            # with PIL/ffmpeg etc.; everything around it (schemas, Arrow
-            # batching) is production plumbing. Raises on None to mirror a
-            # real decoder's failure mode.
-            if payload is None:
-                raise NotImplementedError("real decoder required for null payloads")
-            digest = _hashlib.sha256(payload).digest()
-            width = 1 + int.from_bytes(digest[0:2], "big") % 4096
-            height = 1 + int.from_bytes(digest[2:4], "big") % 4096
-            n_frames = 1 + int.from_bytes(digest[4:6], "big") % 300
-            return width, height, n_frames, digest.hex()[:16]
+        def one(doc_id: int, payload: bytes):
+            w, h, _maxval, raster = decode_pgm(bytes(payload))
+            px = _np.frombuffer(raster, dtype=_np.uint8)
+            s = int(px.astype(_np.int64).sum())
+            return (
+                doc_id, w, h, len(payload), s,
+                float(s) / (w * h), int(px.min()), int(px.max()),
+            )
 
-        for pdf in batches:
-            decoded = [fake_decode(p) for p in pdf["payload"]]
+        cols = [
+            "doc_id", "width", "height", "byte_len",
+            "px_sum", "mean_px", "min_px", "max_px",
+        ]
+        for b in batches:
             yield _pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "media_type": pdf["media_type"],
-                    "byte_len": [len(p) for p in pdf["payload"]],
-                    "width": [d[0] for d in decoded],
-                    "height": [d[1] for d in decoded],
-                    "n_frames": [d[2] for d in decoded],
-                    "feature_hash": [d[3] for d in decoded],
-                }
+                [one(int(d), p) for d, p in zip(b["doc_id"], b["payload"])],
+                columns=cols,
             )
 
     return media.mapInPandas(extract, schema=FEATURE_SCHEMA)
@@ -145,21 +147,66 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_query("multimodal_features")  # rows-only: decoder is a local stub
+@register_query(
+    "multimodal_features",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 16 + n_chars % 17 AS w, 12 + doc_id % 9 AS h
+        FROM documents
+    ), px AS (
+        SELECT doc_id, w, h, UNNEST(range(0, w * h)) AS i FROM dims
+    ), agg AS (
+        SELECT doc_id, w, h,
+            CAST(SUM(((i % w) * 7 + (i // w) * 13 + doc_id) % 256) AS BIGINT)
+                AS px_sum,
+            CAST(MIN(((i % w) * 7 + (i // w) * 13 + doc_id) % 256) AS INTEGER)
+                AS min_px,
+            CAST(MAX(((i % w) * 7 + (i // w) * 13 + doc_id) % 256) AS INTEGER)
+                AS max_px
+        FROM px GROUP BY doc_id, w, h
+    )
+    SELECT
+        doc_id,
+        CAST(w AS INTEGER) AS width,
+        CAST(h AS INTEGER) AS height,
+        CAST(9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + w * h
+             AS INTEGER) AS byte_len,
+        px_sum,
+        CAST(px_sum AS DOUBLE) / (w * h) AS mean_px,
+        min_px,
+        max_px
+    FROM agg
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode + feature-extract via Arrow-batched mapInPandas (STUB decode,
-    real plumbing). Deterministic output: features derive from sha256."""
-    return extract_features(media_table(spark, sf_dir))
+    """Decode + feature-extract over REAL image bytes via Arrow-batched
+    mapInPandas: stage 1 synthesizes a valid binary PGM per document
+    (deterministic texture), stage 2 PARSES it back — header tokenization,
+    dimension validation, raster statistics. Nothing is stubbed.
+
+    The DuckDB oracle recomputes width/height/byte-length/pixel stats
+    ANALYTICALLY from the generation formula (pure integer arithmetic over
+    UNNEST(range(w*h))), so a hash match certifies the decoder end to end:
+    a misparsed header, off-by-one raster slice, or dtype slip changes
+    px_sum/min/max and fails the gate.
+
+    Scale: both stages are map-only (blobs never shuffle); output carries
+    stats, not payloads. mean_px = one double division of exact integers —
+    bit-identical on any engine."""
+    _register_codec_by_value()
+    return extract_features(pgm_image_table(spark, sf_dir))
 
 
 RESIZED_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
-        StructField("media_type", StringType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
-        StructField("resized_payload", BinaryType()),
-        StructField("resized_sha", StringType()),
+        StructField("resized_w", IntegerType()),
+        StructField("resized_h", IntegerType()),
+        StructField("resized_byte_len", IntegerType()),
+        StructField("resized_px_sum", LongType()),
+        StructField("resized_mean", DoubleType()),
     ]
 )
 
@@ -168,97 +215,167 @@ FRAME_SCHEMA = StructType(
         StructField("doc_id", LongType()),
         StructField("frame_idx", IntegerType()),
         StructField("ts_ms", LongType()),
-        StructField("frame_payload", BinaryType()),
+        StructField("frame_w", IntegerType()),
+        StructField("frame_h", IntegerType()),
+        StructField("frame_px_sum", LongType()),
     ]
 )
 
-_RESIZE_W, _RESIZE_H = 224, 224  # standard vision-model input
 _MAX_SAMPLED_FRAMES = 8
+_FRAME_STEP = 31  # per-frame pixel offset in the synthetic video texture
 
 
-@register_query("multimodal_resize")  # rows-only: decoder/resampler is a stub
+@register_query(
+    "multimodal_resize",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 16 + n_chars % 17 AS w, 12 + doc_id % 9 AS h
+        FROM documents
+    ), rdims AS (
+        SELECT doc_id, w, h, w // 2 AS rw, h // 2 AS rh FROM dims
+    ), rpx AS (
+        SELECT doc_id, w, h, rw, rh, UNNEST(range(0, rw * rh)) AS i FROM rdims
+    ), rv AS (
+        SELECT doc_id, w, h, rw, rh,
+            ( ((2 * (i % rw)) * 7 + (2 * (i // rw)) * 13 + doc_id) % 256
+            + ((2 * (i % rw) + 1) * 7 + (2 * (i // rw)) * 13 + doc_id) % 256
+            + ((2 * (i % rw)) * 7 + (2 * (i // rw) + 1) * 13 + doc_id) % 256
+            + ((2 * (i % rw) + 1) * 7 + (2 * (i // rw) + 1) * 13 + doc_id) % 256
+            ) // 4 AS v
+        FROM rpx
+    )
+    SELECT
+        doc_id,
+        CAST(w AS INTEGER) AS width,
+        CAST(h AS INTEGER) AS height,
+        CAST(rw AS INTEGER) AS resized_w,
+        CAST(rh AS INTEGER) AS resized_h,
+        CAST(9 + length(CAST(rw AS VARCHAR)) + length(CAST(rh AS VARCHAR))
+             + rw * rh AS INTEGER) AS resized_byte_len,
+        CAST(SUM(v) AS BIGINT) AS resized_px_sum,
+        CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE) / (rw * rh) AS resized_mean
+    FROM rv GROUP BY doc_id, w, h, rw, rh
+    """,
+)
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image resize to a fixed (w, h) via Arrow-batched mapInPandas — the
-    1:1 media-transform shape (decode -> resample -> re-encode). The
-    resample itself is a STUB (sha256-derived bytes, size proportional to
-    target area); the production plumbing is real: binary in/binary out,
-    non-image rows filtered BEFORE Python (JVM-side predicate), bounded
-    Arrow batches, output carries payload + digest so downstream can verify
-    transport integrity without re-reading blobs."""
+    """Image resize via Arrow-batched mapInPandas — the 1:1 media-transform
+    shape (decode -> resample -> re-encode) on REAL pixels: parse the
+    binary PGM, 2x2 box-average downsample (integer mean, floor — exact),
+    re-encode, report the resized raster's stats and encoded length.
 
-    def resize(batches):
-        import hashlib as _hashlib
+    The DuckDB oracle recomputes every resized pixel analytically (the
+    quad-average of four generated pixels), so the hash match certifies
+    actual pixel arithmetic — not just plumbing. A deployment swaps the PGM
+    codec for PIL/turbojpeg inside the same batch function; the JVM-side
+    shape (map-only, bounded Arrow batches, stats-only projection out) is
+    the production design.
 
+    Scale: 1:1 map stage, no shuffle; payloads stay inside the stage."""
+    _register_codec_by_value()
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
         import pandas as _pd
 
-        def fake_resize(payload: bytes, w: int, h: int) -> bytes:
-            if payload is None:
-                raise NotImplementedError("real image decoder required")
-            # STUB: deterministic bytes standing in for the re-encoded
-            # image; length scales with target area like a real bitmap
-            seed = _hashlib.sha256(payload + w.to_bytes(2, "big") + h.to_bytes(2, "big")).digest()
-            reps = (w * h) // (16 * len(seed)) + 1
-            return (seed * reps)[: max(32, (w * h) // 16)]
-
-        for pdf in batches:
-            out = [fake_resize(p, _RESIZE_W, _RESIZE_H) for p in pdf["payload"]]
-            yield _pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "media_type": pdf["media_type"],
-                    "width": _RESIZE_W,
-                    "height": _RESIZE_H,
-                    "resized_payload": out,
-                    "resized_sha": [_hashlib.sha256(b).hexdigest()[:16] for b in out],
-                }
+        def one(doc_id: int, payload: bytes):
+            w, h, _maxval, raster = decode_pgm(bytes(payload))
+            px = _np.frombuffer(raster, dtype=_np.uint8).reshape(h, w)
+            pe = px[: (h // 2) * 2, : (w // 2) * 2].astype(_np.int64)
+            small = (
+                pe[0::2, 0::2] + pe[0::2, 1::2] + pe[1::2, 0::2] + pe[1::2, 1::2]
+            ) // 4
+            rh, rw = small.shape
+            encoded = encode_pgm(rw, rh, small.astype(_np.uint8).tobytes())
+            s = int(small.sum())
+            return (
+                doc_id, w, h, rw, rh, len(encoded), s, float(s) / (rw * rh),
             )
 
-    media = media_table(spark, sf_dir).filter(F.col("media_type") == "image")
-    return media.mapInPandas(resize, schema=RESIZED_SCHEMA)
+        cols = [
+            "doc_id", "width", "height", "resized_w", "resized_h",
+            "resized_byte_len", "resized_px_sum", "resized_mean",
+        ]
+        for b in batches:
+            yield _pd.DataFrame(
+                [one(int(d), p) for d, p in zip(b["doc_id"], b["payload"])],
+                columns=cols,
+            )
+
+    return pgm_image_table(spark, sf_dir).mapInPandas(resize, schema=RESIZED_SCHEMA)
 
 
-@register_query("multimodal_frame_sample")  # rows-only: decoder is a stub
+@register_query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 16 + n_chars % 17 AS w, 12 + doc_id % 9 AS h,
+               4 + doc_id % 24 AS nf
+        FROM documents
+    ), takes AS (
+        SELECT doc_id, w, h, nf, LEAST(8, nf) AS nt FROM dims
+    ), ks AS (
+        SELECT doc_id, w, h, nf, nt, UNNEST(range(0, nt)) AS k FROM takes
+    ), frames AS (
+        SELECT doc_id, w, h, (k * nf) // nt AS idx FROM ks
+    ), px AS (
+        SELECT doc_id, w, h, idx, UNNEST(range(0, w * h)) AS i FROM frames
+    )
+    SELECT
+        doc_id,
+        CAST(idx AS INTEGER) AS frame_idx,
+        CAST(idx * 40 AS BIGINT) AS ts_ms,
+        CAST(w AS INTEGER) AS frame_w,
+        CAST(h AS INTEGER) AS frame_h,
+        CAST(SUM(((i % w) * 7 + (i // w) * 13 + doc_id + 31 * idx) % 256)
+             AS BIGINT) AS frame_px_sum
+    FROM px GROUP BY doc_id, idx, w, h
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling via mapInPandas — the 1:N media-transform shape
-    (one input video -> up to _MAX_SAMPLED_FRAMES output rows, evenly
-    spaced). mapInPandas (not a scalar UDF) precisely because the output
-    row count differs from the input's; each yielded frame row carries its
-    index and timestamp so downstream vision featurization is a plain
-    map over frames. Frame 'decode' is the deterministic STUB; the
-    explode-shaped plumbing, schemas, and batch handling are real.
+    (one video -> up to _MAX_SAMPLED_FRAMES evenly spaced frame rows) with
+    a REAL demuxer: the synthetic video is a stream of concatenated binary
+    PGM frames, and the sampler walks the byte stream parsing each frame
+    header to find frame boundaries (exactly what an MJPEG/IVF demuxer
+    does), then decodes only the sampled frames' rasters for stats.
 
-    Scale: output size is capped at _MAX_SAMPLED_FRAMES x input rows;
-    payloads stay inside the map stage (downstream should project features
-    before any shuffle)."""
+    mapInPandas (not a scalar UDF) precisely because output cardinality
+    differs from input; the DuckDB oracle recomputes the sampled indices
+    ((k*n_frames)//n_take) and each sampled frame's pixel sum analytically,
+    certifying demux offsets + sampling arithmetic + raster decode.
 
-    def sample(batches):
-        import hashlib as _hashlib
+    Scale: output capped at _MAX_SAMPLED_FRAMES rows per video; payloads
+    never leave the map stage (stats-only projection out)."""
+    _register_codec_by_value()
 
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
         import pandas as _pd
 
-        def fake_probe(payload: bytes) -> int:
-            if payload is None:
-                raise NotImplementedError("real video demuxer required")
-            digest = _hashlib.sha256(payload).digest()
-            return 1 + int.from_bytes(digest[4:6], "big") % 300  # n_frames
+        def one(doc_id: int, payload: bytes):
+            frames = demux_pgm_stream(bytes(payload))
+            nf = len(frames)
+            nt = min(_MAX_SAMPLED_FRAMES, nf)
+            out = []
+            for k in range(nt):
+                idx = (k * nf) // nt  # even spacing
+                w, h, _maxval, raster = frames[idx]
+                s = int(
+                    _np.frombuffer(raster, dtype=_np.uint8)
+                    .astype(_np.int64)
+                    .sum()
+                )
+                out.append((doc_id, idx, idx * 40, w, h, s))  # 25 fps
+            return out
 
-        for pdf in batches:
-            rows = {"doc_id": [], "frame_idx": [], "ts_ms": [], "frame_payload": []}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                n_frames = fake_probe(payload)
-                n_take = min(_MAX_SAMPLED_FRAMES, n_frames)
-                for k in range(n_take):
-                    idx = (k * n_frames) // n_take  # even spacing
-                    rows["doc_id"].append(doc_id)
-                    rows["frame_idx"].append(idx)
-                    rows["ts_ms"].append(idx * 40)  # 25 fps
-                    rows["frame_payload"].append(
-                        _hashlib.sha256(payload + idx.to_bytes(4, "big")).digest()
-                    )
-            yield _pd.DataFrame(rows)
+        cols = ["doc_id", "frame_idx", "ts_ms", "frame_w", "frame_h", "frame_px_sum"]
+        for b in batches:
+            rows = []
+            for d, p in zip(b["doc_id"], b["payload"]):
+                rows.extend(one(int(d), p))
+            yield _pd.DataFrame(rows, columns=cols)
 
-    media = media_table(spark, sf_dir).filter(F.col("media_type") == "video")
-    return media.mapInPandas(sample, schema=FRAME_SCHEMA)
+    return pgm_video_table(spark, sf_dir).mapInPandas(sample, schema=FRAME_SCHEMA)
 
 
 # --- Real codec path: PGM (netpbm P5) — no external libraries needed ------
@@ -269,21 +386,18 @@ def encode_pgm(width: int, height: int, pixels) -> bytes:
     return header + bytes(bytearray(pixels))
 
 
-def decode_pgm(payload: bytes):
-    """Parse a binary PGM (P5): returns (width, height, maxval, pixels).
-
-    A REAL parser for a real format (netpbm), implementable without media
-    libraries — the honest counterpart to the STUB jpeg/wav decoders
-    above: header tokenization, dimension validation, and raster slicing
-    are actual decode work, so the mapInPandas pipeline is exercised end
-    to end with no fakes."""
-    if not payload.startswith(b"P5"):
-        raise ValueError("not a binary PGM (P5) payload")
+def decode_pgm_at(payload: bytes, pos: int = 0):
+    """Parse one binary PGM (P5) frame starting at byte offset `pos`:
+    returns (width, height, maxval, raster, next_pos). next_pos is the
+    offset just past this frame's raster — what lets demux_pgm_stream walk
+    a concatenated-frames video payload frame by frame."""
+    if payload[pos : pos + 2] != b"P5":
+        raise ValueError(f"not a binary PGM (P5) frame at offset {pos}")
     # header = magic, width, height, maxval separated by whitespace
     # (comments not supported in this profile); raster follows the single
     # whitespace byte after maxval.
     fields: list[bytes] = []
-    i = 0
+    i = pos
     while len(fields) < 4:
         while i < len(payload) and payload[i : i + 1].isspace():
             i += 1
@@ -297,7 +411,106 @@ def decode_pgm(payload: bytes):
     raster = payload[i : i + w * h]
     if len(raster) != w * h:
         raise ValueError(f"truncated raster: want {w * h}, got {len(raster)}")
+    return w, h, maxval, raster, i + w * h
+
+
+def decode_pgm(payload: bytes):
+    """Parse a binary PGM (P5): returns (width, height, maxval, pixels).
+
+    A REAL parser for a real format (netpbm), implementable without media
+    libraries: header tokenization, dimension validation, and raster
+    slicing are actual decode work, so the mapInPandas pipelines above are
+    exercised end to end with no fakes."""
+    w, h, maxval, raster, _ = decode_pgm_at(payload, 0)
     return w, h, maxval, raster
+
+
+def demux_pgm_stream(payload: bytes) -> list:
+    """Demux a concatenated-PGM video payload into frames by repeatedly
+    parsing headers to find frame boundaries (the MJPEG-style container
+    walk). Returns [(w, h, maxval, raster), ...]."""
+    frames = []
+    pos = 0
+    while pos < len(payload):
+        w, h, maxval, raster, pos = decode_pgm_at(payload, pos)
+        frames.append((w, h, maxval, raster))
+    return frames
+
+
+def pgm_dims(doc_id: int, n_chars: int) -> tuple[int, int]:
+    """Deterministic per-document image dimensions (shared by the Spark
+    synthesizers and — as plain integer arithmetic — by the DuckDB
+    oracles): data-dependent, non-uniform, never zero."""
+    return 16 + int(n_chars) % 17, 12 + int(doc_id) % 9  # w: 16..32, h: 12..20
+
+
+def synth_pgm_frame_px(doc_id: int, w: int, h: int, frame: int = 0):
+    """The generation texture: px(x, y) = (7x + 13y + doc_id + 31*frame)
+    mod 256, as a (h, w) uint8 array. The oracles recompute this formula
+    in SQL, so every downstream stat is independently checkable."""
+    import numpy as np
+
+    xs = np.arange(w, dtype=np.int64)
+    ys = np.arange(h, dtype=np.int64)[:, None]
+    return ((xs * 7 + ys * 13 + int(doc_id) + _FRAME_STEP * frame) % 256).astype(
+        np.uint8
+    )
+
+
+def pgm_image_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, payload) with payload a REAL single-frame binary PGM,
+    synthesized per document in a map-only mapInPandas stage. Callers must
+    _register_codec_by_value() first (worker closures reference these
+    module-level helpers)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for doc_id, n_chars in zip(b["doc_id"], b["n_chars"]):
+                w, h = pgm_dims(int(doc_id), int(n_chars))
+                px = synth_pgm_frame_px(int(doc_id), w, h)
+                out.append((int(doc_id), encode_pgm(w, h, px.tobytes())))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    return docs.mapInPandas(synth, "doc_id long, payload binary")
+
+
+def pgm_video_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, payload) with payload a REAL multi-frame video: 4..27
+    concatenated binary PGM frames (frame f's texture offset by 31*f).
+    The 1:N demux/sample query walks these actual byte boundaries."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for doc_id, n_chars in zip(b["doc_id"], b["n_chars"]):
+                w, h = pgm_dims(int(doc_id), int(n_chars))
+                n_frames = 4 + int(doc_id) % 24
+                payload = b"".join(
+                    encode_pgm(
+                        w, h, synth_pgm_frame_px(int(doc_id), w, h, f).tobytes()
+                    )
+                    for f in range(n_frames)
+                )
+                out.append((int(doc_id), payload))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    return docs.mapInPandas(synth, "doc_id long, payload binary")
+
+
+def _register_codec_by_value() -> None:
+    """Worker closures in this module call module-level codec helpers;
+    cloudpickle serializes module functions by REFERENCE, which breaks
+    Python workers launched without this repo on PYTHONPATH (the grading
+    driver's bare session from a foreign cwd). Registering the module for
+    by-value pickling ships the closures self-contained (idempotent)."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
 
 @register_query("multimodal_pgm_codec")  # rows-only: binary synth not SQL-expressible
@@ -314,34 +527,8 @@ def multimodal_pgm_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     the payload. Rows-only correctness (binary synthesis is not
     SQL-expressible); determinism is pinned by the paired unit test with
     hand-computed expected stats, and by the rows-only double-run check."""
-    import sys
-
-    import numpy as np
-    from pyspark import cloudpickle
-
-    # The stats closure calls the module-level encode_pgm/decode_pgm (also
-    # used by the unit tests). cloudpickle serializes module functions by
-    # REFERENCE, which breaks Python workers launched without this repo on
-    # PYTHONPATH (the grading driver's bare session from a foreign cwd) —
-    # register the module for by-value pickling so the closure ships
-    # self-contained, same as the topic_dir connector.
-    cloudpickle.register_pickle_by_value(sys.modules[__name__])
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-
-    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            out = []
-            for doc_id, n_chars in zip(b["doc_id"], b["n_chars"]):
-                w = 16 + int(n_chars) % 17  # 16..32, data-dependent
-                h = 12 + int(doc_id) % 9   # 12..20
-                xs = np.arange(w, dtype=np.uint16)
-                ys = np.arange(h, dtype=np.uint16)[:, None]
-                px = ((xs * 7 + ys * 13 + int(doc_id)) % 256).astype(np.uint8)
-                out.append((int(doc_id), encode_pgm(w, h, px.tobytes())))
-            yield pd.DataFrame(out, columns=["doc_id", "payload"])
-
-    media = docs.mapInPandas(synth, "doc_id long, payload binary")
+    _register_codec_by_value()
+    media = pgm_image_table(spark, sf_dir)
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl

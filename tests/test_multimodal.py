@@ -1,37 +1,50 @@
-"""Structural gates for the multimodal plumbing: schemas, row-cardinality
-shapes (1:1 resize, 1:N frame sampling), and payload integrity — the parts
-that must survive swapping the STUB decoder for a real one."""
+"""Gates for the multimodal real-codec pipeline: row-cardinality shapes
+(1:1 resize, 1:N frame sampling), demux correctness, and pixel-arithmetic
+spot checks against hand-computed values."""
 
 from __future__ import annotations
 
-import hashlib
+import numpy as np
 
 from pyspark.sql import functions as F
 
-from kasper_spark.operators.multimodal import media_table
+from kasper_spark.operators.multimodal import (
+    decode_pgm,
+    demux_pgm_stream,
+    encode_pgm,
+    pgm_dims,
+    synth_pgm_frame_px,
+)
 from kasper_spark.registry import QUERIES, load_all_operators
 from tests.conftest import SF_SMOKE
 
 load_all_operators()
 
 
-def test_resize_is_one_to_one_over_images(spark):
-    n_images = media_table(spark, SF_SMOKE).filter(F.col("media_type") == "image").count()
+def test_resize_is_one_to_one_with_real_box_average(spark):
     out = QUERIES["multimodal_resize"](spark, SF_SMOKE)
-    rows = out.collect()
-    assert len(rows) == n_images > 0
-    r = rows[0]
-    assert (r["width"], r["height"]) == (224, 224)
-    # digest column must match the shipped payload (transport integrity)
-    assert hashlib.sha256(bytes(r["resized_payload"])).hexdigest()[:16] == r["resized_sha"]
+    rows = {r["doc_id"]: r for r in out.collect()}
+    n_docs = QUERIES["multimodal_meta"](spark, SF_SMOKE).count()
+    assert len(rows) == n_docs > 0
+    # spot-check one doc against a local recompute of the whole pipeline
+    doc_id = sorted(rows)[0]
+    r = rows[doc_id]
+    w, h = r["width"], r["height"]
+    px = synth_pgm_frame_px(doc_id, w, h).astype(np.int64)
+    pe = px[: (h // 2) * 2, : (w // 2) * 2]
+    small = (pe[0::2, 0::2] + pe[0::2, 1::2] + pe[1::2, 0::2] + pe[1::2, 1::2]) // 4
+    assert (r["resized_h"], r["resized_w"]) == small.shape
+    assert r["resized_px_sum"] == int(small.sum())
+    assert r["resized_byte_len"] == len(
+        encode_pgm(small.shape[1], small.shape[0], small.astype(np.uint8).tobytes())
+    )
 
 
-def test_frame_sample_shape_and_cap(spark):
-    videos = media_table(spark, SF_SMOKE).filter(F.col("media_type") == "video")
-    n_videos = videos.count()
+def test_frame_sample_shape_cap_and_demux(spark):
     out = QUERIES["multimodal_frame_sample"](spark, SF_SMOKE)
     per_doc = out.groupBy("doc_id").count().collect()
-    assert 0 < len(per_doc) == n_videos
+    n_docs = QUERIES["multimodal_meta"](spark, SF_SMOKE).count()
+    assert 0 < len(per_doc) == n_docs
     assert all(1 <= r["count"] <= 8 for r in per_doc)
     # frame indices strictly increasing per doc, ts = 40ms * idx
     one = (
@@ -42,3 +55,39 @@ def test_frame_sample_shape_and_cap(spark):
     idxs = [r["frame_idx"] for r in one]
     assert idxs == sorted(set(idxs))
     assert all(r["ts_ms"] == r["frame_idx"] * 40 for r in one)
+    # per-frame sums match a local decode of the sampled frames
+    doc_id = one[0]["doc_id"]
+    w, h = one[0]["frame_w"], one[0]["frame_h"]
+    for r in one:
+        px = synth_pgm_frame_px(doc_id, w, h, r["frame_idx"])
+        assert r["frame_px_sum"] == int(px.astype(np.int64).sum())
+
+
+def test_demux_walks_concatenated_frames():
+    """The demuxer must find frame boundaries from headers alone — frames
+    of DIFFERENT sizes back to back."""
+    f1 = encode_pgm(3, 2, bytes(range(6)))
+    f2 = encode_pgm(2, 2, bytes([250, 251, 252, 253]))
+    frames = demux_pgm_stream(f1 + f2)
+    assert [(f[0], f[1]) for f in frames] == [(3, 2), (2, 2)]
+    assert frames[0][3] == bytes(range(6))
+    assert frames[1][3] == bytes([250, 251, 252, 253])
+    # round trip through the single-frame decoder too
+    w, h, maxval, raster = decode_pgm(f2)
+    assert (w, h, maxval, raster) == (2, 2, 255, bytes([250, 251, 252, 253]))
+
+
+def test_features_matches_analytic_texture(spark):
+    got = {r["doc_id"]: r for r in QUERIES["multimodal_features"](spark, SF_SMOKE).collect()}
+    assert got
+    doc_id = sorted(got)[0]
+    r = got[doc_id]
+    # dims come from the row (width derives from n_chars, not carried here)
+    w, h = r["width"], r["height"]
+    assert h == pgm_dims(doc_id, 0)[1]  # h depends only on doc_id
+    px = synth_pgm_frame_px(doc_id, w, h).astype(np.int64)
+    assert r["px_sum"] == int(px.sum())
+    assert r["min_px"] == int(px.min())
+    assert r["max_px"] == int(px.max())
+    assert r["mean_px"] == float(px.sum()) / (w * h)
+    assert r["byte_len"] == len(encode_pgm(w, h, px.astype(np.uint8).tobytes()))
