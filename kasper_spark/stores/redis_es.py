@@ -1,6 +1,11 @@
 """Redis / Elasticsearch Store implementations — import-gated (neither
-client library ships in this container; the classes raise a clear error at
-construction when the dependency is missing, and the contract tests skip).
+client library ships in this container; the default constructors raise a
+clear error when the dependency is missing). Every class also exposes a
+`_from_client` seam taking an already-built client, which is how (a) the
+multitenant routers share one connection across tenant handles and (b) the
+contract tests execute these code paths against dict-backed fake clients
+(tests/fake_stores.py) when the real services are absent — the
+pipelining/mget/bulk/error-shaping logic below runs either way.
 
 Parity notes (semantics mirrored, not code):
 - RedisStore: key namespacing under a prefix; batch ops pipelined in one
@@ -37,6 +42,15 @@ try:  # pragma: no cover
 except ImportError:  # pragma: no cover
     _es = None
 
+if _es is not None:  # pragma: no cover - real client present
+    ES_NOT_FOUND: type[Exception] = _es.exceptions.NotFoundError
+else:
+
+    class ES_NOT_FOUND(Exception):  # noqa: N801 - exception alias
+        """Stands in for elasticsearch.NotFoundError when the client
+        library is absent; fake clients raise THIS class so the
+        except-NotFound paths below execute identically either way."""
+
 
 class RedisStore(Store):
     """Redis-backed Store; all batch ops are a single pipeline round trip."""
@@ -46,6 +60,15 @@ class RedisStore(Store):
             raise ImportError("redis client not installed; RedisStore unavailable")
         self._r = _redis.Redis.from_url(url)
         self._prefix = prefix
+
+    @classmethod
+    def _from_client(cls, client, prefix: str = "") -> "RedisStore":
+        """Build a store over an existing client connection (shared by
+        MultiRedisStore tenant handles; also the fake-client test seam)."""
+        store = cls.__new__(cls)
+        store._r = client
+        store._prefix = prefix
+        return store
 
     def _k(self, key: str) -> str:
         return f"{self._prefix}/{key}" if self._prefix else key
@@ -79,13 +102,25 @@ class MultiRedisStore(MultiStore):
     def __init__(self, url: str = "redis://localhost:6379", prefix: str = "store"):
         if _redis is None:
             raise ImportError("redis client not installed; MultiRedisStore unavailable")
-        self._url = url
+        self._client = _redis.Redis.from_url(url)
         self._prefix = prefix
         self._stores: dict[str, RedisStore] = {}
 
+    @classmethod
+    def _from_client(cls, client, prefix: str = "store") -> "MultiRedisStore":
+        ms = cls.__new__(cls)
+        ms._client = client
+        ms._prefix = prefix
+        ms._stores = {}
+        return ms
+
     def tenant(self, tenant: str) -> RedisStore:
+        # all tenant handles share ONE client/connection pool (the
+        # reference's MultiRedis shares one redis.Client the same way)
         if tenant not in self._stores:
-            self._stores[tenant] = RedisStore(self._url, f"{tenant}/{self._prefix}")
+            self._stores[tenant] = RedisStore._from_client(
+                self._client, f"{tenant}/{self._prefix}"
+            )
         return self._stores[tenant]
 
     def all_tenants(self) -> list[str]:
@@ -94,15 +129,17 @@ class MultiRedisStore(MultiStore):
     def fetch(self, keys: list[TenantKey]) -> dict[TenantKey, bytes]:
         if not keys:
             return {}
-        r = self.tenant(keys[0].tenant)._r
-        raw = r.mget([f"{tk.tenant}/{self._prefix}/{tk.key}" for tk in keys])
+        raw = self._client.mget(
+            [f"{tk.tenant}/{self._prefix}/{tk.key}" for tk in keys]
+        )
         return {tk: v for tk, v in zip(keys, raw) if v is not None}
 
     def push(self, entries: dict[TenantKey, bytes]) -> None:
         if not entries:
             return
-        r = self.tenant(next(iter(entries)).tenant)._r
-        r.mset({f"{tk.tenant}/{self._prefix}/{tk.key}": v for tk, v in entries.items()})
+        self._client.mset(
+            {f"{tk.tenant}/{self._prefix}/{tk.key}": v for tk, v in entries.items()}
+        )
 
 
 def _bulk_index(client, ops) -> None:
@@ -143,7 +180,7 @@ class ElasticsearchStore(Store):
         # errors propagate (the reference surfaces everything but NotFound).
         try:
             doc = self._c.get(index=self._index, id=key)
-        except _es.exceptions.NotFoundError:
+        except ES_NOT_FOUND:
             return None
         return json.dumps(doc["_source"]).encode()
 
@@ -173,7 +210,7 @@ class ElasticsearchStore(Store):
     def delete(self, key: str) -> None:
         try:
             self._c.delete(index=self._index, id=key)
-        except _es.exceptions.NotFoundError:
+        except ES_NOT_FOUND:
             pass  # delete of a missing key is a no-op (elasticsearch.go:165-179)
 
     def flush(self) -> None:
@@ -202,6 +239,16 @@ class MultiElasticsearchStore(MultiStore):
         self._c = _es.Elasticsearch(hosts or ["http://localhost:9200"])
         self._index_for = index_for_tenant
         self._tenants: dict[str, ElasticsearchStore] = {}
+
+    @classmethod
+    def _from_client(
+        cls, client, index_for_tenant=lambda tenant: f"kasper_{tenant}"
+    ) -> "MultiElasticsearchStore":
+        ms = cls.__new__(cls)
+        ms._c = client
+        ms._index_for = index_for_tenant
+        ms._tenants = {}
+        return ms
 
     def tenant(self, tenant: str) -> ElasticsearchStore:
         # lazily create + cache per-tenant handles

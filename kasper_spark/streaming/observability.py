@@ -149,53 +149,76 @@ class NoopMetricsProvider(MetricsProvider):
         return _NoopMetric(name, label_names)
 
 
-try:  # optional backend, mirroring the reference's Prometheus provider
+try:  # optional dependency, mirroring the reference's Prometheus provider
     import prometheus_client as _prom
+except ImportError:  # facade still works; provider needs a module injected
+    _prom = None
 
-    class PrometheusMetricsProvider(MetricsProvider):
-        def __init__(self, registry=None):
-            self._registry = registry or _prom.REGISTRY
-            # cache by name: prometheus_client raises 'Duplicated timeseries'
-            # on re-registration, but a provider must be reusable across
-            # pipeline restarts (each PipelineMetricsListener re-creates the
-            # three built-ins — /root/reference/prometheus.go caches the same
-            # way via promauto + registry lookup)
-            self._cache: dict[str, object] = {}
 
-        def _cached(self, name, build):
-            if name not in self._cache:
-                self._cache[name] = build()
-            return self._cache[name]
+class PrometheusMetricsProvider(MetricsProvider):
+    """Prometheus backend (/root/reference/prometheus.go:42-127 parity:
+    one collector per metric name, label VALUES bound per observation).
 
-        def new_counter(self, name, help, *label_names):
-            def build():
-                c = Counter(name, label_names)
-                pc = _prom.Counter(name, help, list(label_names), registry=self._registry)
-                c.inc = lambda amount=1.0, *labels: pc.labels(*labels).inc(amount)  # type: ignore[method-assign]
-                return c
+    `prom_module` is an injection seam: defaults to the real
+    prometheus_client when installed; tests (and embedders with a
+    compatible shim) may pass any module-like object exposing
+    Counter/Gauge/Summary with the labels(*values).inc/set/observe
+    surface — which is how this backend's label-mapping logic executes
+    in environments without prometheus_client."""
 
-            return self._cached(name, build)
+    def __init__(self, registry=None, prom_module=None):
+        prom = prom_module if prom_module is not None else _prom
+        if prom is None:
+            raise ImportError(
+                "prometheus_client not installed; pass prom_module= or use "
+                "InMemoryMetricsProvider/NoopMetricsProvider"
+            )
+        self._prom = prom
+        self._registry = registry if registry is not None else prom.REGISTRY
+        # cache by name: prometheus_client raises 'Duplicated timeseries'
+        # on re-registration, but a provider must be reusable across
+        # pipeline restarts (each PipelineMetricsListener re-creates the
+        # three built-ins — /root/reference/prometheus.go caches the same
+        # way via promauto + registry lookup)
+        self._cache: dict[str, object] = {}
 
-        def new_gauge(self, name, help, *label_names):
-            def build():
-                g = Gauge(name, label_names)
-                pg = _prom.Gauge(name, help, list(label_names), registry=self._registry)
-                g.set = lambda value, *labels: pg.labels(*labels).set(value)  # type: ignore[method-assign]
-                return g
+    def _cached(self, name, build):
+        if name not in self._cache:
+            self._cache[name] = build()
+        return self._cache[name]
 
-            return self._cached(name, build)
+    def new_counter(self, name, help, *label_names):
+        def build():
+            c = Counter(name, label_names)
+            pc = self._prom.Counter(
+                name, help, list(label_names), registry=self._registry
+            )
+            c.inc = lambda amount=1.0, *labels: pc.labels(*labels).inc(amount)  # type: ignore[method-assign]
+            return c
 
-        def new_summary(self, name, help, *label_names):
-            def build():
-                s = Summary(name, label_names)
-                ps = _prom.Summary(name, help, list(label_names), registry=self._registry)
-                s.observe = lambda value, *labels: ps.labels(*labels).observe(value)  # type: ignore[method-assign]
-                return s
+        return self._cached(name, build)
 
-            return self._cached(name, build)
+    def new_gauge(self, name, help, *label_names):
+        def build():
+            g = Gauge(name, label_names)
+            pg = self._prom.Gauge(
+                name, help, list(label_names), registry=self._registry
+            )
+            g.set = lambda value, *labels: pg.labels(*labels).set(value)  # type: ignore[method-assign]
+            return g
 
-except ImportError:  # prometheus_client not installed — facade still works
-    PrometheusMetricsProvider = None  # type: ignore[assignment]
+        return self._cached(name, build)
+
+    def new_summary(self, name, help, *label_names):
+        def build():
+            s = Summary(name, label_names)
+            ps = self._prom.Summary(
+                name, help, list(label_names), registry=self._registry
+            )
+            s.observe = lambda value, *labels: ps.labels(*labels).observe(value)  # type: ignore[method-assign]
+            return s
+
+        return self._cached(name, build)
 
 
 # ---------------------------------------------------------------------------
