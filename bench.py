@@ -123,11 +123,60 @@ def main() -> None:
     print(line, flush=True)
 
 
+def _quiet_teardown_loggers(spark) -> None:
+    """Streaming q.stop() interrupts the in-flight micro-batch by design;
+    the JVM then logs benign abort/interrupt stacks (RocksDB commit abort,
+    state-server accept-loop interrupt, task kill) that pollute the bench
+    tail. Silence exactly those loggers — real failures still surface as
+    Python exceptions from the query/write calls, not via log4j."""
+    noisy = [
+        "org.apache.spark.sql.execution.python.streaming."
+        "TransformWithStateInPySparkStateServer",
+        "org.apache.spark.sql.execution.datasources.v2.DataWritingSparkTask",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBFileManager",
+        "org.apache.spark.util.Utils",
+        "org.apache.spark.executor.Executor",
+    ]
+    try:
+        jvm = spark._jvm
+        for name in noisy:
+            jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+                name, jvm.org.apache.logging.log4j.Level.OFF
+            )
+    except Exception:
+        pass  # best-effort; a noisy tail is cosmetic
+
+
+def _engine_rate(progress) -> int | None:
+    """Engine-basis rate: rows / engine processing time over STEADY-STATE
+    data batches — the first data-carrying batch is excluded because it
+    pays one-time startup (Python worker / state server / codegen), which
+    would systematically deflate the steady rate. Needs >=2 data batches;
+    returns None otherwise."""
+    data = [p for p in progress if int(p["numInputRows"]) > 0]
+    steady = data[1:]
+    rows = sum(int(p["numInputRows"]) for p in steady)
+    proc_sec = sum(int(p["durationMs"]["triggerExecution"]) for p in steady) / 1000.0
+    if not rows or proc_sec <= 0:
+        return None
+    return round(rows / proc_sec)
+
+
 def _streaming_throughput(spark, seconds: float = 8.0) -> dict:
+    """All three streaming paths report BOTH accounting bases:
+    *_msgs_per_sec      = rows / wall-clock window (includes trigger idle
+                          time and startup — what an operator sees end to
+                          end over the window);
+    *_msgs_per_sec_engine = rows / engine triggerExecution time over
+                          steady-state data batches (first data batch
+                          excluded — the sustainable per-batch rate).
+    The two bases are NOT comparable to each other; compare like with
+    like across paths and rounds."""
     import tempfile
 
     from pyspark.sql import functions as F
 
+    _quiet_teardown_loggers(spark)
     processed = {"rows": 0, "batches": 0}
 
     def count_batch(df, _):
@@ -153,13 +202,16 @@ def _streaming_throughput(spark, seconds: float = 8.0) -> dict:
     t0 = time.perf_counter()
     while time.perf_counter() - t0 < seconds:
         time.sleep(0.25)
+    progress = list(q.recentProgress)
     q.stop()
     q.awaitTermination(30)  # let teardown finish before the next query starts
     elapsed = time.perf_counter() - t0
     out = {
         "msgs_per_sec": round(processed["rows"] / elapsed),
+        "msgs_per_sec_engine": _engine_rate(progress),
         "batches": processed["batches"],
         "window_sec": round(elapsed, 1),
+        "rate_bases": "plain=rows/wall-window; engine=rows/triggerExecution over steady-state data batches (first excluded)",
     }
     out.update(_stateful_throughput(spark))
     out.update(_tws_throughput(spark))
@@ -196,11 +248,15 @@ def _stateful_throughput(spark, seconds: float = 8.0) -> dict:
     # input rows actually ingested by the stateful operator, from the
     # engine's own progress accounting (foreachBatch sums of cumulative
     # per-key counts would double-count across batches)
-    rows = sum(int(p["numInputRows"]) for p in q.recentProgress)
+    progress = list(q.recentProgress)
+    rows = sum(int(p["numInputRows"]) for p in progress)
     q.stop()
     q.awaitTermination(30)  # fully terminate before spark.stop() later
     elapsed = time.perf_counter() - t0
-    return {"stateful_msgs_per_sec": round(rows / elapsed)}
+    return {
+        "stateful_msgs_per_sec": round(rows / elapsed),
+        "stateful_msgs_per_sec_engine": _engine_rate(progress),
+    }
 
 
 def _tws_throughput(spark, seconds: float = 8.0) -> dict:
@@ -222,7 +278,7 @@ def _tws_throughput(spark, seconds: float = 8.0) -> dict:
     try:
         ensure_protobuf()
     except ImportError:
-        return {"tws_msgs_per_sec": None, "tws_note": "no protobuf runtime"}
+        return {"tws_msgs_per_sec_engine": None, "tws_note": "no protobuf runtime"}
     ship_shim_to_workers(spark)
     from kasper_spark.streaming.state import running_word_count_tws
 
@@ -244,25 +300,29 @@ def _tws_throughput(spark, seconds: float = 8.0) -> dict:
         .trigger(processingTime="1 second")
         .start()
     )
-    # The first batch pays one-time state-server + Python-worker startup
-    # (~5-6 s locally), so a fixed wall window can end with zero COMPLETED
-    # data batches. Run until >=3 data-carrying batches completed (or a
-    # hard cap), then rate = rows / engine-reported processing time —
-    # robust to trigger idle time and to the startup batch.
-    deadline = time.perf_counter() + max(seconds, 4) * 5
+    # The first data batch pays one-time state-server + Python-worker
+    # startup (~5-6 s locally), so a fixed wall window can end with zero
+    # COMPLETED data batches. Run until >=4 data-carrying batches completed
+    # (1 startup + >=3 steady-state, or a hard cap); _engine_rate then
+    # drops the startup batch so the reported rate is the sustainable one.
+    t0 = time.perf_counter()
+    deadline = t0 + max(seconds, 4) * 5
     while time.perf_counter() < deadline:
         done = [p for p in q.recentProgress if int(p["numInputRows"]) > 0]
-        if len(done) >= 3:
+        if len(done) >= 4:
             break
         time.sleep(0.5)
-    prog = [p for p in q.recentProgress if int(p["numInputRows"]) > 0]
+    progress = list(q.recentProgress)
     q.stop()
     q.awaitTermination(30)
-    rows = sum(int(p["numInputRows"]) for p in prog)
-    proc_sec = sum(int(p["durationMs"]["triggerExecution"]) for p in prog) / 1000.0
-    if not rows or proc_sec <= 0:
-        return {"tws_msgs_per_sec": 0}
-    return {"tws_msgs_per_sec": round(rows / proc_sec)}
+    elapsed = time.perf_counter() - t0
+    rows = sum(int(p["numInputRows"]) for p in progress)
+    return {
+        # wall basis includes the startup batch's cost — reported for
+        # comparability with the other paths' wall numbers
+        "tws_msgs_per_sec": round(rows / elapsed) if elapsed > 0 else None,
+        "tws_msgs_per_sec_engine": _engine_rate(progress) or 0,
+    }
 
 
 if __name__ == "__main__":

@@ -303,12 +303,20 @@ def write_zorder_layout(
     using approxQuantile-sampled bucket boundaries (the scalable
     rank-normalization: one stats pass, then map-side binary-search lookup
     per row — no global window)."""
+    from pyspark.sql import Observation
+
     n_buckets = 1 << bits
     qs = [i / n_buckets for i in range(1, n_buckets)]
     a, b = dims
-    # ONE stats pass for both dimensions (a per-column loop would scan the
-    # dataset once per dimension)
-    bounds_a, bounds_b = df.approxQuantile(list(dims), qs, 0.0)
+    # ONE stats pass total: both dimensions' quantiles AND the row count
+    # (an Observation rides the same action, so sizing the output no
+    # longer costs its own df.count() scan — the whole operation is stats
+    # pass + write, two scans)
+    obs = Observation("zorder_rows")
+    bounds_a, bounds_b = df.observe(obs, F.count(F.lit(1)).alias("n")).approxQuantile(
+        list(dims), qs, 0.0
+    )
+    n_rows = int(obs.get["n"])
 
     def bucket(col, bounds):
         # bucket id = number of boundaries below the value, as ONE flat
@@ -330,7 +338,7 @@ def write_zorder_layout(
     # partition lands as ~one rows_per_file file. Output files cover
     # disjoint z-ranges (part numbering follows range order), which is all
     # the min/max stat pruning needs.
-    n_out = max(1, df.count() // rows_per_file)
+    n_out = max(1, n_rows // rows_per_file)
     (
         df.withColumn("_z", z)
         .repartitionByRange(n_out, "_z")

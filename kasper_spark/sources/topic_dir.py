@@ -372,7 +372,31 @@ class TopicDirWriter(DataSourceWriter):
         prefix = f"b{ms:013d}"
         for seq, (pid, tmp) in enumerate(staged):
             final = os.path.join(self.root, f"p={pid}", f"{prefix}-{seq:05d}.jsonl")
-            os.rename(tmp, final)
+            # Two committer PROCESSES racing on the marker can mint the same
+            # prefix (read-modify-write; concurrent writers are documented
+            # unsupported) — but that misuse must fail LOUDLY, not silently
+            # overwrite. os.link is O_EXCL-style: it refuses if the target
+            # exists, unlike os.rename which clobbers.
+            try:
+                os.link(tmp, final)
+            except FileExistsError:
+                raise RuntimeError(
+                    f"batch-commit collision: {final} already exists — two "
+                    "committer processes are racing on this topic_dir (one "
+                    "writer per topic dir is the supported topology; use a "
+                    "coordinator for multi-writer)"
+                ) from None
+            except OSError:
+                # filesystem without hard links: keep the loud check, accept
+                # the check-then-rename race window as best effort
+                if os.path.exists(final):
+                    raise RuntimeError(
+                        f"batch-commit collision: {final} already exists "
+                        "(concurrent committers are unsupported)"
+                    ) from None
+                os.rename(tmp, final)
+            else:
+                os.remove(tmp)
 
     def abort(self, messages) -> None:
         for m in messages or []:

@@ -283,17 +283,48 @@ class Pipeline:
         is the version tag and line 1 the batch metadata (watermark /
         processing-time clock — these change even on no-data batches);
         lines 2+ are one offset JSON per source and advance only when the
-        source actually handed rows to a batch — the drain signal."""
-        d = os.path.join(
-            self.config.checkpoint_location.removeprefix("file:"), "offsets"
-        )
-        if not os.path.isdir(d):
+        source actually handed rows to a batch — the drain signal.
+
+        Local checkpoints read the files directly; remote ones
+        (hdfs:// / s3a:// ...) go through the JVM Hadoop FileSystem so the
+        uncapped ground-truth check holds off-box too (without this, a
+        remote checkpoint would silently degrade the drain guard back to
+        the capped recentProgress heuristic)."""
+        loc = self.config.checkpoint_location
+        d = os.path.join(loc.removeprefix("file:"), "offsets")
+        if os.path.isdir(d):
+            batches = [int(f) for f in os.listdir(d) if f.isdigit()]
+            if not batches:
+                return None
+            with open(os.path.join(d, str(max(batches))), encoding="utf-8") as fh:
+                return tuple(fh.read().splitlines()[2:])
+        if "://" not in loc:  # plain local path that simply doesn't exist yet
             return None
-        batches = [int(f) for f in os.listdir(d) if f.isdigit()]
-        if not batches:
+        try:
+            jvm = self.spark._jvm
+            conf = self.spark._jsc.hadoopConfiguration()
+            path = jvm.org.apache.hadoop.fs.Path(loc.rstrip("/") + "/offsets")
+            fs = path.getFileSystem(conf)
+            if not fs.exists(path):
+                return None
+            names = [
+                s.getPath().getName()
+                for s in fs.listStatus(path)
+                if s.getPath().getName().isdigit()
+            ]
+            if not names:
+                return None
+            newest = jvm.org.apache.hadoop.fs.Path(
+                path, str(max(int(n) for n in names))
+            )
+            text = jvm.org.apache.commons.io.IOUtils.toString(
+                fs.open(newest), "UTF-8"
+            )
+            return tuple(text.splitlines()[2:])
+        except Exception:
+            # unreachable filesystem: fall back to the rows==0 heuristic
+            # rather than failing the drain outright
             return None
-        with open(os.path.join(d, str(max(batches))), encoding="utf-8") as fh:
-            return tuple(fh.read().splitlines()[2:])
 
     def has_consumed_all_messages(self) -> bool:
         """Kasper-shaped caught-up probe (A10,

@@ -393,6 +393,17 @@ class MiniMessage:
                 pos = skip_field(data, pos, wire_type)
                 continue
             if spec.type in _VARINT_TYPES:
+                if wire_type != 0:
+                    # a packed repeated numeric field arrives as wire type 2;
+                    # decoding its length byte as the value would silently
+                    # misalign the stream — fail loudly like the other
+                    # mismatch branches (packed decoding unimplemented: the
+                    # state-server protocol never packs)
+                    raise ValueError(
+                        f"field {spec.name}: wire type {wire_type} does not "
+                        f"match declared varint type {spec.type} (packed "
+                        "repeated fields are not supported by this shim)"
+                    )
                 raw, pos = read_varint(data, pos)
                 value = _varint_to_signed64(raw)
                 if spec.type == TYPE_BOOL:

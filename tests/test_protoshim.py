@@ -240,3 +240,14 @@ def test_evicted_oneof_child_is_detached():
     stale_child.durationMs = 99
     assert not p.HasField("ttl")
     assert p.SerializeToString().hex() == "0a0179"
+
+
+def test_packed_wire_type_on_varint_field_raises():
+    """A wire-type-2 payload for a declared varint field (packed repeated
+    encoding, or corruption) must raise — decoding the length byte as the
+    value would silently misalign the rest of the stream. statusCode is
+    field 1 TYPE_INT32: tag 0x0a = field 1 wire type 2."""
+    bad = bytes([1 << 3 | 2, 0x02, 0x01, 0x02])
+    msg = sm.StateResponse()
+    with pytest.raises(ValueError, match="wire type 2"):
+        msg.ParseFromString(bad)
