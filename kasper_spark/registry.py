@@ -49,84 +49,79 @@ def load_all_operators() -> None:
 
 
 # The driver's per-round correctness sweep checks the FIRST 50 entries of
-# queries() in dict order (observed: CORRECTNESS_r01-r05 are exact ordered
-# prefixes of the registry). After round 5, EVERY registry entry has had a
-# driver row (r01-r05 union), so round-6 rotation is by EVIDENCE AGE and
-# this round's code changes, per VERDICT r05 #6:
-#   1. approx_percentile_totalprice — r05's one hard error (array column
-#      crashed the canonicalizer); now returns scalar p50/p90/p99 and must
-#      re-prove with a clean rows-only record.
-#   2. The 8 iterative queries whose loops now cut lineage per round
-#      (eager localCheckpoint) — values are unchanged but their rows must
-#      be re-proven on the new plans.
-#   3. The 5 queries whose behavior changed this round: the CC family
-#      (exact post-loop fixpoint verification), winnowing_overlap_pairs
-#      (oracle-certified per-fp cap), simhash_md5_certified (token-less
-#      doc filter), lsh_candidates_md5 (checkpointed signatures).
-#   4. The 20 queries whose newest driver row is r01/r02 (oldest
-#      evidence), then 16 of the r03 cohort (TPC-H core, setops, window
-#      battery) to round out 50.
+# queries() in dict order (observed: CORRECTNESS_r01-r06 are exact ordered
+# prefixes of the registry). Every entry has driver evidence (r01-r06
+# union), so round-7 rotation follows VERDICT r06 #6: lead with the
+# entries whose implementations/oracles CHANGED this round (they must earn
+# fresh green rows), then rotate the cohort whose newest driver rows are
+# the oldest (r03/r04 evidence: TPC-H rest, io_formats round-trips,
+# temporal family, analytics battery).
 # Entries not listed keep registration order after these. Ordering is
 # presentation-only: names, implementations and oracles are untouched.
-# ROUND-6 EVIDENCE: every name below passed the local oracle sweep
+# ROUND-7 EVIDENCE: every name below passed the local oracle sweep
 # (tools/bare_sweep.py, bare session, foreign cwd) at sf0.01 before this
 # rotation landed; the full pytest suite is green.
 DRIVER_SAMPLE_PRIORITY: list[str] = [
-    # -- 1. the r05 hard error, fixed --
+    # -- 1. changed this round: estimator family now certifies its error
+    #       CONTRACT (exact values + in-bound flags, oracle-backed) --
     "approx_percentile_totalprice",
-    # -- 2. lineage-cut iterative family (re-prove on new plans) --
-    "pagerank_neardup_graph",
-    "label_propagation_communities",
-    "triangle_clustering_coeff",
-    "kmeans_int8_assignments",
-    "pagerank_lsh_graph",
-    "lpa_lsh_graph",
-    "triangle_lsh_graph",
-    "ann_ivf_trained_topk",
-    # -- 3. behavior changed / added this round --
-    "streaming_tws_count_twin",
-    "neardup_cc_canonical",
-    "cc_lsh_graph",
-    "winnowing_overlap_pairs",
-    "simhash_md5_certified",
-    "lsh_candidates_md5",
-    # -- 4a. oldest evidence: newest driver row is r01/r02 --
-    "minhash_lsh_candidates",
-    "simhash_fingerprints",
-    "neardup_clusters",
-    "embedding_norms",
-    "ann_bruteforce_topk",
-    "ann_lsh_topk",
-    "embedding_neardup_pairs",
-    "ann_ivf_topk",
-    "embedding_label_centroids",
-    "text_stats",
-    "token_count_regex",
-    "lang_id_heuristic",
-    "quality_score",
-    "doc_fingerprint",
-    "deterministic_split",
-    "ngram_bigram_counts",
-    "multimodal_meta",
+    "approx_distinct_users",
+    "hll_mergeable_sketches",
+    # -- 1b. changed this round: pandas top-n share now integer-exact and
+    #        oracle-backed --
+    "grouped_map_topn_share",
+    # -- 1c. changed this round: multimodal family now runs the REAL PGM
+    #        codec with analytic oracles (stub decoders retired) --
     "multimodal_features",
     "multimodal_resize",
     "multimodal_frame_sample",
-    # -- 4b. r03 cohort: TPC-H core + setops + window battery --
-    "q1_pricing_summary",
-    "q3_top_orders",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q9_product_profit",
-    "q18_large_orders",
-    "q21_waiting_suppliers",
-    "setop_union",
-    "setop_intersect",
-    "setop_intersect_all",
-    "setop_except",
-    "setop_except_all",
-    "window_rank_functions",
-    "window_topk_per_group",
+    "multimodal_pgm_codec",
+    # -- 2a. rotation: TPC-H rest family (newest rows r03/r04) --
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q8_market_share",
+    "q10_returned_items",
+    "q11_important_value",
+    "q12_late_priority_class",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_excess_suppliers",
+    "q22_idle_rich_customers",
+    # -- 2b. rotation: io_formats round-trips + layout queries --
+    "csv_roundtrip_nation",
+    "jsonl_roundtrip_orders",
+    "orc_roundtrip_supplier",
+    "xml_roundtrip_orders",
+    "partitioned_parquet_prune",
+    "bucketed_join_no_shuffle",
+    "zorder_key_events",
+    # -- 2c. rotation: temporal family --
+    "events_tumbling_1h",
+    "events_by_day",
+    "join_range_events",
+    "sessionize_events",
+    "asof_join_last_click",
+    "events_sliding_1h_15m",
+    "scd2_user_event_intervals",
+    "session_window_native",
+    "gapfill_hourly_events",
+    # -- 2d. rotation: analytics battery (r03/r04 evidence) --
+    "pivot_segment_by_nation",
+    "percentiles_quantity",
+    "string_functions",
+    "grouping_sets_orders",
+    "unpivot_part_metrics",
+    "window_nav_lag_lead",
+    "join_skew_salted",
+    "math_date_functions",
+    "stats_moments",
+    "corr_covar_qty_discount",
+    "histogram_totalprice",
+    "cohort_retention",
     # (exactly 50 names)
 ]
 
