@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle SQL per query; keys absent here are rows-only checks
-    (non-SQL-expressible operators: LSH internals, pandas-UDF stubs)."""
+    (non-SQL-expressible operators: LSH hyperplane internals and the
+    binary-emitting PGM codec round-trip, each twin-certified)."""
     load_all_operators()
     return _registry.driver_ordered(_registry.ORACLES)

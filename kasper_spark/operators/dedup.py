@@ -210,16 +210,21 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
     raw = toks.select("doc_id", _shingles_raw(F.col("toks")).alias("raw"))
 
-    # 32 minhashes via the affine-combination trick: hash each shingle
-    # TWICE (not 32x) and derive hash_i = h1 + i*h2 (pairwise-independent
-    # family). Shifts keep the arithmetic inside the positive long range so
-    # ANSI-mode overflow checks never fire: h1>>>2 < 2^62 and
-    # i*(h2>>>8) < 32*2^56 = 2^61.
+    # 32 minhashes via 32 INDEPENDENTLY-SEEDED hashes of each shingle
+    # (xxhash64(i, s)). NOT the cheaper affine form min(h1 + i*h2): with a
+    # shared (h1, h2) per shingle the 32 derived values are monotone in i,
+    # so ONE shingle whose (h1, h2) are both small wins the min at EVERY
+    # coordinate — and when that shingle is shared, two documents with true
+    # Jaccard ~0 get near-identical signatures. Measured at sf0.01: a pair
+    # with exact J = 1/110 estimated at 0.875, which crossed the 0.5
+    # near-dup threshold and polluted neardup_clusters. Independent seeds
+    # make the coordinates independent, restoring the textbook guarantee
+    # E[est] = J with Hoeffding concentration (certified end-to-end by
+    # minhash_jaccard_contract's oracle).
     #
-    # Shape: explode shingles -> 32 plain min() aggregates. This is both
-    # the scalable form (per-shingle rows partially aggregate map-side; no
-    # giant array columns cross the shuffle) and ~3x faster to compile than
-    # 32 nested zip_with lambdas.
+    # Shape: explode shingles -> 32 plain min() aggregates. This is the
+    # scalable form: per-shingle rows partially aggregate map-side; no
+    # giant array columns cross the shuffle.
     #
     # The explode's child is deliberately a non-attribute expression
     # (array_distinct applied HERE, not in the projection above): when the
@@ -231,14 +236,9 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1. Empty-shingle docs are dropped by the explode itself, so no
     # explicit size() filter is needed.
     ex = raw.select("doc_id", F.explode(F.array_distinct("raw")).alias("s"))
-    hashed = ex.select(
-        "doc_id",
-        F.shiftrightunsigned(F.xxhash64("s"), 2).alias("h1"),
-        F.shiftrightunsigned(F.xxhash64(F.lit(7), "s"), 8).alias("h2"),
-    )
-    per_doc = hashed.groupBy("doc_id").agg(
+    per_doc = ex.groupBy("doc_id").agg(
         *[
-            F.min(F.col("h1") + i * F.col("h2")).alias(f"m{i}")
+            F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"m{i}")
             for i in range(_NUM_HASHES)
         ]
     )
@@ -340,6 +340,125 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(b, "doc_b")
         .select("doc_a", "doc_b", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= 0.2)
+    )
+
+
+# |est - J| bound for the MinHash ERROR CONTRACT below. With 32 independent
+# coordinates, sd(est) = sqrt(J(1-J)/32) <= 0.088; 0.2 is >2 sigma at the
+# worst J and far beyond it at the extreme Jaccards that dominate real
+# pairs (measured max |est - J| over the bounded pair set: 0.055 at both
+# sf0.001 and sf0.01 — 3.6x margin). The r7 affine-family bug this guards
+# against produced errors of 0.87+.
+_MINHASH_EPS = 0.2
+
+
+@register_query(
+    "minhash_jaccard_contract",
+    oracle=f"""
+    WITH sets AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+        FROM documents WHERE doc_id < 40
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(
+                   CASE WHEN len(toks) >= {_SHINGLE_N}
+                        THEN list_transform(
+                                 generate_series(1, len(toks) - {_SHINGLE_N - 1}),
+                                 i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+                        ELSE [] END) AS ss
+        FROM sets
+    ), ne AS (
+        SELECT doc_id, ss FROM sh WHERE len(ss) > 0
+    )
+    SELECT
+        a.doc_id AS doc_a,
+        b.doc_id AS doc_b,
+        CAST(len(list_filter(a.ss, s -> list_contains(b.ss, s))) AS BIGINT)
+            AS n_common,
+        CAST(len(list_filter(a.ss, s -> list_contains(b.ss, s))) AS DOUBLE)
+            / (len(a.ss) + len(b.ss)
+               - len(list_filter(a.ss, s -> list_contains(b.ss, s))))
+            AS exact_jaccard,
+        CAST(1 AS INTEGER) AS mh_within_bound
+    FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+    """,
+)
+def minhash_jaccard_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ERROR CONTRACT for the PRODUCTION MinHash family (the sketch-
+    certification pattern of approx_percentile/HLL applied to MinHash):
+    over every pair in a bounded doc subset — overlapping AND disjoint —
+    compute the xxhash64(i, s) signature agreement estimate alongside the
+    exact shingle Jaccard, and emit `mh_within_bound` =
+    |est - J| <= _MINHASH_EPS. The DuckDB oracle recomputes the exact
+    Jaccards and asserts the contract as literal 1s, so a hash match
+    certifies the estimator numerically — including that UNRELATED pairs
+    estimate low, which is precisely what the affine-family dominance bug
+    (est 0.875 at true J 0.009, caught round 7) violated and a
+    candidates-only check can never see.
+
+    Scale shape: the all-pairs join is against the bounded 40-doc side
+    (broadcast BNLJ, allow-listed like tokenset_jaccard_pairs); the
+    signature build is the production explode -> partial-agg min pipeline."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    toks = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    sh = toks.select(
+        "doc_id", F.array_distinct(_shingles_raw(F.col("toks"))).alias("sh")
+    ).filter(F.size("sh") > 0)
+    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    sigs = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"m{i}")
+            for i in range(_NUM_HASHES)
+        ]
+    )
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(_NUM_HASHES)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(_NUM_HASHES)],
+    )
+    agree = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(_NUM_HASHES)
+    )
+    est_pairs = a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b")).select(
+        "doc_a", "doc_b", (agree / F.lit(float(_NUM_HASHES))).alias("est")
+    )
+    e = sh.select(F.col("doc_id").alias("doc"), F.explode("sh").alias("s"))
+    inter = (
+        e.alias("x")
+        .join(
+            e.alias("y"),
+            (F.col("x.s") == F.col("y.s")) & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .groupBy(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sh.select(F.col("doc_id").alias("doc"), F.size("sh").alias("n"))
+    exact = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        est_pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .na.fill({"n_common": 0})
+        .join(
+            F.broadcast(sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("na"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("nb"))),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            exact.alias("exact_jaccard"),
+            (F.abs(F.col("est") - exact) <= _MINHASH_EPS)
+            .cast("integer")
+            .alias("mh_within_bound"),
+        )
     )
 
 
@@ -1035,12 +1154,16 @@ def _triangles_over_pairs(pairs: DataFrame) -> DataFrame:
 # shingle -> minhash -> band -> bucket -> verify pipeline, over the FULL
 # documents table, feeding the SAME PageRank/LPA iterations — with one
 # substitution that makes a DuckDB oracle possible: the hash family is
-# md5-derived (both engines compute bit-identical md5 hex; the 60-bit h1 /
-# 52-bit h2 slices keep h1 + i*h2 inside BIGINT for i < 32) instead of
-# xxhash64 (Spark-only). The xxhash64 form stays the throughput operator;
-# this form proves the composition end-to-end against SQL. No bucket cap
-# here: the cap is a skew guard whose SQL twin (per-bucket list slice)
-# would certify the cap, not the algorithm.
+# md5-derived — coordinate i hashes md5('{i}|' || shingle), first 15 hex
+# digits parsed as a 60-bit BIGINT (both engines compute bit-identical md5
+# hex) — instead of xxhash64 (Spark-only). Like the production family this
+# uses 32 INDEPENDENTLY-SEEDED hashes, not the affine min(h1 + i*h2) trick
+# (whose coordinates are monotone in i and let one small-(h1,h2) shingle
+# dominate every coordinate — see minhash_lsh_candidates). The xxhash64
+# form stays the throughput operator; this form proves the composition
+# end-to-end against SQL. No bucket cap here: the cap is a skew guard
+# whose SQL twin (per-bucket list slice) would certify the cap, not the
+# algorithm.
 
 
 # ONE canonical SQL definition of the tokenization + word-3-gram shingle
@@ -1066,7 +1189,8 @@ def _build_lsh_bands_cte() -> str:
     by the graph queries (which add candidate pairs + verification) and the
     streaming dedup-at-ingest twin (which joins bands directly)."""
     min_cols = ",\n               ".join(
-        f"MIN(h1 + {i} * h2) AS m{i}" for i in range(_NUM_HASHES)
+        f"MIN(CAST('0x' || substring(md5('{i}|' || s), 1, 15) AS BIGINT)) AS m{i}"
+        for i in range(_NUM_HASHES)
     )
     band_union = "\n        UNION ALL\n        ".join(
         f"SELECT doc_id, {b} AS band, "
@@ -1077,18 +1201,16 @@ def _build_lsh_bands_cte() -> str:
         + " AS bsig FROM sigs"
         for b in range(_BANDS)
     )
+    # sigs is MATERIALIZED: DuckDB inlines plain CTEs at every reference,
+    # and sigs is referenced by all 8 band branches (plus the signature
+    # verify) — inlining would recompute the 32-md5-per-shingle aggregate
+    # 8-10x (measured 56 s -> ~2 s at sf0.01 with the hint)
     return _SHINGLES_CTE + f""",
-    hs AS (
-        SELECT doc_id,
-               CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) AS h1,
-               CAST('0x' || substring(md5(s), 17, 13) AS BIGINT) AS h2
-        FROM sh
-    ),
-    sigs AS (
+    sigs AS MATERIALIZED (
         SELECT doc_id, {min_cols}
-        FROM hs GROUP BY doc_id
+        FROM sh GROUP BY doc_id
     ),
-    bands AS (
+    bands AS MATERIALIZED (
         {band_union}
     )"""
 
@@ -1106,7 +1228,7 @@ def _build_lsh_graph_cte() -> str:
         FROM bands a JOIN bands b USING (band, bsig)
         WHERE a.doc_id < b.doc_id
     ),
-    pairs AS (
+    pairs AS MATERIALIZED (
         SELECT c.doc_a, c.doc_b
         FROM cand c JOIN sigs x ON c.doc_a = x.doc_id
                     JOIN sigs y ON c.doc_b = y.doc_id
@@ -1130,14 +1252,17 @@ def _md5_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # non-attribute explode child: see minhash_lsh_candidates on the
     # InferFiltersFromGenerate plan trap
     ex = raw.select("doc_id", F.explode(F.array_distinct("raw")).alias("s"))
-    dig = F.md5("s")
-    hashed = ex.select(
-        "doc_id",
-        F.conv(F.substring(dig, 1, 15), 16, 10).cast("long").alias("h1"),
-        F.conv(F.substring(dig, 17, 13), 16, 10).cast("long").alias("h2"),
-    )
-    sigs = hashed.groupBy("doc_id").agg(
-        *[F.min(F.col("h1") + i * F.col("h2")).alias(f"m{i}") for i in range(_NUM_HASHES)]
+    sigs = ex.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col("s"))), 1, 15),
+                    16,
+                    10,
+                ).cast("long")
+            ).alias(f"m{i}")
+            for i in range(_NUM_HASHES)
+        ]
     )
     # consumed twice (banding + signature verify): cut_lineage
     # materializes once (MEMORY_AND_DISK) and, unlike a pinned persist(),

@@ -740,21 +740,25 @@ def streaming_lsh_dedup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         # single task (measured 164 s at sf0.1 vs ~8 s spread)
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    # per-row minhash: mh_i = min over distinct shingles of h1 + i*h2 —
-    # streaming-safe (no aggregation state), value-identical to the batch
-    # explode+groupBy form in dedup._md5_lsh_pairs
+    # per-row minhash: mh_i = min over distinct shingles of the
+    # independently-seeded hash md5('{i}|' || s) (first 15 hex as a 60-bit
+    # long) — streaming-safe (no aggregation state), value-identical to the
+    # batch explode+groupBy form in dedup._md5_lsh_pairs (same per-i seeded
+    # family; see minhash_lsh_candidates on why NOT the affine h1 + i*h2)
     shingles = F.array_distinct(_shingles_raw(_tokens(F.col("text"))))
-    hp = F.transform(
-        shingles,
-        lambda s: F.struct(
-            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long").alias("h1"),
-            F.conv(F.substring(F.md5(s), 17, 13), 16, 10).cast("long").alias("h2"),
-        ),
-    )
     mh = F.transform(
         F.sequence(F.lit(0), F.lit(_NUM_HASHES - 1)),
         lambda i: F.array_min(
-            F.transform(F.col("hp"), lambda p: p["h1"] + i * p["h2"])
+            F.transform(
+                F.col("sh"),
+                lambda s: F.conv(
+                    F.substring(
+                        F.md5(F.concat(i.cast("string"), F.lit("|"), s)), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+            )
         ),
     )
     bands = F.transform(
@@ -773,8 +777,8 @@ def streaming_lsh_dedup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     sig_stream = (
-        stream.select("doc_id", hp.alias("hp"))
-        .filter(F.size("hp") > 0)
+        stream.select("doc_id", shingles.alias("sh"))
+        .filter(F.size("sh") > 0)
         .select("doc_id", mh.alias("mh"))
         .select("doc_id", F.explode(bands).alias("bs"))
         .select("doc_id", F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig"))

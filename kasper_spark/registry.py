@@ -109,19 +109,25 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "scd2_user_event_intervals",
     "session_window_native",
     "gapfill_hourly_events",
+    # -- 1d. changed this round: minhash family moved off the affine
+    #        h1+i*h2 combination (one small-(h1,h2) shingle dominated all
+    #        32 coordinates — est 0.875 at true J 0.009) to per-coordinate
+    #        independently-seeded hashes, in BOTH the production xxhash
+    #        family and the md5-certified family + its oracles; every
+    #        consumer below must earn fresh rows on the new family --
+    "minhash_jaccard_contract",  # NEW: error-contract oracle for the family
+    "minhash_lsh_candidates",
+    "lsh_candidates_md5",
+    "neardup_clusters",
+    "cc_lsh_graph",
+    "pagerank_lsh_graph",
+    "lpa_lsh_graph",
+    "triangle_lsh_graph",
+    "streaming_lsh_dedup_twin",
     # -- 2d. rotation: analytics battery (r03/r04 evidence) --
-    "pivot_segment_by_nation",
-    "percentiles_quantity",
-    "string_functions",
-    "grouping_sets_orders",
-    "unpivot_part_metrics",
-    "window_nav_lag_lead",
-    "join_skew_salted",
-    "math_date_functions",
     "stats_moments",
     "corr_covar_qty_discount",
     "histogram_totalprice",
-    "cohort_retention",
     # (exactly 50 names)
 ]
 

@@ -113,3 +113,29 @@ def test_pagerank_is_a_probability_distribution(spark):
     assert all(r["pagerank"] > 0 for r in rows)
     # symmetric graph: neighbor counts match the edge-list degrees
     assert all(r["n_neighbors"] >= 1 for r in rows)
+
+
+def test_minhash_contract_flags_and_family_agreement(spark):
+    """Round-7 regression gates for the minhash hash family:
+
+    1. the error-contract flags are all 1 (|est - J| <= 0.2 over every
+       bounded pair, disjoint pairs included) — the affine h1+i*h2 family
+       this replaced produced |est - J| = 0.87 (est 0.875 at J = 1/110);
+    2. the two INDEPENDENT families (production xxhash64(i, s) and the
+       oracle-certified md5('{i}|'||s)) must agree on the verified
+       near-dup pair set — a family-specific artifact cannot survive both.
+    """
+    rows = QUERIES["minhash_jaccard_contract"](spark, SF_ORACLE).collect()
+    assert rows
+    assert all(r["mh_within_bound"] == 1 for r in rows)
+    xx = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["minhash_lsh_candidates"](spark, SF_ORACLE)
+        .filter("est_jaccard >= 0.5")
+        .collect()
+    }
+    md5p = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["lsh_candidates_md5"](spark, SF_ORACLE).collect()
+    }
+    assert xx == md5p and xx

@@ -130,6 +130,7 @@ _INTENTIONAL_BNLJ = {
     "embedding_neardup_pairs",
     "semantic_dedup_leader",  # bounded-subset all-pairs + leader anti-join
     "tokenset_jaccard_pairs",
+    "minhash_jaccard_contract",  # bounded (doc_id<40) all-pairs contract check
     "pagerank_neardup_graph",  # same bounded (doc_id<40) all-pairs edge build
     "label_propagation_communities",  # same bounded all-pairs edge build
     "neardup_cc_canonical",  # same bounded all-pairs edge build
