@@ -485,6 +485,64 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_recall_oracle_sql() -> str:
+    """Compose the two already-registered oracles (each carries its own
+    WITH prefix, legal as a nested CTE body) into a per-query recall@k —
+    the index-quality number itself becomes hash-certified: both engines
+    must produce the SAME recall per query, bit-exactly."""
+    from kasper_spark.registry import ORACLES
+
+    return f"""
+    WITH bf AS ({ORACLES["ann_bruteforce_topk"]}),
+    ivf AS ({ORACLES["ann_ivf_topk"]}),
+    hits AS (
+        SELECT bf.query_id, COUNT(*) AS n_hits
+        FROM bf JOIN ivf ON bf.query_id = ivf.query_id
+                        AND bf.neighbor_id = ivf.neighbor_id
+        GROUP BY bf.query_id
+    ),
+    ks AS (SELECT query_id, COUNT(*) AS k FROM bf GROUP BY query_id)
+    SELECT
+        ks.query_id,
+        CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+        CAST(COALESCE(n_hits, 0) AS DOUBLE) / k AS recall_at_k
+    FROM ks LEFT JOIN hits ON ks.query_id = hits.query_id
+    """
+
+
+@register_query("ann_ivf_recall_contract", oracle=_ivf_recall_oracle_sql())
+def ann_ivf_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL CERTIFICATION for the IVF index: per query, recall@k of the
+    IVF result against the exact brute-force top-k — the quality number an
+    ANN deployment actually monitors, computed in the same engine-exact
+    pipeline and hash-compared against DuckDB recomputing both sides from
+    scratch. Complements tests/test_similarity_quality.py (which asserts a
+    recall floor) by making the per-query recall VALUES part of the
+    driver-certified surface: an index regression (bad probe count, broken
+    assignment tiebreak) changes these rows and fails the gate.
+
+    Scale shape: both inputs are the existing bounded-query-side plans;
+    the intersection is a join on (query_id, neighbor_id) — k*|Q| rows a
+    side, negligible next to the searches themselves."""
+    ivf = ann_ivf_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    bf = ann_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        bf.join(ivf, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    ks = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
+    return (
+        ks.join(hits, "query_id", "left")
+        .na.fill({"n_hits": 0})
+        .select(
+            "query_id",
+            F.col("n_hits").cast("long").alias("n_hits"),
+            (F.col("n_hits").cast("double") / F.col("k")).alias("recall_at_k"),
+        )
+    )
+
+
 @register_query(
     "embedding_label_centroids",
     oracle="""

@@ -116,6 +116,7 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     #        family and the md5-certified family + its oracles; every
     #        consumer below must earn fresh rows on the new family --
     "minhash_jaccard_contract",  # NEW: error-contract oracle for the family
+    "ann_ivf_recall_contract",  # NEW: hash-certified per-query IVF recall
     "minhash_lsh_candidates",
     "lsh_candidates_md5",
     "neardup_clusters",
@@ -127,7 +128,6 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     # -- 2d. rotation: analytics battery (r03/r04 evidence) --
     "stats_moments",
     "corr_covar_qty_discount",
-    "histogram_totalprice",
     # (exactly 50 names)
 ]
 

@@ -125,6 +125,7 @@ def test_q6_all_predicates_pushed(spark):
 # bounded-|Q| cross joins by design (broadcast side is the small query set)
 _INTENTIONAL_BNLJ = {
     "ann_bruteforce_topk",
+    "ann_ivf_recall_contract",  # composes the two bounded-|Q| searches below
     "ann_ivf_topk",
     "ann_int8_topk",
     "embedding_neardup_pairs",
