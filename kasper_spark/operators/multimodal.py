@@ -500,6 +500,143 @@ def pgm_video_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(synth, "doc_id long, payload binary")
 
 
+# --- Real audio codec path: WAV (RIFF / PCM16) — same no-libraries rule ---
+
+_WAV_SR = 8000  # sample rate of the synthetic clips
+
+
+def encode_wav(sample_rate: int, samples) -> bytes:
+    """Serialize mono 16-bit PCM as a canonical 44-byte-header RIFF/WAVE
+    file. `samples` is an iterable of ints in [-32768, 32767]."""
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    n = len(data)
+    header = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + n, b"WAVE",
+        b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+        b"data", n,
+    )
+    return header + data
+
+
+def decode_wav(payload: bytes):
+    """Parse a canonical mono PCM16 RIFF/WAVE file: returns
+    (sample_rate, n_samples, data_bytes). A REAL header parser (magic
+    checks, format validation, length reconciliation) — the audio
+    counterpart of decode_pgm."""
+    import struct
+
+    if payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    riff_size = struct.unpack("<I", payload[4:8])[0]
+    if riff_size != len(payload) - 8:
+        raise ValueError(f"RIFF size {riff_size} != payload {len(payload) - 8}")
+    if payload[12:16] != b"fmt ":
+        raise ValueError("missing fmt chunk")
+    fmt_size, audio_fmt, channels, sr, _byte_rate, block_align, bits = struct.unpack(
+        "<IHHIIHH", payload[16:36]
+    )
+    if (fmt_size, audio_fmt, channels, bits) != (16, 1, 1, 16):
+        raise ValueError(
+            f"unsupported WAV profile: fmt_size={fmt_size} fmt={audio_fmt} "
+            f"ch={channels} bits={bits} (mono PCM16 only)"
+        )
+    if payload[36:40] != b"data":
+        raise ValueError("missing data chunk")
+    data_size = struct.unpack("<I", payload[40:44])[0]
+    data = payload[44 : 44 + data_size]
+    if len(data) != data_size or data_size % block_align:
+        raise ValueError("truncated or misaligned PCM data")
+    return sr, data_size // 2, data
+
+
+def wav_audio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, payload) with payload a REAL mono PCM16 WAV clip,
+    synthesized per document: n = 200 + n_chars % 300 samples of the
+    deterministic waveform s(t) = ((37t + 101*doc_id) mod 65536) - 32768
+    (integer arithmetic, so the oracle can recompute every sample)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+
+        for b in batches:
+            out = []
+            for doc_id, n_chars in zip(b["doc_id"], b["n_chars"]):
+                n = 200 + int(n_chars) % 300
+                t = _np.arange(n, dtype=_np.int64)
+                s = (t * 37 + int(doc_id) * 101) % 65536 - 32768
+                out.append((int(doc_id), encode_wav(_WAV_SR, s.tolist())))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    return docs.mapInPandas(synth, "doc_id long, payload binary")
+
+
+@register_query(
+    "multimodal_wav_features",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id, 200 + n_chars % 300 AS n FROM documents
+    ), smp AS (
+        SELECT doc_id, n, UNNEST(range(0, n)) AS t FROM dims
+    ), v AS (
+        SELECT doc_id, n, (t * 37 + doc_id * 101) % 65536 - 32768 AS s FROM smp
+    )
+    SELECT
+        doc_id,
+        CAST({_WAV_SR} AS INTEGER) AS sample_rate,
+        CAST(n AS BIGINT) AS n_samples,
+        CAST(44 + 2 * n AS INTEGER) AS byte_len,
+        CAST((n * 1000) // {_WAV_SR} AS BIGINT) AS duration_ms,
+        CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+        CAST(SUM(s) AS BIGINT) AS sum_amp,
+        CAST(MAX(ABS(s)) AS INTEGER) AS peak
+    FROM v GROUP BY doc_id, n
+    """,
+)
+def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode + feature extraction over REAL WAV bytes: stage 1
+    synthesizes a valid RIFF/PCM16 clip per document, stage 2 PARSES the
+    container (magic/format/length validation) and computes sample
+    statistics — energy (exact integer sum of squares), DC sum, peak,
+    duration. Completes the media triple: image (PGM), video
+    (concatenated-PGM demux), audio (RIFF/WAV) — each a real codec with
+    an analytic DuckDB oracle over the generation formula, so a hash
+    match certifies header parsing and PCM slicing end to end.
+
+    Scale: map-only both stages, stats-only projection out; a deployment
+    swaps decode_wav for soundfile/ffmpeg inside the same batch fn."""
+    _register_codec_by_value()
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+
+        def one(doc_id: int, payload: bytes):
+            payload = bytes(payload)
+            sr, n, data = decode_wav(payload)
+            s = _np.frombuffer(data, dtype="<i2").astype(_np.int64)
+            return (
+                doc_id, sr, n, len(payload), (n * 1000) // sr,
+                int((s * s).sum()), int(s.sum()), int(_np.abs(s).max()),
+            )
+
+        cols = ["doc_id", "sample_rate", "n_samples", "byte_len",
+                "duration_ms", "sum_sq", "sum_amp", "peak"]
+        for b in batches:
+            yield pd.DataFrame(
+                [one(int(d), p) for d, p in zip(b["doc_id"], b["payload"])],
+                columns=cols,
+            )
+
+    return wav_audio_table(spark, sf_dir).mapInPandas(
+        stats,
+        "doc_id long, sample_rate int, n_samples long, byte_len int, "
+        "duration_ms long, sum_sq long, sum_amp long, peak int",
+    )
+
+
 def _register_codec_by_value() -> None:
     """Worker closures in this module call module-level codec helpers;
     cloudpickle serializes module functions by REFERENCE, which breaks

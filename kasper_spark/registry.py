@@ -76,6 +76,7 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "multimodal_resize",
     "multimodal_frame_sample",
     "multimodal_pgm_codec",
+    "multimodal_wav_features",  # NEW: real RIFF/PCM16 codec, analytic oracle
     # -- 2a. rotation: TPC-H rest family (newest rows r03/r04) --
     "q2_min_cost_supplier",
     "q4_order_priority",
@@ -127,7 +128,6 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "streaming_lsh_dedup_twin",
     # -- 2d. rotation: analytics battery (r03/r04 evidence) --
     "stats_moments",
-    "corr_covar_qty_discount",
     # (exactly 50 names)
 ]
 

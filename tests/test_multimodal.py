@@ -91,3 +91,54 @@ def test_features_matches_analytic_texture(spark):
     assert r["max_px"] == int(px.max())
     assert r["mean_px"] == float(px.sum()) / (w * h)
     assert r["byte_len"] == len(encode_pgm(w, h, px.astype(np.uint8).tobytes()))
+
+
+def test_wav_codec_golden_bytes_and_roundtrip():
+    """Hand-computed RIFF header for a 2-sample clip at 8 kHz: RIFF size
+    36+4, fmt chunk (PCM, mono, 8000 Hz, byte rate 16000, block 2,
+    16 bit), data size 4, then little-endian int16 samples."""
+    from kasper_spark.operators.multimodal import decode_wav, encode_wav
+
+    payload = encode_wav(8000, [1, -2])
+    assert payload[:4] == b"RIFF"
+    assert payload[4:8] == (36 + 4).to_bytes(4, "little")
+    assert payload[8:16] == b"WAVEfmt "
+    assert payload[16:20] == (16).to_bytes(4, "little")
+    assert payload[20:22] == (1).to_bytes(2, "little")      # PCM
+    assert payload[22:24] == (1).to_bytes(2, "little")      # mono
+    assert payload[24:28] == (8000).to_bytes(4, "little")
+    assert payload[28:32] == (16000).to_bytes(4, "little")  # byte rate
+    assert payload[32:34] == (2).to_bytes(2, "little")      # block align
+    assert payload[34:36] == (16).to_bytes(2, "little")     # bits
+    assert payload[36:40] == b"data"
+    assert payload[40:44] == (4).to_bytes(4, "little")
+    assert payload[44:] == b"\x01\x00\xfe\xff"
+    sr, n, data = decode_wav(payload)
+    assert (sr, n, data) == (8000, 2, b"\x01\x00\xfe\xff")
+    # corrupted inputs fail loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFX" + payload[4:])
+    with _pytest.raises(ValueError):
+        decode_wav(payload[:-1])
+
+
+def test_wav_features_matches_local_recompute(spark):
+    import numpy as _np
+
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["multimodal_wav_features"](spark, SF_SMOKE).collect()
+    }
+    assert got
+    doc_id = sorted(got)[0]
+    r = got[doc_id]
+    n = r["n_samples"]
+    t = _np.arange(n, dtype=_np.int64)
+    s = (t * 37 + doc_id * 101) % 65536 - 32768
+    assert r["sum_sq"] == int((s * s).sum())
+    assert r["sum_amp"] == int(s.sum())
+    assert r["peak"] == int(_np.abs(s).max())
+    assert r["byte_len"] == 44 + 2 * n
+    assert r["duration_ms"] == (n * 1000) // 8000
