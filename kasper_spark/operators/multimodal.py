@@ -500,6 +500,126 @@ def pgm_video_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(synth, "doc_id long, payload binary")
 
 
+_SCENE_LEN = 5       # frames per scene in the scene-structured video
+_SCENE_JUMP = 4000   # texture offset jump at a scene boundary
+_CUT_THRESHOLD = 75.0  # mean-abs-diff above this = scene cut
+
+
+def pgm_scene_video_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, payload): a concatenated-PGM video with SCENE STRUCTURE —
+    frame f's texture offset is 31*f + _SCENE_JUMP*(f // _SCENE_LEN), so
+    consecutive frames within a scene differ by a small shift and frames
+    across a scene boundary by a large one. 6..23 frames per video (every
+    video has at least one boundary)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for b in batches:
+            out = []
+            for doc_id, n_chars in zip(b["doc_id"], b["n_chars"]):
+                w, h = pgm_dims(int(doc_id), int(n_chars))
+                nf = 6 + int(doc_id) % 18
+                xs = np.arange(w, dtype=np.int64)
+                ys = np.arange(h, dtype=np.int64)[:, None]
+                base = xs * 7 + ys * 13 + int(doc_id)
+                frames = []
+                for f in range(nf):
+                    off = 31 * f + _SCENE_JUMP * (f // _SCENE_LEN)
+                    px = ((base + off) % 256).astype(np.uint8)
+                    frames.append(encode_pgm(w, h, px.tobytes()))
+                out.append((int(doc_id), b"".join(frames)))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    return docs.mapInPandas(synth, "doc_id long, payload binary")
+
+
+@register_query(
+    "multimodal_scene_cuts",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id, 16 + n_chars % 17 AS w, 12 + doc_id % 9 AS h,
+               6 + doc_id % 18 AS nf
+        FROM documents
+    ), fpairs AS (
+        SELECT doc_id, w, h, UNNEST(range(0, nf - 1)) AS f FROM dims
+    ), deltas AS (
+        SELECT doc_id, w, h, f,
+               (31 + {_SCENE_JUMP} * ((f + 1) // {_SCENE_LEN} - f // {_SCENE_LEN}))
+                   % 256 AS delta,
+               (31 * f + {_SCENE_JUMP} * (f // {_SCENE_LEN})) AS off_f
+        FROM fpairs
+    ), px AS (
+        SELECT doc_id, w, h, f, delta, off_f, UNNEST(range(0, w * h)) AS i
+        FROM deltas
+    ), diffs AS (
+        SELECT doc_id, w, h, f, delta,
+               CASE WHEN ((i % w) * 7 + (i // w) * 13 + doc_id + off_f) % 256
+                         < 256 - delta
+                    THEN delta ELSE 256 - delta END AS ad
+        FROM px
+    )
+    SELECT
+        doc_id,
+        CAST(f AS INTEGER) AS frame_idx,
+        CAST(SUM(ad) AS BIGINT) AS mad_sum,
+        CAST(CAST(SUM(ad) AS BIGINT) AS DOUBLE) / (w * h) AS mad_mean,
+        CAST(CAST(CAST(SUM(ad) AS BIGINT) AS DOUBLE) / (w * h)
+             > {_CUT_THRESHOLD} AS INTEGER) AS is_cut
+    FROM diffs GROUP BY doc_id, f, w, h
+    """,
+)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection — the video-pipeline operator that decides
+    WHERE to sample frames (cut boundaries delimit shots): demux the real
+    concatenated-PGM stream, compute the mean absolute pixel difference
+    between every consecutive frame pair, and flag pairs whose difference
+    exceeds the cut threshold. On the scene-structured synthetic video the
+    within-scene shift (+31) lands at MAD ~54 and the boundary jump at
+    ~97, so the threshold (75) cleanly recovers every true boundary.
+
+    The DuckDB oracle recomputes every per-pixel |p_{{f+1}} - p_f|
+    analytically — for a texture shift d, |diff| is d where the pixel
+    value < 256-d and 256-d elsewhere — so mad_sum, mad_mean AND the cut
+    decisions are hash-certified exactly (no literal-flag contract needed:
+    both engines compute the same integers).
+
+    Scale: map-only over videos (the demux + diff never shuffles); output
+    is nf-1 stat rows per video, payloads stay in the stage."""
+    _register_codec_by_value()
+
+    def cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+
+        def one(doc_id: int, payload: bytes):
+            frames = demux_pgm_stream(bytes(payload))
+            out = []
+            for f in range(len(frames) - 1):
+                w, h, _mv, ra = frames[f]
+                _w2, _h2, _mv2, rb = frames[f + 1]
+                a = _np.frombuffer(ra, dtype=_np.uint8).astype(_np.int64)
+                bb = _np.frombuffer(rb, dtype=_np.uint8).astype(_np.int64)
+                mad_sum = int(_np.abs(bb - a).sum())
+                mad_mean = float(mad_sum) / (w * h)
+                out.append(
+                    (doc_id, f, mad_sum, mad_mean, int(mad_mean > _CUT_THRESHOLD))
+                )
+            return out
+
+        cols = ["doc_id", "frame_idx", "mad_sum", "mad_mean", "is_cut"]
+        for b in batches:
+            rows = []
+            for d, p in zip(b["doc_id"], b["payload"]):
+                rows.extend(one(int(d), p))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pgm_scene_video_table(spark, sf_dir).mapInPandas(
+        cuts,
+        "doc_id long, frame_idx int, mad_sum long, mad_mean double, is_cut int",
+    )
+
+
 # --- Real audio codec path: WAV (RIFF / PCM16) — same no-libraries rule ---
 
 _WAV_SR = 8000  # sample rate of the synthetic clips

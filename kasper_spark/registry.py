@@ -77,6 +77,7 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "multimodal_frame_sample",
     "multimodal_pgm_codec",
     "multimodal_wav_features",  # NEW: real RIFF/PCM16 codec, analytic oracle
+    "multimodal_scene_cuts",  # NEW: scene-cut detection, exactly certified
     # -- 2a. rotation: TPC-H rest family (newest rows r03/r04) --
     "q2_min_cost_supplier",
     "q4_order_priority",
@@ -126,8 +127,6 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "lpa_lsh_graph",
     "triangle_lsh_graph",
     "streaming_lsh_dedup_twin",
-    # -- 2d. rotation: analytics battery (r03/r04 evidence) --
-    "stats_moments",
     # (exactly 50 names)
 ]
 

@@ -142,3 +142,18 @@ def test_wav_features_matches_local_recompute(spark):
     assert r["peak"] == int(_np.abs(s).max())
     assert r["byte_len"] == 44 + 2 * n
     assert r["duration_ms"] == (n * 1000) // 8000
+
+
+def test_scene_cuts_recover_true_boundaries(spark):
+    """Every true scene boundary (every _SCENE_LEN-th frame pair) must be
+    flagged as a cut, and no within-scene pair may be — the separation the
+    thresholds are designed around (+31 shift ~54 MAD vs boundary ~97)."""
+    from kasper_spark.operators.multimodal import _SCENE_LEN
+
+    out = QUERIES["multimodal_scene_cuts"](spark, SF_SMOKE).collect()
+    assert out
+    for r in out:
+        true_boundary = (r["frame_idx"] + 1) % _SCENE_LEN == 0
+        assert r["is_cut"] == int(true_boundary), r
+        # mad_mean consistency with the integer sum
+        assert r["mad_mean"] > 0
