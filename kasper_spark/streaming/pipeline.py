@@ -301,30 +301,33 @@ class Pipeline:
         if "://" not in loc:  # plain local path that simply doesn't exist yet
             return None
         try:
-            jvm = self.spark._jvm
-            conf = self.spark._jsc.hadoopConfiguration()
-            path = jvm.org.apache.hadoop.fs.Path(loc.rstrip("/") + "/offsets")
-            fs = path.getFileSystem(conf)
-            if not fs.exists(path):
-                return None
-            names = [
-                s.getPath().getName()
-                for s in fs.listStatus(path)
-                if s.getPath().getName().isdigit()
-            ]
-            if not names:
-                return None
-            newest = jvm.org.apache.hadoop.fs.Path(
-                path, str(max(int(n) for n in names))
-            )
-            text = jvm.org.apache.commons.io.IOUtils.toString(
-                fs.open(newest), "UTF-8"
-            )
-            return tuple(text.splitlines()[2:])
+            return self._offsets_via_hadoop_fs(loc)
         except Exception:
             # unreachable filesystem: fall back to the rows==0 heuristic
             # rather than failing the drain outright
             return None
+
+    def _offsets_via_hadoop_fs(self, loc: str) -> tuple | None:
+        """Newest offset file's source lines read through the JVM Hadoop
+        FileSystem — works for any scheme Spark itself can checkpoint to
+        (hdfs://, s3a://, file://, ...). Kept as its own method so tests
+        can exercise this exact path with file:// URIs in-sandbox."""
+        jvm = self.spark._jvm
+        conf = self.spark._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(loc.rstrip("/") + "/offsets")
+        fs = path.getFileSystem(conf)
+        if not fs.exists(path):
+            return None
+        names = [
+            s.getPath().getName()
+            for s in fs.listStatus(path)
+            if s.getPath().getName().isdigit()
+        ]
+        if not names:
+            return None
+        newest = jvm.org.apache.hadoop.fs.Path(path, str(max(int(n) for n in names)))
+        text = jvm.org.apache.commons.io.IOUtils.toString(fs.open(newest), "UTF-8")
+        return tuple(text.splitlines()[2:])
 
     def has_consumed_all_messages(self) -> bool:
         """Kasper-shaped caught-up probe (A10,

@@ -863,3 +863,40 @@ def test_document_join_event_time_ttl_evicts_and_drains_bounded(spark, workdir):
 
     assert "FI_T" in results["no_ttl"], "control run must complete the document"
     assert "FI_T" not in results["ttl"], "evicted state must not complete the document"
+
+
+def test_latest_source_offsets_reads_uri_checkpoints_via_hadoop_fs(spark, tmp_path):
+    """The drain guard's uncapped ground-truth signal must hold for
+    URI-schemed checkpointLocations (hdfs://, s3a://, ...), not just bare
+    local paths — exercised here with file:// (the Hadoop local
+    filesystem), which routes through the same JVM FileSystem code path a
+    remote store would."""
+    from kasper_spark.streaming.pipeline import Pipeline, PipelineConfig
+
+    offsets = tmp_path / "uri-ck" / "offsets"
+    offsets.mkdir(parents=True)
+    (offsets / "0").write_text("v1\n{\"batchTimestampMs\":1}\n{\"a\":0}\n")
+    (offsets / "2").write_text("v1\n{\"batchTimestampMs\":3}\n{\"a\":7}\n{\"b\":9}\n")
+    (offsets / "1").write_text("v1\n{\"batchTimestampMs\":2}\n{\"a\":3}\n")
+    (offsets / "2.tmp.crc").write_text("junk")  # non-digit names ignored
+
+    cfg = PipelineConfig(name="uri", checkpoint_root=f"file://{tmp_path}/uri-ck")
+    # checkpoint_location == file://<tmp>/uri-ck/uri — but the offsets we
+    # wrote sit at uri-ck/offsets, so point name at "" via a direct config:
+    cfg = PipelineConfig(name="offsets-parent", checkpoint_root=str(tmp_path))
+    p = Pipeline(spark, cfg)
+    # direct local read (control)
+    p.config = cfg
+
+    class _Cfg:
+        checkpoint_location = f"file://{tmp_path}/uri-ck"
+
+    p.config = _Cfg()
+    got = p._latest_source_offsets()
+    assert got == ('{"a":7}', '{"b":9}')
+
+    class _CfgMissing:
+        checkpoint_location = f"file://{tmp_path}/does-not-exist"
+
+    p.config = _CfgMissing()
+    assert p._latest_source_offsets() is None
