@@ -123,12 +123,16 @@ def main() -> None:
     print(line, flush=True)
 
 
-def _quiet_teardown_loggers(spark) -> None:
+def _quiet_teardown_loggers(spark):
     """Streaming q.stop() interrupts the in-flight micro-batch by design;
     the JVM then logs benign abort/interrupt stacks (RocksDB commit abort,
     state-server accept-loop interrupt, task kill) that pollute the bench
     tail. Silence exactly those loggers — real failures still surface as
-    Python exceptions from the query/write calls, not via log4j."""
+    Python exceptions from the query/write calls, not via log4j.
+
+    Returns a restore() callable so the silencing is SCOPED to the
+    streaming section: Executor/Utils at OFF for the rest of the JVM's
+    life could hide genuine executor errors from later queries."""
     noisy = [
         "org.apache.spark.sql.execution.python.streaming."
         "TransformWithStateInPySparkStateServer",
@@ -139,12 +143,22 @@ def _quiet_teardown_loggers(spark) -> None:
     ]
     try:
         jvm = spark._jvm
+        log_manager = jvm.org.apache.logging.log4j.LogManager
+        configurator = jvm.org.apache.logging.log4j.core.config.Configurator
+        previous = [(name, log_manager.getLogger(name).getLevel()) for name in noisy]
         for name in noisy:
-            jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
-                name, jvm.org.apache.logging.log4j.Level.OFF
-            )
+            configurator.setLevel(name, jvm.org.apache.logging.log4j.Level.OFF)
+
+        def restore() -> None:
+            try:
+                for name, level in previous:
+                    configurator.setLevel(name, level)
+            except Exception:
+                pass  # best-effort; stale-quiet is cosmetic at teardown
+
+        return restore
     except Exception:
-        pass  # best-effort; a noisy tail is cosmetic
+        return lambda: None  # best-effort; a noisy tail is cosmetic
 
 
 def _engine_rate(progress) -> int | None:
@@ -172,11 +186,18 @@ def _streaming_throughput(spark, seconds: float = 8.0) -> dict:
                           excluded — the sustainable per-batch rate).
     The two bases are NOT comparable to each other; compare like with
     like across paths and rounds."""
+    restore_loggers = _quiet_teardown_loggers(spark)
+    try:
+        return _streaming_throughput_body(spark, seconds)
+    finally:
+        restore_loggers()
+
+
+def _streaming_throughput_body(spark, seconds: float) -> dict:
     import tempfile
 
     from pyspark.sql import functions as F
 
-    _quiet_teardown_loggers(spark)
     processed = {"rows": 0, "batches": 0}
 
     def count_batch(df, _):

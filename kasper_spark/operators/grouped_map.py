@@ -66,7 +66,7 @@ def grouped_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH per_user AS (
         SELECT event_type, user_id,
-               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
         FROM events GROUP BY event_type, user_id
     ), ranked AS (
         SELECT event_type, cents,
@@ -102,8 +102,13 @@ def grouped_map_topn_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        # floor(v*100 + 0.5): the oracle quantizes with the SAME literal
+        # expression, so the cents are identical by construction on any
+        # rounding mode. np.round (banker's) vs SQL ROUND (half away from
+        # zero) agreed only because 2-decimal doubles times 100 never land
+        # exactly on .5 — a latent fragility this form removes.
         cents = pd.Series(
-            np.round(pdf["value"].to_numpy() * 100).astype("int64"),
+            np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).astype("int64"),
             index=pdf.index,
         )
         per_user = (
@@ -166,11 +171,11 @@ def pandas_udf_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH cb AS (
         SELECT c_nationkey AS nk, COUNT(*) AS n_cust,
-               CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS cents
+               CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
         FROM customer GROUP BY 1
     ), sb AS (
         SELECT s_nationkey AS nk, COUNT(*) AS n_supp,
-               CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS cents
+               CAST(SUM(CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
         FROM supplier GROUP BY 1
     )
     SELECT
@@ -210,13 +215,13 @@ def cogroup_balance_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_cust = len(left)
         n_supp = len(right)
         avg_c = (
-            float(np.round(left["c_acctbal"].to_numpy() * 100).astype("int64").sum())
+            float(np.floor(left["c_acctbal"].to_numpy() * 100.0 + 0.5).astype("int64").sum())
             / 100.0 / n_cust
             if n_cust
             else None
         )
         avg_s = (
-            float(np.round(right["s_acctbal"].to_numpy() * 100).astype("int64").sum())
+            float(np.floor(right["s_acctbal"].to_numpy() * 100.0 + 0.5).astype("int64").sum())
             / 100.0 / n_supp
             if n_supp
             else None

@@ -370,32 +370,79 @@ class TopicDirWriter(DataSourceWriter):
             f.write(str(ms))
         os.replace(tmp_marker, marker)  # atomic: readers never see partial
         prefix = f"b{ms:013d}"
-        for seq, (pid, tmp) in enumerate(staged):
-            final = os.path.join(self.root, f"p={pid}", f"{prefix}-{seq:05d}.jsonl")
-            # Two committer PROCESSES racing on the marker can mint the same
-            # prefix (read-modify-write; concurrent writers are documented
-            # unsupported) — but that misuse must fail LOUDLY, not silently
-            # overwrite. os.link is O_EXCL-style: it refuses if the target
-            # exists, unlike os.rename which clobbers.
-            try:
-                os.link(tmp, final)
-            except FileExistsError:
-                raise RuntimeError(
-                    f"batch-commit collision: {final} already exists — two "
-                    "committer processes are racing on this topic_dir (one "
-                    "writer per topic dir is the supported topology; use a "
-                    "coordinator for multi-writer)"
-                ) from None
-            except OSError:
-                # filesystem without hard links: keep the loud check, accept
-                # the check-then-rename race window as best effort
+        # Two committer PROCESSES racing on the marker can mint the same
+        # prefix (read-modify-write; concurrent writers are documented
+        # unsupported) — that misuse must fail LOUDLY, not silently
+        # overwrite, and it must not leave a PARTIAL batch visible: a
+        # collision detected on file 3 after files 0-2 were published
+        # would strand a half batch that abort() can't retract. So
+        # publish in two passes: (1) verify every final name is free and
+        # hard-link each staged file to a hidden name (readers only list
+        # ``b*.jsonl``, so hidden links are invisible); (2) only once ALL
+        # links exist, promote them. A collision in pass 1 unwinds the
+        # hidden links and publishes nothing.
+        finals = [
+            (
+                tmp,
+                os.path.join(self.root, f"p={pid}", f"{prefix}-{seq:05d}.jsonl"),
+                os.path.join(self.root, f"p={pid}", f".{prefix}-{seq:05d}.staging"),
+            )
+            for seq, (pid, tmp) in enumerate(staged)
+        ]
+        hidden_made: list[str] = []
+        try:
+            for _tmp, final, hidden in finals:
                 if os.path.exists(final):
                     raise RuntimeError(
-                        f"batch-commit collision: {final} already exists "
-                        "(concurrent committers are unsupported)"
+                        f"batch-commit collision: {final} already exists — "
+                        "two committer processes are racing on this "
+                        "topic_dir (one writer per topic dir is the "
+                        "supported topology; use a coordinator for "
+                        "multi-writer)"
+                    )
+            for tmp, _final, hidden in finals:
+                try:
+                    os.link(tmp, hidden)
+                except OSError:
+                    # filesystem without hard links: copy-free fallback —
+                    # rename into the hidden slot (tmp is ours alone)
+                    os.rename(tmp, hidden)
+                hidden_made.append(hidden)
+        except RuntimeError:
+            for hidden in hidden_made:
+                if os.path.exists(hidden):
+                    os.remove(hidden)
+            raise
+        # Pass 2: promote. os.link is O_EXCL-style, so a true same-instant
+        # race still fails loudly; because the hidden links survive until
+        # every final is in place, a mid-loop failure can unlink the
+        # finals THIS batch just created and leave nothing visible.
+        published: list[str] = []
+        try:
+            for _tmp, final, hidden in finals:
+                try:
+                    os.link(hidden, final)
+                except FileExistsError:
+                    raise RuntimeError(
+                        f"batch-commit collision: {final} appeared "
+                        "mid-publish (concurrent committers are "
+                        "unsupported); this batch was not published"
                     ) from None
-                os.rename(tmp, final)
-            else:
+                except OSError:
+                    os.rename(hidden, final)
+                published.append(final)
+        except RuntimeError:
+            for final in published:
+                if os.path.exists(final):
+                    os.remove(final)
+            for hidden in hidden_made:
+                if os.path.exists(hidden):
+                    os.remove(hidden)
+            raise
+        for tmp, _final, hidden in finals:
+            if os.path.exists(hidden):
+                os.remove(hidden)
+            if os.path.exists(tmp):
                 os.remove(tmp)
 
     def abort(self, messages) -> None:

@@ -326,7 +326,13 @@ class Pipeline:
         if not names:
             return None
         newest = jvm.org.apache.hadoop.fs.Path(path, str(max(int(n) for n in names)))
-        text = jvm.org.apache.commons.io.IOUtils.toString(fs.open(newest), "UTF-8")
+        # IOUtils.toString does not close its input; without the finally,
+        # every drain probe would leak a JVM FSDataInputStream until GC.
+        stream = fs.open(newest)
+        try:
+            text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
         return tuple(text.splitlines()[2:])
 
     def has_consumed_all_messages(self) -> bool:
