@@ -15,4 +15,5 @@ from kasper_spark.operators import (  # noqa: F401
     grouped_map,
     io_formats,
     privacy,
+    curation,
 )

@@ -1,0 +1,498 @@
+"""Training-corpus curation extras (round 8): Bloom-prefiltered
+decontamination, context-window chunking, contrastive pair mining,
+temperature-based corpus mixing, and CDC snapshot diff.
+
+These extend the LLM-data-pipeline families (SURVEY.md §2.E additions)
+beyond the reference's own surface — the reference engine
+(/root/reference/topic_processor.go) has no analog for any of them; they
+are the operations a 100 TB pretraining pipeline layers on top of the
+core dataflow, declared Spark-first so Catalyst keeps pushdown/pruning.
+
+Every query here is oracle-certified (DuckDB twin) — including the Bloom
+variant, whose bloom stage is a pure PREFILTER: false positives are
+removed by an exact join, so the result is bit-identical to the exact
+operator and shares its oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kasper_spark.catalog import load_table
+from kasper_spark.lineage import cut_lineage
+from kasper_spark.operators import text as _text  # noqa: F401 -- registers the exact decon oracle
+from kasper_spark.registry import ORACLES, register_query
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered n-gram decontamination
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 1 << 20  # m: 1 Mi bits = 16 Ki packed 64-bit words
+_BLOOM_WORDS = _BLOOM_BITS // 64
+_BLOOM_SEEDS = (0x9E3779B9, 0x85EBCA77, 0xC2B2AE3D)  # k=3 probe hashes
+
+
+def _shingles(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, shingle) pairs of word n-grams — same extraction as
+    text.ngram_decontaminate (whitespace tokens, JVM-side explode)."""
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    return (
+        docs.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, n)),
+                )
+            ).alias("shingle"),
+        )
+    )
+
+
+def _bloom_positions(shingle: Column) -> list[Column]:
+    """k bit positions in [0, m) for a shingle. Engine-local (Spark-only)
+    hashes are fine: the bloom never reaches the output — the exact
+    verify join removes its false positives."""
+    return [
+        F.pmod(F.xxhash64(F.lit(seed), shingle), F.lit(_BLOOM_BITS))
+        for seed in _BLOOM_SEEDS
+    ]
+
+
+@register_query(
+    "ngram_decontaminate_bloom",
+    # bit-identical to the exact operator by construction -> same oracle
+    # (this module imports after operators.text in __init__, so the exact
+    # oracle is registered by now; a rename there fails loudly here)
+    oracle=ORACLES["ngram_decontaminate"],
+)
+def ngram_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination with a BLOOM-FILTER prefilter on the
+    corpus side — the shape for when the eval suite outgrows a broadcast
+    hash set (multi-benchmark suites at 8-13-gram windows reach GBs of
+    distinct shingles; a 1 Mi-bit bloom is 128 KiB regardless).
+
+    Plan shape, and why it scales where the plain broadcast join stops:
+
+    1. eval shingles -> k=3 hashed bit positions -> packed 64-bit words
+       via ``bit_or(shiftleft(1, pos % 64))`` grouped by ``pos / 64``:
+       AT MOST m/64 = 16 Ki rows no matter how large the eval set grows
+       (the plain operator's broadcast grows with |eval shingles|).
+    2. the corpus's shingles probe the bloom through three BROADCAST
+       joins on the word index — map-side, zero corpus shuffle; a
+       shingle survives only if all k probed bits are set.
+    3. survivors (true matches + ~0.01% false positives at these
+       parameters) go through the EXACT join against the eval shingles,
+       so the bloom never changes the answer — only the bytes broadcast
+       and the rows that reach the exact join.
+
+    Same output contract as text.ngram_decontaminate; shares its oracle.
+    This is the manual, arbitrary-cardinality twin of Catalyst's
+    InjectRuntimeFilter (pinned by tests/test_plans.py::
+    test_runtime_bloom_filter_injectable), which only fires on shuffle
+    joins past size thresholds."""
+    n = 4
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs, n)
+    # The eval shingle set feeds FOUR consumers (the bloom build + three
+    # probe-join broadcasts + the exact verify); without a cut, each
+    # broadcast replans and re-executes the whole eval pipeline (measured:
+    # 9 exchanges, the eval shingle shuffle run 4x — AQE does not
+    # canonicalize the disambiguated self-join subtrees into one reused
+    # exchange). cut_lineage materializes it once; at cluster scale the
+    # same call is a reliable checkpoint (see lineage.py).
+    ev = cut_lineage(
+        sh.filter(F.col("doc_id") % 41 == 0)
+        .groupBy("shingle")
+        .agg(F.min("doc_id").alias("eval_doc_id"))
+    )
+
+    # --- bloom build: eval shingles -> (word_idx, packed 64-bit word) ---
+    pos = F.explode(F.array(*_bloom_positions(F.col("shingle")))).alias("pos")
+    words = (
+        ev.select(pos)
+        .select(
+            (F.col("pos") / 64).cast("long").alias("widx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("widx")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+    )
+    # same rationale: one materialized 16 Ki-row bloom, three broadcasts of it
+    words = cut_lineage(words)
+
+    # --- corpus probe: 3 broadcast joins on word index, all map-side ---
+    # Each probe broadcasts the checkpointed 16 Ki-row words table (a
+    # block scan, not a pipeline re-run — see the cut above); the corpus
+    # side stays exchange-free through all three joins and the filter.
+    tr = sh.filter(F.col("doc_id") % 41 != 0)
+    probes = _bloom_positions(F.col("shingle"))
+    for i, p in enumerate(probes):
+        tr = tr.withColumn(f"pos{i}", p).withColumn(
+            f"widx{i}", (F.col(f"pos{i}") / 64).cast("long")
+        )
+        wi = words.alias(f"w{i}")
+        tr = (
+            tr.join(
+                F.broadcast(wi),
+                F.col(f"widx{i}") == F.col(f"w{i}.widx"),
+                "left",
+            )
+            .withColumn(f"word{i}", F.col(f"w{i}.word"))
+            .drop(F.col(f"w{i}.widx"))
+            .drop(F.col(f"w{i}.word"))
+        )
+    hit = None
+    for i in range(len(probes)):
+        bit_set = F.expr(
+            f"(shiftrightunsigned(coalesce(word{i}, CAST(0 AS BIGINT)), "
+            f"CAST(pos{i} % 64 AS INT)) & 1) = 1"
+        )
+        hit = bit_set if hit is None else (hit & bit_set)
+    survivors = tr.filter(hit).select("doc_id", "shingle")
+
+    # --- exact verify: false positives die here; result == exact op ---
+    return (
+        survivors.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("shingle").alias("n_shared_shingles"),
+            F.min("eval_doc_id").alias("min_eval_doc_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Context-window document chunking
+# ---------------------------------------------------------------------------
+
+_CHUNK_CHARS = 200
+_CHUNK_STRIDE = 150  # 50-char overlap between consecutive chunks
+
+
+@register_query(
+    "doc_chunk_overlap",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, text,
+               CAST(floor((length(text) - 1) / {_CHUNK_STRIDE}.0) AS BIGINT) AS mk
+        FROM documents WHERE length(text) > 0
+    ),
+    ks AS (
+        SELECT doc_id, text, unnest(range(0, mk + 1)) AS k FROM base
+    )
+    SELECT
+        doc_id,
+        CAST(k AS BIGINT) AS chunk_id,
+        substring(text, CAST(k * {_CHUNK_STRIDE} + 1 AS INT), {_CHUNK_CHARS}) AS chunk,
+        CAST(length(substring(text, CAST(k * {_CHUNK_STRIDE} + 1 AS INT),
+                              {_CHUNK_CHARS})) AS BIGINT) AS chunk_len
+    FROM ks
+    """,
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into fixed-size character windows with overlap
+    (chunk=200 chars, stride=150) — the context-window chunking step that
+    turns raw documents into trainable sequences. Chunk k covers
+    [k*stride, k*stride+chunk); the last window starts at the largest
+    k*stride still inside the text, so every character lands in >=1 chunk
+    and consecutive chunks share a 50-char overlap.
+
+    Scale: pure narrow transformation — sequence/transform/substring stay
+    JVM-side inside the scan stage; no shuffle, no Python. Output row
+    count ~= total_chars / stride, which is why chunking runs AFTER
+    dedup/quality filtering in a real pipeline (docstring order mirrors
+    training_data_pipeline)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_chunks_minus1 = F.floor((F.length("text") - 1) / _CHUNK_STRIDE).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks_minus1),
+        lambda k: F.col("text").substr(
+            k * F.lit(_CHUNK_STRIDE) + F.lit(1), F.lit(_CHUNK_CHARS)
+        ),
+    )
+    exploded = docs.select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk"))
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "chunk",
+        F.length("chunk").cast("long").alias("chunk_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive pair mining (hard negatives) over embeddings
+# ---------------------------------------------------------------------------
+
+_N_MINE_QUERIES = 20  # bounded anchor set, same discipline as ann_* baselines
+
+
+def _dot_exact(a: Column, b: Column) -> Column:
+    # identical discipline to similarity.dot_exact (decimal-exact,
+    # order-independent); re-stated here to keep this module standalone
+    prods = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast("decimal(30,12)")
+    )
+    return F.aggregate(
+        prods,
+        F.lit(0).cast("decimal(30,12)"),
+        lambda acc, x: (acc + x).cast("decimal(30,12)"),
+    ).cast("double")
+
+
+def _dot_exact_sql(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> CAST(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
+        f"AS DECIMAL(30,12)))) AS DOUBLE)"
+    )
+
+
+@register_query(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH nrm AS (
+        SELECT vec_id, label, embedding,
+               sqrt({_dot_exact_sql('embedding', 'embedding')}) AS nrm
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS query_id, label AS query_label,
+               embedding AS qe, nrm AS qn
+        FROM nrm WHERE vec_id < {_N_MINE_QUERIES}
+    ),
+    scored AS (
+        SELECT query_id, query_label,
+               c.vec_id AS neighbor_id,
+               (c.label = query_label) AS same_label,
+               {_dot_exact_sql('qe', 'c.embedding')} / (qn * c.nrm) AS cosine
+        FROM q JOIN nrm c ON c.vec_id <> query_id
+    ),
+    best AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id, same_label
+                ORDER BY cosine DESC, neighbor_id
+            ) AS rk
+            FROM scored
+        ) WHERE rk = 1
+    )
+    SELECT
+        query_id,
+        CAST(MAX(query_label) AS BIGINT) AS query_label,
+        CAST(MAX(CASE WHEN same_label THEN neighbor_id END) AS BIGINT) AS positive_id,
+        MAX(CASE WHEN same_label THEN cosine END) AS positive_cos,
+        CAST(MAX(CASE WHEN NOT same_label THEN neighbor_id END) AS BIGINT)
+            AS hard_negative_id,
+        MAX(CASE WHEN NOT same_label THEN cosine END) AS hard_negative_cos,
+        MAX(CASE WHEN same_label THEN cosine END)
+            - MAX(CASE WHEN NOT same_label THEN cosine END) AS margin
+    FROM best GROUP BY query_id
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining: for each anchor embedding, the
+    most-similar SAME-label vector (positive) and the most-similar
+    OTHER-label vector (the hard negative — the pair that carries the
+    gradient signal in contrastive/embedding training), plus the margin
+    between them.
+
+    Exactness: cosines use the decimal-exact dot (similarity.dot_exact
+    discipline), so positive/negative selection and the margin are
+    bit-identical across engines.
+
+    Scale: the anchor set is bounded (20 vectors broadcast,
+    same discipline as the ann_* baselines) so the corpus streams through
+    map-side scoring once; per-anchor winners come from a rank-1 window
+    (partial top-1 per partition, no global sort). For an UNBOUNDED anchor
+    set this composes with ann_ivf/ann_lsh candidate generation instead of
+    the exhaustive scan — the plan below is the exact-baseline twin."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = emb.select(
+        "vec_id", "label", "embedding", F.sqrt(_dot_exact(F.col("embedding"), F.col("embedding"))).alias("nrm")
+    )
+    q = nrm.filter(F.col("vec_id") < _N_MINE_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(nrm, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "query_label",
+            F.col("vec_id").alias("neighbor_id"),
+            (F.col("label") == F.col("query_label")).alias("same_label"),
+            (_dot_exact(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("nrm"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id", "same_label").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    best = scored.select("*", F.row_number().over(w).alias("rk")).filter(F.col("rk") == 1)
+    pos_cos = F.max(F.when(F.col("same_label"), F.col("cosine")))
+    neg_cos = F.max(F.when(~F.col("same_label"), F.col("cosine")))
+    return best.groupBy("query_id").agg(
+        F.max("query_label").cast("long").alias("query_label"),
+        F.max(F.when(F.col("same_label"), F.col("neighbor_id"))).cast("long").alias("positive_id"),
+        pos_cos.alias("positive_cos"),
+        F.max(F.when(~F.col("same_label"), F.col("neighbor_id"))).cast("long").alias("hard_negative_id"),
+        neg_cos.alias("hard_negative_cos"),
+        (pos_cos - neg_cos).alias("margin"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based corpus mixture weights
+# ---------------------------------------------------------------------------
+
+_MIX_BUDGET_DOCS = 1_000_000  # documents to allot across sources
+
+
+@register_query(
+    "corpus_mixture_weights",
+    oracle=f"""
+    WITH src AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT source, n_docs,
+               CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT)
+                   AS w_micros
+        FROM src
+    )
+    SELECT
+        source,
+        n_docs,
+        w_micros,
+        100.0 * (CAST(w_micros AS DOUBLE)
+                 / CAST(CAST(SUM(w_micros) OVER () AS BIGINT) AS DOUBLE))
+            AS share_pct,
+        CAST(floor(CAST({_MIX_BUDGET_DOCS} * w_micros AS DOUBLE)
+                   / CAST(CAST(SUM(w_micros) OVER () AS BIGINT) AS DOUBLE))
+             AS BIGINT) AS quota_docs
+    FROM w
+    """,
+)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus mixing (T=2, i.e. weight ∝ n^(1/2)): the
+    standard rebalancing that up-samples small high-quality sources and
+    down-samples the web-scale crawl so no source dominates the token
+    budget. Emits per-source sampling share and an integer document quota
+    out of a 1,000,000-doc budget.
+
+    Exactness across engines: sqrt is IEEE-correctly-rounded (identical
+    doubles), the weight is quantized once to integer MICROS (floor —
+    exact), and every subsequent sum/division is integer or a single
+    int/int double divide — order-independent, hash-stable. The α
+    exponent is restricted to .5 precisely because pow(x, 0.33) is NOT
+    guaranteed bit-identical across libm implementations.
+
+    Scale: one groupBy(source) on the corpus (low-cardinality keys,
+    map-side partial agg), then a 20-row unpartitioned window — driver-
+    trivial. The quota feeds corpus_mix_sample's hash-based sampler."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = src.select(
+        "source",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1000000.0)
+        .cast("long")
+        .alias("w_micros"),
+    )
+    tot = F.sum("w_micros").over(Window.partitionBy())
+    # quota: floor of an exact-int double division — both operands are
+    # exact integers < 2^53, so the divide is identically rounded on any
+    # IEEE engine (the same trick certifies the pandas paths; DuckDB's
+    # BIGINT // would differ from floor(double/double) at rounding edges,
+    # so BOTH sides use the floor-of-double form)
+    num = (F.lit(_MIX_BUDGET_DOCS).cast("long") * F.col("w_micros")).cast("double")
+    return w.select(
+        "source",
+        "n_docs",
+        "w_micros",
+        (100.0 * (F.col("w_micros").cast("double") / tot.cast("double"))).alias(
+            "share_pct"
+        ),
+        F.floor(num / tot.cast("double")).cast("long").alias("quota_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC snapshot diff
+# ---------------------------------------------------------------------------
+
+
+@register_query(
+    "snapshot_diff_cdc",
+    oracle="""
+    WITH snap_a AS (
+        SELECT o_orderkey, o_orderstatus AS status_a
+        FROM orders WHERE o_orderkey % 9 <> 0
+    ),
+    snap_b AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END
+                   AS status_b
+        FROM orders WHERE o_orderkey % 7 <> 0
+    )
+    SELECT
+        COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        CASE
+            WHEN a.o_orderkey IS NULL THEN 'added'
+            WHEN b.o_orderkey IS NULL THEN 'removed'
+            ELSE 'changed'
+        END AS change_type,
+        status_a AS old_status,
+        status_b AS new_status
+    FROM snap_a a FULL OUTER JOIN snap_b b ON a.o_orderkey = b.o_orderkey
+    WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL OR status_a <> status_b
+    """,
+)
+def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture diff between two table snapshots: classify every
+    key as added / removed / changed (unchanged rows are dropped — they are
+    the overwhelming majority and a CDC feed must not carry them). The two
+    snapshots are deterministic slices of ``orders``: snapshot B drops keys
+    ≡0 (mod 7), gains keys ≡0 (mod 9) relative to A, and rewrites the
+    status of keys ≡0 (mod 5) — simulating deletes/inserts/updates.
+
+    This is the batch complement of upsert_snapshot (which APPLIES a
+    changeset; this one DERIVES it) — together they round-trip a table
+    version. Scale: one full-outer shuffle join on the key; at 100 TB both
+    snapshots would be bucketed by the key (see bucketed_join_no_shuffle)
+    so the diff is a zero-shuffle zip of co-located buckets, and the
+    unchanged-row drop happens before any row leaves the join stage."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderkey") % 9 != 0).select(
+        F.col("o_orderkey").alias("key_a"), F.col("o_orderstatus").alias("status_a")
+    )
+    b = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("key_b"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status_b"),
+    )
+    joined = a.join(b, a.key_a == b.key_b, "full_outer")
+    return joined.select(
+        F.coalesce("key_a", "key_b").alias("o_orderkey"),
+        F.when(F.col("key_a").isNull(), F.lit("added"))
+        .when(F.col("key_b").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+        .alias("change_type"),
+        F.col("status_a").alias("old_status"),
+        F.col("status_b").alias("new_status"),
+    ).filter(
+        F.col("key_a").isNull()
+        | F.col("key_b").isNull()
+        | (F.col("status_a") != F.col("status_b"))
+    )

@@ -132,6 +132,7 @@ _INTENTIONAL_BNLJ = {
     "semantic_dedup_leader",  # bounded-subset all-pairs + leader anti-join
     "tokenset_jaccard_pairs",
     "minhash_jaccard_contract",  # bounded (doc_id<40) all-pairs contract check
+    "hard_negative_mining",  # bounded (vec_id<20) anchor set, ann-baseline shape
     "pagerank_neardup_graph",  # same bounded (doc_id<40) all-pairs edge build
     "label_propagation_communities",  # same bounded all-pairs edge build
     "neardup_cc_canonical",  # same bounded all-pairs edge build
@@ -224,6 +225,27 @@ def test_decontaminate_broadcasts_eval_side(spark):
     stream_side = plan.split("BroadcastHashJoin")[1]
     probe_segment = stream_side.split("BroadcastExchange")[0]
     assert "Exchange hashpartitioning" not in probe_segment
+
+
+def test_decontaminate_bloom_probe_is_map_side(spark):
+    """ngram_decontaminate_bloom's 100 TB contract: the corpus side probes
+    the packed bloom through BROADCAST joins only — its shingles must never
+    shuffle before the exact-verify join. The sole hash exchanges allowed
+    are the final contaminated-survivor aggregation; the eval pipeline runs
+    once behind a lineage cut (un-cut, this plan measured 9 exchanges with
+    the eval shingle shuffle executed 4x)."""
+    plan = _plan(spark, "ngram_decontaminate_bloom")
+    assert plan.count("BroadcastHashJoin") == 4  # 3 bloom probes + exact verify
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_doc_chunking_is_narrow(spark):
+    """doc_chunk_overlap must stay a pure narrow transformation: the
+    sequence/substr explode runs inside the scan stage with no shuffle."""
+    plan = _plan(spark, "doc_chunk_overlap")
+    assert "Exchange" not in plan
+    assert "Generate posexplode" in plan
 
 
 def test_runtime_bloom_filter_injectable(spark):
