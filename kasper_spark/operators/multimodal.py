@@ -770,7 +770,56 @@ def _register_codec_by_value() -> None:
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
 
-@register_query("multimodal_pgm_codec")  # rows-only: binary synth not SQL-expressible
+@register_query(
+    "multimodal_pgm_codec",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 16 + n_chars % 17 AS w, 12 + doc_id % 9 AS h
+        FROM documents
+    ), px AS (
+        SELECT doc_id, w, h, UNNEST(range(0, w * h)) AS i FROM dims
+    ), agg AS (
+        SELECT doc_id, w, h,
+            CAST(SUM(((i % w) * 7 + (i // w) * 13 + doc_id) % 256) AS BIGINT)
+                AS px_sum,
+            CAST(MIN(((i % w) * 7 + (i // w) * 13 + doc_id) % 256) AS INTEGER)
+                AS min_px,
+            CAST(MAX(((i % w) * 7 + (i // w) * 13 + doc_id) % 256) AS INTEGER)
+                AS max_px
+        FROM px GROUP BY doc_id, w, h
+    ), rdims AS (
+        SELECT doc_id, (w + 1) // 2 AS rw, (h + 1) // 2 AS rh FROM dims
+    ), rpx AS (
+        SELECT doc_id, rw, rh, UNNEST(range(0, rw * rh)) AS i FROM rdims
+    ), rhex AS (
+        -- the resized raster, byte for byte, as a hex string: pixel (x, y)
+        -- of the 2x nearest-neighbor downsample is source pixel (2x, 2y)
+        SELECT doc_id, rw, rh,
+            string_agg(
+                lpad(hex((2 * (i % rw) * 7 + 2 * (i // rw) * 13 + doc_id) % 256),
+                     2, '0'),
+                '' ORDER BY i) AS raster_hex
+        FROM rpx GROUP BY doc_id, rw, rh
+    )
+    SELECT
+        d.doc_id,
+        CAST(d.w AS INTEGER) AS width,
+        CAST(d.h AS INTEGER) AS height,
+        CAST(255 AS INTEGER) AS maxval,
+        CAST(a.px_sum AS DOUBLE) / (d.w * d.h) AS mean_px,
+        a.min_px,
+        a.max_px,
+        CAST(x.rw AS INTEGER) AS resized_w,
+        CAST(x.rh AS INTEGER) AS resized_h,
+        substring(sha256(lower(
+            hex('P5' || chr(10) || CAST(x.rw AS VARCHAR) || ' '
+                || CAST(x.rh AS VARCHAR) || chr(10) || '255' || chr(10))
+            || x.raster_hex)), 1, 16) AS resized_digest
+    FROM dims d
+    JOIN agg a USING (doc_id)
+    JOIN rhex x USING (doc_id)
+    """,
+)
 def multimodal_pgm_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end REAL image codec pipeline: synthesize a valid binary PGM
     per document (deterministic gradient + doc_id-seeded texture), then in
@@ -779,11 +828,17 @@ def multimodal_pgm_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     striding), and re-encode — every step actual codec work on actual
     bytes, no stubs.
 
+    Oracle-certified since round 8: DuckDB reconstructs the ENTIRE
+    re-encoded resized PGM — header and raster, byte for byte, as a hex
+    string from the generation formula — and hashes it (its sha256 is
+    VARCHAR-only, so both engines hash the lowercase hex TEXT of the
+    payload rather than the raw bytes; same certification strength). A
+    misparsed header, off-by-one stride, or re-encode slip changes the
+    digest and fails the gate.
+
     Scale shape: both stages are map-only (blobs never shuffle); the
     output projection carries stats + a digest of the resized image, not
-    the payload. Rows-only correctness (binary synthesis is not
-    SQL-expressible); determinism is pinned by the paired unit test with
-    hand-computed expected stats, and by the rows-only double-run check."""
+    the payload."""
     _register_codec_by_value()
     media = pgm_image_table(spark, sf_dir)
 
@@ -802,7 +857,10 @@ def multimodal_pgm_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
                 float(px.sum()) / (w * h),  # exact: integer sum then one division
                 int(px.min()), int(px.max()),
                 int(small.shape[1]), int(small.shape[0]),
-                _hl.sha256(resized).hexdigest()[:16],
+                # digest of the lowercase-hex TEXT of the re-encoded bytes:
+                # DuckDB's sha256 takes VARCHAR only, so the oracle hashes
+                # the same hex rendering it reconstructs analytically
+                _hl.sha256(resized.hex().encode("ascii")).hexdigest()[:16],
             )
 
         cols = ["doc_id", "width", "height", "maxval", "mean_px", "min_px",

@@ -76,6 +76,11 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     # -- 1c. CHANGED this round: topic_dir batch publish is now a
     #        two-pass (stage-hidden, then promote) atomic commit --
     "streaming_topic_dir_twin",
+    # -- 1d. CHANGED this round: the PGM codec round-trip is now fully
+    #        oracle-certified (DuckDB reconstructs and hashes the resized
+    #        payload analytically) — rows-only since r6, must earn a
+    #        hash-green row --
+    "multimodal_pgm_codec",
     # -- 2a. rotation: the r03-evidence cohort (oldest rows in the
     #        registry) --
     "scan_filter_project",
@@ -121,8 +126,8 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "stats_moments",
     "corr_covar_qty_discount",
     "histogram_totalprice",
-    "cohort_retention",
-    # (exactly 50 names)
+    # (exactly 50 names; cohort_retention and the r04 streaming twins
+    # rotate in r9)
 ]
 
 

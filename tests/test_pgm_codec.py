@@ -61,5 +61,7 @@ def test_pgm_pipeline_stats_match_reference(spark):
         small = px[::2, ::2]
         expected = hashlib.sha256(
             encode_pgm(small.shape[1], small.shape[0], small.tobytes())
+            .hex()
+            .encode("ascii")
         ).hexdigest()[:16]
         assert r["resized_digest"] == expected
