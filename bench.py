@@ -52,6 +52,9 @@ HEADLINE = [
     "countmin_heavy_hitters", # mergeable CM sketch, bounded shuffle
     "pii_redact",             # map-only 4-pattern regex scrub (codegen'd)
     "unigram_rarity_quality", # corpus-LM quality: wf/cf shuffles + 1-row T
+    # round-8 additions (new keys set their baseline this round)
+    "ngram_decontaminate_bloom",  # packed-bloom prefilter + exact verify
+    "doc_chunk_overlap",      # narrow context-window chunking, 0 exchanges
 ]
 
 
