@@ -1,6 +1,7 @@
 """Training-corpus curation extras (round 8): Bloom-prefiltered
 decontamination, context-window chunking, contrastive pair mining,
-temperature-based corpus mixing, and CDC snapshot diff.
+temperature-based corpus mixing (weights + quota-applied sampling),
+model-based quality scoring, and CDC snapshot diff.
 
 These extend the LLM-data-pipeline families (SURVEY.md §2.E additions)
 beyond the reference's own surface — the reference engine
@@ -495,4 +496,158 @@ def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key_a").isNull()
         | F.col("key_b").isNull()
         | (F.col("status_a") != F.col("status_b"))
+    )
+
+# ---------------------------------------------------------------------------
+# Model-based quality scoring (hashed-ngram linear classifier)
+# ---------------------------------------------------------------------------
+
+_CLF_BUCKETS = 1024
+_CLF_MIX = 2654435761  # Knuth multiplicative constant
+_CLF_BIAS = -3
+
+
+@register_query(
+    "quality_classifier_logit",
+    oracle=f"""
+    SELECT
+        doc_id,
+        CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT)
+            AS n_tokens,
+        CAST({_CLF_BIAS} + list_sum(list_transform(
+            list_filter(string_split(text, ' '), w -> w <> ''),
+            t -> ((CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT)
+                   % {_CLF_BUCKETS}) * {_CLF_MIX}) % 17 - 8
+        )) AS BIGINT) AS logit,
+        ({_CLF_BIAS} + list_sum(list_transform(
+            list_filter(string_split(text, ' '), w -> w <> ''),
+            t -> ((CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT)
+                   % {_CLF_BUCKETS}) * {_CLF_MIX}) % 17 - 8
+        ))) > 0 AS kept
+    FROM documents
+    """,
+)
+def quality_classifier_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL-BASED quality filtering — the fastText-classifier shape
+    (hash tokens into a fixed feature space, sum per-feature weights into
+    a logit, threshold) that complements the heuristic Gopher gates. The
+    weights here are a deterministic stand-in derived from the bucket id
+    (a real deployment broadcasts a trained weight array instead — same
+    plan, the weight lookup just reads a 1024-float literal); the
+    PLUMBING is the production shape and every step is integer-exact, so
+    the full score is oracle-certified.
+
+    Cross-engine exactness: the feature hash is the md5-prefix trick
+    (conv(substring(md5(t),1,15),16,10) == CAST('0x'||... AS BIGINT),
+    bit-identical 60-bit ints), and weights/logits stay in BIGINT. The
+    logit is exposed raw rather than sigmoid(logit): exp() is not
+    bit-stable across libm implementations, and thresholding is
+    monotone-invariant to the sigmoid anyway.
+
+    Scale: ZERO shuffle — the per-document weight sum runs as
+    aggregate(transform(tokens, ...)) INSIDE the scan stage (no explode,
+    no groupBy; the token array never leaves the row). Filtering on
+    `kept` composes map-side with the rest of the pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+
+    def weight(t: Column) -> Column:
+        bucket = (
+            F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
+            % _CLF_BUCKETS
+        )
+        return (bucket * F.lit(_CLF_MIX)) % 17 - 8
+
+    logit = F.lit(_CLF_BIAS) + F.aggregate(
+        F.transform(toks, weight),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        logit.cast("bigint").alias("logit"),
+        (logit > 0).alias("kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quota-driven corpus sampling (applies the temperature mixture)
+# ---------------------------------------------------------------------------
+
+_MIX_APPLY_BUDGET = 200  # documents to draw across sources
+
+
+@register_query(
+    "corpus_mix_apply",
+    oracle=f"""
+    WITH w AS (
+        SELECT source,
+               CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000.0) AS BIGINT)
+                   AS w_micros
+        FROM documents GROUP BY source
+    ),
+    quota AS (
+        SELECT source,
+               CAST(floor(CAST({_MIX_APPLY_BUDGET} * w_micros AS DOUBLE)
+                          / CAST(CAST(SUM(w_micros) OVER () AS BIGINT) AS DOUBLE))
+                    AS BIGINT) AS quota_docs
+        FROM w
+    ),
+    ranked AS (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || '/mix-apply-1'), doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT r.source, r.doc_id, CAST(r.rk AS BIGINT) AS rk
+    FROM ranked r JOIN quota q USING (source)
+    WHERE r.rk <= {_MIX_APPLY_BUDGET} AND r.rk <= q.quota_docs
+    """,
+)
+def corpus_mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the temperature mixture: draw each source's integer quota
+    (the corpus_mixture_weights formula) as a deterministic pseudo-random
+    sample — rank documents per source by a portable md5 order and keep
+    rank <= quota. Together with corpus_mixture_weights this is the full
+    rebalance: derive quotas, then materialize exactly that many documents
+    per source, reproducibly on any engine/partitioning/rerun (no RNG).
+
+    Scale: the rank <= BUDGET *literal* filter precedes the data-driven
+    quota refinement so Spark plans a WindowGroupLimit (per-partition
+    top-k per source — only ~BUDGET rows per source survive each map
+    task) instead of fully ranking every source; the quota table is a
+    broadcast join. One shuffle on source (salt heavy sources at 100 TB
+    or pre-aggregate per partition — the group-limit already bounds what
+    each task emits)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.groupBy("source").agg(
+        F.floor(F.sqrt(F.count(F.lit(1)).cast("double")) * 1000000.0)
+        .cast("long")
+        .alias("w_micros")
+    )
+    tot = F.sum("w_micros").over(Window.partitionBy())
+    quota = w.select(
+        "source",
+        F.floor(
+            (F.lit(_MIX_APPLY_BUDGET).cast("long") * F.col("w_micros")).cast("double")
+            / tot.cast("double")
+        )
+        .cast("long")
+        .alias("quota_docs"),
+    )
+    order_key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("/mix-apply-1")))
+    win = Window.partitionBy("source").orderBy(order_key, F.col("doc_id"))
+    ranked = (
+        docs.select("source", "doc_id", F.row_number().over(win).alias("rk"))
+        .filter(F.col("rk") <= _MIX_APPLY_BUDGET)  # literal: WindowGroupLimit
+    )
+    return (
+        ranked.join(F.broadcast(quota), "source")
+        .filter(F.col("rk") <= F.col("quota_docs"))
+        .select("source", "doc_id", F.col("rk").cast("long").alias("rk"))
     )

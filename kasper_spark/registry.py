@@ -67,6 +67,8 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "doc_chunk_overlap",
     "hard_negative_mining",
     "corpus_mixture_weights",
+    "corpus_mix_apply",
+    "quality_classifier_logit",
     "snapshot_diff_cdc",
     # -- 1b. CHANGED this round: cents quantization moved to the
     #        rounding-mode-independent floor(v*100+0.5) form in BOTH the
@@ -124,10 +126,8 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "join_skew_salted",
     "math_date_functions",
     "stats_moments",
-    "corr_covar_qty_discount",
-    "histogram_totalprice",
-    # (exactly 50 names; cohort_retention and the r04 streaming twins
-    # rotate in r9)
+    # (exactly 50 names; corr_covar_qty_discount, histogram_totalprice,
+    # cohort_retention and the r04 streaming twins rotate in r9)
 ]
 
 

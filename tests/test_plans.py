@@ -248,6 +248,23 @@ def test_doc_chunking_is_narrow(spark):
     assert "Generate posexplode" in plan
 
 
+def test_quality_classifier_is_map_only(spark):
+    """quality_classifier_logit's 100 TB contract: the hashed-feature
+    weight sum runs as aggregate(transform(tokens)) inside the scan stage
+    — no explode, no shuffle, nothing leaves the row."""
+    plan = _plan(spark, "quality_classifier_logit")
+    assert "Exchange" not in plan
+
+
+def test_mix_apply_plans_window_group_limit(spark):
+    """corpus_mix_apply's literal rank cap must plan a WindowGroupLimit
+    (per-partition top-k per source) so map tasks emit ~BUDGET rows per
+    source instead of fully ranking every source before the shuffle."""
+    plan = _plan(spark, "corpus_mix_apply")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_runtime_bloom_filter_injectable(spark):
     """100 TB runtime-filtering contract: our declarative join shapes stay
     eligible for Spark's InjectRuntimeFilter. Locally the fact side is far
