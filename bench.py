@@ -55,6 +55,7 @@ HEADLINE = [
     # round-8 additions (new keys set their baseline this round)
     "ngram_decontaminate_bloom",  # packed-bloom prefilter + exact verify
     "doc_chunk_overlap",      # narrow context-window chunking, 0 exchanges
+    "curation_pipeline_e2e",  # the whole curation tier in one plan
 ]
 
 

@@ -651,3 +651,184 @@ def corpus_mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= F.col("quota_docs"))
         .select("source", "doc_id", F.col("rk").cast("long").alias("rk"))
     )
+
+# ---------------------------------------------------------------------------
+# The end-to-end curation pipeline (one logical plan)
+# ---------------------------------------------------------------------------
+
+_E2E_BUDGET = 150  # sampled documents across sources after gating
+
+
+@register_query(
+    "curation_pipeline_e2e",
+    oracle=f"""
+    WITH clf AS MATERIALIZED (
+        SELECT doc_id, source, text,
+               {_CLF_BIAS} + list_sum(list_transform(
+                   list_filter(string_split(text, ' '), w -> w <> ''),
+                   t -> ((CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT)
+                          % {_CLF_BUCKETS}) * {_CLF_MIX}) % 17 - 8
+               )) AS logit
+        FROM documents WHERE doc_id % 41 <> 0
+    ),
+    kept AS MATERIALIZED (SELECT doc_id, source, text FROM clf WHERE logit > 0),
+    toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+        FROM documents WHERE doc_id % 41 = 0
+    ),
+    ev AS MATERIALIZED (
+        SELECT DISTINCT unnest(list_transform(range(1, len(t) - 2),
+                        i -> array_to_string(list_slice(t, i, i + 3), ' '))) AS shingle
+        FROM toks WHERE len(t) >= 4
+    ),
+    ktoks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+        FROM kept
+    ),
+    ksh AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(t) - 2),
+                       i -> array_to_string(list_slice(t, i, i + 3), ' '))) AS shingle
+        FROM ktoks WHERE len(t) >= 4
+    ),
+    contaminated AS MATERIALIZED (
+        SELECT DISTINCT k.doc_id FROM ksh k JOIN ev USING (shingle)
+    ),
+    surv AS MATERIALIZED (
+        SELECT k.* FROM kept k LEFT JOIN contaminated c USING (doc_id)
+        WHERE c.doc_id IS NULL
+    ),
+    w AS (
+        SELECT source,
+               CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000.0) AS BIGINT)
+                   AS w_micros
+        FROM surv GROUP BY source
+    ),
+    quota AS (
+        SELECT source,
+               CAST(floor(CAST({_E2E_BUDGET} * w_micros AS DOUBLE)
+                          / CAST(CAST(SUM(w_micros) OVER () AS BIGINT) AS DOUBLE))
+                    AS BIGINT) AS quota_docs
+        FROM w
+    ),
+    ranked AS (
+        SELECT source, doc_id, text,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || '/e2e-sample-1'), doc_id
+               ) AS rk
+        FROM surv
+    ),
+    sampled AS (
+        SELECT r.source, r.doc_id, r.text
+        FROM ranked r JOIN quota q USING (source)
+        WHERE r.rk <= {_E2E_BUDGET} AND r.rk <= q.quota_docs
+    ),
+    ks AS (
+        SELECT source, doc_id, text,
+               unnest(range(0, CAST(floor((length(text) - 1) / {_CHUNK_STRIDE}.0)
+                                    AS BIGINT) + 1)) AS k
+        FROM sampled WHERE length(text) > 0
+    ),
+    chunks AS (
+        SELECT source, doc_id,
+               length(substring(text, CAST(k * {_CHUNK_STRIDE} + 1 AS INT),
+                                {_CHUNK_CHARS})) AS clen
+        FROM ks
+    )
+    SELECT
+        source,
+        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        CAST(SUM(clen) AS BIGINT) AS chunk_chars
+    FROM chunks GROUP BY source
+    """,
+)
+def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-8 curation tier composed END TO END in one logical plan:
+    model-based quality gate (hashed-feature logit > 0) -> benchmark
+    decontamination (drop training docs sharing a 4-gram with the eval
+    slice) -> temperature-quota sampling (sqrt weights over survivors,
+    portable md5 order) -> context-window chunking -> per-source corpus
+    stats. Every stage is the standalone operator declared above, composed
+    declaratively so Catalyst optimizes ACROSS stages: the classifier gate
+    is a map-side filter that prunes before any shingle explodes, the
+    contaminated set comes back through a BROADCAST anti join (no corpus
+    shuffle to subtract it), and the chunk explode runs on the ~BUDGET
+    sampled docs only.
+
+    At 100 TB: one corpus scan feeding map-side gating + shingle probes,
+    one shuffle on source for the quota window (WindowGroupLimit-capped),
+    and small-side broadcasts everywhere else. This is the plan a user
+    would actually run nightly; the standalone entries are its unit-tested
+    parts."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+
+    def weight(t: Column) -> Column:
+        bucket = (
+            F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
+            % _CLF_BUCKETS
+        )
+        return (bucket * F.lit(_CLF_MIX)) % 17 - 8
+
+    logit = F.lit(_CLF_BIAS) + F.aggregate(
+        F.transform(toks, weight), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    kept = (
+        docs.filter(F.col("doc_id") % 41 != 0)
+        .filter(logit > 0)
+        .select("doc_id", "source", "text")
+    )
+
+    n = 4
+    ev = (
+        _shingles(docs.filter(F.col("doc_id") % 41 == 0), n)
+        .select("shingle")
+        .distinct()
+    )
+    contaminated = (
+        _shingles(kept, n).join(F.broadcast(ev), "shingle").select("doc_id").distinct()
+    )
+    surv = kept.join(F.broadcast(contaminated), "doc_id", "left_anti")
+
+    from pyspark.sql.window import Window
+
+    w = surv.groupBy("source").agg(
+        F.floor(F.sqrt(F.count(F.lit(1)).cast("double")) * 1000000.0)
+        .cast("long")
+        .alias("w_micros")
+    )
+    tot = F.sum("w_micros").over(Window.partitionBy())
+    quota = w.select(
+        "source",
+        F.floor(
+            (F.lit(_E2E_BUDGET).cast("long") * F.col("w_micros")).cast("double")
+            / tot.cast("double")
+        )
+        .cast("long")
+        .alias("quota_docs"),
+    )
+    order_key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("/e2e-sample-1")))
+    win = Window.partitionBy("source").orderBy(order_key, F.col("doc_id"))
+    sampled = (
+        surv.select("source", "doc_id", "text", F.row_number().over(win).alias("rk"))
+        .filter(F.col("rk") <= _E2E_BUDGET)  # literal: WindowGroupLimit
+        .join(F.broadcast(quota), "source")
+        .filter(F.col("rk") <= F.col("quota_docs"))
+        .filter(F.length("text") > 0)
+    )
+    n_chunks_minus1 = F.floor((F.length("text") - 1) / _CHUNK_STRIDE).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks_minus1),
+        lambda k: F.col("text").substr(
+            k * F.lit(_CHUNK_STRIDE) + F.lit(1), F.lit(_CHUNK_CHARS)
+        ),
+    )
+    exploded = sampled.select(
+        "source", "doc_id", F.explode(chunks).alias("chunk")
+    )
+    return exploded.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.length("chunk").cast("long")).alias("chunk_chars"),
+    )

@@ -69,6 +69,7 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "corpus_mixture_weights",
     "corpus_mix_apply",
     "quality_classifier_logit",
+    "curation_pipeline_e2e",
     "snapshot_diff_cdc",
     # -- 1b. CHANGED this round: cents quantization moved to the
     #        rounding-mode-independent floor(v*100+0.5) form in BOTH the
@@ -125,9 +126,9 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "window_nav_lag_lead",
     "join_skew_salted",
     "math_date_functions",
-    "stats_moments",
-    # (exactly 50 names; corr_covar_qty_discount, histogram_totalprice,
-    # cohort_retention and the r04 streaming twins rotate in r9)
+    # (exactly 50 names; stats_moments, corr_covar_qty_discount,
+    # histogram_totalprice, cohort_retention and the r04 streaming twins
+    # rotate in r9)
 ]
 
 

@@ -265,6 +265,17 @@ def test_mix_apply_plans_window_group_limit(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_curation_e2e_composes_scale_shapes(spark):
+    """curation_pipeline_e2e must inherit every stage's scale shape when
+    composed: broadcast ANTI join for the contaminated subtraction (no
+    corpus shuffle to subtract a small set), WindowGroupLimit for the
+    quota sample, and no cartesian anywhere."""
+    plan = _plan(spark, "curation_pipeline_e2e")
+    assert "LeftAnti" in plan and "Broadcast" in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_runtime_bloom_filter_injectable(spark):
     """100 TB runtime-filtering contract: our declarative join shapes stay
     eligible for Spark's InjectRuntimeFilter. Locally the fact side is far
