@@ -898,3 +898,98 @@ def streaming_tws_count_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spark.conf.set(provider_key, prev)
     return spark.table(qname).groupBy("word").agg(F.max("n").alias("n"))
+
+
+@register_query(
+    "streaming_decontaminate_twin",
+    # identical output contract to the batch operator -> same oracle
+    oracle=None,  # bound below from the registry (text registers first)
+)
+def streaming_decontaminate_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination-AT-INGEST: newly arriving training documents are
+    checked against the static eval shingle set INSIDE a Structured
+    Streaming plan — the nightly-crawl shape where the benchmark suite is
+    fixed and the corpus streams in. Per micro-batch: explode the batch's
+    shingles, broadcast-join the static eval set, aggregate per doc, and
+    write the epoch's verdicts idempotently (overwrite into batch={epoch}).
+
+    Determinism vs batching: a document is one row, so ALL its shingles
+    live in whatever micro-batch carries it — the per-doc aggregate is
+    batch-local and complete regardless of where availableNow cuts the
+    file; the accumulated store equals the batch operator's output exactly
+    (same oracle certifies both directions, the §1.3 twin requirement).
+
+    Scale: the streaming stage is stateless (explode + broadcast join +
+    batch-local agg — no state store, no watermark needed); the eval side
+    is the bounded broadcast of ngram_decontaminate, or the packed bloom
+    of ngram_decontaminate_bloom when the suite outgrows a hash set."""
+    from kasper_spark.catalog import load_table
+
+    n = 4
+    docs = load_table(spark, sf_dir, "documents")
+
+    def shingles(col):
+        toks = F.filter(F.split(col, " "), lambda w: w != "")
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    ev = (
+        docs.filter(F.col("doc_id") % 41 == 0)
+        .select(F.explode(shingles(F.col("text"))).alias("shingle"), "doc_id")
+        .groupBy("shingle")
+        .agg(F.min("doc_id").alias("eval_doc_id"))
+    )
+
+    work = tempfile.mkdtemp(prefix="kasper-sdecon-")
+    src_dir = os.path.join(work, "src")
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ck")
+    os.makedirs(src_dir)
+    os.symlink(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(src_dir, "documents.parquet"),
+    )
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .format("parquet")
+        .load(src_dir)
+        .filter(F.col("doc_id") % 41 != 0)
+        # one input partition per file otherwise (see streaming_lsh_dedup_twin)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def check_batch(df, epoch_id: int) -> None:
+        out = (
+            df.select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle"))
+            .join(F.broadcast(ev), "shingle")
+            .groupBy("doc_id")
+            .agg(
+                F.count_distinct("shingle").alias("n_shared_shingles"),
+                F.min("eval_doc_id").alias("min_eval_doc_id"),
+            )
+        )
+        out.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch={epoch_id}"))
+
+    q = (
+        stream.writeStream.foreachBatch(check_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
+
+
+# the twin shares the batch operator's oracle verbatim (same output
+# contract); bound at module end so a rename in operators.text fails loudly
+from kasper_spark.registry import ORACLES as _OR  # noqa: E402
+
+assert "ngram_decontaminate" in _OR, "batch decontamination oracle missing"
+_OR["streaming_decontaminate_twin"] = _OR["ngram_decontaminate"]

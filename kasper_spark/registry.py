@@ -79,6 +79,8 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     # -- 1c. CHANGED this round: topic_dir batch publish is now a
     #        two-pass (stage-hidden, then promote) atomic commit --
     "streaming_topic_dir_twin",
+    # -- 1c2. NEW this round: decontamination-at-ingest twin --
+    "streaming_decontaminate_twin",
     # -- 1d. CHANGED this round: the PGM codec round-trip is now fully
     #        oracle-certified (DuckDB reconstructs and hashes the resized
     #        payload analytically) — rows-only since r6, must earn a
@@ -125,10 +127,9 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "unpivot_part_metrics",
     "window_nav_lag_lead",
     "join_skew_salted",
-    "math_date_functions",
-    # (exactly 50 names; stats_moments, corr_covar_qty_discount,
-    # histogram_totalprice, cohort_retention and the r04 streaming twins
-    # rotate in r9)
+    # (exactly 50 names; math_date_functions, stats_moments,
+    # corr_covar_qty_discount, histogram_totalprice, cohort_retention and
+    # the r04 streaming twins rotate in r9)
 ]
 
 
