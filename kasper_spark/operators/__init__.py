@@ -16,4 +16,5 @@ from kasper_spark.operators import (  # noqa: F401
     io_formats,
     privacy,
     curation,
+    retrieval,
 )

@@ -1,0 +1,280 @@
+"""Keyword retrieval over the corpus (round 8): BM25 scoring and
+reciprocal-rank fusion of two independent rankers.
+
+The reference engine has no search tier — its closest surface is the
+Elasticsearch *sink* (/root/reference/elasticsearch.go:86-159), which
+delegates scoring to ES. A training-data platform needs the scoring
+in-engine: BM25 is how you mine topical subsets from a 100 TB corpus
+("all docs relevant to these benchmark queries") and RRF is the standard
+way to combine keyword relevance with an orthogonal signal (here the
+model-based quality logit) without tuning score scales.
+
+Cross-engine exactness discipline (same rules as functions/exact.py):
+- integer inputs everywhere (tf, df, dl, N are counts; the quality logit
+  is BIGINT by construction);
+- every double is produced by ONE identical expression tree over those
+  exact integers — IEEE ops on identical inputs are identically rounded,
+  so Spark and DuckDB emit bit-equal doubles;
+- the only cross-term accumulation (summing per-term BM25 contributions)
+  goes through decimal(30,12), so partition/engine order cannot move a
+  bit;
+- idf is the raw Robertson odds ratio (N - df + 0.5)/(df + 0.5) rather
+  than its logarithm: ln() is not bit-identical across libm
+  implementations, and per-term the odds form is a monotone transform of
+  the standard ln idf (rankings for single-term queries are identical;
+  for multi-term sums it weighs rare terms more aggressively — the
+  documented trade for hash-certifiability).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kasper_spark.catalog import load_table
+from kasper_spark.registry import register_query
+
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+_RRF_K = 60  # the standard RRF damping constant
+_RRF_DEPTH = 50  # per-ranker candidate depth fused
+
+# quality-logit ranker constants (kept in sync with operators/curation.py
+# by the import below — a drift there fails loudly here)
+from kasper_spark.operators.curation import _CLF_BIAS, _CLF_BUCKETS, _CLF_MIX
+
+
+def _toks_sql(col: str = "text") -> str:
+    return f"list_filter(string_split({col}, ' '), w -> w <> '')"
+
+
+_BM25_TERMS_SQL = ", ".join(f"('{t}')" for t in _BM25_TERMS)
+
+# One shared SQL body: per-(doc, term) BM25 contributions summed through
+# decimal. The tf>0 filter keeps the join sparse (a doc scores only the
+# terms it contains — absent terms contribute 0 in BM25 anyway).
+_BM25_CORE_SQL = f"""
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len({_toks_sql()})) AS BIGINT) AS total_tokens
+        FROM documents
+    ),
+    tf AS (
+        SELECT d.doc_id,
+               CAST(len({_toks_sql('d.text')}) AS BIGINT) AS dl,
+               t.term,
+               CAST(len(list_filter({_toks_sql('d.text')}, w -> w = t.term))
+                    AS BIGINT) AS tf
+        FROM documents d CROSS JOIN (VALUES {_BM25_TERMS_SQL}) AS t(term)
+    ),
+    df AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        FROM tf WHERE tf > 0 GROUP BY term
+    ),
+    contrib AS (
+        SELECT f.doc_id,
+               CAST(
+                   ((CAST(s.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+                    / (CAST(df.df AS DOUBLE) + 0.5))
+                   * ((CAST(f.tf AS DOUBLE) * {_BM25_K1 + 1.0})
+                      / (CAST(f.tf AS DOUBLE)
+                         + {_BM25_K1} * ({1.0 - _BM25_B}
+                             + ({_BM25_B} * CAST(f.dl AS DOUBLE))
+                               / (CAST(s.total_tokens AS DOUBLE)
+                                  / CAST(s.n_docs AS DOUBLE)))))
+                   AS DECIMAL(30, 12)) AS part
+        FROM tf f JOIN df USING (term) CROSS JOIN stats s
+        WHERE f.tf > 0
+    ),
+    bm25 AS (
+        SELECT doc_id,
+               CAST(SUM(part) AS DECIMAL(30, 12)) AS score_dec
+        FROM contrib GROUP BY doc_id
+    ),
+    bm25_ranked AS (
+        SELECT doc_id, score_dec,
+               ROW_NUMBER() OVER (ORDER BY score_dec DESC, doc_id) AS rk
+        FROM bm25
+    )
+"""
+
+
+def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared BM25 plan: (doc_id, score_dec, rank) over docs matching
+    at least one query term — the Spark twin of _BM25_CORE_SQL."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    base = docs.select(
+        "doc_id", toks.alias("t"), F.size(toks).cast("long").alias("dl")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_tokens"),
+    )
+    terms = F.explode(F.array(*[F.lit(t) for t in _BM25_TERMS])).alias("term")
+    tf = base.select("doc_id", "dl", "t", terms).select(
+        "doc_id",
+        "dl",
+        "term",
+        F.size(F.expr("filter(t, w -> w = term)")).cast("long").alias("tf"),
+    )
+    df_t = tf.filter(F.col("tf") > 0).groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")
+    idf = (
+        F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5))
+    tf_part = (F.col("tf").cast("double") * F.lit(_BM25_K1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + F.lit(_BM25_K1)
+        * (F.lit(1.0 - _BM25_B) + (F.lit(_BM25_B) * F.col("dl").cast("double")) / avgdl)
+    )
+    contrib = (
+        tf.filter(F.col("tf") > 0)
+        .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", (idf * tf_part).cast("decimal(30,12)").alias("part"))
+    )
+    bm25 = contrib.groupBy("doc_id").agg(
+        F.sum("part").cast("decimal(30,12)").alias("score_dec")
+    )
+    w = Window.orderBy(F.desc("score_dec"), F.asc("doc_id"))
+    return bm25.select(
+        "doc_id", "score_dec", F.row_number().over(w).alias("rank")
+    )
+
+
+@register_query(
+    "bm25_keyword_topk",
+    oracle=f"""
+    WITH {_BM25_CORE_SQL}
+    SELECT doc_id,
+           CAST(score_dec AS DOUBLE) AS bm25_score,
+           CAST(rk AS BIGINT) AS rank
+    FROM bm25_ranked WHERE rk <= {_BM25_TOPK}
+    """,
+)
+def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval: score every document against a fixed term
+    set (k1=1.2, b=0.75, odds-ratio idf — see module docstring) and return
+    the global top-20 with dense ranks.
+
+    Scale: the term list is a 3-row broadcast literal — per-doc tf/dl are
+    computed INSIDE the scan stage (array filter on the token array, no
+    explode, no shuffle); df and the corpus stats are two tiny aggregates
+    broadcast back. The only wide operation is the final top-k, which is
+    a rank-1 window over docs that matched at least one term — on a real
+    cluster TakeOrderedAndProject / WindowGroupLimit keeps per-partition
+    state at k rows. Nothing here is proportional to corpus size except
+    the single scan."""
+    ranked = _bm25_ranked(spark, sf_dir)
+    return ranked.filter(F.col("rank") <= _BM25_TOPK).select(
+        "doc_id",
+        F.col("score_dec").cast("double").alias("bm25_score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@register_query(
+    "rrf_fusion_topk",
+    oracle=f"""
+    WITH {_BM25_CORE_SQL},
+    kw AS (
+        SELECT doc_id, rk FROM bm25_ranked WHERE rk <= {_RRF_DEPTH}
+    ),
+    qual AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY logit DESC, doc_id) AS rk
+        FROM (
+            SELECT doc_id,
+                   {_CLF_BIAS} + list_sum(list_transform(
+                       {_toks_sql()},
+                       t -> ((CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT)
+                              % {_CLF_BUCKETS}) * {_CLF_MIX}) % 17 - 8
+                   )) AS logit
+            FROM documents
+        )
+        QUALIFY rk <= {_RRF_DEPTH}
+    ),
+    fused AS (
+        SELECT COALESCE(kw.doc_id, qual.doc_id) AS doc_id,
+               CAST(kw.rk AS BIGINT) AS kw_rank,
+               CAST(qual.rk AS BIGINT) AS quality_rank,
+               (CASE WHEN kw.rk IS NULL THEN 0.0
+                     ELSE 1.0 / CAST({_RRF_K} + kw.rk AS DOUBLE) END)
+               + (CASE WHEN qual.rk IS NULL THEN 0.0
+                       ELSE 1.0 / CAST({_RRF_K} + qual.rk AS DOUBLE) END)
+                   AS rrf_score
+        FROM kw FULL OUTER JOIN qual ON kw.doc_id = qual.doc_id
+    )
+    SELECT doc_id, kw_rank, quality_rank, rrf_score,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT)
+               AS fused_rank
+    FROM fused
+    QUALIFY fused_rank <= {_BM25_TOPK}
+    """,
+)
+def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two independent document rankers — BM25
+    keyword relevance and the model-based quality logit — the standard
+    scale-free way to combine heterogeneous signals (rrf = sum over lists
+    of 1/(60 + rank), docs missing from a list contribute 0). Returns the
+    fused top-20 with both source ranks exposed for audit.
+
+    Exactness: both input ranks are integers from deterministic
+    (score, doc_id) orders; each reciprocal is one exact-int double
+    division and the fusion adds exactly two such doubles in a fixed
+    expression order — bit-stable everywhere.
+
+    Scale: both rankers bound their lists to depth 50 before the fusion
+    join, so the full-outer join and final sort touch at most 100 rows no
+    matter the corpus size; the expensive parts (one scan per ranker —
+    sharable via cache) are the rankers themselves, already top-k-bounded
+    window plans."""
+    from pyspark.sql.window import Window
+
+    kw = (
+        _bm25_ranked(spark, sf_dir)
+        .filter(F.col("rank") <= _RRF_DEPTH)
+        .select("doc_id", F.col("rank").alias("kw_rank"))
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+
+    def weight(t):
+        bucket = (
+            F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint") % _CLF_BUCKETS
+        )
+        return (bucket * F.lit(_CLF_MIX)) % 17 - 8
+
+    logit = F.lit(_CLF_BIAS) + F.aggregate(
+        F.transform(toks, weight), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    wq = Window.orderBy(F.desc("logit"), F.asc("doc_id"))
+    qual = (
+        docs.select("doc_id", logit.alias("logit"))
+        .select("doc_id", F.row_number().over(wq).alias("quality_rank"))
+        .filter(F.col("quality_rank") <= _RRF_DEPTH)
+    )
+    fused = kw.join(qual, "doc_id", "full_outer").select(
+        "doc_id",
+        F.col("kw_rank").cast("long").alias("kw_rank"),
+        F.col("quality_rank").cast("long").alias("quality_rank"),
+        (
+            F.when(F.col("kw_rank").isNull(), F.lit(0.0)).otherwise(
+                F.lit(1.0) / (F.lit(_RRF_K) + F.col("kw_rank")).cast("double")
+            )
+            + F.when(F.col("quality_rank").isNull(), F.lit(0.0)).otherwise(
+                F.lit(1.0) / (F.lit(_RRF_K) + F.col("quality_rank")).cast("double")
+            )
+        ).alias("rrf_score"),
+    )
+    wf = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return fused.select(
+        "*", F.row_number().over(wf).cast("long").alias("fused_rank")
+    ).filter(F.col("fused_rank") <= _BM25_TOPK)

@@ -462,3 +462,98 @@ def gapfill_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").alias("sum_value"),
         F.last("s", ignorenulls=True).over(ffill).alias("filled_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trailing-EWMA anomaly detection (round 8)
+# ---------------------------------------------------------------------------
+
+_EWMA_K = 8  # trailing window length; weights 2^(K-1-j) halve per step back
+_EWMA_DEN = (1 << _EWMA_K) - 1  # sum of the K power-of-two weights = 255
+
+
+@register_query(
+    "ewma_anomaly_events",
+    oracle=f"""
+    WITH cents AS (
+        SELECT user_id, event_id, ts,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    lagged AS (
+        SELECT user_id, event_id, ts, cents,
+               {" + ".join(
+                   f"lag(cents, {j}) OVER w * {1 << (_EWMA_K - j)}"
+                   for j in range(1, _EWMA_K + 1)
+               )} AS num,
+               lag(cents, {_EWMA_K}) OVER w AS oldest
+        FROM cents
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, ts, cents,
+           CAST(num AS DOUBLE) / {_EWMA_DEN}.0 AS ewma,
+           CAST(cents * {_EWMA_DEN} AS DOUBLE) / CAST(num AS DOUBLE) AS ratio
+    FROM lagged
+    WHERE oldest IS NOT NULL
+      AND abs(cents * {_EWMA_DEN} - num) > 2 * num
+    """,
+)
+def ewma_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-EWMA anomaly detection over each user's event-value time
+    series: forecast the next value as the exponentially-weighted mean of
+    the previous K=8 observations (weights 2^(K-1-j), newest heaviest) and
+    flag events deviating from the forecast by more than 3x up or down
+    (|x - ewma| > 2*ewma). The reference engine has no analog (its only
+    clock is the processing-time ticker, topic_processor.go:193); this is
+    the per-entity drift/outlier gate a metrics or data-quality tier runs.
+
+    Cross-engine exactness: values are quantized once to integer cents
+    (round(value*100) on the identical parquet double — deterministic),
+    the weighted numerator is PURE BIGINT arithmetic (max ~49e6 * 255 <<
+    2^53), the anomaly predicate compares integers only, and the exposed
+    ewma/ratio are single exact-int double divisions — bit-identical on
+    any IEEE engine, no float accumulation anywhere.
+
+    Scale: one shuffle on user_id, then a per-user sort — the window is
+    embarrassingly parallel over entities (150 here, millions at 100 TB;
+    no global sort, no skew since per-user rows are bounded). The K lags
+    are one window spec evaluated in a single pass; emitting only
+    anomalies keeps the output a tiny fraction of the input."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = None
+    for j in range(1, _EWMA_K + 1):
+        term = F.lag("cents", j).over(w) * F.lit(1 << (_EWMA_K - j))
+        num = term if num is None else num + term
+    lagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "cents",
+        num.alias("num"),
+        F.lag("cents", _EWMA_K).over(w).alias("oldest"),
+    )
+    return (
+        lagged.filter(F.col("oldest").isNotNull())
+        .filter(
+            F.abs(F.col("cents") * _EWMA_DEN - F.col("num")) > 2 * F.col("num")
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "cents",
+            (F.col("num").cast("double") / float(_EWMA_DEN)).alias("ewma"),
+            (
+                (F.col("cents") * _EWMA_DEN).cast("double")
+                / F.col("num").cast("double")
+            ).alias("ratio"),
+        )
+    )

@@ -1216,3 +1216,103 @@ def pack_sequences_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "seq_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document boilerplate detection (round 8)
+# ---------------------------------------------------------------------------
+
+_BOILER_N = 4  # shingle width
+_BOILER_DF = 3  # a shingle in >= this many distinct docs is boilerplate
+
+
+@register_query(
+    "boilerplate_shingle_stats",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(t) - {_BOILER_N - 2}),
+                      i -> array_to_string(list_slice(t, i, i + {_BOILER_N - 1}), ' ')))
+                   AS shingle
+        FROM toks WHERE len(t) >= {_BOILER_N}
+    ),
+    df AS (
+        SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df
+        FROM sh GROUP BY shingle
+    ),
+    per_doc AS (
+        SELECT s.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_shingles,
+               CAST(COUNT(*) FILTER (WHERE df.df >= {_BOILER_DF}) AS BIGINT)
+                   AS n_boiler_shingles
+        FROM sh s JOIN df USING (shingle)
+        GROUP BY s.doc_id
+    )
+    SELECT doc_id, n_distinct_shingles, n_boiler_shingles,
+           CAST(n_boiler_shingles AS DOUBLE)
+               / CAST(n_distinct_shingles AS DOUBLE) AS boiler_ratio,
+           (CAST(n_boiler_shingles AS DOUBLE)
+               / CAST(n_distinct_shingles AS DOUBLE)) < 0.5 AS kept
+    FROM per_doc
+    """,
+)
+def boilerplate_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-document boilerplate detection — the C4-style cleaning signal
+    that catches headers/footers/navigation text repeated across a crawl:
+    a 4-gram shingle occurring in >= 3 DISTINCT documents is boilerplate;
+    each document reports how much of its distinct-shingle mass is
+    boilerplate and whether it survives a 50% gate. Complements
+    dup_ngram_quality (INTRA-doc repetition) — together they are the two
+    repetition axes a corpus cleaner filters on.
+
+    Cross-engine exactness: counts are integers; the ratio is one
+    exact-int double division (both counts < 2^53), bit-identical.
+
+    Scale: this is the one round-8 operator whose shuffle grows with total
+    shingle volume — (doc, shingle) distinct + groupBy(shingle) + a
+    shingle-keyed self join. That is the honest cost of exact global DF;
+    at 100 TB the standard cheapening is a count-min prefilter (see
+    countmin_heavy_hitters) so only candidate-heavy shingles take the
+    exact path — same two-stage discipline as ngram_decontaminate_bloom.
+    Per-doc re-aggregation shuffles on doc_id once."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    sh = (
+        docs.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= _BOILER_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (_BOILER_N - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, _BOILER_N)),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    df_t = sh.groupBy("shingle").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    per_doc = (
+        sh.join(df_t, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_shingles"),
+            F.sum(F.when(F.col("df") >= _BOILER_DF, 1).otherwise(0))
+            .cast("long")
+            .alias("n_boiler_shingles"),
+        )
+    )
+    ratio = F.col("n_boiler_shingles").cast("double") / F.col(
+        "n_distinct_shingles"
+    ).cast("double")
+    return per_doc.select(
+        "doc_id",
+        "n_distinct_shingles",
+        "n_boiler_shingles",
+        ratio.alias("boiler_ratio"),
+        (ratio < 0.5).alias("kept"),
+    )

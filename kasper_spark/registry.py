@@ -81,6 +81,12 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "streaming_topic_dir_twin",
     # -- 1c2. NEW this round: decontamination-at-ingest twin --
     "streaming_decontaminate_twin",
+    # -- 1e. NEW this round: trailing-EWMA anomalies, BM25 retrieval,
+    #        reciprocal-rank fusion, cross-doc boilerplate detection --
+    "ewma_anomaly_events",
+    "bm25_keyword_topk",
+    "rrf_fusion_topk",
+    "boilerplate_shingle_stats",
     # -- 1d. CHANGED this round: the PGM codec round-trip is now fully
     #        oracle-certified (DuckDB reconstructs and hashes the resized
     #        payload analytically) — rows-only since r6, must earn a
@@ -123,13 +129,10 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "pivot_segment_by_nation",
     "percentiles_quantity",
     "string_functions",
-    "grouping_sets_orders",
-    "unpivot_part_metrics",
-    "window_nav_lag_lead",
-    "join_skew_salted",
-    # (exactly 50 names; math_date_functions, stats_moments,
-    # corr_covar_qty_discount, histogram_totalprice, cohort_retention and
-    # the r04 streaming twins rotate in r9)
+    # (exactly 50 names; grouping_sets_orders, unpivot_part_metrics,
+    # window_nav_lag_lead, join_skew_salted, math_date_functions,
+    # stats_moments, corr_covar_qty_discount, histogram_totalprice,
+    # cohort_retention and the r04 streaming twins rotate in r9)
 ]
 
 

@@ -145,6 +145,8 @@ _INTENTIONAL_BNLJ = {
     "tfidf_top_terms",  # 1-row broadcast of the corpus doc count
     "unigram_rarity_quality",  # 1-row broadcast of the corpus token total
     "gapfill_hourly_events",  # bounded spine: distinct types x hour sequence
+    "bm25_keyword_topk",  # 1-row broadcast of corpus stats (N, avgdl)
+    "rrf_fusion_topk",  # same 1-row corpus-stats broadcast via BM25 ranker
 }
 # iterative/streaming queries execute during construction — skip plan-only audit
 _AUDIT_SKIP = {"neardup_clusters"}

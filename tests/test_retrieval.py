@@ -1,0 +1,167 @@
+"""Dedicated semantic tests for the round-8 retrieval + anomaly operators
+(bm25_keyword_topk, rrf_fusion_topk, ewma_anomaly_events,
+boilerplate_shingle_stats). Oracle parity is covered by
+test_oracle_parity.py; these pin the semantics a user relies on by
+recomputing each result independently in plain Python."""
+
+from __future__ import annotations
+
+import math
+
+from kasper_spark.catalog import load_table
+from kasper_spark.operators.retrieval import (
+    _BM25_B,
+    _BM25_K1,
+    _BM25_TERMS,
+    _BM25_TOPK,
+    _RRF_DEPTH,
+    _RRF_K,
+)
+from kasper_spark.operators.temporal import _EWMA_DEN, _EWMA_K
+from kasper_spark.operators.text import _BOILER_DF, _BOILER_N
+from kasper_spark.registry import QUERIES, load_all_operators
+from tests.conftest import SF_SMOKE
+
+load_all_operators()
+
+
+def _docs(spark):
+    return [
+        (r["doc_id"], [w for w in r["text"].split(" ") if w != ""])
+        for r in load_table(spark, SF_SMOKE, "documents").collect()
+    ]
+
+
+def _bm25_python(docs):
+    """Reference BM25 (odds-ratio idf) over the corpus, in floats — used
+    for ORDER checks, not bit-exactness (the operator certifies bits via
+    the decimal-summed oracle)."""
+    n = len(docs)
+    avgdl = sum(len(t) for _, t in docs) / n
+    df = {
+        term: sum(1 for _, t in docs if term in t) for term in _BM25_TERMS
+    }
+    scores = {}
+    for doc_id, t in docs:
+        s = 0.0
+        for term in _BM25_TERMS:
+            tf = t.count(term)
+            if tf == 0:
+                continue
+            idf = (n - df[term] + 0.5) / (df[term] + 0.5)
+            s += idf * (tf * (_BM25_K1 + 1)) / (
+                tf + _BM25_K1 * (1 - _BM25_B + _BM25_B * len(t) / avgdl)
+            )
+        if s > 0:
+            scores[doc_id] = s
+    return scores
+
+
+def test_bm25_topk_order_and_scores(spark):
+    docs = _docs(spark)
+    ref = _bm25_python(docs)
+    order = sorted(ref, key=lambda d: (-ref[d], d))[:_BM25_TOPK]
+    got = sorted(
+        (r.asDict() for r in QUERIES["bm25_keyword_topk"](spark, SF_SMOKE).collect()),
+        key=lambda r: r["rank"],
+    )
+    assert [r["doc_id"] for r in got] == order
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+    for r in got:
+        assert math.isclose(r["bm25_score"], ref[r["doc_id"]], rel_tol=1e-9)
+    # a top-ranked doc must actually contain at least one query term
+    by_id = dict(docs)
+    assert any(t in by_id[got[0]["doc_id"]] for t in _BM25_TERMS)
+
+
+def test_rrf_fusion_combines_both_rankers(spark):
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in QUERIES["rrf_fusion_topk"](spark, SF_SMOKE).collect()
+    }
+    assert len(rows) == _BM25_TOPK
+    for r in rows.values():
+        expect = 0.0
+        if r["kw_rank"] is not None:
+            assert 1 <= r["kw_rank"] <= _RRF_DEPTH
+            expect += 1.0 / (_RRF_K + r["kw_rank"])
+        if r["quality_rank"] is not None:
+            assert 1 <= r["quality_rank"] <= _RRF_DEPTH
+            expect += 1.0 / (_RRF_K + r["quality_rank"])
+        assert r["kw_rank"] is not None or r["quality_rank"] is not None
+        assert math.isclose(r["rrf_score"], expect, rel_tol=0, abs_tol=0)
+    # fused ranks are dense 1..k and ordered by score desc
+    ordered = sorted(rows.values(), key=lambda r: r["fused_rank"])
+    assert [r["fused_rank"] for r in ordered] == list(range(1, _BM25_TOPK + 1))
+    scores = [r["rrf_score"] for r in ordered]
+    assert scores == sorted(scores, reverse=True)
+    # a doc present in BOTH lists must outrank one with a single equal-rank
+    # appearance (the point of fusion); verified structurally: any doc in
+    # both lists scores > 1/(k+1), the max single-list score
+    both = [r for r in rows.values() if r["kw_rank"] and r["quality_rank"]]
+    for r in both:
+        assert r["rrf_score"] > 1.0 / (_RRF_K + 1)
+
+
+def test_ewma_anomaly_matches_python_recompute(spark):
+    events = sorted(
+        (
+            (r["user_id"], r["ts"], r["event_id"], round(r["value"] * 100))
+            for r in load_table(spark, SF_SMOKE, "events").collect()
+        ),
+        key=lambda e: (e[0], e[1], e[2]),
+    )
+    expect = {}
+    by_user: dict[int, list] = {}
+    for u, ts, eid, cents in events:
+        by_user.setdefault(u, []).append((ts, eid, int(cents)))
+    for u, seq in by_user.items():
+        for i in range(_EWMA_K, len(seq)):
+            num = sum(
+                seq[i - j][2] * (1 << (_EWMA_K - j)) for j in range(1, _EWMA_K + 1)
+            )
+            cents = seq[i][2]
+            if abs(cents * _EWMA_DEN - num) > 2 * num:
+                expect[seq[i][1]] = (u, cents, num / _EWMA_DEN)
+    got = {
+        r["event_id"]: (r["user_id"], r["cents"], r["ewma"])
+        for r in QUERIES["ewma_anomaly_events"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(expect)
+    assert len(got) > 0  # the detector fires at smoke scale
+    for eid, (u, cents, ewma) in expect.items():
+        gu, gc, ge = got[eid]
+        assert (gu, gc) == (u, cents)
+        assert math.isclose(ge, ewma, rel_tol=1e-12)
+    # anomalies are a minority — the gate is selective (the synthetic
+    # values swing ~5 orders of magnitude, so ~10% trip the 3x band)
+    assert len(got) < len(events) / 5
+
+
+def test_boilerplate_stats_match_python_recompute(spark):
+    docs = _docs(spark)
+    doc_shingles = {
+        doc_id: {
+            " ".join(t[i : i + _BOILER_N]) for i in range(len(t) - _BOILER_N + 1)
+        }
+        for doc_id, t in docs
+        if len(t) >= _BOILER_N
+    }
+    df: dict[str, int] = {}
+    for shs in doc_shingles.values():
+        for s in shs:
+            df[s] = df.get(s, 0) + 1
+    boiler = {s for s, c in df.items() if c >= _BOILER_DF}
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in QUERIES["boilerplate_shingle_stats"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(doc_shingles)
+    for doc_id, shs in doc_shingles.items():
+        r = got[doc_id]
+        assert r["n_distinct_shingles"] == len(shs)
+        assert r["n_boiler_shingles"] == len(shs & boiler)
+        assert math.isclose(
+            r["boiler_ratio"], len(shs & boiler) / len(shs), rel_tol=1e-15
+        )
+        assert r["kept"] == (len(shs & boiler) / len(shs) < 0.5)
