@@ -993,3 +993,149 @@ from kasper_spark.registry import ORACLES as _OR  # noqa: E402
 
 assert "ngram_decontaminate" in _OR, "batch decontamination oracle missing"
 _OR["streaming_decontaminate_twin"] = _OR["ngram_decontaminate"]
+
+
+@register_query(
+    "streaming_ewma_anomaly_twin",
+    # identical output contract to the batch operator -> same oracle
+    oracle=None,  # bound below from the registry (temporal registers first)
+)
+def streaming_ewma_anomaly_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-EWMA anomaly detection AT INGEST: the per-user K=8 value
+    history lives in the streaming state store and each arriving event is
+    judged against the forecast from state — the alerting shape, where
+    anomalies must fire as data lands, not in a nightly batch.
+
+    Unlike the stateless twins, this operator's answer depends on ORDER:
+    state must see each user's events in event-time order ACROSS
+    micro-batches. The feed stages the events into four contiguous
+    time-range files (file i's max ts <= file i+1's min ts) consumed with
+    maxFilesPerTrigger=1, so the state genuinely carries trailing windows
+    over batch boundaries — within a batch the handler sorts its group's
+    rows by (ts, event_id), the same total order the batch operator's
+    window uses. In production the same contract comes from the source
+    (kafka per-key ordering within a partition + event-time reorder
+    buffering); availableNow over time-split files reproduces it exactly,
+    which is what lets the batch oracle certify the streaming path
+    bit-for-bit.
+
+    State is a per-user JSON list of the last K integer cents (~60 bytes)
+    — millions of users fit one executor's RocksDB store; all arithmetic
+    is the batch operator's BIGINT/exact-int-division discipline, in
+    Python ints (arbitrary precision) and one float division each, so the
+    emitted doubles are bit-identical to the JVM's and DuckDB's."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+    from pyspark.sql.window import Window
+
+    from kasper_spark.operators.temporal import _EWMA_DEN, _EWMA_K
+
+    work = tempfile.mkdtemp(prefix="kasper-sewma-")
+    src_dir = os.path.join(work, "src")
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ck")
+    os.makedirs(src_dir)
+
+    # --- stage the feed: 4 contiguous time-range files, written in order
+    # (increasing mtimes => FileStreamSource discovers them oldest-first)
+    ensure_nanos_as_long(spark)
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev = normalize_driver_ts(raw, ("ts",)).select("user_id", "event_id", "ts", "value")
+    bucketed = ev.select(
+        "*", F.ntile(4).over(Window.orderBy("ts", "event_id")).alias("bucket")
+    )
+    for i in range(1, 5):
+        bucketed.filter(F.col("bucket") == i).drop("bucket").coalesce(1).write.parquet(
+            os.path.join(src_dir, f"range={i:02d}")
+        )
+
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(os.path.join(src_dir, "range=*"))
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("cents", LongType()),
+            StructField("ewma", DoubleType()),
+            StructField("ratio", DoubleType()),
+        ]
+    )
+    state_schema = StructType([StructField("hist_json", StringType())])
+    k, den = _EWMA_K, _EWMA_DEN
+
+    def detect(key, pdf_iter, state):
+        # nested imports: must pickle by value (workers run from foreign cwd)
+        import json
+
+        import pandas as pd
+
+        hist = json.loads(state.get[0]) if state.exists else []
+        rows = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+        out = []
+        for r in rows.itertuples():
+            cents = int(r.cents)
+            if len(hist) >= k:
+                num = sum(
+                    hist[-j] * (1 << (k - j)) for j in range(1, k + 1)
+                )
+                if abs(cents * den - num) > 2 * num:
+                    out.append(
+                        (
+                            int(r.user_id),
+                            int(r.event_id),
+                            r.ts,
+                            cents,
+                            num / float(den),
+                            (cents * den) / float(num),
+                        )
+                    )
+            hist.append(cents)
+            if len(hist) > k:
+                hist = hist[-k:]
+        state.update((json.dumps(hist),))
+        yield pd.DataFrame(
+            out, columns=["user_id", "event_id", "ts", "cents", "ewma", "ratio"]
+        )
+
+    anomalies = stream.groupBy("user_id").applyInPandasWithState(
+        detect,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def sink_batch(df, epoch_id: int) -> None:
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch={epoch_id}"))
+
+    q = (
+        anomalies.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
+
+
+assert "ewma_anomaly_events" in _OR, "batch EWMA oracle missing"
+_OR["streaming_ewma_anomaly_twin"] = _OR["ewma_anomaly_events"]

@@ -84,6 +84,7 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     # -- 1e. NEW this round: trailing-EWMA anomalies, BM25 retrieval,
     #        reciprocal-rank fusion, cross-doc boilerplate detection --
     "ewma_anomaly_events",
+    "streaming_ewma_anomaly_twin",
     "bm25_keyword_topk",
     "rrf_fusion_topk",
     "boilerplate_shingle_stats",
@@ -128,8 +129,7 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "stratified_topn_md5",
     "pivot_segment_by_nation",
     "percentiles_quantity",
-    "string_functions",
-    # (exactly 50 names; grouping_sets_orders, unpivot_part_metrics,
+    # (exactly 50 names; string_functions, grouping_sets_orders, unpivot_part_metrics,
     # window_nav_lag_lead, join_skew_salted, math_date_functions,
     # stats_moments, corr_covar_qty_discount, histogram_totalprice,
     # cohort_retention and the r04 streaming twins rotate in r9)

@@ -165,3 +165,19 @@ def test_boilerplate_stats_match_python_recompute(spark):
             r["boiler_ratio"], len(shs & boiler) / len(shs), rel_tol=1e-15
         )
         assert r["kept"] == (len(shs & boiler) / len(shs) < 0.5)
+
+
+def test_streaming_ewma_twin_equals_batch(spark):
+    """The streaming twin (per-user state over a time-ordered 4-file feed)
+    must emit exactly the batch operator's anomaly set — the §1.3
+    stream/batch convergence contract for an ORDER-dependent operator."""
+    batch = {
+        r["event_id"]: (r["user_id"], r["cents"], r["ewma"], r["ratio"])
+        for r in QUERIES["ewma_anomaly_events"](spark, SF_SMOKE).collect()
+    }
+    stream = {
+        r["event_id"]: (r["user_id"], r["cents"], r["ewma"], r["ratio"])
+        for r in QUERIES["streaming_ewma_anomaly_twin"](spark, SF_SMOKE).collect()
+    }
+    assert stream == batch
+    assert len(stream) > 0
