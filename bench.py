@@ -56,6 +56,8 @@ HEADLINE = [
     "ngram_decontaminate_bloom",  # packed-bloom prefilter + exact verify
     "doc_chunk_overlap",      # narrow context-window chunking, 0 exchanges
     "curation_pipeline_e2e",  # the whole curation tier in one plan
+    "bm25_keyword_topk",      # in-engine BM25, distributed top-k
+    "ewma_anomaly_events",    # per-entity trailing-EWMA anomaly gate
 ]
 
 
