@@ -832,3 +832,149 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum(F.length("chunk").cast("long")).alias("chunk_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget-constrained corpus selection (round 8)
+# ---------------------------------------------------------------------------
+
+
+@register_query(
+    "token_budget_select",
+    # The oracle states the NAIVE spec: one global order (quality desc,
+    # md5, doc_id), keep the prefix whose running token total stays within
+    # the budget. The Spark plan computes the SAME set scalably (two-pass
+    # threshold; see the function docstring) — equality of the two is
+    # exactly what the hash check certifies.
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+                    AS BIGINT) AS n_tokens,
+               CAST({_CLF_BIAS} + list_sum(list_transform(
+                   list_filter(string_split(text, ' '), w -> w <> ''),
+                   t -> ((CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT)
+                          % {_CLF_BUCKETS}) * {_CLF_MIX}) % 17 - 8
+               )) AS BIGINT) AS logit,
+               md5(CAST(doc_id AS VARCHAR) || '/budget-1') AS tie
+        FROM documents
+    ),
+    budget AS (
+        SELECT CAST(SUM(n_tokens) // 3 AS BIGINT) AS b FROM scored
+    ),
+    runsum AS (
+        SELECT doc_id, source, n_tokens, logit,
+               SUM(n_tokens) OVER (
+                   ORDER BY logit DESC, tie, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM scored
+    )
+    SELECT r.doc_id, r.source, r.n_tokens, r.logit
+    FROM runsum r CROSS JOIN budget
+    WHERE r.cum <= budget.b
+    """,
+)
+def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill a TOKEN BUDGET with the highest-quality documents — the
+    selection step that turns "we can afford N tokens of pretraining data"
+    into a concrete keep list. Spec: order docs by (quality logit desc,
+    portable md5 tie-break), keep the prefix whose running token total
+    stays within budget = total_tokens/3.
+
+    The naive spec is a GLOBAL running sum — a single-partition window
+    that dies at 100 TB. This plan computes the identical set in two
+    passes, which is the point of the operator:
+
+    1. bucket pass: aggregate (sum_tokens) per distinct logit value — the
+       histogram is |distinct scores| rows (bounded by the classifier's
+       integer score range, thousands, NOT corpus-sized), so its
+       descending cumulative window is effectively free;
+    2. threshold: every doc in a bucket whose cumulative total fits
+       entirely is kept outright (map-side broadcast-join decision, no
+       per-doc window); only the single BOUNDARY bucket ranks its own
+       docs (md5 order) through a running sum over a 1/|buckets| slice
+       to spend the remaining budget.
+
+    The DuckDB oracle runs the naive global spec; the hash match proves
+    the two-pass plan selects the exact same documents — the
+    oracle-as-spec, plan-as-scale-path discipline this repo uses for
+    every scalable rewrite.
+
+    Exactness: tokens/logits/cumulative sums are all BIGINT; the only
+    strings are md5 tie-breaks (portable); no floats anywhere."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+
+    def weight(t: Column) -> Column:
+        bucket = (
+            F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
+            % _CLF_BUCKETS
+        )
+        return (bucket * F.lit(_CLF_MIX)) % 17 - 8
+
+    logit = (
+        F.lit(_CLF_BIAS)
+        + F.aggregate(
+            F.transform(toks, weight), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        )
+    ).cast("bigint")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("long").alias("n_tokens"),
+        logit.alias("logit"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("/budget-1"))).alias(
+            "tie"
+        ),
+    )
+    scored = cut_lineage(scored)  # feeds histogram + budget + doc passes once
+
+    budget = scored.agg(
+        (F.sum("n_tokens") / 3).cast("long").alias("b")  # floor: exact ints
+    )
+    # pass 1: per-score histogram + descending cumulative totals (histogram-
+    # sized window: |distinct logits| rows, NOT corpus-sized)
+    hist = scored.groupBy("logit").agg(F.sum("n_tokens").alias("btok"))
+    wcum = Window.orderBy(F.desc("logit")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "logit",
+        F.sum("btok").over(wcum).alias("cum"),
+        (F.sum("btok").over(wcum) - F.col("btok")).alias("cum_before"),
+    ).crossJoin(F.broadcast(budget))
+    decisions = cum.select(
+        "logit",
+        (F.col("cum") <= F.col("b")).alias("full_keep"),
+        # boundary: the first bucket that overflows; it gets what's left
+        ((F.col("cum") > F.col("b")) & (F.col("cum_before") <= F.col("b"))).alias(
+            "boundary"
+        ),
+        (F.col("b") - F.col("cum_before")).alias("remaining"),
+    ).filter(F.col("full_keep") | F.col("boundary"))
+
+    joined = scored.join(F.broadcast(decisions), "logit")
+    kept_full = joined.filter(F.col("full_keep")).select(
+        "doc_id", "source", "n_tokens", "logit"
+    )
+    # pass 2: only the boundary bucket's docs rank + running-sum (a
+    # 1/|buckets| slice of the corpus, partitioned by its single logit key)
+    wb = Window.partitionBy("logit").orderBy("tie", "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    kept_boundary = (
+        joined.filter(F.col("boundary"))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "logit",
+            (F.sum("n_tokens").over(wb) <= F.col("remaining")).alias("fits"),
+        )
+        .filter(F.col("fits"))
+        .drop("fits")
+    )
+    return kept_full.unionByName(kept_boundary)

@@ -343,3 +343,47 @@ def test_e2e_equals_composed_stages(spark):
         for k, r in _rows(spark, "curation_pipeline_e2e", ["source"]).items()
     }
     assert got == expect
+
+
+def test_token_budget_select_matches_greedy_prefix(spark):
+    """The two-pass threshold plan must equal the naive greedy prefix:
+    order docs by (logit desc, md5 tie, doc_id), keep while the running
+    token total stays within budget = total_tokens // 3."""
+    docs = [
+        (r["doc_id"], r["source"], r["text"])
+        for r in load_table(spark, SF_SMOKE, "documents").collect()
+    ]
+
+    def logit(text: str) -> int:
+        s = _CLF_BIAS
+        for t in text.split(" "):
+            if t == "":
+                continue
+            bucket = int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % _CLF_BUCKETS
+            s += (bucket * _CLF_MIX) % 17 - 8
+        return s
+
+    scored = [
+        (
+            d,
+            src,
+            len([w for w in t.split(" ") if w != ""]),
+            logit(t),
+            hashlib.md5(f"{d}/budget-1".encode()).hexdigest(),
+        )
+        for d, src, t in docs
+    ]
+    budget = sum(n for _, _, n, _, _ in scored) // 3
+    order = sorted(scored, key=lambda r: (-r[3], r[4], r[0]))
+    expect, cum = {}, 0
+    for d, src, n, lg, _ in order:
+        cum += n
+        if cum > budget:
+            break  # prefix semantics: cum only grows, nothing later fits
+        expect[d] = (src, n, lg)
+    got = {
+        r["doc_id"]: (r["source"], r["n_tokens"], r["logit"])
+        for r in QUERIES["token_budget_select"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    assert 0 < len(got) < len(docs)  # the budget actually binds

@@ -147,6 +147,7 @@ _INTENTIONAL_BNLJ = {
     "gapfill_hourly_events",  # bounded spine: distinct types x hour sequence
     "bm25_keyword_topk",  # 1-row broadcast of corpus stats (N, avgdl)
     "rrf_fusion_topk",  # same 1-row corpus-stats broadcast via BM25 ranker
+    "token_budget_select",  # 1-row broadcast of the global token budget
 }
 # iterative/streaming queries execute during construction — skip plan-only audit
 _AUDIT_SKIP = {"neardup_clusters"}
