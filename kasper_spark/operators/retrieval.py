@@ -278,3 +278,115 @@ def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.select(
         "*", F.row_number().over(wf).cast("long").alias("fused_rank")
     ).filter(F.col("fused_rank") <= _BM25_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid search: lexical BM25 + semantic cosine, RRF-fused
+# ---------------------------------------------------------------------------
+
+_HYBRID_QUERY_VEC = 0  # "more like doc 0" — the semantic query anchor
+
+from kasper_spark.operators.similarity import dot_exact_sql as _dot_sql  # noqa: E402
+
+
+@register_query(
+    "hybrid_search_topk",
+    oracle=f"""
+    WITH {_BM25_CORE_SQL},
+    kw AS (
+        SELECT doc_id, rk FROM bm25_ranked WHERE rk <= {_RRF_DEPTH}
+    ),
+    qv AS (
+        SELECT embedding AS qe,
+               sqrt({_dot_sql('embedding', 'embedding')}) AS qn
+        FROM embeddings WHERE vec_id = {_HYBRID_QUERY_VEC}
+    ),
+    vec AS (
+        SELECT vec_id AS doc_id,
+               ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS rk
+        FROM (
+            SELECT e.vec_id,
+                   {_dot_sql('q.qe', 'e.embedding')}
+                       / (q.qn * sqrt({_dot_sql('e.embedding', 'e.embedding')}))
+                       AS cosine
+            FROM embeddings e CROSS JOIN qv q
+        )
+        QUALIFY rk <= {_RRF_DEPTH}
+    ),
+    fused AS (
+        SELECT COALESCE(kw.doc_id, vec.doc_id) AS doc_id,
+               CAST(kw.rk AS BIGINT) AS kw_rank,
+               CAST(vec.rk AS BIGINT) AS vec_rank,
+               (CASE WHEN kw.rk IS NULL THEN 0.0
+                     ELSE 1.0 / CAST({_RRF_K} + kw.rk AS DOUBLE) END)
+               + (CASE WHEN vec.rk IS NULL THEN 0.0
+                       ELSE 1.0 / CAST({_RRF_K} + vec.rk AS DOUBLE) END)
+                   AS rrf_score
+        FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.doc_id
+    )
+    SELECT doc_id, kw_rank, vec_rank, rrf_score,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT)
+               AS fused_rank
+    FROM fused
+    QUALIFY fused_rank <= {_BM25_TOPK}
+    """,
+)
+def hybrid_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval — the RAG-stack shape: a lexical ranking (BM25 on
+    the fixed term set) and a semantic ranking (exact cosine against doc
+    0's embedding — documents and embeddings share the id space 1:1)
+    fused with reciprocal ranks. Lexical catches exact keyword hits the
+    embedding misses; the embedding catches paraphrases with zero term
+    overlap; RRF combines them without score calibration.
+
+    Exactness: cosines use the decimal-exact dot (similarity.dot_exact),
+    so the semantic ordering is bit-identical across engines; ranks and
+    reciprocals follow the rrf_fusion_topk discipline.
+
+    Scale: the semantic side is the ann baseline shape — ONE query vector
+    broadcast against a map-side cosine scan, top-k'd by
+    TakeOrderedAndProject; for real query volumes it swaps to the
+    LSH/IVF candidate path (ann_lsh_topk / ann_ivf_topk) with identical
+    fusion plumbing. Both lists are depth-bounded before the join."""
+    from pyspark.sql.window import Window
+
+    from kasper_spark.operators.similarity import dot_exact, norm_exact
+
+    kw = (
+        _bm25_ranked(spark, sf_dir)
+        .filter(F.col("rank") <= _RRF_DEPTH)
+        .select("doc_id", F.col("rank").alias("kw_rank"))
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == _HYBRID_QUERY_VEC).select(
+        F.col("embedding").alias("qe"), norm_exact(F.col("embedding")).alias("qn")
+    )
+    scored = emb.crossJoin(F.broadcast(qv)).select(
+        F.col("vec_id").alias("doc_id"),
+        (
+            dot_exact(F.col("qe"), F.col("embedding"))
+            / (F.col("qn") * norm_exact(F.col("embedding")))
+        ).alias("cosine"),
+    )
+    wv = Window.orderBy(F.desc("cosine"), F.asc("doc_id"))
+    vec = (
+        scored.select("doc_id", F.row_number().over(wv).alias("vec_rank"))
+        .filter(F.col("vec_rank") <= _RRF_DEPTH)
+    )
+    fused = kw.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        F.col("kw_rank").cast("long").alias("kw_rank"),
+        F.col("vec_rank").cast("long").alias("vec_rank"),
+        (
+            F.when(F.col("kw_rank").isNull(), F.lit(0.0)).otherwise(
+                F.lit(1.0) / (F.lit(_RRF_K) + F.col("kw_rank")).cast("double")
+            )
+            + F.when(F.col("vec_rank").isNull(), F.lit(0.0)).otherwise(
+                F.lit(1.0) / (F.lit(_RRF_K) + F.col("vec_rank")).cast("double")
+            )
+        ).alias("rrf_score"),
+    )
+    wf = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return fused.select(
+        "*", F.row_number().over(wf).cast("long").alias("fused_rank")
+    ).filter(F.col("fused_rank") <= _BM25_TOPK)

@@ -148,6 +148,7 @@ _INTENTIONAL_BNLJ = {
     "bm25_keyword_topk",  # 1-row broadcast of corpus stats (N, avgdl)
     "rrf_fusion_topk",  # same 1-row corpus-stats broadcast via BM25 ranker
     "token_budget_select",  # 1-row broadcast of the global token budget
+    "hybrid_search_topk",  # 1-row query-vector broadcast + corpus-stats broadcast
 }
 # iterative/streaming queries execute during construction — skip plan-only audit
 _AUDIT_SKIP = {"neardup_clusters"}

@@ -181,3 +181,41 @@ def test_streaming_ewma_twin_equals_batch(spark):
     }
     assert stream == batch
     assert len(stream) > 0
+
+
+def test_hybrid_search_fuses_lexical_and_semantic(spark):
+    """Hybrid = RRF of the BM25 list and the exact-cosine list anchored at
+    doc 0's embedding; recompute both rankings independently."""
+    import numpy as np
+
+    docs = _docs(spark)
+    ref = _bm25_python(docs)
+    kw_order = sorted(ref, key=lambda d: (-ref[d], d))[:_RRF_DEPTH]
+    kw_rank = {d: i + 1 for i, d in enumerate(kw_order)}
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, SF_SMOKE, "embeddings").collect()
+    }
+    q = emb[0]
+    cos = {
+        v: float(q @ e / (np.linalg.norm(q) * np.linalg.norm(e)))
+        for v, e in emb.items()
+    }
+    vec_order = sorted(cos, key=lambda v: (-cos[v], v))[:_RRF_DEPTH]
+    vec_rank = {v: i + 1 for i, v in enumerate(vec_order)}
+    rrf = {
+        d: (1.0 / (_RRF_K + kw_rank[d]) if d in kw_rank else 0.0)
+        + (1.0 / (_RRF_K + vec_rank[d]) if d in vec_rank else 0.0)
+        for d in set(kw_rank) | set(vec_rank)
+    }
+    expect = sorted(rrf, key=lambda d: (-rrf[d], d))[:_BM25_TOPK]
+    got = sorted(
+        (r.asDict() for r in QUERIES["hybrid_search_topk"](spark, SF_SMOKE).collect()),
+        key=lambda r: r["fused_rank"],
+    )
+    assert [r["doc_id"] for r in got] == expect
+    # the semantic anchor itself must lead the vector list
+    assert vec_order[0] == 0
+    for r in got:
+        assert r["kw_rank"] == kw_rank.get(r["doc_id"])
+        assert r["vec_rank"] == vec_rank.get(r["doc_id"])
