@@ -1562,3 +1562,120 @@ def map_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_big_statuses"
         ),
     ).orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# Rank-based winsorization (round 8)
+# ---------------------------------------------------------------------------
+
+_WINS_LO_PCT = 5  # clip below the p05 rank value
+_WINS_HI_PCT = 95  # and above the p95 rank value
+
+
+@register_query(
+    "winsorize_event_values",
+    # The oracle states the NAIVE spec: rank every row per type and read
+    # the values at the ceil(q*n) rank positions. The Spark plan computes
+    # the identical bounds from a value histogram (see docstring).
+    oracle=f"""
+    WITH cents AS (
+        SELECT event_type, event_id,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, cents,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY cents, event_id
+               ) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM cents
+    ),
+    bounds AS (
+        SELECT event_type,
+               CAST(MAX(n) AS BIGINT) AS n,
+               CAST(MIN(CASE WHEN rk >= ({_WINS_LO_PCT} * n + 99) // 100
+                             THEN cents END) AS BIGINT) AS lo_cents,
+               CAST(MIN(CASE WHEN rk >= ({_WINS_HI_PCT} * n + 99) // 100
+                             THEN cents END) AS BIGINT) AS hi_cents
+        FROM ranked GROUP BY event_type
+    )
+    SELECT c.event_type, b.n, b.lo_cents, b.hi_cents,
+           CAST(COUNT(CASE WHEN c.cents < b.lo_cents THEN 1 END) AS BIGINT)
+               AS n_clipped_low,
+           CAST(COUNT(CASE WHEN c.cents > b.hi_cents THEN 1 END) AS BIGINT)
+               AS n_clipped_high,
+           CAST(SUM(LEAST(GREATEST(c.cents, b.lo_cents), b.hi_cents))
+                AS BIGINT) AS sum_cents_clipped
+    FROM cents c JOIN bounds b USING (event_type)
+    GROUP BY c.event_type, b.n, b.lo_cents, b.hi_cents
+    """,
+)
+def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based winsorization per event type: clip values below the
+    p05-rank value and above the p95-rank value (rank r_q = ceil(q*n),
+    pure integers — NOT interpolated percentiles, so the bounds are
+    actual data values and exact on every engine). Emits per-type bounds,
+    clip counts, and the clipped sum — the robust-scaling step feature
+    pipelines run before normalization so a single corrupt 1e9 reading
+    cannot stretch the feature range.
+
+    The oracle states the naive spec (a per-type ROW_NUMBER over every
+    row — a full sort of the fact table). This plan computes the same
+    bounds WITHOUT sorting rows: values are integer cents, so a
+    (type, cents) count histogram + a cumulative window over the
+    histogram (|distinct values| rows per type, not |rows|) finds the
+    rank thresholds; the bounds broadcast back for a map-side clip +
+    partial agg. Same oracle-as-spec / plan-as-scale-path discipline as
+    token_budget_select. Shuffles: one on (type, cents) groups, one on
+    type — both carry aggregates, never raw rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    hist = ev.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "cents",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    # rank thresholds: ceil(q*n) in pure integer arithmetic
+    r_lo = F.floor((_WINS_LO_PCT * F.col("n") + 99) / 100).cast("bigint")
+    r_hi = F.floor((_WINS_HI_PCT * F.col("n") + 99) / 100).cast("bigint")
+    bounds = cum.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.min(F.when(F.col("cum") >= r_lo, F.col("cents")))
+        .cast("long")
+        .alias("lo_cents"),
+        F.min(F.when(F.col("cum") >= r_hi, F.col("cents")))
+        .cast("long")
+        .alias("hi_cents"),
+    )
+    clipped = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "n",
+        "lo_cents",
+        "hi_cents",
+        "cents",
+        F.least(F.greatest(F.col("cents"), F.col("lo_cents")), F.col("hi_cents")).alias(
+            "cc"
+        ),
+    )
+    return clipped.groupBy("event_type", "n", "lo_cents", "hi_cents").agg(
+        F.sum(F.when(F.col("cents") < F.col("lo_cents"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clipped_low"),
+        F.sum(F.when(F.col("cents") > F.col("hi_cents"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clipped_high"),
+        F.sum("cc").cast("long").alias("sum_cents_clipped"),
+    )

@@ -219,3 +219,31 @@ def test_hybrid_search_fuses_lexical_and_semantic(spark):
     for r in got:
         assert r["kw_rank"] == kw_rank.get(r["doc_id"])
         assert r["vec_rank"] == vec_rank.get(r["doc_id"])
+
+
+def test_winsorize_matches_python_recompute(spark):
+    """Histogram-derived bounds must equal the naive rank spec: the value
+    at rank ceil(q*n) per event type; clip counts and clipped sum follow."""
+    ev = [
+        (r["event_type"], int(round(r["value"] * 100)))
+        for r in load_table(spark, SF_SMOKE, "events").collect()
+    ]
+    by_type: dict[str, list[int]] = {}
+    for t, c in ev:
+        by_type.setdefault(t, []).append(c)
+    got = {
+        r["event_type"]: r.asDict()
+        for r in QUERIES["winsorize_event_values"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(by_type)
+    for t, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        lo = vals[(5 * n + 99) // 100 - 1]   # rank is 1-based
+        hi = vals[(95 * n + 99) // 100 - 1]
+        r = got[t]
+        assert (r["n"], r["lo_cents"], r["hi_cents"]) == (n, lo, hi)
+        assert r["n_clipped_low"] == sum(1 for c in vals if c < lo)
+        assert r["n_clipped_high"] == sum(1 for c in vals if c > hi)
+        assert r["sum_cents_clipped"] == sum(min(max(c, lo), hi) for c in vals)
+        assert lo <= hi
