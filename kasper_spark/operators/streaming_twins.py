@@ -995,6 +995,46 @@ assert "ngram_decontaminate" in _OR, "batch decontamination oracle missing"
 _OR["streaming_decontaminate_twin"] = _OR["ngram_decontaminate"]
 
 
+def _staged_ewma_feed(spark: SparkSession, sf_dir: str, prefix: str):
+    """Stage events into 4 contiguous time-range files (file i's max ts <=
+    file i+1's min ts; increasing mtimes => FileStreamSource discovers them
+    oldest-first) and open them as a maxFilesPerTrigger=1 cents stream —
+    the event-time-ordered feed both EWMA twins consume. Returns
+    (stream, out_dir, ckpt_dir)."""
+    from pyspark.sql.window import Window
+
+    work = tempfile.mkdtemp(prefix=prefix)
+    src_dir = os.path.join(work, "src")
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ck")
+    os.makedirs(src_dir)
+
+    ensure_nanos_as_long(spark)
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev = normalize_driver_ts(raw, ("ts",)).select("user_id", "event_id", "ts", "value")
+    bucketed = ev.select(
+        "*", F.ntile(4).over(Window.orderBy("ts", "event_id")).alias("bucket")
+    )
+    for i in range(1, 5):
+        bucketed.filter(F.col("bucket") == i).drop("bucket").coalesce(1).write.parquet(
+            os.path.join(src_dir, f"range={i:02d}")
+        )
+
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(os.path.join(src_dir, "range=*"))
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    return stream, out_dir, ckpt
+
+
 @register_query(
     "streaming_ewma_anomaly_twin",
     # identical output contract to the batch operator -> same oracle
@@ -1037,37 +1077,7 @@ def streaming_ewma_anomaly_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kasper_spark.operators.temporal import _EWMA_DEN, _EWMA_K
 
-    work = tempfile.mkdtemp(prefix="kasper-sewma-")
-    src_dir = os.path.join(work, "src")
-    out_dir = os.path.join(work, "out")
-    ckpt = os.path.join(work, "ck")
-    os.makedirs(src_dir)
-
-    # --- stage the feed: 4 contiguous time-range files, written in order
-    # (increasing mtimes => FileStreamSource discovers them oldest-first)
-    ensure_nanos_as_long(spark)
-    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    ev = normalize_driver_ts(raw, ("ts",)).select("user_id", "event_id", "ts", "value")
-    bucketed = ev.select(
-        "*", F.ntile(4).over(Window.orderBy("ts", "event_id")).alias("bucket")
-    )
-    for i in range(1, 5):
-        bucketed.filter(F.col("bucket") == i).drop("bucket").coalesce(1).write.parquet(
-            os.path.join(src_dir, f"range={i:02d}")
-        )
-
-    stream = (
-        spark.readStream.schema("user_id long, event_id long, ts timestamp, value double")
-        .option("maxFilesPerTrigger", "1")
-        .format("parquet")
-        .load(os.path.join(src_dir, "range=*"))
-        .select(
-            "user_id",
-            "event_id",
-            "ts",
-            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
-        )
-    )
+    stream, out_dir, ckpt = _staged_ewma_feed(spark, sf_dir, "kasper-sewma-")
 
     out_schema = StructType(
         [
@@ -1139,3 +1149,60 @@ def streaming_ewma_anomaly_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 assert "ewma_anomaly_events" in _OR, "batch EWMA oracle missing"
 _OR["streaming_ewma_anomaly_twin"] = _OR["ewma_anomaly_events"]
+
+
+@register_query(
+    "streaming_ewma_tws_twin",
+    # identical output contract -> same oracle as the batch operator
+    oracle=None,  # bound below
+)
+def streaming_ewma_tws_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EWMA anomaly detector on the STATE-V2 runtime
+    (transformWithStateInPandas): same time-ordered 4-file feed and
+    per-user trailing-window state as streaming_ewma_anomaly_twin, but the
+    state lives in a typed ValueState behind the Spark-4 StatefulProcessor
+    protocol (JVM state server, protobuf transport, RocksDB column
+    families). With streaming_tws_count_twin this makes TWO certified
+    state-v2 operators — a running aggregation and an ORDER-dependent
+    detector — both hash-checked against batch oracles.
+
+    Driver-session plumbing mirrors streaming_tws_count_twin: ship the
+    protobuf shim to workers before the UDF exists, and pin the RocksDB
+    provider for the query's lifetime (bare sessions default to the
+    single-column-family HDFS provider, which state v2 rejects)."""
+    from kasper_spark.protoshim import ensure_protobuf, ship_shim_to_workers
+    from kasper_spark.streaming.state import ewma_anomalies_tws
+
+    ensure_protobuf()
+    ship_shim_to_workers(spark)
+
+    from kasper_spark.operators.temporal import _EWMA_DEN, _EWMA_K
+
+    stream, out_dir, ckpt = _staged_ewma_feed(spark, sf_dir, "kasper-tewma-")
+    anomalies = ewma_anomalies_tws(stream, _EWMA_K, _EWMA_DEN)
+
+    def sink_batch(df, epoch_id: int) -> None:
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch={epoch_id}"))
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, rocksdb)
+    try:
+        q = (
+            anomalies.writeStream.foreachBatch(sink_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    return spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
+
+
+assert "ewma_anomaly_events" in _OR, "batch EWMA oracle missing (tws twin)"
+_OR["streaming_ewma_tws_twin"] = _OR["ewma_anomaly_events"]

@@ -85,6 +85,7 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     #        reciprocal-rank fusion, cross-doc boilerplate detection --
     "ewma_anomaly_events",
     "streaming_ewma_anomaly_twin",
+    "streaming_ewma_tws_twin",
     "bm25_keyword_topk",
     "rrf_fusion_topk",
     "boilerplate_shingle_stats",
@@ -128,8 +129,7 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "gopher_quality_filters",
     "tfidf_top_terms",
     "text_normalize",
-    "udtf_sentence_split",
-    # (exactly 50 names; stratified_topn_md5, pivot_segment_by_nation, percentiles_quantity, string_functions, grouping_sets_orders, unpivot_part_metrics,
+    # (exactly 50 names; udtf_sentence_split, stratified_topn_md5, pivot_segment_by_nation, percentiles_quantity, string_functions, grouping_sets_orders, unpivot_part_metrics,
     # window_nav_lag_lead, join_skew_salted, math_date_functions,
     # stats_moments, corr_covar_qty_discount, histogram_totalprice,
     # cohort_retention and the r04 streaming twins rotate in r9)

@@ -739,3 +739,72 @@ def assemble_documents_tws(
         outputMode="Update",
         timeMode="None" if ttl_ms is None else "ProcessingTime",
     )
+
+
+def ewma_anomalies_tws(events: DataFrame, k: int, den: int) -> DataFrame:
+    """Per-user trailing-EWMA anomaly detection on transformWithStateInPandas
+    (state v2) — the modern-runtime twin of the applyInPandasWithState form
+    in operators/streaming_twins.py. State is one ValueState holding the
+    user's last ``k`` integer cents as JSON (~60 bytes); each batch's rows
+    are re-ordered by (ts, event_id) before the scan, so given a feed that
+    delivers batches in event-time order the emitted anomalies equal the
+    batch operator's bit-for-bit (same BIGINT numerator + exact-int float
+    divisions; Python ints are arbitrary-precision, floats IEEE doubles).
+
+    ``events`` must carry (user_id long, event_id long, ts timestamp,
+    cents bigint). Output mode Append: an anomaly is emitted exactly once,
+    when its event is judged."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    # nested class: cloudpickle serializes by value (foreign-cwd workers)
+    class EwmaDetect(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._hist = handle.getValueState("hist", "j string")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import json
+
+            import pandas as pd
+
+            hist = json.loads(self._hist.get()[0]) if self._hist.exists() else []
+            pdf = pd.concat(list(rows)).sort_values(["ts", "event_id"])
+            out = []
+            for r in pdf.itertuples():
+                cents = int(r.cents)
+                if len(hist) >= k:
+                    num = sum(hist[-j] * (1 << (k - j)) for j in range(1, k + 1))
+                    if abs(cents * den - num) > 2 * num:
+                        out.append(
+                            (
+                                int(r.user_id),
+                                int(r.event_id),
+                                r.ts,
+                                cents,
+                                num / float(den),
+                                (cents * den) / float(num),
+                            )
+                        )
+                hist.append(cents)
+                if len(hist) > k:
+                    hist = hist[-k:]
+            self._hist.update((json.dumps(hist),))
+            yield pd.DataFrame(
+                out,
+                columns=["user_id", "event_id", "ts", "cents", "ewma", "ratio"],
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        EwmaDetect(),
+        outputStructType=(
+            "user_id long, event_id long, ts timestamp, "
+            "cents long, ewma double, ratio double"
+        ),
+        outputMode="Append",
+        timeMode="None",
+    )

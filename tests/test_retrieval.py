@@ -167,17 +167,28 @@ def test_boilerplate_stats_match_python_recompute(spark):
         assert r["kept"] == (len(shs & boiler) / len(shs) < 0.5)
 
 
-def test_streaming_ewma_twin_equals_batch(spark):
-    """The streaming twin (per-user state over a time-ordered 4-file feed)
-    must emit exactly the batch operator's anomaly set — the §1.3
-    stream/batch convergence contract for an ORDER-dependent operator."""
+import pytest
+
+
+@pytest.mark.parametrize(
+    "twin", ["streaming_ewma_anomaly_twin", "streaming_ewma_tws_twin"]
+)
+def test_streaming_ewma_twins_equal_batch(spark, twin):
+    """Both streaming forms (applyInPandasWithState and the state-v2
+    transformWithStateInPandas) — per-user state over a time-ordered
+    4-file feed — must emit exactly the batch operator's anomaly set: the
+    §1.3 stream/batch convergence contract for an ORDER-dependent
+    operator. The TWS form additionally needs the protobuf runtime
+    (shimmed where absent) and the RocksDB provider."""
+    if twin == "streaming_ewma_tws_twin":
+        pytest.importorskip("google.protobuf")
     batch = {
         r["event_id"]: (r["user_id"], r["cents"], r["ewma"], r["ratio"])
         for r in QUERIES["ewma_anomaly_events"](spark, SF_SMOKE).collect()
     }
     stream = {
         r["event_id"]: (r["user_id"], r["cents"], r["ewma"], r["ratio"])
-        for r in QUERIES["streaming_ewma_anomaly_twin"](spark, SF_SMOKE).collect()
+        for r in QUERIES[twin](spark, SF_SMOKE).collect()
     }
     assert stream == batch
     assert len(stream) > 0
