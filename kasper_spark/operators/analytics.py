@@ -1679,3 +1679,128 @@ def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_clipped_high"),
         F.sum("cc").cast("long").alias("sum_cents_clipped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-key skew diagnosis (round 8)
+# ---------------------------------------------------------------------------
+
+_SKEW_KEYS = (("lineitem", "l_orderkey"), ("events", "user_id"))
+
+
+def _skew_naive_sql(table: str, key: str) -> str:
+    """Naive spec for one audited key: rank every key by its row count and
+    read p99 / Gini from the ranked sequence."""
+    return f"""
+        SELECT '{table}.{key}' AS key_name,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(cnt) AS BIGINT) AS n_rows,
+               CAST(MAX(cnt) AS BIGINT) AS max_rows,
+               CAST(MIN(CASE WHEN rk >= (99 * n + 99) // 100
+                             THEN cnt END) AS BIGINT) AS p99_rows,
+               CAST(SUM(cnt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_rows,
+               (CAST(MAX(cnt) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE))
+                   / CAST(SUM(cnt) AS DOUBLE) AS skew_factor,
+               (2.0 * CAST(SUM(rk * cnt) AS DOUBLE))
+                   / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(cnt) AS DOUBLE))
+                   - (CAST(COUNT(*) + 1 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                   AS gini
+        FROM (
+            SELECT cnt,
+                   ROW_NUMBER() OVER (ORDER BY cnt, k) AS rk,
+                   COUNT(*) OVER () AS n
+            FROM (SELECT {key} AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM {table} GROUP BY {key})
+        )
+    """
+
+
+@register_query(
+    "key_skew_report",
+    # The oracle is the NAIVE spec: rank all keys by row count (a
+    # key-cardinality sort) and compute p99/Gini from ranks. The plan
+    # derives identical numbers from a histogram of counts (docstring).
+    oracle=" UNION ALL ".join(_skew_naive_sql(t, k) for t, k in _SKEW_KEYS),
+)
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnosis — the report you run BEFORE pointing a
+    100 TB join or aggregation at a key: per audited key column, key
+    cardinality, total/max/p99 rows per key, the skew factor
+    (max/average — how much longer the hottest shuffle partition's
+    straggler task runs), and the exact Gini coefficient of the row
+    distribution (0 = perfectly even, ->1 = one key owns everything).
+    Feeds the choice between a plain shuffle, AQE skew-join splitting,
+    and explicit salting (join_skew_salted).
+
+    The oracle states the naive spec: ROW_NUMBER over every key ordered
+    by count — a key-cardinality sort (billions of keys at 100 TB). The
+    plan computes identical numbers WITHOUT ranking keys: a histogram of
+    counts (distinct count values, typically thousands) with a cumulative
+    window gives p99 directly, and Gini's rank-weighted sum collapses per
+    histogram bucket to v * (m*(s+1) + m*(m-1)/2) with s the bucket's
+    cumulative start — pure BIGINT. Every emitted double is one exact-int
+    division (magnitudes < 2^53 through sf ~100; beyond that the Gini
+    numerator needs decimal widening, noted here for honesty).
+
+    Shuffles per key: one on the key (count), one on the count value
+    (histogram) — both carry aggregates. The per-key counts never sort."""
+    dfs = []
+    for table, key in _SKEW_KEYS:
+        rows = load_table(spark, sf_dir, table).groupBy(F.col(key).alias("k")).agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        hist = rows.groupBy("cnt").agg(F.count(F.lit(1)).cast("long").alias("m"))
+        wcum = Window.orderBy("cnt").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cum = hist.select(
+            "cnt",
+            "m",
+            (F.sum("m").over(wcum) - F.col("m")).alias("s"),  # keys before bucket
+            F.sum("m").over(wcum).alias("cum_keys"),
+        )
+        # per-bucket rank-weighted mass: sum_{i=s+1..s+m} i * cnt. Stays
+        # PURE BIGINT: m*(m-1) is even, so the halving is exact integer
+        # division (a double `/` here would make the final sum
+        # float-accumulated and partition-order-dependent).
+        rank_mass = F.col("cnt") * (
+            F.col("m") * (F.col("s") + 1)
+            + F.expr("CAST(m * (m - 1) AS BIGINT) div 2")
+        )
+        n_keys = F.sum("m").cast("long")
+        n_rows = F.sum(F.col("cnt") * F.col("m")).cast("long")
+        agg = cum.agg(
+            n_keys.alias("n_keys"),
+            n_rows.alias("n_rows"),
+            F.max("cnt").cast("long").alias("max_rows"),
+            F.sum(rank_mass).cast("long").alias("rank_mass"),
+        )
+        # p99 needs the threshold rank, which needs n_keys: a second tiny
+        # pass over the histogram joined to the 1-row aggregate (broadcast)
+        r99 = F.floor((99 * F.col("n_keys") + 99) / 100).cast("bigint")
+        p99 = (
+            cum.crossJoin(F.broadcast(agg.select(r99.alias("r99"))))
+            .filter(F.col("cum_keys") >= F.col("r99"))
+            .agg(F.min("cnt").cast("long").alias("p99_rows"))
+        )
+        nd = F.col("n_keys").cast("double")
+        td = F.col("n_rows").cast("double")
+        dfs.append(
+            agg.crossJoin(F.broadcast(p99)).select(
+                F.lit(f"{table}.{key}").alias("key_name"),
+                "n_keys",
+                "n_rows",
+                "max_rows",
+                "p99_rows",
+                (td / nd).alias("avg_rows"),
+                ((F.col("max_rows").cast("double") * nd) / td).alias("skew_factor"),
+                (
+                    (2.0 * F.col("rank_mass").cast("double")) / (nd * td)
+                    - ((F.col("n_keys") + 1).cast("double") / nd)
+                ).alias("gini"),
+            )
+        )
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out

@@ -149,6 +149,7 @@ _INTENTIONAL_BNLJ = {
     "rrf_fusion_topk",  # same 1-row corpus-stats broadcast via BM25 ranker
     "token_budget_select",  # 1-row broadcast of the global token budget
     "hybrid_search_topk",  # 1-row query-vector broadcast + corpus-stats broadcast
+    "key_skew_report",  # 1-row broadcasts of per-key-audit totals/thresholds
 }
 # iterative/streaming queries execute during construction — skip plan-only audit
 _AUDIT_SKIP = {"neardup_clusters"}

@@ -258,3 +258,31 @@ def test_winsorize_matches_python_recompute(spark):
         assert r["n_clipped_high"] == sum(1 for c in vals if c > hi)
         assert r["sum_cents_clipped"] == sum(min(max(c, lo), hi) for c in vals)
         assert lo <= hi
+
+
+def test_key_skew_report_matches_python_recompute(spark):
+    """Histogram-derived skew stats must equal the naive ranked spec,
+    recomputed in pure Python (exact fractions for the divisions)."""
+    from kasper_spark.operators.analytics import _SKEW_KEYS
+
+    got = {
+        r["key_name"]: r.asDict()
+        for r in QUERIES["key_skew_report"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == {f"{t}.{k}" for t, k in _SKEW_KEYS}
+    for table, key in _SKEW_KEYS:
+        counts: dict = {}
+        for r in load_table(spark, SF_SMOKE, table).select(key).collect():
+            counts[r[key]] = counts.get(r[key], 0) + 1
+        vals = sorted(counts.values())
+        n, tot = len(vals), sum(vals)
+        rank_mass = sum((i + 1) * v for i, v in enumerate(vals))
+        r = got[f"{table}.{key}"]
+        assert (r["n_keys"], r["n_rows"], r["max_rows"]) == (n, tot, max(vals))
+        assert r["p99_rows"] == vals[(99 * n + 99) // 100 - 1]
+        assert math.isclose(r["avg_rows"], tot / n, rel_tol=0)
+        assert math.isclose(r["skew_factor"], max(vals) * n / tot, rel_tol=0)
+        assert math.isclose(
+            r["gini"], (2.0 * rank_mass) / (n * tot) - (n + 1) / n, rel_tol=1e-12
+        )
+        assert 0.0 <= r["gini"] < 1.0
