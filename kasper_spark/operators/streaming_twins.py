@@ -995,12 +995,17 @@ assert "ngram_decontaminate" in _OR, "batch decontamination oracle missing"
 _OR["streaming_decontaminate_twin"] = _OR["ngram_decontaminate"]
 
 
-def _staged_ewma_feed(spark: SparkSession, sf_dir: str, prefix: str):
-    """Stage events into 4 contiguous time-range files (file i's max ts <=
-    file i+1's min ts; increasing mtimes => FileStreamSource discovers them
-    oldest-first) and open them as a maxFilesPerTrigger=1 cents stream —
-    the event-time-ordered feed both EWMA twins consume. Returns
-    (stream, out_dir, ckpt_dir)."""
+def _staged_ewma_feed(
+    spark: SparkSession, sf_dir: str, prefix: str, n_files: int = 4
+):
+    """Stage events into ``n_files`` contiguous time-range files (file i's
+    max ts <= file i+1's min ts; increasing mtimes => FileStreamSource
+    discovers them oldest-first) and open them as a maxFilesPerTrigger=1
+    cents stream — the event-time-ordered feed both EWMA twins consume.
+    ``n_files`` parametrizes how the stream is cut into micro-batches; the
+    twins' answers must be invariant to it (pinned by
+    tests/test_retrieval.py::test_streaming_ewma_invariant_to_batch_cuts).
+    Returns (stream, out_dir, ckpt_dir)."""
     from pyspark.sql.window import Window
 
     work = tempfile.mkdtemp(prefix=prefix)
@@ -1013,9 +1018,9 @@ def _staged_ewma_feed(spark: SparkSession, sf_dir: str, prefix: str):
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     ev = normalize_driver_ts(raw, ("ts",)).select("user_id", "event_id", "ts", "value")
     bucketed = ev.select(
-        "*", F.ntile(4).over(Window.orderBy("ts", "event_id")).alias("bucket")
+        "*", F.ntile(n_files).over(Window.orderBy("ts", "event_id")).alias("bucket")
     )
-    for i in range(1, 5):
+    for i in range(1, n_files + 1):
         bucketed.filter(F.col("bucket") == i).drop("bucket").coalesce(1).write.parquet(
             os.path.join(src_dir, f"range={i:02d}")
         )

@@ -286,3 +286,56 @@ def test_key_skew_report_matches_python_recompute(spark):
             r["gini"], (2.0 * rank_mass) / (n * tot) - (n + 1) / n, rel_tol=1e-12
         )
         assert 0.0 <= r["gini"] < 1.0
+
+
+@pytest.mark.parametrize("n_files", [1, 2, 7])
+def test_streaming_ewma_invariant_to_batch_cuts(spark, n_files):
+    """The anomaly set must not depend on WHERE the stream is cut into
+    micro-batches: any contiguous time-range split (including a single
+    batch and a 7-way split that strands partial windows in state across
+    many boundaries) yields the batch answer."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kasper_spark.operators.streaming_twins import _staged_ewma_feed
+    from kasper_spark.operators.temporal import _EWMA_DEN, _EWMA_K
+    from kasper_spark.streaming.state import ewma_anomalies_tws
+
+    batch = {
+        r["event_id"] for r in QUERIES["ewma_anomaly_events"](spark, SF_SMOKE).collect()
+    }
+    stream, out_dir, ckpt = _staged_ewma_feed(
+        spark, SF_SMOKE, f"kasper-tcut{n_files}-", n_files=n_files
+    )
+    anomalies = ewma_anomalies_tws(stream, _EWMA_K, _EWMA_DEN)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            anomalies.writeStream.foreachBatch(
+                lambda df, eid: df.write.mode("overwrite").parquet(
+                    os.path.join(out_dir, f"batch={eid}")
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    got = {
+        r["event_id"]
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+        .collect()
+    }
+    assert got == batch
