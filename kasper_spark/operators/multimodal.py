@@ -876,3 +876,111 @@ def multimodal_pgm_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, width int, height int, maxval int, mean_px double, "
         "min_px int, max_px int, resized_w int, resized_h int, resized_digest string",
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image near-dup (round 8)
+# ---------------------------------------------------------------------------
+
+
+@register_query(
+    "multimodal_phash_neardup",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 16 + n_chars % 17 AS w, 12 + doc_id % 9 AS h
+        FROM documents
+    ),
+    cells AS (
+        SELECT doc_id, w, h,
+            list_transform(range(0, 64), k ->
+                CAST(list_sum(list_transform(
+                    range((k % 8) * w // 8, ((k % 8) + 1) * w // 8, 1), x ->
+                    CAST(list_sum(list_transform(
+                        range((k // 8) * h // 8, ((k // 8) + 1) * h // 8, 1), y ->
+                        (7 * x + 13 * y + doc_id) % 256)) AS BIGINT)
+                )) AS BIGINT)
+                // ((((k % 8) + 1) * w // 8 - (k % 8) * w // 8)
+                    * (((k // 8) + 1) * h // 8 - (k // 8) * h // 8))
+            ) AS c
+        FROM dims
+    ),
+    hashed AS (
+        SELECT doc_id, w, h,
+            CAST(list_sum(list_transform(range(0, 32, 1), k ->
+                CASE WHEN c[k + 1] > m THEN (CAST(1 AS BIGINT) << (31 - k))
+                     ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS ahash_hi,
+            CAST(list_sum(list_transform(range(32, 64, 1), k ->
+                CASE WHEN c[k + 1] > m THEN (CAST(1 AS BIGINT) << (63 - k))
+                     ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS ahash_lo
+        FROM (SELECT doc_id, w, h, c,
+                     CAST(list_sum(c) AS BIGINT) // 64 AS m FROM cells)
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+           ahash_hi, ahash_lo,
+           CAST(COUNT(*) OVER (PARTITION BY ahash_hi, ahash_lo) AS BIGINT)
+               AS n_same_hash
+    FROM hashed
+    """,
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash IMAGE near-duplicate detection — the multimodal
+    analog of MinHash text dedup: decode each real binary PGM through the
+    tested codec, block-average to an 8x8 grid (integer floor-division
+    cell boundaries, exact integer sums), threshold each cell against the
+    grid mean (the classic aHash), and pack the 64 bits into two BIGINT
+    halves (hi/lo — sign-safe on both engines). Images sharing a hash are
+    near-dup candidates; n_same_hash is each image's bucket size. Resized,
+    re-encoded, or brightness-shifted copies of a texture land in the same
+    bucket, which is why crawl pipelines bucket on perceptual hashes
+    rather than byte digests.
+
+    The DuckDB oracle never sees the binary payload: it recomputes every
+    block average ANALYTICALLY from the generation formula
+    (px = (7x+13y+doc_id) mod 256) in pure integer SQL, so the decode +
+    downsample + threshold + packing chain is hash-certified end to end.
+
+    Scale: hashing is map-only over the images (payloads never leave the
+    scan stage); the only shuffle carries (64-bit hash) -> count — the
+    same bucket-join discipline as minhash_lsh_candidates, with the
+    all-pairs explosion bounded per bucket."""
+    _register_codec_by_value()
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+
+        def one(doc_id: int, payload: bytes):
+            w, h, _maxval, raster = decode_pgm(bytes(payload))
+            px = (
+                _np.frombuffer(raster, dtype=_np.uint8)
+                .astype(_np.int64)
+                .reshape(h, w)
+            )
+            cells = []
+            for k in range(64):
+                i, j = k % 8, k // 8
+                x0, x1 = (i * w) // 8, ((i + 1) * w) // 8
+                y0, y1 = (j * h) // 8, ((j + 1) * h) // 8
+                blk = px[y0:y1, x0:x1]
+                cells.append(int(blk.sum()) // blk.size)
+            m = sum(cells) // 64
+            bits = [1 if c > m else 0 for c in cells]
+            hi = sum(b << (31 - k) for k, b in enumerate(bits[:32]))
+            lo = sum(b << (63 - k) for k, b in enumerate(bits[32:], start=32))
+            return doc_id, w, h, hi, lo
+
+        for b in batches:
+            rows = [one(int(d), p) for d, p in zip(b["doc_id"], b["payload"])]
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "w", "h", "ahash_hi", "ahash_lo"]
+            )
+
+    hashed = pgm_image_table(spark, sf_dir).mapInPandas(
+        hash_batch, "doc_id long, w long, h long, ahash_hi long, ahash_lo long"
+    )
+    buckets = hashed.groupBy("ahash_hi", "ahash_lo").agg(
+        F.count(F.lit(1)).cast("long").alias("n_same_hash")
+    )
+    return hashed.join(F.broadcast(buckets), ["ahash_hi", "ahash_lo"]).select(
+        "doc_id", "w", "h", "ahash_hi", "ahash_lo", "n_same_hash"
+    )

@@ -157,3 +157,38 @@ def test_scene_cuts_recover_true_boundaries(spark):
         assert r["is_cut"] == int(true_boundary), r
         # mad_mean consistency with the integer sum
         assert r["mad_mean"] > 0
+
+
+def test_phash_neardup_buckets_identical_textures(spark):
+    """aHash invariants: equal (doc_id mod 256, dims) means an identical
+    texture and therefore an identical hash; n_same_hash is the true
+    bucket size; every image hashes."""
+    from tests.conftest import SF_SMOKE
+
+    from kasper_spark.registry import QUERIES
+
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in QUERIES["multimodal_phash_neardup"](spark, SF_SMOKE).collect()
+    }
+    from kasper_spark.catalog import load_table
+
+    docs = {
+        r["doc_id"]: r["n_chars"]
+        for r in load_table(spark, SF_SMOKE, "documents").collect()
+    }
+    assert set(rows) == set(docs)
+    # identical texture => identical hash
+    by_texture: dict = {}
+    for d, n_chars in docs.items():
+        key = (d % 256, 16 + n_chars % 17, 12 + d % 9)
+        by_texture.setdefault(key, []).append(d)
+    for ds in by_texture.values():
+        hashes = {(rows[d]["ahash_hi"], rows[d]["ahash_lo"]) for d in ds}
+        assert len(hashes) == 1
+    # n_same_hash is the exact bucket size
+    bucket: dict = {}
+    for d, r in rows.items():
+        bucket.setdefault((r["ahash_hi"], r["ahash_lo"]), []).append(d)
+    for r in rows.values():
+        assert r["n_same_hash"] == len(bucket[(r["ahash_hi"], r["ahash_lo"])])
