@@ -192,3 +192,42 @@ def test_phash_neardup_buckets_identical_textures(spark):
         bucket.setdefault((r["ahash_hi"], r["ahash_lo"]), []).append(d)
     for r in rows.values():
         assert r["n_same_hash"] == len(bucket[(r["ahash_hi"], r["ahash_lo"])])
+
+
+def test_audio_fingerprint_matches_python_recompute(spark):
+    """Recompute every fingerprint from the waveform formula in plain
+    Python: window means, global-mean threshold, bit packing, buckets."""
+    from tests.conftest import SF_SMOKE
+
+    from kasper_spark.catalog import load_table
+    from kasper_spark.registry import QUERIES
+
+    docs = {
+        r["doc_id"]: r["n_chars"]
+        for r in load_table(spark, SF_SMOKE, "documents").collect()
+    }
+    expect = {}
+    for d, n_chars in docs.items():
+        n = 200 + n_chars % 300
+        amps = [abs((t * 37 + d * 101) % 65536 - 32768) for t in range(n)]
+        sums, counts = [0] * 64, [0] * 64
+        for t, a in enumerate(amps):
+            k = (t * 64) // n
+            sums[k] += a
+            counts[k] += 1
+        es = [s // c for s, c in zip(sums, counts)]
+        m = sum(es) // 64
+        bits = [1 if e > m else 0 for e in es]
+        hi = sum(b << (31 - i) for i, b in enumerate(bits[:32]))
+        lo = sum(b << (63 - i) for i, b in enumerate(bits[32:], start=32))
+        expect[d] = (hi, lo)
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in QUERIES["multimodal_audio_fingerprint"](spark, SF_SMOKE).collect()
+    }
+    assert {d: (r["fp_hi"], r["fp_lo"]) for d, r in got.items()} == expect
+    buckets: dict = {}
+    for d, (hi, lo) in expect.items():
+        buckets.setdefault((hi, lo), []).append(d)
+    for d, r in got.items():
+        assert r["n_same_fp"] == len(buckets[(r["fp_hi"], r["fp_lo"])])
