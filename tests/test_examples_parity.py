@@ -235,3 +235,16 @@ def test_training_pipeline_example(spark):
     vals = [c[k] for k in order]
     assert vals == sorted(vals, reverse=True)
     assert c["final_keep_list"] < c["total"]
+
+
+def test_retrieval_pipeline_example(spark):
+    """The retrieval walkthrough composes registered operators; the fused
+    list is k-sized, fusion actually engages both rankers, and the
+    budget intersection is a subset."""
+    import examples.retrieval_pipeline as rp
+    from tests.conftest import SF_SMOKE
+
+    c = rp.main(spark, SF_SMOKE)
+    assert c["bm25_topk"] == c["hybrid_topk"] == 20
+    assert 0 < c["hybrid_in_both_rankers"] <= 20
+    assert 0 <= c["final_budgeted"] <= c["hybrid_topk"]
