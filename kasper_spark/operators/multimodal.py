@@ -1081,3 +1081,159 @@ def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fps.join(F.broadcast(buckets), ["fp_hi", "fp_lo"]).select(
         "doc_id", "fp_hi", "fp_lo", "n_same_fp"
     )
+
+
+# ---------------------------------------------------------------------------
+# Video near-dup via per-frame perceptual hashes (round 8)
+# ---------------------------------------------------------------------------
+
+# per-(doc, frame) analytic aHash: identical cell math to the image
+# operator with the frame's +31f texture offset in scope
+_VID_AHASH_CELLS_SQL = """
+    dims AS (
+        SELECT doc_id, 16 + n_chars % 17 AS w, 12 + doc_id % 9 AS h,
+               4 + doc_id % 24 AS nf
+        FROM documents
+    ),
+    frames AS (
+        SELECT doc_id, w, h, nf, UNNEST(range(0, nf)) AS f FROM dims
+    ),
+    cells AS (
+        SELECT doc_id, w, h, nf, f,
+            list_transform(range(0, 64), k ->
+                CAST(list_sum(list_transform(
+                    range((k % 8) * w // 8, ((k % 8) + 1) * w // 8, 1), x ->
+                    CAST(list_sum(list_transform(
+                        range((k // 8) * h // 8, ((k // 8) + 1) * h // 8, 1), y ->
+                        (7 * x + 13 * y + doc_id + 31 * f) % 256)) AS BIGINT)
+                )) AS BIGINT)
+                // ((((k % 8) + 1) * w // 8 - (k % 8) * w // 8)
+                    * (((k // 8) + 1) * h // 8 - (k // 8) * h // 8))
+            ) AS c
+        FROM frames
+    ),
+    fhash AS (
+        SELECT doc_id, nf,
+            CAST(list_sum(list_transform(range(0, 32, 1), k ->
+                CASE WHEN c[k + 1] > m THEN (CAST(1 AS BIGINT) << (31 - k))
+                     ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fp_hi,
+            CAST(list_sum(list_transform(range(32, 64, 1), k ->
+                CASE WHEN c[k + 1] > m THEN (CAST(1 AS BIGINT) << (63 - k))
+                     ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fp_lo
+        FROM (SELECT doc_id, nf, c,
+                     CAST(list_sum(c) AS BIGINT) // 64 AS m FROM cells)
+    )
+"""
+
+
+@register_query(
+    "multimodal_video_neardup",
+    oracle=f"""
+    WITH {_VID_AHASH_CELLS_SQL},
+    per_video AS (
+        SELECT doc_id,
+               CAST(MAX(nf) AS BIGINT) AS n_frames,
+               CAST(COUNT(DISTINCT (fp_hi, fp_lo)) AS BIGINT)
+                   AS n_distinct_frame_hashes
+        FROM fhash GROUP BY doc_id
+    ),
+    dh AS (
+        SELECT DISTINCT doc_id, fp_hi, fp_lo FROM fhash
+    ),
+    partners AS (
+        SELECT a.doc_id,
+               CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS n_partner_videos
+        FROM dh a JOIN dh b
+          ON a.fp_hi = b.fp_hi AND a.fp_lo = b.fp_lo
+         AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id
+    )
+    SELECT p.doc_id, p.n_frames, p.n_distinct_frame_hashes,
+           COALESCE(q.n_partner_videos, 0) AS n_partner_videos
+    FROM per_video p LEFT JOIN partners q USING (doc_id)
+    """,
+)
+def multimodal_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO near-duplicate detection: demux each real concatenated-PGM
+    stream (the 1:N path), aHash every frame (identical cell math to the
+    image operator, per-frame texture), and join videos that share ANY
+    frame hash — the shot-level dedup a crawl pipeline runs, where two
+    videos are near-dups if they reuse footage even when trimmed or
+    re-stitched. Per video: frame count, distinct-frame-hash count, and
+    how many OTHER videos share at least one frame.
+
+    The cross-video step is a self-join of DISTINCT (video, frame-hash)
+    pairs on the hash — the LSH bucket-join discipline (no all-pairs of
+    videos; the join fans out only within a shared-hash bucket). The
+    DuckDB oracle recomputes every frame's hash analytically from the
+    generation formula, so demux + per-frame hashing + the bucket
+    self-join are certified end to end.
+
+    Scale: hashing is map-only (payloads never shuffle); the shuffles
+    carry (hash) and (video) aggregates. Pathological buckets (a hash
+    shared by thousands of videos) get the same cap treatment as
+    winnowing_overlap_pairs at 100 TB."""
+    _register_codec_by_value()
+
+    def hash_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+
+        def ahash(px):
+            h, w = px.shape
+            cells = []
+            for k in range(64):
+                i, j = k % 8, k // 8
+                x0, x1 = (i * w) // 8, ((i + 1) * w) // 8
+                y0, y1 = (j * h) // 8, ((j + 1) * h) // 8
+                blk = px[y0:y1, x0:x1]
+                cells.append(int(blk.sum()) // blk.size)
+            m = sum(cells) // 64
+            bits = [1 if c > m else 0 for c in cells]
+            hi = sum(b << (31 - k) for k, b in enumerate(bits[:32]))
+            lo = sum(b << (63 - k) for k, b in enumerate(bits[32:], start=32))
+            return hi, lo
+
+        for b in batches:
+            rows = []
+            for d, p in zip(b["doc_id"], b["payload"]):
+                frames = demux_pgm_stream(bytes(p))
+                for w, h, _mv, raster in frames:
+                    px = (
+                        _np.frombuffer(raster, dtype=_np.uint8)
+                        .astype(_np.int64)
+                        .reshape(h, w)
+                    )
+                    rows.append((int(d), len(frames), *ahash(px)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_frames", "fp_hi", "fp_lo"]
+            )
+
+    fhash = pgm_video_table(spark, sf_dir).mapInPandas(
+        hash_frames, "doc_id long, n_frames long, fp_hi long, fp_lo long"
+    )
+    per_video = fhash.groupBy("doc_id").agg(
+        F.max("n_frames").cast("long").alias("n_frames"),
+        F.count_distinct("fp_hi", "fp_lo").cast("long").alias(
+            "n_distinct_frame_hashes"
+        ),
+    )
+    dh = fhash.select("doc_id", "fp_hi", "fp_lo").distinct()
+    partners = (
+        dh.alias("a")
+        .join(
+            dh.alias("b"),
+            (F.col("a.fp_hi") == F.col("b.fp_hi"))
+            & (F.col("a.fp_lo") == F.col("b.fp_lo"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(F.count_distinct(F.col("b.doc_id")).cast("long").alias("n_partner_videos"))
+    )
+    return per_video.join(partners, "doc_id", "left").select(
+        "doc_id",
+        "n_frames",
+        "n_distinct_frame_hashes",
+        F.coalesce("n_partner_videos", F.lit(0)).cast("long").alias(
+            "n_partner_videos"
+        ),
+    )

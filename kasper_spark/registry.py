@@ -95,6 +95,7 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "key_skew_report",
     "multimodal_phash_neardup",
     "multimodal_audio_fingerprint",
+    "multimodal_video_neardup",
     # -- 1d. CHANGED this round: the PGM codec round-trip is now fully
     #        oracle-certified (DuckDB reconstructs and hashes the resized
     #        payload analytically) — rows-only since r6, must earn a
@@ -128,8 +129,7 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "levenshtein_block_pairs",
     "ann_int8_topk",
     "training_data_pipeline",
-    "corpus_mix_sample",
-    # (exactly 50 names; gopher_quality_filters, tfidf_top_terms, text_normalize, udtf_sentence_split, stratified_topn_md5, pivot_segment_by_nation, percentiles_quantity, string_functions, grouping_sets_orders, unpivot_part_metrics,
+    # (exactly 50 names; corpus_mix_sample, gopher_quality_filters, tfidf_top_terms, text_normalize, udtf_sentence_split, stratified_topn_md5, pivot_segment_by_nation, percentiles_quantity, string_functions, grouping_sets_orders, unpivot_part_metrics,
     # window_nav_lag_lead, join_skew_salted, math_date_functions,
     # stats_moments, corr_covar_qty_discount, histogram_totalprice,
     # cohort_retention and the r04 streaming twins rotate in r9)

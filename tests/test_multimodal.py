@@ -231,3 +231,35 @@ def test_audio_fingerprint_matches_python_recompute(spark):
         buckets.setdefault((hi, lo), []).append(d)
     for d, r in got.items():
         assert r["n_same_fp"] == len(buckets[(r["fp_hi"], r["fp_lo"])])
+
+
+def test_video_neardup_partner_symmetry(spark):
+    """Structural invariants: n_frames matches the synth formula, sharing
+    is symmetric (A a partner of B => B a partner of A), and videos with
+    equal (doc_id mod 256, dims, frame count) share ALL frames."""
+    from tests.conftest import SF_SMOKE
+
+    from kasper_spark.catalog import load_table
+    from kasper_spark.registry import QUERIES
+
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in QUERIES["multimodal_video_neardup"](spark, SF_SMOKE).collect()
+    }
+    docs = {
+        r["doc_id"]: r["n_chars"]
+        for r in load_table(spark, SF_SMOKE, "documents").collect()
+    }
+    assert set(rows) == set(docs)
+    for d, r in rows.items():
+        assert r["n_frames"] == 4 + d % 24
+        assert 1 <= r["n_distinct_frame_hashes"] <= r["n_frames"]
+    # full-texture twins: same (d mod 256, dims, nf) => same frame set
+    by_tex: dict = {}
+    for d, n_chars in docs.items():
+        key = (d % 256, 16 + n_chars % 17, 12 + d % 9, 4 + d % 24)
+        by_tex.setdefault(key, []).append(d)
+    for ds in by_tex.values():
+        if len(ds) > 1:
+            for d in ds:
+                assert rows[d]["n_partner_videos"] >= len(ds) - 1
