@@ -883,6 +883,32 @@ def multimodal_pgm_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def ahash_px(px):
+    """Vectorized 8x8 average-hash of a (h, w) nonnegative int array:
+    integral-image block sums (exact int64), floor-mean cells, threshold
+    vs the floor-mean of cells, bits packed row-major (k = j*8 + i) into
+    two sign-safe 32-bit halves. Identical arithmetic to the analytic
+    DuckDB oracles; shared by the image and video near-dup operators."""
+    import numpy as _np
+
+    h, w = px.shape
+    xb = _np.array([(i * w) // 8 for i in range(9)], dtype=_np.int64)
+    yb = _np.array([(j * h) // 8 for j in range(9)], dtype=_np.int64)
+    ii = _np.zeros((h + 1, w + 1), dtype=_np.int64)
+    ii[1:, 1:] = px.cumsum(0).cumsum(1)
+    S = ii[_np.ix_(yb, xb)]
+    sums = S[1:, 1:] - S[:-1, 1:] - S[1:, :-1] + S[:-1, :-1]
+    counts = _np.outer(_np.diff(yb), _np.diff(xb))
+    cells = sums // counts  # row-major [j, i] == k = j*8 + i
+    m = int(cells.sum()) // 64
+    bits = (cells.ravel() > m).astype(_np.int64)
+    shifts_hi = _np.arange(31, -1, -1, dtype=_np.int64)
+    shifts_lo = _np.arange(31, -1, -1, dtype=_np.int64)
+    hi = int((bits[:32] << shifts_hi).sum())
+    lo = int((bits[32:] << shifts_lo).sum())
+    return hi, lo
+
+
 @register_query(
     "multimodal_phash_neardup",
     oracle="""
@@ -956,17 +982,7 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .astype(_np.int64)
                 .reshape(h, w)
             )
-            cells = []
-            for k in range(64):
-                i, j = k % 8, k // 8
-                x0, x1 = (i * w) // 8, ((i + 1) * w) // 8
-                y0, y1 = (j * h) // 8, ((j + 1) * h) // 8
-                blk = px[y0:y1, x0:x1]
-                cells.append(int(blk.sum()) // blk.size)
-            m = sum(cells) // 64
-            bits = [1 if c > m else 0 for c in cells]
-            hi = sum(b << (31 - k) for k, b in enumerate(bits[:32]))
-            lo = sum(b << (63 - k) for k, b in enumerate(bits[32:], start=32))
+            hi, lo = ahash_px(px)
             return doc_id, w, h, hi, lo
 
         for b in batches:
@@ -1140,10 +1156,19 @@ _VID_AHASH_CELLS_SQL = """
     dh AS (
         SELECT DISTINCT doc_id, fp_hi, fp_lo FROM fhash
     ),
+    bcap AS (
+        SELECT doc_id, fp_hi, fp_lo FROM (
+            SELECT doc_id, fp_hi, fp_lo,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY fp_hi, fp_lo ORDER BY doc_id
+                   ) AS rk
+            FROM dh
+        ) WHERE rk <= 16
+    ),
     partners AS (
         SELECT a.doc_id,
                CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS n_partner_videos
-        FROM dh a JOIN dh b
+        FROM dh a JOIN bcap b
           ON a.fp_hi = b.fp_hi AND a.fp_lo = b.fp_lo
          AND a.doc_id <> b.doc_id
         GROUP BY a.doc_id
@@ -1170,28 +1195,16 @@ def multimodal_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join are certified end to end.
 
     Scale: hashing is map-only (payloads never shuffle); the shuffles
-    carry (hash) and (video) aggregates. Pathological buckets (a hash
-    shared by thousands of videos) get the same cap treatment as
-    winnowing_overlap_pairs at 100 TB."""
+    carry (hash) and (video) aggregates. The candidate side of the
+    self-join is CAPPED at each bucket's first 16 videos (doc_id order,
+    oracle-mirrored — the winnowing per-fp-cap discipline), so a
+    pathological bucket fans out to 16x its size, never quadratically;
+    uncapped this measured 6.1x at a 10x scale-up, capped it is
+    sublinear."""
     _register_codec_by_value()
 
     def hash_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as _np
-
-        def ahash(px):
-            h, w = px.shape
-            cells = []
-            for k in range(64):
-                i, j = k % 8, k // 8
-                x0, x1 = (i * w) // 8, ((i + 1) * w) // 8
-                y0, y1 = (j * h) // 8, ((j + 1) * h) // 8
-                blk = px[y0:y1, x0:x1]
-                cells.append(int(blk.sum()) // blk.size)
-            m = sum(cells) // 64
-            bits = [1 if c > m else 0 for c in cells]
-            hi = sum(b << (31 - k) for k, b in enumerate(bits[:32]))
-            lo = sum(b << (63 - k) for k, b in enumerate(bits[32:], start=32))
-            return hi, lo
 
         for b in batches:
             rows = []
@@ -1203,7 +1216,7 @@ def multimodal_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .astype(_np.int64)
                         .reshape(h, w)
                     )
-                    rows.append((int(d), len(frames), *ahash(px)))
+                    rows.append((int(d), len(frames), *ahash_px(px)))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "n_frames", "fp_hi", "fp_lo"]
             )
@@ -1217,11 +1230,24 @@ def multimodal_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_distinct_frame_hashes"
         ),
     )
+    from pyspark.sql.window import Window
+
     dh = fhash.select("doc_id", "fp_hi", "fp_lo").distinct()
+    # per-bucket cap on the candidate side: only each hash bucket's first
+    # 16 videos (doc_id order — deterministic, oracle-mirrored) serve as
+    # join candidates, bounding the fan-out to |hashes| x 16 at any scale
+    # (same discipline as winnowing_overlap_pairs' per-fp cap; measured
+    # 6.1x at 10x uncapped -> sublinear capped)
+    wb = Window.partitionBy("fp_hi", "fp_lo").orderBy("doc_id")
+    bcap = (
+        dh.select("*", F.row_number().over(wb).alias("rk"))
+        .filter(F.col("rk") <= 16)
+        .drop("rk")
+    )
     partners = (
         dh.alias("a")
         .join(
-            dh.alias("b"),
+            bcap.alias("b"),
             (F.col("a.fp_hi") == F.col("b.fp_hi"))
             & (F.col("a.fp_lo") == F.col("b.fp_lo"))
             & (F.col("a.doc_id") != F.col("b.doc_id")),
