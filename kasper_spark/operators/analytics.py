@@ -1804,3 +1804,124 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in dfs[1:]:
         out = out.unionByName(d)
     return out
+
+
+@register_query(
+    "ols_regression_by_group",
+    oracle="""
+    WITH sums AS (
+        SELECT
+            l_returnflag,
+            l_linestatus,
+            COUNT(*) AS n,
+            CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sx,
+            CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                 AS BIGINT) AS sy,
+            CAST(SUM(CAST(round(l_quantity) AS BIGINT)
+                     * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sxx,
+            CAST(SUM(CAST(round(l_quantity) AS BIGINT)
+                     * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                 AS BIGINT) AS sxy,
+            CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                     * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                 AS BIGINT) AS syy
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    ),
+    wide AS (
+        SELECT
+            l_returnflag, l_linestatus, n, sx, sy,
+            CAST(CAST(n AS DECIMAL(19,0)) * CAST(sxy AS DECIMAL(19,0))
+                 - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))
+                 AS DECIMAL(38,0)) AS num,
+            CAST(CAST(n AS DECIMAL(19,0)) * CAST(sxx AS DECIMAL(19,0))
+                 - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0))
+                 AS DECIMAL(38,0)) AS den,
+            CAST(CAST(n AS DECIMAL(19,0)) * CAST(syy AS DECIMAL(19,0))
+                 - CAST(sy AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))
+                 AS DECIMAL(38,0)) AS deny
+        FROM sums
+    )
+    SELECT
+        l_returnflag,
+        l_linestatus,
+        n,
+        CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS slope_cents_per_unit,
+        (CAST(sy AS DOUBLE)
+         - (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) * CAST(sx AS DOUBLE))
+            / CAST(n AS DOUBLE) AS intercept_cents,
+        (CAST(num AS DOUBLE) / sqrt(CAST(den AS DOUBLE)))
+            * (CAST(num AS DOUBLE) / sqrt(CAST(deny AS DOUBLE))) AS r2
+    FROM wide
+    """,
+)
+def ols_regression_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped closed-form OLS (regr_slope / regr_intercept / regr_r2) of
+    extendedprice-cents on quantity, per (returnflag, linestatus) — the per-segment trend
+    fit every pricing/forecasting notebook runs.
+
+    Both engines SHIP these as built-in aggregates (regr_*), but both
+    accumulate doubles in partition order — nondeterministic across cluster
+    layouts and not bit-portable between engines. This plan instead gathers
+    the five sufficient statistics (n, Sx, Sy, Sxx, Sxy, Syy) as EXACT
+    integer sums (quantity is an integer, price quantized once to cents
+    with the rounding-mode-independent floor(v*100+0.5)), widens the
+    n*Sxy - Sx*Sy stage to DECIMAL(38,0) so it cannot overflow at any
+    realistic scale (int64 sums hold to ~sf1k; the cross terms need int128),
+    and then runs one identical IEEE double expression per group on both
+    engines. r2 is computed as (num/sqrt(den))*(num/sqrt(deny)) — num^2
+    would need 76 digits; the factored form keeps every double op in range.
+
+    Scale: one groupBy((returnflag, linestatus)) with full map-side partial
+    aggregation — the shuffle carries 4 rows per task. The closed form needs no second
+    pass and no driver-side math; this is the textbook "sufficient
+    statistics beat iteration" distributed-ML shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity")).cast("bigint")
+    y = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+    sums = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(y * y).alias("syy"),
+    )
+    d19 = "decimal(19,0)"
+    num = (
+        F.col("n").cast(d19) * F.col("sxy").cast(d19)
+        - F.col("sx").cast(d19) * F.col("sy").cast(d19)
+    ).cast("decimal(38,0)")
+    den = (
+        F.col("n").cast(d19) * F.col("sxx").cast(d19)
+        - F.col("sx").cast(d19) * F.col("sx").cast(d19)
+    ).cast("decimal(38,0)")
+    deny = (
+        F.col("n").cast(d19) * F.col("syy").cast(d19)
+        - F.col("sy").cast(d19) * F.col("sy").cast(d19)
+    ).cast("decimal(38,0)")
+    wide = sums.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n",
+        "sx",
+        "sy",
+        num.alias("num"),
+        den.alias("den"),
+        deny.alias("deny"),
+    )
+    slope = F.col("num").cast("double") / F.col("den").cast("double")
+    return wide.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n",
+        slope.alias("slope_cents_per_unit"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("intercept_cents"),
+        (
+            (F.col("num").cast("double") / F.sqrt(F.col("den").cast("double")))
+            * (F.col("num").cast("double") / F.sqrt(F.col("deny").cast("double")))
+        ).alias("r2"),
+    )

@@ -557,3 +557,117 @@ def ewma_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ratio"),
         )
     )
+
+
+@register_query(
+    "window_count_distinct_cum",
+    oracle="""
+    SELECT event_type, ts, event_id,
+           COUNT(DISTINCT user_id) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum_distinct_users
+    FROM events
+    """,
+)
+def window_count_distinct_cum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct-user count per event type — the audience-growth
+    curve every engagement dashboard wants, and a window shape Spark has no
+    native aggregate for (COUNT(DISTINCT) OVER is unsupported in Spark SQL).
+
+    Oracle-as-spec / plan-as-scale-path: the DuckDB oracle states the naive
+    semantics (a DISTINCT window aggregate, which materializes a distinct
+    set per frame — O(users) state per row). The Spark plan runs the
+    scalable rewrite instead: a user contributes only at their FIRST
+    (ts, event_id) within the event type (row_number over the per-user
+    window), and the cumulative distinct count is then a running SUM of
+    that 0/1 first-seen flag — O(1) window state. The hash match certifies
+    the rewrite.
+
+    Scale: two shuffles (by (event_type, user_id), then by event_type).
+    The second window is partitioned by event_type only — low cardinality,
+    so at 100 TB that ordered pass is the bottleneck; the standard fix is
+    range-repartitioning each type's timeline and prefix-summing the
+    per-range first-seen subtotals (same two-pass trick as
+    token_budget_select). The running-sum state stays O(1) either way,
+    vs the naive plan's O(distinct-users) set per frame."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "user_id"
+    )
+    w_first = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(F.row_number().over(w_first) == 1, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("first_seen"),
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return flagged.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum("first_seen").over(w_cum).cast("bigint").alias("cum_distinct_users"),
+    )
+
+
+@register_query(
+    "ohlc_bars_hourly",
+    oracle=f"""
+    SELECT
+        event_type,
+        date_trunc('hour', ts) AS bar_hour,
+        COUNT(*) AS n_events,
+        CAST((min(struct_pack(ts := ts, eid := event_id, v := value))).v
+             AS DOUBLE) AS open_value,
+        max(value) AS high_value,
+        min(value) AS low_value,
+        CAST((max(struct_pack(ts := ts, eid := event_id, v := value))).v
+             AS DOUBLE) AS close_value,
+        {dsum_sql('value')} AS sum_value
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts)
+    """,
+)
+def ohlc_bars_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC (open/high/low/close) bars per event type — the classic
+    time-series downsample (metrics, tick data, sensor rollups).
+
+    Open/close are argmin/argmax by the unique (ts, event_id) order key,
+    expressed as min/max over a (ts, eid, value) struct — lexicographic
+    struct comparison is identical in Spark and DuckDB, and the unique
+    (ts, event_id) prefix makes the extremum unambiguous, so no
+    first()/last() partition-order nondeterminism anywhere. sum_value uses
+    the decimal-exact dsum.
+
+    Scale: a single groupBy((event_type, hour)) — partial aggregation
+    (min/max/count/decimal-sum all have map-side combiners) means the
+    shuffle carries one row per group per task, not the raw events. No
+    window, no sort, no skew beyond group count; this is the shape that
+    survives 100 TB unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    o_struct = F.struct(
+        F.col("ts").alias("ts"),
+        F.col("event_id").alias("eid"),
+        F.col("value").alias("v"),
+    )
+    return (
+        ev.groupBy(
+            "event_type", F.window("ts", "1 hour").start.alias("bar_hour")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(o_struct).getField("v").alias("open_value"),
+            F.max("value").alias("high_value"),
+            F.min("value").alias("low_value"),
+            F.max(o_struct).getField("v").alias("close_value"),
+            dsum("value").alias("sum_value"),
+        )
+    )

@@ -62,6 +62,12 @@ def load_all_operators() -> None:
 # (tools/bare_sweep.py, bare session, foreign cwd) at sf0.01 before this
 # rotation landed; the full pytest suite is green.
 DRIVER_SAMPLE_PRIORITY: list[str] = [
+    # -- 0. NEWEST this round: exact grouped OLS, cumulative-distinct
+    #       window rewrite, hourly OHLC bars (all oracle-backed) --
+    "ols_regression_by_group",
+    "window_count_distinct_cum",
+    "ohlc_bars_hourly",
+    "ann_pq_topk",
     # -- 1. NEW this round: the curation family (all oracle-backed) --
     "ngram_decontaminate_bloom",
     "doc_chunk_overlap",
@@ -123,13 +129,9 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "lateral_posexplode",
     "variant_extract_props",
     "dedup_exact",
-    "tokenset_jaccard_pairs",
-    # -- 2b. rotation: the first half of the r04-evidence cohort
-    #        (registry order; the streaming-twin half rotates in r9) --
-    "levenshtein_block_pairs",
-    "ann_int8_topk",
-    "training_data_pipeline",
-    # (exactly 50 names; corpus_mix_sample, gopher_quality_filters, tfidf_top_terms, text_normalize, udtf_sentence_split, stratified_topn_md5, pivot_segment_by_nation, percentiles_quantity, string_functions, grouping_sets_orders, unpivot_part_metrics,
+    # (exactly 50 names; tokenset_jaccard_pairs, levenshtein_block_pairs, ann_int8_topk,
+    # training_data_pipeline — displaced by this session's three new
+    # operators — plus corpus_mix_sample, gopher_quality_filters, tfidf_top_terms, text_normalize, udtf_sentence_split, stratified_topn_md5, pivot_segment_by_nation, percentiles_quantity, string_functions, grouping_sets_orders, unpivot_part_metrics,
     # window_nav_lag_lead, join_skew_salted, math_date_functions,
     # stats_moments, corr_covar_qty_discount, histogram_totalprice,
     # cohort_retention and the r04 streaming twins rotate in r9)

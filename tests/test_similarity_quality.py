@@ -46,3 +46,14 @@ def test_lsh_recall_vs_bruteforce(spark):
     # land in singleton buckets, but aggregate recall still separates
     # "working" from "broken" (a scrambled signature gives ~k/N ≈ 0.0x)
     assert _recall(lsh, exact) >= 0.2
+
+
+def test_pq_recall_vs_bruteforce(spark):
+    exact = _topk_sets(QUERIES["ann_bruteforce_topk"](spark, SF_ORACLE))
+    pq = _topk_sets(QUERIES["ann_pq_topk"](spark, SF_ORACLE))
+    assert exact, "brute-force baseline returned nothing"
+    # 8 subspaces x 16 seed codewords, shortlist 50 (measured recall 0.6 at
+    # sf0.01): every query answers, and recall clears a floor a broken
+    # encoder or a scrambled ADC table could not reach
+    assert set(pq) == set(exact)
+    assert _recall(pq, exact) >= 0.45
