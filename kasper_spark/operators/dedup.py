@@ -1933,3 +1933,80 @@ def cluster_lang_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+_BFS_SEEDS = 5  # seed set: doc_id < 5
+_BFS_K = 4  # hop bound
+
+
+@register_query(
+    "bfs_khop_lsh_graph",
+    oracle="WITH RECURSIVE "
+    + _LSH_GRAPH_CTE
+    + f""",
+    sym AS MATERIALIZED (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    bfs AS (
+        SELECT doc_id, 0 AS hops FROM documents WHERE doc_id < {_BFS_SEEDS}
+        UNION
+        SELECT s.dst AS doc_id, b.hops + 1 AS hops
+        FROM bfs b JOIN sym s ON s.src = b.doc_id
+        WHERE b.hops < {_BFS_K}
+    )
+    SELECT doc_id, CAST(MIN(hops) AS BIGINT) AS hops
+    FROM bfs GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def bfs_khop_lsh_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-hop BFS reachability (min-hop distance) from a seed set over the
+    LSH-candidate near-dup graph — the "contamination blast radius" query:
+    if these seed documents are known-bad (eval-set leaks, spam clusters),
+    every doc within K near-dup hops is transitively suspect. Completes
+    the graph family (PageRank / LPA / CC / triangles) with the one motif
+    it lacked: distance-bounded traversal.
+
+    Frontier BFS, the Pregel pattern: each round joins the current
+    frontier against the symmetrized edge list, anti-joins out already-
+    reached nodes (so a node keeps its MINIMUM hop count), and unions the
+    new frontier into the reached set — K bounded rounds, lineage cut per
+    round (connected_components discipline; the plan-exchange gate in
+    test_plans covers it). Ground truth: DuckDB computes the same
+    min-hop distances with a bounded recursive CTE over the identical
+    md5-LSH edge list — the first traversal certified end-to-end against
+    a recursive oracle.
+
+    Scale: each round shuffles only (frontier x avg-degree) rows — the
+    frontier is a vanishing fraction of the corpus after round 1 on a
+    near-dup graph (components are small by construction; the LSH bucket
+    caps bound degree). The reached set grows monotonically but stays
+    keyed by doc_id for the anti-join; at 100 TB this is the standard
+    iterative-join BFS every Pregel/GraphX engine runs, expressed as
+    DataFrame ops with per-round checkpoints."""
+    pairs = _md5_lsh_pairs(spark, sf_dir)
+    sym = cut_lineage(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+    )
+    seeds = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _BFS_SEEDS)
+        .select("doc_id", F.lit(0).cast("bigint").alias("hops"))
+    )
+    reached = cut_lineage(seeds)
+    frontier = reached.select("doc_id")
+    for k in range(1, _BFS_K + 1):
+        nxt = cut_lineage(
+            frontier.join(sym, frontier["doc_id"] == sym["src"])
+            .select(F.col("dst").alias("doc_id"))
+            .distinct()
+            .join(reached.select("doc_id"), "doc_id", "left_anti")
+            .select("doc_id", F.lit(k).cast("bigint").alias("hops"))
+        )
+        reached = cut_lineage(reached.unionByName(nxt))
+        frontier = nxt.select("doc_id")
+    return reached.orderBy("doc_id")

@@ -671,3 +671,125 @@ def ohlc_bars_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("sum_value"),
         )
     )
+
+
+@register_query(
+    "peak_concurrency_daily",
+    oracle="""
+    WITH marked AS (
+        SELECT
+            user_id, event_id, ts,
+            CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, event_id, ts,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+        FROM marked
+    ),
+    sessions AS (
+        SELECT user_id, session_no, MIN(ts) AS s, MAX(ts) AS e
+        FROM numbered GROUP BY user_id, session_no
+    ),
+    bounds AS (
+        SELECT s AS ts, 1 AS delta, user_id, session_no FROM sessions
+        UNION ALL
+        SELECT e AS ts, -1 AS delta, user_id, session_no FROM sessions
+    ),
+    curve AS (
+        SELECT ts,
+               CAST(SUM(delta) OVER (
+                   ORDER BY ts, delta DESC, user_id, session_no
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS concurrent
+        FROM bounds
+    )
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           MAX(concurrent) AS peak_concurrency,
+           CAST(COUNT(*) AS BIGINT) AS n_boundaries
+    FROM curve
+    GROUP BY date_trunc('day', ts)
+    """,
+)
+def peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily peak concurrent sessions — the interval sweep-line every
+    capacity/billing/licensing report runs: sessionize (30-min gap, the
+    sessionize_events logic), emit +1/-1 boundary events at each session's
+    start/end (start sorts before end at the same instant: inclusive
+    overlap), running-sum the deltas in global time order, and take each
+    day's max over its boundary instants.
+
+    Oracle-as-spec / plan-as-scale-path: the DuckDB oracle runs the NAIVE
+    sweep — one global running sum, a single-partition window that dies at
+    100 TB. The Spark plan computes the identical curve in two passes
+    (the token_budget_select discipline): (1) net delta per HOUR bucket,
+    whose tiny hour-level cumulative window yields each hour's carry-in
+    offset; (2) a running sum WITHIN each hour (window partitioned by
+    hour — parallel across hours) plus the broadcast offset. The hash
+    match certifies the decomposition.
+
+    Exactness: deltas are integers, ordering is the total key
+    (ts, delta desc, user_id, session_no) — no floats, no ties, no
+    partition-order dependence anywhere."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)) <= 1800,
+            0,
+        )
+        .otherwise(1)
+        .alias("new_session"),
+    )
+    numbered = marked.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_no"),
+    )
+    sessions = numbered.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    bounds = sessions.select(
+        F.col("s").alias("ts"), F.lit(1).alias("delta"), "user_id", "session_no"
+    ).unionByName(
+        sessions.select(
+            F.col("e").alias("ts"), F.lit(-1).alias("delta"), "user_id", "session_no"
+        )
+    ).withColumn("hour", F.date_trunc("hour", F.col("ts")))
+    # pass 1: hour-level carry-in offsets (|hours| rows — the tiny window)
+    w_hours = Window.orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = (
+        bounds.groupBy("hour")
+        .agg(F.sum("delta").alias("net"))
+        .select(
+            "hour", (F.sum("net").over(w_hours) - F.col("net")).alias("carry_in")
+        )
+    )
+    # pass 2: per-hour running sum (parallel across hours) + carry-in
+    w_in_hour = Window.partitionBy("hour").orderBy(
+        "ts", F.desc("delta"), "user_id", "session_no"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    curve = bounds.join(F.broadcast(offsets), "hour").select(
+        "ts",
+        (F.col("carry_in") + F.sum("delta").over(w_in_hour))
+        .cast("bigint")
+        .alias("concurrent"),
+    )
+    return curve.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.max("concurrent").alias("peak_concurrency"),
+        F.count(F.lit(1)).cast("bigint").alias("n_boundaries"),
+    )

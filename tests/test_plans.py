@@ -175,6 +175,7 @@ _ITERATIVE_EXCHANGE_CAPS = {
     "ann_ivf_trained_topk": 32,
     "neardup_cc_canonical": 10,
     "cc_lsh_graph": 10,
+    "bfs_khop_lsh_graph": 10,
 }
 
 
