@@ -58,6 +58,9 @@ HEADLINE = [
     "curation_pipeline_e2e",  # the whole curation tier in one plan
     "bm25_keyword_topk",      # in-engine BM25, distributed top-k
     "ewma_anomaly_events",    # per-entity trailing-EWMA anomaly gate
+    "ann_pq_topk",            # PQ/ADC: codes-only candidate scan + re-rank
+    "ann_ivf_pq_topk",        # composed index: IVF pruning + PQ scoring
+    "peak_concurrency_daily", # interval sweep via two-pass prefix sum
 ]
 
 

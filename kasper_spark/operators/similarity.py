@@ -1392,10 +1392,69 @@ def _dot_exact_dec(a: Column, b: Column) -> Column:
     )
 
 
-@register_query(
-    "ann_pq_topk",
-    oracle=f"""
-    WITH seeds AS MATERIALIZED (
+def _pq_slice_arr() -> Column:
+    """The 8 subspace slices of the embedding column, as one array."""
+    return F.array(
+        *[F.slice("embedding", j * _PQ_SUBDIM + 1, _PQ_SUBDIM) for j in range(_PQ_M)]
+    )
+
+
+def _pq_parts(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(encoded, lut): the PQ building blocks shared by ann_pq_topk and
+    ann_ivf_pq_topk — md5-seed codebook, per-subspace nearest-codeword
+    encoding, and the per-query exact-decimal ADC lookup table. Both
+    consumers' oracles replicate these CTEs verbatim (keep in sync)."""
+    from pyspark.sql.window import Window
+
+    seeds = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(_PQ_K)
+        .select(
+            "embedding",
+            F.row_number()
+            .over(Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id"))
+            .alias("code_r"),
+        )
+    )
+    codebook = seeds.select(
+        "code_r", F.posexplode(_pq_slice_arr()).alias("sub_j", "cvec")
+    ).select(
+        "sub_j",
+        "code_r",
+        "cvec",
+        dot_double(F.col("cvec"), F.col("cvec")).alias("c2"),
+    )
+    slices = emb.select(
+        "vec_id", F.posexplode(_pq_slice_arr()).alias("sub_j", "svec")
+    )
+    score = F.col("c2") - F.lit(2.0) * dot_double(F.col("svec"), F.col("cvec"))
+    encoded = (
+        slices.join(F.broadcast(codebook), "sub_j")
+        .select(
+            "vec_id",
+            "sub_j",
+            F.struct(score.alias("s"), F.col("code_r").alias("r")).alias("sc"),
+        )
+        .groupBy("vec_id", "sub_j")
+        .agg(F.min("sc").getField("r").alias("code_r"))
+    )
+    lut = (
+        slices.filter(F.col("vec_id") < _N_QUERY)
+        .join(F.broadcast(codebook), "sub_j")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "sub_j",
+            "code_r",
+            _dot_exact_dec(F.col("svec"), F.col("cvec")).alias("pdist"),
+        )
+    )
+    return encoded, lut
+
+
+# The PQ CTE chain (seeds/subs/codebook/slices/encoded/lut) is shared
+# verbatim between ann_pq_topk's and ann_ivf_pq_topk's oracles — both are
+# pinned by hash-exact parity tests, so any drift fails loudly.
+_PQ_CTES_SQL = f"""seeds AS MATERIALIZED (
         SELECT embedding,
                ROW_NUMBER() OVER (
                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
@@ -1435,7 +1494,13 @@ def _dot_exact_dec(a: Column, b: Column) -> Column:
                {dot_exact_dec_sql('v.svec', 'c.cvec')} AS pdist
         FROM slices v JOIN codebook c ON v.sub_j = c.sub_j
         WHERE v.vec_id < {_N_QUERY}
-    ),
+    )"""
+
+
+@register_query(
+    "ann_pq_topk",
+    oracle=f"""
+    WITH {_PQ_CTES_SQL},
     adc AS MATERIALIZED (
         SELECT l.query_id, v.vec_id AS neighbor_id,
                CAST(CAST(SUM(l.pdist) AS DECIMAL(38,12)) AS DOUBLE) AS adc_score
@@ -1506,55 +1571,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    md5_key = F.md5(F.col("vec_id").cast("string"))
-    seeds = (
-        emb.orderBy(md5_key, "vec_id")
-        .limit(_PQ_K)
-        .select(
-            "embedding",
-            F.row_number()
-            .over(Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id"))
-            .alias("code_r"),
-        )
-    )
-    slice_arr = F.array(
-        *[
-            F.slice("embedding", j * _PQ_SUBDIM + 1, _PQ_SUBDIM)
-            for j in range(_PQ_M)
-        ]
-    )
-    codebook = seeds.select(
-        "code_r", F.posexplode(slice_arr).alias("sub_j", "cvec")
-    ).select(
-        "sub_j",
-        "code_r",
-        "cvec",
-        dot_double(F.col("cvec"), F.col("cvec")).alias("c2"),
-    )
-    slices = emb.select(
-        "vec_id", F.posexplode(slice_arr).alias("sub_j", "svec")
-    )
-    score = F.col("c2") - F.lit(2.0) * dot_double(F.col("svec"), F.col("cvec"))
-    encoded = (
-        slices.join(F.broadcast(codebook), "sub_j")
-        .select(
-            "vec_id",
-            "sub_j",
-            F.struct(score.alias("s"), F.col("code_r").alias("r")).alias("sc"),
-        )
-        .groupBy("vec_id", "sub_j")
-        .agg(F.min("sc").getField("r").alias("code_r"))
-    )
-    lut = (
-        slices.filter(F.col("vec_id") < _N_QUERY)
-        .join(F.broadcast(codebook), "sub_j")
-        .select(
-            F.col("vec_id").alias("query_id"),
-            "sub_j",
-            "code_r",
-            _dot_exact_dec(F.col("svec"), F.col("cvec")).alias("pdist"),
-        )
-    )
+    encoded, lut = _pq_parts(emb)
     adc = (
         encoded.join(F.broadcast(lut), ["sub_j", "code_r"])
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -1581,6 +1598,196 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = emb.select(
         "vec_id", "embedding", norm_exact(F.col("embedding")).alias("nrm")
+    )
+    q = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    rer = (
+        short.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_score",
+            (dot_exact(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        rer.select(
+            "query_id",
+            "neighbor_id",
+            "adc_score",
+            "cosine",
+            F.row_number().over(w_rank).alias("rank"),
+        )
+        .filter(F.col("rank") <= _TOP_K)
+    )
+
+
+@register_query(
+    "ann_ivf_pq_topk",
+    # The e/cent/assign/probe CTEs duplicate ann_ivf_topk's oracle and the
+    # PQ chain comes from _PQ_CTES_SQL — all pinned by hash-exact parity
+    # tests, so drift in either half fails loudly.
+    oracle=f"""
+    WITH {_PQ_CTES_SQL},
+    e AS MATERIALIZED (
+        SELECT vec_id, embedding,
+               sqrt({dot_exact_sql('embedding', 'embedding')}) AS nrm
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+        FROM e WHERE vec_id % {_IVF_MOD} = 0
+    ),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, cent.cid,
+                ROW_NUMBER() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY {dot_double_sql('e.embedding', 'cent.cemb')} / (e.nrm * cent.cnrm) DESC,
+                             cent.cid
+                ) AS rn
+            FROM e CROSS JOIN cent
+        ) WHERE rn = 1
+    ),
+    probe AS (
+        SELECT vec_id AS query_id, cid FROM (
+            SELECT e.vec_id, cent.cid,
+                ROW_NUMBER() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY {dot_double_sql('e.embedding', 'cent.cemb')} / (e.nrm * cent.cnrm) DESC,
+                             cent.cid
+                ) AS rn
+            FROM e CROSS JOIN cent
+            WHERE e.vec_id < {_N_QUERY}
+        ) WHERE rn <= {_IVF_NPROBE}
+    ),
+    cand AS MATERIALIZED (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM probe p
+        JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+    ),
+    adc AS MATERIALIZED (
+        SELECT c.query_id, c.neighbor_id,
+               CAST(CAST(SUM(l.pdist) AS DECIMAL(38,12)) AS DOUBLE) AS adc_score
+        FROM cand c
+        JOIN encoded v ON v.vec_id = c.neighbor_id
+        JOIN lut l ON l.query_id = c.query_id
+                  AND l.sub_j = v.sub_j
+                  AND l.code_r = v.code_r
+        GROUP BY c.query_id, c.neighbor_id
+    ),
+    short AS (
+        SELECT query_id, neighbor_id, adc_score FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id
+            ) AS srn
+            FROM adc
+        ) WHERE srn <= {_PQ_SHORTLIST}
+    ),
+    rer AS (
+        SELECT s.query_id, s.neighbor_id, s.adc_score,
+               {dot_exact_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm)
+                   AS cosine
+        FROM short s
+        JOIN e q ON q.vec_id = s.query_id
+        JOIN e c ON c.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, adc_score, cosine, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS rank
+        FROM rer
+    ) WHERE rank <= {_TOP_K}
+    """,
+)
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the composed production ANN index — IVF's coarse quantizer
+    prunes the search to the probed centroid lists, and PQ's ADC scores
+    ONLY those candidates from their 8-byte codes. This is the structure
+    (minus residual encoding, the standard refinement) behind every
+    billion-vector index: memory = codes + centroids, per-query work =
+    nprobe list scans of code lookups, one exact re-rank at the end.
+
+    Both halves are the already-certified pieces: the e/cent/assign/probe
+    stages are ann_ivf_topk's verbatim, the codebook/encoded/lut stages
+    are ann_pq_topk's (_pq_parts). The composition is certified end-to-end
+    by the same two-engine hash discipline — exact-decimal ADC sums and
+    rank-stable tiebreaks at every stage.
+
+    Scale: vs plain PQ, the ADC scan shrinks from the full corpus to the
+    probed lists (nprobe/|cent| of it); vs plain IVF, the candidate scoring
+    drops from full-vector cosine to code lookups — the broadcast LUT join
+    carries (candidates x 8) narrow rows into a partial-aggregated sum.
+    Centroids, codebook, and LUT all broadcast; nothing corpus-sized
+    shuffles except the bounded candidate stream keyed by (query, vec)."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "embedding", norm_exact(F.col("embedding")).alias("nrm"))
+    cent = e.filter(F.col("vec_id") % _IVF_MOD == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+    )
+    cos_to_cent = dot_double(F.col("embedding"), F.col("cemb")) / (
+        F.col("nrm") * F.col("cnrm")
+    )
+    rn_w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    ranked = (
+        e.join(F.broadcast(cent))
+        .select("vec_id", "embedding", "nrm", "cid", cos_to_cent.alias("ccos"))
+        .select("vec_id", "cid", F.row_number().over(rn_w).alias("rn"))
+    )
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cid")
+    probe = (
+        ranked.filter((F.col("vec_id") < _N_QUERY) & (F.col("rn") <= _IVF_NPROBE))
+        .select(F.col("vec_id").alias("query_id"), "cid")
+    )
+    cand = (
+        probe.join(assign, "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    encoded, lut = _pq_parts(emb)
+    adc = (
+        cand.join(
+            encoded.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+        )
+        .join(F.broadcast(lut), ["query_id", "sub_j", "code_r"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum("pdist")
+            .cast("decimal(38,12)")
+            .cast("double")
+            .alias("adc_score")
+        )
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), F.asc("neighbor_id")
+    )
+    short = (
+        adc.select(
+            "query_id",
+            "neighbor_id",
+            "adc_score",
+            F.row_number().over(w_short).alias("srn"),
+        )
+        .filter(F.col("srn") <= _PQ_SHORTLIST)
+        .drop("srn")
     )
     q = e.select(
         F.col("vec_id").alias("query_id"),

@@ -127,6 +127,7 @@ _INTENTIONAL_BNLJ = {
     "ann_bruteforce_topk",
     "ann_ivf_recall_contract",  # composes the two bounded-|Q| searches below
     "ann_ivf_topk",
+    "ann_ivf_pq_topk",  # same bounded corpus x centroids assignment as IVF
     "ann_int8_topk",
     "embedding_neardup_pairs",
     "semantic_dedup_leader",  # bounded-subset all-pairs + leader anti-join

@@ -57,3 +57,13 @@ def test_pq_recall_vs_bruteforce(spark):
     # encoder or a scrambled ADC table could not reach
     assert set(pq) == set(exact)
     assert _recall(pq, exact) >= 0.45
+
+
+def test_ivf_pq_recall_vs_bruteforce(spark):
+    exact = _topk_sets(QUERIES["ann_bruteforce_topk"](spark, SF_ORACLE))
+    ivfpq = _topk_sets(QUERIES["ann_ivf_pq_topk"](spark, SF_ORACLE))
+    assert exact, "brute-force baseline returned nothing"
+    # nprobe=4 IVF pruning caps recall near plain IVF's ~0.5; measured 0.48
+    # at sf0.01 (the PQ shortlist inside probed lists loses almost nothing)
+    assert set(ivfpq) == set(exact)
+    assert _recall(ivfpq, exact) >= 0.35
