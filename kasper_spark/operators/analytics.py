@@ -1810,35 +1810,39 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ols_regression_by_group",
     oracle="""
     WITH sums AS (
+        -- decimal accumulators for the big moments: SUM(y*y) overflows
+        -- int64 already at ~15M rows/group (y is cents, y^2 ~ 1.2e14);
+        -- widths chosen so every later product stays <= DuckDB's 38-digit
+        -- multiply cap: n(13) x sxy/syy(25) = 38, sy(19) x sy(19) = 38
         SELECT
             l_returnflag,
             l_linestatus,
             COUNT(*) AS n,
             CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sx,
             CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
-                 AS BIGINT) AS sy,
+                 AS DECIMAL(19,0)) AS sy,
             CAST(SUM(CAST(round(l_quantity) AS BIGINT)
                      * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sxx,
             CAST(SUM(CAST(round(l_quantity) AS BIGINT)
                      * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
-                 AS BIGINT) AS sxy,
+                 AS DECIMAL(25,0)) AS sxy,
             CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
                      * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
-                 AS BIGINT) AS syy
+                 AS DECIMAL(25,0)) AS syy
         FROM lineitem
         GROUP BY l_returnflag, l_linestatus
     ),
     wide AS (
         SELECT
             l_returnflag, l_linestatus, n, sx, sy,
-            CAST(CAST(n AS DECIMAL(19,0)) * CAST(sxy AS DECIMAL(19,0))
-                 - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))
+            CAST(CAST(n AS DECIMAL(13,0)) * sxy
+                 - CAST(sx AS DECIMAL(14,0)) * sy
                  AS DECIMAL(38,0)) AS num,
-            CAST(CAST(n AS DECIMAL(19,0)) * CAST(sxx AS DECIMAL(19,0))
-                 - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0))
+            CAST(CAST(n AS DECIMAL(13,0)) * CAST(sxx AS DECIMAL(15,0))
+                 - CAST(sx AS DECIMAL(14,0)) * CAST(sx AS DECIMAL(14,0))
                  AS DECIMAL(38,0)) AS den,
-            CAST(CAST(n AS DECIMAL(19,0)) * CAST(syy AS DECIMAL(19,0))
-                 - CAST(sy AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))
+            CAST(CAST(n AS DECIMAL(13,0)) * syy
+                 - sy * sy
                  AS DECIMAL(38,0)) AS deny
         FROM sums
     )
@@ -1864,12 +1868,14 @@ def ols_regression_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulate doubles in partition order — nondeterministic across cluster
     layouts and not bit-portable between engines. This plan instead gathers
     the five sufficient statistics (n, Sx, Sy, Sxx, Sxy, Syy) as EXACT
-    integer sums (quantity is an integer, price quantized once to cents
-    with the rounding-mode-independent floor(v*100+0.5)), widens the
-    n*Sxy - Sx*Sy stage to DECIMAL(38,0) so it cannot overflow at any
-    realistic scale (int64 sums hold to ~sf1k; the cross terms need int128),
-    and then runs one identical IEEE double expression per group on both
-    engines. r2 is computed as (num/sqrt(den))*(num/sqrt(deny)) — num^2
+    integer/decimal sums (quantity is an integer, price quantized once to
+    cents with the rounding-mode-independent floor(v*100+0.5); the y-side
+    moments accumulate in DECIMAL because SUM(y^2) overflows int64 at
+    ~15M rows per group), then runs one identical IEEE double expression
+    per group on both engines. Decimal widths are sized so every cross
+    term stays under the 38-digit multiply cap both engines share —
+    exact through ~1e10 rows per group (i.e. >10 TB of lineitem PER
+    GROUP); beyond that, split the y^2 moment into high/low words. r2 is computed as (num/sqrt(den))*(num/sqrt(deny)) — num^2
     would need 76 digits; the factored form keeps every double op in range.
 
     Scale: one groupBy((returnflag, linestatus)) with full map-side partial
@@ -1879,26 +1885,27 @@ def ols_regression_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     x = F.round(F.col("l_quantity")).cast("bigint")
     y = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+    # big moments accumulate in DECIMAL (y*y ~ 1.2e14/row overflows an
+    # int64 SUM at ~15M rows/group); per-row products still fit long
     sums = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x).alias("sx"),
-        F.sum(y).alias("sy"),
+        F.sum(y.cast("decimal(19,0)")).cast("decimal(19,0)").alias("sy"),
         F.sum(x * x).alias("sxx"),
-        F.sum(x * y).alias("sxy"),
-        F.sum(y * y).alias("syy"),
+        F.sum((x * y).cast("decimal(25,0)")).cast("decimal(25,0)").alias("sxy"),
+        F.sum((y * y).cast("decimal(25,0)")).cast("decimal(25,0)").alias("syy"),
     )
-    d19 = "decimal(19,0)"
     num = (
-        F.col("n").cast(d19) * F.col("sxy").cast(d19)
-        - F.col("sx").cast(d19) * F.col("sy").cast(d19)
+        F.col("n").cast("decimal(13,0)") * F.col("sxy")
+        - F.col("sx").cast("decimal(14,0)") * F.col("sy")
     ).cast("decimal(38,0)")
     den = (
-        F.col("n").cast(d19) * F.col("sxx").cast(d19)
-        - F.col("sx").cast(d19) * F.col("sx").cast(d19)
+        F.col("n").cast("decimal(13,0)") * F.col("sxx").cast("decimal(15,0)")
+        - F.col("sx").cast("decimal(14,0)") * F.col("sx").cast("decimal(14,0)")
     ).cast("decimal(38,0)")
     deny = (
-        F.col("n").cast(d19) * F.col("syy").cast(d19)
-        - F.col("sy").cast(d19) * F.col("sy").cast(d19)
+        F.col("n").cast("decimal(13,0)") * F.col("syy")
+        - F.col("sy") * F.col("sy")
     ).cast("decimal(38,0)")
     wide = sums.select(
         "l_returnflag",

@@ -1211,3 +1211,78 @@ def streaming_ewma_tws_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 assert "ewma_anomaly_events" in _OR, "batch EWMA oracle missing (tws twin)"
 _OR["streaming_ewma_tws_twin"] = _OR["ewma_anomaly_events"]
+
+
+@register_query("streaming_ohlc_twin")  # oracle bound at module end (batch OHLC)
+def streaming_ohlc_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars computed through Structured Streaming — the batch
+    ohlc_bars_hourly re-expressed as a watermarked window aggregation
+    (parquet file stream -> window agg with argmin/argmax-by-struct ->
+    availableNow drain -> memory sink), checked against the SAME oracle.
+
+    What this certifies beyond the tumbling twin: streaming state can
+    carry ORDERED-STRUCT extrema (min/max over a (ts, eid, value) struct
+    — the open/close of a bar) incrementally across micro-batches, not
+    just commutative count/sum — i.e. the state merge for argmin/argmax
+    is exercised, and the decimal-exact sum rides along in the same state
+    row. Complete output mode + availableNow keeps every window in the
+    final table while still driving the event-time watermark path.
+
+    Scale: identical state layout to any windowed agg — one state row per
+    (window, event_type) carrying 5 scalars + 2 structs; late data past
+    the 1 h watermark would be dropped in a true continuous run."""
+    qname = f"sohlc_{uuid.uuid4().hex[:10]}"
+    work = tempfile.mkdtemp(prefix="kasper-sohlc-")
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir)
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    ensure_nanos_as_long(spark)
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    stream = spark.readStream.schema(raw.schema).format("parquet").load(src_dir)
+    stream = normalize_driver_ts(stream, ("ts",))
+    o_struct = F.struct(
+        F.col("ts").alias("ts"),
+        F.col("event_id").alias("eid"),
+        F.col("value").alias("v"),
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("event_type", F.window("ts", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(o_struct).getField("v").alias("open_value"),
+            F.max("value").alias("high_value"),
+            F.min("value").alias("low_value"),
+            F.max(o_struct).getField("v").alias("close_value"),
+            F.sum(F.col("value").cast("decimal(38,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.col("window.start").alias("bar_hour"),
+            "n_events",
+            "open_value",
+            "high_value",
+            "low_value",
+            "close_value",
+            "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
+assert "ohlc_bars_hourly" in _OR, "batch OHLC oracle missing (streaming twin)"
+_OR["streaming_ohlc_twin"] = _OR["ohlc_bars_hourly"]

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from kasper_spark.catalog import load_table
 from kasper_spark.functions.exact import dsum, dsum_sql
+from kasper_spark.lineage import cut_lineage
 from kasper_spark.registry import register_query
 
 
@@ -759,13 +760,27 @@ def peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = numbered.groupBy("user_id", "session_no").agg(
         F.min("ts").alias("s"), F.max("ts").alias("e")
     )
-    bounds = sessions.select(
-        F.col("s").alias("ts"), F.lit(1).alias("delta"), "user_id", "session_no"
-    ).unionByName(
+    # one explode pass emits both boundaries (a union of two selects would
+    # recompute the whole sessionize chain per branch); the cut materializes
+    # the session-sized boundary list once for its two consumers below
+    bounds = cut_lineage(
         sessions.select(
-            F.col("e").alias("ts"), F.lit(-1).alias("delta"), "user_id", "session_no"
+            "user_id",
+            "session_no",
+            F.explode(
+                F.array(
+                    F.struct(F.col("s").alias("ts"), F.lit(1).alias("delta")),
+                    F.struct(F.col("e").alias("ts"), F.lit(-1).alias("delta")),
+                )
+            ).alias("b"),
+        ).select(
+            F.col("b.ts").alias("ts"),
+            F.col("b.delta").alias("delta"),
+            "user_id",
+            "session_no",
+            F.date_trunc("hour", F.col("b.ts")).alias("hour"),
         )
-    ).withColumn("hour", F.date_trunc("hour", F.col("ts")))
+    )
     # pass 1: hour-level carry-in offsets (|hours| rows — the tiny window)
     w_hours = Window.orderBy("hour").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
