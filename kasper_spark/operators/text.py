@@ -1316,3 +1316,121 @@ def boilerplate_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio.alias("boiler_ratio"),
         (ratio < 0.5).alias("kept"),
     )
+
+
+_CHI2_V = 256  # top-V vocabulary: the bounded multinomial the test runs over
+
+
+@register_query(
+    "chi2_source_divergence",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+        SELECT source, u.w AS word
+        FROM (
+            SELECT source, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+            FROM documents
+        ), UNNEST(ws) AS u(w)
+    ),
+    counts AS MATERIALIZED (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS cw
+        FROM toks GROUP BY word
+    ),
+    topv AS MATERIALIZED (
+        SELECT word, cw FROM counts
+        ORDER BY cw DESC, word LIMIT {_CHI2_V}
+    ),
+    big_n AS (SELECT CAST(SUM(cw) AS BIGINT) AS n FROM topv),
+    obs AS MATERIALIZED (
+        SELECT t.source, t.word, CAST(COUNT(*) AS BIGINT) AS o
+        FROM toks t JOIN topv v ON v.word = t.word
+        GROUP BY t.source, t.word
+    ),
+    src AS (
+        SELECT source, CAST(SUM(o) AS BIGINT) AS ns FROM obs GROUP BY source
+    ),
+    grid AS (
+        SELECT s.source, s.ns, v.word, v.cw, COALESCE(ob.o, 0) AS o
+        FROM src s
+        CROSS JOIN topv v
+        LEFT JOIN obs ob ON ob.source = s.source AND ob.word = v.word
+    ),
+    terms AS (
+        -- (o*N - ns*cw)^2 / (ns*cw*N): the numerator difference is exact
+        -- int64 (<= ~1e12 here; widen to DECIMAL past ~sf100), the square
+        -- and denominator run in IEEE doubles with identical association
+        -- on both engines, and each term is quantized once to
+        -- DECIMAL(38,12) so the per-source sum is order-independent
+        SELECT g.source, g.ns,
+               CAST(
+                   (CAST(g.o * b.n - g.ns * g.cw AS DOUBLE)
+                    * CAST(g.o * b.n - g.ns * g.cw AS DOUBLE))
+                   / (CAST(g.ns AS DOUBLE) * CAST(g.cw AS DOUBLE)
+                      * CAST(b.n AS DOUBLE))
+               AS DECIMAL(38,12)) AS term
+        FROM grid g, big_n b
+    )
+    SELECT source, ns AS n_topv_tokens,
+           CAST(CAST(SUM(term) AS DECIMAL(38,12)) AS DOUBLE) AS chi2
+    FROM terms
+    GROUP BY source, ns
+    """,
+)
+def chi2_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus-drift test: chi-square divergence between each
+    source's unigram distribution and the whole-corpus distribution over
+    the top-{_CHI2_V} vocabulary — the statistic a data-mixing pipeline
+    watches to catch a feed whose language suddenly shifts (scraper
+    breakage, template flood, domain drift). KL needs ln (not bit-portable
+    across libm builds — see quality_classifier_logit); Pearson chi-square
+    is the standard drift test that stays in +,*,/ — every term is
+    (o*N - ns*cw)^2/(ns*cw*N) with an EXACT integer numerator difference,
+    identical IEEE double association on both engines, and a one-time
+    DECIMAL(38,12) quantization so the sum is partition-order-independent.
+
+    Scale: tokenize is map-side; two word-keyed groupBys (corpus counts,
+    per-source counts) are the only corpus-sized shuffles — both partial-
+    aggregated. The top-V vocabulary is a TakeOrdered (map-side top-k, no
+    global sort), and the S x V expected-frequency grid (sources x 256) is
+    assembled from broadcasts — constant-sized no matter the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(_tokens(F.col("text"))).alias("word")
+    )
+    counts = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cw"))
+    topv = counts.orderBy(F.desc("cw"), F.asc("word")).limit(_CHI2_V)
+    big_n = topv.agg(F.sum("cw").alias("n"))
+    obs = (
+        toks.join(F.broadcast(topv.select("word")), "word")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    src = obs.groupBy("source").agg(F.sum("o").alias("ns"))
+    grid = (
+        src.crossJoin(F.broadcast(topv))
+        .join(obs, ["source", "word"], "left")
+        .select(
+            "source",
+            "ns",
+            "word",
+            "cw",
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+        )
+        .crossJoin(F.broadcast(big_n))
+    )
+    diff = (F.col("o") * F.col("n") - F.col("ns") * F.col("cw")).cast("double")
+    term = (
+        (diff * diff)
+        / (
+            F.col("ns").cast("double")
+            * F.col("cw").cast("double")
+            * F.col("n").cast("double")
+        )
+    ).cast("decimal(38,12)")
+    return (
+        grid.select("source", "ns", term.alias("term"))
+        .groupBy("source", "ns")
+        .agg(F.sum("term").cast("decimal(38,12)").cast("double").alias("chi2"))
+        .select(
+            "source", F.col("ns").alias("n_topv_tokens"), "chi2"
+        )
+    )
