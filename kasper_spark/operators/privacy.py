@@ -132,3 +132,57 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[counts[name].cast("bigint").alias(f"n_{name}") for name in PII_PATTERNS],
         redact_pii(F.col("t")).alias("redacted"),
     )
+
+
+_K_ANON = 5  # disclosure threshold: groups smaller than k are at risk
+
+
+@register_query(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH grouped AS (
+        SELECT c_nationkey,
+               c_mktsegment,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS acctbal_bin,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment, floor(c_acctbal / 1000)
+    )
+    SELECT c_nationkey, c_mktsegment, acctbal_bin, n,
+           (n < {_K_ANON}) AS at_risk,
+           CASE WHEN n < {_K_ANON} THEN n ELSE 0 END AS rows_to_suppress
+    FROM grouped
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (nation, market
+    segment, coarse account-balance bin): every equivalence class smaller
+    than k={_K_ANON} is a re-identification risk — the disclosure-control
+    check a privacy pipeline runs BEFORE releasing microdata, and the
+    structural complement to pii_redact's content scrubbing (redaction
+    hides values; k-anonymity measures whether the remaining attributes
+    still single people out). Emits each class with its size, the at-risk
+    flag, and the suppression cost — the inputs to the next generalization
+    step (widen the bin, drop a QI) in the anonymization lattice.
+
+    Scale: one partial-aggregated groupBy on the QI tuple — classes, not
+    customers, cross the shuffle. The generalization loop (re-binning
+    until no class is under k) re-runs the same plan with a coarser bin
+    expression; nothing else changes."""
+    cust = load_table(spark, sf_dir, "customer")
+    grouped = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("acctbal_bin"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return grouped.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "acctbal_bin",
+        "n",
+        (F.col("n") < _K_ANON).alias("at_risk"),
+        F.when(F.col("n") < _K_ANON, F.col("n"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("rows_to_suppress"),
+    )

@@ -73,6 +73,8 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "peak_concurrency_daily",
     "streaming_ohlc_twin",
     "chi2_source_divergence",
+    "incremental_join_view",
+    "k_anonymity_audit",
     # -- 1. NEW this round: the curation family (all oracle-backed) --
     "ngram_decontaminate_bloom",
     "doc_chunk_overlap",
@@ -127,13 +129,11 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "window_running_sum",
     "json_extract_props",
     "array_functions",
-    "join_full_outer",
-    "json_roundtrip",
-    # (exactly 50 names; window_range_frame_trailing, inmem_lookup_join,
-    # lateral_posexplode, variant_extract_props, dedup_exact,
-    # tokenset_jaccard_pairs, levenshtein_block_pairs, ann_int8_topk,
-    # training_data_pipeline — displaced by this session's nine new
-    # operators — plus corpus_mix_sample, gopher_quality_filters, tfidf_top_terms, text_normalize, udtf_sentence_split, stratified_topn_md5, pivot_segment_by_nation, percentiles_quantity, string_functions, grouping_sets_orders, unpivot_part_metrics,
+    # (exactly 50 names; join_full_outer, json_roundtrip,
+    # window_range_frame_trailing, inmem_lookup_join, lateral_posexplode,
+    # variant_extract_props, dedup_exact, tokenset_jaccard_pairs,
+    # levenshtein_block_pairs, ann_int8_topk, training_data_pipeline —
+    # displaced by this session's eleven new operators — plus corpus_mix_sample, gopher_quality_filters, tfidf_top_terms, text_normalize, udtf_sentence_split, stratified_topn_md5, pivot_segment_by_nation, percentiles_quantity, string_functions, grouping_sets_orders, unpivot_part_metrics,
     # window_nav_lag_lead, join_skew_salted, math_date_functions,
     # stats_moments, corr_covar_qty_discount, histogram_totalprice,
     # cohort_retention and the r04 streaming twins rotate in r9)
