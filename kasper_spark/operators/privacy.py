@@ -186,3 +186,87 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rows_to_suppress"),
     )
+
+
+def _dp_geometric_thresholds() -> list[int]:
+    """Cumulative CDF of the two-sided geometric distribution with p=1/2
+    (the discrete-Laplace mechanism at epsilon = ln 2), scaled to 60-bit
+    integers: P(K=k) = (1/3)(1/2)^|k|, truncated at |k| <= 40 (tail mass
+    ~6e-13). Pure rational arithmetic -> the same exact integers on any
+    platform; both engines then only compare 60-bit ints."""
+    from fractions import Fraction
+
+    p = Fraction(1, 2)
+    norm = (1 - p) / (1 + p)
+    acc = Fraction(0)
+    out = []
+    for k in range(-40, 41):
+        acc += norm * p ** abs(k)
+        out.append(int(acc * (1 << 60)))
+    return out
+
+
+_DP_THRESHOLDS = _dp_geometric_thresholds()
+_DP_EPSILON = 0.6931471805599453  # ln 2, the epsilon this mechanism spends
+
+
+@register_query(
+    "dp_noisy_histogram",
+    oracle=f"""
+    WITH counts AS (
+        SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer GROUP BY c_mktsegment
+    ),
+    noised AS (
+        SELECT c_mktsegment, n,
+               CAST(len(list_filter(
+                   [{", ".join(str(t) for t in _DP_THRESHOLDS)}],
+                   t -> t <= CAST('0x' || substring(md5(c_mktsegment || '/dp-1'), 1, 15) AS BIGINT)
+               )) AS BIGINT) AS c
+        FROM counts
+    )
+    SELECT c_mktsegment, n,
+           CAST(least(c, 80) - 40 AS BIGINT) AS noise,
+           CAST(greatest(n + least(c, 80) - 40, 0) AS BIGINT) AS released_count,
+           {_DP_EPSILON!r} AS epsilon
+    FROM noised
+    """,
+)
+def dp_noisy_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private histogram release: per-segment customer
+    counts plus two-sided-geometric noise — the discrete-Laplace mechanism
+    at epsilon = ln 2 (count sensitivity 1). The usual blocker for testing
+    DP pipelines is that noise is random; here the noise stream is SEEDED
+    (inverse-CDF over a 60-bit md5 uniform per released cell), so the
+    mechanism is bit-reproducible and the two-engine hash oracle certifies
+    the entire release path: exact rational CDF thresholds (p = 1/2 makes
+    every probability a dyadic rational — no ln anywhere, the reason this
+    is portable where an exp/ln-based sampler is not), integer threshold
+    comparison, clamped-at-zero release. A production release swaps the
+    md5 seed for a CSPRNG draw per cell and drops the true-count column;
+    every other line is unchanged.
+
+    Scale: counts are one partial-aggregated groupBy; the 81-entry
+    threshold array is a constant-folded in-expression lookup (no join),
+    and noise cost is per released CELL, not per row. Truncation at
+    |noise| <= 40 (tail mass ~6e-13) is the standard bounded-noise
+    variant; epsilon accounting is unaffected at these tails."""
+    cust = load_table(spark, sf_dir, "customer")
+    counts = cust.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.col("c_mktsegment"), F.lit("/dp-1"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    th_arr = F.array(*[F.lit(t).cast("long") for t in _DP_THRESHOLDS])
+    c = F.size(F.filter(th_arr, lambda t: t <= u)).cast("long")
+    noise = (F.least(c, F.lit(80).cast("long")) - 40).cast("bigint")
+    return counts.select(
+        "c_mktsegment",
+        "n",
+        noise.alias("noise"),
+        F.greatest(F.col("n") + noise, F.lit(0).cast("long"))
+        .cast("bigint")
+        .alias("released_count"),
+        F.lit(_DP_EPSILON).alias("epsilon"),
+    )

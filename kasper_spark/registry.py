@@ -75,6 +75,7 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "chi2_source_divergence",
     "incremental_join_view",
     "k_anonymity_audit",
+    "dp_noisy_histogram",
     # -- 1. NEW this round: the curation family (all oracle-backed) --
     "ngram_decontaminate_bloom",
     "doc_chunk_overlap",
@@ -128,8 +129,7 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "cube_events",
     "window_running_sum",
     "json_extract_props",
-    "array_functions",
-    # (exactly 50 names; join_full_outer, json_roundtrip,
+    # (exactly 50 names; array_functions, join_full_outer, json_roundtrip,
     # window_range_frame_trailing, inmem_lookup_join, lateral_posexplode,
     # variant_extract_props, dedup_exact, tokenset_jaccard_pairs,
     # levenshtein_block_pairs, ann_int8_topk, training_data_pipeline —
