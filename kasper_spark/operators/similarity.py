@@ -1212,7 +1212,9 @@ def _kmeans_core(spark: SparkSession, sf_dir: str, iters: int = _KMEANS_ITERS) -
 _IVF_TRAINED_NPROBE = 2
 
 
-def _ivf_trained_oracle_sql() -> str:
+def _ivf_trained_cand_ctes_sql() -> str:
+    """kmeans chain + trained-IVF probe -> the `cand` (query, neighbor)
+    CTE — shared by ann_ivf_trained_topk and ann_ivf_pq_trained."""
     I = _KMEANS_ITERS
     return (
         _kmeans_cte_sql()
@@ -1247,7 +1249,15 @@ def _ivf_trained_oracle_sql() -> str:
         SELECT DISTINCT p.vec_id AS query_id, m.vec_id AS neighbor_id
         FROM probe p JOIN members m ON m.cluster_id = p.cluster_id
         WHERE m.vec_id <> p.vec_id
-    ),
+    )
+    """
+    )
+
+
+def _ivf_trained_oracle_sql() -> str:
+    return (
+        _ivf_trained_cand_ctes_sql()
+        + f""",
     nrm AS (
         SELECT vec_id, embedding,
                sqrt({dot_exact_sql('embedding', 'embedding')}) AS nrm
@@ -1271,23 +1281,11 @@ def _ivf_trained_oracle_sql() -> str:
     )
 
 
-@register_query("ann_ivf_trained_topk", oracle=_ivf_trained_oracle_sql())
-def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF search over TRAINED centroids — the full index lifecycle
-    (train -> partition -> probe -> exact re-rank), hash-certified:
-    ann_ivf_topk probes fixed seed centroids; this one probes the
-    centroids produced by the integer-exact Lloyd loop
-    (kmeans_int8_assignments' core), so the certified surface covers the
-    training/search COMPOSITION, not the steps in isolation. Queries probe
-    their 2 nearest trained centroids (same integer-exact distance and
-    tie-break as training), candidates are that partition-pair's members,
-    and exact float cosine re-ranks them (the dot_exact discipline).
-
-    Scale shape: one broadcast-sized centroid table for probe routing, a
-    partition-pruned candidate join (each query touches ~2/k of the
-    corpus), and the decimal-exact re-rank only on candidates — the
-    standard IVF cost model, with the training loop's integer arithmetic
-    guaranteeing the same index is built on any cluster layout."""
+def _ivf_trained_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id) candidates from the TRAINED coarse quantizer
+    (kmeans core -> integer-exact assignment -> nprobe lists) — the Spark
+    twin of _ivf_trained_cand_ctes_sql, shared by ann_ivf_trained_topk and
+    ann_ivf_pq_trained."""
     from pyspark.sql.window import Window
 
     core = _kmeans_core(spark, sf_dir)
@@ -1322,12 +1320,34 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = ranked.filter(
         (F.col("rn") <= _IVF_TRAINED_NPROBE) & (F.col("vec_id") < _N_QUERY)
     ).select(F.col("vec_id").alias("query_id"), "cluster_id")
-    cand = (
+    return (
         probe.join(members, "cluster_id")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
+
+
+@register_query("ann_ivf_trained_topk", oracle=_ivf_trained_oracle_sql())
+def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search over TRAINED centroids — the full index lifecycle
+    (train -> partition -> probe -> exact re-rank), hash-certified:
+    ann_ivf_topk probes fixed seed centroids; this one probes the
+    centroids produced by the integer-exact Lloyd loop
+    (kmeans_int8_assignments' core), so the certified surface covers the
+    training/search COMPOSITION, not the steps in isolation. Queries probe
+    their 2 nearest trained centroids (same integer-exact distance and
+    tie-break as training), candidates are that partition-pair's members,
+    and exact float cosine re-ranks them (the dot_exact discipline).
+
+    Scale shape: one broadcast-sized centroid table for probe routing, a
+    partition-pruned candidate join (each query touches ~2/k of the
+    corpus), and the decimal-exact re-rank only on candidates — the
+    standard IVF cost model, with the training loop's integer arithmetic
+    guaranteeing the same index is built on any cluster layout."""
+    from pyspark.sql.window import Window
+
+    cand = _ivf_trained_candidates(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     nrm = emb.select("vec_id", "embedding", norm_exact(F.col("embedding")).alias("nrm"))
     a = nrm.select(
@@ -1795,6 +1815,140 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("qn"),
     )
     c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    rer = (
+        short.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_score",
+            (dot_exact(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        rer.select(
+            "query_id",
+            "neighbor_id",
+            "adc_score",
+            "cosine",
+            F.row_number().over(w_rank).alias("rank"),
+        )
+        .filter(F.col("rank") <= _TOP_K)
+    )
+
+
+@register_query(
+    "ann_ivf_pq_trained",
+    # trained-quantizer candidates (shared CTE prefix with
+    # ann_ivf_trained_topk) scored by the shared PQ chain (_PQ_CTES_SQL) —
+    # each half is independently hash-certified; this pins the composition.
+    oracle=_ivf_trained_cand_ctes_sql()
+    + f""",
+    {_PQ_CTES_SQL},
+    adc AS MATERIALIZED (
+        SELECT c.query_id, c.neighbor_id,
+               CAST(CAST(SUM(l.pdist) AS DECIMAL(38,12)) AS DOUBLE) AS adc_score
+        FROM cand c
+        JOIN encoded v ON v.vec_id = c.neighbor_id
+        JOIN lut l ON l.query_id = c.query_id
+                  AND l.sub_j = v.sub_j
+                  AND l.code_r = v.code_r
+        GROUP BY c.query_id, c.neighbor_id
+    ),
+    short AS (
+        SELECT query_id, neighbor_id, adc_score FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id
+            ) AS srn
+            FROM adc
+        ) WHERE srn <= {_PQ_SHORTLIST}
+    ),
+    nrmf AS MATERIALIZED (
+        SELECT vec_id, embedding,
+               sqrt({dot_exact_sql('embedding', 'embedding')}) AS nrm
+        FROM embeddings
+    ),
+    rer AS (
+        SELECT s.query_id, s.neighbor_id, s.adc_score,
+               {dot_exact_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm)
+                   AS cosine
+        FROM short s
+        JOIN nrmf q ON q.vec_id = s.query_id
+        JOIN nrmf c ON c.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, adc_score, cosine, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS rank
+        FROM rer
+    ) WHERE rank <= {_TOP_K}
+    """,
+)
+def ann_ivf_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ over the TRAINED coarse quantizer — the full production
+    index, certified end-to-end: the integer-exact Lloyd loop builds
+    fixed-K centroid lists (assignment O(N*K_const) — this is the answer
+    to ann_ivf_pq_topk's demo-quantizer scale note, where K grows with N),
+    queries probe their nprobe nearest lists, and candidates are scored
+    from 8-byte PQ codes via the exact-decimal ADC table before one
+    bounded exact-cosine re-rank. Train -> partition -> encode -> probe ->
+    ADC -> re-rank: every arrow is an already-certified piece
+    (_kmeans_core / _ivf_trained_candidates / _pq_parts), and the
+    composed oracle pins their interaction.
+
+    Scale: centroids, codebook, and LUT broadcast; candidate generation is
+    partition-pruned (nprobe/K of the corpus per query); ADC reads codes
+    only. This is the memory/work profile of a billion-vector serving
+    index, expressed as DataFrame algebra."""
+    from pyspark.sql.window import Window
+
+    cand = _ivf_trained_candidates(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    encoded, lut = _pq_parts(emb)
+    adc = (
+        cand.join(
+            encoded.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+        )
+        .join(F.broadcast(lut), ["query_id", "sub_j", "code_r"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum("pdist")
+            .cast("decimal(38,12)")
+            .cast("double")
+            .alias("adc_score")
+        )
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), F.asc("neighbor_id")
+    )
+    short = (
+        adc.select(
+            "query_id",
+            "neighbor_id",
+            "adc_score",
+            F.row_number().over(w_short).alias("srn"),
+        )
+        .filter(F.col("srn") <= _PQ_SHORTLIST)
+        .drop("srn")
+    )
+    nrm = emb.select(
+        "vec_id", "embedding", norm_exact(F.col("embedding")).alias("nrm")
+    )
+    q = nrm.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    c = nrm.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ce"),
         F.col("nrm").alias("cn"),

@@ -69,6 +69,7 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "ohlc_bars_hourly",
     "ann_pq_topk",
     "ann_ivf_pq_topk",
+    "ann_ivf_pq_trained",
     "bfs_khop_lsh_graph",
     "peak_concurrency_daily",
     "streaming_ohlc_twin",
@@ -128,8 +129,8 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "rollup_orders",
     "cube_events",
     "window_running_sum",
-    "json_extract_props",
-    # (exactly 50 names; array_functions, join_full_outer, json_roundtrip,
+    # (exactly 50 names; json_extract_props, array_functions,
+    # join_full_outer, json_roundtrip,
     # window_range_frame_trailing, inmem_lookup_join, lateral_posexplode,
     # variant_extract_props, dedup_exact, tokenset_jaccard_pairs,
     # levenshtein_block_pairs, ann_int8_topk, training_data_pipeline —

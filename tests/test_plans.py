@@ -175,6 +175,7 @@ _ITERATIVE_EXCHANGE_CAPS = {
     "triangle_lsh_graph": 24,
     "kmeans_int8_assignments": 14,
     "ann_ivf_trained_topk": 32,
+    "ann_ivf_pq_trained": 40,
     "neardup_cc_canonical": 10,
     "cc_lsh_graph": 10,
     "bfs_khop_lsh_graph": 10,

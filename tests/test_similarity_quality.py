@@ -67,3 +67,13 @@ def test_ivf_pq_recall_vs_bruteforce(spark):
     # at sf0.01 (the PQ shortlist inside probed lists loses almost nothing)
     assert set(ivfpq) == set(exact)
     assert _recall(ivfpq, exact) >= 0.35
+
+
+def test_ivf_pq_trained_recall_vs_bruteforce(spark):
+    exact = _topk_sets(QUERIES["ann_bruteforce_topk"](spark, SF_ORACLE))
+    t = _topk_sets(QUERIES["ann_ivf_pq_trained"](spark, SF_ORACLE))
+    assert exact, "brute-force baseline returned nothing"
+    # trained fixed-K lists + PQ shortlist (measured recall 0.53 at
+    # sf0.01, a notch above the seed-centroid composition's 0.48)
+    assert set(t) == set(exact)
+    assert _recall(t, exact) >= 0.4
