@@ -2013,3 +2013,109 @@ def incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(changed_keys), "o_orderkey", "left_anti"
     ).unionByName(enrich(changes))
     return maintained
+
+
+@register_query(
+    "exact_quantiles_histogram",
+    oracle="""
+    WITH cents AS (
+        SELECT l_returnflag,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+        FROM lineitem
+    )
+    SELECT l_returnflag, 0.25 AS q, CAST(COUNT(*) AS BIGINT) AS n,
+           quantile_cont(c, 0.25) AS value_cents
+    FROM cents GROUP BY l_returnflag
+    UNION ALL
+    SELECT l_returnflag, 0.5 AS q, CAST(COUNT(*) AS BIGINT) AS n,
+           quantile_cont(c, 0.5) AS value_cents
+    FROM cents GROUP BY l_returnflag
+    UNION ALL
+    SELECT l_returnflag, 0.75 AS q, CAST(COUNT(*) AS BIGINT) AS n,
+           quantile_cont(c, 0.75) AS value_cents
+    FROM cents GROUP BY l_returnflag
+    """,
+)
+def exact_quantiles_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated quartiles per group WITHOUT sorting rows — the
+    distributed order-statistic selection that replaces both
+    percentile_approx (inexact) and F.percentile (collects every group
+    value into one task's memory). The plan builds a VALUE HISTOGRAM
+    (groupBy (group, cents) count — rows proportional to distinct values,
+    not data volume), runs the cumulative count over each group's value
+    domain, and SELECTS the two bracketing order statistics per quantile
+    with a broadcast (group, q, rank) lookup — no per-row sort anywhere.
+
+    Exactness across engines: values are integer cents, the quantile set
+    is DYADIC ({0.25, 0.5, 0.75}), so the rank position h = (n-1)*q, its
+    fractional weight g, and the interpolation v_lo + g*(v_hi - v_lo) are
+    all EXACT double arithmetic — bit-identical to DuckDB's quantile_cont
+    by mathematical identity, not by matching evaluation order (q = 0.9
+    would NOT be safe: 0.9 is not dyadic and interpolation would round).
+
+    Scale: two shuffles (histogram build keyed by (group, value), then
+    the per-group domain window); the domain window is value-bounded
+    (~1e6 distinct cents for TPC-H prices) regardless of row count — for
+    unbounded domains, descend coarse->fine buckets with the same plan
+    twice. The rank lookup table is groups x quantiles x 2 rows,
+    broadcast."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("c"),
+    )
+    hist = cents.groupBy("l_returnflag", "c").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "l_returnflag", "c", F.sum("cnt").over(w).alias("cum")
+    )
+    totals = hist.groupBy("l_returnflag").agg(F.sum("cnt").alias("n"))
+    qs = spark.createDataFrame([(0.25,), (0.5,), (0.75,)], ["q"])
+    # rank table: h = (n-1)*q (exact double for dyadic q), lower rank
+    # k = floor(h)+1, interpolation weight g = h - floor(h)
+    h = (F.col("n") - 1).cast("double") * F.col("q")
+    ranks = totals.crossJoin(F.broadcast(qs)).select(
+        "l_returnflag",
+        "q",
+        "n",
+        (F.floor(h) + 1).cast("bigint").alias("k"),
+        (h - F.floor(h)).alias("g"),
+    )
+    lo = (
+        cum.join(F.broadcast(ranks), "l_returnflag")
+        .filter(F.col("cum") >= F.col("k"))
+        .groupBy("l_returnflag", "q", "n", "g")
+        .agg(F.min("c").alias("v_lo"))
+    )
+    hi = (
+        cum.join(F.broadcast(ranks), "l_returnflag")
+        .filter(F.col("cum") >= F.col("k") + 1)
+        .groupBy("l_returnflag", "q")
+        .agg(F.min("c").alias("v_hi"))
+    )
+    return (
+        lo.join(hi, ["l_returnflag", "q"], "left")
+        .select(
+            "l_returnflag",
+            "q",
+            "n",
+            (
+                F.col("v_lo").cast("double")
+                + F.col("g")
+                * (
+                    F.coalesce(F.col("v_hi"), F.col("v_lo")).cast("double")
+                    - F.col("v_lo").cast("double")
+                )
+            ).alias("value_cents"),
+        )
+    )

@@ -77,6 +77,7 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "incremental_join_view",
     "k_anonymity_audit",
     "dp_noisy_histogram",
+    "exact_quantiles_histogram",
     # -- 1. NEW this round: the curation family (all oracle-backed) --
     "ngram_decontaminate_bloom",
     "doc_chunk_overlap",
@@ -128,8 +129,8 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "multitenant_agg",
     "rollup_orders",
     "cube_events",
-    "window_running_sum",
-    # (exactly 50 names; json_extract_props, array_functions,
+    # (exactly 50 names; window_running_sum, json_extract_props,
+    # array_functions,
     # join_full_outer, json_roundtrip,
     # window_range_frame_trailing, inmem_lookup_join, lateral_posexplode,
     # variant_extract_props, dedup_exact, tokenset_jaccard_pairs,
