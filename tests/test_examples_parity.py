@@ -248,3 +248,19 @@ def test_retrieval_pipeline_example(spark):
     assert c["bm25_topk"] == c["hybrid_topk"] == 20
     assert 0 < c["hybrid_in_both_rankers"] <= 20
     assert 0 <= c["final_budgeted"] <= c["hybrid_topk"]
+
+
+def test_vector_index_example(spark):
+    """The vector-index walkthrough measures recall of every ANN path
+    against the exact baseline: all queries answered, recalls in (0, 1],
+    and the structure-free LSH path is not spuriously perfect."""
+    import examples.vector_index as vi
+    from tests.conftest import SF_ORACLE
+
+    c = vi.main(spark, SF_ORACLE)
+    assert c["queries"] == 20 and c["exact_pairs"] == 100
+    for key in ("recall_lsh", "recall_ivf", "recall_pq", "recall_ivf_pq_trained"):
+        assert 0.0 < c[key] <= 1.0, (key, c)
+    # quantized/pruned paths must clear the quality-gate floors
+    assert c["recall_pq"] >= 0.45
+    assert c["recall_ivf_pq_trained"] >= 0.4
