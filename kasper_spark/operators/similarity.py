@@ -1978,3 +1978,209 @@ def ann_ivf_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= _TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data quality over embeddings (round 8, continued): label-noise
+# detection and per-class outlier mining
+# ---------------------------------------------------------------------------
+
+_NOISE_K = 10  # neighborhood size for the label-agreement vote
+_OUTLIER_TOPN = 5  # farthest-from-centroid rows surfaced per label
+
+
+@register_query(
+    "knn_label_disagreement",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS q_label, embedding AS qe,
+               sqrt({dot_exact_sql('embedding', 'embedding')}) AS qn
+        FROM embeddings WHERE vec_id < {_N_QUERY}
+    ),
+    c AS (
+        SELECT vec_id AS neighbor_id, label AS c_label, embedding AS ce,
+               sqrt({dot_exact_sql('embedding', 'embedding')}) AS cn
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT query_id, q_label, neighbor_id, c_label,
+               {dot_exact_sql('qe', 'ce')} / (qn * cn) AS cosine
+        FROM q JOIN c ON query_id <> neighbor_id
+    ),
+    knn AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+            ) AS rank
+            FROM scored
+        ) WHERE rank <= {_NOISE_K}
+    )
+    SELECT query_id,
+           CAST(q_label AS BIGINT) AS label,
+           CAST(SUM(CASE WHEN c_label = q_label THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_same,
+           CAST(SUM(CASE WHEN c_label = q_label THEN 1 ELSE 0 END) AS DOUBLE)
+               / {_NOISE_K} AS frac_same,
+           CAST(CASE WHEN 2 * SUM(CASE WHEN c_label = q_label THEN 1 ELSE 0 END)
+                          < {_NOISE_K} THEN 1 ELSE 0 END AS INTEGER) AS suspect
+    FROM knn
+    GROUP BY query_id, q_label
+    """,
+)
+def knn_label_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise detection by k-NN vote (Confident-Learning-lite): for
+    each audited vector, take its {k}=10 exact-cosine nearest neighbors and
+    count how many share its label; a minority vote (n_same < k/2) marks
+    the row a mislabeling suspect. This is the standard pre-training triage
+    for labeled corpora — the reference stores opaque values and has no
+    numeric tier at all (/root/reference/store.go:18-31).
+
+    Exactness: the cosine uses the decimal-exact dot product (order-
+    independent) and the vote/fraction are pure integers + one exact-int
+    double division.
+
+    Scale: the audited set is the bounded query side (broadcast, same
+    BNLJ-by-design shape as ann_bruteforce_topk — the exact baseline); to
+    audit the FULL corpus swap the scored CTE for the LSH/IVF candidate
+    join (ann_lsh_topk / ann_ivf_topk) and keep the vote unchanged — the
+    vote aggregation itself is a per-query-group partial agg, linear in
+    candidates."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with_norm = emb.select(
+        "vec_id", "label", "embedding", norm_exact(F.col("embedding")).alias("nrm")
+    )
+    q = with_norm.filter(F.col("vec_id") < _N_QUERY).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    c = with_norm.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "q_label",
+            "neighbor_id",
+            "c_label",
+            (dot_exact(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    knn = scored.select(
+        "*", F.row_number().over(w).alias("rank")
+    ).filter(F.col("rank") <= _NOISE_K)
+    same = F.sum((F.col("c_label") == F.col("q_label")).cast("long"))
+    return knn.groupBy("query_id", F.col("q_label").cast("long").alias("label")).agg(
+        same.cast("long").alias("n_same"),
+        (same.cast("double") / F.lit(float(_NOISE_K))).alias("frac_same"),
+        (2 * same < _NOISE_K).cast("int").alias("suspect"),
+    )
+
+
+@register_query(
+    "embedding_outlier_topk",
+    oracle=f"""
+    WITH cent AS (
+        SELECT label, CAST(i AS BIGINT) AS pos,
+               CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,4)))
+                    AS DOUBLE) / COUNT(*) AS mean_v
+        FROM (
+            SELECT label, embedding,
+                   UNNEST(range(1, len(embedding) + 1)) AS i
+            FROM embeddings
+        )
+        GROUP BY label, CAST(i AS BIGINT)
+    ),
+    comp AS (
+        SELECT e.vec_id, e.label,
+               CAST((CAST(e.embedding[CAST(c.pos AS INTEGER)] AS DOUBLE) - c.mean_v)
+                    * (CAST(e.embedding[CAST(c.pos AS INTEGER)] AS DOUBLE) - c.mean_v)
+                    AS DECIMAL(30,12)) AS sq
+        FROM embeddings e JOIN cent c ON e.label = c.label
+    ),
+    d2 AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS label,
+               CAST(SUM(sq) AS DOUBLE) AS dist2
+        FROM comp GROUP BY vec_id, label
+    )
+    SELECT label, vec_id, dist2, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY label ORDER BY dist2 DESC, vec_id
+        ) AS rank
+        FROM d2
+    ) WHERE rank <= {_OUTLIER_TOPN}
+    """,
+)
+def embedding_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class outlier mining: squared Euclidean distance of every vector
+    to its OWN label's centroid, surfacing the top-5 farthest rows per
+    label — the curation pass that finds corrupted embeddings, domain
+    drift, and candidate relabels before a training run.
+
+    Exactness: centroids reuse the embedding_label_centroids discipline
+    (per-dimension decimal sums — identical expression tree on both
+    engines), each squared component is ONE double expression over exact
+    inputs rounded once into decimal(30,12), and the per-vector sum is a
+    decimal reduction — order-independent, so dist2 is bit-identical on
+    any partitioning.
+
+    Scale: centroids are a labels x dims aggregate (map-side partial, tiny
+    output) broadcast back as per-label ARRAYS, so the per-vector distance
+    is computed INSIDE the scan stage via zip_with — no explode of the
+    corpus, no N x dims shuffle; the only wide stage after the scan is the
+    per-label top-5 rank window (WindowGroupLimit keeps per-partition
+    state at N rows)."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cent = (
+        ex.groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.col("v").cast("double").cast("decimal(38,4)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_v")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mean_v"))),
+                lambda s: s.getField("mean_v"),
+            ).alias("centroid")
+        )
+    )
+    sq = F.zip_with(
+        F.col("embedding"),
+        F.col("centroid"),
+        lambda x, c: (
+            (x.cast("double") - c) * (x.cast("double") - c)
+        ).cast("decimal(30,12)"),
+    )
+    d2 = emb.join(F.broadcast(cent), "label").select(
+        F.col("vec_id"),
+        F.col("label").cast("long").alias("label"),
+        F.aggregate(
+            sq,
+            F.lit(0).cast("decimal(30,12)"),
+            lambda acc, x: (acc + x).cast("decimal(30,12)"),
+        )
+        .cast("double")
+        .alias("dist2"),
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("dist2"), F.asc("vec_id"))
+    return (
+        d2.select("label", "vec_id", "dist2", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= _OUTLIER_TOPN)
+    )

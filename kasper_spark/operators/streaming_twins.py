@@ -995,17 +995,20 @@ assert "ngram_decontaminate" in _OR, "batch decontamination oracle missing"
 _OR["streaming_decontaminate_twin"] = _OR["ngram_decontaminate"]
 
 
-def _staged_ewma_feed(
-    spark: SparkSession, sf_dir: str, prefix: str, n_files: int = 4
+def _stage_time_ordered(
+    spark: SparkSession,
+    sf_dir: str,
+    prefix: str,
+    n_files: int,
+    payload_col: str,
 ):
     """Stage events into ``n_files`` contiguous time-range files (file i's
     max ts <= file i+1's min ts; increasing mtimes => FileStreamSource
-    discovers them oldest-first) and open them as a maxFilesPerTrigger=1
-    cents stream — the event-time-ordered feed both EWMA twins consume.
-    ``n_files`` parametrizes how the stream is cut into micro-batches; the
-    twins' answers must be invariant to it (pinned by
-    tests/test_retrieval.py::test_streaming_ewma_invariant_to_batch_cuts).
-    Returns (stream, out_dir, ckpt_dir)."""
+    discovers them oldest-first) carrying (user_id, event_id, ts,
+    payload_col) — the event-time-ordered feed the order-dependent twins
+    consume. ``n_files`` parametrizes how the stream is cut into
+    micro-batches; twin answers must be invariant to it. Returns
+    (src_dir, out_dir, ckpt_dir)."""
     from pyspark.sql.window import Window
 
     work = tempfile.mkdtemp(prefix=prefix)
@@ -1016,7 +1019,9 @@ def _staged_ewma_feed(
 
     ensure_nanos_as_long(spark)
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    ev = normalize_driver_ts(raw, ("ts",)).select("user_id", "event_id", "ts", "value")
+    ev = normalize_driver_ts(raw, ("ts",)).select(
+        "user_id", "event_id", "ts", payload_col
+    )
     bucketed = ev.select(
         "*", F.ntile(n_files).over(Window.orderBy("ts", "event_id")).alias("bucket")
     )
@@ -1024,7 +1029,19 @@ def _staged_ewma_feed(
         bucketed.filter(F.col("bucket") == i).drop("bucket").coalesce(1).write.parquet(
             os.path.join(src_dir, f"range={i:02d}")
         )
+    return src_dir, out_dir, ckpt
 
+
+def _staged_ewma_feed(
+    spark: SparkSession, sf_dir: str, prefix: str, n_files: int = 4
+):
+    """The EWMA twins' cents stream over :func:`_stage_time_ordered`
+    (pinned by tests/test_retrieval.py::
+    test_streaming_ewma_invariant_to_batch_cuts).
+    Returns (stream, out_dir, ckpt_dir)."""
+    src_dir, out_dir, ckpt = _stage_time_ordered(
+        spark, sf_dir, prefix, n_files, "value"
+    )
     stream = (
         spark.readStream.schema("user_id long, event_id long, ts timestamp, value double")
         .option("maxFilesPerTrigger", "1")
@@ -1036,6 +1053,25 @@ def _staged_ewma_feed(
             "ts",
             F.round(F.col("value") * 100).cast("bigint").alias("cents"),
         )
+    )
+    return stream, out_dir, ckpt
+
+
+def _staged_markov_feed(
+    spark: SparkSession, sf_dir: str, prefix: str, n_files: int = 4
+):
+    """The Markov twin's event_type stream over :func:`_stage_time_ordered`.
+    Returns (stream, out_dir, ckpt_dir)."""
+    src_dir, out_dir, ckpt = _stage_time_ordered(
+        spark, sf_dir, prefix, n_files, "event_type"
+    )
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_id long, ts timestamp, event_type string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(os.path.join(src_dir, "range=*"))
     )
     return stream, out_dir, ckpt
 
@@ -1286,3 +1322,109 @@ def streaming_ohlc_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 assert "ohlc_bars_hourly" in _OR, "batch OHLC oracle missing (streaming twin)"
 _OR["streaming_ohlc_twin"] = _OR["ohlc_bars_hourly"]
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix AT INGEST (round 8, continued)
+# ---------------------------------------------------------------------------
+
+
+def markov_partial_counts(stream: DataFrame) -> DataFrame:
+    """Stateful per-batch transition counting: per user, state carries the
+    LAST event_type seen, so consecutive pairs that straddle a micro-batch
+    boundary are still counted exactly once. Emits per-(user, batch)
+    partial (prev_type, next_type, n) rows — integers, so the final
+    cross-batch aggregation is exact regardless of how the stream was cut."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("prev_type", StringType()),
+            StructField("next_type", StringType()),
+            StructField("n", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("last_type", StringType())])
+
+    def count_pairs(key, pdf_iter, state):
+        # nested imports: must pickle by value (workers run from foreign cwd)
+        import pandas as pd
+
+        prev = state.get[0] if state.exists else None
+        rows = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+        counts: dict = {}
+        for r in rows.itertuples():
+            t = r.event_type
+            if prev is not None:
+                counts[(prev, t)] = counts.get((prev, t), 0) + 1
+            prev = t
+        state.update((prev,))
+        yield pd.DataFrame(
+            [(p, n, c) for (p, n), c in counts.items()],
+            columns=["prev_type", "next_type", "n"],
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        count_pairs,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register_query(
+    "streaming_markov_twin",
+    # identical output contract to the batch operator -> same oracle
+    oracle=None,  # bound below (temporal registers first)
+)
+def streaming_markov_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Markov transition matrix built AT INGEST: per-user streaming
+    state carries only the last event_type (one string per user — the
+    minimal sufficient state), each micro-batch emits exact integer
+    partial counts, and the final matrix aggregates the partials — so the
+    full per-user history is never resident anywhere, yet the result is
+    bit-identical to the batch operator (same DuckDB oracle certifies
+    both). Order contract: the staged feed is event-time contiguous across
+    files and each group's rows sort by (ts, event_id) inside a batch —
+    the same total order the batch window uses; in production kafka's
+    per-key partition ordering provides it.
+
+    Scale: state is O(users) strings in RocksDB, partial counts are
+    |types|^2 per user-batch at most, and the final aggregation touches
+    partials, not events."""
+    from pyspark.sql.window import Window
+
+    stream, out_dir, ckpt = _staged_markov_feed(spark, sf_dir, "kasper-smkv-")
+    partials = markov_partial_counts(stream)
+
+    def sink_batch(df, epoch_id: int) -> None:
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch={epoch_id}"))
+
+    q = (
+        partials.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
+    trans = out.groupBy("prev_type", "next_type").agg(
+        F.sum("n").cast("long").alias("n_trans")
+    )
+    w_prev = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        F.sum("n_trans").over(w_prev).cast("long").alias("n_from_prev"),
+        (
+            F.col("n_trans").cast("double")
+            / F.sum("n_trans").over(w_prev).cast("double")
+        ).alias("p_trans"),
+    )
+
+
+assert "markov_event_transitions" in _OR, "batch Markov oracle missing"
+_OR["streaming_markov_twin"] = _OR["markov_event_transitions"]

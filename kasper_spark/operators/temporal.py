@@ -808,3 +808,236 @@ def peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("concurrent").alias("peak_concurrency"),
         F.count(F.lit(1)).cast("bigint").alias("n_boundaries"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection (round 8, continued)
+# ---------------------------------------------------------------------------
+
+# CUSUM tuning, expressed as integer ratios of the per-type mean so the
+# whole statistic stays BIGINT: slack k = mean/2, alarm threshold h = 4*mean.
+_CUSUM_ALARM_NUM = 8  # h scaled by 2H: 4*(T/H) * 2H = 8*T
+
+
+@register_query(
+    "cusum_changepoint_events",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo,
+               date_trunc('hour', MAX(ts)) AS hi
+        FROM events
+    ),
+    hours AS (
+        SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts
+        FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    counts AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT t.event_type, h.hour_ts, COALESCE(c.n, 0) AS n
+        FROM types t CROSS JOIN hours h
+        LEFT JOIN counts c
+          ON c.event_type = t.event_type AND c.hour_ts = h.hour_ts
+    ),
+    tot AS (
+        SELECT event_type, hour_ts, n,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS hh,
+               CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS tt
+        FROM grid
+    ),
+    pre AS (
+        SELECT event_type, hour_ts, n, hh, tt,
+               CAST(SUM(2 * hh * n - 3 * tt) OVER w AS BIGINT) AS pre_up,
+               CAST(SUM(tt - 2 * hh * n) OVER w AS BIGINT) AS pre_dn
+        FROM tot
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    s AS (
+        SELECT event_type, hour_ts, n, hh, tt,
+               pre_up - LEAST(CAST(0 AS BIGINT), MIN(pre_up) OVER w) AS s_up,
+               pre_dn - LEAST(CAST(0 AS BIGINT), MIN(pre_dn) OVER w) AS s_dn
+        FROM pre
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, hour_ts, n AS n_events,
+           CAST(s_up AS DOUBLE) / CAST(2 * hh AS DOUBLE) AS cusum_up,
+           CAST(s_dn AS DOUBLE) / CAST(2 * hh AS DOUBLE) AS cusum_dn,
+           CAST(CASE WHEN s_up > 8 * tt THEN 1 ELSE 0 END AS INTEGER) AS alarm_up,
+           CAST(CASE WHEN s_dn > 8 * tt THEN 1 ELSE 0 END AS INTEGER) AS alarm_dn
+    FROM s
+    """,
+)
+def cusum_changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM change-point detection over each event type's hourly
+    volume: flag sustained level shifts up or down against the type's own
+    long-run mean (target mu = T/H, slack k = mu/2, alarm at 4*mu). The
+    classic recursive form S_i = max(0, S_{i-1} + (x_i - mu - k)) is NOT a
+    SQL window aggregate, but it has a closed form the planner CAN run:
+    S_i = prefix_i - min(0, min_{j<=i} prefix_j) — one running sum plus one
+    running min, both embarrassingly parallel across event types. The
+    reference engine has no analog (its only clock is the processing-time
+    ticker, /root/reference/topic_processor.go:193); this is the volume
+    drift monitor a 100 TB ingest pipeline runs per source.
+
+    Cross-engine exactness: hourly counts are integers; multiplying the
+    deviation through by 2H makes slack and mean exact integers too
+    (D_up = 2*H*n - 3*T, D_dn = T - 2*H*n), so prefix sums, running mins
+    and alarm predicates are PURE BIGINT; the exposed cusum_* columns are
+    single exact-int double divisions. Magnitude: |D| <= ~2*H*T, prefix
+    <= H*max|D| — at 1e5 hours x 1e9 rows/hour this approaches int64 range;
+    the documented escape is decimal(38,0) prefixes (SCALING.md).
+
+    Scale: the zero-filled spine is |types| x |hours| — tiny relative to
+    the event scan that feeds it (the only data-sized stage is the hourly
+    partial-agg groupBy). Windows partition by event_type: parallel across
+    types, sequential only within a type's hour curve, which is bounded by
+    calendar time, not data volume."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hour_ts")
+    )
+    types = ev.select("event_type").distinct()
+    counts = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    grid = (
+        types.crossJoin(hours)
+        .join(counts, ["event_type", "hour_ts"], "left")
+        .select(
+            "event_type",
+            "hour_ts",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        )
+    )
+    w_type = Window.partitionBy("event_type")
+    tot = grid.select(
+        "event_type",
+        "hour_ts",
+        "n",
+        F.count(F.lit(1)).over(w_type).cast("long").alias("hh"),
+        F.sum("n").over(w_type).cast("long").alias("tt"),
+    )
+    w_run = Window.partitionBy("event_type").orderBy("hour_ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pre = tot.select(
+        "event_type",
+        "hour_ts",
+        "n",
+        "hh",
+        "tt",
+        F.sum(2 * F.col("hh") * F.col("n") - 3 * F.col("tt"))
+        .over(w_run)
+        .cast("long")
+        .alias("pre_up"),
+        F.sum(F.col("tt") - 2 * F.col("hh") * F.col("n"))
+        .over(w_run)
+        .cast("long")
+        .alias("pre_dn"),
+    )
+    zero = F.lit(0).cast("long")
+    s = pre.select(
+        "event_type",
+        "hour_ts",
+        "n",
+        "hh",
+        "tt",
+        (F.col("pre_up") - F.least(zero, F.min("pre_up").over(w_run))).alias("s_up"),
+        (F.col("pre_dn") - F.least(zero, F.min("pre_dn").over(w_run))).alias("s_dn"),
+    )
+    return s.select(
+        "event_type",
+        "hour_ts",
+        F.col("n").alias("n_events"),
+        (F.col("s_up").cast("double") / (2 * F.col("hh")).cast("double")).alias(
+            "cusum_up"
+        ),
+        (F.col("s_dn").cast("double") / (2 * F.col("hh")).cast("double")).alias(
+            "cusum_dn"
+        ),
+        (F.col("s_up") > _CUSUM_ALARM_NUM * F.col("tt")).cast("int").alias("alarm_up"),
+        (F.col("s_dn") > _CUSUM_ALARM_NUM * F.col("tt")).cast("int").alias("alarm_dn"),
+    )
+
+
+@register_query(
+    "markov_event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    trans AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS n_trans
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type, n_trans,
+           CAST(SUM(n_trans) OVER (PARTITION BY prev_type) AS BIGINT)
+               AS n_from_prev,
+           CAST(n_trans AS DOUBLE)
+               / CAST(SUM(n_trans) OVER (PARTITION BY prev_type) AS DOUBLE)
+               AS p_trans
+    FROM trans
+    """,
+)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of per-user event sequences:
+    P(next_type | prev_type) estimated from every consecutive event pair in
+    each user's (ts, event_id)-ordered history. The behavioral-model
+    building block for session simulation, anomaly scoring (improbable
+    transitions), and funnel-drop analysis; the reference has no ordered
+    per-key iteration at all (its callback sees one message at a time,
+    /root/reference/topic_processor.go:219-232).
+
+    Exactness: transition counts are integers from a deterministic
+    (ts, event_id) order (unique tiebreak), row totals are window sums of
+    those integers, and p_trans is a single exact-int double division —
+    bit-identical on any engine or partitioning.
+
+    Scale: one shuffle on user_id for the lag window (parallel across
+    users, per-user rows bounded), then a partial-agg groupBy that
+    collapses to a |types|^2 grid map-side; the probability window runs on
+    that tiny grid. Nothing downstream of the first aggregation scales
+    with data volume."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_trans"))
+    )
+    w_prev = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        F.sum("n_trans").over(w_prev).cast("long").alias("n_from_prev"),
+        (
+            F.col("n_trans").cast("double")
+            / F.sum("n_trans").over(w_prev).cast("double")
+        ).alias("p_trans"),
+    )

@@ -78,6 +78,13 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "k_anonymity_audit",
     "dp_noisy_histogram",
     "exact_quantiles_histogram",
+    # -- 0b. NEWEST (round-8 continuation): CUSUM change-points, Markov
+    #        transition matrix, k-NN label-noise vote, per-class outliers --
+    "cusum_changepoint_events",
+    "markov_event_transitions",
+    "streaming_markov_twin",
+    "knn_label_disagreement",
+    "embedding_outlier_topk",
     # -- 1. NEW this round: the curation family (all oracle-backed) --
     "ngram_decontaminate_bloom",
     "doc_chunk_overlap",
@@ -123,13 +130,11 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "agg_distinct",
     "join_left_outer",
     "join_semi",
-    "join_anti",
     "word_count",
-    "nested_order_lines",
-    "multitenant_agg",
-    "rollup_orders",
-    "cube_events",
-    # (exactly 50 names; window_running_sum, json_extract_props,
+    # (exactly 50 names; nested_order_lines, multitenant_agg, rollup_orders,
+    # cube_events, join_anti displaced by the round-8-continuation quintet
+    # above;
+    # window_running_sum, json_extract_props,
     # array_functions,
     # join_full_outer, json_roundtrip,
     # window_range_frame_trailing, inmem_lookup_join, lateral_posexplode,

@@ -1,0 +1,141 @@
+"""Invariant tests for the round-8 event-model + embedding-quality quartet
+(cusum_changepoint_events, markov_event_transitions, knn_label_disagreement,
+embedding_outlier_topk) — each pinned against a direct sequential reference
+or a structural law the oracle comparison alone wouldn't localize."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from kasper_spark.registry import QUERIES, load_all_operators
+from tests.conftest import SF_SMOKE
+
+load_all_operators()
+
+
+def test_cusum_matches_recursive_reference(spark):
+    """The prefix-sum/running-min closed form must equal the textbook
+    recursion S_i = max(0, S_{i-1} + d_i) exactly (integer arithmetic —
+    no tolerance)."""
+    out = (
+        QUERIES["cusum_changepoint_events"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values(["event_type", "hour_ts"])
+    )
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev["hour_ts"] = ev["ts"].dt.floor("h")
+    for etype, g in out.groupby("event_type"):
+        hh = len(g)
+        tt = int(g["n_events"].sum())
+        s_up = s_dn = 0
+        for _, row in g.iterrows():
+            n = int(row["n_events"])
+            s_up = max(0, s_up + (2 * hh * n - 3 * tt))
+            s_dn = max(0, s_dn + (tt - 2 * hh * n))
+            assert row["cusum_up"] == s_up / (2 * hh), (etype, row["hour_ts"])
+            assert row["cusum_dn"] == s_dn / (2 * hh), (etype, row["hour_ts"])
+            assert bool(row["alarm_up"]) == (s_up > 8 * tt)
+            assert bool(row["alarm_dn"]) == (s_dn > 8 * tt)
+        # the grid really is zero-filled: hourly counts re-derived from the
+        # raw events must agree where present
+        raw = ev[ev["event_type"] == etype].groupby("hour_ts").size()
+        got = g.set_index("hour_ts")["n_events"]
+        assert int(got.sum()) == int(raw.sum())
+        # key by isoformat: Spark hands back us-precision timestamps, pandas
+        # floor gives ns — value equality is what matters
+        nonzero = {ts.isoformat(): int(v) for ts, v in got.items() if v > 0}
+        assert nonzero == {ts.isoformat(): int(v) for ts, v in raw.items()}
+
+
+def test_markov_rows_are_a_distribution(spark):
+    """Each prev_type's outgoing probabilities sum to 1 and the transition
+    counts reconcile with a direct pandas recount of consecutive pairs."""
+    out = QUERIES["markov_event_transitions"](spark, SF_SMOKE).toPandas()
+    sums = out.groupby("prev_type")["p_trans"].sum()
+    assert ((sums - 1.0).abs() < 1e-9).all(), sums
+    totals = out.groupby("prev_type")["n_trans"].sum()
+    fromprev = out.groupby("prev_type")["n_from_prev"].first()
+    assert (totals == fromprev).all()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    ev["prev_type"] = ev.groupby("user_id")["event_type"].shift(1)
+    ref = (
+        ev.dropna(subset=["prev_type"])
+        .groupby(["prev_type", "event_type"])
+        .size()
+        .rename("n_ref")
+        .reset_index()
+        .rename(columns={"event_type": "next_type"})
+    )
+    merged = out.merge(ref, on=["prev_type", "next_type"], how="outer")
+    assert merged["n_trans"].notna().all() and merged["n_ref"].notna().all()
+    assert (merged["n_trans"] == merged["n_ref"]).all()
+
+
+def test_knn_vote_consistency(spark):
+    """The vote columns must be mutually consistent and the suspect flag
+    must be exactly the minority-vote predicate."""
+    out = QUERIES["knn_label_disagreement"](spark, SF_SMOKE).toPandas()
+    assert len(out) == 20  # one row per audited vector
+    assert out["n_same"].between(0, 10).all()
+    assert (out["frac_same"] == out["n_same"] / 10.0).all()
+    assert (out["suspect"] == (2 * out["n_same"] < 10).astype(int)).all()
+
+
+def test_outlier_ranks_are_dense_and_ordered(spark):
+    """Per label: exactly top-5 rows, ranks 1..5, dist2 non-increasing and
+    non-negative (a squared distance)."""
+    out = QUERIES["embedding_outlier_topk"](spark, SF_SMOKE).toPandas()
+    assert (out["dist2"] >= 0).all()
+    for label, g in out.groupby("label"):
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert len(g) <= 5
+        assert (g["dist2"].diff().dropna() <= 0).all(), label
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.parametrize("n_files", [1, 3, 7])
+def test_streaming_markov_invariant_to_batch_cuts(spark, n_files):
+    """The transition matrix must not depend on WHERE the stream is cut
+    into micro-batches: the carried last-event_type state bridges every
+    boundary, so any contiguous time-range split yields the batch counts."""
+    import os
+
+    from kasper_spark.operators.streaming_twins import (
+        _staged_markov_feed,
+        markov_partial_counts,
+    )
+    from pyspark.sql import functions as F
+
+    batch = {
+        (r["prev_type"], r["next_type"]): r["n_trans"]
+        for r in QUERIES["markov_event_transitions"](spark, SF_SMOKE).collect()
+    }
+    stream, out_dir, ckpt = _staged_markov_feed(
+        spark, SF_SMOKE, f"kasper-mcut{n_files}-", n_files=n_files
+    )
+    partials = markov_partial_counts(stream)
+
+    def sink(df, epoch_id):
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch={epoch_id}"))
+
+    q = (
+        partials.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+        .groupBy("prev_type", "next_type")
+        .agg(F.sum("n").cast("long").alias("n"))
+        .collect()
+    }
+    assert got == batch

@@ -148,6 +148,8 @@ _INTENTIONAL_BNLJ = {
     "tfidf_top_terms",  # 1-row broadcast of the corpus doc count
     "unigram_rarity_quality",  # 1-row broadcast of the corpus token total
     "gapfill_hourly_events",  # bounded spine: distinct types x hour sequence
+    "cusum_changepoint_events",  # same bounded types x hours spine as gapfill
+    "knn_label_disagreement",  # bounded audited set, ann-baseline shape
     "bm25_keyword_topk",  # 1-row broadcast of corpus stats (N, avgdl)
     "rrf_fusion_topk",  # same 1-row corpus-stats broadcast via BM25 ranker
     "token_budget_select",  # 1-row broadcast of the global token budget
