@@ -1428,3 +1428,107 @@ def streaming_markov_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 assert "markov_event_transitions" in _OR, "batch Markov oracle missing"
 _OR["streaming_markov_twin"] = _OR["markov_event_transitions"]
+
+
+# ---------------------------------------------------------------------------
+# Fixed-target CUSUM alarm AT INGEST (round 8, continued)
+# ---------------------------------------------------------------------------
+
+
+def cusum_alarm_stream(stream: DataFrame, target: int, slack: int, thresh: int) -> DataFrame:
+    """Stateful per-event CUSUM: per user, state carries exactly TWO
+    BIGINTs — the running deviation prefix and its running minimum — which
+    is the whole sufficient statistic of the closed form
+    S_i = prefix_i - min(0, running_min prefix). Emits alarm rows
+    (excess > thresh) as they happen; all arithmetic is Python ints
+    (arbitrary precision) on integer cents, so the emitted values are
+    bit-identical to the batch window plan's."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("cents", LongType()),
+            StructField("excess", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("prefix", LongType()), StructField("minpre", LongType())]
+    )
+
+    def scan(key, pdf_iter, state):
+        # nested imports: must pickle by value (workers run from foreign cwd)
+        import pandas as pd
+
+        prefix, minpre = state.get if state.exists else (0, 0)
+        rows = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+        out = []
+        for r in rows.itertuples():
+            cents = int(r.cents)
+            prefix += cents - target - slack
+            minpre = min(minpre, prefix)
+            excess = prefix - min(0, minpre)
+            if excess > thresh:
+                out.append((int(r.user_id), int(r.event_id), r.ts, cents, excess))
+        state.update((prefix, minpre))
+        yield pd.DataFrame(
+            out, columns=["user_id", "event_id", "ts", "cents", "excess"]
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        scan,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register_query(
+    "streaming_cusum_twin",
+    # identical output contract to the batch operator -> same oracle
+    oracle=None,  # bound below (temporal registers first)
+)
+def streaming_cusum_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixed-target CUSUM alarm AT INGEST — the reason the rule's
+    constants are fixed up front: no global statistics pass is needed, so
+    the monitor runs on the live stream with O(users) state (two BIGINTs
+    each, vs the EWMA twin's K-value history). Alarms fire the moment the
+    cumulative excess crosses the threshold, and the batch oracle
+    certifies every emitted row bit-for-bit. Order contract as the other
+    order-dependent twins: event-time-contiguous staged files +
+    maxFilesPerTrigger=1, per-batch (ts, event_id) sort."""
+    from kasper_spark.operators.temporal import (
+        _UCUSUM_SLACK,
+        _UCUSUM_TARGET,
+        _UCUSUM_THRESH,
+    )
+
+    stream, out_dir, ckpt = _staged_ewma_feed(spark, sf_dir, "kasper-scus-")
+    alarms = cusum_alarm_stream(
+        stream, _UCUSUM_TARGET, _UCUSUM_SLACK, _UCUSUM_THRESH
+    )
+
+    def sink_batch(df, epoch_id: int) -> None:
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch={epoch_id}"))
+
+    q = (
+        alarms.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
+
+
+assert "cusum_user_spend_alarm" in _OR, "batch user-CUSUM oracle missing"
+_OR["streaming_cusum_twin"] = _OR["cusum_user_spend_alarm"]

@@ -1041,3 +1041,179 @@ def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_trans").over(w_prev).cast("double")
         ).alias("p_trans"),
     )
+
+
+# fixed-target CUSUM over per-user spend: constants are part of the query
+# contract (a monitoring rule), so the streaming twin needs no global pass
+_UCUSUM_TARGET = 5000  # cents: the per-event spend target (~ the corpus mean)
+_UCUSUM_SLACK = 1000  # cents: slack k — drift below target+k never alarms
+_UCUSUM_THRESH = 30_000  # cents: cumulative excess that trips the alarm
+
+
+@register_query(
+    "cusum_user_spend_alarm",
+    oracle=f"""
+    WITH cents AS (
+        SELECT user_id, event_id, ts,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    pre AS (
+        SELECT user_id, event_id, ts, cents,
+               CAST(SUM(cents - {_UCUSUM_TARGET} - {_UCUSUM_SLACK}) OVER w
+                    AS BIGINT) AS prefix
+        FROM cents
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    s AS (
+        SELECT user_id, event_id, ts, cents,
+               prefix - LEAST(CAST(0 AS BIGINT), MIN(prefix) OVER w) AS excess
+        FROM pre
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, ts, cents, excess
+    FROM s WHERE excess > {_UCUSUM_THRESH}
+    """,
+)
+def cusum_user_spend_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-target CUSUM alarm per user: flag every event at which the
+    user's cumulative spend excess over a FIXED budget rule (target 50.00
+    + slack 10.00 per event, alarm past 300.00 of sustained excess) is
+    tripped — the fraud/abuse-monitoring shape, where the rule is fixed
+    up front so it can run AT INGEST with no global statistics pass
+    (streaming_cusum_twin carries exactly two BIGINTs per user). Same
+    closed form as cusum_changepoint_events (S_i = prefix_i - min(0,
+    running_min prefix)); everything stays BIGINT cents end-to-end —
+    there is not a single floating-point operation in this query.
+
+    Scale: one user_id shuffle, two window passes over each user's
+    bounded history, alarms are a tiny fraction of events."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pre = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "cents",
+        F.sum(F.col("cents") - _UCUSUM_TARGET - _UCUSUM_SLACK)
+        .over(w)
+        .cast("long")
+        .alias("prefix"),
+    )
+    zero = F.lit(0).cast("long")
+    s = pre.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "cents",
+        (F.col("prefix") - F.least(zero, F.min("prefix").over(w))).alias("excess"),
+    )
+    return s.filter(F.col("excess") > _UCUSUM_THRESH)
+
+
+_MKV_BOTTOMK = 50  # surfaced least-probable transitions
+
+
+@register_query(
+    "markov_transition_anomaly",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_id, ts, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    trans AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS n_trans
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    ),
+    probs AS (
+        SELECT prev_type, next_type, n_trans,
+               CAST(n_trans AS DOUBLE)
+                   / CAST(SUM(n_trans) OVER (PARTITION BY prev_type) AS DOUBLE)
+                   AS p_trans
+        FROM trans
+    )
+    SELECT user_id, event_id, ts, prev_type, next_type, n_trans, p_trans,
+           rank
+    FROM (
+        SELECT s.user_id, s.event_id, s.ts, s.prev_type,
+               s.event_type AS next_type, p.n_trans, p.p_trans,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY p.p_trans ASC, s.event_id ASC
+               ) AS BIGINT) AS rank
+        FROM seq s
+        JOIN probs p
+          ON s.prev_type = p.prev_type AND s.event_type = p.next_type
+    )
+    WHERE rank <= {_MKV_BOTTOMK}
+    """,
+)
+def markov_transition_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL-APPLY over the Markov matrix: score every observed transition
+    with its own corpus-estimated probability and surface the bottom-50
+    least-probable ones — sequence-anomaly detection (improbable
+    state jumps: bot behavior, broken funnels, session hijacks) done
+    entirely in-engine: the model is fit and applied in one plan.
+
+    Exactness: p_trans values are exact-int divisions (markov_event_
+    transitions discipline); the global bottom-k orders by (p_trans,
+    event_id) — a deterministic total order.
+
+    Scale: the matrix is |types|^2 rows — broadcast back onto the event
+    stream, so scoring is map-side after the one user_id shuffle the lag
+    needs; the global bottom-50 is a rank-1 window (WindowGroupLimit /
+    TakeOrderedAndProject shape, per-partition state bounded by k)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trans")
+    )
+    w_prev = Window.partitionBy("prev_type")
+    probs = trans.select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        (
+            F.col("n_trans").cast("double")
+            / F.sum("n_trans").over(w_prev).cast("double")
+        ).alias("p_trans"),
+    )
+    scored = seq.join(F.broadcast(probs), ["prev_type", "next_type"])
+    w_rank = Window.orderBy(F.asc("p_trans"), F.asc("event_id"))
+    return (
+        scored.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "prev_type",
+            "next_type",
+            "n_trans",
+            "p_trans",
+            F.row_number().over(w_rank).cast("long").alias("rank"),
+        )
+        .filter(F.col("rank") <= _MKV_BOTTOMK)
+    )

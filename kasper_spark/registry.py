@@ -83,6 +83,9 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "cusum_changepoint_events",
     "markov_event_transitions",
     "streaming_markov_twin",
+    "markov_transition_anomaly",
+    "cusum_user_spend_alarm",
+    "streaming_cusum_twin",
     "knn_label_disagreement",
     "embedding_outlier_topk",
     # -- 1. NEW this round: the curation family (all oracle-backed) --
@@ -127,13 +130,10 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     # -- 2a. rotation: the r03-evidence cohort (oldest rows in the
     #        registry) --
     "scan_filter_project",
-    "agg_distinct",
-    "join_left_outer",
-    "join_semi",
     "word_count",
     # (exactly 50 names; nested_order_lines, multitenant_agg, rollup_orders,
-    # cube_events, join_anti displaced by the round-8-continuation quintet
-    # above;
+    # cube_events, join_anti, agg_distinct, join_left_outer, join_semi
+    # displaced by the eight round-8-continuation queries above;
     # window_running_sum, json_extract_props,
     # array_functions,
     # join_full_outer, json_roundtrip,

@@ -139,3 +139,90 @@ def test_streaming_markov_invariant_to_batch_cuts(spark, n_files):
         .collect()
     }
     assert got == batch
+
+
+def test_user_cusum_matches_recursive_reference(spark):
+    """The fixed-target alarm must equal the textbook per-user recursion —
+    and every emitted row must be above threshold (integer arithmetic)."""
+    from kasper_spark.operators.temporal import (
+        _UCUSUM_SLACK,
+        _UCUSUM_TARGET,
+        _UCUSUM_THRESH,
+    )
+
+    out = QUERIES["cusum_user_spend_alarm"](spark, SF_SMOKE).toPandas()
+    assert len(out) > 0 and (out["excess"] > _UCUSUM_THRESH).all()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    got = {(r.user_id, r.event_id): r.excess for r in out.itertuples()}
+    expected = {}
+    for uid, g in ev.groupby("user_id"):
+        s = 0
+        for r in g.itertuples():
+            cents = int(round(r.value * 100))
+            s = max(0, s + cents - _UCUSUM_TARGET - _UCUSUM_SLACK)
+            if s > _UCUSUM_THRESH:
+                expected[(uid, r.event_id)] = s
+    assert got == expected
+
+
+@pytest.mark.parametrize("n_files", [1, 3, 7])
+def test_streaming_cusum_invariant_to_batch_cuts(spark, n_files):
+    """Alarm rows must not depend on WHERE the stream is cut: the
+    two-BIGINT carried state (prefix, running min) bridges every
+    boundary."""
+    import os
+
+    from kasper_spark.operators.streaming_twins import (
+        _staged_ewma_feed,
+        cusum_alarm_stream,
+    )
+    from kasper_spark.operators.temporal import (
+        _UCUSUM_SLACK,
+        _UCUSUM_TARGET,
+        _UCUSUM_THRESH,
+    )
+
+    batch = {
+        (r["user_id"], r["event_id"]): r["excess"]
+        for r in QUERIES["cusum_user_spend_alarm"](spark, SF_SMOKE).collect()
+    }
+    stream, out_dir, ckpt = _staged_ewma_feed(
+        spark, SF_SMOKE, f"kasper-ccut{n_files}-", n_files=n_files
+    )
+    alarms = cusum_alarm_stream(stream, _UCUSUM_TARGET, _UCUSUM_SLACK, _UCUSUM_THRESH)
+
+    def sink(df, epoch_id):
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch={epoch_id}"))
+
+    q = (
+        alarms.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["event_id"]): r["excess"]
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+        .collect()
+    }
+    assert got == batch
+
+
+def test_markov_anomaly_ranks_least_probable(spark):
+    """Bottom-50 contract: ranks dense 1..50, p_trans non-decreasing with
+    rank, and every row's (prev, next, p) agrees with the fitted matrix."""
+    out = (
+        QUERIES["markov_transition_anomaly"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("rank")
+    )
+    assert list(out["rank"]) == list(range(1, len(out) + 1))
+    assert (out["p_trans"].diff().dropna() >= 0).all()
+    matrix = QUERIES["markov_event_transitions"](spark, SF_SMOKE).toPandas()
+    m = {(r.prev_type, r.next_type): r.p_trans for r in matrix.itertuples()}
+    for r in out.itertuples():
+        assert m[(r.prev_type, r.next_type)] == r.p_trans
