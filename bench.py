@@ -61,6 +61,10 @@ HEADLINE = [
     "ann_pq_topk",            # PQ/ADC: codes-only candidate scan + re-rank
     "ann_ivf_pq_topk",        # composed index: IVF pruning + PQ scoring
     "peak_concurrency_daily", # interval sweep via two-pass prefix sum
+    # round-8 continuation (new keys set their baseline this round)
+    "cusum_changepoint_events",   # closed-form CUSUM over the hourly grid
+    "markov_transition_anomaly",  # fit + broadcast-apply + bottom-k
+    "knn_label_disagreement",     # exact-cosine kNN label-noise vote
 ]
 
 

@@ -815,8 +815,11 @@ def peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # CUSUM tuning, expressed as integer ratios of the per-type mean so the
-# whole statistic stays BIGINT: slack k = mean/2, alarm threshold h = 4*mean.
-_CUSUM_ALARM_NUM = 8  # h scaled by 2H: 4*(T/H) * 2H = 8*T
+# whole statistic stays BIGINT: slack k = mean/2, alarm threshold
+# h = 4*mean + 4 (the absolute +4-events guard keeps the sparse-count
+# regime — hourly means << 1 — from alarming on Poisson noise).
+_CUSUM_ALARM_NUM = 8  # relative term scaled by 2H: 4*(T/H) * 2H = 8*T
+_CUSUM_ALARM_ABS = 8  # absolute term scaled by 2H: 4 events * 2H = 8*H
 
 
 @register_query(
@@ -868,15 +871,19 @@ _CUSUM_ALARM_NUM = 8  # h scaled by 2H: 4*(T/H) * 2H = 8*T
     SELECT event_type, hour_ts, n AS n_events,
            CAST(s_up AS DOUBLE) / CAST(2 * hh AS DOUBLE) AS cusum_up,
            CAST(s_dn AS DOUBLE) / CAST(2 * hh AS DOUBLE) AS cusum_dn,
-           CAST(CASE WHEN s_up > 8 * tt THEN 1 ELSE 0 END AS INTEGER) AS alarm_up,
-           CAST(CASE WHEN s_dn > 8 * tt THEN 1 ELSE 0 END AS INTEGER) AS alarm_dn
+           CAST(CASE WHEN s_up > 8 * tt + 8 * hh THEN 1 ELSE 0 END AS INTEGER)
+               AS alarm_up,
+           CAST(CASE WHEN s_dn > 8 * tt + 8 * hh THEN 1 ELSE 0 END AS INTEGER)
+               AS alarm_dn
     FROM s
     """,
 )
 def cusum_changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sided CUSUM change-point detection over each event type's hourly
     volume: flag sustained level shifts up or down against the type's own
-    long-run mean (target mu = T/H, slack k = mu/2, alarm at 4*mu). The
+    long-run mean (target mu = T/H, slack k = mu/2, alarm at 4*mu + 4 —
+    the absolute term guards the sparse regime where 4*mu is under one
+    event). The
     classic recursive form S_i = max(0, S_{i-1} + (x_i - mu - k)) is NOT a
     SQL window aggregate, but it has a closed form the planner CAN run:
     S_i = prefix_i - min(0, min_{j<=i} prefix_j) — one running sum plus one
@@ -967,8 +974,12 @@ def cusum_changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s_dn").cast("double") / (2 * F.col("hh")).cast("double")).alias(
             "cusum_dn"
         ),
-        (F.col("s_up") > _CUSUM_ALARM_NUM * F.col("tt")).cast("int").alias("alarm_up"),
-        (F.col("s_dn") > _CUSUM_ALARM_NUM * F.col("tt")).cast("int").alias("alarm_dn"),
+        (F.col("s_up") > _CUSUM_ALARM_NUM * F.col("tt") + _CUSUM_ALARM_ABS * F.col("hh"))
+        .cast("int")
+        .alias("alarm_up"),
+        (F.col("s_dn") > _CUSUM_ALARM_NUM * F.col("tt") + _CUSUM_ALARM_ABS * F.col("hh"))
+        .cast("int")
+        .alias("alarm_dn"),
     )
 
 

@@ -34,8 +34,8 @@ def test_cusum_matches_recursive_reference(spark):
             s_dn = max(0, s_dn + (tt - 2 * hh * n))
             assert row["cusum_up"] == s_up / (2 * hh), (etype, row["hour_ts"])
             assert row["cusum_dn"] == s_dn / (2 * hh), (etype, row["hour_ts"])
-            assert bool(row["alarm_up"]) == (s_up > 8 * tt)
-            assert bool(row["alarm_dn"]) == (s_dn > 8 * tt)
+            assert bool(row["alarm_up"]) == (s_up > 8 * tt + 8 * hh)
+            assert bool(row["alarm_dn"]) == (s_dn > 8 * tt + 8 * hh)
         # the grid really is zero-filled: hourly counts re-derived from the
         # raw events must agree where present
         raw = ev[ev["event_type"] == etype].groupby("hour_ts").size()
