@@ -1532,3 +1532,65 @@ def streaming_cusum_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 assert "cusum_user_spend_alarm" in _OR, "batch user-CUSUM oracle missing"
 _OR["streaming_cusum_twin"] = _OR["cusum_user_spend_alarm"]
+
+
+@register_query(
+    "streaming_cusum_tws_twin",
+    # identical output contract to the batch operator -> same oracle
+    oracle=None,  # bound below (temporal registers first)
+)
+def streaming_cusum_tws_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixed-target CUSUM alarm on the STATE-V2 runtime
+    (transformWithStateInPandas): same time-ordered feed and two-BIGINT
+    per-user state as streaming_cusum_twin, but the state lives in a typed
+    ValueState ("prefix long, minpre long") behind the Spark-4
+    StatefulProcessor protocol. With streaming_tws_count_twin and
+    streaming_ewma_tws_twin this makes THREE certified state-v2 operators —
+    a running aggregation, a trailing-window detector, and a
+    sufficient-statistic scan — all hash-checked against batch oracles.
+
+    Driver-session plumbing mirrors the other TWS twins: ship the protobuf
+    shim to workers before the UDF exists, pin the RocksDB provider for
+    the query's lifetime."""
+    from kasper_spark.protoshim import ensure_protobuf, ship_shim_to_workers
+    from kasper_spark.streaming.state import cusum_alarms_tws
+
+    ensure_protobuf()
+    ship_shim_to_workers(spark)
+
+    from kasper_spark.operators.temporal import (
+        _UCUSUM_SLACK,
+        _UCUSUM_TARGET,
+        _UCUSUM_THRESH,
+    )
+
+    stream, out_dir, ckpt = _staged_ewma_feed(spark, sf_dir, "kasper-tcus-")
+    alarms = cusum_alarms_tws(
+        stream, _UCUSUM_TARGET, _UCUSUM_SLACK, _UCUSUM_THRESH
+    )
+
+    def sink_batch(df, epoch_id: int) -> None:
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch={epoch_id}"))
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, rocksdb)
+    try:
+        q = (
+            alarms.writeStream.foreachBatch(sink_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    return spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
+
+
+assert "cusum_user_spend_alarm" in _OR, "batch user-CUSUM oracle missing (tws)"
+_OR["streaming_cusum_tws_twin"] = _OR["cusum_user_spend_alarm"]

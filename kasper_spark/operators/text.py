@@ -1434,3 +1434,55 @@ def chi2_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", F.col("ns").alias("n_topv_tokens"), "chi2"
         )
     )
+
+
+from kasper_spark.registry import ORACLES as _ORACLES  # noqa: E402
+
+
+@register_query(
+    "lang_id_confusion",
+    oracle=None,  # bound below: reuses the heuristic's own oracle as a CTE
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the marker-lexicon language ID against the gold
+    `lang` labels: per (labeled, predicted) cell, the count, the gold
+    class size, and the cell's share of its gold class (the diagonal
+    share IS per-class recall). The model-evaluation audit every
+    lang-filtered corpus build runs before trusting the filter.
+
+    Exactness: counts are integers; shares are exact-int double divisions.
+    Scale: one pass over the corpus computes predictions map-side (the
+    heuristic is pure string expressions), then a partial-agg groupBy
+    collapses to a |langs|^2 grid; the share window runs on the grid."""
+    from pyspark.sql.window import Window
+
+    pred = lang_id_heuristic(spark, sf_dir)
+    cells = pred.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("labeled_lang")
+    return cells.select(
+        "labeled_lang",
+        "predicted_lang",
+        "n",
+        F.sum("n").over(w).cast("long").alias("n_labeled"),
+        (F.col("n").cast("double") / F.sum("n").over(w).cast("double")).alias(
+            "class_share"
+        ),
+    )
+
+
+assert "lang_id_heuristic" in _ORACLES, "lang-ID oracle missing"
+_ORACLES["lang_id_confusion"] = f"""
+    WITH pred AS ({_ORACLES["lang_id_heuristic"]}),
+    cells AS (
+        SELECT labeled_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pred GROUP BY labeled_lang, predicted_lang
+    )
+    SELECT labeled_lang, predicted_lang, n,
+           CAST(SUM(n) OVER (PARTITION BY labeled_lang) AS BIGINT) AS n_labeled,
+           CAST(n AS DOUBLE)
+               / CAST(SUM(n) OVER (PARTITION BY labeled_lang) AS DOUBLE)
+               AS class_share
+    FROM cells
+"""

@@ -86,6 +86,8 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "markov_transition_anomaly",
     "cusum_user_spend_alarm",
     "streaming_cusum_twin",
+    "streaming_cusum_tws_twin",
+    "lang_id_confusion",
     "knn_label_disagreement",
     "embedding_outlier_topk",
     # -- 1. NEW this round: the curation family (all oracle-backed) --
@@ -129,11 +131,11 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "multimodal_pgm_codec",
     # -- 2a. rotation: the r03-evidence cohort (oldest rows in the
     #        registry) --
-    "scan_filter_project",
-    "word_count",
-    # (exactly 50 names; nested_order_lines, multitenant_agg, rollup_orders,
-    # cube_events, join_anti, agg_distinct, join_left_outer, join_semi
-    # displaced by the eight round-8-continuation queries above;
+    # (exactly 50 names; the whole r03 rotation cohort — nested_order_lines,
+    # multitenant_agg, rollup_orders, cube_events, join_anti, agg_distinct,
+    # join_left_outer, join_semi, scan_filter_project, word_count — is
+    # displaced by the ten round-8-continuation queries above; rotate it
+    # back in r9;
     # window_running_sum, json_extract_props,
     # array_functions,
     # join_full_outer, json_roundtrip,

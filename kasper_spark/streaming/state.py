@@ -808,3 +808,60 @@ def ewma_anomalies_tws(events: DataFrame, k: int, den: int) -> DataFrame:
         outputMode="Append",
         timeMode="None",
     )
+
+
+def cusum_alarms_tws(
+    events: DataFrame, target: int, slack: int, thresh: int
+) -> DataFrame:
+    """Fixed-target CUSUM alarms on transformWithStateInPandas (state v2) —
+    the modern-runtime twin of cusum_alarm_stream in
+    operators/streaming_twins.py. State is one typed ValueState of TWO
+    BIGINTs (deviation prefix, running min) — the complete sufficient
+    statistic of the closed form S = prefix - min(0, min prefix); pure
+    integer arithmetic, so emitted rows equal the batch window plan's
+    bit-for-bit given an event-time-ordered feed.
+
+    ``events`` must carry (user_id long, event_id long, ts timestamp,
+    cents bigint). Output mode Append: an alarm row is emitted exactly
+    once, when its event crosses the threshold."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    # nested class: cloudpickle serializes by value (foreign-cwd workers)
+    class CusumScan(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._acc = handle.getValueState("acc", "prefix long, minpre long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            prefix, minpre = self._acc.get() if self._acc.exists() else (0, 0)
+            pdf = pd.concat(list(rows)).sort_values(["ts", "event_id"])
+            out = []
+            for r in pdf.itertuples():
+                cents = int(r.cents)
+                prefix += cents - target - slack
+                minpre = min(minpre, prefix)
+                excess = prefix - min(0, minpre)
+                if excess > thresh:
+                    out.append(
+                        (int(r.user_id), int(r.event_id), r.ts, cents, excess)
+                    )
+            self._acc.update((prefix, minpre))
+            yield pd.DataFrame(
+                out, columns=["user_id", "event_id", "ts", "cents", "excess"]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        CusumScan(),
+        outputStructType=(
+            "user_id long, event_id long, ts timestamp, cents long, excess long"
+        ),
+        outputMode="Append",
+        timeMode="None",
+    )

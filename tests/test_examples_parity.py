@@ -264,3 +264,19 @@ def test_vector_index_example(spark):
     # quantized/pruned paths must clear the quality-gate floors
     assert c["recall_pq"] >= 0.45
     assert c["recall_ivf_pq_trained"] >= 0.4
+
+
+def test_anomaly_monitor_example(spark):
+    """The anomaly walkthrough composes the four detectors; counts must be
+    internally consistent (repeat offenders bounded by either detector's
+    user set, sequence anomalies exactly the bottom-k)."""
+    import examples.anomaly_monitor as am
+    from tests.conftest import SF_SMOKE
+
+    c = am.main(spark, SF_SMOKE)
+    assert c["ewma_anomalies"] > 0
+    assert c["cusum_user_alarms"] > 0
+    assert c["sequence_anomalies"] == 50
+    assert 0 <= c["users_tripping_both_value_detectors"] <= min(
+        c["ewma_anomalies"], c["cusum_user_alarms"]
+    )
