@@ -2119,3 +2119,85 @@ def exact_quantiles_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("value_cents"),
         )
     )
+
+
+# sliding-window distinct via mergeable sketches (round 8, continued)
+_HLL_WIN_HOURS = 24
+_HLL_LGK = 12  # Datasketches lgConfigK; rsd ~ 1.04/sqrt(2^12) ~ 1.63%
+_HLL_RSD = 1.04 / (1 << (_HLL_LGK // 2))  # = 1.04/64
+
+
+@register_query(
+    "hll_sliding_distinct_users",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT DISTINCT date_trunc('hour', ts) AS hour, user_id FROM events
+    ),
+    hours AS (SELECT DISTINCT hour FROM pairs),
+    exp AS (
+        SELECT h2.hour AS window_end, p.user_id
+        FROM pairs p
+        JOIN hours h2
+          ON h2.hour >= p.hour
+         AND h2.hour <= p.hour + INTERVAL {_HLL_WIN_HOURS - 1} HOUR
+    )
+    SELECT window_end,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(1 AS INTEGER) AS hll_in_bound
+    FROM exp GROUP BY window_end
+    """,
+)
+def hll_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 24-hour distinct users from MERGEABLE hourly HLL sketches
+    (Datasketches hll_sketch_agg / hll_union_agg): each hour is sketched
+    once, and every sliding window is answered by unioning 24 tiny
+    sketches — the only way a 100 TB dashboard serves overlapping-window
+    cardinalities without re-scanning each window (exact distinct would
+    read every event 24 times; the sketch path reads it once).
+
+    ERROR-CONTRACT oracle (the approx_distinct_users discipline): per
+    window, the same plan computes the exact distinct count from
+    hour-deduped (hour, user) pairs and emits
+    `hll_in_bound = |estimate - exact| <= max(2, 5*rsd*exact)` with
+    rsd = 1.04/2^(lgK/2); DuckDB recomputes the exact side and asserts
+    literal 1s — a hash match certifies every one of the ~720 windows'
+    sketch unions honored the bound.
+
+    Scale: the sketch side shuffles |hours| sketches of ~2^12 bytes, the
+    window fan-out is a bounded explode (24 per hour, not per event), and
+    the certification's exact side works on hour-deduped pairs (a tiny
+    fraction of events) — in production you drop the exact side and keep
+    the same sketch plan."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.select(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "user_id"
+    )
+    hours = hourly.select("hour").distinct()
+    win = (
+        f"sequence(hour, hour + interval {_HLL_WIN_HOURS - 1} hours, "
+        "interval 1 hour)"
+    )
+    sketches = hourly.groupBy("hour").agg(
+        F.hll_sketch_agg("user_id", F.lit(_HLL_LGK)).alias("sk")
+    )
+    est = (
+        sketches.select(F.explode(F.expr(win)).alias("window_end"), "sk")
+        .join(F.broadcast(hours.withColumnRenamed("hour", "window_end")), "window_end", "semi")
+        .groupBy("window_end")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"))
+    )
+    pairs = hourly.distinct()
+    exact = (
+        pairs.select(F.explode(F.expr(win)).alias("window_end"), "user_id")
+        .join(F.broadcast(hours.withColumnRenamed("hour", "window_end")), "window_end", "semi")
+        .groupBy("window_end")
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+    )
+    bound = F.greatest(F.lit(2.0), F.lit(5 * _HLL_RSD) * F.col("exact_users"))
+    return est.join(exact, "window_end").select(
+        "window_end",
+        "exact_users",
+        (F.abs(F.col("approx_users") - F.col("exact_users")) <= bound)
+        .cast("integer")
+        .alias("hll_in_bound"),
+    )
