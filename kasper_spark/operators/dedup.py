@@ -2010,3 +2010,75 @@ def bfs_khop_lsh_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         reached = cut_lineage(reached.unionByName(nxt))
         frontier = nxt.select("doc_id")
     return reached.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution end-to-end (round 8, continued)
+# ---------------------------------------------------------------------------
+
+_ER_GRAPH_CTE = """pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM (SELECT doc_id, source, lang, substr(text, 1, 30) AS p
+              FROM documents) a
+        JOIN (SELECT doc_id, source, lang, substr(text, 1, 30) AS p
+              FROM documents) b
+          ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.p, b.p) <= 18
+    )"""
+
+_ER_ORACLE = """
+    WITH RECURSIVE """ + _ER_GRAPH_CTE + """,
+    nodes AS (
+        SELECT DISTINCT doc_a AS node FROM pairs
+        UNION
+        SELECT DISTINCT doc_b AS node FROM pairs
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.node = e.src
+    ),
+    comp AS (
+        SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS entity_id
+        FROM reach GROUP BY node
+    )
+    SELECT doc_id, entity_id,
+           CAST(doc_id = entity_id AS BIGINT) AS is_canonical,
+           CAST(COUNT(*) OVER (PARTITION BY entity_id) AS BIGINT) AS entity_size
+    FROM comp
+"""
+
+
+@register_query("entity_resolution_pipeline", oracle=_ER_ORACLE)
+def entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution END-TO-END: blocking (same source+lang) ->
+    character-level match scoring (thresholded Levenshtein on prefixes,
+    the levenshtein_block_pairs plan) -> transitive closure (the same
+    large-star/small-star connected_components the dedup family runs) ->
+    canonical-record choice (min doc_id) with entity sizes — the classic
+    record-linkage pipeline (Fellegi-Sunter blocking + match + merge)
+    composed from certified operators in ONE plan. The DuckDB oracle
+    recomputes the closure independently with a recursive CTE, so the
+    hash match certifies blocking, matching, clustering, and survivorship
+    together.
+
+    Scale: inherits each stage's shape — per-block equi-join pair
+    generation (no all-pairs), O(log diameter) CC rounds with per-round
+    lineage cuts, and a size window over entities (entity-sized, not
+    corpus-sized)."""
+    from pyspark.sql.window import Window
+
+    pairs = levenshtein_block_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(pairs)
+    w = Window.partitionBy("cluster_id")
+    return cc.select(
+        "doc_id",
+        F.col("cluster_id").alias("entity_id"),
+        (F.col("doc_id") == F.col("cluster_id")).cast("bigint").alias("is_canonical"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("entity_size"),
+    )

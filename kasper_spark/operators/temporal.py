@@ -1228,3 +1228,112 @@ def markov_transition_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= _MKV_BOTTOMK)
     )
+
+
+_MKV_POWER_ITERS = 16  # stationary-distribution power-iteration rounds
+
+
+def _markov_stationary_oracle_sql(iters: int = _MKV_POWER_ITERS) -> str:
+    """Unrolled power-iteration oracle (the PageRank discipline): the same
+    fitted matrix, the same start vector, the same per-round decimal-exact
+    contraction — one CTE per iteration."""
+    head = """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    trans AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS n_trans
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    ),
+    probs AS (
+        SELECT prev_type, next_type,
+               CAST(n_trans AS DOUBLE)
+                   / CAST(SUM(n_trans) OVER (PARTITION BY prev_type) AS DOUBLE)
+                   AS p_trans
+        FROM trans
+    ),
+    states AS (SELECT DISTINCT event_type AS state FROM events),
+    it0 AS (
+        SELECT state,
+               CAST(1.0 AS DOUBLE)
+                   / (SELECT CAST(COUNT(*) AS BIGINT) FROM states) AS p
+        FROM states
+    )"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""",
+    it{i} AS (
+        SELECT pr.next_type AS state,
+               CAST(SUM(CAST(i.p * pr.p_trans AS DECIMAL(30,12))) AS DOUBLE)
+                   AS p
+        FROM it{i - 1} i JOIN probs pr ON pr.prev_type = i.state
+        GROUP BY pr.next_type
+    )""")
+    return (
+        head
+        + "".join(steps)
+        + f"""
+    SELECT state, p AS stationary_p FROM it{iters}
+    """
+    )
+
+
+@register_query(
+    "markov_stationary_distribution", oracle=_markov_stationary_oracle_sql()
+)
+def markov_stationary_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-run state occupancy of the fitted event-type Markov chain:
+    16 synchronous power-iteration rounds pi <- pi P from the uniform
+    start — 'what share of a user's steady-state activity is purchases'
+    — the fourth ITERATIVE operator (after CC, PageRank, power iteration)
+    and like them hash-exact against an UNROLLED SQL oracle despite a
+    float fixpoint.
+
+    Per-round determinism: each term pi_i * P_ij is one double multiply of
+    identically-derived doubles, rounded once into DECIMAL(30,12); the
+    per-state contraction sums decimals (order-independent); the collected
+    pi re-enters the next round as float literals — bit-equal on both
+    engines by induction.
+
+    Scale: the matrix is |types|^2 rows — the fit is the
+    markov_event_transitions plan (one user_id shuffle, partial-agg
+    collapse); every iteration is a |S|-element map over the broadcast
+    matrix with driver state O(|S|) doubles (the embedding_power_iteration
+    rule: state is model-sized, never data-sized)."""
+    probs = markov_event_transitions(spark, sf_dir).select(
+        "prev_type", "next_type", "p_trans"
+    )
+    # materialize the tiny fitted matrix once (|types|^2 rows): the 16
+    # iteration jobs must not each re-fit it, and localCheckpoint is
+    # ContextCleaner-managed (the persist-discipline lint forbids pinned
+    # cache() entries outliving a query)
+    probs = probs.localCheckpoint()
+    states = sorted(
+        r["prev_type"] for r in probs.select("prev_type").distinct().collect()
+    )
+    pi = {s: 1.0 / len(states) for s in states}
+
+    def step(pi_now: dict) -> DataFrame:
+        mp = F.create_map(
+            *[x for s, p in sorted(pi_now.items()) for x in (F.lit(s), F.lit(p))]
+        )
+        return (
+            probs.select(
+                F.col("next_type").alias("state"),
+                (mp[F.col("prev_type")] * F.col("p_trans"))
+                .cast("decimal(30,12)")
+                .alias("t"),
+            )
+            .groupBy("state")
+            .agg(F.sum("t").cast("double").alias("p"))
+        )
+
+    for _ in range(_MKV_POWER_ITERS - 1):
+        pi = {r["state"]: r["p"] for r in step(pi).collect()}
+    return step(pi).select("state", F.col("p").alias("stationary_p"))

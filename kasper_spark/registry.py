@@ -135,7 +135,10 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     # multitenant_agg, rollup_orders, cube_events, join_anti, agg_distinct,
     # join_left_outer, join_semi, scan_filter_project, word_count — is
     # displaced by the ten round-8-continuation queries above; rotate it
-    # back in r9;
+    # back in r9. ALSO QUEUED FOR THE R9 WINDOW HEAD (landed after the 50
+    # slots filled, swept green at sf0.001+sf0.01 locally):
+    # hll_sliding_distinct_users, entity_resolution_pipeline,
+    # markov_stationary_distribution;
     # window_running_sum, json_extract_props,
     # array_functions,
     # join_full_outer, json_roundtrip,

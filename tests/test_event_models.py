@@ -226,3 +226,37 @@ def test_markov_anomaly_ranks_least_probable(spark):
     m = {(r.prev_type, r.next_type): r.p_trans for r in matrix.itertuples()}
     for r in out.itertuples():
         assert m[(r.prev_type, r.next_type)] == r.p_trans
+
+
+def test_entity_resolution_structure(spark):
+    """ER invariants: the canonical record is the min doc_id of its
+    entity, sizes are consistent, and every resolved doc really has an
+    edge in the blocking graph."""
+    out = QUERIES["entity_resolution_pipeline"](spark, SF_SMOKE).toPandas()
+    assert len(out) > 0
+    for eid, g in out.groupby("entity_id"):
+        assert g["doc_id"].min() == eid
+        assert (g["entity_size"] == len(g)).all()
+        assert g["is_canonical"].sum() == 1
+        assert int(g.loc[g["is_canonical"] == 1, "doc_id"].iloc[0]) == eid
+    edges = QUERIES["levenshtein_block_pairs"](spark, SF_SMOKE).toPandas()
+    nodes = set(edges["doc_a"]) | set(edges["doc_b"])
+    assert set(out["doc_id"]) == nodes
+
+
+def test_markov_stationary_is_fixpoint(spark):
+    """The 16-round iterate must (a) be a probability vector and (b) be
+    numerically stationary: one more application of the fitted matrix
+    moves it by < 1e-9 in L1."""
+    pi = {
+        r["state"]: r["stationary_p"]
+        for r in QUERIES["markov_stationary_distribution"](spark, SF_SMOKE).collect()
+    }
+    assert abs(sum(pi.values()) - 1.0) < 1e-9
+    assert all(p > 0 for p in pi.values())
+    m = QUERIES["markov_event_transitions"](spark, SF_SMOKE).toPandas()
+    nxt = {s: 0.0 for s in pi}
+    for r in m.itertuples():
+        nxt[r.next_type] += pi[r.prev_type] * r.p_trans
+    l1 = sum(abs(nxt[s] - pi[s]) for s in pi)
+    assert l1 < 1e-9, l1
