@@ -1486,3 +1486,156 @@ _ORACLES["lang_id_confusion"] = f"""
                AS class_share
     FROM cells
 """
+
+
+_KS_QUALITY_BODY = """
+    q AS (
+        SELECT doc_id, source,
+               0.5 * (CASE WHEN n_words >= 20 THEN 1.0 ELSE n_words / 20.0 END)
+             + 0.5 * (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)
+                 AS quality
+        FROM (
+            SELECT doc_id, source,
+                   len(list_filter(string_split(text, ' '), w -> w <> ''))
+                       AS n_words,
+                   CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                       / len(list_filter(string_split(text, ' '), w -> w <> ''))
+                       AS mwl
+            FROM documents
+        )
+    ),
+    counts AS (
+        SELECT source, quality, CAST(COUNT(*) AS BIGINT) AS c
+        FROM q GROUP BY source, quality
+    ),
+    grid AS (
+        SELECT s.source, v.quality, COALESCE(c.c, 0) AS c
+        FROM (SELECT DISTINCT source FROM q) s
+        CROSS JOIN (SELECT DISTINCT quality FROM q) v
+        LEFT JOIN counts c ON c.source = s.source AND c.quality = v.quality
+    ),
+    cums AS (
+        SELECT source, quality,
+               CAST(SUM(c) OVER (PARTITION BY source ORDER BY quality
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_s,
+               CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n_s,
+               CAST(SUM(c) OVER () AS BIGINT) AS n
+        FROM grid
+    ),
+    diffs AS (
+        -- cum over ALL sources at this quality = one window per (quality)
+        -- boundary; recompute it cleanly from a per-quality aggregate
+        SELECT g.source, g.quality, g.cum_s, g.n_s, a.cum_all, g.n,
+               abs(g.cum_s * (g.n - g.n_s)
+                   - (a.cum_all - g.cum_s) * g.n_s) AS d_int
+        FROM cums g
+        JOIN (
+            SELECT quality,
+                   CAST(SUM(cum_s) AS BIGINT) AS cum_all
+            FROM cums GROUP BY quality
+        ) a ON a.quality = g.quality
+    )
+    SELECT source, n_docs, ks_stat, ks_at_quality FROM (
+        SELECT source,
+               n_s AS n_docs,
+               CAST(d_int AS DOUBLE) / CAST(n_s * (n - n_s) AS DOUBLE)
+                   AS ks_stat,
+               quality AS ks_at_quality,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY d_int DESC, quality ASC
+               ) AS rn
+        FROM diffs
+    ) WHERE rn = 1
+"""
+
+
+@register_query(
+    "ks_quality_drift_by_source",
+    oracle=f"""
+    WITH {_KS_QUALITY_BODY}
+    """,
+)
+def ks_quality_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift test per source: each
+    source's quality-score distribution vs the REST of the corpus —
+    KS = max_t |F_source(t) - F_rest(t)| — the distribution-shape
+    complement to the chi-square vocabulary test (chi2_source_divergence
+    sees token drift; this sees quality-profile drift even when the
+    vocabulary is stable). Output: per source, its KS statistic and the
+    quality value where the gap peaks (where to look).
+
+    Exactness trick: the CDF comparison never touches floats —
+    |F1 - F2| = |cum_s*(N - N_s) - cum_rest*N_s| / (N_s*(N - N_s)), and
+    the numerator is PURE BIGINT, so the max is an integer comparison and
+    only the final reported statistic is one exact-int double division.
+
+    Scale: per-(source, value) counts partial-aggregate map-side; the
+    zero-filled grid is |sources| x |distinct quality values| (both
+    bounded by construction — quality is a banded score, not raw data),
+    so the cumulative windows and argmax run on a grid, not on documents."""
+    from pyspark.sql.window import Window
+
+    q = quality_score(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    qs = q.join(docs, "doc_id").select("source", "quality")
+    counts = qs.groupBy("source", "quality").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    sources = qs.select("source").distinct()
+    values = qs.select("quality").distinct()
+    grid = (
+        sources.crossJoin(F.broadcast(values))
+        .join(counts, ["source", "quality"], "left")
+        .select(
+            "source", "quality", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c")
+        )
+    )
+    w_run = Window.partitionBy("source").orderBy("quality").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_src = Window.partitionBy("source")
+    cums = grid.select(
+        "source",
+        "quality",
+        F.sum("c").over(w_run).cast("long").alias("cum_s"),
+        F.sum("c").over(w_src).cast("long").alias("n_s"),
+    )
+    n_all = (
+        grid.groupBy()
+        .agg(F.sum("c").cast("long").alias("n"))
+    )
+    cum_all = cums.groupBy("quality").agg(
+        F.sum("cum_s").cast("long").alias("cum_all")
+    )
+    diffs = (
+        cums.join(F.broadcast(cum_all), "quality")
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "source",
+            "quality",
+            "n_s",
+            "n",
+            F.abs(
+                F.col("cum_s") * (F.col("n") - F.col("n_s"))
+                - (F.col("cum_all") - F.col("cum_s")) * F.col("n_s")
+            ).alias("d_int"),
+        )
+    )
+    w_rank = Window.partitionBy("source").orderBy(
+        F.desc("d_int"), F.asc("quality")
+    )
+    return (
+        diffs.select(
+            "source",
+            F.col("n_s").alias("n_docs"),
+            (
+                F.col("d_int").cast("double")
+                / (F.col("n_s") * (F.col("n") - F.col("n_s"))).cast("double")
+            ).alias("ks_stat"),
+            F.col("quality").alias("ks_at_quality"),
+            F.row_number().over(w_rank).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -260,3 +260,24 @@ def test_markov_stationary_is_fixpoint(spark):
         nxt[r.next_type] += pi[r.prev_type] * r.p_trans
     l1 = sum(abs(nxt[s] - pi[s]) for s in pi)
     assert l1 < 1e-9, l1
+
+
+def test_ks_drift_matches_direct_computation(spark):
+    """KS per source must equal a direct pandas two-sample CDF comparison
+    (source vs rest) and sit in [0, 1]."""
+    import numpy as np
+
+    out = QUERIES["ks_quality_drift_by_source"](spark, SF_SMOKE).toPandas()
+    assert ((out["ks_stat"] >= 0) & (out["ks_stat"] <= 1)).all()
+    q = QUERIES["quality_score"](spark, SF_SMOKE).toPandas()
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[["doc_id", "source"]]
+    qs = q.merge(docs, on="doc_id")
+    values = np.sort(qs["quality"].unique())
+    for r in out.itertuples():
+        a = qs.loc[qs["source"] == r.source, "quality"].to_numpy()
+        b = qs.loc[qs["source"] != r.source, "quality"].to_numpy()
+        diffs = [
+            abs((a <= v).mean() - (b <= v).mean()) for v in values
+        ]
+        assert abs(max(diffs) - r.ks_stat) < 1e-12, r.source
+        assert len(a) == r.n_docs
