@@ -2201,3 +2201,107 @@ def hll_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("integer")
         .alias("hll_in_bound"),
     )
+
+
+@register_query(
+    "funnel_attribution_windowed",
+    oracle="""
+    WITH staged AS (
+        SELECT user_id, event_id, ts, event_type,
+               MAX(CASE WHEN event_type = 'view' THEN ts END) OVER w
+                   AS last_view
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    clicks AS (
+        SELECT *,
+               MAX(CASE WHEN event_type = 'click'
+                         AND last_view IS NOT NULL
+                         AND ts <= last_view + INTERVAL 1 HOUR
+                        THEN ts END) OVER w AS last_qclick
+        FROM staged
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                          AND last_qclick IS NOT NULL
+                          AND ts <= last_qclick + INTERVAL 1 HOUR
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                          AND last_qclick IS NOT NULL
+                          AND ts <= last_qclick + INTERVAL 1 HOUR
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                      AS DOUBLE) AS attribution_rate
+    FROM clicks
+    GROUP BY user_id
+    HAVING SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
+    """,
+)
+def funnel_attribution_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH attribution funnel with conversion windows — the
+    Amplitude-style strict form the first-occurrence funnel
+    (funnel_view_click_purchase) can't express: a purchase converts only
+    if a QUALIFYING click (one within 1 hour of a preceding view) happened
+    within the hour before it — the most recent such touchpoint carries
+    the credit, and later non-qualifying clicks do not shadow it.
+    Computed in two running-max
+    window passes over each user's (ts, event_id)-ordered stream — the
+    'carry the latest qualifying touchpoint' pattern — so no self-joins
+    and no per-purchase subqueries; a 100 TB event log pays one user_id
+    shuffle and two sorts of the SAME partitioning.
+
+    Exactness: all predicates are timestamp comparisons at microsecond
+    precision (identical on both engines); counts are integers and the
+    attribution rate is one exact-int double division."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    hour = F.expr("INTERVAL 1 HOUR")
+    staged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.max(F.when(F.col("event_type") == "view", F.col("ts"))).over(w).alias(
+            "last_view"
+        ),
+    )
+    clicks = staged.select(
+        "*",
+        F.max(
+            F.when(
+                (F.col("event_type") == "click")
+                & F.col("last_view").isNotNull()
+                & (F.col("ts") <= F.col("last_view") + hour),
+                F.col("ts"),
+            )
+        )
+        .over(w)
+        .alias("last_qclick"),
+    )
+    is_purchase = (F.col("event_type") == "purchase").cast("long")
+    attributed = (
+        (F.col("event_type") == "purchase")
+        & F.col("last_qclick").isNotNull()
+        & (F.col("ts") <= F.col("last_qclick") + hour)
+    ).cast("long")
+    return (
+        clicks.groupBy("user_id")
+        .agg(
+            F.sum(is_purchase).cast("long").alias("n_purchases"),
+            F.sum(attributed).cast("long").alias("n_attributed"),
+            (
+                F.sum(attributed).cast("double")
+                / F.sum(is_purchase).cast("double")
+            ).alias("attribution_rate"),
+        )
+        .filter(F.col("n_purchases") > 0)
+    )

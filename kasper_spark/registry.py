@@ -138,7 +138,8 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     # back in r9. ALSO QUEUED FOR THE R9 WINDOW HEAD (landed after the 50
     # slots filled, swept green at sf0.001+sf0.01 locally):
     # hll_sliding_distinct_users, entity_resolution_pipeline,
-    # markov_stationary_distribution, ks_quality_drift_by_source;
+    # markov_stationary_distribution, ks_quality_drift_by_source,
+    # funnel_attribution_windowed;
     # window_running_sum, json_extract_props,
     # array_functions,
     # join_full_outer, json_roundtrip,

@@ -281,3 +281,34 @@ def test_ks_drift_matches_direct_computation(spark):
         ]
         assert abs(max(diffs) - r.ks_stat) < 1e-12, r.source
         assert len(a) == r.n_docs
+
+
+def test_attribution_funnel_matches_sequential_reference(spark):
+    """The two-window attribution plan must equal a direct per-user
+    sequential scan (last qualifying touchpoint carried forward)."""
+    out = QUERIES["funnel_attribution_windowed"](spark, SF_SMOKE).toPandas()
+    assert (out["n_attributed"] <= out["n_purchases"]).all()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    W = pd.Timedelta(hours=1)
+    expected = {}
+    for uid, g in ev.groupby("user_id"):
+        last_view = last_qclick = None
+        n_p = n_a = 0
+        for r in g.itertuples():
+            if r.event_type == "view":
+                last_view = r.ts
+            elif r.event_type == "click":
+                if last_view is not None and r.ts <= last_view + W:
+                    last_qclick = r.ts
+            elif r.event_type == "purchase":
+                n_p += 1
+                if last_qclick is not None and r.ts <= last_qclick + W:
+                    n_a += 1
+        if n_p:
+            expected[uid] = (n_p, n_a)
+    got = {
+        r.user_id: (r.n_purchases, r.n_attributed) for r in out.itertuples()
+    }
+    assert got == expected

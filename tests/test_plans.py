@@ -150,6 +150,7 @@ _INTENTIONAL_BNLJ = {
     "gapfill_hourly_events",  # bounded spine: distinct types x hour sequence
     "cusum_changepoint_events",  # same bounded types x hours spine as gapfill
     "knn_label_disagreement",  # bounded audited set, ann-baseline shape
+    "ks_quality_drift_by_source",  # sources x quality-bands grid + 1-row total, both broadcast
     "bm25_keyword_topk",  # 1-row broadcast of corpus stats (N, avgdl)
     "rrf_fusion_topk",  # same 1-row corpus-stats broadcast via BM25 ranker
     "token_budget_select",  # 1-row broadcast of the global token budget
