@@ -21,6 +21,13 @@ Scale notes (100 TB mindset):
 - writes land in a per-call temp dir; at scale this is the sink side of A5
   (bulk flush then commit) with the same rename-free semantics parquet
   committers provide.
+
+Environmental gap (probed 2026-08-15, same class as the Kafka jars —
+ci/README.md): this pyspark build ships WITHOUT the spark-avro module
+(`format("avro")` raises AnalysisException), so an Avro round-trip query
+cannot execute here. On a cluster with the standard `spark-avro` package the
+csv/jsonl round-trip pattern below applies unchanged (explicit schema,
+write -> read -> hash against the original table).
 """
 
 from __future__ import annotations

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kasper_spark.catalog import load_table
+from kasper_spark.lineage import cut_lineage
 from kasper_spark.registry import register_query
 
 # Tiny per-language marker lexicons for the n-gram/stopword language-ID
@@ -1576,14 +1577,34 @@ def ks_quality_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the cumulative windows and argmax run on a grid, not on documents."""
     from pyspark.sql.window import Window
 
-    q = quality_score(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    qs = q.join(docs, "doc_id").select("source", "quality")
-    counts = qs.groupBy("source", "quality").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    # quality inline (the quality_score expressions verbatim) with source
+    # carried from the SAME scan — joining the certified query back on
+    # doc_id would replay a 33-exchange doc_id join per reuse of qs
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_words = F.size(toks)
+    mean_wl = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
+        "double"
+    ) / n_words
+    length_component = F.when(n_words >= 20, F.lit(1.0)).otherwise(
+        n_words / F.lit(20.0)
     )
-    sources = qs.select("source").distinct()
-    values = qs.select("quality").distinct()
+    wl_component = F.when((mean_wl >= 3.0) & (mean_wl <= 10.0), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    qs = docs.select(
+        "source",
+        (0.5 * length_component + 0.5 * wl_component).cast("double").alias("quality"),
+    )
+    # all three derivations below re-scan qs map-side; materialize the tiny
+    # (source, quality) count grid once instead of thrice
+    counts = (
+        qs.groupBy("source", "quality")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .transform(cut_lineage)
+    )
+    sources = counts.select("source").distinct()
+    values = counts.select("quality").distinct()
     grid = (
         sources.crossJoin(F.broadcast(values))
         .join(counts, ["source", "quality"], "left")
