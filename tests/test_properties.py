@@ -193,3 +193,40 @@ def test_pii_redaction_plants_are_always_caught(spark, words, email_local, phone
     assert "<PHONE>" in out[planted]
     assert f"{local}@" not in out[planted]
     assert out[prose] == prose  # letter-only prose passes through untouched
+
+
+@given(
+    xs=st.lists(st.integers(min_value=0, max_value=1000), min_size=1, max_size=60),
+    target=st.integers(min_value=0, max_value=500),
+    slack=st.integers(min_value=0, max_value=200),
+)
+@settings(**_SETTINGS)
+def test_cusum_closed_form_equals_recursion(spark, xs, target, slack):
+    """The prefix-sum/running-min closed form the CUSUM operators run
+    (S_i = prefix_i - min(0, running_min prefix)) must equal the textbook
+    recursion S_i = max(0, S_{i-1} + x_i - target - slack) for ANY integer
+    sequence — the identity both the batch windows and the streaming
+    twins' two-BIGINT state rely on."""
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "i long, x long"
+    )
+    w = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pre = df.select(
+        "i", F.sum(F.col("x") - target - slack).over(w).cast("long").alias("p")
+    )
+    zero = F.lit(0).cast("long")
+    got = [
+        r["s"]
+        for r in pre.select(
+            "i", (F.col("p") - F.least(zero, F.min("p").over(w))).alias("s")
+        )
+        .orderBy("i")
+        .collect()
+    ]
+    s, want = 0, []
+    for x in xs:
+        s = max(0, s + x - target - slack)
+        want.append(s)
+    assert got == want
