@@ -1337,3 +1337,102 @@ def markov_stationary_distribution(spark: SparkSession, sf_dir: str) -> DataFram
     for _ in range(_MKV_POWER_ITERS - 1):
         pi = {r["state"]: r["p"] for r in step(pi).collect()}
     return step(pi).select("state", F.col("p").alias("stationary_p"))
+
+
+@register_query(
+    "markov_session_transitions",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, event_id, ts, event_type,
+               CAST(SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+        FROM marked
+    ),
+    seq AS (
+        SELECT event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id, session_no ORDER BY ts, event_id
+               ) AS prev_type
+        FROM numbered
+    ),
+    trans AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS n_trans
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type, n_trans,
+           CAST(SUM(n_trans) OVER (PARTITION BY prev_type) AS BIGINT)
+               AS n_from_prev,
+           CAST(n_trans AS DOUBLE)
+               / CAST(SUM(n_trans) OVER (PARTITION BY prev_type) AS DOUBLE)
+               AS p_trans
+    FROM trans
+    """,
+)
+def markov_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION-SCOPED Markov transition matrix: consecutive pairs are
+    counted only within a 30-minute-gap session (the sessionize_events
+    islands), so an overnight gap between a purchase and next week's view
+    is not a 'transition' — the behaviorally honest fit the global matrix
+    (markov_event_transitions) approximates. Comparing the two matrices
+    quantifies how much cross-session noise the global fit carries.
+
+    Scale: the session numbering, the lag, and the grouping all run on
+    ONE user_id shuffle (session_no partitioning is a refinement of
+    user_id, so no second exchange); the matrix grid is |types|^2."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(
+            (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w_user))
+            <= 1800,
+            0,
+        )
+        .otherwise(1)
+        .alias("new_session"),
+    )
+    numbered = marked.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.sum("new_session")
+        .over(w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("session_no"),
+    )
+    w_sess = Window.partitionBy("user_id", "session_no").orderBy("ts", "event_id")
+    seq = numbered.select(
+        "event_type", F.lag("event_type").over(w_sess).alias("prev_type")
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_trans"))
+    )
+    w_prev = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        F.sum("n_trans").over(w_prev).cast("long").alias("n_from_prev"),
+        (
+            F.col("n_trans").cast("double")
+            / F.sum("n_trans").over(w_prev).cast("double")
+        ).alias("p_trans"),
+    )

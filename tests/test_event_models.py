@@ -312,3 +312,23 @@ def test_attribution_funnel_matches_sequential_reference(spark):
         r.user_id: (r.n_purchases, r.n_attributed) for r in out.itertuples()
     }
     assert got == expected
+
+
+def test_session_markov_is_subset_of_global(spark):
+    """Session-scoped transition counts can never exceed the global
+    matrix's (dropping cross-session pairs only removes counts), and the
+    total dropped equals the number of multi-event session boundaries."""
+    glob = QUERIES["markov_event_transitions"](spark, SF_SMOKE).toPandas()
+    sess = QUERIES["markov_session_transitions"](spark, SF_SMOKE).toPandas()
+    g = {(r.prev_type, r.next_type): r.n_trans for r in glob.itertuples()}
+    s = {(r.prev_type, r.next_type): r.n_trans for r in sess.itertuples()}
+    assert set(s) <= set(g)
+    assert all(s[k] <= g[k] for k in s)
+    dropped = sum(g.values()) - sum(s.values())
+    sessions = QUERIES["sessionize_events"](spark, SF_SMOKE).toPandas()
+    # each user's first session starts no pair-drop; every LATER session
+    # start drops exactly the one cross-boundary pair
+    expected_dropped = int(
+        (sessions.groupby("user_id")["session_no"].max() - 1).sum()
+    )
+    assert dropped == expected_dropped
