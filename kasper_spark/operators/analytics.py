@@ -2305,3 +2305,135 @@ def funnel_attribution_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_purchases") > 0)
     )
+
+
+_MAD_K = 5  # flag |x - median| > K * MAD (median absolute deviation)
+
+
+@register_query(
+    "mad_outlier_events",
+    oracle=f"""
+    WITH cents AS (
+        SELECT user_id, event_id, ts,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    hist AS (
+        SELECT user_id, cents, CAST(COUNT(*) AS BIGINT) AS c
+        FROM cents GROUP BY user_id, cents
+    ),
+    med AS (
+        SELECT user_id, cents AS med FROM (
+            SELECT user_id, cents,
+                   CAST(SUM(c) OVER (PARTITION BY user_id ORDER BY cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum,
+                   CAST(SUM(c) OVER (PARTITION BY user_id) AS BIGINT) AS n
+            FROM hist
+        )
+        WHERE cum >= (n + 1) // 2
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY cents) = 1
+    ),
+    devs AS (
+        SELECT c.user_id, c.event_id, c.ts, c.cents, m.med,
+               abs(c.cents - m.med) AS dev
+        FROM cents c JOIN med m ON c.user_id = m.user_id
+    ),
+    dev_hist AS (
+        SELECT user_id, dev, CAST(COUNT(*) AS BIGINT) AS c
+        FROM devs GROUP BY user_id, dev
+    ),
+    mad AS (
+        SELECT user_id, dev AS mad FROM (
+            SELECT user_id, dev,
+                   CAST(SUM(c) OVER (PARTITION BY user_id ORDER BY dev
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum,
+                   CAST(SUM(c) OVER (PARTITION BY user_id) AS BIGINT) AS n
+            FROM dev_hist
+        )
+        WHERE cum >= (n + 1) // 2
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dev) = 1
+    ),
+    flagged AS (
+        SELECT d.user_id, d.event_id, d.ts, d.cents, d.med,
+               greatest(a.mad, 1) AS mad, d.dev
+        FROM devs d JOIN mad a ON d.user_id = a.user_id
+    )
+    SELECT user_id, event_id, ts, cents, med, mad, dev
+    FROM flagged WHERE dev > {_MAD_K} * mad
+    """,
+)
+def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user outlier detection: flag events whose spend deviates
+    from the user's MEDIAN by more than 5x the user's MAD (median absolute
+    deviation) — the breakdown-resistant complement to the EWMA forecast
+    gate (which a burst of outliers can drag) and the CUSUM rule (which
+    needs a target). Medians are EXACT, grouped, and sort-free: per-user
+    value HISTOGRAMS (groupBy user x cents) with a running-count rank
+    selection pick the lower median — the exact_quantiles_histogram
+    technique made per-group.
+
+    Exactness: everything is BIGINT cents end-to-end — both medians, the
+    deviations, and the flag predicate; there is no floating-point
+    operation in this query (MAD floors at 1 cent so a >50%-constant user
+    still gets a sane gate).
+
+    Scale: two histogram aggregations (each collapses map-side to
+    user x distinct-cents, a fraction of events), two grid-sized median
+    selections, and two user_id-keyed joins that reuse the same
+    partitioning; nothing sorts events globally."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+
+    def lower_median(df: DataFrame, col: str) -> DataFrame:
+        hist = df.groupBy("user_id", col).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        w_run = Window.partitionBy("user_id").orderBy(col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        w_user = Window.partitionBy("user_id")
+        ranked = hist.select(
+            "user_id",
+            col,
+            F.sum("c").over(w_run).cast("long").alias("cum"),
+            F.sum("c").over(w_user).cast("long").alias("n"),
+        ).filter(F.col("cum") >= F.expr("(n + 1) div 2"))  # integer rank:
+        # `/ 2` would be double division and pick the UPPER median on even n
+        w_pick = Window.partitionBy("user_id").orderBy(col)
+        return (
+            ranked.select("user_id", col, F.row_number().over(w_pick).alias("rn"))
+            .filter(F.col("rn") == 1)
+            .select("user_id", F.col(col).alias("picked"))
+        )
+
+    med = lower_median(ev, "cents").withColumnRenamed("picked", "med")
+    devs = ev.join(med, "user_id").select(
+        "user_id",
+        "event_id",
+        "ts",
+        "cents",
+        "med",
+        F.abs(F.col("cents") - F.col("med")).alias("dev"),
+    )
+    mad = lower_median(devs, "dev").withColumnRenamed("picked", "mad")
+    return (
+        devs.join(mad, "user_id")
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "cents",
+            "med",
+            F.greatest(F.col("mad"), F.lit(1).cast("long")).alias("mad"),
+            "dev",
+        )
+        .filter(F.col("dev") > _MAD_K * F.col("mad"))
+    )

@@ -139,7 +139,8 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     # slots filled, swept green at sf0.001+sf0.01 locally):
     # hll_sliding_distinct_users, entity_resolution_pipeline,
     # markov_stationary_distribution, ks_quality_drift_by_source,
-    # funnel_attribution_windowed, markov_session_transitions;
+    # funnel_attribution_windowed, markov_session_transitions,
+    # mad_outlier_events;
     # window_running_sum, json_extract_props,
     # array_functions,
     # join_full_outer, json_roundtrip,

@@ -332,3 +332,26 @@ def test_session_markov_is_subset_of_global(spark):
         (sessions.groupby("user_id")["session_no"].max() - 1).sum()
     )
     assert dropped == expected_dropped
+
+
+def test_mad_outliers_match_pandas_reference(spark):
+    """The histogram-selection medians must equal pandas lower medians and
+    the flag set must equal the direct |x-med| > 5*max(MAD,1) rule."""
+    out = QUERIES["mad_outlier_events"](spark, SF_SMOKE).toPandas()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    expected = set()
+    meds = {}
+    for uid, g in ev.groupby("user_id"):
+        vals = sorted(g["cents"])
+        med = vals[(len(vals) + 1) // 2 - 1]  # lower median
+        devs = sorted(abs(c - med) for c in g["cents"])
+        mad = max(devs[(len(devs) + 1) // 2 - 1], 1)
+        meds[uid] = (med, mad)
+        for r in g.itertuples():
+            if abs(r.cents - med) > 5 * mad:
+                expected.add((uid, r.event_id))
+    assert {(r.user_id, r.event_id) for r in out.itertuples()} == expected
+    for r in out.itertuples():
+        assert (r.med, r.mad) == meds[r.user_id]
+        assert r.dev == abs(r.cents - r.med)
