@@ -1436,3 +1436,90 @@ def markov_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_trans").over(w_prev).cast("double")
         ).alias("p_trans"),
     )
+
+
+@register_query(
+    "interarrival_quantiles_by_type",
+    oracle="""
+    WITH gaps AS (
+        SELECT event_type,
+               date_diff('second',
+                         lag(ts) OVER (PARTITION BY event_type, user_id
+                                       ORDER BY ts, event_id),
+                         ts) AS gap
+        FROM events
+        QUALIFY gap IS NOT NULL
+    ),
+    hist AS (
+        SELECT event_type, gap, CAST(COUNT(*) AS BIGINT) AS c
+        FROM gaps GROUP BY event_type, gap
+    ),
+    cum AS (
+        SELECT event_type, gap,
+               CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY gap
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum,
+               CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM hist
+    ),
+    qs AS (
+        SELECT * FROM (VALUES (0.5, 1, 2), (0.9, 9, 10), (0.99, 99, 100))
+            AS t(q, num, den)
+    )
+    SELECT c.event_type, q.q, c.n AS n_gaps,
+           MIN(c.gap) AS gap_sec
+    FROM cum c JOIN qs q ON c.cum >= (c.n * q.num + q.den - 1) // q.den
+    GROUP BY c.event_type, q.q, c.n
+    """,
+)
+def interarrival_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p50/p90/p99 of per-user inter-arrival gaps for each event
+    type — the latency-distribution readout capacity planning and
+    anomaly-threshold tuning start from — without sorting events: the
+    sort-free value-histogram selection (exact_quantiles_histogram) over
+    a DERIVED measure (lag gaps in whole seconds). Discrete lower-quantile
+    selection keeps every step integer: rank r = ceil(q*n) is
+    (n*num + den - 1) div den for rational q, the bracketing value is the
+    first histogram entry whose cumulative count reaches r, and no
+    floating-point arithmetic exists anywhere in the query (the q column
+    is a literal label).
+
+    Scale: the gap computation rides the (event_type, user_id) window
+    shuffle; the histogram collapses to (type, distinct gap) map-side;
+    the rank lookup joins a 3-row broadcast against the cumulative grid
+    (bounded by the gap domain, not data volume)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)).alias(
+            "gap"
+        ),
+    ).filter(F.col("gap").isNotNull())
+    hist = gaps.groupBy("event_type", "gap").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w_run = Window.partitionBy("event_type").orderBy("gap").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_type = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "gap",
+        F.sum("c").over(w_run).cast("long").alias("cum"),
+        F.sum("c").over(w_type).cast("long").alias("n"),
+    )
+    qs = spark.createDataFrame(
+        [(0.5, 1, 2), (0.9, 9, 10), (0.99, 99, 100)], "q double, num long, den long"
+    )
+    return (
+        cum.join(
+            F.broadcast(qs),
+            F.col("cum") >= F.expr("(n * num + den - 1) div den"),
+        )
+        .groupBy("event_type", "q", F.col("n").alias("n_gaps"))
+        .agg(F.min("gap").alias("gap_sec"))
+        .select("event_type", "q", "n_gaps", "gap_sec")
+    )

@@ -355,3 +355,24 @@ def test_mad_outliers_match_pandas_reference(spark):
     for r in out.itertuples():
         assert (r.med, r.mad) == meds[r.user_id]
         assert r.dev == abs(r.cents - r.med)
+
+
+def test_interarrival_quantiles_match_numpy_reference(spark):
+    """The histogram rank selection must equal the direct lower-quantile
+    (ceil(q*n)-th order statistic) over the raw gap list."""
+    import math
+
+    out = QUERIES["interarrival_quantiles_by_type"](spark, SF_SMOKE).toPandas()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet").sort_values(
+        ["event_type", "user_id", "ts", "event_id"]
+    )
+    ev["epoch"] = ev["ts"].astype("datetime64[s]").astype("int64")
+    ev["gap"] = ev["epoch"] - ev.groupby(["event_type", "user_id"])["epoch"].shift(1)
+    for r in out.itertuples():
+        gaps = sorted(
+            int(g)
+            for g in ev.loc[ev["event_type"] == r.event_type, "gap"].dropna()
+        )
+        assert r.n_gaps == len(gaps)
+        rank = math.ceil(r.q * len(gaps))
+        assert r.gap_sec == gaps[rank - 1], (r.event_type, r.q)
