@@ -45,6 +45,10 @@ def main(spark=None, sf_dir: str = "/root/testdata/sf0.001") -> dict:
     #    first-order Markov model
     seq_anoms = QUERIES["markov_transition_anomaly"](spark, sf_dir)
 
+    # 5. robust static outliers: deviations beyond 5x the user's MAD
+    #    (breakdown-resistant — a burst of outliers can't drag the gate)
+    mad = QUERIES["mad_outlier_events"](spark, sf_dir)
+
     # an on-call rollup: which users trip more than one detector?
     repeat_offenders = (
         ewma.select("user_id")
@@ -58,6 +62,7 @@ def main(spark=None, sf_dir: str = "/root/testdata/sf0.001") -> dict:
         "cusum_user_alarms": cusum_users.count(),
         "volume_changepoint_hours": drift_alarms.count(),
         "sequence_anomalies": seq_anoms.count(),
+        "mad_outliers": mad.count(),
         "users_tripping_both_value_detectors": repeat_offenders,
     }
     for k, v in out.items():

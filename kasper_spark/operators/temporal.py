@@ -1523,3 +1523,95 @@ def interarrival_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.min("gap").alias("gap_sec"))
         .select("event_type", "q", "n_gaps", "gap_sec")
     )
+
+
+@register_query(
+    "seasonality_hourly_profile",
+    oracle="""
+    WITH counts AS (
+        SELECT event_type,
+               CAST(date_part('hour', ts) AS BIGINT) AS hour_of_day,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY event_type, date_part('hour', ts)
+    )
+    SELECT event_type, hour_of_day, n_events,
+           CAST(SUM(n_events) OVER (PARTITION BY event_type) AS BIGINT)
+               AS n_type,
+           CAST(n_events * 24 AS DOUBLE)
+               / CAST(SUM(n_events) OVER (PARTITION BY event_type) AS DOUBLE)
+               AS seasonality_index
+    FROM counts
+    """,
+)
+def seasonality_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality per event type: the share of each type's
+    traffic landing in each clock hour, normalized so a flat profile reads
+    1.0 everywhere (index = 24 * share). The baseline every volume-anomaly
+    rule should divide out before alarming — feeding cusum_changepoint_
+    events a deseasonalized series kills the daily-cycle false positives.
+
+    Exactness: counts are integers and the index is one exact-int double
+    division of n*24 by the type total. Scale: one partial-agg groupBy to
+    a |types| x 24 grid; the window runs on the grid."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hour_of_day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    w = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "hour_of_day",
+        "n_events",
+        F.sum("n_events").over(w).cast("long").alias("n_type"),
+        (
+            (F.col("n_events") * 24).cast("double")
+            / F.sum("n_events").over(w).cast("double")
+        ).alias("seasonality_index"),
+    )
+
+
+@register_query(
+    "dq_freshness_by_type",
+    oracle="""
+    WITH per_type AS (
+        SELECT event_type,
+               MAX(ts) AS latest_ts,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY event_type
+    ),
+    gmax AS (SELECT MAX(ts) AS global_max FROM events)
+    SELECT p.event_type, p.latest_ts, p.n_events,
+           CAST(date_diff('second', p.latest_ts, g.global_max) AS BIGINT)
+               AS staleness_sec,
+           CAST(CASE WHEN date_diff('second', p.latest_ts, g.global_max)
+                          > 86400 THEN 1 ELSE 0 END AS INTEGER) AS stale_24h
+    FROM per_type p CROSS JOIN gmax g
+    """,
+)
+def dq_freshness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-freshness audit: per event type, the latest event time, its
+    staleness behind the freshest feed in whole seconds, and a stale-24h
+    flag — the first data-quality page an on-call checks when a producer
+    silently dies (the reference's consumer-lag gauge sees offsets, not
+    event time; this is the event-time complement).
+
+    Exactness: MAX of timestamps is exact, the staleness is a whole-second
+    boundary count (identical truncation on both engines), the flag is an
+    integer comparison. Scale: one partial-agg groupBy to |types| rows and
+    a 1-row global-max broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.max("ts").alias("latest_ts"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    glob = ev.agg(F.max("ts").alias("global_max"))
+    stale = F.col("global_max").cast("long") - F.col("latest_ts").cast("long")
+    return per_type.crossJoin(F.broadcast(glob)).select(
+        "event_type",
+        "latest_ts",
+        "n_events",
+        stale.alias("staleness_sec"),
+        (stale > 86400).cast("int").alias("stale_24h"),
+    )

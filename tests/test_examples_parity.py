@@ -276,6 +276,7 @@ def test_anomaly_monitor_example(spark):
     c = am.main(spark, SF_SMOKE)
     assert c["ewma_anomalies"] > 0
     assert c["cusum_user_alarms"] > 0
+    assert c["mad_outliers"] > 0
     assert c["sequence_anomalies"] == 50
     assert 0 <= c["users_tripping_both_value_detectors"] <= min(
         c["ewma_anomalies"], c["cusum_user_alarms"]
