@@ -281,3 +281,18 @@ def test_anomaly_monitor_example(spark):
     assert 0 <= c["users_tripping_both_value_detectors"] <= min(
         c["ewma_anomalies"], c["cusum_user_alarms"]
     )
+
+
+def test_data_quality_example(spark):
+    """The DQ walkthrough composes the audit tier; the report must be
+    internally consistent with its inputs on the bounded testdata."""
+    import examples.data_quality as dq
+    from tests.conftest import SF_SMOKE
+
+    c = dq.main(spark, SF_SMOKE)
+    assert c["constraint_checks"] == 6
+    assert c["fk_edges_with_orphans"] == 0  # testdata is referentially sound
+    assert c["orders_rows_profiled"] > 0
+    assert c["stale_feeds_24h"] == 0  # all feeds end at the same horizon
+    assert 0.0 < c["worst_ks_stat"] <= 1.0
+    assert c["checksum_buckets"] == 16
