@@ -2437,3 +2437,79 @@ def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dev") > _MAD_K * F.col("mad"))
     )
+
+
+@register_query(
+    "value_pareto_deciles",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT cents,
+               ROW_NUMBER() OVER (ORDER BY cents DESC, user_id) AS rk,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n_users,
+               CAST(SUM(cents) OVER () AS BIGINT) AS total
+        FROM per_user
+    ),
+    deciled AS (
+        -- equal-width decile by rank: decile d covers ranks
+        -- ((d-1)*n)/10 < rk <= (d*n)/10 (integer arithmetic)
+        SELECT CAST((rk * 10 + n_users - 1) // n_users AS BIGINT) AS decile,
+               cents, n_users, total
+        FROM ranked
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           CAST(SUM(cents) AS DOUBLE) / CAST(ANY_VALUE(total) AS DOUBLE)
+               AS value_share
+    FROM deciled
+    GROUP BY decile
+    """,
+)
+def value_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/Lorenz concentration curve: rank users by total spend
+    (descending) and report each decile's share of corpus value — the
+    'does 10% of the corpus carry 80% of the value' readout that drives
+    sampling and quota decisions, and the curve view of the exact Gini
+    key_skew_report computes. Decile assignment is pure integer arithmetic
+    (d = ceil(rk*10/n)), sums are BIGINT cents, and the share is one
+    exact-int double division.
+
+    Scale: per-user totals partial-aggregate map-side; the global rank is
+    the one honest sort (users, not events — at extreme user counts swap
+    in the histogram rank-selection of winsorize_event_values for the
+    same decile boundaries without a sort)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("long")
+        .alias("cents")
+    )
+    w_rank = Window.orderBy(F.desc("cents"), F.asc("user_id"))
+    w_all = Window.partitionBy()
+    ranked = per_user.select(
+        "cents",
+        F.row_number().over(w_rank).alias("rk"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n_users"),
+        F.sum("cents").over(w_all).cast("long").alias("total"),
+    )
+    deciled = ranked.select(
+        F.expr("(rk * 10 + n_users - 1) div n_users").cast("long").alias("decile"),
+        "cents",
+        "total",
+    )
+    return deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("cents").cast("long").alias("cents"),
+        (
+            F.sum("cents").cast("double")
+            / F.any_value(F.col("total")).cast("double")
+        ).alias("value_share"),
+    )

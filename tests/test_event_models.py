@@ -393,3 +393,22 @@ def test_deseasonalized_cusum_preserves_totals(spark):
     # the pre-fix dn-drift bug flagged 97%)
     n_deseason = int((out["alarm_up"] + out["alarm_dn"]).sum())
     assert n_deseason <= 0.05 * len(out), n_deseason
+
+
+def test_pareto_deciles_are_a_lorenz_curve(spark):
+    """Deciles partition all users, shares sum to 1, and shares are
+    non-increasing from the top decile down (users ranked by spend)."""
+    out = (
+        QUERIES["value_pareto_deciles"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("decile")
+    )
+    assert list(out["decile"]) == list(range(1, len(out) + 1))
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    assert out["n_users"].sum() == ev["user_id"].nunique()
+    assert abs(out["value_share"].sum() - 1.0) < 1e-9
+    # deciles are rank-ordered, but with few users their SIZES alternate
+    # (ceil boundaries) — the size-independent invariant is the per-user
+    # average share being non-increasing down the ranking
+    avg = out["value_share"] / out["n_users"]
+    assert (avg.diff().dropna() <= 1e-12).all()
