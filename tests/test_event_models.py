@@ -412,3 +412,62 @@ def test_pareto_deciles_are_a_lorenz_curve(spark):
     # average share being non-increasing down the ranking
     avg = out["value_share"] / out["n_users"]
     assert (avg.diff().dropna() <= 1e-12).all()
+
+
+@pytest.mark.parametrize("n_files", [1, 5])
+def test_streaming_interarrival_invariant_to_batch_cuts(spark, n_files):
+    """Gap partials must not depend on WHERE the stream is cut: the
+    per-user last-epoch map bridges every boundary, so the summed
+    histogram equals the batch operator's gap histogram exactly."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from kasper_spark.operators.streaming_twins import (
+        _staged_markov_feed,
+        interarrival_partial_counts,
+    )
+
+    from kasper_spark.catalog import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    w = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    batch_hist = (
+        ev.select(
+            "event_type",
+            (
+                F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+            ).alias("gap"),
+        )
+        .filter(F.col("gap").isNotNull())
+        .groupBy("event_type", "gap")
+        .count()
+    )
+    batch = {
+        (r["event_type"], r["gap"]): r["count"] for r in batch_hist.collect()
+    }
+    stream, out_dir, ckpt = _staged_markov_feed(
+        spark, SF_SMOKE, f"kasper-gcut{n_files}-", n_files=n_files
+    )
+    partials = interarrival_partial_counts(stream)
+
+    def sink(df, epoch_id):
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch={epoch_id}"))
+
+    q = (
+        partials.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["event_type"], r["gap"]): r["n"]
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+        .groupBy("event_type", "gap")
+        .agg(F.sum("n").cast("long").alias("n"))
+        .collect()
+    }
+    assert got == batch
