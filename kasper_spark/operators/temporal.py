@@ -1836,3 +1836,85 @@ def cusum_deseasonalized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s_up") > thresh).cast("int").alias("alarm_up"),
         (F.col("s_dn") > thresh).cast("int").alias("alarm_dn"),
     )
+
+
+@register_query(
+    "session_duration_quantiles",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               CAST(SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+        FROM marked
+    ),
+    durs AS (
+        SELECT CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS dur
+        FROM numbered GROUP BY user_id, session_no
+    ),
+    hist AS (
+        SELECT dur, CAST(COUNT(*) AS BIGINT) AS c FROM durs GROUP BY dur
+    ),
+    cum AS (
+        SELECT dur,
+               CAST(SUM(c) OVER (ORDER BY dur
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum,
+               CAST(SUM(c) OVER () AS BIGINT) AS n
+        FROM hist
+    ),
+    qs AS (
+        SELECT * FROM (VALUES (0.5, 1, 2), (0.9, 9, 10), (0.99, 99, 100))
+            AS t(q, num, den)
+    )
+    SELECT q.q, c.n AS n_sessions, MIN(c.dur) AS duration_sec
+    FROM cum c JOIN qs q ON c.cum >= (c.n * q.num + q.den - 1) // q.den
+    GROUP BY q.q, c.n
+    """,
+)
+def session_duration_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p50/p90/p99 of session durations — the engagement readout
+    product analytics serves next to the funnel — composed from the
+    certified sessionization (gaps-and-islands) and the sort-free
+    value-histogram rank selection (discrete lower quantiles, pure
+    integer ranks). Nothing sorts sessions: the histogram collapses to
+    distinct whole-second durations and the 3-row rank lookup joins
+    broadcast.
+
+    Scale: sessionize's one user_id shuffle + a duration-domain-sized
+    histogram; the global cumulative window runs over distinct durations,
+    not sessions."""
+    from pyspark.sql.window import Window
+
+    durs = sessionize_events(spark, sf_dir).select(
+        F.col("duration_sec").alias("dur")
+    )
+    hist = durs.groupBy("dur").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w_run = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cum = hist.select(
+        "dur",
+        F.sum("c").over(w_run).cast("long").alias("cum"),
+        F.sum("c").over(w_all).cast("long").alias("n"),
+    )
+    qs = spark.createDataFrame(
+        [(0.5, 1, 2), (0.9, 9, 10), (0.99, 99, 100)], "q double, num long, den long"
+    )
+    return (
+        cum.join(
+            F.broadcast(qs),
+            F.col("cum") >= F.expr("(n * num + den - 1) div den"),
+        )
+        .groupBy("q", F.col("n").alias("n_sessions"))
+        .agg(F.min("dur").alias("duration_sec"))
+        .select("q", "n_sessions", "duration_sec")
+    )

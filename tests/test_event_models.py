@@ -471,3 +471,19 @@ def test_streaming_interarrival_invariant_to_batch_cuts(spark, n_files):
         .collect()
     }
     assert got == batch
+
+
+def test_session_duration_quantiles_match_order_statistics(spark):
+    """The histogram selection must equal the direct lower-quantile order
+    statistic over the sessionize_events durations."""
+    import math
+
+    out = QUERIES["session_duration_quantiles"](spark, SF_SMOKE).toPandas()
+    durs = sorted(
+        r["duration_sec"]
+        for r in QUERIES["sessionize_events"](spark, SF_SMOKE).collect()
+    )
+    for r in out.itertuples():
+        assert r.n_sessions == len(durs)
+        rank = math.ceil(r.q * len(durs))
+        assert r.duration_sec == durs[rank - 1], r.q
