@@ -2184,3 +2184,57 @@ def embedding_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         d2.select("label", "vec_id", "dist2", F.row_number().over(w).alias("rank"))
         .filter(F.col("rank") <= _OUTLIER_TOPN)
     )
+
+
+def _pq_recall_oracle_sql() -> str:
+    """The _ivf_recall_oracle_sql composition applied to the PQ/ADC path:
+    per-query recall@k of the product-quantized search against the exact
+    brute-force top-k, hash-certified on both engines."""
+    from kasper_spark.registry import ORACLES
+
+    return f"""
+    WITH bf AS ({ORACLES["ann_bruteforce_topk"]}),
+    pq AS ({ORACLES["ann_pq_topk"]}),
+    hits AS (
+        SELECT bf.query_id, COUNT(*) AS n_hits
+        FROM bf JOIN pq ON bf.query_id = pq.query_id
+                       AND bf.neighbor_id = pq.neighbor_id
+        GROUP BY bf.query_id
+    ),
+    ks AS (SELECT query_id, COUNT(*) AS k FROM bf GROUP BY query_id)
+    SELECT
+        ks.query_id,
+        CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+        CAST(COALESCE(n_hits, 0) AS DOUBLE) / k AS recall_at_k
+    FROM ks LEFT JOIN hits ON ks.query_id = hits.query_id
+    """
+
+
+@register_query("ann_pq_recall_contract", oracle=_pq_recall_oracle_sql())
+def ann_pq_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL CERTIFICATION for the PQ/ADC index — the quantized path's
+    quality number made part of the driver-certified surface, exactly as
+    ann_ivf_recall_contract does for IVF: a codebook regression (bad
+    subspace split, broken ADC table) changes these per-query recalls and
+    fails the hash gate. Complements the recall-floor assertion in
+    tests/test_similarity_quality.py with certified VALUES.
+
+    Scale shape: both inputs are the existing bounded-query-side plans;
+    the intersection joins k*|Q| rows a side."""
+    pq = ann_pq_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    bf = ann_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        bf.join(pq, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    ks = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
+    return (
+        ks.join(hits, "query_id", "left")
+        .na.fill({"n_hits": 0})
+        .select(
+            "query_id",
+            F.col("n_hits").cast("long").alias("n_hits"),
+            (F.col("n_hits").cast("double") / F.col("k")).alias("recall_at_k"),
+        )
+    )
