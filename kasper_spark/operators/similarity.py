@@ -2238,3 +2238,68 @@ def ann_pq_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hits").cast("double") / F.col("k")).alias("recall_at_k"),
         )
     )
+
+
+def _recall_oracle(approx_name: str) -> str:
+    """Per-query recall@k of a registered approximate search against the
+    exact brute-force top-k — the composition behind all the
+    ann_*_recall_contract queries."""
+    from kasper_spark.registry import ORACLES
+
+    return f"""
+    WITH bf AS ({ORACLES["ann_bruteforce_topk"]}),
+    ap AS ({ORACLES[approx_name]}),
+    hits AS (
+        SELECT bf.query_id, COUNT(*) AS n_hits
+        FROM bf JOIN ap ON bf.query_id = ap.query_id
+                       AND bf.neighbor_id = ap.neighbor_id
+        GROUP BY bf.query_id
+    ),
+    ks AS (SELECT query_id, COUNT(*) AS k FROM bf GROUP BY query_id)
+    SELECT
+        ks.query_id,
+        CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+        CAST(COALESCE(n_hits, 0) AS DOUBLE) / k AS recall_at_k
+    FROM ks LEFT JOIN hits ON ks.query_id = hits.query_id
+    """
+
+
+def _recall_contract(spark: SparkSession, sf_dir: str, approx) -> DataFrame:
+    ap = approx(spark, sf_dir).select("query_id", "neighbor_id")
+    bf = ann_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        bf.join(ap, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    ks = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
+    return (
+        ks.join(hits, "query_id", "left")
+        .na.fill({"n_hits": 0})
+        .select(
+            "query_id",
+            F.col("n_hits").cast("long").alias("n_hits"),
+            (F.col("n_hits").cast("double") / F.col("k")).alias("recall_at_k"),
+        )
+    )
+
+
+@register_query("ann_lsh_recall_contract", oracle=_recall_oracle("ann_lsh_certified"))
+def ann_lsh_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL CERTIFICATION for the constant-plane LSH index (the
+    SQL-checkable twin of ann_lsh_topk): with IVF and PQ contracts this
+    puts hash-certified per-query recall on ALL THREE index families —
+    the monitoring triad a vector platform dashboards."""
+    return _recall_contract(spark, sf_dir, ann_lsh_certified)
+
+
+@register_query(
+    "ann_ivf_pq_recall_contract", oracle=_recall_oracle("ann_ivf_pq_topk")
+)
+def ann_ivf_pq_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL CERTIFICATION for the COMPOSED IVF-PQ index: the compound
+    error of coarse-list pruning x code quantization, certified per query
+    — composition bugs (probing the wrong lists, scoring with a stale
+    codebook) move these values and fail the gate even when each half's
+    own contract stays green."""
+    return _recall_contract(spark, sf_dir, ann_ivf_pq_topk)

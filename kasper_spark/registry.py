@@ -144,7 +144,8 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     # seasonality_hourly_profile, dq_freshness_by_type,
     # cusum_deseasonalized_events, value_pareto_deciles,
     # streaming_interarrival_twin, session_duration_quantiles,
-    # ann_pq_recall_contract;
+    # ann_pq_recall_contract, ann_lsh_recall_contract,
+    # ann_ivf_pq_recall_contract;
     # window_running_sum, json_extract_props,
     # array_functions,
     # join_full_outer, json_roundtrip,

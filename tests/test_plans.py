@@ -127,6 +127,8 @@ _INTENTIONAL_BNLJ = {
     "ann_bruteforce_topk",
     "ann_ivf_recall_contract",  # composes the two bounded-|Q| searches below
     "ann_pq_recall_contract",  # same composition over the PQ/ADC path
+    "ann_lsh_recall_contract",  # same composition over the certified-LSH path
+    "ann_ivf_pq_recall_contract",  # same composition over the composed index
     "ann_ivf_topk",
     "ann_ivf_pq_topk",  # same bounded corpus x centroids assignment as IVF
     "ann_int8_topk",
