@@ -2303,3 +2303,30 @@ def ann_ivf_pq_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook) move these values and fail the gate even when each half's
     own contract stays green."""
     return _recall_contract(spark, sf_dir, ann_ivf_pq_topk)
+
+
+@register_query(
+    "ann_ivf_trained_recall_contract",
+    oracle=_recall_oracle("ann_ivf_trained_topk"),
+)
+def ann_ivf_trained_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL CERTIFICATION for the TRAINED (k-means) IVF index — covers
+    the Lloyd-iteration half the seeded-IVF contract can't: a training
+    regression (bad init, broken centroid update, wrong round count)
+    shifts these per-query recalls and fails the gate."""
+    return _recall_contract(spark, sf_dir, ann_ivf_trained_topk)
+
+
+@register_query(
+    "ann_ivf_pq_trained_recall_contract",
+    oracle=_recall_oracle("ann_ivf_pq_trained"),
+)
+def ann_ivf_pq_trained_recall_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RECALL CERTIFICATION for the fully-trained composed index
+    (k-means coarse lists x PQ codes) — the production configuration's
+    end-to-end quality number, closing the contract matrix: every ANN
+    path this engine ships (LSH, IVF, trained IVF, PQ, IVF-PQ, trained
+    IVF-PQ) now has hash-certified per-query recall."""
+    return _recall_contract(spark, sf_dir, ann_ivf_pq_trained)

@@ -145,7 +145,8 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     # cusum_deseasonalized_events, value_pareto_deciles,
     # streaming_interarrival_twin, session_duration_quantiles,
     # ann_pq_recall_contract, ann_lsh_recall_contract,
-    # ann_ivf_pq_recall_contract;
+    # ann_ivf_pq_recall_contract, ann_ivf_trained_recall_contract,
+    # ann_ivf_pq_trained_recall_contract;
     # window_running_sum, json_extract_props,
     # array_functions,
     # join_full_outer, json_roundtrip,

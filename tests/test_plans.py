@@ -129,6 +129,8 @@ _INTENTIONAL_BNLJ = {
     "ann_pq_recall_contract",  # same composition over the PQ/ADC path
     "ann_lsh_recall_contract",  # same composition over the certified-LSH path
     "ann_ivf_pq_recall_contract",  # same composition over the composed index
+    "ann_ivf_trained_recall_contract",  # same composition over the trained IVF
+    "ann_ivf_pq_trained_recall_contract",  # same composition, fully trained
     "ann_ivf_topk",
     "ann_ivf_pq_topk",  # same bounded corpus x centroids assignment as IVF
     "ann_int8_topk",
