@@ -230,3 +230,27 @@ def test_cusum_closed_form_equals_recursion(spark, xs, target, slack):
         s = max(0, s + x - target - slack)
         want.append(s)
     assert got == want
+
+
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=120),
+)
+@settings(**_SETTINGS)
+def test_histogram_rank_selection_equals_order_statistic(spark, vals):
+    """The sort-free value-histogram quantile selection (gap_quantiles_
+    from_hist, also the exact_quantiles/mad/session machinery) must pick
+    exactly the ceil(q*n)-th order statistic for ANY integer multiset."""
+    import math
+
+    from kasper_spark.operators.temporal import gap_quantiles_from_hist
+
+    df = spark.createDataFrame(
+        [("t", v) for v in vals], "event_type string, gap long"
+    )
+    hist = df.groupBy("event_type", "gap").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    out = {r["q"]: r["gap_sec"] for r in gap_quantiles_from_hist(spark, hist).collect()}
+    s = sorted(vals)
+    for q in (0.5, 0.9, 0.99):
+        assert out[q] == s[math.ceil(q * len(s)) - 1], (q, vals)
