@@ -1660,8 +1660,10 @@ def interarrival_partial_counts(stream: DataFrame) -> DataFrame:
     oracle=None,  # bound below (temporal registers first)
 )
 def streaming_interarrival_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inter-arrival quantiles AT INGEST: per-(type, user) streaming state
-    is ONE BIGINT (the last event's epoch second), each micro-batch emits
+    """Inter-arrival quantiles AT INGEST: per-user streaming state is a
+    |types|-entry map holding one BIGINT per (type) — each type's last
+    epoch second, one BIGINT of information per (type, user) pair — each
+    micro-batch emits
     exact integer gap partials, and the final rank selection runs the
     SAME histogram tail as the batch operator (gap_quantiles_from_hist) —
     so the p50/p90/p99 latency readout a capacity dashboard serves is
