@@ -2082,3 +2082,75 @@ def entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") == F.col("cluster_id")).cast("bigint").alias("is_canonical"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("entity_size"),
     )
+
+
+@register_query(
+    "cross_source_dup_matrix",
+    oracle="""
+    WITH g AS (
+        SELECT md5(array_to_string(list_sort(list_distinct(
+                   list_filter(string_split(text, ' '), w -> w <> ''))), ' '))
+                   AS dig,
+               source,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2
+    ),
+    x AS (
+        SELECT a.dig, a.source AS source_a, b.source AS source_b,
+               CASE WHEN a.source = b.source THEN a.c * (a.c - 1) // 2
+                    ELSE a.c * b.c END AS np
+        FROM g a JOIN g b ON a.dig = b.dig AND a.source <= b.source
+    )
+    SELECT source_a, source_b,
+           CAST(SUM(np) AS BIGINT) AS n_dup_pairs,
+           CAST(COUNT(DISTINCT dig) AS BIGINT) AS n_shared_digests
+    FROM x
+    WHERE np > 0
+    GROUP BY source_a, source_b
+    """,
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHO copies from WHOM: the source x source duplicate matrix at the
+    CANONICAL TOKEN-SET grain (bag-of-words-identical documents — the
+    tokenset_jaccard = 1.0 case, which catches reorderings byte-exact
+    dedup misses and which this corpus actually contains) — for every
+    canonical digest, how many duplicate pairs land within one source
+    (c choose 2) or across a source pair (c_a * c_b). The mirror-site /
+    scraper-loop diagnostic a corpus curator reads before deciding which
+    source to drop; complements dedup_exact (which picks keepers) with
+    the provenance view.
+
+    Scale: NO pair explosion — the matrix comes from per-(digest, source)
+    COUNTS (partial-agg map-side), and the self-join on digest carries
+    only those count rows, so a million-way duplicate group costs one row
+    per source, not 10^12 pairs. Pure integer arithmetic throughout."""
+    docs = load_table(spark, sf_dir, "documents")
+    canon = F.md5(
+        F.concat_ws(
+            " ", F.array_sort(F.array_distinct(_tokens(F.col("text"))))
+        ).cast("binary")
+    )
+    g = docs.groupBy(canon.alias("dig"), "source").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    a = g.select("dig", F.col("source").alias("source_a"), F.col("c").alias("ca"))
+    b = g.select("dig", F.col("source").alias("source_b"), F.col("c").alias("cb"))
+    x = a.join(b, ["dig"]).filter(F.col("source_a") <= F.col("source_b")).select(
+        "dig",
+        "source_a",
+        "source_b",
+        F.when(
+            F.col("source_a") == F.col("source_b"),
+            F.expr("ca * (ca - 1) div 2"),
+        )
+        .otherwise(F.col("ca") * F.col("cb"))
+        .alias("np"),
+    )
+    return (
+        x.filter(F.col("np") > 0)
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum("np").cast("long").alias("n_dup_pairs"),
+            F.count_distinct("dig").alias("n_shared_digests"),
+        )
+    )

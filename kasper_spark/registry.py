@@ -146,7 +146,7 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     # streaming_interarrival_twin, session_duration_quantiles,
     # ann_pq_recall_contract, ann_lsh_recall_contract,
     # ann_ivf_pq_recall_contract, ann_ivf_trained_recall_contract,
-    # ann_ivf_pq_trained_recall_contract;
+    # ann_ivf_pq_trained_recall_contract, cross_source_dup_matrix;
     # window_running_sum, json_extract_props,
     # array_functions,
     # join_full_outer, json_roundtrip,

@@ -487,3 +487,17 @@ def test_session_duration_quantiles_match_order_statistics(spark):
         assert r.n_sessions == len(durs)
         rank = math.ceil(r.q * len(durs))
         assert r.duration_sec == durs[rank - 1], r.q
+
+
+def test_cross_source_matrix_accounts_every_dup_pair(spark):
+    """The matrix's pair total must equal sum over digest groups of
+    C(group_size, 2) — every duplicate pair lands in exactly one cell."""
+    out = QUERIES["cross_source_dup_matrix"](spark, SF_SMOKE).toPandas()
+    assert len(out) > 0 and (out["n_dup_pairs"] > 0).all()
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    digests = docs["text"].map(
+        lambda t: " ".join(sorted(set(w for w in t.split(" ") if w)))
+    )
+    sizes = digests.value_counts()
+    expected_pairs = int((sizes * (sizes - 1) // 2).sum())
+    assert int(out["n_dup_pairs"].sum()) == expected_pairs
