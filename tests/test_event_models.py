@@ -501,3 +501,83 @@ def test_cross_source_matrix_accounts_every_dup_pair(spark):
     sizes = digests.value_counts()
     expected_pairs = int((sizes * (sizes - 1) // 2).sum())
     assert int(out["n_dup_pairs"].sum()) == expected_pairs
+
+
+def test_cusum_twin_state_survives_query_restart(spark, tmp_path):
+    """Checkpoint-resume proof for the order-dependent state: stage the
+    feed as 4 time-range files, expose only the first 2, drain
+    (availableNow), STOP, expose the rest, and drain again with the SAME
+    checkpoint — the restored (prefix, running-min) state must carry the
+    alarms to exactly the batch answer."""
+    import os
+    import shutil
+
+    from kasper_spark.operators.streaming_twins import (
+        _stage_time_ordered,
+        cusum_alarm_stream,
+    )
+    from kasper_spark.operators.temporal import (
+        _UCUSUM_SLACK,
+        _UCUSUM_TARGET,
+        _UCUSUM_THRESH,
+    )
+
+    batch = {
+        (r["user_id"], r["event_id"]): r["excess"]
+        for r in QUERIES["cusum_user_spend_alarm"](spark, SF_SMOKE).collect()
+    }
+    src_all, out_dir, ckpt = _stage_time_ordered(
+        spark, SF_SMOKE, "kasper-resume-", 4, "value"
+    )
+    live = str(tmp_path / "live")
+    os.makedirs(live)
+    ranges = sorted(os.listdir(src_all))
+    assert len(ranges) == 4
+
+    def drain():
+        stream = (
+            spark.readStream.schema(
+                "user_id long, event_id long, ts timestamp, value double"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .format("parquet")
+            .load(os.path.join(live, "range=*"))
+            .selectExpr(
+                "user_id",
+                "event_id",
+                "ts",
+                "CAST(round(value * 100) AS LONG) AS cents",
+            )
+        )
+        alarms = cusum_alarm_stream(
+            stream, _UCUSUM_TARGET, _UCUSUM_SLACK, _UCUSUM_THRESH
+        )
+
+        def sink(df, epoch_id):
+            df.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch={epoch_id}")
+            )
+
+        q = (
+            alarms.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # first life: only the first two time ranges exist
+    for r in ranges[:2]:
+        shutil.copytree(os.path.join(src_all, r), os.path.join(live, r))
+    drain()
+    # second life: the rest arrives; same checkpoint -> state restores
+    for r in ranges[2:]:
+        shutil.copytree(os.path.join(src_all, r), os.path.join(live, r))
+    drain()
+    got = {
+        (r["user_id"], r["event_id"]): r["excess"]
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+        .collect()
+    }
+    assert got == batch
