@@ -581,3 +581,94 @@ def test_cusum_twin_state_survives_query_restart(spark, tmp_path):
         .collect()
     }
     assert got == batch
+
+
+def test_cusum_tws_state_survives_query_restart(spark, tmp_path):
+    """The same restart proof on the STATE-V2 runtime: the typed
+    ValueState ("prefix long, minpre long") must restore from the RocksDB
+    checkpoint (through the protobuf shim) and carry the alarms to the
+    batch answer."""
+    import os
+    import shutil
+
+    from kasper_spark.protoshim import ensure_protobuf, ship_shim_to_workers
+    from kasper_spark.streaming.state import cusum_alarms_tws
+    from kasper_spark.operators.streaming_twins import _stage_time_ordered
+    from kasper_spark.operators.temporal import (
+        _UCUSUM_SLACK,
+        _UCUSUM_TARGET,
+        _UCUSUM_THRESH,
+    )
+
+    ensure_protobuf()
+    ship_shim_to_workers(spark)
+
+    batch = {
+        (r["user_id"], r["event_id"]): r["excess"]
+        for r in QUERIES["cusum_user_spend_alarm"](spark, SF_SMOKE).collect()
+    }
+    src_all, out_dir, ckpt = _stage_time_ordered(
+        spark, SF_SMOKE, "kasper-twsres-", 4, "value"
+    )
+    live = str(tmp_path / "live")
+    os.makedirs(live)
+    ranges = sorted(os.listdir(src_all))
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, rocksdb)
+
+    def drain():
+        stream = (
+            spark.readStream.schema(
+                "user_id long, event_id long, ts timestamp, value double"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .format("parquet")
+            .load(os.path.join(live, "range=*"))
+            .selectExpr(
+                "user_id",
+                "event_id",
+                "ts",
+                "CAST(round(value * 100) AS LONG) AS cents",
+            )
+        )
+        alarms = cusum_alarms_tws(
+            stream, _UCUSUM_TARGET, _UCUSUM_SLACK, _UCUSUM_THRESH
+        )
+
+        def sink(df, epoch_id):
+            df.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch={epoch_id}")
+            )
+
+        q = (
+            alarms.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        for r in ranges[:2]:
+            shutil.copytree(os.path.join(src_all, r), os.path.join(live, r))
+        drain()
+        for r in ranges[2:]:
+            shutil.copytree(os.path.join(src_all, r), os.path.join(live, r))
+        drain()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    got = {
+        (r["user_id"], r["event_id"]): r["excess"]
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+        .collect()
+    }
+    assert got == batch
