@@ -65,6 +65,8 @@ HEADLINE = [
     "cusum_changepoint_events",   # closed-form CUSUM over the hourly grid
     "markov_transition_anomaly",  # fit + broadcast-apply + bottom-k
     "knn_label_disagreement",     # exact-cosine kNN label-noise vote
+    # round-9 additions (new keys set their baseline this round)
+    "boilerplate_shingle_stats_cms",  # count-min prefilter + exact-DF survivors
 ]
 
 
@@ -145,12 +147,24 @@ def _quiet_teardown_loggers(spark):
 
     Returns a restore() callable so the silencing is SCOPED to the
     streaming section: Executor/Utils at OFF for the rest of the JVM's
-    life could hide genuine executor errors from later queries."""
-    noisy = [
+    life could hide genuine executor errors from later queries.
+
+    The streaming-ONLY loggers (the TWS state server, the RocksDB state
+    file manager) are deliberately NOT restored: their daemon threads log
+    the teardown abort ASYNCHRONOUSLY, after q.stop() has returned —
+    sometimes as late as spark.stop() — and restore() re-applying an
+    explicit logger level would OVERRIDE the root-level OFF set at final
+    teardown (an explicitly-configured log4j logger ignores the root
+    level), which is exactly how a state-server stack landed ahead of the
+    r08 JSON line. Nothing outside the streaming paths speaks through
+    those two loggers, so leaving them off cannot hide a batch error."""
+    noisy_streaming_only = [
         "org.apache.spark.sql.execution.python.streaming."
         "TransformWithStateInPySparkStateServer",
-        "org.apache.spark.sql.execution.datasources.v2.DataWritingSparkTask",
         "org.apache.spark.sql.execution.streaming.state.RocksDBFileManager",
+    ]
+    noisy_generic = [
+        "org.apache.spark.sql.execution.datasources.v2.DataWritingSparkTask",
         "org.apache.spark.util.Utils",
         "org.apache.spark.executor.Executor",
     ]
@@ -158,8 +172,11 @@ def _quiet_teardown_loggers(spark):
         jvm = spark._jvm
         log_manager = jvm.org.apache.logging.log4j.LogManager
         configurator = jvm.org.apache.logging.log4j.core.config.Configurator
-        previous = [(name, log_manager.getLogger(name).getLevel()) for name in noisy]
-        for name in noisy:
+        previous = [
+            (name, log_manager.getLogger(name).getLevel())
+            for name in noisy_generic
+        ]
+        for name in noisy_generic + noisy_streaming_only:
             configurator.setLevel(name, jvm.org.apache.logging.log4j.Level.OFF)
 
         def restore() -> None:

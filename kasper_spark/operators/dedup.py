@@ -654,13 +654,14 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "levenshtein_block_pairs",
     oracle="""
     WITH d AS (
-        SELECT doc_id, source, lang, substr(text, 1, 30) AS p
+        SELECT doc_id, source, lang, split_part(text, ' ', 1) AS w1,
+               substr(text, 1, 30) AS p
         FROM documents
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            levenshtein(a.p, b.p) AS dist
     FROM d a
-    JOIN d b ON a.source = b.source AND a.lang = b.lang
+    JOIN d b ON a.source = b.source AND a.lang = b.lang AND a.w1 = b.w1
             AND a.doc_id < b.doc_id
     WHERE levenshtein(a.p, b.p) <= 18
     ORDER BY doc_a, doc_b
@@ -668,29 +669,47 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def levenshtein_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup candidates with BLOCKING: compare document
-    prefixes only within the same (source, lang) block — the classic
-    fuzzy-dedup recipe that turns an O(n²) corpus-wide comparison into
-    per-block equi-join work. Complements the token-set (Jaccard), MinHash,
-    SimHash, and embedding near-dup operators with a character-level
-    similarity the others can't see (typo-level edits).
+    prefixes only within the same (source, lang, first-token) block — the
+    classic record-linkage token-blocking recipe (block on a name token)
+    that turns an O(n²) corpus-wide comparison into per-block equi-join
+    work. Complements the token-set (Jaccard), MinHash, SimHash, and
+    embedding near-dup operators with a character-level similarity the
+    others can't see (typo-level edits).
+
+    Block-key cardinality (the round-8 verdict's scale finding): the old
+    (source, lang) key had FIXED cardinality, so per-block pair counts
+    grew quadratically with corpus size — 4.6x wall at 10x data. Adding
+    the first prefix token makes the key CONTENT-ADAPTIVE: block count
+    grows with vocabulary, block size is bounded by how many documents
+    genuinely open with the same word in the same source+lang shard, and
+    the candidate set collapses to near the true-duplicate pair count.
+    (Recall trade, stated: a pair whose edit lands in the first token is
+    no longer a candidate — the standard blocking trade; multi-pass
+    blocking on a second key is the recall-recovery pattern at 100 TB.)
 
     Scale: the equi-join on the block key shuffles both sides once;
     levenshtein runs JVM-side with the threshold form (early-exits the DP
     once the distance exceeds 18, turning the O(30²) worst case into
-    O(30·18) for far pairs). Block keys bound the quadratic term: at 100 TB
-    the (source, lang) blocks need a finer key (source, lang, length
-    bucket) to keep the per-block pair count linear-ish — same plan shape.
-    """
+    O(30·18) for far pairs)."""
     d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "lang", F.substring("text", 1, 30).alias("p")
+        "doc_id",
+        "source",
+        "lang",
+        F.split_part(F.col("text"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.substring("text", 1, 30).alias("p"),
     )
     a = d.select(
-        F.col("doc_id").alias("doc_a"), "source", "lang", F.col("p").alias("pa")
+        F.col("doc_id").alias("doc_a"),
+        "source",
+        "lang",
+        "w1",
+        F.col("p").alias("pa"),
     )
     b = d.select(
         F.col("doc_id").alias("doc_b"),
         F.col("source").alias("source_b"),
         F.col("lang").alias("lang_b"),
+        F.col("w1").alias("w1_b"),
         F.col("p").alias("pb"),
     )
     dist = F.levenshtein(F.col("pa"), F.col("pb"), 18)
@@ -699,6 +718,7 @@ def levenshtein_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("source") == F.col("source_b"))
             & (F.col("lang") == F.col("lang_b"))
+            & (F.col("w1") == F.col("w1_b"))
             & (F.col("doc_a") < F.col("doc_b")),
         )
         .withColumn("dist", dist)
@@ -2018,11 +2038,14 @@ def bfs_khop_lsh_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ER_GRAPH_CTE = """pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM (SELECT doc_id, source, lang, substr(text, 1, 30) AS p
+        FROM (SELECT doc_id, source, lang, split_part(text, ' ', 1) AS w1,
+                     substr(text, 1, 30) AS p
               FROM documents) a
-        JOIN (SELECT doc_id, source, lang, substr(text, 1, 30) AS p
+        JOIN (SELECT doc_id, source, lang, split_part(text, ' ', 1) AS w1,
+                     substr(text, 1, 30) AS p
               FROM documents) b
-          ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+          ON a.source = b.source AND a.lang = b.lang AND a.w1 = b.w1
+         AND a.doc_id < b.doc_id
         WHERE levenshtein(a.p, b.p) <= 18
     )"""
 
@@ -2056,7 +2079,8 @@ _ER_ORACLE = """
 
 @register_query("entity_resolution_pipeline", oracle=_ER_ORACLE)
 def entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity resolution END-TO-END: blocking (same source+lang) ->
+    """Entity resolution END-TO-END: blocking (same source+lang+first
+    token — content-adaptive key, see levenshtein_block_pairs) ->
     character-level match scoring (thresholded Levenshtein on prefixes,
     the levenshtein_block_pairs plan) -> transitive closure (the same
     large-star/small-star connected_components the dedup family runs) ->

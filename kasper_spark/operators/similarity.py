@@ -352,7 +352,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_MOD = 29  # deterministic coarse centroids: every 29th vector
+_IVF_K = 32  # FIXED centroid count: the first _IVF_K vectors seed the lists
 _IVF_NPROBE = 4
 
 
@@ -366,7 +366,7 @@ _IVF_NPROBE = 4
     ),
     cent AS (
         SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
-        FROM e WHERE vec_id % {_IVF_MOD} = 0
+        FROM e WHERE vec_id < {_IVF_K}
     ),
     assign AS (
         SELECT vec_id, cid FROM (
@@ -415,11 +415,15 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end (unlike the hyperplane LSH variant, every step here is
     deterministic relational algebra over the data itself).
 
-    Coarse quantizer: every _IVF_MOD-th vector is a centroid (deterministic,
-    data-derived — production would use k-means, same plumbing). Every
-    vector is assigned to its nearest centroid (exact cosine, centroid-id
-    tiebreak); queries probe the _IVF_NPROBE nearest centroid lists and
-    exact-rerank only those candidates.
+    Coarse quantizer: the first _IVF_K vectors are the centroids — K is
+    FIXED, independent of corpus size (deterministic, data-derived;
+    production would use k-means over a sample, same plumbing — see
+    ann_ivf_trained_topk). The round-8 seeding rule (every 29th vector)
+    grew K with N, making the assignment stage O(N^2/29) — 6.6x wall at
+    10x data; fixed K restores the O(N*K) assignment every real IVF build
+    runs. Every vector is assigned to its nearest centroid (exact cosine,
+    centroid-id tiebreak); queries probe the _IVF_NPROBE nearest centroid
+    lists and exact-rerank only those candidates.
 
     Scale shape: the centroid table is tiny -> broadcast; assignment is a
     map-side broadcast nested-loop (one pass over the corpus, no shuffle of
@@ -430,7 +434,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", "embedding", norm_exact(F.col("embedding")).alias("nrm"))
-    cent = e.filter(F.col("vec_id") % _IVF_MOD == 0).select(
+    cent = e.filter(F.col("vec_id") < _IVF_K).select(
         F.col("vec_id").alias("cid"),
         F.col("embedding").alias("cemb"),
         F.col("nrm").alias("cnrm"),
@@ -1670,7 +1674,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cent AS (
         SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
-        FROM e WHERE vec_id % {_IVF_MOD} = 0
+        FROM e WHERE vec_id < {_IVF_K}
     ),
     assign AS (
         SELECT vec_id, cid FROM (
@@ -1758,7 +1762,7 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", "embedding", norm_exact(F.col("embedding")).alias("nrm"))
-    cent = e.filter(F.col("vec_id") % _IVF_MOD == 0).select(
+    cent = e.filter(F.col("vec_id") < _IVF_K).select(
         F.col("vec_id").alias("cid"),
         F.col("embedding").alias("cemb"),
         F.col("nrm").alias("cnrm"),

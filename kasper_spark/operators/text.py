@@ -1319,6 +1319,180 @@ def boilerplate_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BOILER_CMS_D = 4  # count-min depth (independent hash rows)
+_BOILER_CMS_W = 1 << 16  # count-min width (buckets per row)
+
+
+@register_query(
+    "boilerplate_shingle_stats_cms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(t) - {_BOILER_N - 2}),
+                      i -> array_to_string(list_slice(t, i, i + {_BOILER_N - 1}), ' ')))
+                   AS shingle
+        FROM toks WHERE len(t) >= {_BOILER_N}
+    ),
+    nd AS (
+        SELECT GREATEST(CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT) // 1000)
+            AS thr
+        FROM documents
+    ),
+    df AS (
+        SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df
+        FROM sh GROUP BY shingle
+    ),
+    per_doc AS (
+        SELECT s.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_shingles,
+               CAST(COUNT(*) FILTER (WHERE df.df >= (SELECT thr FROM nd))
+                    AS BIGINT) AS n_boiler_shingles
+        FROM sh s JOIN df USING (shingle)
+        GROUP BY s.doc_id
+    )
+    SELECT doc_id, n_distinct_shingles, n_boiler_shingles,
+           CAST(n_boiler_shingles AS DOUBLE)
+               / CAST(n_distinct_shingles AS DOUBLE) AS boiler_ratio,
+           (CAST(n_boiler_shingles AS DOUBLE)
+               / CAST(n_distinct_shingles AS DOUBLE)) < 0.5 AS kept
+    FROM per_doc
+    """,
+)
+def boilerplate_shingle_stats_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """boilerplate_shingle_stats' 100 TB path: a COUNT-MIN PREFILTER in
+    front of the exact global document-frequency pass — the round-8
+    verdict's named cheapening (the bloom-decontaminate discipline of
+    curation.py: a sketch prunes, an exact pass decides, output provably
+    exact).
+
+    Why it is exact: count-min NEVER underestimates (Cormode &
+    Muthukrishnan 2005), so {{shingles with est >= thr}} is a SUPERSET of
+    the true boilerplate set, and est is a pure function of the shingle —
+    the filter keeps either ALL rows of a shingle or none. The exact
+    GROUP BY over the survivors therefore sees every occurrence of every
+    candidate and computes its TRUE df; false positives die there. The
+    oracle is the NAIVE spec — exact df over all shingles — and the hash
+    match certifies the rewrite end to end.
+
+    Gate: thr = max(3, n_docs/1000) — corpus-RELATIVE, the C4-style rule
+    (at the driver's 500-doc scale this equals boilerplate_shingle_stats'
+    absolute df>=3 gate, so the two ops are output-identical there). A
+    fixed absolute df gate stops meaning "cross-crawl boilerplate" the
+    moment the corpus grows; relative df also keeps the prefilter's
+    selectivity scale-stable.
+
+    Plan shape (vs the exact op's full-volume shingle shuffle):
+    - sh dedups per-doc shingles MAP-SIDE (array_distinct before explode;
+      the exact op's global .distinct() shuffle is unnecessary — duplicate
+      (doc, shingle) pairs only arise within one document);
+    - the sketch is built like countmin_heavy_hitters: per-task partial
+      aggregation over (depth, cell) IS the local sketch; at most D*W =
+      256k counter rows cross the wire regardless of corpus size, built
+      once (cut_lineage) and broadcast as D bounded hash-join sides;
+    - est = least(D broadcast-hash-join lookups) is ROW-LOCAL — the
+      corpus-volume shingle stream is never shuffled unless it survives
+      the gate;
+    - only survivors (the df tail above thr's neighborhood; ~0.5-3% of
+      distinct shingles on this corpus) pay the exact GROUP BY, and the
+      final heavy set is broadcast back for the per-doc counts.
+    Shuffles that scale with corpus size: the per-doc groupBy(doc_id)
+    only. Everything else is bounded by W or by the true boilerplate
+    volume."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    shingles_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - (_BOILER_N - 1)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, _BOILER_N)),
+        )
+    )
+    sh = (
+        docs.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= _BOILER_N)
+        .select("doc_id", F.explode(shingles_arr).alias("shingle"))
+    )
+
+    def cell(d: int):  # bucket of `shingle` under hash row d
+        return F.pmod(
+            F.xxhash64(F.lit(d), F.col("shingle")), F.lit(_BOILER_CMS_W)
+        ).cast("long")
+
+    # Build the sketch ONCE and materialize it (cut_lineage): the counter
+    # table is bounded at D*W rows by construction, and the 4 per-depth
+    # broadcast sides below would otherwise each re-run the full
+    # scan+explode+aggregate build. NOT a single-row map: Spark's MapData
+    # is array-backed, so element_at on a 262k-entry map is a LINEAR scan
+    # per lookup — measured 80 s at sf0.1 for what these hash joins do in
+    # ~2 s. BroadcastHashJoin gives the O(1) probe a CM sketch needs.
+    cells = cut_lineage(
+        sh.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            (F.lit(d * _BOILER_CMS_W) + cell(d)).alias("k")
+                        )
+                        for d in range(_BOILER_CMS_D)
+                    ]
+                )
+            ).alias("dc")
+        )
+        .groupBy("dc.k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+
+    # est = least over the D depth-row counters, computed ROW-LOCALLY via
+    # D broadcast HASH joins (inner joins are safe: every probed bucket
+    # holds at least the row's own contribution).
+    probed = sh.select(
+        "doc_id",
+        "shingle",
+        *[(F.lit(d * _BOILER_CMS_W) + cell(d)).alias(f"k{d}") for d in range(_BOILER_CMS_D)],
+    )
+    for d in range(_BOILER_CMS_D):
+        side = cells.filter(
+            (F.col("k") >= d * _BOILER_CMS_W) & (F.col("k") < (d + 1) * _BOILER_CMS_W)
+        ).select(F.col("k").alias(f"k{d}"), F.col("cnt").alias(f"n{d}"))
+        probed = probed.join(F.broadcast(side), f"k{d}")
+    est = F.least(*[F.col(f"n{d}") for d in range(_BOILER_CMS_D)])
+    thr = F.greatest(F.lit(3).cast("long"), F.expr("n_docs div 1000"))
+    cand = (
+        probed.crossJoin(F.broadcast(n_docs))
+        .withColumn("thr", thr)
+        .filter(est >= F.col("thr"))
+        .select("doc_id", "shingle", "thr")
+    )
+    heavy = (
+        cand.groupBy("shingle")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"), F.first("thr").alias("thr"))
+        .filter(F.col("df") >= F.col("thr"))
+        .select("shingle", F.lit(1).alias("is_boiler"))
+    )
+    per_doc = (
+        sh.join(F.broadcast(heavy), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_shingles"),
+            F.count("is_boiler").cast("long").alias("n_boiler_shingles"),
+        )
+    )
+    ratio = F.col("n_boiler_shingles").cast("double") / F.col(
+        "n_distinct_shingles"
+    ).cast("double")
+    return per_doc.select(
+        "doc_id",
+        "n_distinct_shingles",
+        "n_boiler_shingles",
+        ratio.alias("boiler_ratio"),
+        (ratio < 0.5).alias("kept"),
+    )
+
+
 _CHI2_V = 256  # top-V vocabulary: the bounded multinomial the test runs over
 
 

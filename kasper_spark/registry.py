@@ -62,101 +62,81 @@ def load_all_operators() -> None:
 # (tools/bare_sweep.py, bare session, foreign cwd) at sf0.01 before this
 # rotation landed; the full pytest suite is green.
 DRIVER_SAMPLE_PRIORITY: list[str] = [
-    # -- 0. NEWEST this round: exact grouped OLS, cumulative-distinct
-    #       window rewrite, hourly OHLC bars (all oracle-backed) --
-    "ols_regression_by_group",
-    "window_count_distinct_cum",
-    "ohlc_bars_hourly",
-    "ann_pq_topk",
+    # -- 0. CHANGED this round (implementation or oracle text; each must
+    #       earn a fresh hash-green row):
+    #       * untrained-IVF family: fixed-K centroid seeding (_IVF_K=32)
+    #         replaced the every-29th rule, killing the O(N^2/29)
+    #         assignment (round-8 verdict perf ticket #3); the two recall
+    #         contracts compose those oracles so their SQL changed too;
+    #       * ER blocking key refined with the first prefix token
+    #         (content-adaptive blocks, verdict perf ticket #2) — both the
+    #         pair generator and the e2e pipeline;
+    #       * NEW: count-min-prefiltered boilerplate (verdict ticket #6).
+    "ann_ivf_topk",
     "ann_ivf_pq_topk",
-    "ann_ivf_pq_trained",
-    "bfs_khop_lsh_graph",
-    "peak_concurrency_daily",
-    "streaming_ohlc_twin",
-    "chi2_source_divergence",
-    "incremental_join_view",
-    "k_anonymity_audit",
-    "dp_noisy_histogram",
-    "exact_quantiles_histogram",
-    # -- 0b. NEWEST (round-8 continuation): CUSUM change-points, Markov
-    #        transition matrix, k-NN label-noise vote, per-class outliers --
-    "cusum_changepoint_events",
-    "markov_event_transitions",
-    "streaming_markov_twin",
-    "markov_transition_anomaly",
-    "cusum_user_spend_alarm",
-    "streaming_cusum_twin",
-    "streaming_cusum_tws_twin",
-    "lang_id_confusion",
-    "knn_label_disagreement",
-    "embedding_outlier_topk",
-    # -- 1. NEW this round: the curation family (all oracle-backed) --
-    "ngram_decontaminate_bloom",
-    "doc_chunk_overlap",
-    "hard_negative_mining",
-    "corpus_mixture_weights",
-    "corpus_mix_apply",
-    "quality_classifier_logit",
-    "curation_pipeline_e2e",
-    "snapshot_diff_cdc",
-    # -- 1b. CHANGED this round: cents quantization moved to the
-    #        rounding-mode-independent floor(v*100+0.5) form in BOTH the
-    #        pandas paths and their oracles (round-7 advice) --
-    "grouped_map_topn_share",
-    "cogroup_balance_gap",
-    # -- 1c. CHANGED this round: topic_dir batch publish is now a
-    #        two-pass (stage-hidden, then promote) atomic commit --
-    "streaming_topic_dir_twin",
-    # -- 1c2. NEW this round: decontamination-at-ingest twin --
-    "streaming_decontaminate_twin",
-    # -- 1e. NEW this round: trailing-EWMA anomalies, BM25 retrieval,
-    #        reciprocal-rank fusion, cross-doc boilerplate detection --
-    "ewma_anomaly_events",
-    "streaming_ewma_anomaly_twin",
-    "streaming_ewma_tws_twin",
-    "bm25_keyword_topk",
-    "rrf_fusion_topk",
-    "boilerplate_shingle_stats",
-    "token_budget_select",
-    "hybrid_search_topk",
-    "winsorize_event_values",
-    "key_skew_report",
-    "multimodal_phash_neardup",
-    "multimodal_audio_fingerprint",
-    "multimodal_video_neardup",
-    # -- 1d. CHANGED this round: the PGM codec round-trip is now fully
-    #        oracle-certified (DuckDB reconstructs and hashes the resized
-    #        payload analytically) — rows-only since r6, must earn a
-    #        hash-green row --
-    "multimodal_pgm_codec",
-    # -- 2a. rotation: the r03-evidence cohort (oldest rows in the
-    #        registry) --
-    # (exactly 50 names; the whole r03 rotation cohort — nested_order_lines,
-    # multitenant_agg, rollup_orders, cube_events, join_anti, agg_distinct,
-    # join_left_outer, join_semi, scan_filter_project, word_count — is
-    # displaced by the ten round-8-continuation queries above; rotate it
-    # back in r9. ALSO QUEUED FOR THE R9 WINDOW HEAD (landed after the 50
-    # slots filled, swept green at sf0.001+sf0.01 locally):
-    # hll_sliding_distinct_users, entity_resolution_pipeline,
-    # markov_stationary_distribution, ks_quality_drift_by_source,
-    # funnel_attribution_windowed, markov_session_transitions,
-    # mad_outlier_events, interarrival_quantiles_by_type,
-    # seasonality_hourly_profile, dq_freshness_by_type,
-    # cusum_deseasonalized_events, value_pareto_deciles,
-    # streaming_interarrival_twin, session_duration_quantiles,
-    # ann_pq_recall_contract, ann_lsh_recall_contract,
-    # ann_ivf_pq_recall_contract, ann_ivf_trained_recall_contract,
-    # ann_ivf_pq_trained_recall_contract, cross_source_dup_matrix;
-    # window_running_sum, json_extract_props,
-    # array_functions,
-    # join_full_outer, json_roundtrip,
-    # window_range_frame_trailing, inmem_lookup_join, lateral_posexplode,
-    # variant_extract_props, dedup_exact, tokenset_jaccard_pairs,
-    # levenshtein_block_pairs, ann_int8_topk, training_data_pipeline —
-    # displaced by this session's eleven new operators — plus corpus_mix_sample, gopher_quality_filters, tfidf_top_terms, text_normalize, udtf_sentence_split, stratified_topn_md5, pivot_segment_by_nation, percentiles_quantity, string_functions, grouping_sets_orders, unpivot_part_metrics,
+    "ann_ivf_recall_contract",
+    "ann_ivf_pq_recall_contract",
+    "levenshtein_block_pairs",
+    "entity_resolution_pipeline",
+    "boilerplate_shingle_stats_cms",
+    # -- 1. The round-8d cohort: landed after the r08 driver window ran,
+    #       so none has a driver row yet (judge-swept 20/20 at sf0.01;
+    #       verdict ticket #1 = earn the hard signal).
+    "cusum_deseasonalized_events",
+    "markov_stationary_distribution",
+    "markov_session_transitions",
+    "hll_sliding_distinct_users",
+    "ks_quality_drift_by_source",
+    "mad_outlier_events",
+    "interarrival_quantiles_by_type",
+    "session_duration_quantiles",
+    "value_pareto_deciles",
+    "seasonality_hourly_profile",
+    "dq_freshness_by_type",
+    "funnel_attribution_windowed",
+    "streaming_interarrival_twin",
+    "cross_source_dup_matrix",
+    "ann_pq_recall_contract",
+    "ann_lsh_recall_contract",
+    "ann_ivf_trained_recall_contract",
+    "ann_ivf_pq_trained_recall_contract",
+    # -- 2. Rotation: the oldest-evidence cohort (displaced from the r08
+    #       window by the round-8 continuation queries; newest rows r03).
+    "nested_order_lines",
+    "multitenant_agg",
+    "rollup_orders",
+    "cube_events",
+    "join_anti",
+    "agg_distinct",
+    "join_left_outer",
+    "join_semi",
+    "scan_filter_project",
+    "word_count",
+    "window_running_sum",
+    "json_extract_props",
+    "array_functions",
+    "join_full_outer",
+    "json_roundtrip",
+    "window_range_frame_trailing",
+    "inmem_lookup_join",
+    "lateral_posexplode",
+    "variant_extract_props",
+    "dedup_exact",
+    "tokenset_jaccard_pairs",
+    "ann_int8_topk",
+    "training_data_pipeline",
+    "gopher_quality_filters",
+    "tfidf_top_terms",
+    # (exactly 50 names. Round-9 policy, same as r7/r8: CHANGED first,
+    # then the no-driver-row cohort, then oldest evidence. New round-9
+    # operators added later in the round take slots from the tail of
+    # section 2 — edit in place when they land. Still queued after these:
+    # corpus_mix_sample, text_normalize, udtf_sentence_split,
+    # stratified_topn_md5, pivot_segment_by_nation, percentiles_quantity,
+    # string_functions, grouping_sets_orders, unpivot_part_metrics,
     # window_nav_lag_lead, join_skew_salted, math_date_functions,
     # stats_moments, corr_covar_qty_discount, histogram_totalprice,
-    # cohort_retention and the r04 streaming twins rotate in r9)
+    # cohort_retention and the r04 streaming twins.)
 ]
 
 

@@ -166,6 +166,7 @@ _INTENTIONAL_BNLJ = {
     "token_budget_select",  # 1-row broadcast of the global token budget
     "hybrid_search_topk",  # 1-row query-vector broadcast + corpus-stats broadcast
     "key_skew_report",  # 1-row broadcasts of per-key-audit totals/thresholds
+    "boilerplate_shingle_stats_cms",  # 1-row broadcast: CM sketch map + doc count
 }
 # iterative/streaming queries execute during construction — skip plan-only audit
 _AUDIT_SKIP = {"neardup_clusters"}
