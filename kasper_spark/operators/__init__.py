@@ -17,4 +17,5 @@ from kasper_spark.operators import (  # noqa: F401
     privacy,
     curation,
     retrieval,
+    evaluation,
 )

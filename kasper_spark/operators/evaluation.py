@@ -1,0 +1,707 @@
+"""Evaluation & label-quality operators (round 9).
+
+The reference engine's analytics stop at stateful counting (its quality
+surface is the user's Process() callback — /root/reference/processor.go);
+a training-data platform additionally needs to EVALUATE its own artifacts:
+retrieval quality (MRR against a relevance ground truth), label quality
+(inter-annotator agreement, majority vote), classifier calibration
+(reliability bins), and the per-source "dataset card" summary that
+accompanies a corpus release.
+
+Cross-engine exactness discipline (same rules as functions/exact.py and
+operators/retrieval.py):
+- every count/label/logit is an exact BIGINT; annotator noise and feature
+  hashes use the md5-prefix trick (conv(substring(md5(s),1,15),16,10) ==
+  CAST('0x'||... AS BIGINT), bit-identical 60-bit ints);
+- ratios (rr, po, kappa, keep-rate, shares) are produced by ONE double
+  division (or one identical expression tree) over exact integers — IEEE
+  ops on identical inputs round identically on any engine;
+- BM25 scores accumulate through decimal(30,12) exactly like
+  operators/retrieval.py, so partition order cannot move a bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kasper_spark.catalog import load_table
+from kasper_spark.registry import register_query
+
+# shared constants: drift in curation/retrieval fails loudly here
+from kasper_spark.operators.curation import _CLF_BIAS, _CLF_BUCKETS, _CLF_MIX
+from kasper_spark.operators.retrieval import _BM25_B, _BM25_K1
+
+
+def _toks_sql(col: str = "text") -> str:
+    return f"list_filter(string_split({col}, ' '), w -> w <> '')"
+
+
+def _toks(col: Column) -> Column:
+    return F.filter(F.split(col, " "), lambda w: w != "")
+
+
+# The hashed-ngram quality logit — the exact expression
+# quality_classifier_logit certifies (kept in sync via the imported
+# constants; its own driver row pins the value semantics).
+_LOGIT_SQL = f"""{_CLF_BIAS} + list_sum(list_transform(
+            {_toks_sql()},
+            t -> ((CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT)
+                   % {_CLF_BUCKETS}) * {_CLF_MIX}) % 17 - 8
+        ))"""
+
+
+def _logit_expr() -> Column:
+    def weight(t: Column) -> Column:
+        bucket = (
+            F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
+            % _CLF_BUCKETS
+        )
+        return (bucket * F.lit(_CLF_MIX)) % 17 - 8
+
+    return F.lit(_CLF_BIAS) + F.aggregate(
+        F.transform(_toks(F.col("text")), weight),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Synthetic annotators (deterministic, cross-engine-identical)
+# ---------------------------------------------------------------------------
+#
+# Annotator k labels a document "keep" iff logit + noise_k > 0, where
+# noise_k is an md5-derived integer in [-4, 4] seeded by (k, text). The
+# three annotators are CORRELATED through the shared logit and disagree
+# near the decision boundary — exactly the structure real annotation
+# rounds have, and every step is BIGINT-exact on both engines. (A real
+# deployment joins an annotations table instead; the aggregation pipeline
+# downstream is identical.)
+
+_ANNOTATORS = (1, 2, 3)
+
+
+def _noise_sql(k: int) -> str:
+    return (
+        f"(CAST(('0x' || substring(md5('ann{k}:' || text), 1, 15)) AS BIGINT)"
+        f" % 9 - 4)"
+    )
+
+
+def _noise_expr(k: int) -> Column:
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"ann{k}:"), F.col("text"))), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        % 9
+        - 4
+    )
+
+
+_LABELS_CTE = f"""labels AS (
+        SELECT doc_id, source,
+               {', '.join(
+                   f'CAST(({_LOGIT_SQL} + {_noise_sql(k)}) > 0 AS BIGINT) AS l{k}'
+                   for k in _ANNOTATORS
+               )}
+        FROM documents
+    )"""
+
+
+@register_query(
+    "annotator_agreement_kappa",
+    oracle=f"""
+    WITH {_LABELS_CTE},
+    pairs AS (
+        SELECT 1 AS ann_a, 2 AS ann_b, l1 AS la, l2 AS lb FROM labels
+        UNION ALL
+        SELECT 1, 3, l1, l3 FROM labels
+        UNION ALL
+        SELECT 2, 3, l2, l3 FROM labels
+    ),
+    agg AS (
+        SELECT ann_a, ann_b,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_agree,
+               CAST(SUM(la) AS BIGINT) AS na1,
+               CAST(SUM(lb) AS BIGINT) AS nb1
+        FROM pairs GROUP BY ann_a, ann_b
+    )
+    SELECT CAST(ann_a AS BIGINT) AS ann_a, CAST(ann_b AS BIGINT) AS ann_b,
+           n, n_agree,
+           CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+           CAST(n * n_agree - (na1 * nb1 + (n - na1) * (n - nb1)) AS DOUBLE)
+               / CAST(n * n - (na1 * nb1 + (n - na1) * (n - nb1)) AS DOUBLE)
+               AS kappa
+    FROM agg
+    """,
+)
+def annotator_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Cohen's kappa between three (synthetic, deterministic)
+    annotators — the inter-annotator agreement audit every labeling
+    campaign reports before its labels are trusted for training. kappa =
+    (po - pe) / (1 - pe) is computed as ONE double division of two exact
+    BIGINTs by clearing denominators: kappa = (n·agree - S) / (n² - S)
+    with S = na1·nb1 + na0·nb0 — bit-identical on any engine, no float
+    accumulation anywhere.
+
+    Scale: labels are computed INSIDE the scan stage (hash + array
+    aggregate, no explode); the pair expansion is 3 rows per doc feeding a
+    partial-aggregated groupBy over a 3-row key space. One scan, one
+    bounded shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    logit = _logit_expr()
+    labeled = docs.select(
+        "doc_id",
+        *[
+            ((logit + _noise_expr(k)) > 0).cast("bigint").alias(f"l{k}")
+            for k in _ANNOTATORS
+        ],
+    )
+    pair_rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(a).cast("bigint").alias("ann_a"),
+                    F.lit(b).cast("bigint").alias("ann_b"),
+                    F.col(f"l{a}").alias("la"),
+                    F.col(f"l{b}").alias("lb"),
+                )
+                for a, b in ((1, 2), (1, 3), (2, 3))
+            ]
+        )
+    ).alias("p")
+    agg = (
+        labeled.select(pair_rows)
+        .select("p.ann_a", "p.ann_b", "p.la", "p.lb")
+        .groupBy("ann_a", "ann_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((F.col("la") == F.col("lb")).cast("long"))
+            .cast("long")
+            .alias("n_agree"),
+            F.sum("la").cast("long").alias("na1"),
+            F.sum("lb").cast("long").alias("nb1"),
+        )
+    )
+    s = F.col("na1") * F.col("nb1") + (F.col("n") - F.col("na1")) * (
+        F.col("n") - F.col("nb1")
+    )
+    return agg.select(
+        "ann_a",
+        "ann_b",
+        "n",
+        "n_agree",
+        (F.col("n_agree").cast("double") / F.col("n").cast("double")).alias("po"),
+        (
+            (F.col("n") * F.col("n_agree") - s).cast("double")
+            / (F.col("n") * F.col("n") - s).cast("double")
+        ).alias("kappa"),
+    )
+
+
+@register_query(
+    "label_majority_vote",
+    oracle=f"""
+    WITH {_LABELS_CTE}
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN l1 + l2 + l3 >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_majority_keep,
+           CAST(SUM(CASE WHEN l1 = l2 AND l2 = l3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unanimous,
+           1.0 - (CAST(SUM(CASE WHEN l1 = l2 AND l2 = l3 THEN 1 ELSE 0 END)
+                       AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+               AS disagreement_rate
+    FROM labels
+    GROUP BY source
+    """,
+)
+def label_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-vote label aggregation with a per-source disagreement
+    audit — the step that turns 3 annotator opinions into one training
+    label, and the per-source disagreement rate that flags which slice of
+    the corpus needs annotation-guideline work. Same deterministic
+    annotator model as annotator_agreement_kappa.
+
+    Scale: all three labels are scan-stage expressions on one row — the
+    vote is map-side; the only shuffle is the per-source partial
+    aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    logit = _logit_expr()
+    labeled = docs.select(
+        "source",
+        *[
+            ((logit + _noise_expr(k)) > 0).cast("bigint").alias(f"l{k}")
+            for k in _ANNOTATORS
+        ],
+    )
+    unanimous = (
+        (F.col("l1") == F.col("l2")) & (F.col("l2") == F.col("l3"))
+    ).cast("long")
+    majority = (F.col("l1") + F.col("l2") + F.col("l3") >= 2).cast("long")
+    return labeled.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(majority).cast("long").alias("n_majority_keep"),
+        F.sum(unanimous).cast("long").alias("n_unanimous"),
+        (
+            F.lit(1.0)
+            - F.sum(unanimous).cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("disagreement_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classifier calibration (reliability bins)
+# ---------------------------------------------------------------------------
+
+
+@register_query(
+    "calibration_reliability_bins",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, {_LOGIT_SQL} AS logit
+        FROM documents
+    ),
+    words AS (
+        SELECT doc_id, UNNEST({_toks_sql()}) AS w FROM documents
+    ),
+    wf AS (
+        SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM words GROUP BY doc_id, w
+    ),
+    gopher AS (
+        SELECT doc_id,
+               CAST(CASE WHEN SUM(c) BETWEEN 50 AND 100000
+                          AND (SUM(c * length(w)) / SUM(c)) BETWEEN 3.0 AND 8.0
+                          AND (MAX(c) / SUM(c)) <= 0.12
+                          AND (1.0 - (COUNT(*) / SUM(c))) <= 0.95
+                    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM wf GROUP BY doc_id
+    ),
+    ranked AS (
+        SELECT s.logit, g.keep,
+               ROW_NUMBER() OVER (ORDER BY s.logit DESC, s.doc_id) AS rk,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM scored s JOIN gopher g USING (doc_id)
+    )
+    SELECT CAST((rk * 10 + n - 1) // n AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(CAST(SUM(logit) AS BIGINT) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS mean_logit,
+           CAST(CAST(SUM(keep) AS BIGINT) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS gopher_keep_rate
+    FROM ranked
+    GROUP BY 1
+    """,
+)
+def calibration_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the model-based quality classifier: rank
+    documents by logit (descending), cut into 10 equal-rank bins (the
+    value_pareto_deciles integer rank-quantile: d = ceil(rk*10/n)), and
+    per bin report mean logit vs the OBSERVED keep rate under the
+    independent heuristic Gopher gates. A calibrated classifier's keep
+    rate falls monotonically across bins; a flat line means the logit
+    carries no signal the heuristics see. This is the standard check
+    before a learned quality filter replaces rule-based gates on a
+    100 TB corpus.
+
+    Scale: logits are scan-stage; the Gopher flags are the certified
+    two-aggregate word pipeline; the global rank is one honest sort over
+    DOCS (not tokens — same discipline and same documented histogram
+    swap-in as value_pareto_deciles)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", _logit_expr().cast("bigint").alias("logit"))
+    words = docs.select("doc_id", F.explode(_toks(F.col("text"))).alias("w"))
+    wf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    gopher = wf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_cnt"),
+        F.sum(F.col("c") * F.length("w")).alias("total_chars"),
+    )
+    keep = (
+        F.col("n_words").between(50, 100000)
+        & (F.col("total_chars") / F.col("n_words")).between(3.0, 8.0)
+        & ((F.col("top_cnt") / F.col("n_words")) <= 0.12)
+        & ((F.lit(1.0) - (F.col("n_distinct") / F.col("n_words"))) <= 0.95)
+    ).cast("long")
+    flags = gopher.select("doc_id", keep.alias("keep"))
+    joined = scored.join(flags, "doc_id")
+    w_rank = Window.orderBy(F.desc("logit"), F.asc("doc_id"))
+    w_all = Window.partitionBy()
+    ranked = joined.select(
+        "logit",
+        "keep",
+        F.row_number().over(w_rank).alias("rk"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+    )
+    return (
+        ranked.select(
+            F.expr("(rk * 10 + n - 1) div n").cast("long").alias("decile"),
+            "logit",
+            "keep",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            (
+                F.sum("logit").cast("long").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_logit"),
+            (
+                F.sum("keep").cast("long").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("gopher_keep_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval evaluation: MRR against a term-coverage relevance ground truth
+# ---------------------------------------------------------------------------
+
+_MRR_QUERIES = (
+    (1, ("spark", "join", "window")),
+    (2, ("dup", "scan")),
+    (3, ("fast", "slow", "merge")),
+    (4, ("vector", "stream", "key")),
+    (5, ("the", "group")),
+)
+_MRR_REL_TF = 2  # relevance ground truth: every query term has tf >= this
+_MRR_TERMS = tuple(sorted({t for _, ts in _MRR_QUERIES for t in ts}))
+
+_MRR_TERMS_SQL = ", ".join(f"('{t}')" for t in _MRR_TERMS)
+_MRR_QT_SQL = ", ".join(
+    f"({qid}, '{t}')" for qid, ts in _MRR_QUERIES for t in ts
+)
+
+
+@register_query(
+    "mrr_relevance_contract",
+    oracle=f"""
+    WITH stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len({_toks_sql()})) AS BIGINT) AS total_tokens
+        FROM documents
+    ),
+    tf AS (
+        SELECT d.doc_id,
+               CAST(len({_toks_sql('d.text')}) AS BIGINT) AS dl,
+               t.term,
+               CAST(len(list_filter({_toks_sql('d.text')}, w -> w = t.term))
+                    AS BIGINT) AS tf
+        FROM documents d CROSS JOIN (VALUES {_MRR_TERMS_SQL}) AS t(term)
+    ),
+    df AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        FROM tf WHERE tf > 0 GROUP BY term
+    ),
+    qt AS (
+        SELECT * FROM (VALUES {_MRR_QT_SQL}) AS q(query_id, term)
+    ),
+    scored AS (
+        SELECT q.query_id, f.doc_id,
+               CAST(SUM(CASE WHEN f.tf > 0 THEN
+                   CAST(
+                       ((CAST(s.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+                        / (CAST(df.df AS DOUBLE) + 0.5))
+                       * ((CAST(f.tf AS DOUBLE) * {_BM25_K1 + 1.0})
+                          / (CAST(f.tf AS DOUBLE)
+                             + {_BM25_K1} * ({1.0 - _BM25_B}
+                                 + ({_BM25_B} * CAST(f.dl AS DOUBLE))
+                                   / (CAST(s.total_tokens AS DOUBLE)
+                                      / CAST(s.n_docs AS DOUBLE)))))
+                       AS DECIMAL(30, 12))
+                   ELSE CAST(0 AS DECIMAL(30, 12)) END) AS DECIMAL(30, 12))
+                   AS score_dec,
+               CAST(MIN(f.tf) AS BIGINT) AS min_tf
+        FROM qt q
+        JOIN tf f USING (term)
+        JOIN df USING (term)
+        CROSS JOIN stats s
+        GROUP BY q.query_id, f.doc_id
+    ),
+    ranked AS (
+        SELECT query_id, doc_id, min_tf,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY score_dec DESC, doc_id
+               ) AS rk
+        FROM scored WHERE score_dec > 0
+    ),
+    per_q AS (
+        SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_retrieved
+        FROM ranked GROUP BY query_id
+    ),
+    rel AS (
+        SELECT query_id,
+               CAST(COUNT(*) AS BIGINT) AS n_relevant,
+               CAST(MIN(rk) AS BIGINT) AS first_rel_rank
+        FROM ranked WHERE min_tf >= {_MRR_REL_TF} GROUP BY query_id
+    )
+    SELECT CAST(p.query_id AS BIGINT) AS query_id,
+           p.n_retrieved,
+           COALESCE(r.n_relevant, 0) AS n_relevant,
+           COALESCE(r.first_rel_rank, 0) AS first_rel_rank,
+           CASE WHEN r.first_rel_rank IS NULL THEN 0.0
+                ELSE 1.0 / CAST(r.first_rel_rank AS DOUBLE) END AS rr
+    FROM per_q p LEFT JOIN rel r USING (query_id)
+    """,
+)
+def mrr_relevance_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRIEVAL-QUALITY certification: per-query reciprocal rank of the
+    BM25 ranker against an independent relevance ground truth (a document
+    is relevant to a query iff EVERY query term occurs >= 2 times in it —
+    a coverage criterion the ranker does not optimize directly). This is
+    the MRR eval loop a retrieval deployment runs on every index build,
+    made hash-certifiable: ranks are decimal-exact BM25 order, rr is one
+    exact-int division. (nDCG needs log2 — not bit-portable across libm;
+    MRR is the rational member of the standard eval family, so it is the
+    one that can carry a cross-engine contract.)
+
+    Scale: per-(doc, term) tf is computed INSIDE the scan stage over the
+    13-term union vocabulary (no explode of tokens); df and corpus stats
+    broadcast; the per-query ranking window is PARTITIONED by query — each
+    query's retrieved set, not the corpus, bounds a partition. The
+    first-relevant rank is min(rk) over relevant rows, not a full sort
+    consumed by a driver."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks(F.col("text"))
+    base = docs.select(
+        "doc_id", toks.alias("t"), F.size(toks).cast("long").alias("dl")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_tokens"),
+    )
+    term_col = F.explode(F.array(*[F.lit(t) for t in _MRR_TERMS])).alias("term")
+    tf = base.select("doc_id", "dl", "t", term_col).select(
+        "doc_id",
+        "dl",
+        "term",
+        F.size(F.expr("filter(t, w -> w = term)")).cast("long").alias("tf"),
+    )
+    df_t = tf.filter(F.col("tf") > 0).groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, ts in _MRR_QUERIES for t in ts],
+        "query_id long, term string",
+    )
+    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")
+    idf = (
+        F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5))
+    tf_part = (F.col("tf").cast("double") * F.lit(_BM25_K1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + F.lit(_BM25_K1)
+        * (F.lit(1.0 - _BM25_B) + (F.lit(_BM25_B) * F.col("dl").cast("double")) / avgdl)
+    )
+    contrib = F.when(F.col("tf") > 0, (idf * tf_part).cast("decimal(30,12)")).otherwise(
+        F.lit(0).cast("decimal(30,12)")
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(F.broadcast(qt), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(contrib).cast("decimal(30,12)").alias("score_dec"),
+            F.min("tf").cast("long").alias("min_tf"),
+        )
+        .filter(F.col("score_dec") > 0)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_dec"), F.asc("doc_id"))
+    ranked = scored.select(
+        "query_id", "doc_id", "min_tf", F.row_number().over(w).alias("rk")
+    )
+    per_q = ranked.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_retrieved")
+    )
+    rel = (
+        ranked.filter(F.col("min_tf") >= _MRR_REL_TF)
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_relevant"),
+            F.min("rk").cast("long").alias("first_rel_rank"),
+        )
+    )
+    return per_q.join(rel, "query_id", "left").select(
+        "query_id",
+        "n_retrieved",
+        F.coalesce("n_relevant", F.lit(0)).cast("long").alias("n_relevant"),
+        F.coalesce("first_rel_rank", F.lit(0)).cast("long").alias("first_rel_rank"),
+        F.when(
+            F.col("first_rel_rank").isNotNull() & (F.col("first_rel_rank") > 0),
+            F.lit(1.0) / F.col("first_rel_rank").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dataset card: the per-source release summary, one plan
+# ---------------------------------------------------------------------------
+
+
+@register_query(
+    "dataset_card_report",
+    oracle=f"""
+    WITH per_doc AS (
+        SELECT doc_id, source, lang, md5(text) AS digest,
+               CAST(len({_toks_sql()}) AS BIGINT) AS dl,
+               {_LOGIT_SQL} AS logit
+        FROM documents
+    ),
+    words AS (
+        SELECT doc_id, UNNEST({_toks_sql()}) AS w FROM documents
+    ),
+    wf AS (
+        SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM words GROUP BY doc_id, w
+    ),
+    gopher AS (
+        SELECT doc_id,
+               CAST(CASE WHEN SUM(c) BETWEEN 50 AND 100000
+                          AND (SUM(c * length(w)) / SUM(c)) BETWEEN 3.0 AND 8.0
+                          AND (MAX(c) / SUM(c)) <= 0.12
+                          AND (1.0 - (COUNT(*) / SUM(c))) <= 0.95
+                    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM wf GROUP BY doc_id
+    ),
+    lang_counts AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+        FROM per_doc GROUP BY source, lang
+    ),
+    top_lang AS (
+        SELECT source, lang AS top_lang, c AS top_lang_docs FROM (
+            SELECT source, lang, c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY c DESC, lang
+                   ) AS rn
+            FROM lang_counts
+        ) WHERE rn = 1
+    ),
+    per_source AS (
+        SELECT d.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(d.dl) AS BIGINT) AS n_tokens,
+               CAST(COUNT(DISTINCT d.lang) AS BIGINT) AS n_langs,
+               CAST(COUNT(DISTINCT d.digest) AS BIGINT) AS n_distinct_texts,
+               CAST(SUM(d.logit) AS BIGINT) AS sum_logit,
+               CAST(SUM(g.keep) AS BIGINT) AS n_kept
+        FROM per_doc d JOIN gopher g USING (doc_id)
+        GROUP BY d.source
+    )
+    SELECT s.source, s.n_docs, s.n_tokens, s.n_langs,
+           t.top_lang,
+           CAST(t.top_lang_docs AS DOUBLE) / CAST(s.n_docs AS DOUBLE)
+               AS top_lang_share,
+           1.0 - (CAST(s.n_distinct_texts AS DOUBLE)
+                  / CAST(s.n_docs AS DOUBLE)) AS exact_dup_rate,
+           CAST(s.sum_logit AS DOUBLE) / CAST(s.n_docs AS DOUBLE)
+               AS mean_quality_logit,
+           CAST(s.n_kept AS DOUBLE) / CAST(s.n_docs AS DOUBLE)
+               AS gopher_keep_rate
+    FROM per_source s JOIN top_lang t USING (source)
+    """,
+)
+def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source DATASET CARD: doc/token volume, language spread
+    (count + dominant language share), exact-duplicate rate (md5 digest
+    grain), mean model-quality logit, and heuristic keep rate — the
+    summary table a corpus release ships and the first thing a curator
+    reads when deciding per-source mixture weights. Composes four
+    certified families (tokenization, hashing/dedup grain, the quality
+    logit, the Gopher gates) in ONE plan.
+
+    Scale: doc-level metrics (digest, dl, logit) are scan-stage; the
+    Gopher flags reuse the certified two-aggregate word pipeline; per
+    source the aggregation is partial-map-side (distinct-counts shuffle on
+    (source, value) first — Spark plans count-distinct as a two-phase
+    expand, each phase partial-aggregated). top-language is a window over
+    |sources| x |langs| rows — dimension-sized, not corpus-sized."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks(F.col("text"))
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.md5(F.col("text")).alias("digest"),
+        F.size(toks).cast("long").alias("dl"),
+        _logit_expr().cast("bigint").alias("logit"),
+    )
+    words = docs.select("doc_id", F.explode(_toks(F.col("text"))).alias("w"))
+    wf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    keep = (
+        F.col("n_words").between(50, 100000)
+        & (F.col("total_chars") / F.col("n_words")).between(3.0, 8.0)
+        & ((F.col("top_cnt") / F.col("n_words")) <= 0.12)
+        & ((F.lit(1.0) - (F.col("n_distinct") / F.col("n_words"))) <= 0.95)
+    ).cast("long")
+    gopher = (
+        wf.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_cnt"),
+            F.sum(F.col("c") * F.length("w")).alias("total_chars"),
+        )
+        .select("doc_id", keep.alias("keep"))
+    )
+    lang_counts = per_doc.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w_top = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("lang"))
+    top_lang = (
+        lang_counts.select(
+            "source",
+            F.col("lang").alias("top_lang"),
+            F.col("c").alias("top_lang_docs"),
+            F.row_number().over(w_top).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    per_source = (
+        per_doc.join(gopher, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("n_tokens"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.countDistinct("digest").cast("long").alias("n_distinct_texts"),
+            F.sum("logit").cast("long").alias("sum_logit"),
+            F.sum("keep").cast("long").alias("n_kept"),
+        )
+    )
+    return per_source.join(F.broadcast(top_lang), "source").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_langs",
+        "top_lang",
+        (
+            F.col("top_lang_docs").cast("double") / F.col("n_docs").cast("double")
+        ).alias("top_lang_share"),
+        (
+            F.lit(1.0)
+            - F.col("n_distinct_texts").cast("double") / F.col("n_docs").cast("double")
+        ).alias("exact_dup_rate"),
+        (F.col("sum_logit").cast("double") / F.col("n_docs").cast("double")).alias(
+            "mean_quality_logit"
+        ),
+        (F.col("n_kept").cast("double") / F.col("n_docs").cast("double")).alias(
+            "gopher_keep_rate"
+        ),
+    )

@@ -1696,3 +1696,106 @@ def streaming_interarrival_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 assert "interarrival_quantiles_by_type" in _OR, "batch gap-quantile oracle missing"
 _OR["streaming_interarrival_twin"] = _OR["interarrival_quantiles_by_type"]
+
+
+@register_query(
+    "streaming_dup_matrix_twin",
+    # identical output contract to the batch operator -> same oracle
+    oracle=None,  # bound below from the registry (dedup registers first)
+)
+def streaming_dup_matrix_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cross_source_dup_matrix AT INGEST: the source x source duplicate
+    matrix maintained INCREMENTALLY as documents stream in. Each
+    micro-batch emits its PARTIAL per-(digest, source) counts — the
+    mergeable sufficient statistic (counts sum across batches, and the
+    whole matrix derives from the summed counts) — written idempotently
+    per epoch; the final read merges the partials and runs the identical
+    count-level self-join. No pair is ever materialized per batch, and no
+    state store is needed: the partial-count relation IS the state,
+    exactly the incremental-view discipline of incremental_agg_merge.
+
+    Determinism vs batching: counts are order- and cut-invariant (sums),
+    so ANY partition of the corpus into micro-batches merges to the batch
+    operator's counts — the same oracle certifies both directions (the
+    §1.3 twin requirement).
+
+    Scale: per batch the shuffle is the batch's own (digest, source)
+    partial aggregation (map-side combined); the merge aggregates
+    #batches x #active-(digest,source) rows — at 100 TB the merge keys by
+    digest, so it shards like any groupBy, and the count-level self-join
+    stays one row per (digest, source), never c^2 pairs."""
+    from kasper_spark.operators.dedup import _tokens as _dedup_tokens
+
+    canon = F.md5(
+        F.concat_ws(
+            " ", F.array_sort(F.array_distinct(_dedup_tokens(F.col("text"))))
+        ).cast("binary")
+    )
+
+    work = tempfile.mkdtemp(prefix="kasper-sdupmx-")
+    src_dir = os.path.join(work, "src")
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ck")
+    os.makedirs(src_dir)
+    os.symlink(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(src_dir, "documents.parquet"),
+    )
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .format("parquet")
+        .load(src_dir)
+        # one input partition per file otherwise (see streaming_lsh_dedup_twin)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    rows = stream.select(canon.alias("dig"), "source")
+
+    # the aggregation runs INSIDE foreachBatch so each epoch's output is
+    # the batch's OWN counts (a streaming groupBy before the sink would
+    # maintain cumulative state and update-mode re-emissions would
+    # double-count under the partial-sum merge below)
+    def sink_batch(df, epoch_id: int) -> None:
+        df.groupBy("dig", "source").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        ).write.mode("overwrite").parquet(os.path.join(out_dir, f"batch={epoch_id}"))
+
+    q = (
+        rows.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    g = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+        .groupBy("dig", "source")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    a = g.select("dig", F.col("source").alias("source_a"), F.col("c").alias("ca"))
+    b = g.select("dig", F.col("source").alias("source_b"), F.col("c").alias("cb"))
+    x = a.join(b, ["dig"]).filter(F.col("source_a") <= F.col("source_b")).select(
+        "dig",
+        "source_a",
+        "source_b",
+        F.when(
+            F.col("source_a") == F.col("source_b"),
+            F.expr("ca * (ca - 1) div 2"),
+        )
+        .otherwise(F.col("ca") * F.col("cb"))
+        .alias("np"),
+    )
+    return (
+        x.filter(F.col("np") > 0)
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum("np").cast("long").alias("n_dup_pairs"),
+            F.count_distinct("dig").cast("long").alias("n_shared_digests"),
+        )
+    )
+
+
+assert "cross_source_dup_matrix" in _OR, "batch dup-matrix oracle missing"
+_OR["streaming_dup_matrix_twin"] = _OR["cross_source_dup_matrix"]

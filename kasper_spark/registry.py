@@ -79,6 +79,14 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "levenshtein_block_pairs",
     "entity_resolution_pipeline",
     "boilerplate_shingle_stats_cms",
+    # -- 0b. NEW this round: the evaluation & label-quality tier
+    #        (operators/evaluation.py) + the incremental dup-matrix twin --
+    "annotator_agreement_kappa",
+    "label_majority_vote",
+    "calibration_reliability_bins",
+    "mrr_relevance_contract",
+    "dataset_card_report",
+    "streaming_dup_matrix_twin",
     # -- 1. The round-8d cohort: landed after the r08 driver window ran,
     #       so none has a driver row yet (judge-swept 20/20 at sf0.01;
     #       verdict ticket #1 = earn the hard signal).
@@ -121,16 +129,12 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "inmem_lookup_join",
     "lateral_posexplode",
     "variant_extract_props",
-    "dedup_exact",
-    "tokenset_jaccard_pairs",
-    "ann_int8_topk",
-    "training_data_pipeline",
-    "gopher_quality_filters",
-    "tfidf_top_terms",
     # (exactly 50 names. Round-9 policy, same as r7/r8: CHANGED first,
     # then the no-driver-row cohort, then oldest evidence. New round-9
     # operators added later in the round take slots from the tail of
     # section 2 — edit in place when they land. Still queued after these:
+    # dedup_exact, tokenset_jaccard_pairs, ann_int8_topk,
+    # training_data_pipeline, gopher_quality_filters, tfidf_top_terms,
     # corpus_mix_sample, text_normalize, udtf_sentence_split,
     # stratified_topn_md5, pivot_segment_by_nation, percentiles_quantity,
     # string_functions, grouping_sets_orders, unpivot_part_metrics,

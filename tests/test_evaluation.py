@@ -1,0 +1,187 @@
+"""Invariant tests for the round-9 evaluation & label-quality tier
+(operators/evaluation.py + the incremental dup-matrix twin) — each pinned
+against an independent sequential reference or a structural law the oracle
+comparison alone wouldn't localize."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+from kasper_spark.registry import QUERIES, load_all_operators
+from tests.conftest import SF_SMOKE
+
+load_all_operators()
+
+
+def _py_logit(text: str) -> int:
+    """Sequential Python reference of the hashed-ngram quality logit."""
+    from kasper_spark.operators.curation import _CLF_BIAS, _CLF_BUCKETS, _CLF_MIX
+
+    s = _CLF_BIAS
+    for t in text.split(" "):
+        if t == "":
+            continue
+        bucket = int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % _CLF_BUCKETS
+        s += (bucket * _CLF_MIX) % 17 - 8
+    return s
+
+
+def _py_labels(text: str) -> tuple[int, int, int]:
+    logit = _py_logit(text)
+    out = []
+    for k in (1, 2, 3):
+        h = int(hashlib.md5(f"ann{k}:{text}".encode()).hexdigest()[:15], 16)
+        out.append(int(logit + (h % 9 - 4) > 0))
+    return tuple(out)
+
+
+def test_kappa_matches_sequential_reference(spark):
+    """Pairwise kappa must equal the textbook (po - pe)/(1 - pe) computed
+    by a sequential Python pass over the same deterministic labels."""
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    labels = [_py_labels(t) for t in docs["text"]]
+    out = QUERIES["annotator_agreement_kappa"](spark, SF_SMOKE).toPandas()
+    assert len(out) == 3
+    for _, row in out.iterrows():
+        a, b = int(row["ann_a"]) - 1, int(row["ann_b"]) - 1
+        la = [l[a] for l in labels]
+        lb = [l[b] for l in labels]
+        n = len(la)
+        agree = sum(int(x == y) for x, y in zip(la, lb))
+        na1, nb1 = sum(la), sum(lb)
+        s = na1 * nb1 + (n - na1) * (n - nb1)
+        assert int(row["n"]) == n
+        assert int(row["n_agree"]) == agree
+        assert row["po"] == agree / n
+        assert row["kappa"] == (n * agree - s) / (n * n - s)
+        # sanity: correlated-through-logit annotators agree above chance
+        assert row["kappa"] > 0
+
+
+def test_majority_vote_consistency(spark):
+    """Per-source counts must match the sequential labels, and unanimity
+    can never exceed majority-consistency bounds."""
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    out = QUERIES["label_majority_vote"](spark, SF_SMOKE).toPandas()
+    by_src = {}
+    for src, text in zip(docs["source"], docs["text"]):
+        l1, l2, l3 = _py_labels(text)
+        n, maj, una = by_src.get(src, (0, 0, 0))
+        by_src[src] = (
+            n + 1,
+            maj + int(l1 + l2 + l3 >= 2),
+            una + int(l1 == l2 == l3),
+        )
+    assert set(out["source"]) == set(by_src)
+    for _, row in out.iterrows():
+        n, maj, una = by_src[row["source"]]
+        assert int(row["n_docs"]) == n
+        assert int(row["n_majority_keep"]) == maj
+        assert int(row["n_unanimous"]) == una
+        assert row["disagreement_rate"] == 1.0 - una / n
+        assert una <= n
+
+
+def test_calibration_bins_are_rank_deciles(spark):
+    """Bin sizes must be the ceil-rank-quantile partition (every bin
+    n//10 or n//10+1 docs) and mean logit must be non-increasing across
+    deciles (deciles are ordered BY logit)."""
+    out = (
+        QUERIES["calibration_reliability_bins"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("decile")
+    )
+    n = int(out["n_docs"].sum())
+    assert sorted(out["decile"]) == list(range(1, 11))
+    assert set(out["n_docs"]) <= {n // 10, n // 10 + 1}
+    ml = list(out["mean_logit"])
+    assert all(a >= b for a, b in zip(ml, ml[1:]))
+    assert ((out["gopher_keep_rate"] >= 0) & (out["gopher_keep_rate"] <= 1)).all()
+
+
+def test_mrr_against_bruteforce_ranking(spark):
+    """first_rel_rank must equal the rank of the best relevant doc in an
+    independently computed pandas BM25 ranking (same formula, float64 —
+    ranks are tie-broken identically)."""
+    from kasper_spark.operators.evaluation import (
+        _MRR_QUERIES,
+        _MRR_REL_TF,
+    )
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    toks = [
+        [w for w in t.split(" ") if w != ""] for t in docs["text"]
+    ]
+    n_docs = len(docs)
+    total = sum(len(t) for t in toks)
+    avgdl = total / n_docs
+    out = QUERIES["mrr_relevance_contract"](spark, SF_SMOKE).toPandas()
+    assert set(out["query_id"]) == {qid for qid, _ in _MRR_QUERIES}
+    for qid, terms in _MRR_QUERIES:
+        rows = []
+        for doc_id, t in zip(docs["doc_id"], toks):
+            tfs = {term: t.count(term) for term in terms}
+            if all(v == 0 for v in tfs.values()):
+                continue
+            score = 0.0
+            for term, tf in tfs.items():
+                if tf == 0:
+                    continue
+                df = sum(1 for tt in toks if term in tt)
+                idf = (n_docs - df + 0.5) / (df + 0.5)
+                tfp = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len(t) / avgdl))
+                score += idf * tfp
+            rows.append((doc_id, score, min(tfs.values()) >= _MRR_REL_TF))
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        row = out[out["query_id"] == qid].iloc[0]
+        assert int(row["n_retrieved"]) == len(rows)
+        rel_ranks = [i + 1 for i, r in enumerate(rows) if r[2]]
+        assert int(row["n_relevant"]) == len(rel_ranks)
+        if rel_ranks:
+            # float64 reference vs decimal-exact ranks: scores differ only
+            # at ulp level, which cannot reorder distinct BM25 sums here —
+            # assert exact rank equality
+            assert int(row["first_rel_rank"]) == rel_ranks[0]
+            assert row["rr"] == 1.0 / rel_ranks[0]
+        else:
+            assert int(row["first_rel_rank"]) == 0 and row["rr"] == 0.0
+
+
+def test_dataset_card_totals(spark):
+    """Card totals must reconcile with direct pandas aggregation."""
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    out = QUERIES["dataset_card_report"](spark, SF_SMOKE).toPandas()
+    assert set(out["source"]) == set(docs["source"])
+    assert int(out["n_docs"].sum()) == len(docs)
+    g = docs.groupby("source")
+    for _, row in out.iterrows():
+        sub = g.get_group(row["source"])
+        assert int(row["n_docs"]) == len(sub)
+        langs = sub["lang"].value_counts()
+        assert int(row["n_langs"]) == sub["lang"].nunique()
+        top_c = int(langs.max())
+        top_langs = sorted(l for l, c in langs.items() if c == top_c)
+        assert row["top_lang"] == top_langs[0]
+        assert row["top_lang_share"] == top_c / len(sub)
+        n_distinct = sub["text"].nunique()
+        assert row["exact_dup_rate"] == 1.0 - n_distinct / len(sub)
+        assert 0.0 <= row["gopher_keep_rate"] <= 1.0
+
+
+def test_streaming_dup_matrix_equals_batch(spark):
+    """The incremental twin must reproduce the batch matrix exactly."""
+    batch = (
+        QUERIES["cross_source_dup_matrix"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values(["source_a", "source_b"])
+        .reset_index(drop=True)
+    )
+    twin = (
+        QUERIES["streaming_dup_matrix_twin"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values(["source_a", "source_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(batch, twin, check_like=True)
