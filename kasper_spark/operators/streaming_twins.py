@@ -1745,6 +1745,12 @@ def streaming_dup_matrix_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(
             "doc_id long, text string, lang string, source string, n_chars long"
         )
+        # recursiveFileLookup: the staged path may be a single parquet FILE
+        # (driver testdata) or a DIRECTORY of part files (any Spark-written
+        # dataset, e.g. tools/scale10x.py) — without it the file stream
+        # source sees zero files under a directory and silently runs zero
+        # batches (caught by the loud guard below)
+        .option("recursiveFileLookup", "true")
         .format("parquet")
         .load(src_dir)
         # one input partition per file otherwise (see streaming_lsh_dedup_twin)
@@ -1768,6 +1774,11 @@ def streaming_dup_matrix_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    if not os.path.isdir(out_dir):
+        raise RuntimeError(
+            f"streaming_dup_matrix_twin: no micro-batch ran over {src_dir} — "
+            "the file stream source found no input files"
+        )
     g = (
         spark.read.option("recursiveFileLookup", "true")
         .parquet(out_dir)
