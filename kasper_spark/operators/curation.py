@@ -978,3 +978,102 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("fits")
     )
     return kept_full.unionByName(kept_boundary)
+
+
+# ---------------------------------------------------------------------------
+# Split-leakage audit (round 9)
+# ---------------------------------------------------------------------------
+
+
+@register_query(
+    "split_leakage_report",
+    oracle="""
+    WITH assigned AS (
+        SELECT md5(array_to_string(list_sort(list_distinct(
+                   list_filter(string_split(text, ' '), w -> w <> ''))), ' '))
+                   AS dig,
+               CASE WHEN b < 80 THEN 'train'
+                    WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT text,
+                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                        || '/split-seed-1'), 1, 8)) AS BIGINT) % 100 AS b
+            FROM documents
+        )
+    ),
+    g AS (
+        SELECT dig, split, CAST(COUNT(*) AS BIGINT) AS c
+        FROM assigned GROUP BY dig, split
+    ),
+    x AS (
+        SELECT a.dig, a.split AS split_a, b.split AS split_b,
+               CASE WHEN a.split = b.split THEN a.c * (a.c - 1) // 2
+                    ELSE a.c * b.c END AS np
+        FROM g a JOIN g b ON a.dig = b.dig AND a.split <= b.split
+    )
+    SELECT split_a, split_b,
+           CAST(SUM(np) AS BIGINT) AS n_dup_pairs,
+           CAST(COUNT(DISTINCT dig) AS BIGINT) AS n_shared_digests
+    FROM x
+    WHERE np > 0
+    GROUP BY split_a, split_b
+    """,
+)
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN/TEST LEAKAGE at the split level: apply the engine's OWN
+    deterministic 80/10/10 split rule (bit-identical to
+    deterministic_split — same seed string, same md5 prefix), canonicalize
+    each document to its token-set digest (the cross_source_dup_matrix
+    grain, which catches reordered copies byte-exact splitting misses),
+    and report how many duplicate pairs land WITHIN each split and —
+    the leakage signal — ACROSS split pairs. A nonzero (train, test) row
+    is exactly the eval contamination ngram_decontaminate hunts at the
+    n-gram level, caught earlier and at the whole-document grain.
+
+    Scale: the cross_source_dup_matrix discipline verbatim — per-(digest,
+    split) COUNTS (map-side partial agg), count-level self-join on digest;
+    a million-way duplicate group costs one row per split, never c²
+    pairs. The split assignment itself is map-only (hash of the key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    dig = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(toks))).cast("binary")
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("/split-seed-1"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    g = docs.select(dig.alias("dig"), split.alias("split")).groupBy(
+        "dig", "split"
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = g.select("dig", F.col("split").alias("split_a"), F.col("c").alias("ca"))
+    b = g.select("dig", F.col("split").alias("split_b"), F.col("c").alias("cb"))
+    x = a.join(b, ["dig"]).filter(F.col("split_a") <= F.col("split_b")).select(
+        "dig",
+        "split_a",
+        "split_b",
+        F.when(
+            F.col("split_a") == F.col("split_b"),
+            F.expr("ca * (ca - 1) div 2"),
+        )
+        .otherwise(F.col("ca") * F.col("cb"))
+        .alias("np"),
+    )
+    return (
+        x.filter(F.col("np") > 0)
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.sum("np").cast("long").alias("n_dup_pairs"),
+            F.count_distinct("dig").cast("long").alias("n_shared_digests"),
+        )
+    )

@@ -1810,3 +1810,116 @@ def streaming_dup_matrix_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 assert "cross_source_dup_matrix" in _OR, "batch dup-matrix oracle missing"
 _OR["streaming_dup_matrix_twin"] = _OR["cross_source_dup_matrix"]
+
+
+def _ivf_assign_twin_oracle() -> str:
+    from kasper_spark.operators.similarity import (
+        _IVF_K,
+        dot_double_sql,
+        dot_exact_sql,
+    )
+
+    return f"""
+    WITH e AS (
+        SELECT vec_id, embedding,
+               sqrt({dot_exact_sql('embedding', 'embedding')}) AS nrm
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+        FROM e WHERE vec_id < {_IVF_K}
+    )
+    SELECT vec_id, cid FROM (
+        SELECT e.vec_id, cent.cid,
+            ROW_NUMBER() OVER (
+                PARTITION BY e.vec_id
+                ORDER BY {dot_double_sql('e.embedding', 'cent.cemb')} / (e.nrm * cent.cnrm) DESC,
+                         cent.cid
+            ) AS rn
+        FROM e CROSS JOIN cent
+        WHERE e.vec_id >= {_IVF_K}
+    ) WHERE rn = 1
+    """
+
+
+@register_query("streaming_ivf_assign_twin", oracle=_ivf_assign_twin_oracle())
+def streaming_ivf_assign_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index maintenance AT INGEST: the coarse quantizer (the fixed-K
+    centroid set of ann_ivf_topk, built offline from the static table) is
+    broadcast into a Structured Streaming plan, and every ARRIVING vector
+    is assigned to its nearest centroid list inside its micro-batch — the
+    standard way a vector platform keeps an IVF index current between
+    rebuilds (assignment is embarrassingly incremental; only training is
+    offline). First streaming twin over the embeddings table.
+
+    Determinism vs batching: each vector's assignment depends only on the
+    vector and the static centroids, so the accumulated assignments are
+    invariant to how availableNow cuts the feed — the batch oracle (the
+    assign stage of ann_ivf_topk, restricted to the non-centroid vectors)
+    certifies the result hash-exactly.
+
+    Scale: per batch this is a map-side broadcast nested-loop over K=32
+    centroids (exactly ann_ivf_topk's assignment shape) + a per-vector
+    row_number over K candidate rows, partitioned by vec_id; no state
+    store, no corpus-sized anything. The centroid broadcast is computed
+    once per micro-batch from the static table — on a cluster it would be
+    a pinned broadcast variable; the plan shape is identical."""
+    from pyspark.sql.window import Window
+
+    from kasper_spark.catalog import load_table
+    from kasper_spark.operators.similarity import _IVF_K, dot_double, norm_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cemb"),
+        norm_exact(F.col("embedding")).alias("cnrm"),
+    )
+
+    work = tempfile.mkdtemp(prefix="kasper-sivf-")
+    src_dir = os.path.join(work, "src")
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ck")
+    os.makedirs(src_dir)
+    os.symlink(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        os.path.join(src_dir, "embeddings.parquet"),
+    )
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        # single-file AND directory-shaped parquet (see streaming_dup_matrix_twin)
+        .option("recursiveFileLookup", "true")
+        .format("parquet")
+        .load(src_dir)
+        .filter(F.col("vec_id") >= _IVF_K)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def assign_batch(df, epoch_id: int) -> None:
+        cos = dot_double(F.col("embedding"), F.col("cemb")) / (
+            F.col("nrm") * F.col("cnrm")
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+        out = (
+            df.select("vec_id", "embedding", norm_exact(F.col("embedding")).alias("nrm"))
+            .join(F.broadcast(cent))
+            .select("vec_id", "cid", cos.alias("ccos"))
+            .select("vec_id", "cid", F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid")
+        )
+        out.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch={epoch_id}"))
+
+    q = (
+        stream.writeStream.foreachBatch(assign_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.isdir(out_dir):
+        raise RuntimeError(
+            f"streaming_ivf_assign_twin: no micro-batch ran over {src_dir} — "
+            "the file stream source found no input files"
+        )
+    return spark.read.option("recursiveFileLookup", "true").parquet(out_dir)

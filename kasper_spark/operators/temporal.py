@@ -1918,3 +1918,130 @@ def session_duration_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("dur").alias("duration_sec"))
         .select("q", "n_sessions", "duration_sec")
     )
+
+
+# ---------------------------------------------------------------------------
+# Session turn structure (round 9): the conversation-threading primitive
+# ---------------------------------------------------------------------------
+
+
+@register_query(
+    "session_turn_structure",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, event_id, ts, event_type,
+               CAST(SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+        FROM marked
+    ),
+    turn_marked AS (
+        SELECT user_id, session_no, ts, event_id, event_type,
+               CASE WHEN event_type = LAG(event_type) OVER s
+                    THEN 0 ELSE 1 END AS new_turn
+        FROM numbered
+        WINDOW s AS (PARTITION BY user_id, session_no ORDER BY ts, event_id)
+    ),
+    turn_numbered AS (
+        SELECT user_id, session_no, event_type,
+               CAST(SUM(new_turn) OVER (
+                   PARTITION BY user_id, session_no ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS turn_no
+        FROM turn_marked
+    ),
+    runs AS (
+        SELECT user_id, session_no, turn_no,
+               CAST(COUNT(*) AS BIGINT) AS run_len
+        FROM turn_numbered
+        GROUP BY user_id, session_no, turn_no
+    )
+    SELECT user_id, session_no,
+           CAST(SUM(run_len) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_turns,
+           CAST(MAX(run_len) AS BIGINT) AS max_run_len,
+           CAST(COUNT(*) AS DOUBLE) / CAST(SUM(run_len) AS DOUBLE)
+               AS turn_ratio
+    FROM runs
+    GROUP BY user_id, session_no
+    """,
+)
+def session_turn_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TURN structure inside each session — the conversation-threading
+    primitive an instruction-data pipeline runs before packing dialogs: a
+    "turn" is a maximal run of consecutive same-type events (consecutive
+    same-role messages get merged into one turn), and the per-session
+    audit reports event count, turn count, the longest single-type run
+    (a run of 40 'error' rows is a stuck client, and a dialog where one
+    role speaks 40 times in a row is broken), and the turn/event collapse
+    ratio. Double run-length encoding: gaps-and-islands for the 30-minute
+    session boundary (sessionize_events' exact rule), then gaps-and-
+    islands AGAIN inside the session for the type-change boundary.
+
+    Scale: every window is PARTITION BY user_id (or (user_id, session_no),
+    a refinement of it) — ONE hash-partition by user serves the session
+    numbering, the turn numbering, and both aggregations; nothing global,
+    no self-join. The turn_ratio is one exact-int double division."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(
+            (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w))
+            <= 1800,
+            0,
+        )
+        .otherwise(1)
+        .alias("new_session"),
+    )
+    numbered = marked.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("session_no"),
+    )
+    s_w = Window.partitionBy("user_id", "session_no").orderBy("ts", "event_id")
+    turn_marked = numbered.select(
+        "user_id",
+        "session_no",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == F.lag("event_type").over(s_w), 0)
+        .otherwise(1)
+        .alias("new_turn"),
+    )
+    turn_numbered = turn_marked.select(
+        "user_id",
+        "session_no",
+        F.sum("new_turn")
+        .over(s_w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("turn_no"),
+    )
+    runs = turn_numbered.groupBy("user_id", "session_no", "turn_no").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len")
+    )
+    return runs.groupBy("user_id", "session_no").agg(
+        F.sum("run_len").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.max("run_len").cast("long").alias("max_run_len"),
+        (
+            F.count(F.lit(1)).cast("double") / F.sum("run_len").cast("double")
+        ).alias("turn_ratio"),
+    )

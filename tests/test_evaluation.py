@@ -185,3 +185,96 @@ def test_streaming_dup_matrix_equals_batch(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(batch, twin, check_like=True)
+
+
+def test_session_turn_structure_rle_reference(spark):
+    """Turn counts must equal a sequential run-length encoding over the
+    (ts, event_id)-ordered per-user event stream with 30-min session
+    cuts."""
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    ref = {}
+    for uid, g in ev.groupby("user_id"):
+        session_no = 0
+        prev_ts = None
+        prev_type = None
+        for _, r in g.iterrows():
+            ts = r["ts"].value // 10**9
+            if prev_ts is None or ts - prev_ts > 1800:
+                session_no += 1
+                prev_type = None
+            key = (uid, session_no)
+            n_ev, n_turn, runs = ref.get(key, (0, 0, []))
+            if r["event_type"] != prev_type:
+                n_turn += 1
+                runs.append(1)
+            else:
+                runs[-1] += 1
+            ref[key] = (n_ev + 1, n_turn, runs)
+            prev_ts = ts
+            prev_type = r["event_type"]
+    out = QUERIES["session_turn_structure"](spark, SF_SMOKE).toPandas()
+    assert len(out) == len(ref)
+    for _, row in out.iterrows():
+        n_ev, n_turn, runs = ref[(row["user_id"], row["session_no"])]
+        assert int(row["n_events"]) == n_ev
+        assert int(row["n_turns"]) == n_turn
+        assert int(row["max_run_len"]) == max(runs)
+        assert row["turn_ratio"] == n_turn / n_ev
+
+
+def test_split_leakage_consistent_with_split(spark):
+    """The leakage report must reconcile with deterministic_split's
+    assignment and with an exact pandas duplicate-pair count."""
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+
+    def split_of(doc_id: int) -> str:
+        b = int(hashlib.md5(f"{doc_id}/split-seed-1".encode()).hexdigest()[:8], 16) % 100
+        return "train" if b < 80 else ("val" if b < 90 else "test")
+
+    def digest(text: str) -> str:
+        toks = sorted({w for w in text.split(" ") if w != ""})
+        return hashlib.md5(" ".join(toks).encode()).hexdigest()
+
+    from collections import Counter
+
+    counts = Counter(
+        (digest(t), split_of(d)) for d, t in zip(docs["doc_id"], docs["text"])
+    )
+    expect = Counter()
+    shared = {}
+    digs = {}
+    for (dig, split), c in counts.items():
+        digs.setdefault(dig, []).append((split, c))
+    for dig, entries in digs.items():
+        for i, (sa, ca) in enumerate(entries):
+            for sb, cb in entries[i:]:
+                a, b = sorted((sa, sb))
+                np_ = ca * (ca - 1) // 2 if sa == sb else ca * cb
+                if np_ > 0:
+                    expect[(a, b)] += np_
+                    shared.setdefault((a, b), set()).add(dig)
+    out = QUERIES["split_leakage_report"](spark, SF_SMOKE).toPandas()
+    got = {
+        (r["split_a"], r["split_b"]): (int(r["n_dup_pairs"]), int(r["n_shared_digests"]))
+        for _, r in out.iterrows()
+    }
+    assert got == {k: (v, len(shared[k])) for k, v in expect.items()}
+
+
+def test_streaming_ivf_assign_equals_batch(spark):
+    """The ingest twin's assignments must equal the batch assign stage
+    (nearest fixed-K centroid, centroid-id tiebreak) exactly."""
+    from kasper_spark.operators.similarity import _IVF_K
+
+    twin = (
+        QUERIES["streaming_ivf_assign_twin"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    assert len(twin) == (emb["vec_id"] >= _IVF_K).sum()
+    assert twin["cid"].between(0, _IVF_K - 1).all()
+    assert twin["vec_id"].min() >= _IVF_K
