@@ -270,3 +270,59 @@ def dp_noisy_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("released_count"),
         F.lit(_DP_EPSILON).alias("epsilon"),
     )
+
+
+_L_DIV = 3  # diversity threshold: classes with fewer distinct sensitive values leak
+
+
+@register_query(
+    "l_diversity_audit",
+    oracle=f"""
+    WITH qi AS (
+        SELECT c_custkey, c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS acctbal_bin
+        FROM customer
+    ),
+    joined AS (
+        SELECT q.c_nationkey, q.c_mktsegment, q.acctbal_bin,
+               q.c_custkey, o.o_orderpriority
+        FROM qi q LEFT JOIN orders o ON o.o_custkey = q.c_custkey
+    )
+    SELECT c_nationkey, c_mktsegment, acctbal_bin,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS l_distinct,
+           (COUNT(DISTINCT o_orderpriority) < {_L_DIV}) AS at_risk
+    FROM joined
+    GROUP BY c_nationkey, c_mktsegment, acctbal_bin
+    """,
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's stronger sibling: a QI class can
+    be large (k-anonymous) yet still leak if every member shares the same
+    SENSITIVE value (the homogeneity attack). Here the sensitive attribute
+    lives in the FACT table, the realistic shape (order priority standing
+    in for e.g. a diagnosis code): per k_anonymity_audit's exact QI tuple
+    (nation, market segment, coarse balance bin), count distinct sensitive
+    values reached through the customer->orders join; classes with fewer
+    than l={_L_DIV} are flagged. Customers with no orders contribute no
+    sensitive value (LEFT join -> l counts only real values), so an
+    all-quiet class reads l=0 — maximally at risk, correctly.
+
+    Scale: the join shuffles on custkey once; the audit aggregate then
+    shuffles QI-class rows with a two-phase distinct expansion — classes,
+    not orders, dominate the final exchange."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("acctbal_bin"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderpriority"
+    )
+    joined = cust.join(orders, "c_custkey", "left")
+    return joined.groupBy("c_nationkey", "c_mktsegment", "acctbal_bin").agg(
+        F.countDistinct("c_custkey").cast("long").alias("n_customers"),
+        F.countDistinct("o_orderpriority").cast("long").alias("l_distinct"),
+        (F.countDistinct("o_orderpriority") < _L_DIV).alias("at_risk"),
+    )

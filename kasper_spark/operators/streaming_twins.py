@@ -1923,3 +1923,151 @@ def streaming_ivf_assign_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "the file stream source found no input files"
         )
     return spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
+
+
+# ---------------------------------------------------------------------------
+# Session turn structure AT INGEST (round 9): 5th order-dependent twin
+# ---------------------------------------------------------------------------
+
+
+def turn_structure_stream(stream: DataFrame) -> DataFrame:
+    """Stateful per-event double-RLE: per user, state carries the open
+    session's whole sufficient statistic — (session_no, last event-time,
+    last type, event/turn counts, max and current run length) — seven
+    scalars, O(users) total. Each micro-batch emits ONE revision row per
+    (user, session) it touched; within a session n_events strictly
+    increases across revisions, so the final reduce keeps the max-n_events
+    row per (user, session) and closed sessions are never revised again."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_no", LongType()),
+            StructField("n_events", LongType()),
+            StructField("n_turns", LongType()),
+            StructField("max_run_len", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("session_no", LongType()),
+            StructField("last_ts", LongType()),
+            StructField("last_type", StringType()),
+            StructField("n_events", LongType()),
+            StructField("n_turns", LongType()),
+            StructField("max_run", LongType()),
+            StructField("run_len", LongType()),
+        ]
+    )
+
+    def scan(key, pdf_iter, state):
+        # nested imports: must pickle by value (workers run from foreign cwd)
+        import pandas as pd
+
+        if state.exists:
+            sess, last_ts, last_type, n_ev, n_turn, max_run, run_len = state.get
+        else:
+            sess, last_ts, last_type = 0, 0, ""
+            n_ev = n_turn = max_run = run_len = 0
+        rows = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+        touched: dict[int, tuple[int, int, int]] = {}
+        for r in rows.itertuples():
+            ts = int(r.ts.value // 10**9)
+            if sess == 0 or ts - last_ts > 1800:
+                sess += 1
+                n_ev = n_turn = max_run = run_len = 0
+                last_type = ""  # lag is null at a session start -> new turn
+            n_ev += 1
+            if r.event_type != last_type:
+                n_turn += 1
+                run_len = 1
+            else:
+                run_len += 1
+            max_run = max(max_run, run_len)
+            last_type = r.event_type
+            last_ts = ts
+            touched[sess] = (n_ev, n_turn, max_run)
+        state.update((sess, last_ts, last_type, n_ev, n_turn, max_run, run_len))
+        yield pd.DataFrame(
+            [(int(key[0]), s, *v) for s, v in sorted(touched.items())],
+            columns=["user_id", "session_no", "n_events", "n_turns", "max_run_len"],
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        scan,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register_query(
+    "streaming_turn_structure_twin",
+    # identical output contract to the batch operator -> same oracle
+    oracle=None,  # bound below (temporal registers first)
+)
+def streaming_turn_structure_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_turn_structure AT INGEST — the conversation-threading audit
+    maintained live: sessions open, collect turns, and close as the gap
+    rule fires, entirely from per-user state (no watermark, no global
+    pass; the 30-minute rule needs only the previous event). Fifth
+    order-dependent twin (after EWMA x2, Markov, CUSUM, inter-arrival);
+    order contract as the others: event-time-contiguous staged files +
+    maxFilesPerTrigger=1, per-batch (ts, event_id) sort.
+
+    The revision discipline (emit the touched session's CURRENT aggregate
+    each batch, reduce to the max-n_events revision at read time) is how
+    an incremental sink serves "current session state" queries mid-stream
+    while still converging to the batch answer at the end — both faces
+    certified by the one oracle."""
+    stream, out_dir, ckpt = _staged_markov_feed(spark, sf_dir, "kasper-sturn-")
+    revisions = turn_structure_stream(stream)
+
+    def sink_batch(df, epoch_id: int) -> None:
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch={epoch_id}"))
+
+    q = (
+        revisions.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rev = spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
+    final = (
+        rev.groupBy("user_id", "session_no")
+        .agg(
+            F.max(
+                F.struct("n_events", "n_turns", "max_run_len")
+            ).alias("s")
+        )
+        .select(
+            "user_id",
+            "session_no",
+            F.col("s.n_events").alias("n_events"),
+            F.col("s.n_turns").alias("n_turns"),
+            F.col("s.max_run_len").alias("max_run_len"),
+        )
+    )
+    return final.select(
+        "user_id",
+        "session_no",
+        "n_events",
+        "n_turns",
+        "max_run_len",
+        (
+            F.col("n_turns").cast("double") / F.col("n_events").cast("double")
+        ).alias("turn_ratio"),
+    )
+
+
+assert "session_turn_structure" in _OR, "batch turn-structure oracle missing"
+_OR["streaming_turn_structure_twin"] = _OR["session_turn_structure"]

@@ -92,6 +92,10 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "split_leakage_report",
     "session_turn_structure",
     "streaming_ivf_assign_twin",
+    # -- 0d. NEW this round (wave 3): l-diversity audit, turn structure
+    #        at ingest (5th order-dependent twin) --
+    "l_diversity_audit",
+    "streaming_turn_structure_twin",
     # -- 1. The round-8d cohort: landed after the r08 driver window ran,
     #       so none has a driver row yet (judge-swept 20/20 at sf0.01;
     #       verdict ticket #1 = earn the hard signal).
@@ -129,8 +133,6 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "json_extract_props",
     "array_functions",
     "join_full_outer",
-    "window_range_frame_trailing",
-    "inmem_lookup_join",
     # (exactly 50 names. Round-9 policy, same as r7/r8: CHANGED first,
     # then the no-driver-row cohort, then oldest evidence. New round-9
     # operators added later in the round take slots from the tail of
@@ -138,6 +140,7 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     # dedup_exact, tokenset_jaccard_pairs, ann_int8_topk,
     # training_data_pipeline, gopher_quality_filters, tfidf_top_terms,
     # json_roundtrip, lateral_posexplode, variant_extract_props,
+    # window_range_frame_trailing, inmem_lookup_join,
     # corpus_mix_sample, text_normalize, udtf_sentence_split,
     # stratified_topn_md5, pivot_segment_by_nation, percentiles_quantity,
     # string_functions, grouping_sets_orders, unpivot_part_metrics,

@@ -278,3 +278,62 @@ def test_streaming_ivf_assign_equals_batch(spark):
     assert len(twin) == (emb["vec_id"] >= _IVF_K).sum()
     assert twin["cid"].between(0, _IVF_K - 1).all()
     assert twin["vec_id"].min() >= _IVF_K
+
+
+import pytest
+
+
+@pytest.mark.parametrize("n_files", [1, 2, 7])
+def test_streaming_turn_structure_invariant_to_batch_cuts(spark, n_files):
+    """The per-session turn audit must not depend on WHERE the stream is
+    cut: any contiguous time-range split (single batch through a 7-way
+    split stranding open sessions in state across many boundaries) reduces
+    to the batch answer."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kasper_spark.operators.streaming_twins import (
+        _staged_markov_feed,
+        turn_structure_stream,
+    )
+
+    batch = {
+        (r["user_id"], r["session_no"]): (
+            r["n_events"],
+            r["n_turns"],
+            r["max_run_len"],
+        )
+        for r in QUERIES["session_turn_structure"](spark, SF_SMOKE).collect()
+    }
+    stream, out_dir, ckpt = _staged_markov_feed(
+        spark, SF_SMOKE, f"kasper-turncut{n_files}-", n_files=n_files
+    )
+    revisions = turn_structure_stream(stream)
+    q = (
+        revisions.writeStream.foreachBatch(
+            lambda df, eid: df.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch={eid}")
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+        .groupBy("user_id", "session_no")
+        .agg(F.max(F.struct("n_events", "n_turns", "max_run_len")).alias("s"))
+        .collect()
+    )
+    got = {
+        (r["user_id"], r["session_no"]): (
+            r["s"]["n_events"],
+            r["s"]["n_turns"],
+            r["s"]["max_run_len"],
+        )
+        for r in final
+    }
+    assert got == batch
