@@ -337,3 +337,19 @@ def test_streaming_turn_structure_invariant_to_batch_cuts(spark, n_files):
         for r in final
     }
     assert got == batch
+
+
+def test_eval_report_example(spark):
+    """The evaluation walkthrough composes the round-9 tier; the summary
+    must be internally consistent on the bounded testdata."""
+    import examples.eval_report as er
+
+    c = er.main(spark, SF_SMOKE)
+    assert c["sources_carded"] > 0
+    assert c["cross_split_leaked_pairs"] >= 0
+    assert -1.0 <= c["min_pairwise_kappa"] <= 1.0
+    assert 0.0 <= c["worst_disagreement_rate"] <= 1.0
+    # calibrated-ish: the top logit decile keeps at least as often as the
+    # bottom one under the independent heuristic gates
+    assert c["calibration_top_vs_bottom_keep"] >= 0.0
+    assert 0.0 < c["mrr_at_corpus"] <= 1.0
