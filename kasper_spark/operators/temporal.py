@@ -2045,3 +2045,143 @@ def session_turn_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("double") / F.sum("run_len").cast("double")
         ).alias("turn_ratio"),
     )
+
+
+@register_query(
+    "session_path_topk",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, event_id, ts, event_type,
+               CAST(SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+        FROM marked
+    ),
+    turn_marked AS (
+        SELECT user_id, session_no, ts, event_id, event_type,
+               CASE WHEN event_type = LAG(event_type) OVER s
+                    THEN 0 ELSE 1 END AS new_turn
+        FROM numbered
+        WINDOW s AS (PARTITION BY user_id, session_no ORDER BY ts, event_id)
+    ),
+    turn_numbered AS (
+        SELECT user_id, session_no, event_type,
+               CAST(SUM(new_turn) OVER (
+                   PARTITION BY user_id, session_no ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS turn_no
+        FROM turn_marked
+    ),
+    turns AS (
+        SELECT user_id, session_no, turn_no, MIN(event_type) AS ttype
+        FROM turn_numbered
+        GROUP BY user_id, session_no, turn_no
+    ),
+    paths AS (
+        SELECT user_id, session_no,
+               array_to_string(list_slice(
+                   list(ttype ORDER BY turn_no), 1, 3), '>') AS path
+        FROM turns
+        GROUP BY user_id, session_no
+    ),
+    counted AS (
+        SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+        FROM paths GROUP BY path
+    )
+    SELECT path, n_sessions, rank FROM (
+        SELECT path, n_sessions,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY n_sessions DESC, path) AS BIGINT) AS rank
+        FROM counted
+    ) WHERE rank <= 20
+    """,
+)
+def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PATH MINING over session openings: the top-20 most common
+    first-three-TURN paths (turn = maximal same-type run, the
+    session_turn_structure RLE) — "view > click > purchase" vs
+    "error > error" is how a product or agent-behavior analyst reads what
+    sessions actually do, and for dialog data it is the opening-move
+    distribution an instruction-tuning curator balances. Paths use turns,
+    not raw events, so a 40-click burst reads as one step.
+
+    Scale: the turn pipeline's single user_id hash-partition; path
+    assembly is a per-session ordered collect of <= 3 turn types; the
+    final count + top-k runs over |distinct paths| rows — bounded by the
+    type-alphabet combinatorics (here <= 5 + 5·4 + 5·4·4 = 105), a
+    domain-sized window, not a corpus-sized one."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(
+            (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w))
+            <= 1800,
+            0,
+        )
+        .otherwise(1)
+        .alias("new_session"),
+    )
+    numbered = marked.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("session_no"),
+    )
+    s_w = Window.partitionBy("user_id", "session_no").orderBy("ts", "event_id")
+    turn_numbered = numbered.select(
+        "user_id",
+        "session_no",
+        "event_type",
+        F.sum(
+            F.when(
+                F.col("event_type") == F.lag("event_type").over(s_w), 0
+            ).otherwise(1)
+        )
+        .over(s_w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("turn_no"),
+    )
+    turns = turn_numbered.groupBy("user_id", "session_no", "turn_no").agg(
+        F.min("event_type").alias("ttype")
+    )
+    paths = turns.groupBy("user_id", "session_no").agg(
+        F.concat_ws(
+            ">",
+            F.slice(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("turn_no", "ttype"))),
+                    lambda s: s["ttype"],
+                ),
+                1,
+                3,
+            ),
+        ).alias("path")
+    )
+    counted = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
+    w_rank = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return (
+        counted.select(
+            "path",
+            "n_sessions",
+            F.row_number().over(w_rank).cast("long").alias("rank"),
+        )
+        .filter(F.col("rank") <= 20)
+    )

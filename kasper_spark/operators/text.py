@@ -1834,3 +1834,103 @@ def ks_quality_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register_query(
+    "source_ngram_overlap",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, list_filter(string_split(text, ' '), w -> w <> '') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT source,
+               unnest(list_transform(range(1, len(t) - {_BOILER_N - 2}),
+                      i -> array_to_string(list_slice(t, i, i + {_BOILER_N - 1}), ' ')))
+                   AS shingle
+        FROM toks WHERE len(t) >= {_BOILER_N}
+    ),
+    sizes AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_shingles
+        FROM sh GROUP BY source
+    ),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT i.source_a, i.source_b, i.n_shared,
+           sa.n_shingles AS n_a, sb.n_shingles AS n_b,
+           CAST(i.n_shared AS DOUBLE)
+               / CAST(sa.n_shingles + sb.n_shingles - i.n_shared AS DOUBLE)
+               AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    """,
+)
+def source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source x source content overlap at the 4-GRAM grain — the finer
+    sibling of cross_source_dup_matrix (digest grain): two crawls that
+    share boilerplate, templates, or partially-copied articles overlap in
+    shingles long before whole documents collapse to one digest. Reports
+    shared distinct shingles and the exact shingle-set Jaccard per source
+    pair — the "how redundant are these two feeds really" number behind a
+    drop-one-source decision.
+
+    Cross-engine exactness: set sizes and intersections are exact BIGINTs
+    from DISTINCT counts; Jaccard = inter / (|A| + |B| - inter) is one
+    exact-int double division.
+
+    Scale: per-doc shingle dedup is map-side (array_distinct before
+    explode); the (shingle, source) DISTINCT is the one honest
+    shingle-volume shuffle; the self-join then carries ONE row per
+    (shingle, source) — a shingle in s sources costs s(s-1)/2 pair rows
+    with s bounded by the source count, never document-pair blowup. At
+    100 TB the count-min prefilter of boilerplate_shingle_stats_cms
+    composes in front unchanged (only multi-source shingles matter, and
+    CM over-counts never drop one)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    shingles_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - (_BOILER_N - 1)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, _BOILER_N)),
+        )
+    )
+    sh = (
+        docs.select("source", toks.alias("t"))
+        .filter(F.size("t") >= _BOILER_N)
+        .select("source", F.explode(shingles_arr).alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    )
+    a = sh.select(F.col("source").alias("source_a"), "shingle")
+    b = sh.select(F.col("source").alias("source_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double")
+            ).alias("jaccard"),
+        )
+    )

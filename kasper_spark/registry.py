@@ -96,6 +96,10 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     #        at ingest (5th order-dependent twin) --
     "l_diversity_audit",
     "streaming_turn_structure_twin",
+    # -- 0e. NEW this round (wave 4): session path mining, source x source
+    #        n-gram overlap --
+    "session_path_topk",
+    "source_ngram_overlap",
     # -- 1. The round-8d cohort: landed after the r08 driver window ran,
     #       so none has a driver row yet (judge-swept 20/20 at sf0.01;
     #       verdict ticket #1 = earn the hard signal).
@@ -131,8 +135,6 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "word_count",
     "window_running_sum",
     "json_extract_props",
-    "array_functions",
-    "join_full_outer",
     # (exactly 50 names. Round-9 policy, same as r7/r8: CHANGED first,
     # then the no-driver-row cohort, then oldest evidence. New round-9
     # operators added later in the round take slots from the tail of
@@ -140,7 +142,8 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     # dedup_exact, tokenset_jaccard_pairs, ann_int8_topk,
     # training_data_pipeline, gopher_quality_filters, tfidf_top_terms,
     # json_roundtrip, lateral_posexplode, variant_extract_props,
-    # window_range_frame_trailing, inmem_lookup_join,
+    # window_range_frame_trailing, inmem_lookup_join, array_functions,
+    # join_full_outer,
     # corpus_mix_sample, text_normalize, udtf_sentence_split,
     # stratified_topn_md5, pivot_segment_by_nation, percentiles_quantity,
     # string_functions, grouping_sets_orders, unpivot_part_metrics,

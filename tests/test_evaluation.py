@@ -353,3 +353,50 @@ def test_eval_report_example(spark):
     # bottom one under the independent heuristic gates
     assert c["calibration_top_vs_bottom_keep"] >= 0.0
     assert 0.0 < c["mrr_at_corpus"] <= 1.0
+
+
+def test_session_path_topk_consistency(spark):
+    """Path counts must reconcile with session_turn_structure: total
+    sessions match, every path is <= 3 steps over the event-type
+    alphabet, and ranks are dense from 1."""
+    paths = QUERIES["session_path_topk"](spark, SF_SMOKE).toPandas()
+    turns = QUERIES["session_turn_structure"](spark, SF_SMOKE).toPandas()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    alphabet = set(ev["event_type"])
+    assert list(paths.sort_values("rank")["rank"]) == list(
+        range(1, len(paths) + 1)
+    )
+    for p in paths["path"]:
+        steps = p.split(">")
+        assert 1 <= len(steps) <= 3
+        assert all(s in alphabet for s in steps)
+        # turns collapse runs: consecutive steps always differ
+        assert all(a != b for a, b in zip(steps, steps[1:]))
+    assert int(paths["n_sessions"].sum()) <= len(turns)
+
+
+def test_source_ngram_overlap_jaccard_reference(spark):
+    """Per-pair shared counts and Jaccard must equal a direct pandas
+    set computation over per-source shingle sets."""
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    sets = {}
+    for src, text in zip(docs["source"], docs["text"]):
+        t = [w for w in text.split(" ") if w != ""]
+        sh = {" ".join(t[i : i + 4]) for i in range(len(t) - 3)} if len(t) >= 4 else set()
+        sets.setdefault(src, set()).update(sh)
+    out = QUERIES["source_ngram_overlap"](spark, SF_SMOKE).toPandas()
+    for _, row in out.iterrows():
+        a, b = sets[row["source_a"]], sets[row["source_b"]]
+        inter = len(a & b)
+        assert int(row["n_shared"]) == inter
+        assert int(row["n_a"]) == len(a) and int(row["n_b"]) == len(b)
+        assert row["jaccard"] == inter / (len(a) + len(b) - inter)
+    # completeness: every overlapping pair appears
+    srcs = sorted(sets)
+    expected_pairs = {
+        (x, y)
+        for i, x in enumerate(srcs)
+        for y in srcs[i + 1 :]
+        if sets[x] & sets[y]
+    }
+    assert {(r["source_a"], r["source_b"]) for _, r in out.iterrows()} == expected_pairs
