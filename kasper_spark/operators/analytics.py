@@ -2513,3 +2513,101 @@ def value_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.any_value(F.col("total")).cast("double")
         ).alias("value_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (round 9)
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d) scaled to 2^40, precomputed ONCE as integer literals (the
+# dp_noisy_histogram constants discipline): both engines consume the same
+# exact integers, so no runtime log10 (libm, not bit-portable) ever runs.
+_BENFORD_P40 = {
+    1: 330985980542,
+    2: 193614386881,
+    3: 137371593660,
+    4: 106553686150,
+    5: 87060700731,
+    6: 73608773641,
+    7: 63762820019,
+    8: 56242793221,
+    9: 50310892929,
+}
+_B40 = 1 << 40
+
+_BENFORD_CASE_SQL = "CASE digit " + " ".join(
+    f"WHEN {d} THEN CAST({p} AS BIGINT)" for d, p in _BENFORD_P40.items()
+) + " END"
+
+
+@register_query(
+    "benford_digit_audit",
+    oracle=f"""
+    WITH cents AS (
+        SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        FROM events
+    ),
+    digits AS (
+        SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM cents WHERE c > 0
+    ),
+    counted AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_observed,
+               CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total
+        FROM digits GROUP BY digit
+    )
+    SELECT digit, n_observed,
+           CAST(n_observed AS DOUBLE) / CAST(total AS DOUBLE) AS obs_share,
+           CAST({_BENFORD_CASE_SQL} AS DOUBLE) / {_B40}.0 AS benford_share,
+           CAST(total * ({_BENFORD_CASE_SQL}) AS DOUBLE) / {_B40}.0
+               AS expected_n
+    FROM counted
+    """,
+)
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over event amounts — the classic
+    fabricated-data / unit-mixup detector a data-quality pipeline runs on
+    any money-like column: organically-generated magnitudes follow
+    P(d) = log10(1 + 1/d); uniform synthetic values (like this testdata's)
+    or copy-pasted figures deviate loudly, and the per-digit
+    observed-vs-expected table is the evidence. First digit comes from the
+    cents integer's decimal string (exact on both engines — no float log);
+    the Benford probabilities are 2^40-scaled integer literals precomputed
+    once (the dp_noisy_histogram discipline), so no runtime log10 (libm,
+    not bit-portable) appears anywhere and every double is one expression
+    over exact integers.
+
+    Scale: map-side digit extraction + a 9-key partial-aggregated groupBy;
+    the total is a 9-row window."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c")
+    ).filter(F.col("c") > 0)
+    digits = cents.select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("long").alias("digit")
+    )
+    counted = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n_observed")
+    )
+    w_all = Window.partitionBy()
+    p40 = F.element_at(
+        F.create_map(
+            *[F.lit(x) for d, p in _BENFORD_P40.items() for x in (d, p)]
+        ),
+        F.col("digit").cast("int"),
+    ).cast("long")
+    return counted.select(
+        "digit",
+        "n_observed",
+        (
+            F.col("n_observed").cast("double")
+            / F.sum("n_observed").over(w_all).cast("long").cast("double")
+        ).alias("obs_share"),
+        (p40.cast("double") / F.lit(float(_B40))).alias("benford_share"),
+        (
+            (F.sum("n_observed").over(w_all).cast("long") * p40).cast("double")
+            / F.lit(float(_B40))
+        ).alias("expected_n"),
+    )

@@ -2334,3 +2334,93 @@ def ann_ivf_pq_trained_recall_contract(
     path this engine ships (LSH, IVF, trained IVF, PQ, IVF-PQ, trained
     IVF-PQ) now has hash-certified per-query recall."""
     return _recall_contract(spark, sf_dir, ann_ivf_pq_trained)
+
+
+@register_query(
+    "int8_quantization_error",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, embedding,
+               greatest(CAST(list_max(list_transform(embedding, x -> abs(x)))
+                             AS DOUBLE), 1e-30) / 127.0 AS sc
+        FROM embeddings
+    ),
+    err AS (
+        SELECT vec_id,
+               CAST(list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) / sc) * sc)))
+                   AS DOUBLE) AS max_abs_err,
+               list_sum(list_transform(embedding,
+                   x -> CAST(abs(CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) / sc) * sc)
+                        AS DECIMAL(30,12)))) AS sum_err,
+               sqrt({dot_exact_sql('embedding', 'embedding')}) AS nrm
+        FROM base
+    )
+    SELECT vec_id, max_abs_err,
+           CAST(sum_err AS DOUBLE) AS sum_abs_err,
+           CAST(sum_err AS DOUBLE) / nrm AS err_to_norm
+    FROM err
+    """,
+)
+def int8_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTIZATION-ERROR CONTRACT for the int8 embedding path: per
+    vector, the max and summed absolute reconstruction error of
+    ann_int8_topk's exact quantizer (sc = max|v|/127, q = round(v/sc),
+    reconstruction q*sc) and the L1-relative error — the numbers a vector
+    platform monitors before flipping a corpus to compressed storage, and
+    the quantitative face of the recall loss ann_int8_topk's quality test
+    bounds. A quantizer regression (wrong scale, asymmetric clamp,
+    banker's rounding sneaking in) moves these rows and fails the hash
+    gate.
+
+    Cross-engine exactness: per-component errors are one identical double
+    expression tree (identical inputs -> identical IEEE rounding); the
+    order-dependent per-vector error sum goes through DECIMAL(30,12) terms
+    with the dot_exact per-step-recast fold; max is order-independent.
+    The normalizer is the L2 norm via the proven dot_exact discipline,
+    NOT an L1 sum of the raw components: raw float32 magnitudes sit on a
+    coarse binary grid whose decimal expansions land arbitrarily close to
+    high-scale rounding ties, where DuckDB's double->decimal cast is not
+    correctly rounded (observed live: 0.11228577792644501 -> ...44 vs
+    Spark's ...45 — exactly the functions/exact.py money() warning).
+    DIFFERENCES and PRODUCTS (the error terms, the dot) have long
+    expansions and stay tie-free; err_to_norm is then one double division
+    of two exactly-determined values.
+
+    Scale: pure map — everything happens inside the scan stage per row;
+    no shuffle at all."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sc = (
+        F.greatest(
+            F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x))).cast(
+                "double"
+            ),
+            F.lit(1e-30),
+        )
+        / F.lit(127.0)
+    )
+    base = emb.select("vec_id", "embedding", sc.alias("sc"))
+    err_term = lambda x: F.abs(  # noqa: E731
+        x.cast("double") - F.round(x.cast("double") / F.col("sc")) * F.col("sc")
+    )
+
+    # the dot_exact fold discipline: precision 30 terms, per-step re-cast
+    # (exact for these magnitudes); scale 12 is dot_exact's proven
+    # setting — higher scales push DuckDB's double->decimal cast into its
+    # tie-window slop (observed at 14), lower ones lose error resolution
+    def _dsum12(term):
+        return F.aggregate(
+            F.transform(F.col("embedding"), lambda x: term(x).cast("decimal(30,12)")),
+            F.lit(0).cast("decimal(30,12)"),
+            lambda acc, v: (acc + v).cast("decimal(30,12)"),
+        )
+
+    sum_err = _dsum12(err_term)
+    return base.select(
+        "vec_id",
+        F.array_max(F.transform(F.col("embedding"), err_term)).alias("max_abs_err"),
+        sum_err.cast("double").alias("sum_abs_err"),
+        (sum_err.cast("double") / norm_exact(F.col("embedding"))).alias(
+            "err_to_norm"
+        ),
+    )

@@ -100,6 +100,10 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     #        n-gram overlap --
     "session_path_topk",
     "source_ngram_overlap",
+    # -- 0f. NEW this round (wave 5): Benford first-digit audit, int8
+    #        quantization-error contract --
+    "benford_digit_audit",
+    "int8_quantization_error",
     # -- 1. The round-8d cohort: landed after the r08 driver window ran,
     #       so none has a driver row yet (judge-swept 20/20 at sf0.01;
     #       verdict ticket #1 = earn the hard signal).
@@ -133,8 +137,6 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "join_semi",
     "scan_filter_project",
     "word_count",
-    "window_running_sum",
-    "json_extract_props",
     # (exactly 50 names. Round-9 policy, same as r7/r8: CHANGED first,
     # then the no-driver-row cohort, then oldest evidence. New round-9
     # operators added later in the round take slots from the tail of
@@ -143,7 +145,7 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     # training_data_pipeline, gopher_quality_filters, tfidf_top_terms,
     # json_roundtrip, lateral_posexplode, variant_extract_props,
     # window_range_frame_trailing, inmem_lookup_join, array_functions,
-    # join_full_outer,
+    # join_full_outer, window_running_sum, json_extract_props,
     # corpus_mix_sample, text_normalize, udtf_sentence_split,
     # stratified_topn_md5, pivot_segment_by_nation, percentiles_quantity,
     # string_functions, grouping_sets_orders, unpivot_part_metrics,

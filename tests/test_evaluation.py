@@ -400,3 +400,47 @@ def test_source_ngram_overlap_jaccard_reference(spark):
         if sets[x] & sets[y]
     }
     assert {(r["source_a"], r["source_b"]) for _, r in out.iterrows()} == expected_pairs
+
+
+def test_benford_shares_and_counts(spark):
+    """Digit counts must match a sequential pass; Benford shares must sum
+    to ~1 and be the canonical log10(1+1/d) values."""
+    import math
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    from collections import Counter
+
+    cents = (ev["value"] * 100 + 0.5).apply(math.floor).astype("int64")
+    digits = Counter(int(str(c)[0]) for c in cents if c > 0)
+    out = QUERIES["benford_digit_audit"](spark, SF_SMOKE).toPandas()
+    assert {int(d) for d in out["digit"]} <= set(range(1, 10))
+    total = sum(digits.values())
+    for _, row in out.iterrows():
+        d = int(row["digit"])
+        assert int(row["n_observed"]) == digits[d]
+        assert row["obs_share"] == digits[d] / total
+        assert abs(row["benford_share"] - math.log10(1 + 1 / d)) < 1e-9
+        assert abs(row["expected_n"] - total * math.log10(1 + 1 / d)) < 1e-4
+    assert abs(sum(math.log10(1 + 1 / d) for d in range(1, 10)) - 1.0) < 1e-12
+
+
+def test_int8_quantization_error_reference(spark):
+    """Errors must match a numpy reference of the exact quantizer within
+    float tolerance, and the structural bounds must hold: max error is at
+    most sc/2 (round-to-nearest) and the L1 sum dominates the max."""
+    import numpy as np
+
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    out = QUERIES["int8_quantization_error"](spark, SF_SMOKE).toPandas()
+    assert len(out) == len(emb)
+    by_id = {int(r["vec_id"]): r for _, r in out.iterrows()}
+    for vid, v in zip(emb["vec_id"], emb["embedding"]):
+        v = np.asarray(v, dtype=np.float64)
+        sc = max(np.abs(v).max(), 1e-30) / 127.0
+        err = np.abs(v - np.round(v / sc) * sc)
+        row = by_id[int(vid)]
+        assert abs(row["max_abs_err"] - err.max()) < 1e-12
+        assert abs(row["sum_abs_err"] - err.sum()) < 1e-9
+        assert row["max_abs_err"] <= sc / 2 + 1e-12
+        assert row["sum_abs_err"] >= row["max_abs_err"] - 1e-12
+        assert row["err_to_norm"] >= 0

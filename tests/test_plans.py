@@ -167,6 +167,7 @@ _INTENTIONAL_BNLJ = {
     "hybrid_search_topk",  # 1-row query-vector broadcast + corpus-stats broadcast
     "key_skew_report",  # 1-row broadcasts of per-key-audit totals/thresholds
     "boilerplate_shingle_stats_cms",  # 1-row broadcast: CM sketch map + doc count
+    "mrr_relevance_contract",  # 1-row broadcast of corpus stats (BM25 shape)
 }
 # iterative/streaming queries execute during construction — skip plan-only audit
 _AUDIT_SKIP = {"neardup_clusters"}
