@@ -71,6 +71,43 @@ HEADLINE = [
 
 
 def main() -> None:
+    # FD-LEVEL stderr quarantine for the WHOLE run: the JVM is a child
+    # process that inherits fd 2 at launch, so the redirect must happen
+    # BEFORE get_spark() — a later dup2 changes only Python's fd table,
+    # not the already-running JVM's (observed: teardown traces kept
+    # landing ahead of the JSON line when the redirect wrapped just the
+    # streaming section). Some teardown noise is not log4j-controllable
+    # at all: the TWS state server's accept-loop thread dies with
+    # ClosedByInterruptException printed by the JVM's default
+    # uncaught-exception handler straight to System.err. With fd 2
+    # pointed at a sidecar file before the JVM starts, stdout carries
+    # exactly ONE line — the JSON — and the record reports how many
+    # noise lines were quarantined. A Python failure restores stderr
+    # before re-raising, so real tracebacks are never hidden.
+    import tempfile
+
+    noise_file = tempfile.NamedTemporaryFile(
+        mode="w+", prefix="bench-stderr-", suffix=".log", delete=False
+    )
+    sys.stderr.flush()
+    saved_fd2 = os.dup(2)
+    os.dup2(noise_file.fileno(), 2)
+    try:
+        record = _run(noise_file)
+    except BaseException:
+        sys.stderr.flush()
+        os.dup2(saved_fd2, 2)  # make the real traceback visible
+        raise
+    sys.stderr.flush()
+    os.dup2(saved_fd2, 2)
+    os.close(saved_fd2)
+    # Emit the result line LAST — round 1 lost this JSON to a post-JSON
+    # executor-shutdown trace; the fd-2 quarantine above now guarantees
+    # nothing else reaches the captured stream at all.
+    print(json.dumps(record), flush=True)
+
+
+def _run(noise_file) -> dict:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
@@ -105,7 +142,22 @@ def main() -> None:
     # streaming envelope (BASELINE.md: reference targets >10k msg/s, ~1s
     # batches): rate source -> per-message map -> count, measured over a
     # fixed wall-clock window through the real micro-batch machinery.
+    #
     streaming = _streaming_throughput(spark)
+    # Stop Spark before counting the quarantined noise: executor-shutdown
+    # ERROR traces ("Block broadcast_N does not exist", aborted noop
+    # commits, the state-server thread death) race query teardown and
+    # land on stderr after stop() returns.
+    try:
+        spark.sparkContext.setLogLevel("OFF")
+        spark.stop()
+    except Exception:
+        pass
+    sys.stderr.flush()
+    noise_file.flush()
+    noise_file.seek(0)
+    noise_lines = sum(1 for _ in noise_file)
+    noise_file.close()
 
     total = round(sum(timings.values()), 3)
     record = {
@@ -120,22 +172,11 @@ def main() -> None:
         # throughput stable to <0.1%. Deltas inside that envelope between
         # rounds are environment, not code.
         "variance_note": "same-code noise ~±10%/query, ~8% total; streaming <0.1% — see BENCH_VARIANCE.md",
+        "stderr_quarantine": {"lines": noise_lines, "file": noise_file.name},
     }
     if errors:
         record["errors"] = errors
-    line = json.dumps(record)
-    # Emit the result line LAST, after Spark is fully stopped with logging
-    # silenced: in round 1 the driver lost this JSON because an
-    # executor-shutdown ERROR trace ("Block broadcast_N does not exist",
-    # logged by a TaskCompletionListener racing query teardown) landed after
-    # it in the captured output stream.
-    try:
-        spark.sparkContext.setLogLevel("OFF")
-        spark.stop()
-    except Exception:
-        pass
-    sys.stderr.flush()
-    print(line, flush=True)
+    return record
 
 
 def _quiet_teardown_loggers(spark):
