@@ -2579,18 +2579,30 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: map-side digit extraction + a 9-key partial-aggregated groupBy;
     the total is a 9-row window."""
-    from pyspark.sql.window import Window
-
     ev = load_table(spark, sf_dir, "events")
+    counted = benford_digit_counts(ev)
+    return benford_report_from_counts(counted)
+
+
+def benford_digit_counts(ev: DataFrame) -> DataFrame:
+    """(digit, n_observed) counts of the first cents digit — the mergeable
+    sufficient statistic (integer counts sum across any partition of the
+    input), shared by the batch audit and the streaming twin."""
     cents = ev.select(
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c")
     ).filter(F.col("c") > 0)
     digits = cents.select(
         F.substring(F.col("c").cast("string"), 1, 1).cast("long").alias("digit")
     )
-    counted = digits.groupBy("digit").agg(
+    return digits.groupBy("digit").agg(
         F.count(F.lit(1)).cast("long").alias("n_observed")
     )
+
+
+def benford_report_from_counts(counted: DataFrame) -> DataFrame:
+    """The observed-vs-Benford projection over merged digit counts."""
+    from pyspark.sql.window import Window
+
     w_all = Window.partitionBy()
     p40 = F.element_at(
         F.create_map(

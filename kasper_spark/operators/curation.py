@@ -1077,3 +1077,105 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("dig").cast("long").alias("n_shared_digests"),
         )
     )
+
+_QWM_LOGIT_SQL = f"""{_CLF_BIAS} + list_sum(list_transform(
+            list_filter(string_split(text, ' '), w -> w <> ''),
+            t -> ((CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT)
+                   % {_CLF_BUCKETS}) * {_CLF_MIX}) % 17 - 8
+        ))"""
+
+
+@register_query(
+    "quality_weighted_mixture",
+    oracle=f"""
+    WITH per_doc AS (
+        SELECT source,
+               CAST(({_QWM_LOGIT_SQL}) > 0 AS BIGINT) AS kept
+        FROM documents
+    ),
+    src AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(kept) AS BIGINT) AS n_kept
+        FROM per_doc GROUP BY source
+    ),
+    w AS (
+        SELECT source, n_docs, n_kept,
+               (CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT)
+                * n_kept) // n_docs AS adj_w_micros
+        FROM src
+    )
+    SELECT source, n_docs, n_kept, adj_w_micros,
+           100.0 * (CAST(adj_w_micros AS DOUBLE)
+                    / CAST(CAST(SUM(adj_w_micros) OVER () AS BIGINT) AS DOUBLE))
+               AS share_pct,
+           CAST(floor(CAST({_MIX_BUDGET_DOCS} * adj_w_micros AS DOUBLE)
+                      / CAST(CAST(SUM(adj_w_micros) OVER () AS BIGINT) AS DOUBLE))
+                AS BIGINT) AS quota_docs
+    FROM w
+    """,
+)
+def quality_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_mixture_weights x model quality: the temperature weight
+    (w ∝ sqrt(n), T=2) DISCOUNTED by each source's classifier pass rate —
+    adj_w = w_micros * n_kept / n_docs in pure BIGINT arithmetic. This is
+    how a real mixture is actually set: volume-tempered so no crawl
+    dominates, then quality-tempered so a big low-quality source cannot
+    buy back its share with volume. Quotas come out of the same 1M-doc
+    budget as corpus_mixture_weights, so the two tables diff directly.
+
+    Exactness: kept = (logit > 0) is the certified integer classifier
+    decision (quality_classifier_logit's exact expression); sqrt is
+    IEEE-correctly-rounded; micros are floored once; the discount is an
+    exact integer multiply-then-div; shares/quotas are single int/int
+    double divisions (the corpus_mixture_weights rules).
+
+    Scale: one groupBy(source) with map-side partial aggregation (the
+    logit is a scan-stage expression), then a |sources|-row window."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+
+    def weight(t: Column) -> Column:
+        bucket = (
+            F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
+            % _CLF_BUCKETS
+        )
+        return (bucket * F.lit(_CLF_MIX)) % 17 - 8
+
+    logit = F.lit(_CLF_BIAS) + F.aggregate(
+        F.transform(toks, weight),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    src = docs.select("source", (logit > 0).cast("long").alias("kept")).groupBy(
+        "source"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("kept").cast("long").alias("n_kept"),
+    )
+    w = src.withColumn(
+        "adj_w_micros",
+        F.expr(
+            "(CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT)"
+            " * n_kept) div n_docs"
+        ),
+    )
+    w_all = Window.partitionBy()
+    tot = F.sum("adj_w_micros").over(w_all).cast("long")
+    return w.select(
+        "source",
+        "n_docs",
+        "n_kept",
+        "adj_w_micros",
+        (
+            F.lit(100.0) * (F.col("adj_w_micros").cast("double") / tot.cast("double"))
+        ).alias("share_pct"),
+        F.floor(
+            (F.lit(_MIX_BUDGET_DOCS) * F.col("adj_w_micros")).cast("double")
+            / tot.cast("double")
+        )
+        .cast("long")
+        .alias("quota_docs"),
+    )

@@ -2071,3 +2071,73 @@ def streaming_turn_structure_twin(spark: SparkSession, sf_dir: str) -> DataFrame
 
 assert "session_turn_structure" in _OR, "batch turn-structure oracle missing"
 _OR["streaming_turn_structure_twin"] = _OR["session_turn_structure"]
+
+
+@register_query(
+    "streaming_benford_twin",
+    # identical output contract to the batch operator -> same oracle
+    oracle=None,  # bound below (analytics registers first)
+)
+def streaming_benford_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """benford_digit_audit AT INGEST: the first-digit counts are a
+    mergeable sufficient statistic (integer counts sum across any cut of
+    the stream), so each micro-batch emits its own 9-row partial and the
+    read-side merge + Benford projection reproduce the batch audit
+    bit-for-bit — the live fraud/unit-mixup monitor shape. Same
+    incremental-view discipline as streaming_dup_matrix_twin; no state
+    store, cut-invariant by construction."""
+    from kasper_spark.operators.analytics import (
+        benford_digit_counts,
+        benford_report_from_counts,
+    )
+
+    work = tempfile.mkdtemp(prefix="kasper-sbenford-")
+    src_dir = os.path.join(work, "src")
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ck")
+    os.makedirs(src_dir)
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    stream = (
+        # schema = ONLY the column the audit reads: parquet maps declared
+        # columns by name, so `ts` (TIMESTAMP(NANOS) in the driver
+        # testdata, INT96 in Spark-rewritten copies) is never scanned and
+        # its physical-type drift cannot break the stream
+        spark.readStream.schema("value double")
+        # single-file AND directory-shaped parquet (see streaming_dup_matrix_twin)
+        .option("recursiveFileLookup", "true")
+        .format("parquet")
+        .load(src_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def sink_batch(df, epoch_id: int) -> None:
+        benford_digit_counts(df).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={epoch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.isdir(out_dir):
+        raise RuntimeError(
+            f"streaming_benford_twin: no micro-batch ran over {src_dir} — "
+            "the file stream source found no input files"
+        )
+    merged = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+        .groupBy("digit")
+        .agg(F.sum("n_observed").cast("long").alias("n_observed"))
+    )
+    return benford_report_from_counts(merged)
+
+
+assert "benford_digit_audit" in _OR, "batch Benford oracle missing"
+_OR["streaming_benford_twin"] = _OR["benford_digit_audit"]

@@ -444,3 +444,45 @@ def test_int8_quantization_error_reference(spark):
         assert row["max_abs_err"] <= sc / 2 + 1e-12
         assert row["sum_abs_err"] >= row["max_abs_err"] - 1e-12
         assert row["err_to_norm"] >= 0
+
+
+def test_quality_weighted_mixture_discount_bounds(spark):
+    """The adjusted weight must equal floor(sqrt(n))*1e6 * kept/n exactly
+    and never exceed the undiscounted temperature weight; quotas must not
+    exceed the budget."""
+    import math
+
+    base = {
+        r["source"]: r
+        for r in QUERIES["corpus_mixture_weights"](spark, SF_SMOKE).collect()
+    }
+    out = QUERIES["quality_weighted_mixture"](spark, SF_SMOKE).collect()
+    assert {r["source"] for r in out} == set(base)
+    total_quota = 0
+    for r in out:
+        b = base[r["source"]]
+        w_micros = int(b["w_micros"])
+        assert int(r["adj_w_micros"]) == (w_micros * int(r["n_kept"])) // int(
+            r["n_docs"]
+        )
+        assert int(r["adj_w_micros"]) <= w_micros
+        assert 0 <= int(r["n_kept"]) <= int(r["n_docs"])
+        total_quota += int(r["quota_docs"])
+    assert total_quota <= 1_000_000
+
+
+def test_streaming_benford_equals_batch(spark):
+    """The ingest twin must reproduce the batch Benford table exactly."""
+    batch = (
+        QUERIES["benford_digit_audit"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("digit")
+        .reset_index(drop=True)
+    )
+    twin = (
+        QUERIES["streaming_benford_twin"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("digit")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(batch, twin, check_like=True)
