@@ -486,3 +486,85 @@ def test_streaming_benford_equals_batch(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(batch, twin, check_like=True)
+
+
+def test_turn_twin_state_survives_query_restart(spark, tmp_path):
+    """Checkpoint-resume proof for the turn-structure state: stage the
+    feed as 4 time-range files, expose only the first 2, drain
+    (availableNow), STOP, expose the rest, drain again on the SAME
+    checkpoint — the restored per-user (open session, run) state must
+    carry every session to exactly the batch answer, including sessions
+    that straddle the restart."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from kasper_spark.operators.streaming_twins import (
+        _stage_time_ordered,
+        turn_structure_stream,
+    )
+
+    batch = {
+        (r["user_id"], r["session_no"]): (
+            r["n_events"],
+            r["n_turns"],
+            r["max_run_len"],
+        )
+        for r in QUERIES["session_turn_structure"](spark, SF_SMOKE).collect()
+    }
+    src_all, out_dir, ckpt = _stage_time_ordered(
+        spark, SF_SMOKE, "kasper-turnresume-", 4, "event_type"
+    )
+    live = str(tmp_path / "live")
+    os.makedirs(live)
+    ranges = sorted(os.listdir(src_all))
+    assert len(ranges) == 4
+    epoch_base = [0]
+
+    def drain():
+        stream = (
+            spark.readStream.schema(
+                "user_id long, event_id long, ts timestamp, event_type string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .format("parquet")
+            .load(os.path.join(live, "range=*"))
+        )
+        revisions = turn_structure_stream(stream)
+
+        def sink(df, epoch_id):
+            df.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch={epoch_id}")
+            )
+
+        q = (
+            revisions.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for r in ranges[:2]:
+        shutil.copytree(os.path.join(src_all, r), os.path.join(live, r))
+    drain()
+    for r in ranges[2:]:
+        shutil.copytree(os.path.join(src_all, r), os.path.join(live, r))
+    drain()
+    final = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+        .groupBy("user_id", "session_no")
+        .agg(F.max(F.struct("n_events", "n_turns", "max_run_len")).alias("s"))
+        .collect()
+    )
+    got = {
+        (r["user_id"], r["session_no"]): (
+            r["s"]["n_events"],
+            r["s"]["n_turns"],
+            r["s"]["max_run_len"],
+        )
+        for r in final
+    }
+    assert got == batch
