@@ -2424,3 +2424,348 @@ def int8_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             "err_to_norm"
         ),
     )
+
+
+@register_query(
+    "ann_ivf_pq_residual",
+    # assign/probe replicate ann_ivf_topk's oracle; the PQ chain is
+    # _PQ_CTES_SQL's shape rebuilt over RESIDUALS (v - assigned centroid),
+    # all pinned by the same hash-exact parity discipline.
+    oracle=f"""
+    WITH e AS MATERIALIZED (
+        SELECT vec_id, embedding,
+               sqrt({dot_exact_sql('embedding', 'embedding')}) AS nrm
+        FROM embeddings
+    ),
+    cent AS MATERIALIZED (
+        SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+        FROM e WHERE vec_id < {_IVF_K}
+    ),
+    assign AS MATERIALIZED (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, cent.cid,
+                ROW_NUMBER() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY {dot_double_sql('e.embedding', 'cent.cemb')} / (e.nrm * cent.cnrm) DESC,
+                             cent.cid
+                ) AS rn
+            FROM e CROSS JOIN cent
+        ) WHERE rn = 1
+    ),
+    probe AS MATERIALIZED (
+        SELECT vec_id AS query_id, cid FROM (
+            SELECT e.vec_id, cent.cid,
+                ROW_NUMBER() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY {dot_double_sql('e.embedding', 'cent.cemb')} / (e.nrm * cent.cnrm) DESC,
+                             cent.cid
+                ) AS rn
+            FROM e CROSS JOIN cent
+            WHERE e.vec_id < {_N_QUERY}
+        ) WHERE rn <= {_IVF_NPROBE}
+    ),
+    res AS MATERIALIZED (
+        SELECT a.vec_id, a.cid,
+               list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE)
+                        - CAST(c.cemb[i] AS DOUBLE)) AS rvec
+        FROM assign a
+        JOIN e ON e.vec_id = a.vec_id
+        JOIN cent c ON c.cid = a.cid
+    ),
+    seeds AS MATERIALIZED (
+        SELECT r.rvec AS embedding,
+               ROW_NUMBER() OVER (
+                   ORDER BY md5(CAST(r.vec_id AS VARCHAR)), r.vec_id
+               ) AS code_r
+        FROM res r
+        ORDER BY md5(CAST(r.vec_id AS VARCHAR)), r.vec_id
+        LIMIT {_PQ_K}
+    ),
+    subs AS (SELECT unnest(range({_PQ_M})) AS sub_j),
+    codebook AS MATERIALIZED (
+        SELECT j.sub_j, s.code_r,
+               list_slice(s.embedding,
+                          j.sub_j * {_PQ_SUBDIM} + 1,
+                          (j.sub_j + 1) * {_PQ_SUBDIM}) AS cvec
+        FROM seeds s, subs j
+    ),
+    rslices AS MATERIALIZED (
+        SELECT r.vec_id, j.sub_j,
+               list_slice(r.rvec,
+                          j.sub_j * {_PQ_SUBDIM} + 1,
+                          (j.sub_j + 1) * {_PQ_SUBDIM}) AS svec
+        FROM res r, subs j
+    ),
+    encoded AS MATERIALIZED (
+        SELECT vec_id, sub_j,
+               (min(struct_pack(s := score, r := code_r))).r AS code_r
+        FROM (
+            SELECT v.vec_id, v.sub_j, c.code_r,
+                   {dot_double_sql('c.cvec', 'c.cvec')}
+                       - 2 * {dot_double_sql('v.svec', 'c.cvec')} AS score
+            FROM rslices v JOIN codebook c ON v.sub_j = c.sub_j
+        )
+        GROUP BY vec_id, sub_j
+    ),
+    qslices AS MATERIALIZED (
+        SELECT e.vec_id, j.sub_j,
+               list_slice(e.embedding,
+                          j.sub_j * {_PQ_SUBDIM} + 1,
+                          (j.sub_j + 1) * {_PQ_SUBDIM}) AS svec
+        FROM e, subs j
+        WHERE e.vec_id < {_N_QUERY}
+    ),
+    lut AS MATERIALIZED (
+        SELECT v.vec_id AS query_id, v.sub_j, c.code_r,
+               {dot_exact_dec_sql('v.svec', 'c.cvec')} AS pdist
+        FROM qslices v JOIN codebook c ON v.sub_j = c.sub_j
+    ),
+    dqc AS MATERIALIZED (
+        SELECT p.query_id, p.cid,
+               {dot_exact_dec_sql('e.embedding', 'c.cemb')} AS dqc
+        FROM probe p
+        JOIN e ON e.vec_id = p.query_id
+        JOIN cent c ON c.cid = p.cid
+    ),
+    cand AS MATERIALIZED (
+        SELECT p.query_id, p.cid, a.vec_id AS neighbor_id
+        FROM probe p
+        JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+    ),
+    adc AS MATERIALIZED (
+        SELECT c.query_id, c.neighbor_id,
+               CAST(CAST(SUM(l.pdist) AS DECIMAL(38,12)) AS DOUBLE)
+                   + CAST(ANY_VALUE(d.dqc) AS DOUBLE) AS adc_score
+        FROM cand c
+        JOIN encoded v ON v.vec_id = c.neighbor_id
+        JOIN lut l ON l.query_id = c.query_id
+                  AND l.sub_j = v.sub_j
+                  AND l.code_r = v.code_r
+        JOIN dqc d ON d.query_id = c.query_id AND d.cid = c.cid
+        GROUP BY c.query_id, c.neighbor_id
+    ),
+    short AS (
+        SELECT query_id, neighbor_id, adc_score FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id
+            ) AS srn
+            FROM adc
+        ) WHERE srn <= {_PQ_SHORTLIST}
+    ),
+    rer AS (
+        SELECT s.query_id, s.neighbor_id, s.adc_score,
+               {dot_exact_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm)
+                   AS cosine
+        FROM short s
+        JOIN e q ON q.vec_id = s.query_id
+        JOIN e c ON c.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, adc_score, cosine, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS rank
+        FROM rer
+    ) WHERE rank <= {_TOP_K}
+    """,
+)
+def ann_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL IVF-PQ — the refinement ann_ivf_pq_topk's docstring names
+    as the one standard piece it omits: PQ codes quantize the RESIDUAL
+    v - centroid(v) instead of v itself. Residuals are centered near zero
+    with far less variance than raw vectors, so the same 8x16 codebook
+    spends its resolution on what the coarse quantizer could not explain —
+    the reason every production IVF-PQ (FAISS IndexIVFPQ) encodes
+    residuals by default.
+
+    Inner-product decomposition keeps the ADC table shape unchanged:
+    <q, v> = <q, c_a> + <q, r_v>, so the per-query LUT still keys on
+    (sub_j, code_r) — only an ADDITIVE per-(query, probed-list) term
+    <q, c_a> (exact decimal) joins in after the code-sum. (An L2 residual
+    ADC would need a LUT per probed list — 4x bigger; the inner-product
+    form is the cheap one and matches this family's cosine objective.)
+
+    Exactness: the centroid term and LUT entries are exact-decimal dots;
+    the 8-term code sum goes through DECIMAL(38,12); the final score is
+    ONE addition of two exactly-determined doubles — identical IEEE
+    rounding on both engines. Assignment/probe reuse ann_ivf_topk's
+    certified ranking verbatim.
+
+    Scale: identical plan shape to ann_ivf_pq_topk (fixed-K broadcast
+    assignment, broadcast codebook/LUT, list-bounded candidate stream) —
+    the residual subtraction is one map-side zip_with and the extra
+    centroid term is a |Q| x nprobe broadcast join."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "embedding", norm_exact(F.col("embedding")).alias("nrm"))
+    cent = e.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+    )
+    cos_to_cent = dot_double(F.col("embedding"), F.col("cemb")) / (
+        F.col("nrm") * F.col("cnrm")
+    )
+    rn_w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    ranked = (
+        e.join(F.broadcast(cent))
+        .select("vec_id", "embedding", "nrm", "cid", cos_to_cent.alias("ccos"))
+        .select("vec_id", "cid", F.row_number().over(rn_w).alias("rn"))
+    )
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cid")
+    probe = ranked.filter(
+        (F.col("vec_id") < _N_QUERY) & (F.col("rn") <= _IVF_NPROBE)
+    ).select(F.col("vec_id").alias("query_id"), "cid")
+
+    rvec = F.zip_with(
+        F.col("embedding"),
+        F.col("cemb"),
+        lambda x, c: x.cast("double") - c.cast("double"),
+    )
+    res = (
+        assign.join(e, "vec_id")
+        .join(F.broadcast(cent.select("cid", "cemb")), "cid")
+        .select("vec_id", "cid", rvec.alias("rvec"))
+    )
+
+    def slices_of(col_name: str):
+        return F.array(
+            *[
+                F.slice(col_name, j * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+                for j in range(_PQ_M)
+            ]
+        )
+
+    seeds = (
+        res.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(_PQ_K)
+        .select(
+            "rvec",
+            F.row_number()
+            .over(Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id"))
+            .alias("code_r"),
+        )
+    )
+    codebook = seeds.select(
+        "code_r", F.posexplode(slices_of("rvec")).alias("sub_j", "cvec")
+    ).select(
+        "sub_j",
+        "code_r",
+        "cvec",
+        dot_double(F.col("cvec"), F.col("cvec")).alias("c2"),
+    )
+    rslices = res.select(
+        "vec_id", F.posexplode(slices_of("rvec")).alias("sub_j", "svec")
+    )
+    score = F.col("c2") - F.lit(2.0) * dot_double(F.col("svec"), F.col("cvec"))
+    encoded = (
+        rslices.join(F.broadcast(codebook), "sub_j")
+        .select(
+            "vec_id",
+            "sub_j",
+            F.struct(score.alias("s"), F.col("code_r").alias("r")).alias("sc"),
+        )
+        .groupBy("vec_id", "sub_j")
+        .agg(F.min("sc").getField("r").alias("code_r"))
+    )
+    qslices = (
+        e.filter(F.col("vec_id") < _N_QUERY)
+        .select("vec_id", F.posexplode(slices_of("embedding")).alias("sub_j", "svec"))
+    )
+    lut = qslices.join(F.broadcast(codebook), "sub_j").select(
+        F.col("vec_id").alias("query_id"),
+        "sub_j",
+        "code_r",
+        _dot_exact_dec(F.col("svec"), F.col("cvec")).alias("pdist"),
+    )
+    dqc = (
+        probe.join(
+            e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")),
+            "query_id",
+        )
+        .join(F.broadcast(cent.select("cid", "cemb")), "cid")
+        .select(
+            "query_id", "cid", _dot_exact_dec(F.col("qe"), F.col("cemb")).alias("dqc")
+        )
+    )
+    cand = (
+        probe.join(assign, "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "cid", F.col("vec_id").alias("neighbor_id"))
+    )
+    adc = (
+        cand.join(encoded.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(lut), ["query_id", "sub_j", "code_r"])
+        .join(F.broadcast(dqc), ["query_id", "cid"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            (
+                F.sum("pdist").cast("decimal(38,12)").cast("double")
+                + F.any_value(F.col("dqc")).cast("double")
+            ).alias("adc_score")
+        )
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), F.asc("neighbor_id")
+    )
+    short = (
+        adc.select(
+            "query_id",
+            "neighbor_id",
+            "adc_score",
+            F.row_number().over(w_short).alias("srn"),
+        )
+        .filter(F.col("srn") <= _PQ_SHORTLIST)
+        .drop("srn")
+    )
+    q = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    rer = (
+        short.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_score",
+            (dot_exact(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        rer.select(
+            "query_id",
+            "neighbor_id",
+            "adc_score",
+            "cosine",
+            F.row_number().over(w_rank).alias("rank"),
+        )
+        .filter(F.col("rank") <= _TOP_K)
+    )
+
+
+@register_query(
+    "ann_ivf_pq_residual_recall_contract",
+    oracle=_recall_oracle("ann_ivf_pq_residual"),
+)
+def ann_ivf_pq_residual_recall_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RECALL CERTIFICATION for the residual-encoded composed index —
+    closes the refinement the contract matrix lacked: if residual
+    encoding helps (it should — residual variance << raw variance),
+    these per-query recalls beat ann_ivf_pq_recall_contract's; either
+    way the values are hash-pinned."""
+    return _recall_contract(spark, sf_dir, ann_ivf_pq_residual)

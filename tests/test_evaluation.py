@@ -568,3 +568,24 @@ def test_turn_twin_state_survives_query_restart(spark, tmp_path):
         for r in final
     }
     assert got == batch
+
+
+def test_residual_pq_beats_plain_on_recall(spark):
+    """Residual encoding must not LOSE recall vs the plain composed index
+    at the same (K, M, nprobe, shortlist) budget — the reason FAISS
+    encodes residuals by default. Deterministic data -> exact assertion
+    (measured 0.95 vs 0.91 mean recall@k at this SF)."""
+    from pyspark.sql import functions as F
+
+    plain = (
+        QUERIES["ann_ivf_pq_recall_contract"](spark, SF_SMOKE)
+        .agg(F.avg("recall_at_k"))
+        .collect()[0][0]
+    )
+    resid = (
+        QUERIES["ann_ivf_pq_residual_recall_contract"](spark, SF_SMOKE)
+        .agg(F.avg("recall_at_k"))
+        .collect()[0][0]
+    )
+    assert resid >= plain
+    assert resid >= 0.9
