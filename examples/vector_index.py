@@ -28,6 +28,7 @@ INDEXES = [
     ("ivf", "ann_ivf_topk", "coarse lists: probe a fraction of the corpus"),
     ("pq", "ann_pq_topk", "8-byte codes: 32x memory cut, codes-only scan"),
     ("ivf_pq_trained", "ann_ivf_pq_trained", "trained lists + codes: the serving index"),
+    ("ivf_pq_residual", "ann_ivf_pq_residual", "codes over v - centroid: same budget, higher recall"),
 ]
 
 

@@ -259,11 +259,19 @@ def test_vector_index_example(spark):
 
     c = vi.main(spark, SF_ORACLE)
     assert c["queries"] == 20 and c["exact_pairs"] == 100
-    for key in ("recall_lsh", "recall_ivf", "recall_pq", "recall_ivf_pq_trained"):
+    for key in (
+        "recall_lsh",
+        "recall_ivf",
+        "recall_pq",
+        "recall_ivf_pq_trained",
+        "recall_ivf_pq_residual",
+    ):
         assert 0.0 < c[key] <= 1.0, (key, c)
     # quantized/pruned paths must clear the quality-gate floors
     assert c["recall_pq"] >= 0.45
     assert c["recall_ivf_pq_trained"] >= 0.4
+    # residual encoding must not lose recall vs the plain composed index
+    assert c["recall_ivf_pq_residual"] >= 0.85
 
 
 def test_anomaly_monitor_example(spark):
