@@ -2185,3 +2185,131 @@ def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= 20)
     )
+
+
+@register_query(
+    "stl_decompose_hourly",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo,
+               date_trunc('hour', MAX(ts)) AS hi
+        FROM events
+    ),
+    hours AS (
+        SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts
+        FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    counts AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT t.event_type, h.hour_ts, COALESCE(c.n, 0) AS n
+        FROM types t CROSS JOIN hours h
+        LEFT JOIN counts c
+          ON c.event_type = t.event_type AND c.hour_ts = h.hour_ts
+    ),
+    trended AS (
+        SELECT event_type, hour_ts, n,
+               CAST(SUM(n) OVER w AS DOUBLE)
+                   / CAST(COUNT(*) OVER w AS DOUBLE) AS trend
+        FROM grid
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts
+                     ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ),
+    seasoned AS (
+        SELECT event_type, hour_ts, n, trend,
+               (CAST(SUM(n) OVER hod AS DOUBLE)
+                    / CAST(COUNT(*) OVER hod AS DOUBLE))
+               - (CAST(SUM(n) OVER alltype AS DOUBLE)
+                    / CAST(COUNT(*) OVER alltype AS DOUBLE)) AS seasonal
+        FROM trended
+        WINDOW hod AS (PARTITION BY event_type, EXTRACT(hour FROM hour_ts)),
+               alltype AS (PARTITION BY event_type)
+    )
+    SELECT event_type, hour_ts, n AS n_events, trend, seasonal,
+           (CAST(n AS DOUBLE) - trend) - seasonal AS residual
+    FROM seasoned
+    """,
+)
+def stl_decompose_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-LITE decomposition of each type's hourly volume curve:
+    trend (centered 25-hour moving average over the zero-filled grid) +
+    seasonal (hour-of-day mean minus the type's grand mean — the additive
+    seasonality index) + residual (what the anomaly detectors should be
+    looking at: CUSUM/EWMA on raw counts confound trend shifts with
+    seasonal swings; on this residual they see only genuine surprises).
+    Completes the event-model tier's decomposition story — seasonality_
+    hourly_profile exposes the seasonal component alone; this op exposes
+    all three.
+
+    Cross-engine exactness: counts are BIGINT on the gap-filled grid;
+    trend and both means are single exact-int divisions (IEEE-identical);
+    seasonal is one subtraction of two such doubles and residual one more
+    — identical expression trees, no float accumulation anywhere.
+
+    Scale: the cusum_changepoint_events grid discipline — the only
+    data-sized stage is the hourly partial-agg groupBy; every window
+    partitions by event_type (or (type, hour-of-day)), so work is
+    parallel across types and bounded by calendar length within one."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hour_ts")
+    )
+    types = ev.select("event_type").distinct()
+    counts = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    grid = (
+        types.crossJoin(hours)
+        .join(counts, ["event_type", "hour_ts"], "left")
+        .select(
+            "event_type",
+            "hour_ts",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        )
+    )
+    w_ma = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(-12, 12)
+    )
+    trended = grid.select(
+        "event_type",
+        "hour_ts",
+        "n",
+        (
+            F.sum("n").over(w_ma).cast("double")
+            / F.count(F.lit(1)).over(w_ma).cast("double")
+        ).alias("trend"),
+    )
+    w_hod = Window.partitionBy("event_type", F.hour("hour_ts"))
+    w_all = Window.partitionBy("event_type")
+    seasonal = (
+        F.sum("n").over(w_hod).cast("double")
+        / F.count(F.lit(1)).over(w_hod).cast("double")
+    ) - (
+        F.sum("n").over(w_all).cast("double")
+        / F.count(F.lit(1)).over(w_all).cast("double")
+    )
+    seasoned = trended.select(
+        "event_type", "hour_ts", "n", "trend", seasonal.alias("seasonal")
+    )
+    return seasoned.select(
+        "event_type",
+        "hour_ts",
+        F.col("n").alias("n_events"),
+        "trend",
+        "seasonal",
+        ((F.col("n").cast("double") - F.col("trend")) - F.col("seasonal")).alias(
+            "residual"
+        ),
+    )

@@ -589,3 +589,34 @@ def test_residual_pq_beats_plain_on_recall(spark):
     )
     assert resid >= plain
     assert resid >= 0.9
+
+
+def test_stl_decomposition_identity_and_balance(spark):
+    """Structural laws of the STL-lite decomposition: the three components
+    reassemble to the raw count exactly (one-expression residual), the
+    hour-of-day-weighted seasonal terms cancel per type (additive
+    seasonality is mean-zero by construction), and the trend is the
+    centered 25-row moving average."""
+    out = QUERIES["stl_decompose_hourly"](spark, SF_SMOKE).toPandas()
+    # identity under the op's own association: residual = (n - trend) -
+    # seasonal bit-exactly (re-associating to trend+seasonal+residual==n
+    # would differ in the last ulp — floats are not associative)
+    recon = (out["n_events"].astype("float64") - out["trend"]) - out["seasonal"]
+    assert (recon == out["residual"]).all()
+    assert ((out["trend"] + out["seasonal"] + out["residual"]
+             - out["n_events"]).abs() < 1e-9).all()
+    for etype, g in out.groupby("event_type"):
+        g = g.sort_values("hour_ts").reset_index(drop=True)
+        # seasonal is constant per (type, hour-of-day) and mean-zero when
+        # weighted by the hours actually present
+        hod = g["hour_ts"].dt.hour
+        per_hod = g.groupby(hod)["seasonal"].nunique()
+        assert (per_hod == 1).all()
+        assert abs(float(g["seasonal"].sum())) < 1e-6 * max(1.0, g["n_events"].sum())
+        # trend: re-derive the centered moving average in pandas
+        import numpy as np
+
+        n = g["n_events"].to_numpy(dtype="float64")
+        for i in (0, len(g) // 2, len(g) - 1):
+            lo, hi = max(0, i - 12), min(len(g), i + 13)
+            assert g["trend"].iloc[i] == np.sum(n[lo:hi]) / (hi - lo)
