@@ -2313,3 +2313,43 @@ def stl_decompose_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "residual"
         ),
     )
+
+
+def _stl_anomaly_oracle() -> str:
+    from kasper_spark.registry import ORACLES
+
+    return f"""
+    WITH stl AS ({ORACLES["stl_decompose_hourly"]})
+    SELECT event_type, hour_ts, n_events, trend, seasonal, residual,
+           residual / sqrt(trend + 1.0) AS poisson_score
+    FROM stl
+    WHERE abs(residual / sqrt(trend + 1.0)) > 4.0
+    """
+
+
+@register_query("stl_residual_anomalies", oracle=_stl_anomaly_oracle())
+def stl_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decomposition's payoff: anomaly gating on the STL RESIDUAL,
+    variance-normalized Poisson-style (counts have variance ~ mean, so
+    score = residual / sqrt(trend + 1)) — a 4-sigma gate that cannot be
+    tripped by a weekend dip or a steady ramp, because the trend and
+    hour-of-day components were already subtracted. The composition
+    complement of ewma_anomaly_events (trailing, causal, per-entity) for
+    offline/backfill use where the centered window is available.
+
+    Exactness: score = one double division of two deterministic doubles
+    (residual is the stl op's one-expression value; sqrt is IEEE-correctly
+    rounded); the gate compares that double to a literal.
+
+    Scale: the stl plan plus a map-side filter — nothing new shuffles."""
+    stl = stl_decompose_hourly(spark, sf_dir)
+    score = F.col("residual") / F.sqrt(F.col("trend") + F.lit(1.0))
+    return stl.select(
+        "event_type",
+        "hour_ts",
+        "n_events",
+        "trend",
+        "seasonal",
+        "residual",
+        score.alias("poisson_score"),
+    ).filter(F.abs(F.col("poisson_score")) > 4.0)

@@ -114,6 +114,7 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "ann_ivf_pq_residual_recall_contract",
     # -- 0i. NEW this round (wave 8): STL-lite hourly decomposition --
     "stl_decompose_hourly",
+    "stl_residual_anomalies",
     # -- 1. The round-8d cohort: landed after the r08 driver window ran,
     #       so none has a driver row yet (judge-swept 20/20 at sf0.01;
     #       verdict ticket #1 = earn the hard signal).
@@ -141,7 +142,6 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "multitenant_agg",
     "rollup_orders",
     "cube_events",
-    "join_anti",
     # (exactly 50 names. Round-9 policy, same as r7/r8: CHANGED first,
     # then the no-driver-row cohort, then oldest evidence. New round-9
     # operators added later in the round take slots from the tail of
@@ -152,7 +152,7 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     # window_range_frame_trailing, inmem_lookup_join, array_functions,
     # join_full_outer, window_running_sum, json_extract_props,
     # scan_filter_project, word_count, join_left_outer, join_semi,
-    # agg_distinct,
+    # agg_distinct, join_anti,
     # corpus_mix_sample, text_normalize, udtf_sentence_split,
     # stratified_topn_md5, pivot_segment_by_nation, percentiles_quantity,
     # string_functions, grouping_sets_orders, unpivot_part_metrics,
