@@ -1742,7 +1742,7 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ: the composed production ANN index — IVF's coarse quantizer
     prunes the search to the probed centroid lists, and PQ's ADC scores
     ONLY those candidates from their 8-byte codes. This is the structure
-    (minus residual encoding, the standard refinement) behind every
+    (see ann_ivf_pq_residual for the residual-encoding refinement) behind every
     billion-vector index: memory = codes + centroids, per-query work =
     nprobe list scans of code lookups, one exact re-rank at the end.
 

@@ -133,6 +133,8 @@ _INTENTIONAL_BNLJ = {
     "ann_ivf_pq_trained_recall_contract",  # same composition, fully trained
     "ann_ivf_topk",
     "ann_ivf_pq_topk",  # same bounded corpus x centroids assignment as IVF
+    "ann_ivf_pq_residual",  # same assignment + bounded centroid-term join
+    "ann_ivf_pq_residual_recall_contract",  # composition over the above
     "ann_int8_topk",
     "embedding_neardup_pairs",
     "semantic_dedup_leader",  # bounded-subset all-pairs + leader anti-join
@@ -159,6 +161,8 @@ _INTENTIONAL_BNLJ = {
     "gapfill_hourly_events",  # bounded spine: distinct types x hour sequence
     "cusum_changepoint_events",  # same bounded types x hours spine as gapfill
     "cusum_deseasonalized_events",  # same spine + |types| x 24 season broadcast
+    "stl_decompose_hourly",  # same bounded types x hours spine
+    "stl_residual_anomalies",  # the stl plan + a map-side gate
     "knn_label_disagreement",  # bounded audited set, ann-baseline shape
     "ks_quality_drift_by_source",  # sources x quality-bands grid + 1-row total, both broadcast
     "bm25_keyword_topk",  # 1-row broadcast of corpus stats (N, avgdl)
