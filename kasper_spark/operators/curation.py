@@ -1179,3 +1179,12 @@ def quality_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("quota_docs"),
     )
+
+
+# late-bind the ingest twin's oracle: streaming_twins (imported before
+# this module) registered streaming_mixture_twin with oracle=None; the
+# twin shares this batch operator's output contract verbatim.
+from kasper_spark.registry import ORACLES as _OR  # noqa: E402
+
+assert "quality_weighted_mixture" in _OR, "batch mixture oracle missing"
+_OR["streaming_mixture_twin"] = _OR["quality_weighted_mixture"]

@@ -2141,3 +2141,118 @@ def streaming_benford_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 assert "benford_digit_audit" in _OR, "batch Benford oracle missing"
 _OR["streaming_benford_twin"] = _OR["benford_digit_audit"]
+
+
+@register_query(
+    "streaming_mixture_twin",
+    # identical output contract to the batch operator -> same oracle
+    oracle=None,  # bound below (curation registers first)
+)
+def streaming_mixture_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality_weighted_mixture AT INGEST: per-source (n_docs, n_kept)
+    counts are mergeable integer partials — each micro-batch computes the
+    scan-stage quality logits for ITS documents only and emits per-source
+    partial counts; the read-side merge + the identical weight/quota
+    projection reproduce the batch mixture exactly. This is how mixture
+    weights stay current as a crawl lands, without any global pass.
+    Incremental-view discipline (dup-matrix/Benford twins); no state
+    store, cut-invariant by construction."""
+    from pyspark.sql import Column
+    from pyspark.sql.window import Window
+
+    from kasper_spark.operators.curation import (
+        _CLF_BIAS,
+        _CLF_BUCKETS,
+        _CLF_MIX,
+        _MIX_BUDGET_DOCS,
+    )
+
+    work = tempfile.mkdtemp(prefix="kasper-smix-")
+    src_dir = os.path.join(work, "src")
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ck")
+    os.makedirs(src_dir)
+    os.symlink(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(src_dir, "documents.parquet"),
+    )
+    stream = (
+        spark.readStream.schema("text string, source string")
+        .option("recursiveFileLookup", "true")
+        .format("parquet")
+        .load(src_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+
+    def weight(t: Column) -> Column:
+        bucket = (
+            F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
+            % _CLF_BUCKETS
+        )
+        return (bucket * F.lit(_CLF_MIX)) % 17 - 8
+
+    logit = F.lit(_CLF_BIAS) + F.aggregate(
+        F.transform(toks, weight),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+    def sink_batch(df, epoch_id: int) -> None:
+        df.select("source", (logit > 0).cast("long").alias("kept")).groupBy(
+            "source"
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("kept").cast("long").alias("n_kept"),
+        ).write.mode("overwrite").parquet(os.path.join(out_dir, f"batch={epoch_id}"))
+
+    q = (
+        stream.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.isdir(out_dir):
+        raise RuntimeError(
+            f"streaming_mixture_twin: no micro-batch ran over {src_dir} — "
+            "the file stream source found no input files"
+        )
+    src = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+        .groupBy("source")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_kept").cast("long").alias("n_kept"),
+        )
+    )
+    w = src.withColumn(
+        "adj_w_micros",
+        F.expr(
+            "(CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT)"
+            " * n_kept) div n_docs"
+        ),
+    )
+    w_all = Window.partitionBy()
+    tot = F.sum("adj_w_micros").over(w_all).cast("long")
+    return w.select(
+        "source",
+        "n_docs",
+        "n_kept",
+        "adj_w_micros",
+        (
+            F.lit(100.0) * (F.col("adj_w_micros").cast("double") / tot.cast("double"))
+        ).alias("share_pct"),
+        F.floor(
+            (F.lit(_MIX_BUDGET_DOCS) * F.col("adj_w_micros")).cast("double")
+            / tot.cast("double")
+        )
+        .cast("long")
+        .alias("quota_docs"),
+    )
+
+
+# oracle binding lives at the END of operators/curation.py: curation is
+# imported AFTER this module, so quality_weighted_mixture's oracle does
+# not exist yet at this point in the import order.

@@ -620,3 +620,53 @@ def test_stl_decomposition_identity_and_balance(spark):
         for i in (0, len(g) // 2, len(g) - 1):
             lo, hi = max(0, i - 12), min(len(g), i + 13)
             assert g["trend"].iloc[i] == np.sum(n[lo:hi]) / (hi - lo)
+
+
+def test_streaming_mixture_equals_batch(spark):
+    """The ingest twin must reproduce the batch mixture table exactly."""
+    batch = (
+        QUERIES["quality_weighted_mixture"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    twin = (
+        QUERIES["streaming_mixture_twin"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(batch, twin, check_like=True)
+
+
+def test_kappa_identity_property():
+    """PROPERTY (hypothesis): the clearing-denominators kappa
+    (n*agree - S) / (n^2 - S) equals the textbook (po-pe)/(1-pe) for any
+    binary label pair set with a non-degenerate denominator, and lands in
+    [-1, 1]."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 1), st.integers(0, 1)),
+            min_size=2,
+            max_size=60,
+        )
+    )
+    def check(pairs):
+        n = len(pairs)
+        agree = sum(1 for a, b in pairs if a == b)
+        na1 = sum(a for a, _ in pairs)
+        nb1 = sum(b for _, b in pairs)
+        s = na1 * nb1 + (n - na1) * (n - nb1)
+        if n * n == s:  # pe == 1: kappa undefined (constant labels)
+            return
+        kappa = (n * agree - s) / (n * n - s)
+        po = agree / n
+        pe = s / (n * n)
+        assert abs(kappa - (po - pe) / (1 - pe)) < 1e-12
+        assert -1.0 - 1e-12 <= kappa <= 1.0 + 1e-12
+
+    check()
