@@ -2256,3 +2256,122 @@ def streaming_mixture_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle binding lives at the END of operators/curation.py: curation is
 # imported AFTER this module, so quality_weighted_mixture's oracle does
 # not exist yet at this point in the import order.
+
+
+def funnel_attribution_stream(stream: DataFrame) -> DataFrame:
+    """Stateful per-event last-touch attribution: per user, state is FOUR
+    longs — the latest view epoch, the latest QUALIFYING click epoch
+    (within 1h of a preceding view), and the running purchase/attributed
+    counts. Each micro-batch emits one revision row per purchase-holding
+    user it touched; counts are non-decreasing, so the read-side
+    max-struct reduce keeps the final revision (the turn-twin
+    discipline)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    _HOUR_US = 3_600 * 1_000_000
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_purchases", LongType()),
+            StructField("n_attributed", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_view", LongType()),
+            StructField("last_qclick", LongType()),
+            StructField("n_purch", LongType()),
+            StructField("n_attr", LongType()),
+        ]
+    )
+
+    def scan(key, pdf_iter, state):
+        # nested imports: must pickle by value (workers run from foreign cwd)
+        import pandas as pd
+
+        last_view, last_qclick, n_purch, n_attr = (
+            state.get if state.exists else (-1, -1, 0, 0)
+        )
+        rows = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+        for r in rows.itertuples():
+            ts_us = int(r.ts.value // 1000)
+            et = r.event_type
+            if et == "view":
+                last_view = ts_us
+            elif et == "click":
+                if last_view >= 0 and ts_us <= last_view + _HOUR_US:
+                    last_qclick = ts_us
+            elif et == "purchase":
+                n_purch += 1
+                if last_qclick >= 0 and ts_us <= last_qclick + _HOUR_US:
+                    n_attr += 1
+        state.update((last_view, last_qclick, n_purch, n_attr))
+        out = (
+            [(int(key[0]), n_purch, n_attr)] if n_purch > 0 else []
+        )
+        yield pd.DataFrame(
+            out, columns=["user_id", "n_purchases", "n_attributed"]
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        scan,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register_query(
+    "streaming_funnel_twin",
+    # identical output contract to the batch operator -> same oracle
+    oracle=None,  # bound below (analytics registers first)
+)
+def streaming_funnel_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """funnel_attribution_windowed AT INGEST — the 6th order-dependent
+    twin: last-touch attribution with conversion windows maintained live
+    from four longs of per-user state (no watermark, no global pass; the
+    qualifying-touchpoint rule only ever looks backward). The batch
+    operator's two running-max window passes collapse to a single
+    in-order state scan at ingest — same answer, certified by the same
+    oracle. Order contract as the other order-dependent twins:
+    event-time-contiguous staged files + maxFilesPerTrigger=1, per-batch
+    (ts, event_id) sort."""
+    stream, out_dir, ckpt = _staged_markov_feed(spark, sf_dir, "kasper-sfun-")
+    revisions = funnel_attribution_stream(stream)
+
+    def sink_batch(df, epoch_id: int) -> None:
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch={epoch_id}"))
+
+    q = (
+        revisions.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_purchases", "n_attributed")).alias("s"))
+        .select(
+            "user_id",
+            F.col("s.n_purchases").alias("n_purchases"),
+            F.col("s.n_attributed").alias("n_attributed"),
+        )
+    )
+    return final.select(
+        "user_id",
+        "n_purchases",
+        "n_attributed",
+        (
+            F.col("n_attributed").cast("double") / F.col("n_purchases").cast("double")
+        ).alias("attribution_rate"),
+    )
+
+
+assert "funnel_attribution_windowed" in _OR, "batch funnel oracle missing"
+_OR["streaming_funnel_twin"] = _OR["funnel_attribution_windowed"]

@@ -116,6 +116,7 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "stl_decompose_hourly",
     "stl_residual_anomalies",
     "streaming_mixture_twin",
+    "streaming_funnel_twin",
     # -- 1. The round-8d cohort: landed after the r08 driver window ran,
     #       so none has a driver row yet (judge-swept 20/20 at sf0.01;
     #       verdict ticket #1 = earn the hard signal).
@@ -140,7 +141,6 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     # -- 2. Rotation: the oldest-evidence cohort (displaced from the r08
     #       window by the round-8 continuation queries; newest rows r03).
     "nested_order_lines",
-    "multitenant_agg",
     "cube_events",
     # (exactly 50 names. Round-9 policy, same as r7/r8: CHANGED first,
     # then the no-driver-row cohort, then oldest evidence. New round-9
@@ -152,7 +152,7 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     # window_range_frame_trailing, inmem_lookup_join, array_functions,
     # join_full_outer, window_running_sum, json_extract_props,
     # scan_filter_project, word_count, join_left_outer, join_semi,
-    # agg_distinct, join_anti, rollup_orders,
+    # agg_distinct, join_anti, rollup_orders, multitenant_agg,
     # corpus_mix_sample, text_normalize, udtf_sentence_split,
     # stratified_topn_md5, pivot_segment_by_nation, percentiles_quantity,
     # string_functions, grouping_sets_orders, unpivot_part_metrics,

@@ -670,3 +670,50 @@ def test_kappa_identity_property():
         assert -1.0 - 1e-12 <= kappa <= 1.0 + 1e-12
 
     check()
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("n_files", [1, 7])
+def test_streaming_funnel_invariant_to_batch_cuts(spark, n_files):
+    """The attribution counts must not depend on WHERE the stream is cut —
+    views/clicks/purchases separated across micro-batch boundaries must
+    still qualify through the restored 4-long state."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kasper_spark.operators.streaming_twins import (
+        _staged_markov_feed,
+        funnel_attribution_stream,
+    )
+
+    batch = {
+        r["user_id"]: (r["n_purchases"], r["n_attributed"])
+        for r in QUERIES["funnel_attribution_windowed"](spark, SF_SMOKE).collect()
+    }
+    stream, out_dir, ckpt = _staged_markov_feed(
+        spark, SF_SMOKE, f"kasper-funcut{n_files}-", n_files=n_files
+    )
+    revisions = funnel_attribution_stream(stream)
+    q = (
+        revisions.writeStream.foreachBatch(
+            lambda df, eid: df.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch={eid}")
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["user_id"]: (r["s"]["n_purchases"], r["s"]["n_attributed"])
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_purchases", "n_attributed")).alias("s"))
+        .collect()
+    }
+    assert got == batch
