@@ -97,6 +97,15 @@ def main() -> None:
     except BaseException:
         sys.stderr.flush()
         os.dup2(saved_fd2, 2)  # make the real traceback visible
+        os.close(saved_fd2)
+        # point the reader at the quarantined JVM/Spark noise captured
+        # before the failure — otherwise the sidecar is undiscoverable
+        print(
+            f"bench: stderr noise quarantined in {noise_file.name}",
+            file=sys.stderr,
+            flush=True,
+        )
+        noise_file.close()
         raise
     sys.stderr.flush()
     os.dup2(saved_fd2, 2)

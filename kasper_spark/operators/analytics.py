@@ -2559,7 +2559,8 @@ _BENFORD_CASE_SQL = "CASE digit " + " ".join(
     SELECT digit, n_observed,
            CAST(n_observed AS DOUBLE) / CAST(total AS DOUBLE) AS obs_share,
            CAST({_BENFORD_CASE_SQL} AS DOUBLE) / {_B40}.0 AS benford_share,
-           CAST(total * ({_BENFORD_CASE_SQL}) AS DOUBLE) / {_B40}.0
+           CAST(total AS DOUBLE)
+               * (CAST({_BENFORD_CASE_SQL} AS DOUBLE) / {_B40}.0)
                AS expected_n
     FROM counted
     """,
@@ -2618,8 +2619,13 @@ def benford_report_from_counts(counted: DataFrame) -> DataFrame:
             / F.sum("n_observed").over(w_all).cast("long").cast("double")
         ).alias("obs_share"),
         (p40.cast("double") / F.lit(float(_B40))).alias("benford_share"),
+        # total (< 2^53 rows) and p40/2^40 (p40 < 2^40) are both EXACT
+        # doubles, so the single multiply rounds identically on Spark and
+        # DuckDB. The previous total*p40 BIGINT product overflowed (and
+        # wrapped silently under non-ANSI Spark) past ~27.9M counted
+        # events — far below target scale.
         (
-            (F.sum("n_observed").over(w_all).cast("long") * p40).cast("double")
-            / F.lit(float(_B40))
+            F.sum("n_observed").over(w_all).cast("long").cast("double")
+            * (p40.cast("double") / F.lit(float(_B40)))
         ).alias("expected_n"),
     )

@@ -133,9 +133,13 @@ _LABELS_CTE = f"""labels AS (
     SELECT CAST(ann_a AS BIGINT) AS ann_a, CAST(ann_b AS BIGINT) AS ann_b,
            n, n_agree,
            CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
-           CAST(n * n_agree - (na1 * nb1 + (n - na1) * (n - nb1)) AS DOUBLE)
-               / CAST(n * n - (na1 * nb1 + (n - na1) * (n - nb1)) AS DOUBLE)
-               AS kappa
+           CASE WHEN n * n - (na1 * nb1 + (n - na1) * (n - nb1)) = 0
+                THEN NULL
+                ELSE CAST(n * n_agree
+                          - (na1 * nb1 + (n - na1) * (n - nb1)) AS DOUBLE)
+                     / CAST(n * n
+                            - (na1 * nb1 + (n - na1) * (n - nb1)) AS DOUBLE)
+           END AS kappa
     FROM agg
     """,
 )
@@ -146,7 +150,14 @@ def annotator_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     (po - pe) / (1 - pe) is computed as ONE double division of two exact
     BIGINTs by clearing denominators: kappa = (n·agree - S) / (n² - S)
     with S = na1·nb1 + na0·nb0 — bit-identical on any engine, no float
-    accumulation anywhere.
+    accumulation anywhere. The cleared form bounds n at ~3.0e9 docs per
+    pair (n² must stay under 2^63; shard by corpus slice past that — a
+    per-slice kappa is the statistically honest report anyway). The
+    degenerate case (both annotators constant => pe = 1, denominator 0)
+    emits NULL instead of 0/0 NaN, guarded identically in both engines.
+    A po/pe double chain would lift the bound but risks FMA contraction
+    differences between the JVM and C++ builds — rejected on the
+    bit-exactness contract.
 
     Scale: labels are computed INSIDE the scan stage (hash + array
     aggregate, no explode); the pair expansion is 3 rows per doc feeding a
@@ -196,10 +207,12 @@ def annotator_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "n_agree",
         (F.col("n_agree").cast("double") / F.col("n").cast("double")).alias("po"),
-        (
+        F.when(F.col("n") * F.col("n") - s == 0, F.lit(None).cast("double"))
+        .otherwise(
             (F.col("n") * F.col("n_agree") - s).cast("double")
             / (F.col("n") * F.col("n") - s).cast("double")
-        ).alias("kappa"),
+        )
+        .alias("kappa"),
     )
 
 

@@ -32,7 +32,9 @@ write -> read -> hash against the original table).
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -44,7 +46,12 @@ from kasper_spark.registry import register_query
 
 
 def _workdir(tag: str) -> str:
-    return tempfile.mkdtemp(prefix=f"kasper-io-{tag}-")
+    """Round-trip scratch dir, removed at interpreter exit (the returned
+    DataFrame lazily re-reads the written files, so cleanup can't be
+    function-scoped)."""
+    d = tempfile.mkdtemp(prefix=f"kasper-io-{tag}-")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 
 @register_query(

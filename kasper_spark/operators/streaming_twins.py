@@ -12,17 +12,31 @@ idempotent processing converge to the batch result).
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+
 from kasper_spark.catalog import ensure_nanos_as_long, normalize_driver_ts
 from kasper_spark.operators.dedup import _LSH_BANDS_CTE
 from kasper_spark.registry import register_query
 from kasper_spark.streaming.state import running_word_count
+
+
+def _workdir(prefix: str) -> str:
+    """mkdtemp with atexit cleanup. Twins return DataFrames that may
+    lazily re-scan the per-epoch parquet written under the work dir, so
+    removal must wait until interpreter exit (after the driver/test has
+    collected), not a function-scope finally. ignore_errors: a half-torn
+    stream must never turn cleanup into a failure."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 
 @register_query(
@@ -43,7 +57,7 @@ def streaming_word_count_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the SAME SQL oracle as the batch word_count: stream/batch
     convergence, checked by the driver."""
     qname = f"swc_{uuid.uuid4().hex[:10]}"
-    work = tempfile.mkdtemp(prefix="kasper-swc-")
+    work = _workdir("kasper-swc-")
     ckpt = os.path.join(work, "ck")
     # the file-stream source wants a directory; expose the single parquet
     # file through a symlink (read-only testdata stays untouched)
@@ -94,7 +108,7 @@ def streaming_tumbling_window_twin(spark: SparkSession, sf_dir: str) -> DataFram
     the final table (the watermark still exercises the event-time tracking
     path; with availableNow + bounded input no window can be late-dropped)."""
     qname = f"stw_{uuid.uuid4().hex[:10]}"
-    work = tempfile.mkdtemp(prefix="kasper-stw-")
+    work = _workdir("kasper-stw-")
     src_dir = os.path.join(work, "src")
     os.makedirs(src_dir)
     os.symlink(
@@ -155,7 +169,7 @@ def streaming_dedup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct document (RocksDB-backed); production jobs bound it with
     withWatermark before dropDuplicates."""
     qname = f"sdd_{uuid.uuid4().hex[:10]}"
-    work = tempfile.mkdtemp(prefix="kasper-sdd-")
+    work = _workdir("kasper-sdd-")
     src_dir = os.path.join(work, "src")
     os.makedirs(src_dir)
     os.symlink(
@@ -230,7 +244,7 @@ def streaming_session_window_twin(spark: SparkSession, sf_dir: str) -> DataFrame
     RocksDB-backed and evicted by the watermark; per-user sessions are
     independent, so the shuffle key (user_id) distributes perfectly."""
     qname = f"ssw_{uuid.uuid4().hex[:10]}"
-    work = tempfile.mkdtemp(prefix="kasper-ssw-")
+    work = _workdir("kasper-ssw-")
     src_dir = os.path.join(work, "src")
     os.makedirs(src_dir)
     os.symlink(
@@ -296,7 +310,7 @@ def streaming_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     (topic_processor_test.go:94-133), which at 100 TB is the difference
     between a working join and an OOM."""
     qname = f"ssj_{uuid.uuid4().hex[:10]}"
-    work = tempfile.mkdtemp(prefix="kasper-ssj-")
+    work = _workdir("kasper-ssj-")
     src_dir = os.path.join(work, "src")
     os.makedirs(src_dir)
     os.symlink(
@@ -376,7 +390,7 @@ def streaming_stateful_count_twin(spark: SparkSession, sf_dir: str) -> DataFrame
     so the final table reduces with max(n) — counts only grow, making that
     reduction exact regardless of how availableNow batched the input."""
     qname = f"ssc_{uuid.uuid4().hex[:10]}"
-    work = tempfile.mkdtemp(prefix="kasper-ssc-")
+    work = _workdir("kasper-ssc-")
     src_dir = os.path.join(work, "src")
     os.makedirs(src_dir)
     os.symlink(
@@ -443,7 +457,7 @@ def streaming_dedup_watermark_twin(spark: SparkSession, sf_dir: str) -> DataFram
     100 TB this is the dedup that never OOMs: state is
     O(keys-per-watermark-window), not O(all keys ever)."""
     qname = f"sdw_{uuid.uuid4().hex[:10]}"
-    work = tempfile.mkdtemp(prefix="kasper-sdw-")
+    work = _workdir("kasper-sdw-")
     src_dir = os.path.join(work, "src")
     os.makedirs(src_dir)
     os.symlink(
@@ -504,7 +518,7 @@ def streaming_enrich_static_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kasper_spark.catalog import load_table
 
     qname = f"ses_{uuid.uuid4().hex[:10]}"
-    work = tempfile.mkdtemp(prefix="kasper-ses-")
+    work = _workdir("kasper-ses-")
     src_dir = os.path.join(work, "src")
     os.makedirs(src_dir)
     os.symlink(
@@ -565,7 +579,7 @@ def streaming_countmin_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kasper_spark.operators.analytics import cm_depth_cells, cm_topk_from_cells
 
     qname = f"scm_{uuid.uuid4().hex[:10]}"
-    work = tempfile.mkdtemp(prefix="kasper-scm-")
+    work = _workdir("kasper-scm-")
     src_dir = os.path.join(work, "src")
     os.makedirs(src_dir)
     os.symlink(
@@ -631,7 +645,7 @@ def streaming_topic_dir_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_topic_dir_source(spark)
     ensure_nanos_as_long(spark)
-    work = tempfile.mkdtemp(prefix="kasper-stdt-")
+    work = _workdir("kasper-stdt-")
     topic = os.path.join(work, "topic")
 
     events = normalize_driver_ts(
@@ -720,7 +734,7 @@ def streaming_lsh_dedup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         _tokens,
     )
 
-    work = tempfile.mkdtemp(prefix="kasper-slsh-")
+    work = _workdir("kasper-slsh-")
     src_dir = os.path.join(work, "src")
     sig_dir = os.path.join(work, "sigs")
     ckpt = os.path.join(work, "ck")
@@ -862,7 +876,7 @@ def streaming_tws_count_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship_shim_to_workers(spark)
 
     qname = f"tws_{uuid.uuid4().hex[:10]}"
-    work = tempfile.mkdtemp(prefix="kasper-tws-")
+    work = _workdir("kasper-tws-")
     src_dir = os.path.join(work, "src")
     os.makedirs(src_dir)
     os.symlink(
@@ -945,7 +959,7 @@ def streaming_decontaminate_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("eval_doc_id"))
     )
 
-    work = tempfile.mkdtemp(prefix="kasper-sdecon-")
+    work = _workdir("kasper-sdecon-")
     src_dir = os.path.join(work, "src")
     out_dir = os.path.join(work, "out")
     ckpt = os.path.join(work, "ck")
@@ -1011,7 +1025,7 @@ def _stage_time_ordered(
     (src_dir, out_dir, ckpt_dir)."""
     from pyspark.sql.window import Window
 
-    work = tempfile.mkdtemp(prefix=prefix)
+    work = _workdir(prefix)
     src_dir = os.path.join(work, "src")
     out_dir = os.path.join(work, "out")
     ckpt = os.path.join(work, "ck")
@@ -1268,7 +1282,7 @@ def streaming_ohlc_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     (window, event_type) carrying 5 scalars + 2 structs; late data past
     the 1 h watermark would be dropped in a true continuous run."""
     qname = f"sohlc_{uuid.uuid4().hex[:10]}"
-    work = tempfile.mkdtemp(prefix="kasper-sohlc-")
+    work = _workdir("kasper-sohlc-")
     src_dir = os.path.join(work, "src")
     os.makedirs(src_dir)
     os.symlink(
@@ -1732,7 +1746,7 @@ def streaming_dup_matrix_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("binary")
     )
 
-    work = tempfile.mkdtemp(prefix="kasper-sdupmx-")
+    work = _workdir("kasper-sdupmx-")
     src_dir = os.path.join(work, "src")
     out_dir = os.path.join(work, "out")
     ckpt = os.path.join(work, "ck")
@@ -1876,7 +1890,7 @@ def streaming_ivf_assign_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm_exact(F.col("embedding")).alias("cnrm"),
     )
 
-    work = tempfile.mkdtemp(prefix="kasper-sivf-")
+    work = _workdir("kasper-sivf-")
     src_dir = os.path.join(work, "src")
     out_dir = os.path.join(work, "out")
     ckpt = os.path.join(work, "ck")
@@ -2091,7 +2105,7 @@ def streaming_benford_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         benford_report_from_counts,
     )
 
-    work = tempfile.mkdtemp(prefix="kasper-sbenford-")
+    work = _workdir("kasper-sbenford-")
     src_dir = os.path.join(work, "src")
     out_dir = os.path.join(work, "out")
     ckpt = os.path.join(work, "ck")
@@ -2167,7 +2181,7 @@ def streaming_mixture_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         _MIX_BUDGET_DOCS,
     )
 
-    work = tempfile.mkdtemp(prefix="kasper-smix-")
+    work = _workdir("kasper-smix-")
     src_dir = os.path.join(work, "src")
     out_dir = os.path.join(work, "out")
     ckpt = os.path.join(work, "ck")
