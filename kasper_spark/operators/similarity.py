@@ -1041,12 +1041,21 @@ def ann_lsh_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KMEANS_K = 8
 _KMEANS_ITERS = 2
 _KMEANS_QSCALE = 32  # q = floor(x * 32): integer grid, floor is engine-exact
+# FAISS discipline: Lloyd trains the coarse quantizer on a BOUNDED
+# deterministic sample (the md5-rank smallest TRAIN_N vec_ids — a uniform
+# pseudo-random draw both engines order identically), then the full corpus
+# is assigned ONCE against the final centroids. Before this, every training
+# round rescanned the whole corpus — 3.3x at 10x scale, and nobody trains a
+# quantizer over 100 TB. At driver scales (<= TRAIN_N vectors) the sample
+# IS the corpus, so the trained index is unchanged there.
+_KMEANS_TRAIN_N = 500
 
 
 def _kmeans_cte_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
-    """Unrolled integer-exact Lloyd CTE chain through a{iters-1} (final
-    assignment) and c{iters} (final centroids) — shared by the
-    kmeans_int8_assignments oracle and the trained-IVF search oracle."""
+    """Unrolled integer-exact Lloyd CTE chain: sample-trained centroids
+    c{iters} plus the one full-corpus assignment pass (csF/dotF/fF) —
+    shared by the kmeans_int8_assignments oracle and the trained-IVF
+    search oracle."""
     head = f"""
     WITH e AS (
         SELECT vec_id, u.x.pos AS dim,
@@ -1059,9 +1068,29 @@ def _kmeans_cte_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
         ), UNNEST(ps) AS u(x)
     ),
     vv AS (SELECT vec_id, SUM(q * q) AS vv FROM e GROUP BY vec_id),
+    samp AS (
+        SELECT vec_id FROM (
+            SELECT vec_id,
+                   ROW_NUMBER() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                   ) AS rs
+            FROM (SELECT DISTINCT vec_id FROM e)
+        ) WHERE rs <= {_KMEANS_TRAIN_N}
+    ),
+    es AS (
+        SELECT e.vec_id, e.dim, e.q
+        FROM e JOIN samp ON samp.vec_id = e.vec_id
+    ),
+    seed AS (
+        SELECT vec_id FROM (
+            SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rk
+            FROM samp
+        ) WHERE rk <= {k}
+    ),
     c0 AS (
-        SELECT vec_id AS cluster_id, dim, q AS s, CAST(1 AS BIGINT) AS n
-        FROM e WHERE vec_id < {k}
+        SELECT es.vec_id AS cluster_id, es.dim, es.q AS s,
+               CAST(1 AS BIGINT) AS n
+        FROM es JOIN seed ON seed.vec_id = es.vec_id
     )"""
     steps = []
     for t in range(iters):
@@ -1071,9 +1100,9 @@ def _kmeans_cte_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
         FROM c{t} GROUP BY cluster_id
     ),
     dot{t} AS (
-        SELECT e.vec_id, c.cluster_id, SUM(e.q * c.s) AS d
-        FROM e JOIN c{t} c ON e.dim = c.dim
-        GROUP BY e.vec_id, c.cluster_id
+        SELECT es.vec_id, c.cluster_id, SUM(es.q * c.s) AS d
+        FROM es JOIN c{t} c ON es.dim = c.dim
+        GROUP BY es.vec_id, c.cluster_id
     ),
     a{t} AS (
         SELECT vec_id, cluster_id FROM (
@@ -1090,20 +1119,42 @@ def _kmeans_cte_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
         ) WHERE rn = 1
     ),
     c{t + 1} AS (
-        SELECT a.cluster_id, e.dim, SUM(e.q) AS s, COUNT(*) AS n
-        FROM a{t} a JOIN e ON e.vec_id = a.vec_id
-        GROUP BY a.cluster_id, e.dim
+        SELECT a.cluster_id, es.dim, SUM(es.q) AS s, COUNT(*) AS n
+        FROM a{t} a JOIN es ON es.vec_id = a.vec_id
+        GROUP BY a.cluster_id, es.dim
     )""")
-    return head + "," + ",".join(steps)
+    finale = f""",
+    csF AS (
+        SELECT cluster_id, MAX(n) AS n, SUM(s * s) AS ss
+        FROM c{iters} GROUP BY cluster_id
+    ),
+    dotF AS (
+        SELECT e.vec_id, c.cluster_id, SUM(e.q * c.s) AS d
+        FROM e JOIN c{iters} c ON e.dim = c.dim
+        GROUP BY e.vec_id, c.cluster_id
+    ),
+    fF AS (
+        SELECT d.vec_id, d.cluster_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY d.vec_id
+                   ORDER BY CAST(cs.n * cs.n * vv.vv - 2 * cs.n * d.d + cs.ss
+                                 AS DOUBLE) / (cs.n * cs.n),
+                            d.cluster_id
+               ) AS rn
+        FROM dotF d
+        JOIN csF cs ON cs.cluster_id = d.cluster_id
+        JOIN vv ON vv.vec_id = d.vec_id
+    )"""
+    return head + "," + ",".join(steps) + finale
 
 
 def _kmeans_oracle_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
     return (
         _kmeans_cte_sql(k, iters)
-        + f"""
-    SELECT a.vec_id, CAST(a.cluster_id AS BIGINT) AS cluster_id
-    FROM a{iters - 1} a
-    ORDER BY a.vec_id
+        + """
+    SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id
+    FROM fF WHERE rn = 1
+    ORDER BY vec_id
     """
     )
 
@@ -1124,28 +1175,132 @@ def kmeans_int8_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
       both engines; ties break to the lower cluster id;
     - k seeds = the first k vectors (deterministic init, as IVF builds do).
 
-    Scale shape: per iteration, the vec x centroid dot products are one
-    join of the long-form corpus against the k*dim centroid table —
-    broadcast-sized for any real k — followed by a per-vector argmin
-    window and a (cluster, dim) re-sum: two map-side-combinable aggregates
-    and zero float accumulation anywhere. Empty clusters drop out
-    deterministically. The loop eagerly cuts the centroid table's lineage
-    per round (the CC/PageRank discipline), so the plan is
-    O(1) per round — before that cut this query planned 38 exchanges and
-    the trained-IVF consumer 184."""
+    Scale shape (the FAISS lifecycle): training touches only the bounded
+    md5-rank sample (TRAIN_N vectors; per iteration one sample x k*dim
+    broadcast join + argmin window + re-sum — map-side-combinable, zero
+    float accumulation), and the FULL corpus is scanned exactly once, by
+    the final assignment pass, regardless of iteration count. Empty
+    clusters drop out deterministically. The loop eagerly cuts the
+    centroid table's lineage per round (the CC/PageRank discipline), so
+    the plan is O(1) per round — before that cut this query planned 38
+    exchanges and the trained-IVF consumer 184; before the sample bound,
+    every training round rescanned the corpus (3.3x at 10x scale)."""
     core = _kmeans_core(spark, sf_dir)
-    return core["assign"].select(
-        "vec_id", F.col("cluster_id").cast("bigint").alias("cluster_id")
-    ).orderBy("vec_id")
+    ranked = _assign_rows_scan(core["emb"], core["cent"], 1)
+    return (
+        ranked.select(
+            "vec_id", F.col("cluster_id").cast("bigint").alias("cluster_id")
+        ).orderBy("vec_id")
+    )
+
+
+def _assign_ranked(e: DataFrame, vv: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, cluster_id, rn): every vector's centroids ranked by the
+    integer-exact distance n^2*||v||^2 - 2n*(v.S) + ||S||^2 over n^2 (one
+    correctly-rounded double division, ties to the lower cluster id) —
+    the single assignment pass shared by Lloyd's inner loop (over the
+    training sample) and the final full-corpus pass (rn=1 = membership,
+    rn<=nprobe = IVF probe routing)."""
+    from pyspark.sql.window import Window
+
+    cs = cent.groupBy("cluster_id").agg(
+        F.max("n").alias("n"), F.sum(F.col("s") * F.col("s")).alias("ss")
+    )
+    dot = (
+        e.join(cent.select("cluster_id", "dim", "s"), "dim")
+        .groupBy("vec_id", "cluster_id")
+        .agg(F.sum(F.col("q") * F.col("s")).alias("d"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("f", "cluster_id")
+    return (
+        dot.join(cs, "cluster_id")
+        .join(vv, "vec_id")
+        .select(
+            "vec_id",
+            "cluster_id",
+            (
+                (
+                    F.col("n") * F.col("n") * F.col("vv")
+                    - 2 * F.col("n") * F.col("d")
+                    + F.col("ss")
+                ).cast("double")
+                / (F.col("n") * F.col("n"))
+            ).alias("f"),
+        )
+        .select("vec_id", "cluster_id", F.row_number().over(w).alias("rn"))
+    )
+
+
+def _assign_rows_scan(emb: DataFrame, cent: DataFrame, n_ranks: int) -> DataFrame:
+    """(vec_id, cluster_id, rn<=n_ranks): the full-corpus assignment as a
+    MAP-ONLY scan — all k centroids (integer sums S, count n, ||S||^2)
+    are folded into ONE broadcast row of arrays, and each vector ranks
+    them in-row: q = floor(32x), f = (n^2*||q||^2 - 2n*(q.S) + ||S||^2)
+    / n^2 (the same exact-BIGINT distance and single double division as
+    `_assign_ranked`, ties to the lower cluster id via struct array_sort).
+    Zero shuffles and zero row explosion — the long-form join formulation
+    materialized N*k*d rows plus two exchanges, which was the dominant
+    scale term of the trained-IVF family."""
+    cent_arrays = (
+        cent.groupBy("cluster_id")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(F.col("s") * F.col("s")).alias("ss"),
+            F.array_sort(F.collect_list(F.struct("dim", "s"))).alias("sd"),
+        )
+        .select(
+            F.struct(
+                F.col("cluster_id").alias("cluster_id"),
+                F.col("n").alias("n"),
+                F.col("ss").alias("ss"),
+                F.transform(F.col("sd"), lambda p: p["s"]).alias("sarr"),
+            ).alias("c")
+        )
+        .agg(F.collect_list("c").alias("cents"))
+    )
+    q_arr = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * _KMEANS_QSCALE).cast("bigint"),
+    )
+    with_cents = emb.select("vec_id", q_arr.alias("q")).join(
+        F.broadcast(cent_arrays)
+    )
+    vv = F.aggregate(
+        F.col("q"), F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
+    )
+    def _f(c):
+        d = F.aggregate(
+            F.zip_with(F.col("q"), c["sarr"], lambda a, b: a * b),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        return F.struct(
+            (
+                (c["n"] * c["n"] * vv - F.lit(2) * c["n"] * d + c["ss"]).cast(
+                    "double"
+                )
+                / (c["n"] * c["n"])
+            ).alias("f"),
+            c["cluster_id"].alias("cluster_id"),
+        )
+
+    ranked_arr = F.array_sort(F.transform(F.col("cents"), _f))
+    return with_cents.select(
+        "vec_id",
+        F.posexplode(F.slice(ranked_arr, 1, n_ranks)).alias("pos", "fc"),
+    ).select(
+        "vec_id",
+        F.col("fc.cluster_id").alias("cluster_id"),
+        (F.col("pos") + 1).alias("rn"),
+    )
 
 
 def _kmeans_core(spark: SparkSession, sf_dir: str, iters: int = _KMEANS_ITERS) -> dict:
     """Shared Lloyd core: returns the long-form quantized corpus ``e``,
-    per-vector ``vv``, post-final-update integer centroids ``cent`` and the
-    final assignment ``assign`` (a_{iters-1}) — consumed by
-    kmeans_int8_assignments and ann_ivf_trained_topk."""
-    from pyspark.sql.window import Window
-
+    per-vector ``vv`` and the SAMPLE-trained post-final-update integer
+    centroids ``cent`` — consumers run ONE full-corpus `_assign_ranked`
+    pass against them (kmeans_int8_assignments, ann_ivf_trained_topk,
+    ann_ivf_pq_trained)."""
     emb = load_table(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
@@ -1157,51 +1312,44 @@ def _kmeans_core(spark: SparkSession, sf_dir: str, iters: int = _KMEANS_ITERS) -
         (F.col("dim0") + 1).alias("dim"),
         F.floor(F.col("v").cast("double") * _KMEANS_QSCALE).cast("bigint").alias("q"),
     )
-    # Consumed every round (dot products + re-sum): cut_lineage
-    # materializes the quantized long-form corpus once, cuts the
-    # posexplode lineage out of every round's plan, and is released by
-    # the ContextCleaner when the result goes out of scope (a pinned
+    # Consumed by the final assignment (and the sample extraction):
+    # cut_lineage materializes the quantized long-form corpus once, cuts
+    # the posexplode lineage out of every consumer's plan, and is released
+    # by the ContextCleaner when the result goes out of scope (a pinned
     # persist() with no unpersist() would bleed cache across the sweep).
     e = e.transform(cut_lineage)
     vv = e.groupBy("vec_id").agg(
         F.sum(F.col("q") * F.col("q")).alias("vv")
-    ).transform(cut_lineage)  # per-vector norm, reused every round
-    cent = e.filter(F.col("vec_id") < _KMEANS_K).select(
-        F.col("vec_id").alias("cluster_id"), "dim", F.col("q").alias("s"), F.lit(1).cast("bigint").alias("n")
+    ).transform(cut_lineage)  # per-vector norm, reused by every assignment
+    # Bounded training sample: the TRAIN_N md5-rank-smallest vec_ids — a
+    # deterministic uniform draw, fetched via distributed top-N
+    # (TakeOrderedAndProject: per-partition heads, no global sort), then
+    # broadcast to filter the long form. Seeds = the K smallest vec_ids
+    # IN the sample (== vec_id < K whenever the corpus fits the sample,
+    # keeping driver-scale results identical to the pre-sampling build).
+    samp = (
+        e.select("vec_id")
+        .distinct()
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(_KMEANS_TRAIN_N)
     )
-    w = Window.partitionBy("vec_id").orderBy("f", "cluster_id")
+    es = e.join(F.broadcast(samp), "vec_id").transform(cut_lineage)
+    seed = samp.orderBy("vec_id").limit(_KMEANS_K)
+    cent = es.join(F.broadcast(seed), "vec_id").select(
+        F.col("vec_id").alias("cluster_id"),
+        "dim",
+        F.col("q").alias("s"),
+        F.lit(1).cast("bigint").alias("n"),
+    )
+    vvs = vv.join(F.broadcast(samp), "vec_id")
     for _ in range(iters):
-        cs = cent.groupBy("cluster_id").agg(
-            F.max("n").alias("n"), F.sum(F.col("s") * F.col("s")).alias("ss")
-        )
-        dot = (
-            e.join(cent.select("cluster_id", "dim", "s"), "dim")
-            .groupBy("vec_id", "cluster_id")
-            .agg(F.sum(F.col("q") * F.col("s")).alias("d"))
-        )
-        f = (
-            dot.join(cs, "cluster_id")
-            .join(vv, "vec_id")
-            .select(
-                "vec_id",
-                "cluster_id",
-                (
-                    (
-                        F.col("n") * F.col("n") * F.col("vv")
-                        - 2 * F.col("n") * F.col("d")
-                        + F.col("ss")
-                    ).cast("double")
-                    / (F.col("n") * F.col("n"))
-                ).alias("f"),
-            )
-        )
         assign = (
-            f.select("vec_id", "cluster_id", F.row_number().over(w).alias("rn"))
+            _assign_ranked(es, vvs, cent)
             .filter(F.col("rn") == 1)
             .select("vec_id", "cluster_id")
         )
         cent = (
-            assign.join(e, "vec_id")
+            assign.join(es, "vec_id")
             .groupBy("cluster_id", "dim")
             .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
             # per-round lineage cut: without it the centroid plan grows by
@@ -1209,41 +1357,19 @@ def _kmeans_core(spark: SparkSession, sf_dir: str, iters: int = _KMEANS_ITERS) -
             # discipline; values are bit-identical)
             .transform(cut_lineage)
         )
-        last_assign = assign
-    return {"e": e, "vv": vv, "cent": cent, "assign": last_assign}
+    return {"emb": emb, "e": e, "vv": vv, "cent": cent}
 
 
 _IVF_TRAINED_NPROBE = 2
 
 
 def _ivf_trained_cand_ctes_sql() -> str:
-    """kmeans chain + trained-IVF probe -> the `cand` (query, neighbor)
-    CTE — shared by ann_ivf_trained_topk and ann_ivf_pq_trained."""
-    I = _KMEANS_ITERS
+    """kmeans chain (which now ends at the full-corpus assignment fF) +
+    trained-IVF probe -> the `cand` (query, neighbor) CTE — shared by
+    ann_ivf_trained_topk and ann_ivf_pq_trained."""
     return (
         _kmeans_cte_sql()
         + f""",
-    csF AS (
-        SELECT cluster_id, MAX(n) AS n, SUM(s * s) AS ss
-        FROM c{I} GROUP BY cluster_id
-    ),
-    dotF AS (
-        SELECT e.vec_id, c.cluster_id, SUM(e.q * c.s) AS d
-        FROM e JOIN c{I} c ON e.dim = c.dim
-        GROUP BY e.vec_id, c.cluster_id
-    ),
-    fF AS (
-        SELECT d.vec_id, d.cluster_id,
-               ROW_NUMBER() OVER (
-                   PARTITION BY d.vec_id
-                   ORDER BY CAST(cs.n * cs.n * vv.vv - 2 * cs.n * d.d + cs.ss
-                                 AS DOUBLE) / (cs.n * cs.n),
-                            d.cluster_id
-               ) AS rn
-        FROM dotF d
-        JOIN csF cs ON cs.cluster_id = d.cluster_id
-        JOIN vv ON vv.vec_id = d.vec_id
-    ),
     members AS (SELECT vec_id, cluster_id FROM fF WHERE rn = 1),
     probe AS (
         SELECT vec_id, cluster_id FROM fF
@@ -1290,45 +1416,27 @@ def _ivf_trained_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     (kmeans core -> integer-exact assignment -> nprobe lists) — the Spark
     twin of _ivf_trained_cand_ctes_sql, shared by ann_ivf_trained_topk and
     ann_ivf_pq_trained."""
-    from pyspark.sql.window import Window
-
     core = _kmeans_core(spark, sf_dir)
-    e, vv, cent = core["e"], core["vv"], core["cent"]
-    cs = cent.groupBy("cluster_id").agg(
-        F.max("n").alias("n"), F.sum(F.col("s") * F.col("s")).alias("ss")
-    )
-    dot = (
-        e.join(cent.select("cluster_id", "dim", "s"), "dim")
-        .groupBy("vec_id", "cluster_id")
-        .agg(F.sum(F.col("q") * F.col("s")).alias("d"))
-    )
-    wf = Window.partitionBy("vec_id").orderBy("f", "cluster_id")
-    ranked = (
-        dot.join(cs, "cluster_id")
-        .join(vv, "vec_id")
-        .select(
-            "vec_id",
-            "cluster_id",
-            (
-                (
-                    F.col("n") * F.col("n") * F.col("vv")
-                    - 2 * F.col("n") * F.col("d")
-                    + F.col("ss")
-                ).cast("double")
-                / (F.col("n") * F.col("n"))
-            ).alias("f"),
-        )
-        .select("vec_id", "cluster_id", F.row_number().over(wf).alias("rn"))
-    )
+    # members and probe both read the ranked assignment — cut its lineage
+    # so the full-corpus pass runs ONCE, not once per consumer subtree
+    ranked = _assign_rows_scan(
+        core["emb"], core["cent"], _IVF_TRAINED_NPROBE
+    ).transform(cut_lineage)
     members = ranked.filter(F.col("rn") == 1).select("vec_id", "cluster_id")
     probe = ranked.filter(
         (F.col("rn") <= _IVF_TRAINED_NPROBE) & (F.col("vec_id") < _N_QUERY)
     ).select(F.col("vec_id").alias("query_id"), "cluster_id")
+    # No distinct: every member belongs to exactly ONE cluster (rn = 1)
+    # and a query's nprobe clusters are distinct ranks, so each
+    # (query, neighbor) pair arises at most once — the oracle's DISTINCT
+    # is a no-op kept for clarity, and skipping it here saves a full
+    # shuffle+dedup of the candidate set (the largest intermediate).
+    # probe is |Q| x nprobe rows: the expansion to candidates is a
+    # broadcast map-side join, so the candidate set is never shuffled.
     return (
-        probe.join(members, "cluster_id")
+        members.join(F.broadcast(probe), "cluster_id")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
-        .distinct()
     )
 
 
@@ -1354,7 +1462,9 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = _ivf_trained_candidates(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     nrm = emb.select("vec_id", "embedding", norm_exact(F.col("embedding")).alias("nrm"))
-    a = nrm.select(
+    # query side: |Q| rows — broadcast so attaching query embeddings is
+    # map-side and the only candidate-set shuffle is the neighbor join
+    a = nrm.filter(F.col("vec_id") < _N_QUERY).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.col("nrm").alias("qn"),
@@ -1364,9 +1474,14 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("ce"),
         F.col("nrm").alias("cn"),
     )
+    # join order matters at scale: attach the neighbor embedding while the
+    # candidate rows are still skinny ids (one shuffle of ids + the 1/10th-
+    # sized embedding table), THEN broadcast the |Q| query embeddings and
+    # immediately reduce each row to (ids, cosine) — the wide arrays never
+    # cross a shuffle after this stage
     scored = (
-        cand.join(a, "query_id")
-        .join(b, "neighbor_id")
+        cand.join(b, "neighbor_id")
+        .join(F.broadcast(a), "query_id")
         .select(
             "query_id",
             "neighbor_id",

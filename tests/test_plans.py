@@ -172,6 +172,12 @@ _INTENTIONAL_BNLJ = {
     "key_skew_report",  # 1-row broadcasts of per-key-audit totals/thresholds
     "boilerplate_shingle_stats_cms",  # 1-row broadcast: CM sketch map + doc count
     "mrr_relevance_contract",  # 1-row broadcast of corpus stats (BM25 shape)
+    # map-only IVF assignment: ONE broadcast row carrying all k trained
+    # centroids, ranked in-row per vector (zero-shuffle scan — the r10
+    # rewrite that took the trained family from 2.9-3.3x to <=1.6x at 10x)
+    "kmeans_int8_assignments",
+    "ann_ivf_trained_topk",
+    "ann_ivf_pq_trained",
 }
 # iterative/streaming queries execute during construction — skip plan-only audit
 _AUDIT_SKIP = {"neardup_clusters"}
