@@ -67,6 +67,15 @@ HEADLINE = [
     "knn_label_disagreement",     # exact-cosine kNN label-noise vote
     # round-9 additions (new keys set their baseline this round)
     "boilerplate_shingle_stats_cms",  # count-min prefilter + exact-DF survivors
+    # round-10 additions: the r9 evaluation/STL/audit tier + the
+    # sample-trained IVF family (new keys set their baseline this round)
+    "annotator_agreement_kappa",   # scan-stage labels, 3-row-key agg
+    "dataset_card_report",         # per-source distinct + Gopher aggs
+    "mrr_relevance_contract",      # in-engine BM25-shape relevance ranking
+    "stl_residual_anomalies",      # STL-lite decomposition + residual gate
+    "ann_ivf_pq_residual",         # residual-encoded IVF-PQ (recall 0.95)
+    "entity_resolution_pipeline",  # blocking + levenshtein + CC + survivor
+    "ann_ivf_trained_topk",        # sample-trained IVF + map-only assignment
 ]
 
 

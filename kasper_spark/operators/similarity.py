@@ -415,6 +415,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end (unlike the hyperplane LSH variant, every step here is
     deterministic relational algebra over the data itself).
 
+    Kept ALONGSIDE ann_ivf_trained_topk deliberately: the seeded quantizer
+    is the deterministic SMOKE PATH — zero training iterations, so its
+    plan isolates the probe/re-rank half of the index and any regression
+    there can't hide behind training noise; the trained variant certifies
+    the full train->assign->probe composition. Same probe/re-rank plan
+    shape at equal scale safety.
+
     Coarse quantizer: the first _IVF_K vectors are the centroids — K is
     FIXED, independent of corpus size (deterministic, data-derived;
     production would use k-means over a sample, same plumbing — see

@@ -1263,6 +1263,175 @@ assert "ewma_anomaly_events" in _OR, "batch EWMA oracle missing (tws twin)"
 _OR["streaming_ewma_tws_twin"] = _OR["ewma_anomaly_events"]
 
 
+_PARALLEL_LANES = 4  # user-disjoint ingest lanes for the parallel-order twin
+
+
+@register_query(
+    "streaming_ewma_parallel_twin",
+    # identical output contract to the batch operator -> same oracle
+    oracle=None,  # bound below
+)
+def streaming_ewma_parallel_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EWMA anomaly detector under PARALLEL ingest — the production
+    ordering contract, certified. streaming_ewma_anomaly_twin serializes
+    the whole stream (one global time-split feed, maxFilesPerTrigger=1),
+    which proves order-dependence but over-claims what a real source
+    guarantees: Kafka orders per KEY (partition), not globally. This twin
+    feeds FOUR user-disjoint staged sources (lane = user_id % 4, each
+    lane time-split into contiguous range files, each source
+    maxFilesPerTrigger=1) unioned into one stream, so every micro-batch
+    carries up to four lanes' files at once — events from different users
+    arrive genuinely interleaved and in no global order, exactly like a
+    four-partition topic. Per-user order still holds (a user's events
+    live in one lane; that lane's files are consumed oldest-first by its
+    own source; the handler sorts each user's batch rows by
+    (ts, event_id)) — and the batch oracle certifies the result
+    bit-for-bit, proving the detector needs only the per-key contract,
+    not global serialization.
+
+    State/arithmetic identical to streaming_ewma_anomaly_twin: per-user
+    JSON list of the last K integer cents; Python ints + one float
+    division reproduce the JVM/DuckDB doubles exactly."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+    from pyspark.sql.window import Window
+
+    from kasper_spark.operators.temporal import _EWMA_DEN, _EWMA_K
+
+    work = _workdir("kasper-sewpar-")
+    src_dir = os.path.join(work, "src")
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ck")
+    os.makedirs(src_dir)
+
+    ensure_nanos_as_long(spark)
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev = normalize_driver_ts(raw, ("ts",)).select(
+        "user_id", "event_id", "ts", "value"
+    )
+    n_files = 3  # time slices per lane
+    lanes = ev.select(
+        "*",
+        F.pmod(F.col("user_id"), F.lit(_PARALLEL_LANES)).alias("lane"),
+        F.ntile(n_files)
+        .over(
+            Window.partitionBy(F.pmod(F.col("user_id"), F.lit(_PARALLEL_LANES)))
+            .orderBy("ts", "event_id")
+        )
+        .alias("bucket"),
+    )
+    for u in range(_PARALLEL_LANES):
+        for i in range(1, n_files + 1):
+            lanes.filter((F.col("lane") == u) & (F.col("bucket") == i)).drop(
+                "lane", "bucket"
+            ).coalesce(1).write.parquet(
+                os.path.join(src_dir, f"lane={u}", f"range={i:02d}")
+            )
+
+    def lane_stream(u: int):
+        return (
+            spark.readStream.schema(
+                "user_id long, event_id long, ts timestamp, value double"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .format("parquet")
+            .load(os.path.join(src_dir, f"lane={u}", "range=*"))
+        )
+
+    stream = lane_stream(0)
+    for u in range(1, _PARALLEL_LANES):
+        stream = stream.union(lane_stream(u))
+    stream = stream.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("cents", LongType()),
+            StructField("ewma", DoubleType()),
+            StructField("ratio", DoubleType()),
+        ]
+    )
+    state_schema = StructType([StructField("hist_json", StringType())])
+    k, den = _EWMA_K, _EWMA_DEN
+
+    def detect(key, pdf_iter, state):
+        # nested imports: must pickle by value (workers run from foreign cwd)
+        import json
+
+        import pandas as pd
+
+        hist = json.loads(state.get[0]) if state.exists else []
+        rows = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+        out = []
+        for r in rows.itertuples():
+            cents = int(r.cents)
+            if len(hist) >= k:
+                num = sum(
+                    hist[-j] * (1 << (k - j)) for j in range(1, k + 1)
+                )
+                if abs(cents * den - num) > 2 * num:
+                    out.append(
+                        (
+                            int(r.user_id),
+                            int(r.event_id),
+                            r.ts,
+                            cents,
+                            num / float(den),
+                            (cents * den) / float(num),
+                        )
+                    )
+            hist.append(cents)
+            if len(hist) > k:
+                hist = hist[-k:]
+        state.update((json.dumps(hist),))
+        yield pd.DataFrame(
+            out, columns=["user_id", "event_id", "ts", "cents", "ewma", "ratio"]
+        )
+
+    anomalies = stream.groupBy("user_id").applyInPandasWithState(
+        detect,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def sink_batch(df, epoch_id: int) -> None:
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch={epoch_id}"))
+
+    q = (
+        anomalies.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not any(p.startswith("batch=") for p in os.listdir(out_dir)):
+        raise RuntimeError(
+            "streaming_ewma_parallel_twin: no micro-batch ran over "
+            f"{src_dir} — the lane sources found no input files"
+        )
+    return spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
+
+
+assert "ewma_anomaly_events" in _OR, "batch EWMA oracle missing (parallel twin)"
+_OR["streaming_ewma_parallel_twin"] = _OR["ewma_anomaly_events"]
+
+
 @register_query("streaming_ohlc_twin")  # oracle bound at module end (batch OHLC)
 def streaming_ohlc_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly OHLC bars computed through Structured Streaming — the batch

@@ -64,101 +64,82 @@ def load_all_operators() -> None:
 DRIVER_SAMPLE_PRIORITY: list[str] = [
     # -- 0. CHANGED this round (implementation or oracle text; each must
     #       earn a fresh hash-green row):
-    #       * untrained-IVF family: fixed-K centroid seeding (_IVF_K=32)
-    #         replaced the every-29th rule, killing the O(N^2/29)
-    #         assignment (round-8 verdict perf ticket #3); the two recall
-    #         contracts compose those oracles so their SQL changed too;
-    #       * ER blocking key refined with the first prefix token
-    #         (content-adaptive blocks, verdict perf ticket #2) — both the
-    #         pair generator and the e2e pipeline;
-    #       * NEW: count-min-prefiltered boilerplate (verdict ticket #6).
-    "ann_ivf_topk",
-    "ann_ivf_pq_topk",
-    "ann_ivf_recall_contract",
-    "ann_ivf_pq_recall_contract",
-    "levenshtein_block_pairs",
-    "entity_resolution_pipeline",
-    "boilerplate_shingle_stats_cms",
-    # -- 0b. NEW this round: the evaluation & label-quality tier
-    #        (operators/evaluation.py) + the incremental dup-matrix twin --
-    "annotator_agreement_kappa",
-    "label_majority_vote",
-    "calibration_reliability_bins",
-    "mrr_relevance_contract",
-    "dataset_card_report",
-    "streaming_dup_matrix_twin",
-    # -- 0c. NEW this round (wave 2): split-leakage audit, session turn
-    #        structure, IVF assignment at ingest --
-    "split_leakage_report",
-    "session_turn_structure",
-    "streaming_ivf_assign_twin",
-    # -- 0d. NEW this round (wave 3): l-diversity audit, turn structure
-    #        at ingest (5th order-dependent twin) --
-    "l_diversity_audit",
-    "streaming_turn_structure_twin",
-    # -- 0e. NEW this round (wave 4): session path mining, source x source
-    #        n-gram overlap --
-    "session_path_topk",
-    "source_ngram_overlap",
-    # -- 0f. NEW this round (wave 5): Benford first-digit audit, int8
-    #        quantization-error contract --
+    #       * benford expected_n overflow fix (double multiply of exact
+    #         doubles replaces the wrapping BIGINT product) — batch audit
+    #         + ingest twin share the projection and the oracle;
+    #       * kappa degenerate-case guard (pe = 1 -> NULL, both engines);
+    #       * sample-trained IVF (FAISS discipline: bounded md5-rank
+    #         training sample + ONE map-only full-corpus assignment) —
+    #         kmeans, both trained searches, and the two recall contracts
+    #         that compose those oracles.
     "benford_digit_audit",
-    "int8_quantization_error",
-    # -- 0g. NEW this round (wave 6): Benford at ingest, quality-weighted
-    #        mixture --
     "streaming_benford_twin",
-    "quality_weighted_mixture",
-    # -- 0h. NEW this round (wave 7): residual-encoded IVF-PQ + its
-    #        recall contract --
-    "ann_ivf_pq_residual",
-    "ann_ivf_pq_residual_recall_contract",
-    # -- 0i. NEW this round (wave 8): STL-lite hourly decomposition --
-    "stl_decompose_hourly",
-    "stl_residual_anomalies",
-    "streaming_mixture_twin",
-    "streaming_funnel_twin",
-    # -- 1. The round-8d cohort: landed after the r08 driver window ran,
-    #       so none has a driver row yet (judge-swept 20/20 at sf0.01;
-    #       verdict ticket #1 = earn the hard signal).
-    "cusum_deseasonalized_events",
-    "markov_stationary_distribution",
-    "markov_session_transitions",
-    "hll_sliding_distinct_users",
-    "ks_quality_drift_by_source",
-    "mad_outlier_events",
-    "interarrival_quantiles_by_type",
-    "session_duration_quantiles",
-    "value_pareto_deciles",
-    "seasonality_hourly_profile",
-    "dq_freshness_by_type",
-    "funnel_attribution_windowed",
-    "streaming_interarrival_twin",
-    "cross_source_dup_matrix",
-    "ann_pq_recall_contract",
-    "ann_lsh_recall_contract",
+    # NEW this round: parallel-order EWMA twin (per-KEY ordering contract
+    # over four user-disjoint lane sources — r9 verdict ticket #5)
+    "streaming_ewma_parallel_twin",
+    "annotator_agreement_kappa",
+    "kmeans_int8_assignments",
+    "ann_ivf_trained_topk",
+    "ann_ivf_pq_trained",
     "ann_ivf_trained_recall_contract",
     "ann_ivf_pq_trained_recall_contract",
-    # -- 2. Rotation: the oldest-evidence cohort (displaced from the r08
-    #       window by the round-8 continuation queries; newest rows r03).
+    # -- 1. Regression re-certification (r9 verdict ticket #2): the 50-row
+    #       window now leads with the queries whose newest driver-green
+    #       evidence is OLDEST, converting "ever green" into "recently
+    #       green" where it is weakest. Cohort below = every r03-evidence
+    #       query, then the r04 cohort in registration order. Shared
+    #       helpers (functions/exact.py, session confs, catalog) kept
+    #       evolving under them for 6+ rounds.
+    # r03 evidence:
+    "scan_filter_project",
+    "word_count",
+    "agg_distinct",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "join_full_outer",
+    "array_functions",
+    "dedup_exact",
+    "inmem_lookup_join",
+    "json_extract_props",
+    "json_roundtrip",
+    "lateral_posexplode",
+    "multitenant_agg",
+    "rollup_orders",
+    "tokenset_jaccard_pairs",
+    "variant_extract_props",
+    "window_range_frame_trailing",
+    "window_running_sum",
     "nested_order_lines",
     "cube_events",
-    # (exactly 50 names. Round-9 policy, same as r7/r8: CHANGED first,
-    # then the no-driver-row cohort, then oldest evidence. New round-9
-    # operators added later in the round take slots from the tail of
-    # section 2 — edit in place when they land. Still queued after these:
-    # dedup_exact, tokenset_jaccard_pairs, ann_int8_topk,
-    # training_data_pipeline, gopher_quality_filters, tfidf_top_terms,
-    # json_roundtrip, lateral_posexplode, variant_extract_props,
-    # window_range_frame_trailing, inmem_lookup_join, array_functions,
-    # join_full_outer, window_running_sum, json_extract_props,
-    # scan_filter_project, word_count, join_left_outer, join_semi,
-    # agg_distinct, join_anti, rollup_orders, multitenant_agg,
-    # corpus_mix_sample, text_normalize, udtf_sentence_split,
-    # stratified_topn_md5, pivot_segment_by_nation, percentiles_quantity,
-    # string_functions, grouping_sets_orders, unpivot_part_metrics,
-    # window_nav_lag_lead, join_skew_salted, math_date_functions,
-    # stats_moments, corr_covar_qty_discount, histogram_totalprice,
-    # cohort_retention and the r04 streaming twins.)
+    # r04 evidence:
+    "agg_argmax_battery",
+    "ann_int8_topk",
+    "cohort_retention",
+    "corpus_mix_sample",
+    "corr_covar_qty_discount",
+    "funnel_view_click_purchase",
+    "gopher_quality_filters",
+    "grouped_minmax_normalize",
+    "grouping_sets_orders",
+    "histogram_totalprice",
+    "join_skew_salted",
+    "math_date_functions",
+    "mom_revenue_growth",
+    "pandas_udf_token_count",
+    "percentiles_quantity",
+    "pivot_native",
+    "pivot_segment_by_nation",
+    "referential_integrity_audit",
+    "stats_moments",
+    "stratified_topn_md5",
+    # (exactly 50 names. Round-10 policy: CHANGED first, then the
+    # oldest-evidence regression cohort. New round-10 operators take
+    # slots from the tail of the r04 section as they land — edit in
+    # place. Still queued after these: the rest of the r04 cohort
+    # (string_functions, streaming twins, text_normalize, udtf_sentence_split,
+    # unpivot_part_metrics, upsert_snapshot, window_nav_lag_lead,
+    # training_data_pipeline, tfidf_top_terms) and the r05 cohort.)
 ]
 
 

@@ -171,15 +171,23 @@ import pytest
 
 
 @pytest.mark.parametrize(
-    "twin", ["streaming_ewma_anomaly_twin", "streaming_ewma_tws_twin"]
+    "twin",
+    [
+        "streaming_ewma_anomaly_twin",
+        "streaming_ewma_tws_twin",
+        "streaming_ewma_parallel_twin",
+    ],
 )
 def test_streaming_ewma_twins_equal_batch(spark, twin):
-    """Both streaming forms (applyInPandasWithState and the state-v2
-    transformWithStateInPandas) — per-user state over a time-ordered
-    4-file feed — must emit exactly the batch operator's anomaly set: the
-    §1.3 stream/batch convergence contract for an ORDER-dependent
-    operator. The TWS form additionally needs the protobuf runtime
-    (shimmed where absent) and the RocksDB provider."""
+    """All streaming forms (applyInPandasWithState, the state-v2
+    transformWithStateInPandas, and the PARALLEL-ingest variant over four
+    user-disjoint lane sources) — per-user state over time-ordered file
+    feeds — must emit exactly the batch operator's anomaly set: the §1.3
+    stream/batch convergence contract for an ORDER-dependent operator.
+    The parallel twin proves the detector needs only PER-KEY arrival
+    order (the Kafka contract), not global serialization. The TWS form
+    additionally needs the protobuf runtime (shimmed where absent) and
+    the RocksDB provider."""
     if twin == "streaming_ewma_tws_twin":
         pytest.importorskip("google.protobuf")
     batch = {
