@@ -718,3 +718,120 @@ def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gopher_keep_rate"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# ROC-AUC of the quality classifier against the majority label
+# ---------------------------------------------------------------------------
+
+
+@register_query(
+    "auc_label_quality",
+    # The oracle states the NAIVE per-row average-rank form of the
+    # Mann-Whitney AUC (rank every doc within its source); the Spark side
+    # runs the scalable two-pass histogram rewrite over (source, score)
+    # counts — the oracle-as-spec / plan-as-scale-path discipline. Ranks
+    # are ascending by score; ties take the average rank, which the
+    # cleared form 2r = 2*RANK + tiecount - 1 keeps in BIGINTs.
+    oracle=f"""
+    WITH scored AS (
+        SELECT source,
+               CAST({_LOGIT_SQL} AS BIGINT) AS score,
+               CAST(({' + '.join(
+                   f'CAST(({_LOGIT_SQL} + {_noise_sql(k)}) > 0 AS BIGINT)'
+                   for k in _ANNOTATORS
+               )}) >= 2 AS BIGINT) AS pos
+        FROM documents
+    ),
+    ranked AS (
+        SELECT source, pos,
+               2 * RANK() OVER (PARTITION BY source ORDER BY score)
+                   + COUNT(*) OVER (PARTITION BY source, score) - 1 AS two_r
+        FROM scored
+    ),
+    agg AS (
+        SELECT source,
+               CAST(SUM(CASE WHEN pos = 1 THEN two_r ELSE 0 END) AS BIGINT)
+                   AS two_r1,
+               CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(COUNT(*) - SUM(pos) AS BIGINT) AS n_neg
+        FROM ranked GROUP BY source
+    )
+    SELECT source, n_pos, n_neg,
+           CASE WHEN n_pos * n_neg = 0 THEN NULL
+                ELSE CAST(two_r1 - n_pos * (n_pos + 1) AS DOUBLE)
+                     / CAST(2 * n_pos * n_neg AS DOUBLE)
+           END AS auc
+    FROM agg
+    """,
+)
+def auc_label_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ROC-AUC of the hashed-ngram quality logit against the
+    majority annotator label — the standard "is my quality classifier
+    actually ranking well on THIS slice?" audit a curation pipeline runs
+    before trusting classifier-filtered data. AUC is the Mann-Whitney
+    statistic with average-rank tie handling: AUC = (2*R1 - n1(n1+1)) /
+    (2*n1*n0) where R1 is the positives' rank-sum — every term an exact
+    BIGINT, one double division at the end; degenerate slices (no
+    positives or no negatives) emit NULL, not 0/0.
+
+    The oracle ranks per row; this side never does: ranks come from the
+    (source, score) HISTOGRAM — per tie group spanning [a, a+c-1],
+    every member's doubled average rank is 2*cum_before + c + 1, so the
+    positives' contribution is cnt_pos * that. The rank window then runs
+    over score-distinct rows (bounded by the logit's value range), not
+    corpus rows — the two-pass rewrite that survives a source with 10^10
+    docs, certified by the hash match against the naive spec.
+
+    Overflow bound: n_pos*(n_pos+1) and two_r1 stay under 2^63 for any
+    source below ~2.1e9 positive docs — shard the audit by sub-slice past
+    that (statistically preferable anyway)."""
+    docs = load_table(spark, sf_dir, "documents")
+    logit = _logit_expr()
+    scored = docs.select(
+        "source",
+        logit.cast("bigint").alias("score"),
+        (
+            sum(
+                ((logit + _noise_expr(k)) > 0).cast("bigint")
+                for k in _ANNOTATORS
+            )
+            >= 2
+        )
+        .cast("bigint")
+        .alias("pos"),
+    )
+    from pyspark.sql.window import Window
+
+    counts = scored.groupBy("source", "score").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("pos").cast("long").alias("cnt_pos"),
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = F.col("cnt_pos") * (
+        2 * F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)) + F.col("cnt") + 1
+    )
+    agg = (
+        counts.select("source", "cnt", "cnt_pos", contrib.alias("contrib"))
+        .groupBy("source")
+        .agg(
+            F.sum("contrib").cast("long").alias("two_r1"),
+            F.sum("cnt_pos").cast("long").alias("n_pos"),
+            (F.sum("cnt") - F.sum("cnt_pos")).cast("long").alias("n_neg"),
+        )
+    )
+    return agg.select(
+        "source",
+        "n_pos",
+        "n_neg",
+        F.when(F.col("n_pos") * F.col("n_neg") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            (F.col("two_r1") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("double")
+            / (2 * F.col("n_pos") * F.col("n_neg")).cast("double")
+        )
+        .alias("auc"),
+    )

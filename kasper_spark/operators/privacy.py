@@ -326,3 +326,149 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_orderpriority").cast("long").alias("l_distinct"),
         (F.countDistinct("o_orderpriority") < _L_DIV).alias("at_risk"),
     )
+
+
+_T_CLOSE = 0.2  # EMD threshold: classes farther than t from the global
+                # sensitive-value distribution leak by skew
+
+
+@register_query(
+    "t_closeness_audit",
+    oracle=f"""
+    WITH fact AS (
+        SELECT c.c_nationkey, c.c_mktsegment,
+               CAST(floor(c.c_acctbal / 1000) AS BIGINT) AS acctbal_bin,
+               o.o_orderpriority AS sens
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    ),
+    dom AS (
+        SELECT sens, CAST(COUNT(*) AS BIGINT) AS big_c,
+               CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS big_n
+        FROM fact GROUP BY sens
+    ),
+    cls AS (
+        SELECT c_nationkey, c_mktsegment, acctbal_bin,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM fact GROUP BY c_nationkey, c_mktsegment, acctbal_bin
+    ),
+    grid AS (
+        SELECT cls.c_nationkey, cls.c_mktsegment, cls.acctbal_bin, cls.n,
+               dom.sens, dom.big_c, dom.big_n
+        FROM cls CROSS JOIN dom
+    ),
+    cell AS (
+        SELECT g.*, CAST(COALESCE(f.c, 0) AS BIGINT) AS c
+        FROM grid g
+        LEFT JOIN (
+            SELECT c_nationkey, c_mktsegment, acctbal_bin, sens,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM fact
+            GROUP BY c_nationkey, c_mktsegment, acctbal_bin, sens
+        ) f USING (c_nationkey, c_mktsegment, acctbal_bin, sens)
+    ),
+    cum AS (
+        SELECT c_nationkey, c_mktsegment, acctbal_bin, n, big_n, sens,
+               SUM(c * big_n - big_c * n) OVER (
+                   PARTITION BY c_nationkey, c_mktsegment, acctbal_bin
+                   ORDER BY sens
+               ) AS cum_num,
+               COUNT(*) OVER (
+                   PARTITION BY c_nationkey, c_mktsegment, acctbal_bin
+               ) AS m,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c_nationkey, c_mktsegment, acctbal_bin
+                   ORDER BY sens
+               ) AS rn
+        FROM cell
+    )
+    SELECT c_nationkey, c_mktsegment, acctbal_bin,
+           CAST(n AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN rn < m THEN abs(cum_num) ELSE 0 END) AS DOUBLE)
+               / CAST((MAX(m) - 1) * n * big_n AS DOUBLE) AS t_emd,
+           (CAST(SUM(CASE WHEN rn < m THEN abs(cum_num) ELSE 0 END) AS DOUBLE)
+               / CAST((MAX(m) - 1) * n * big_n AS DOUBLE)) > {_T_CLOSE}
+               AS at_risk
+    FROM cum
+    GROUP BY c_nationkey, c_mktsegment, acctbal_bin, n, big_n
+    """,
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third rung of the disclosure-control ladder
+    (k_anonymity_audit: classes big enough; l_diversity_audit: classes
+    varied enough; HERE: each class's SENSITIVE-value distribution close
+    enough to the global one, so membership in a class reveals little —
+    Li et al., ICDE'07). Sensitive attribute = order priority (ordered
+    domain), distance = the ordered-categorical Earth Mover's Distance:
+    t = (1/(m-1)) * sum_i |sum_{{j<=i}} (p_j - q_j)|. Denominators clear
+    exactly: cum_num_i = sum_{{j<=i}} (c_j*N - C_j*n) is BIGINT, t is ONE
+    double division by (m-1)*n*N — bit-identical on both engines.
+    Overflow bound: c_j*N <= n*N needs n*N < 2^63 (N = total fact rows);
+    shard the audit by partition (e.g. region) past ~3e9 rows — the
+    per-shard t against the shard distribution is the deployable form.
+
+    Scale: two partial aggregates over the fact join (per-cell and
+    per-class counts), then a DENSE class x sensitive-domain grid built
+    by cross-joining the BROADCAST m-row domain table (m = 5 priorities;
+    the gapfill-spine pattern) so absent cells contribute their correct
+    nonzero |cum| terms; the EMD window runs over m rows per class —
+    classes, never orders, cross the final exchanges."""
+    from pyspark.sql.window import Window
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("acctbal_bin"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderpriority").alias("sens"),
+    )
+    fact = cust.join(orders, "c_custkey").select(
+        "c_nationkey", "c_mktsegment", "acctbal_bin", "sens"
+    )
+    qi = ["c_nationkey", "c_mktsegment", "acctbal_bin"]
+    dom = fact.groupBy("sens").agg(F.count(F.lit(1)).cast("long").alias("big_c"))
+    dom = dom.select(
+        "sens",
+        "big_c",
+        F.sum("big_c").over(Window.partitionBy()).cast("long").alias("big_n"),
+    )
+    cls = fact.groupBy(*qi).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cells = fact.groupBy(*qi, "sens").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    grid = cls.join(F.broadcast(dom))  # dense class x domain spine (m rows)
+    cell = grid.join(cells, qi + ["sens"], "left").select(
+        *qi,
+        "n",
+        "big_n",
+        "sens",
+        (F.coalesce(F.col("c"), F.lit(0)) * F.col("big_n")
+         - F.col("big_c") * F.col("n")).alias("num"),
+    )
+    w_cum = Window.partitionBy(*qi).orderBy("sens")
+    w_cls = Window.partitionBy(*qi)
+    cum = cell.select(
+        *qi,
+        "n",
+        "big_n",
+        F.sum("num").over(w_cum).alias("cum_num"),
+        F.count(F.lit(1)).over(w_cls).alias("m"),
+        F.row_number().over(w_cum).alias("rn"),
+    )
+    t_emd = F.sum(
+        F.when(F.col("rn") < F.col("m"), F.abs(F.col("cum_num"))).otherwise(0)
+    ).cast("double") / (
+        (F.max("m") - 1) * F.first("n") * F.first("big_n")
+    ).cast("double")
+    return (
+        cum.groupBy(*qi, "n", "big_n")
+        .agg(t_emd.alias("t_emd"))
+        .select(
+            *qi,
+            F.col("n").cast("long").alias("n_orders"),
+            "t_emd",
+            (F.col("t_emd") > _T_CLOSE).alias("at_risk"),
+        )
+    )

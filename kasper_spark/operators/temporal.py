@@ -2353,3 +2353,126 @@ def stl_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "residual",
         score.alias("poisson_score"),
     ).filter(F.abs(F.col("poisson_score")) > 4.0)
+
+
+# ---------------------------------------------------------------------------
+# Hourly autocorrelation (round 10)
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 24
+
+
+@register_query(
+    "hourly_autocorrelation",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+        FROM events
+    ),
+    hours AS (
+        SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts FROM bounds
+    ),
+    agg AS (
+        SELECT date_trunc('hour', ts) AS hour_ts, CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY date_trunc('hour', ts)
+    ),
+    grid AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY h.hour_ts) AS idx,
+               CAST(COALESCE(a.x, 0) AS BIGINT) AS x
+        FROM hours h LEFT JOIN agg a ON a.hour_ts = h.hour_ts
+    ),
+    stat AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+        FROM grid
+    ),
+    dev AS MATERIALIZED (
+        SELECT idx, grid.x * stat.n - stat.s AS d FROM grid, stat
+    ),
+    den AS (SELECT CAST(SUM(d * d) AS BIGINT) AS den FROM dev),
+    lags AS (SELECT UNNEST(generate_series(1, {_ACF_MAX_LAG})) AS lag_hours),
+    num AS (
+        SELECT l.lag_hours,
+               CAST(SUM(a.d * b.d) AS BIGINT) AS num,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM lags l
+        JOIN dev a ON true
+        JOIN dev b ON b.idx = a.idx + l.lag_hours
+        GROUP BY l.lag_hours
+    )
+    SELECT CAST(num.lag_hours AS BIGINT) AS lag_hours, num.n_pairs,
+           CASE WHEN den.den = 0 THEN NULL
+                ELSE CAST(num.num AS DOUBLE) / CAST(den.den AS DOUBLE)
+           END AS acf
+    FROM num, den
+    """,
+)
+def hourly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the global hourly event-count series at lags
+    1..{_ACF_MAX_LAG} — the diagnostic that tells a pipeline WHETHER a
+    series is seasonal (and at what period) before it deseasonalizes:
+    a daily cycle shows as the lag-24 peak; this is the measurement that
+    justifies seasonality_hourly_profile / cusum_deseasonalized_events'
+    24-hour assumption instead of hard-coding it. Standard full-series-
+    mean ACF: r_L = sum_t (x_t - mean)(x_t+L - mean) / sum_t (x_t - mean)^2
+    with denominators cleared by n: dev_t = n*x_t - S is exact BIGINT, the
+    numerator/denominator are BIGINT sums of dev products, and r_L is ONE
+    double division (constant series => den 0 => NULL). Overflow bound:
+    dev^2 * hours < 2^63 holds while per-hour counts stay under ~10^7 at a
+    year's grid; past that, pre-scale counts (x div 1000 — ACF is
+    scale-invariant up to rounding) or shard by type.
+
+    Scale shape: everything after the one partial-aggregated hourly
+    count is GRID-sized (hours x lags, a function of the time range, not
+    event volume): the dense spine, the 1-row (n, S) broadcast, the
+    24-lag self-join — all bounded broadcasts (allow-listed), the gapfill
+    /cusum spine discipline."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hour_ts")
+    )
+    agg = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_ts")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    grid = (
+        hours.join(agg, "hour_ts", "left")
+        .select(
+            F.row_number().over(Window.orderBy("hour_ts")).alias("idx"),
+            F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x"),
+        )
+        .transform(cut_lineage)  # consumed by stat, den and both join sides
+    )
+    stat = grid.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    dev = grid.join(F.broadcast(stat)).select(
+        "idx", (F.col("x") * F.col("n") - F.col("s")).alias("d")
+    ).transform(cut_lineage)
+    den = dev.agg(F.sum(F.col("d") * F.col("d")).cast("long").alias("den"))
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(
+        F.col("id").cast("long").alias("lag_hours")
+    )
+    a = dev.select(F.col("idx").alias("a_idx"), F.col("d").alias("a_d"))
+    b = dev.select(F.col("idx").alias("b_idx"), F.col("d").alias("b_d"))
+    num = (
+        a.join(F.broadcast(lags))
+        .join(b, F.col("b_idx") == F.col("a_idx") + F.col("lag_hours"))
+        .groupBy("lag_hours")
+        .agg(
+            F.sum(F.col("a_d") * F.col("b_d")).cast("long").alias("num"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        )
+    )
+    return num.join(F.broadcast(den)).select(
+        "lag_hours",
+        "n_pairs",
+        F.when(F.col("den") == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("num").cast("double") / F.col("den").cast("double"))
+        .alias("acf"),
+    )

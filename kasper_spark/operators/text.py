@@ -1934,3 +1934,128 @@ def source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM surprisal (whole-bit perplexity proxy)
+# ---------------------------------------------------------------------------
+
+_SURPRISAL_TOPK = 20
+
+
+@register_query(
+    "bigram_lm_surprisal",
+    oracle=f"""
+    WITH bg AS MATERIALIZED (
+        SELECT doc_id, u.b AS bigram, string_split(u.b, ' ')[1] AS prefix
+        FROM (
+            SELECT doc_id,
+                   list_transform(
+                       generate_series(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i + 1]
+                   ) AS bgs
+            FROM (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), w -> w <> '') AS toks
+                FROM documents
+            )
+        ), UNNEST(bgs) AS u(b)
+    ),
+    model AS (
+        SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_ab
+        FROM bg GROUP BY bigram
+    ),
+    prefixes AS (
+        SELECT prefix, CAST(COUNT(*) AS BIGINT) AS c_a
+        FROM bg GROUP BY prefix
+    ),
+    scored AS (
+        SELECT m.bigram,
+               CAST(length(bin(p.c_a // m.c_ab)) - 1 AS BIGINT) AS bits
+        FROM model m JOIN prefixes p ON p.prefix = string_split(m.bigram, ' ')[1]
+    ),
+    per_doc AS (
+        SELECT bg.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(s.bits) AS BIGINT) AS total_bits
+        FROM bg JOIN scored s ON s.bigram = bg.bigram
+        GROUP BY bg.doc_id
+    )
+    SELECT doc_id, n_bigrams, total_bits,
+           CAST(total_bits AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS avg_bits
+    FROM per_doc
+    ORDER BY avg_bits DESC, doc_id
+    LIMIT {_SURPRISAL_TOPK}
+    """,
+)
+def bigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model surprisal scoring — the perplexity-proxy
+    quality filter (CCNet/KenLM discipline: rank documents by how
+    surprised a corpus-trained LM is; gibberish, boilerplate-free noise
+    and OCR junk float to the top). The LM is the corpus's own bigram
+    table; a bigram's surprisal is the WHOLE-BIT information content
+    floor(log2(c(a.)/c(ab))) = length(bin(c_a div c_ab)) - 1 — computed
+    entirely in integer arithmetic (bin() renders the same bits on both
+    engines), because float log2 is a libm call whose last ulp is not
+    bit-portable. Emits the {_SURPRISAL_TOPK} most-surprising documents
+    (total/avg bits per bigram).
+
+    Scale shape: bigrams are a scan-stage array transform (no
+    posexplode-join); the model is two partial-aggregated groupBys
+    (bigram counts, prefix counts) joined model-side so per-bigram bits
+    are computed ONCE per distinct bigram; docs then join the model on
+    the bigram key — one shuffle each side, key-partitioned, the
+    standard distributed LM-scoring plan. Top-k via
+    TakeOrderedAndProject, no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat(
+                    F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+                ),
+            )
+        ).alias("bigram"),
+    ).select(
+        "doc_id",
+        "bigram",
+        F.element_at(F.split(F.col("bigram"), " "), 1).alias("prefix"),
+    )
+    model = bg.groupBy("bigram").agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+    prefixes = bg.groupBy("prefix").agg(
+        F.count(F.lit(1)).cast("long").alias("c_a")
+    )
+    scored = model.select(
+        "bigram",
+        F.element_at(F.split(F.col("bigram"), " "), 1).alias("prefix"),
+        "c_ab",
+    ).join(prefixes, "prefix").select(
+        "bigram",
+        (
+            F.length(F.bin(F.expr("c_a div c_ab"))) - 1
+        ).cast("long").alias("bits"),
+    )
+    per_doc = (
+        bg.join(scored, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("bits").cast("long").alias("total_bits"),
+        )
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            "n_bigrams",
+            "total_bits",
+            (
+                F.col("total_bits").cast("double")
+                / F.col("n_bigrams").cast("double")
+            ).alias("avg_bits"),
+        )
+        .orderBy(F.desc("avg_bits"), F.asc("doc_id"))
+        .limit(_SURPRISAL_TOPK)
+    )

@@ -77,6 +77,14 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     # NEW this round: parallel-order EWMA twin (per-KEY ordering contract
     # over four user-disjoint lane sources — r9 verdict ticket #5)
     "streaming_ewma_parallel_twin",
+    # NEW this round (wave 2): ROC-AUC label quality (histogram-rank
+    # rewrite), t-closeness (privacy-triad completion), bigram-LM
+    # surprisal (whole-bit perplexity proxy), hourly ACF (exact
+    # cleared-denominator correlogram)
+    "auc_label_quality",
+    "t_closeness_audit",
+    "bigram_lm_surprisal",
+    "hourly_autocorrelation",
     "annotator_agreement_kappa",
     "kmeans_int8_assignments",
     "ann_ivf_trained_topk",
@@ -129,15 +137,12 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "pandas_udf_token_count",
     "percentiles_quantity",
     "pivot_native",
-    "pivot_segment_by_nation",
-    "referential_integrity_audit",
-    "stats_moments",
-    "stratified_topn_md5",
     # (exactly 50 names. Round-10 policy: CHANGED first, then the
     # oldest-evidence regression cohort. New round-10 operators take
     # slots from the tail of the r04 section as they land — edit in
     # place. Still queued after these: the rest of the r04 cohort
-    # (string_functions, streaming twins, text_normalize, udtf_sentence_split,
+    # (pivot_segment_by_nation, referential_integrity_audit,
+    # stats_moments, stratified_topn_md5, string_functions, streaming twins, text_normalize, udtf_sentence_split,
     # unpivot_part_metrics, upsert_snapshot, window_nav_lag_lead,
     # training_data_pipeline, tfidf_top_terms) and the r05 cohort.)
 ]

@@ -178,6 +178,11 @@ _INTENTIONAL_BNLJ = {
     "kmeans_int8_assignments",
     "ann_ivf_trained_topk",
     "ann_ivf_pq_trained",
+    # dense class x 5-row sensitive-domain spine (gapfill pattern)
+    "t_closeness_audit",
+    # grid-sized: 1-row (n,S) stat broadcast + 24-row lag spine over the
+    # calendar-bounded hourly series
+    "hourly_autocorrelation",
 }
 # iterative/streaming queries execute during construction — skip plan-only audit
 _AUDIT_SKIP = {"neardup_clusters"}
