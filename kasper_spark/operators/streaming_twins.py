@@ -2558,3 +2558,77 @@ def streaming_funnel_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 assert "funnel_attribution_windowed" in _OR, "batch funnel oracle missing"
 _OR["streaming_funnel_twin"] = _OR["funnel_attribution_windowed"]
+
+
+@register_query(
+    "streaming_acf_twin",
+    # identical output contract to the batch operator -> same oracle
+    oracle=None,  # bound below (temporal registers first)
+)
+def streaming_acf_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hourly_autocorrelation AT INGEST: the hourly count table is a
+    mergeable sufficient statistic (integer counts sum across any cut of
+    the stream), so each micro-batch emits ITS events' per-hour partial
+    counts and the read-side merge + correlogram projection reproduce the
+    batch ACF bit-for-bit — the live "is my traffic still daily-cyclic"
+    monitor shape. Fourth incremental-view twin (dup matrix, mixture,
+    Benford); no state store, cut-invariant by construction (the feed is
+    staged into 4 unordered part files consumed one per trigger — counts
+    need no ordering, unlike the EWMA/CUSUM twins).
+
+    ts handling: the staged copy is written from the NORMALIZED batch
+    reader (micros timestamps), so the stream schema declares
+    `ts timestamp` without tripping the driver testdata's
+    TIMESTAMP(NANOS) physical type; hour truncation is sub-second-
+    insensitive, so the staged micros and the oracle's nanos agree."""
+    work = _workdir("kasper-sacf-")
+    src_dir = os.path.join(work, "src")
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ck")
+
+    ensure_nanos_as_long(spark)
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    normalize_driver_ts(raw, ("ts",)).select("ts").repartition(4).write.parquet(
+        src_dir
+    )
+    stream = (
+        spark.readStream.schema("ts timestamp")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(src_dir)
+    )
+
+    from kasper_spark.operators.temporal import (
+        acf_from_hourly_counts,
+        hourly_event_counts,
+    )
+
+    def sink_batch(df, epoch_id: int) -> None:
+        hourly_event_counts(df).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={epoch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.isdir(out_dir):
+        raise RuntimeError(
+            f"streaming_acf_twin: no micro-batch ran over {src_dir} — "
+            "the file stream source found no input files"
+        )
+    merged = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+        .groupBy("hour_ts")
+        .agg(F.sum("x").cast("long").alias("x"))
+    )
+    return acf_from_hourly_counts(spark, merged)
+
+
+assert "hourly_autocorrelation" in _OR, "batch ACF oracle missing"
+_OR["streaming_acf_twin"] = _OR["hourly_autocorrelation"]

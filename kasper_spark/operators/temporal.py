@@ -2426,18 +2426,29 @@ def hourly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     event volume): the dense spine, the 1-row (n, S) broadcast, the
     24-lag self-join — all bounded broadcasts (allow-listed), the gapfill
     /cusum spine discipline."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = hourly_event_counts(ev)
+    return acf_from_hourly_counts(spark, counts)
+
+
+def hourly_event_counts(ev: DataFrame) -> DataFrame:
+    """(hour_ts, x) hourly event counts — the mergeable sufficient
+    statistic of the correlogram (integer counts sum across any partition
+    of the input), shared by the batch ACF and its streaming twin."""
+    return ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_ts")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+
+
+def acf_from_hourly_counts(spark: SparkSession, agg: DataFrame) -> DataFrame:
+    """The correlogram projection over merged hourly counts: densify to
+    the [min, max] hour spine (absent hours are REAL zeros), clear the
+    mean, and evaluate all lags — everything grid-sized."""
     from pyspark.sql.window import Window
 
-    ev = load_table(spark, sf_dir, "events")
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
-    )
+    bounds = agg.agg(F.min("hour_ts").alias("lo"), F.max("hour_ts").alias("hi"))
     hours = bounds.select(
         F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hour_ts")
-    )
-    agg = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_ts")).agg(
-        F.count(F.lit(1)).cast("long").alias("x")
     )
     grid = (
         hours.join(agg, "hour_ts", "left")

@@ -2059,3 +2059,72 @@ def bigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("avg_bits"), F.asc("doc_id"))
         .limit(_SURPRISAL_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility audit (round 10)
+# ---------------------------------------------------------------------------
+
+# Disjoint-class alternation ONLY: [letters]+ | [digits]+ | [other]+ never
+# overlap, so leftmost-first (Java regex) and RE2 (DuckDB) tokenize
+# identically — parity verified; an overlapping alternation (e.g. GPT-2's
+# contraction rules) would hinge on engine-specific alternation semantics.
+_BPEISH_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+
+
+@register_query(
+    "tokenizer_fertility_stats",
+    oracle=f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(list_filter(string_split(text, ' '), w -> w <> '')))
+                AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{_BPEISH_RE}')))
+                AS BIGINT) AS re_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{_BPEISH_RE}'))) AS DOUBLE)
+               / CAST(SUM(len(list_filter(string_split(text, ' '),
+                                          w -> w <> ''))) AS DOUBLE)
+               AS fertility,
+           CAST(SUM(n_chars) AS DOUBLE)
+               / CAST(SUM(len(regexp_extract_all(text, '{_BPEISH_RE}')))
+                      AS DOUBLE) AS chars_per_token
+    FROM documents
+    GROUP BY source
+    """,
+)
+def tokenizer_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per source — the budgeting metric every
+    training run needs BEFORE tokenizing 100 TB: how many model tokens a
+    corpus slice will cost. Two token counts per document, both
+    scan-stage: whitespace words and a BPE-ish regex tokenization
+    (disjoint letter/digit/punctuation runs — the pre-tokenization pass
+    real BPE applies before merges). fertility = regex tokens per word
+    (punctuation-heavy or code-like sources read high); chars_per_token
+    is the compression proxy tokenizer reports quote. Both ratios are one
+    double division of exact BIGINT sums.
+
+    Scale: pure map + one per-source partial aggregate — no shuffle of
+    document text, only of per-source counters."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.filter(F.split(F.col("text"), " "), lambda w: w != ""))
+    re_toks = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPEISH_RE), 0))
+    return (
+        docs.select(
+            "source",
+            ws.cast("long").alias("ws"),
+            re_toks.cast("long").alias("re"),
+            F.col("n_chars").cast("long").alias("nc"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ws").cast("long").alias("ws_tokens"),
+            F.sum("re").cast("long").alias("re_tokens"),
+            (F.sum("re").cast("double") / F.sum("ws").cast("double")).alias(
+                "fertility"
+            ),
+            (F.sum("nc").cast("double") / F.sum("re").cast("double")).alias(
+                "chars_per_token"
+            ),
+        )
+    )

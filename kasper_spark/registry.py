@@ -85,6 +85,10 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "t_closeness_audit",
     "bigram_lm_surprisal",
     "hourly_autocorrelation",
+    # NEW this round (wave 3): incremental-view ACF twin + tokenizer
+    # fertility audit
+    "streaming_acf_twin",
+    "tokenizer_fertility_stats",
     "annotator_agreement_kappa",
     "kmeans_int8_assignments",
     "ann_ivf_trained_topk",
@@ -135,13 +139,12 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "math_date_functions",
     "mom_revenue_growth",
     "pandas_udf_token_count",
-    "percentiles_quantity",
-    "pivot_native",
     # (exactly 50 names. Round-10 policy: CHANGED first, then the
     # oldest-evidence regression cohort. New round-10 operators take
     # slots from the tail of the r04 section as they land — edit in
     # place. Still queued after these: the rest of the r04 cohort
-    # (pivot_segment_by_nation, referential_integrity_audit,
+    # (percentiles_quantity, pivot_native,
+    # pivot_segment_by_nation, referential_integrity_audit,
     # stats_moments, stratified_topn_md5, string_functions, streaming twins, text_normalize, udtf_sentence_split,
     # unpivot_part_metrics, upsert_snapshot, window_nav_lag_lead,
     # training_data_pipeline, tfidf_top_terms) and the r05 cohort.)

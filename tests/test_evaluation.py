@@ -717,3 +717,136 @@ def test_streaming_funnel_invariant_to_batch_cuts(spark, n_files):
         .collect()
     }
     assert got == batch
+
+
+def test_auc_matches_sequential_reference(spark):
+    """Per-source AUC must equal the textbook average-rank Mann-Whitney
+    statistic computed by a sequential Python pass over the same
+    deterministic scores/labels — localizes the histogram-rank rewrite
+    independently of the oracle."""
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    rows = [
+        (src, _py_logit(t), 1 if sum(_py_labels(t)) >= 2 else 0)
+        for src, t in zip(docs["source"], docs["text"])
+    ]
+    out = QUERIES["auc_label_quality"](spark, SF_SMOKE).toPandas()
+    assert set(out["source"]) == set(docs["source"])
+    for _, row in out.iterrows():
+        grp = [(s, p) for src, s, p in rows if src == row["source"]]
+        grp.sort(key=lambda x: x[0])
+        # average ranks (1-based) with ties
+        ranks: dict[int, float] = {}
+        i = 0
+        while i < len(grp):
+            j = i
+            while j < len(grp) and grp[j][0] == grp[i][0]:
+                j += 1
+            ranks[grp[i][0]] = (i + 1 + j) / 2  # avg of positions i+1..j
+            i = j
+        n1 = sum(p for _, p in grp)
+        n0 = len(grp) - n1
+        assert int(row["n_pos"]) == n1 and int(row["n_neg"]) == n0
+        if n1 * n0 == 0:
+            # degenerate slice: the guarded NULL, never a 0/0 NaN-by-luck
+            assert pd.isna(row["auc"])
+            continue
+        r1 = sum(ranks[s] for s, p in grp if p == 1)
+        expect = (r1 - n1 * (n1 + 1) / 2) / (n1 * n0)
+        assert abs(row["auc"] - expect) < 1e-12
+        assert 0.0 <= row["auc"] <= 1.0
+        # the logit GENERATES the labels, so ranking quality must be high
+        assert row["auc"] > 0.9
+
+
+def test_t_closeness_matches_sequential_reference(spark):
+    """Per-class ordered EMD must equal the textbook cumulative-difference
+    sum over the empirical distributions, and sit in [0, 1]."""
+    cust = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    cust = cust.assign(acctbal_bin=(cust["c_acctbal"] // 1000).astype("int64"))
+    fact = orders.merge(
+        cust[["c_custkey", "c_nationkey", "c_mktsegment", "acctbal_bin"]],
+        left_on="o_custkey",
+        right_on="c_custkey",
+    )
+    dom = sorted(fact["o_orderpriority"].unique())
+    m = len(dom)
+    big_n = len(fact)
+    big_c = fact["o_orderpriority"].value_counts().to_dict()
+    out = QUERIES["t_closeness_audit"](spark, SF_SMOKE).toPandas()
+    assert len(out) > 0
+    by_class = dict(
+        tuple(fact.groupby(["c_nationkey", "c_mktsegment", "acctbal_bin"]))
+    )
+    for _, row in out.iterrows():
+        key = (row["c_nationkey"], row["c_mktsegment"], row["acctbal_bin"])
+        grp = by_class[key]
+        n = len(grp)
+        assert int(row["n_orders"]) == n
+        cnt = grp["o_orderpriority"].value_counts().to_dict()
+        cum, tot = 0, 0
+        for sens in dom[:-1]:
+            cum += cnt.get(sens, 0) * big_n - big_c[sens] * n
+            tot += abs(cum)
+        expect = tot / ((m - 1) * n * big_n)
+        assert row["t_emd"] == expect
+        assert 0.0 <= row["t_emd"] <= 1.0
+        assert bool(row["at_risk"]) == (row["t_emd"] > 0.2)
+
+
+def test_bigram_surprisal_matches_sequential_reference(spark):
+    """The worst-20 list must match a sequential Python bigram LM built
+    from the same corpus (whole-bit surprisal, integer division)."""
+    from collections import Counter
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    doc_bgs = {}
+    c_ab: Counter = Counter()
+    c_a: Counter = Counter()
+    for did, t in zip(docs["doc_id"], docs["text"]):
+        toks = [w for w in t.split(" ") if w != ""]
+        bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        doc_bgs[did] = bgs
+        for bg in bgs:
+            c_ab[bg] += 1
+            c_a[bg.split(" ")[0]] += 1
+    scores = []
+    for did, bgs in doc_bgs.items():
+        if not bgs:
+            continue
+        total = sum(
+            (c_a[bg.split(" ")[0]] // c_ab[bg]).bit_length() - 1 for bg in bgs
+        )
+        scores.append((did, len(bgs), total, total / len(bgs)))
+    scores.sort(key=lambda x: (-x[3], x[0]))
+    out = QUERIES["bigram_lm_surprisal"](spark, SF_SMOKE).toPandas()
+    assert len(out) == 20
+    for row, (did, nb, tot, avg) in zip(out.itertuples(), scores[:20]):
+        assert (row.doc_id, row.n_bigrams, row.total_bits) == (did, nb, tot)
+        assert row.avg_bits == avg
+
+
+def test_hourly_acf_matches_sequential_reference(spark):
+    """The correlogram must equal a sequential pass over the dense hourly
+    count series (full-series mean/variance, overlapping pairs), and obey
+    |r| <= 1; the synthetic feed's daily cycle must peak at lag 24."""
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    hours = pd.to_datetime(ev["ts"]).dt.floor("h")
+    lo, hi = hours.min(), hours.max()
+    idx = pd.date_range(lo, hi, freq="h")
+    x = hours.value_counts().reindex(idx, fill_value=0).to_numpy().astype(int)
+    n, s = len(x), int(x.sum())
+    dev = [int(v) * n - s for v in x]
+    den = sum(d * d for d in dev)
+    out = (
+        QUERIES["hourly_autocorrelation"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("lag_hours")
+    )
+    assert list(out["lag_hours"]) == list(range(1, 25))
+    for _, row in out.iterrows():
+        lag = int(row["lag_hours"])
+        num = sum(a * b for a, b in zip(dev, dev[lag:]))
+        assert int(row["n_pairs"]) == n - lag
+        assert row["acf"] == num / den
+        assert abs(row["acf"]) <= 1.0

@@ -183,6 +183,7 @@ _INTENTIONAL_BNLJ = {
     # grid-sized: 1-row (n,S) stat broadcast + 24-row lag spine over the
     # calendar-bounded hourly series
     "hourly_autocorrelation",
+    "streaming_acf_twin",  # same projection over the merged partials
 }
 # iterative/streaming queries execute during construction — skip plan-only audit
 _AUDIT_SKIP = {"neardup_clusters"}
