@@ -1263,3 +1263,81 @@ def multimodal_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_partner_videos"
         ),
     )
+
+
+_AFE_FRAME = 64  # samples per analysis frame (tail partial frame included)
+
+
+@register_query(
+    "audio_frame_energy",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id, 200 + n_chars % 300 AS n FROM documents
+    ), smp AS (
+        SELECT doc_id, n, UNNEST(range(0, n)) AS t FROM dims
+    ), v AS (
+        SELECT doc_id, t // {_AFE_FRAME} AS frame,
+               (t * 37 + doc_id * 101) % 65536 - 32768 AS s
+        FROM smp
+    ), frames AS (
+        SELECT doc_id, frame, CAST(SUM(s * s) AS BIGINT) AS energy
+        FROM v GROUP BY doc_id, frame
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(MIN(energy) AS BIGINT) AS min_energy,
+           CAST(MAX(energy) AS BIGINT) AS max_energy,
+           CAST(MIN(CASE WHEN energy = (SELECT MAX(f2.energy) FROM frames f2
+                                        WHERE f2.doc_id = frames.doc_id)
+                    THEN frame END) AS BIGINT) AS peak_frame
+    FROM frames GROUP BY doc_id
+    """,
+)
+def audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level audio energy profile over REAL WAV bytes — the VAD /
+    silence-detection plumbing (frame the PCM, integer sum-of-squares per
+    frame, locate the loudest frame): stage 1 synthesizes the RIFF/PCM16
+    clip, stage 2 parses the container and frames the samples at
+    {_AFE_FRAME} samples/frame (tail partial frame kept, as VADs do).
+    Every energy is an exact BIGINT; peak_frame ties break to the
+    earliest frame. The DuckDB oracle recomputes the frames analytically
+    from the generation formula, so the hash certifies header parsing,
+    PCM slicing AND the framing arithmetic end to end.
+
+    Scale: map-only decode+frame (one pandas batch fn), stats-only rows
+    out; a deployment swaps the synthetic decode for soundfile/ffmpeg in
+    the same batch fn and the frame loop is _np.add.reduceat — already
+    vectorized."""
+    _register_codec_by_value()
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+
+        def one(doc_id: int, payload: bytes):
+            payload = bytes(payload)
+            sr, n, data = decode_wav(payload)
+            s = _np.frombuffer(data, dtype="<i2").astype(_np.int64)
+            sq = s * s
+            starts = _np.arange(0, n, _AFE_FRAME)
+            energy = _np.add.reduceat(sq, starts)
+            peak = int(_np.argmax(energy))  # argmax = first max, ties->earliest
+            return (
+                doc_id,
+                len(energy),
+                int(energy.min()),
+                int(energy.max()),
+                peak,
+            )
+
+        cols = ["doc_id", "n_frames", "min_energy", "max_energy", "peak_frame"]
+        for b in batches:
+            yield pd.DataFrame(
+                [one(int(d), p) for d, p in zip(b["doc_id"], b["payload"])],
+                columns=cols,
+            )
+
+    return wav_audio_table(spark, sf_dir).mapInPandas(
+        stats,
+        "doc_id long, n_frames long, min_energy long, max_energy long, "
+        "peak_frame long",
+    )

@@ -2632,3 +2632,75 @@ def streaming_acf_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 assert "hourly_autocorrelation" in _OR, "batch ACF oracle missing"
 _OR["streaming_acf_twin"] = _OR["hourly_autocorrelation"]
+
+
+@register_query(
+    "streaming_funnel_tws_twin",
+    # identical output contract to the batch operator -> same oracle
+    oracle=None,  # bound below
+)
+def streaming_funnel_tws_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch funnel attribution on the STATE-V2 runtime — the 7th
+    order-dependent twin and the THIRD order-dependent operator proven on
+    transformWithStateInPandas (EWMA, CUSUM, now the funnel): the four
+    longs of per-user attribution state live in a typed ValueState behind
+    the StatefulProcessor protocol (JVM state server, protobuf transport,
+    RocksDB column families), and the same batch oracle certifies the
+    result bit-for-bit. Order contract and read-side max-struct revision
+    reduce exactly as streaming_funnel_twin.
+
+    Driver-session plumbing mirrors streaming_ewma_tws_twin: ship the
+    protobuf shim to workers before the UDF exists, and pin the RocksDB
+    provider for the query's lifetime."""
+    from kasper_spark.protoshim import ensure_protobuf, ship_shim_to_workers
+    from kasper_spark.streaming.state import funnel_attribution_tws
+
+    ensure_protobuf()
+    ship_shim_to_workers(spark)
+
+    stream, out_dir, ckpt = _staged_markov_feed(spark, sf_dir, "kasper-tfun-")
+    revisions = funnel_attribution_tws(stream)
+
+    def sink_batch(df, epoch_id: int) -> None:
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch={epoch_id}"))
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, rocksdb)
+    try:
+        q = (
+            revisions.writeStream.foreachBatch(sink_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    final = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_purchases", "n_attributed")).alias("s"))
+        .select(
+            "user_id",
+            F.col("s.n_purchases").alias("n_purchases"),
+            F.col("s.n_attributed").alias("n_attributed"),
+        )
+    )
+    return final.select(
+        "user_id",
+        "n_purchases",
+        "n_attributed",
+        (
+            F.col("n_attributed").cast("double") / F.col("n_purchases").cast("double")
+        ).alias("attribution_rate"),
+    )
+
+
+assert "funnel_attribution_windowed" in _OR, "batch funnel oracle missing (tws)"
+_OR["streaming_funnel_tws_twin"] = _OR["funnel_attribution_windowed"]

@@ -89,6 +89,11 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     # fertility audit
     "streaming_acf_twin",
     "tokenizer_fertility_stats",
+    # NEW this round (wave 4): frame-level audio energy (VAD plumbing),
+    # funnel attribution on the state-v2 runtime (7th order-dependent
+    # twin, 3rd on TWS)
+    "audio_frame_energy",
+    "streaming_funnel_tws_twin",
     "annotator_agreement_kappa",
     "kmeans_int8_assignments",
     "ann_ivf_trained_topk",
@@ -137,13 +142,12 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "histogram_totalprice",
     "join_skew_salted",
     "math_date_functions",
-    "mom_revenue_growth",
-    "pandas_udf_token_count",
     # (exactly 50 names. Round-10 policy: CHANGED first, then the
     # oldest-evidence regression cohort. New round-10 operators take
     # slots from the tail of the r04 section as they land — edit in
     # place. Still queued after these: the rest of the r04 cohort
-    # (percentiles_quantity, pivot_native,
+    # (mom_revenue_growth, pandas_udf_token_count,
+    # percentiles_quantity, pivot_native,
     # pivot_segment_by_nation, referential_integrity_audit,
     # stats_moments, stratified_topn_md5, string_functions, streaming twins, text_normalize, udtf_sentence_split,
     # unpivot_part_metrics, upsert_snapshot, window_nav_lag_lead,

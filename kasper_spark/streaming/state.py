@@ -865,3 +865,68 @@ def cusum_alarms_tws(
         outputMode="Append",
         timeMode="None",
     )
+
+
+def funnel_attribution_tws(events: DataFrame) -> DataFrame:
+    """Last-touch funnel attribution on transformWithStateInPandas (state
+    v2) — the modern-runtime twin of funnel_attribution_stream in
+    operators/streaming_twins.py. State is one typed ValueState of FOUR
+    BIGINTs (latest view epoch, latest qualifying click epoch, running
+    purchase/attributed counts) — the complete sufficient statistic of
+    the backward-looking attribution rule; pure integer microsecond
+    arithmetic, so revision rows equal the batch window plan's given an
+    event-time-ordered feed.
+
+    ``events`` must carry (user_id long, event_id long, ts timestamp,
+    event_type string). Output mode Update: each batch emits the touched
+    user's CURRENT (n_purchases, n_attributed) revision; counts are
+    non-decreasing, so a read-side max-struct reduce keeps the final
+    revision."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    _HOUR_US = 3_600 * 1_000_000
+
+    # nested class: cloudpickle serializes by value (foreign-cwd workers)
+    class FunnelScan(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._acc = handle.getValueState(
+                "acc", "last_view long, last_qclick long, n_purch long, n_attr long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            last_view, last_qclick, n_purch, n_attr = (
+                self._acc.get() if self._acc.exists() else (-1, -1, 0, 0)
+            )
+            pdf = pd.concat(list(rows)).sort_values(["ts", "event_id"])
+            for r in pdf.itertuples():
+                ts_us = int(r.ts.value // 1000)
+                et = r.event_type
+                if et == "view":
+                    last_view = ts_us
+                elif et == "click":
+                    if last_view >= 0 and ts_us <= last_view + _HOUR_US:
+                        last_qclick = ts_us
+                elif et == "purchase":
+                    n_purch += 1
+                    if last_qclick >= 0 and ts_us <= last_qclick + _HOUR_US:
+                        n_attr += 1
+            self._acc.update((last_view, last_qclick, n_purch, n_attr))
+            out = [(int(key[0]), n_purch, n_attr)] if n_purch > 0 else []
+            yield pd.DataFrame(
+                out, columns=["user_id", "n_purchases", "n_attributed"]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        FunnelScan(),
+        outputStructType="user_id long, n_purchases long, n_attributed long",
+        outputMode="Update",
+        timeMode="None",
+    )
