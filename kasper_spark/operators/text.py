@@ -1561,6 +1561,9 @@ def chi2_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     (o*N - ns*cw)^2/(ns*cw*N) with an EXACT integer numerator difference,
     identical IEEE double association on both engines, and a one-time
     DECIMAL(38,12) quantization so the sum is partition-order-independent.
+    Overflow bound: the BIGINT difference needs ns*cw < 2^63 — holds to
+    ~3e9 top-V token occurrences; shard by time window past that (the
+    drift test is windowed in production anyway).
 
     Scale: tokenize is map-side; two word-keyed groupBys (corpus counts,
     per-source counts) are the only corpus-sized shuffles — both partial-
@@ -1744,6 +1747,8 @@ def ks_quality_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     |F1 - F2| = |cum_s*(N - N_s) - cum_rest*N_s| / (N_s*(N - N_s)), and
     the numerator is PURE BIGINT, so the max is an integer comparison and
     only the final reported statistic is one exact-int double division.
+    Overflow bound: cum*(N - N_s) < 2^63 needs N < ~3e9 docs; shard the
+    drift test by time window past that (the production shape anyway).
 
     Scale: per-(source, value) counts partial-aggregate map-side; the
     zero-filled grid is |sources| x |distinct quality values| (both
