@@ -190,6 +190,7 @@ def _run(noise_file) -> dict:
         # throughput stable to <0.1%. Deltas inside that envelope between
         # rounds are environment, not code.
         "variance_note": "same-code noise ~±10%/query, ~8% total; streaming <0.1% — see BENCH_VARIANCE.md",
+        "total_note": "r10 adds 7 headline keys (~20 s of new coverage); per-shared-key deltas are the cross-round comparable, not the total",
         "stderr_quarantine": {"lines": noise_lines, "file": noise_file.name},
     }
     if errors:

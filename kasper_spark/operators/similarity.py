@@ -2891,3 +2891,92 @@ def ann_ivf_pq_residual_recall_contract(
     these per-query recalls beat ann_ivf_pq_recall_contract's; either
     way the values are hash-pinned."""
     return _recall_contract(spark, sf_dir, ann_ivf_pq_residual)
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination (round 10)
+# ---------------------------------------------------------------------------
+
+_SEMDECON_TAU = 0.35  # cosine gate vs the eval anchors (testdata max ~0.49)
+
+
+@register_query(
+    "semantic_decontaminate",
+    oracle=f"""
+    WITH nrm AS (
+        SELECT vec_id, embedding,
+               sqrt({dot_exact_sql('embedding', 'embedding')}) AS nrm
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT t.vec_id, e.vec_id AS eval_id,
+               {dot_exact_sql('t.embedding', 'e.embedding')} / (t.nrm * e.nrm)
+                   AS cosine
+        FROM nrm t JOIN nrm e ON e.vec_id < {_N_QUERY}
+        WHERE t.vec_id >= {_N_QUERY}
+    ),
+    best AS (
+        SELECT vec_id, eval_id, cosine FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY cosine DESC, eval_id
+            ) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    )
+    SELECT vec_id, eval_id AS nearest_eval_id, cosine AS max_cosine
+    FROM best WHERE cosine >= {_SEMDECON_TAU}
+    ORDER BY vec_id
+    """,
+)
+def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level benchmark decontamination — the FUZZY complement of
+    the n-gram/Bloom decontaminators: paraphrased or lightly-rewritten
+    eval leakage shares no shingles but still sits next to the eval
+    anchor in embedding space, so modern pipelines ALSO gate on max
+    cosine against the eval set. Anchors = the bounded eval set (vec_id <
+    {_N_QUERY}, the corpus's standing query subset); every training
+    vector above tau={_SEMDECON_TAU} is emitted with its nearest anchor —
+    the removal list plus the evidence for manual review. Exact decimal
+    cosine (the dot_exact discipline), ties to the lower anchor id.
+
+    Scale shape: the |eval| anchor set is broadcast (eval suites are
+    thousands of rows, never corpus-scale), so the scan is ONE map-side
+    pass over the corpus — per-row k-anchor scoring, no shuffle of the
+    training embeddings; only flagged rows leave the scan. The gate's
+    selectivity makes the output audit-sized. At larger eval suites the
+    LSH/IVF prefilters (ann_lsh_topk / ann_ivf_topk plans) bound the
+    candidate set first — same composition as the certified ANN family."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = emb.select(
+        "vec_id", "embedding", norm_exact(F.col("embedding")).alias("nrm")
+    )
+    anchors = nrm.filter(F.col("vec_id") < _N_QUERY).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("ee"),
+        F.col("nrm").alias("en"),
+    )
+    train = nrm.filter(F.col("vec_id") >= _N_QUERY)
+    scored = train.join(F.broadcast(anchors)).select(
+        "vec_id",
+        "eval_id",
+        (
+            dot_exact(F.col("embedding"), F.col("ee"))
+            / (F.col("nrm") * F.col("en"))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("eval_id"))
+    best = (
+        scored.select("vec_id", "eval_id", "cosine", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        best.filter(F.col("cosine") >= _SEMDECON_TAU)
+        .select(
+            "vec_id",
+            F.col("eval_id").alias("nearest_eval_id"),
+            F.col("cosine").alias("max_cosine"),
+        )
+        .orderBy("vec_id")
+    )

@@ -94,6 +94,9 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     # twin, 3rd on TWS)
     "audio_frame_energy",
     "streaming_funnel_tws_twin",
+    # NEW this round (wave 5): embedding-level decontamination (the
+    # fuzzy complement of the n-gram/Bloom decontaminators)
+    "semantic_decontaminate",
     "annotator_agreement_kappa",
     "kmeans_int8_assignments",
     "ann_ivf_trained_topk",
@@ -141,12 +144,11 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "grouping_sets_orders",
     "histogram_totalprice",
     "join_skew_salted",
-    "math_date_functions",
     # (exactly 50 names. Round-10 policy: CHANGED first, then the
     # oldest-evidence regression cohort. New round-10 operators take
     # slots from the tail of the r04 section as they land — edit in
     # place. Still queued after these: the rest of the r04 cohort
-    # (mom_revenue_growth, pandas_udf_token_count,
+    # (math_date_functions, mom_revenue_growth, pandas_udf_token_count,
     # percentiles_quantity, pivot_native,
     # pivot_segment_by_nation, referential_integrity_audit,
     # stats_moments, stratified_topn_md5, string_functions, streaming twins, text_normalize, udtf_sentence_split,
