@@ -2172,13 +2172,23 @@ def hll_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.select(
         F.date_trunc("hour", F.col("ts")).alias("hour"), "user_id"
     )
-    hours = hourly.select("hour").distinct()
+    sketches = hourly.groupBy("hour").agg(
+        F.hll_sketch_agg("user_id", F.lit(_HLL_LGK)).alias("sk")
+    )
+    return hll_window_report(sketches, hourly.distinct())
+
+
+def hll_window_report(sketches: DataFrame, pairs: DataFrame) -> DataFrame:
+    """The sliding-window estimate + error-contract projection over
+    (hour, sk) hourly sketches and hour-deduped (hour, user_id) pairs —
+    shared by the batch operator and its streaming twin (whose inputs are
+    read-side MERGES of per-epoch partials; HLL registers are per-bucket
+    maxima, so merged partial sketches equal the one-shot sketch
+    register-for-register and the estimate is bit-identical)."""
+    hours = sketches.select("hour").distinct()
     win = (
         f"sequence(hour, hour + interval {_HLL_WIN_HOURS - 1} hours, "
         "interval 1 hour)"
-    )
-    sketches = hourly.groupBy("hour").agg(
-        F.hll_sketch_agg("user_id", F.lit(_HLL_LGK)).alias("sk")
     )
     est = (
         sketches.select(F.explode(F.expr(win)).alias("window_end"), "sk")
@@ -2186,7 +2196,6 @@ def hll_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("window_end")
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"))
     )
-    pairs = hourly.distinct()
     exact = (
         pairs.select(F.explode(F.expr(win)).alias("window_end"), "user_id")
         .join(F.broadcast(hours.withColumnRenamed("hour", "window_end")), "window_end", "semi")

@@ -2704,3 +2704,85 @@ def streaming_funnel_tws_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 assert "funnel_attribution_windowed" in _OR, "batch funnel oracle missing (tws)"
 _OR["streaming_funnel_tws_twin"] = _OR["funnel_attribution_windowed"]
+
+
+@register_query(
+    "streaming_hll_sliding_twin",
+    # identical output contract to the batch operator -> same oracle
+    oracle=None,  # bound below (analytics registers first)
+)
+def streaming_hll_sliding_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hll_sliding_distinct_users AT INGEST — mergeable SKETCHES as the
+    streaming state (5th incremental-view twin, and the first whose
+    partials are binary sketch blobs rather than integer counts): each
+    micro-batch sketches ITS events per hour and emits the partial
+    sketches (plus its hour-deduped pairs for the error-contract's exact
+    side); the read-side hll_union_agg merge equals the one-shot hourly
+    sketch REGISTER-FOR-REGISTER (HLL registers are per-bucket maxima —
+    order- and cut-invariant by algebra), so the sliding-window estimates
+    and their certified error bounds reproduce the batch operator
+    bit-for-bit. This is the production shape for streaming distinct
+    dashboards: sketch at ingest, union at query time, never re-scan.
+
+    ts handling as streaming_acf_twin: the staged copy is written from
+    the normalized batch reader, so the stream schema declares plain
+    timestamps."""
+    from kasper_spark.operators.analytics import _HLL_LGK, hll_window_report
+
+    work = _workdir("kasper-shll-")
+    src_dir = os.path.join(work, "src")
+    out_sk = os.path.join(work, "out", "sk")
+    out_pairs = os.path.join(work, "out", "pairs")
+    ckpt = os.path.join(work, "ck")
+
+    ensure_nanos_as_long(spark)
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    normalize_driver_ts(raw, ("ts",)).select("ts", "user_id").repartition(
+        4
+    ).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(src_dir)
+    )
+
+    def sink_batch(df, epoch_id: int) -> None:
+        hourly = df.select(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), "user_id"
+        )
+        hourly.groupBy("hour").agg(
+            F.hll_sketch_agg("user_id", F.lit(_HLL_LGK)).alias("sk")
+        ).write.mode("overwrite").parquet(os.path.join(out_sk, f"batch={epoch_id}"))
+        hourly.distinct().write.mode("overwrite").parquet(
+            os.path.join(out_pairs, f"batch={epoch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.isdir(out_sk):
+        raise RuntimeError(
+            f"streaming_hll_sliding_twin: no micro-batch ran over {src_dir}"
+        )
+    sketches = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_sk)
+        .groupBy("hour")
+        .agg(F.hll_union_agg("sk").alias("sk"))
+    )
+    pairs = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_pairs)
+        .distinct()
+    )
+    return hll_window_report(sketches, pairs)
+
+
+assert "hll_sliding_distinct_users" in _OR, "batch HLL-sliding oracle missing"
+_OR["streaming_hll_sliding_twin"] = _OR["hll_sliding_distinct_users"]

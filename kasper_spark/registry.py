@@ -97,6 +97,11 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     # NEW this round (wave 5): embedding-level decontamination (the
     # fuzzy complement of the n-gram/Bloom decontaminators)
     "semantic_decontaminate",
+    # NEW this round (wave 6): mergeable HLL sketches AT INGEST (5th
+    # incremental-view twin; binary sketch partials) — the batch op is
+    # also re-certified since its report stage was factored for sharing
+    "streaming_hll_sliding_twin",
+    "hll_sliding_distinct_users",
     "annotator_agreement_kappa",
     "kmeans_int8_assignments",
     "ann_ivf_trained_topk",
@@ -142,13 +147,12 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "gopher_quality_filters",
     "grouped_minmax_normalize",
     "grouping_sets_orders",
-    "histogram_totalprice",
-    "join_skew_salted",
     # (exactly 50 names. Round-10 policy: CHANGED first, then the
     # oldest-evidence regression cohort. New round-10 operators take
     # slots from the tail of the r04 section as they land — edit in
     # place. Still queued after these: the rest of the r04 cohort
-    # (math_date_functions, mom_revenue_growth, pandas_udf_token_count,
+    # (histogram_totalprice, join_skew_salted,
+    # math_date_functions, mom_revenue_growth, pandas_udf_token_count,
     # percentiles_quantity, pivot_native,
     # pivot_segment_by_nation, referential_integrity_audit,
     # stats_moments, stratified_topn_md5, string_functions, streaming twins, text_normalize, udtf_sentence_split,
