@@ -2487,3 +2487,91 @@ def acf_from_hourly_counts(spark: SparkSession, agg: DataFrame) -> DataFrame:
         .otherwise(F.col("num").cast("double") / F.col("den").cast("double"))
         .alias("acf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Anomaly-detector ensemble (round 10)
+# ---------------------------------------------------------------------------
+
+
+def _ensemble_oracle() -> str:
+    from kasper_spark.registry import ORACLES
+
+    return f"""
+    WITH stl AS ({ORACLES["stl_decompose_hourly"]}),
+    cus AS ({ORACLES["cusum_deseasonalized_events"]}),
+    flags AS (
+        SELECT s.event_type,
+               CASE WHEN abs(s.residual / sqrt(s.trend + 1.0)) > 4.0
+                    THEN 1 ELSE 0 END AS f_stl,
+               CASE WHEN c.alarm_up = 1 OR c.alarm_dn = 1
+                    THEN 1 ELSE 0 END AS f_cusum
+        FROM stl s JOIN cus c
+          ON c.event_type = s.event_type AND c.hour_ts = s.hour_ts
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(SUM(f_stl) AS BIGINT) AS n_stl_flagged,
+           CAST(SUM(f_cusum) AS BIGINT) AS n_cusum_flagged,
+           CAST(SUM(f_stl * f_cusum) AS BIGINT) AS n_both,
+           CASE WHEN SUM(f_stl) + SUM(f_cusum) - SUM(f_stl * f_cusum) = 0
+                THEN NULL
+                ELSE CAST(SUM(f_stl * f_cusum) AS DOUBLE)
+                     / CAST(SUM(f_stl) + SUM(f_cusum) - SUM(f_stl * f_cusum)
+                            AS DOUBLE)
+           END AS detector_jaccard
+    FROM flags GROUP BY event_type
+    """
+
+
+@register_query("anomaly_ensemble_report", oracle=_ensemble_oracle())
+def anomaly_ensemble_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detector-ensemble agreement audit — the composition that tells an
+    on-call team WHICH anomaly detector to trust per event type: the
+    STL-residual 4-sigma gate (offline, centered window) and the
+    deseasonalized CUSUM (online, one-sided drift alarms) are run over
+    the SAME hourly grid and their per-hour flags are cross-tabulated —
+    per type: hours flagged by each, by both, and the detector Jaccard
+    (NULL when neither fires; a low value on a type means the two are
+    seeing DIFFERENT phenomena there and neither alone suffices). Both
+    component plans are themselves hash-certified operators; this query
+    certifies their COMPOSITION (the curation_pipeline_e2e discipline).
+
+    Scale: the component plans share the hourly-grid discipline (one
+    data-sized partial agg each, windows on the calendar-bounded grid);
+    the ensemble join and cross-tab are grid-sized."""
+    stl = stl_decompose_hourly(spark, sf_dir).select(
+        "event_type",
+        "hour_ts",
+        (
+            F.abs(
+                F.col("residual") / F.sqrt(F.col("trend") + F.lit(1.0))
+            )
+            > 4.0
+        )
+        .cast("int")
+        .alias("f_stl"),
+    )
+    cus = cusum_deseasonalized_events(spark, sf_dir).select(
+        "event_type",
+        "hour_ts",
+        ((F.col("alarm_up") == 1) | (F.col("alarm_dn") == 1))
+        .cast("int")
+        .alias("f_cusum"),
+    )
+    flags = stl.join(cus, ["event_type", "hour_ts"])
+    union_flags = (
+        F.sum("f_stl") + F.sum("f_cusum") - F.sum(F.col("f_stl") * F.col("f_cusum"))
+    )
+    return flags.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("f_stl").cast("long").alias("n_stl_flagged"),
+        F.sum("f_cusum").cast("long").alias("n_cusum_flagged"),
+        F.sum(F.col("f_stl") * F.col("f_cusum")).cast("long").alias("n_both"),
+        F.when(union_flags == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.sum(F.col("f_stl") * F.col("f_cusum")).cast("double")
+            / union_flags.cast("double")
+        )
+        .alias("detector_jaccard"),
+    )

@@ -102,6 +102,9 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     # also re-certified since its report stage was factored for sharing
     "streaming_hll_sliding_twin",
     "hll_sliding_distinct_users",
+    # NEW this round (wave 7): detector-ensemble composition (STL x
+    # deseasonalized-CUSUM cross-tab, composition-certified)
+    "anomaly_ensemble_report",
     "annotator_agreement_kappa",
     "kmeans_int8_assignments",
     "ann_ivf_trained_topk",
@@ -146,12 +149,11 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "funnel_view_click_purchase",
     "gopher_quality_filters",
     "grouped_minmax_normalize",
-    "grouping_sets_orders",
     # (exactly 50 names. Round-10 policy: CHANGED first, then the
     # oldest-evidence regression cohort. New round-10 operators take
     # slots from the tail of the r04 section as they land — edit in
     # place. Still queued after these: the rest of the r04 cohort
-    # (histogram_totalprice, join_skew_salted,
+    # (grouping_sets_orders, histogram_totalprice, join_skew_salted,
     # math_date_functions, mom_revenue_growth, pandas_udf_token_count,
     # percentiles_quantity, pivot_native,
     # pivot_segment_by_nation, referential_integrity_audit,

@@ -164,6 +164,7 @@ _INTENTIONAL_BNLJ = {
     "cusum_deseasonalized_events",  # same spine + |types| x 24 season broadcast
     "stl_decompose_hourly",  # same bounded types x hours spine
     "stl_residual_anomalies",  # the stl plan + a map-side gate
+    "anomaly_ensemble_report",  # composes the stl + cusum spine plans
     "knn_label_disagreement",  # bounded audited set, ann-baseline shape
     "ks_quality_drift_by_source",  # sources x quality-bands grid + 1-row total, both broadcast
     "bm25_keyword_topk",  # 1-row broadcast of corpus stats (N, avgdl)
