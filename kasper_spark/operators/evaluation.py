@@ -801,12 +801,20 @@ def auc_label_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("pos"),
     )
-    from pyspark.sql.window import Window
-
     counts = scored.groupBy("source", "score").agg(
         F.count(F.lit(1)).cast("long").alias("cnt"),
         F.sum("pos").cast("long").alias("cnt_pos"),
     )
+    return auc_from_score_counts(counts)
+
+
+def auc_from_score_counts(counts: DataFrame) -> DataFrame:
+    """The AUC projection over merged (source, score, cnt, cnt_pos)
+    histogram rows — the histogram is the op's mergeable sufficient
+    statistic (integer counts sum across any partition of the corpus),
+    shared by the batch audit and its streaming twin."""
+    from pyspark.sql.window import Window
+
     w_cum = (
         Window.partitionBy("source")
         .orderBy("score")
@@ -835,3 +843,12 @@ def auc_label_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("auc"),
     )
+
+
+# late-bound oracle for the ingest twin (streaming_twins imports before
+# this module; binding there would raise at import — the
+# streaming_mixture_twin lesson)
+from kasper_spark.registry import ORACLES as _OR  # noqa: E402
+
+assert "auc_label_quality" in _OR, "batch AUC oracle missing (twin bind)"
+_OR["streaming_auc_twin"] = _OR["auc_label_quality"]

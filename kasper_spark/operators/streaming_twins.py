@@ -2786,3 +2786,90 @@ def streaming_hll_sliding_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 assert "hll_sliding_distinct_users" in _OR, "batch HLL-sliding oracle missing"
 _OR["streaming_hll_sliding_twin"] = _OR["hll_sliding_distinct_users"]
+
+
+@register_query(
+    "streaming_auc_twin",
+    # identical output contract to the batch operator -> same oracle
+    oracle=None,  # bound below (evaluation registers first)
+)
+def streaming_auc_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """auc_label_quality AT INGEST — the live label-quality dashboard
+    shape (6th incremental-view twin): the (source, score) histogram with
+    positive counts is the op's mergeable sufficient statistic, so each
+    micro-batch computes scan-stage logits/labels for ITS documents only
+    and emits per-(source, score) integer partials; the read-side merge +
+    the identical rank-histogram AUC projection reproduce the batch audit
+    bit-for-bit. Cut-invariant by construction — no state store, no
+    ordering requirement."""
+    from kasper_spark.operators.evaluation import (
+        _ANNOTATORS,
+        _logit_expr,
+        _noise_expr,
+        auc_from_score_counts,
+    )
+
+    work = _workdir("kasper-sauc-")
+    src_dir = os.path.join(work, "src")
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ck")
+    os.makedirs(src_dir)
+    os.symlink(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(src_dir, "documents.parquet"),
+    )
+    stream = (
+        spark.readStream.schema("text string, source string")
+        .option("recursiveFileLookup", "true")
+        .format("parquet")
+        .load(src_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def sink_batch(df, epoch_id: int) -> None:
+        logit = _logit_expr()
+        scored = df.select(
+            "source",
+            logit.cast("bigint").alias("score"),
+            (
+                sum(
+                    ((logit + _noise_expr(k)) > 0).cast("bigint")
+                    for k in _ANNOTATORS
+                )
+                >= 2
+            )
+            .cast("bigint")
+            .alias("pos"),
+        )
+        scored.groupBy("source", "score").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("pos").cast("long").alias("cnt_pos"),
+        ).write.mode("overwrite").parquet(os.path.join(out_dir, f"batch={epoch_id}"))
+
+    q = (
+        stream.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.isdir(out_dir):
+        raise RuntimeError(
+            f"streaming_auc_twin: no micro-batch ran over {src_dir} — "
+            "the file stream source found no input files"
+        )
+    merged = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+        .groupBy("source", "score")
+        .agg(
+            F.sum("cnt").cast("long").alias("cnt"),
+            F.sum("cnt_pos").cast("long").alias("cnt_pos"),
+        )
+    )
+    return auc_from_score_counts(merged)
+
+
+# oracle bound at the END of operators/evaluation.py: this module imports
+# BEFORE evaluation in the operators package, so binding here would raise
+# at import (the streaming_mixture_twin lesson).

@@ -105,6 +105,8 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     # NEW this round (wave 7): detector-ensemble composition (STL x
     # deseasonalized-CUSUM cross-tab, composition-certified)
     "anomaly_ensemble_report",
+    # NEW this round (wave 8): AUC at ingest (6th incremental-view twin)
+    "streaming_auc_twin",
     "annotator_agreement_kappa",
     "kmeans_int8_assignments",
     "ann_ivf_trained_topk",
@@ -146,14 +148,14 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "cohort_retention",
     "corpus_mix_sample",
     "corr_covar_qty_discount",
-    "funnel_view_click_purchase",
     "gopher_quality_filters",
     "grouped_minmax_normalize",
     # (exactly 50 names. Round-10 policy: CHANGED first, then the
     # oldest-evidence regression cohort. New round-10 operators take
     # slots from the tail of the r04 section as they land — edit in
     # place. Still queued after these: the rest of the r04 cohort
-    # (grouping_sets_orders, histogram_totalprice, join_skew_salted,
+    # (funnel_view_click_purchase, grouping_sets_orders,
+    # histogram_totalprice, join_skew_salted,
     # math_date_functions, mom_revenue_growth, pandas_udf_token_count,
     # percentiles_quantity, pivot_native,
     # pivot_segment_by_nation, referential_integrity_audit,
