@@ -2178,3 +2178,124 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("dig").alias("n_shared_digests"),
         )
     )
+
+
+_PRC_BOUND = 500  # audit subset: covers the full sf0.01 corpus
+
+
+@register_query(
+    "lsh_precision_recall_contract",
+    oracle="WITH " + _LSH_GRAPH_CTE + f""",
+    sub AS (
+        SELECT doc_a, doc_b FROM pairs
+        WHERE doc_a < {_PRC_BOUND} AND doc_b < {_PRC_BOUND}
+    ),
+    shb AS (
+        SELECT doc_id,
+               list_distinct(
+                   CASE WHEN len(toks) >= {_SHINGLE_N}
+                        THEN list_transform(
+                                 generate_series(1, len(toks) - {_SHINGLE_N - 1}),
+                                 i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+                        ELSE [] END) AS ss
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), w -> w <> '') AS toks
+            FROM documents WHERE doc_id < {_PRC_BOUND}
+        )
+    ),
+    neb AS (SELECT doc_id, ss FROM shb WHERE len(ss) > 0),
+    eb AS (SELECT doc_id, UNNEST(ss) AS s FROM neb),
+    szb AS (SELECT doc_id, len(ss) AS n FROM neb),
+    co AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM eb a JOIN eb b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    truep AS (
+        SELECT co.doc_a, co.doc_b
+        FROM co JOIN szb x ON x.doc_id = co.doc_a
+                JOIN szb y ON y.doc_id = co.doc_b
+        WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.5
+    ),
+    hit AS (
+        SELECT t.doc_a, t.doc_b FROM truep t JOIN sub s
+          ON s.doc_a = t.doc_a AND s.doc_b = t.doc_b
+    )
+    SELECT
+        CAST((SELECT COUNT(*) FROM truep) AS BIGINT) AS n_true,
+        CAST((SELECT COUNT(*) FROM sub) AS BIGINT) AS n_lsh,
+        CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hit,
+        CASE WHEN (SELECT COUNT(*) FROM sub) = 0 THEN NULL
+             ELSE CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+                  / CAST((SELECT COUNT(*) FROM sub) AS DOUBLE) END AS precision,
+        CASE WHEN (SELECT COUNT(*) FROM truep) = 0 THEN NULL
+             ELSE CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+                  / CAST((SELECT COUNT(*) FROM truep) AS DOUBLE) END AS recall
+    """,
+)
+def lsh_precision_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRECISION/RECALL contract for the production MinHash-LSH near-dup
+    index — the dedup-side analog of the nine ANN recall contracts: over
+    the bounded audit subset (doc_id < {bound}), the banded-LSH verified
+    pairs are scored against the EXACT shingle-Jaccard >= 0.5 ground
+    truth, emitting (n_true, n_lsh, n_hit, precision, recall) as one
+    certified row. This is the measurement that justifies trusting LSH
+    candidates at 100 TB where the exact all-pairs check is impossible:
+    the index's own quality is a hash-certified quantity, re-proven
+    every round. Empty sides emit NULL ratios, never 0/0.
+
+    Scale shape: the LSH side is the full production pipeline (shingle
+    explode -> partial-agg minhash -> band-bucket shuffle -> verify),
+    restricted AFTER the fact to the audit subset; the exact side avoids
+    all-pairs entirely — shared-shingle explode-join (only pairs with a
+    common shingle materialize) + per-doc size join, the
+    source_ngram_overlap grain; the three counts cross a 1-row broadcast
+    each.""".format(bound=_PRC_BOUND)
+    lsh = _md5_lsh_pairs(spark, sf_dir).filter(
+        (F.col("doc_a") < _PRC_BOUND) & (F.col("doc_b") < _PRC_BOUND)
+    )
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _PRC_BOUND
+    )
+    toks = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    sh = toks.select(
+        "doc_id", F.array_distinct(_shingles_raw(F.col("toks"))).alias("ss")
+    ).filter(F.size("ss") > 0)
+    e = sh.select("doc_id", F.explode("ss").alias("s"))
+    sz = sh.select("doc_id", F.size("ss").alias("n"))
+    ea = e.select(F.col("doc_id").alias("doc_a"), "s")
+    ebb = e.select(F.col("doc_id").alias("doc_b"), "s")
+    co = (
+        ea.join(ebb, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    truep = (
+        co.join(sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .filter(
+            F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+            >= 0.5
+        )
+        .select("doc_a", "doc_b")
+    )
+    hit = truep.join(lsh, ["doc_a", "doc_b"])
+    stats = (
+        truep.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+        .crossJoin(F.broadcast(lsh.agg(F.count(F.lit(1)).cast("long").alias("n_lsh"))))
+        .crossJoin(F.broadcast(hit.agg(F.count(F.lit(1)).cast("long").alias("n_hit"))))
+    )
+    return stats.select(
+        "n_true",
+        "n_lsh",
+        "n_hit",
+        F.when(F.col("n_lsh") == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("n_hit").cast("double") / F.col("n_lsh").cast("double"))
+        .alias("precision"),
+        F.when(F.col("n_true") == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("n_hit").cast("double") / F.col("n_true").cast("double"))
+        .alias("recall"),
+    )

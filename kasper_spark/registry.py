@@ -107,6 +107,9 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "anomaly_ensemble_report",
     # NEW this round (wave 8): AUC at ingest (6th incremental-view twin)
     "streaming_auc_twin",
+    # NEW this round (wave 9): LSH index precision/recall contract (the
+    # dedup-side analog of the ANN recall contracts)
+    "lsh_precision_recall_contract",
     "annotator_agreement_kappa",
     "kmeans_int8_assignments",
     "ann_ivf_trained_topk",
@@ -147,14 +150,13 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "ann_int8_topk",
     "cohort_retention",
     "corpus_mix_sample",
-    "corr_covar_qty_discount",
     "gopher_quality_filters",
     "grouped_minmax_normalize",
     # (exactly 50 names. Round-10 policy: CHANGED first, then the
     # oldest-evidence regression cohort. New round-10 operators take
     # slots from the tail of the r04 section as they land — edit in
     # place. Still queued after these: the rest of the r04 cohort
-    # (funnel_view_click_purchase, grouping_sets_orders,
+    # (corr_covar_qty_discount, funnel_view_click_purchase, grouping_sets_orders,
     # histogram_totalprice, join_skew_salted,
     # math_date_functions, mom_revenue_growth, pandas_udf_token_count,
     # percentiles_quantity, pivot_native,

@@ -142,6 +142,7 @@ _INTENTIONAL_BNLJ = {
     "minhash_jaccard_contract",  # bounded (doc_id<40) all-pairs contract check
     "hard_negative_mining",  # bounded (vec_id<20) anchor set, ann-baseline shape
     "semantic_decontaminate",  # same bounded eval-anchor broadcast, map-side scoring
+    "lsh_precision_recall_contract",  # 1-row count broadcasts (P/R scalar row)
     "chi2_source_divergence",  # S x 256-word expected grid + 1-row total, both broadcast
     "exact_quantiles_histogram",  # groups x 3-quantile rank lookup, broadcast
     "interarrival_quantiles_by_type",  # same 3-row quantile rank lookup, broadcast
