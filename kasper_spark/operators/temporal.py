@@ -2575,3 +2575,98 @@ def anomaly_ensemble_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("detector_jaccard"),
     )
+
+
+@register_query(
+    "conversion_latency_quantiles",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS first_purchase
+        FROM events GROUP BY user_id
+    ),
+    lat AS (
+        SELECT CAST(date_diff('second', first_view, first_purchase) AS BIGINT)
+                   AS lat
+        FROM firsts
+        WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+          AND first_purchase >= first_view
+    ),
+    hist AS (
+        SELECT lat, CAST(COUNT(*) AS BIGINT) AS c FROM lat GROUP BY lat
+    ),
+    cum AS (
+        SELECT lat,
+               CAST(SUM(c) OVER (ORDER BY lat
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum,
+               CAST(SUM(c) OVER () AS BIGINT) AS n
+        FROM hist
+    ),
+    qs AS (
+        SELECT * FROM (VALUES (0.5, 1, 2), (0.9, 9, 10), (0.99, 99, 100))
+            AS t(q, num, den)
+    )
+    SELECT q.q, c.n AS n_converted, MIN(c.lat) AS latency_sec
+    FROM cum c JOIN qs q ON c.cum >= (c.n * q.num + q.den - 1) // q.den
+    GROUP BY q.q, c.n
+    """,
+)
+def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p50/p90/p99 of first-view -> first-purchase latency — the
+    time-to-conversion readout growth teams track next to the funnel
+    counts (funnel_view_click_purchase says HOW MANY convert; this says
+    HOW FAST). Per user: the earliest view and earliest purchase from one
+    conditional-min aggregate; users who purchased before ever viewing
+    (direct-link buyers) are excluded, as are non-converters. Quantiles
+    via the sort-free value-histogram rank method (discrete lower
+    quantiles, ceil-rank r = (n*num + den - 1) div den in pure BIGINTs —
+    the session_duration_quantiles discipline).
+
+    Scale: one partial-aggregated conditional-min groupBy (users cross
+    the shuffle once); the histogram collapses to distinct whole-second
+    latencies and the 3-row rank lookup joins broadcast."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    lat = firsts.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select(
+        (
+            F.unix_timestamp("first_purchase") - F.unix_timestamp("first_view")
+        ).cast("long").alias("lat")
+    )
+    hist = lat.groupBy("lat").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w_run = Window.orderBy("lat").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cum = hist.select(
+        "lat",
+        F.sum("c").over(w_run).cast("long").alias("cum"),
+        F.sum("c").over(w_all).cast("long").alias("n"),
+    )
+    qs = spark.createDataFrame(
+        [(0.5, 1, 2), (0.9, 9, 10), (0.99, 99, 100)], "q double, num long, den long"
+    )
+    return (
+        cum.join(
+            F.broadcast(qs),
+            F.col("cum") >= F.expr("(n * num + den - 1) div den"),
+        )
+        .groupBy("q", F.col("n").alias("n_converted"))
+        .agg(F.min("lat").alias("latency_sec"))
+        .select("q", "n_converted", "latency_sec")
+    )

@@ -110,6 +110,9 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     # NEW this round (wave 9): LSH index precision/recall contract (the
     # dedup-side analog of the ANN recall contracts)
     "lsh_precision_recall_contract",
+    # NEW this round (wave 10): time-to-conversion quantiles (sort-free
+    # exact ranks over the latency histogram)
+    "conversion_latency_quantiles",
     "annotator_agreement_kappa",
     "kmeans_int8_assignments",
     "ann_ivf_trained_topk",
@@ -148,7 +151,6 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     # r04 evidence:
     "agg_argmax_battery",
     "ann_int8_topk",
-    "cohort_retention",
     "corpus_mix_sample",
     "gopher_quality_filters",
     "grouped_minmax_normalize",
@@ -156,7 +158,8 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     # oldest-evidence regression cohort. New round-10 operators take
     # slots from the tail of the r04 section as they land — edit in
     # place. Still queued after these: the rest of the r04 cohort
-    # (corr_covar_qty_discount, funnel_view_click_purchase, grouping_sets_orders,
+    # (cohort_retention, corr_covar_qty_discount,
+    # funnel_view_click_purchase, grouping_sets_orders,
     # histogram_totalprice, join_skew_salted,
     # math_date_functions, mom_revenue_growth, pandas_udf_token_count,
     # percentiles_quantity, pivot_native,
