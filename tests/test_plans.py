@@ -148,6 +148,7 @@ _INTENTIONAL_BNLJ = {
     "interarrival_quantiles_by_type",  # same 3-row quantile rank lookup, broadcast
     "streaming_interarrival_twin",  # shares that tail over the drained partials
     "session_duration_quantiles",  # same 3-row rank lookup over the duration domain
+    "conversion_latency_quantiles",  # same 3-row rank lookup over the latency domain
     "dq_freshness_by_type",  # 1-row global-max broadcast (Q22 shape)
     "pagerank_neardup_graph",  # same bounded (doc_id<40) all-pairs edge build
     "label_propagation_communities",  # same bounded all-pairs edge build
