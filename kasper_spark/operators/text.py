@@ -2133,3 +2133,97 @@ def tokenizer_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust-scaler parameters (round 10)
+# ---------------------------------------------------------------------------
+
+
+@register_query(
+    "length_robust_scaler_params",
+    oracle="""
+    WITH hist AS (
+        SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY source, n_chars
+    ),
+    cum AS (
+        SELECT source, n_chars,
+               CAST(SUM(c) OVER (PARTITION BY source ORDER BY n_chars
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum,
+               CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n
+        FROM hist
+    ),
+    qs AS (
+        SELECT * FROM (VALUES (25, 1, 4), (50, 1, 2), (75, 3, 4))
+            AS t(pct, num, den)
+    ),
+    picked AS (
+        SELECT c.source, q.pct, c.n, MIN(c.n_chars) AS v
+        FROM cum c JOIN qs q ON c.cum >= (c.n * q.num + q.den - 1) // q.den
+        GROUP BY c.source, q.pct, c.n
+    )
+    SELECT source,
+           CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(MIN(CASE WHEN pct = 25 THEN v END) AS BIGINT) AS p25,
+           CAST(MIN(CASE WHEN pct = 50 THEN v END) AS BIGINT) AS median,
+           CAST(MIN(CASE WHEN pct = 75 THEN v END) AS BIGINT) AS p75,
+           CAST(MIN(CASE WHEN pct = 75 THEN v END)
+                - MIN(CASE WHEN pct = 25 THEN v END) AS BIGINT) AS iqr
+    FROM picked GROUP BY source
+    """,
+)
+def length_robust_scaler_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source robust-scaler parameters (median + IQR of document
+    length) — the normalization constants a feature pipeline fits BEFORE
+    scaling ((x - median) / IQR is the outlier-immune standardization;
+    mean/std would be dragged by the long-document tail). EXACT discrete
+    lower quartiles via the sort-free value-histogram ceil-rank method
+    (rank r = (n*num + den - 1) div den), grouped by source — pure
+    BIGINTs end to end, no floating point anywhere in the query.
+
+    Scale: the histogram collapses to (source, distinct length) in one
+    partial-aggregated groupBy; the cumulative windows and the 3-row
+    rank lookup run on the length domain, never on documents."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w_run = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_src = Window.partitionBy("source")
+    cum = hist.select(
+        "source",
+        "n_chars",
+        F.sum("c").over(w_run).cast("long").alias("cum"),
+        F.sum("c").over(w_src).cast("long").alias("n"),
+    )
+    qs = spark.createDataFrame(
+        [(25, 1, 4), (50, 1, 2), (75, 3, 4)], "pct long, num long, den long"
+    )
+    picked = (
+        cum.join(
+            F.broadcast(qs),
+            F.col("cum") >= F.expr("(n * num + den - 1) div den"),
+        )
+        .groupBy("source", "pct", "n")
+        .agg(F.min("n_chars").alias("v"))
+    )
+    return picked.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.min(F.when(F.col("pct") == 25, F.col("v"))).cast("long").alias("p25"),
+        F.min(F.when(F.col("pct") == 50, F.col("v"))).cast("long").alias("median"),
+        F.min(F.when(F.col("pct") == 75, F.col("v"))).cast("long").alias("p75"),
+        (
+            F.min(F.when(F.col("pct") == 75, F.col("v")))
+            - F.min(F.when(F.col("pct") == 25, F.col("v")))
+        )
+        .cast("long")
+        .alias("iqr"),
+    )

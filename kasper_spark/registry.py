@@ -113,6 +113,9 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     # NEW this round (wave 10): time-to-conversion quantiles (sort-free
     # exact ranks over the latency histogram)
     "conversion_latency_quantiles",
+    # NEW this round (wave 11): per-source robust-scaler params (exact
+    # grouped quartiles via the histogram ceil-rank method)
+    "length_robust_scaler_params",
     "annotator_agreement_kappa",
     "kmeans_int8_assignments",
     "ann_ivf_trained_topk",
@@ -151,14 +154,13 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     # r04 evidence:
     "agg_argmax_battery",
     "ann_int8_topk",
-    "corpus_mix_sample",
     "gopher_quality_filters",
     "grouped_minmax_normalize",
     # (exactly 50 names. Round-10 policy: CHANGED first, then the
     # oldest-evidence regression cohort. New round-10 operators take
     # slots from the tail of the r04 section as they land — edit in
     # place. Still queued after these: the rest of the r04 cohort
-    # (cohort_retention, corr_covar_qty_discount,
+    # (corpus_mix_sample, cohort_retention, corr_covar_qty_discount,
     # funnel_view_click_purchase, grouping_sets_orders,
     # histogram_totalprice, join_skew_salted,
     # math_date_functions, mom_revenue_growth, pandas_udf_token_count,

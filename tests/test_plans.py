@@ -149,6 +149,7 @@ _INTENTIONAL_BNLJ = {
     "streaming_interarrival_twin",  # shares that tail over the drained partials
     "session_duration_quantiles",  # same 3-row rank lookup over the duration domain
     "conversion_latency_quantiles",  # same 3-row rank lookup over the latency domain
+    "length_robust_scaler_params",  # same 3-row rank lookup over the length domain
     "dq_freshness_by_type",  # 1-row global-max broadcast (Q22 shape)
     "pagerank_neardup_graph",  # same bounded (doc_id<40) all-pairs edge build
     "label_propagation_communities",  # same bounded all-pairs edge build
