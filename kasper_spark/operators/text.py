@@ -2227,3 +2227,77 @@ def length_robust_scaler_params(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("iqr"),
     )
+
+
+@register_query(
+    "ngram_novelty_rate",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, list_filter(string_split(text, ' '), w -> w <> '') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT source,
+               unnest(list_transform(range(1, len(t) - {_BOILER_N - 2}),
+                      i -> array_to_string(list_slice(t, i, i + {_BOILER_N - 1}), ' ')))
+                   AS shingle
+        FROM toks WHERE len(t) >= {_BOILER_N}
+    ),
+    spread AS (
+        SELECT shingle, CAST(COUNT(*) AS BIGINT) AS n_sources
+        FROM sh GROUP BY shingle
+    )
+    SELECT sh.source,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN spread.n_sources = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unique,
+           CAST(SUM(CASE WHEN spread.n_sources = 1 THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty_rate
+    FROM sh JOIN spread ON spread.shingle = sh.shingle
+    GROUP BY sh.source
+    """,
+)
+def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source shingle NOVELTY — the fraction of a source's distinct
+    {_BOILER_N}-gram shingles that appear in NO other source: the "unique
+    contribution" readout a mixture designer reads next to the pairwise
+    overlap matrix (source_ngram_overlap says who copies whom; this says
+    what each source adds that nothing else supplies — the argument for
+    keeping a small source at a high mixture weight). Same shingle grain
+    as source_ngram_overlap, so the two reports cross-reference exactly.
+    One double division of exact BIGINT counts per source.
+
+    Scale: one (shingle, source) DISTINCT shuffle (the
+    source_ngram_overlap grain) + a shingle-keyed source-spread count
+    joined back shingle-partitioned — never doc x doc, never all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    shingles_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - (_BOILER_N - 1)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, _BOILER_N)),
+        )
+    )
+    sh = (
+        docs.select("source", toks.alias("t"))
+        .filter(F.size("t") >= _BOILER_N)
+        .select("source", F.explode(shingles_arr).alias("shingle"))
+        .distinct()
+    )
+    spread = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources")
+    )
+    return (
+        sh.join(spread, "shingle")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum((F.col("n_sources") == 1).cast("long"))
+            .cast("long")
+            .alias("n_unique"),
+            (
+                F.sum((F.col("n_sources") == 1).cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("novelty_rate"),
+        )
+    )

@@ -116,6 +116,9 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     # NEW this round (wave 11): per-source robust-scaler params (exact
     # grouped quartiles via the histogram ceil-rank method)
     "length_robust_scaler_params",
+    # NEW this round (wave 12): per-source shingle novelty (the unique-
+    # contribution complement of the pairwise overlap matrix)
+    "ngram_novelty_rate",
     "annotator_agreement_kappa",
     "kmeans_int8_assignments",
     "ann_ivf_trained_topk",
@@ -152,7 +155,6 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "nested_order_lines",
     "cube_events",
     # r04 evidence:
-    "agg_argmax_battery",
     "ann_int8_topk",
     "gopher_quality_filters",
     "grouped_minmax_normalize",
@@ -160,7 +162,7 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     # oldest-evidence regression cohort. New round-10 operators take
     # slots from the tail of the r04 section as they land — edit in
     # place. Still queued after these: the rest of the r04 cohort
-    # (corpus_mix_sample, cohort_retention, corr_covar_qty_discount,
+    # (agg_argmax_battery, corpus_mix_sample, cohort_retention, corr_covar_qty_discount,
     # funnel_view_click_purchase, grouping_sets_orders,
     # histogram_totalprice, join_skew_salted,
     # math_date_functions, mom_revenue_growth, pandas_udf_token_count,
