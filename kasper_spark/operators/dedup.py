@@ -2238,7 +2238,7 @@ _PRC_BOUND = 500  # audit subset: covers the full sf0.01 corpus
 def lsh_precision_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRECISION/RECALL contract for the production MinHash-LSH near-dup
     index — the dedup-side analog of the nine ANN recall contracts: over
-    the bounded audit subset (doc_id < {bound}), the banded-LSH verified
+    the bounded audit subset (doc_id < _PRC_BOUND = 500), the banded-LSH verified
     pairs are scored against the EXACT shingle-Jaccard >= 0.5 ground
     truth, emitting (n_true, n_lsh, n_hit, precision, recall) as one
     certified row. This is the measurement that justifies trusting LSH
@@ -2252,7 +2252,7 @@ def lsh_precision_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame
     all-pairs entirely — shared-shingle explode-join (only pairs with a
     common shingle materialize) + per-doc size join, the
     source_ngram_overlap grain; the three counts cross a 1-row broadcast
-    each.""".format(bound=_PRC_BOUND)
+    each."""
     lsh = _md5_lsh_pairs(spark, sf_dir).filter(
         (F.col("doc_a") < _PRC_BOUND) & (F.col("doc_b") < _PRC_BOUND)
     )

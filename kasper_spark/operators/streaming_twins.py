@@ -1163,6 +1163,10 @@ def streaming_ewma_anomaly_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
                     hist[-j] * (1 << (k - j)) for j in range(1, k + 1)
                 )
                 if abs(cents * den - num) > 2 * num:
+                    # num == 0 (all-zero trailing history): the batch
+                    # operator's double division emits NULL, not an error —
+                    # mirror that instead of raising ZeroDivisionError and
+                    # crashing the micro-batch on degenerate data.
                     out.append(
                         (
                             int(r.user_id),
@@ -1170,7 +1174,7 @@ def streaming_ewma_anomaly_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
                             r.ts,
                             cents,
                             num / float(den),
-                            (cents * den) / float(num),
+                            (cents * den) / float(num) if num else None,
                         )
                     )
             hist.append(cents)
@@ -1384,6 +1388,10 @@ def streaming_ewma_parallel_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
                     hist[-j] * (1 << (k - j)) for j in range(1, k + 1)
                 )
                 if abs(cents * den - num) > 2 * num:
+                    # num == 0 (all-zero trailing history): the batch
+                    # operator's double division emits NULL, not an error —
+                    # mirror that instead of raising ZeroDivisionError and
+                    # crashing the micro-batch on degenerate data.
                     out.append(
                         (
                             int(r.user_id),
@@ -1391,7 +1399,7 @@ def streaming_ewma_parallel_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
                             r.ts,
                             cents,
                             num / float(den),
-                            (cents * den) / float(num),
+                            (cents * den) / float(num) if num else None,
                         )
                     )
             hist.append(cents)
@@ -2873,3 +2881,150 @@ def streaming_auc_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle bound at the END of operators/evaluation.py: this module imports
 # BEFORE evaluation in the operators package, so binding here would raise
 # at import (the streaming_mixture_twin lesson).
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination AT INGEST (round 11): gate each crawl batch
+# against the broadcast eval-anchor set as it lands
+# ---------------------------------------------------------------------------
+
+
+def _staged_embedding_feed(
+    spark: SparkSession, sf_dir: str, prefix: str, n_files: int = 4
+):
+    """Stage the TRAINING half of the embeddings table (vec_id >=
+    _N_QUERY; the eval anchors stay static) into ``n_files`` vec_id-range
+    files consumed one per micro-batch — each file standing in for one
+    crawl batch arriving at the ingest gate. The split key is arbitrary
+    (each vector's verdict depends only on itself and the static
+    anchors), so twin answers must be invariant to ``n_files`` — pinned
+    by tests/test_similarity_quality.py::
+    test_streaming_semantic_decon_invariant_to_batch_cuts. The global
+    ntile sort is test scaffolding, not a production stage.
+    Returns (stream, out_dir, ckpt_dir)."""
+    from pyspark.sql.window import Window
+
+    from kasper_spark.operators.similarity import _N_QUERY
+
+    work = _workdir(prefix)
+    src_dir = os.path.join(work, "src")
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ck")
+    os.makedirs(src_dir)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).filter(
+        F.col("vec_id") >= _N_QUERY
+    )
+    bucketed = emb.select(
+        "vec_id",
+        "embedding",
+        F.ntile(n_files).over(Window.orderBy("vec_id")).alias("bucket"),
+    )
+    for i in range(1, n_files + 1):
+        bucketed.filter(F.col("bucket") == i).drop("bucket").coalesce(1).write.parquet(
+            os.path.join(src_dir, f"range={i:02d}")
+        )
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(os.path.join(src_dir, "range=*"))
+    )
+    return stream, out_dir, ckpt
+
+
+def semantic_decon_gate(df: DataFrame, anchors: DataFrame) -> DataFrame:
+    """ONE micro-batch's decontamination gate — the exact per-row logic of
+    the batch operator (kasper_spark.operators.similarity.
+    semantic_decontaminate), factored so the twin and the cut-invariance
+    tests run the SAME code: score every arriving vector against the
+    broadcast anchors (|eval| rows — audit-sized, never corpus-scale),
+    keep the max-cosine anchor per vector, emit rows at/above tau. The
+    join is a map-side broadcast nested loop over the anchor set; nothing
+    corpus-sized shuffles, no state store — assignment is embarrassingly
+    incremental, the streaming_ivf_assign_twin shape."""
+    from pyspark.sql.window import Window
+
+    from kasper_spark.operators.similarity import (
+        _SEMDECON_TAU,
+        dot_exact,
+        norm_exact,
+    )
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("eval_id"))
+    return (
+        df.select("vec_id", "embedding", norm_exact(F.col("embedding")).alias("nrm"))
+        .join(F.broadcast(anchors))
+        .select(
+            "vec_id",
+            "eval_id",
+            (
+                dot_exact(F.col("embedding"), F.col("ee"))
+                / (F.col("nrm") * F.col("en"))
+            ).alias("cosine"),
+        )
+        .select("vec_id", "eval_id", "cosine", F.row_number().over(w).alias("rn"))
+        .filter((F.col("rn") == 1) & (F.col("cosine") >= _SEMDECON_TAU))
+        .select(
+            "vec_id",
+            F.col("eval_id").alias("nearest_eval_id"),
+            F.col("cosine").alias("max_cosine"),
+        )
+    )
+
+
+@register_query("streaming_semantic_decon_twin")  # oracle bound below
+def streaming_semantic_decon_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-level) decontamination AT INGEST — the batch
+    semantic_decontaminate re-expressed as the production gate: each
+    arriving crawl batch is scored against the BROADCAST eval-anchor set
+    inside its own micro-batch, and contaminated rows are flagged the
+    moment they land rather than in a nightly sweep (r10 verdict ticket
+    #4). Same broadcast-model-per-microbatch pattern as
+    streaming_ivf_assign_twin: on a cluster the anchor set is a pinned
+    broadcast variable refreshed when the eval suite changes; here it is
+    recomputed from the static table per batch — identical plan shape.
+
+    Determinism vs batching: each vector's verdict depends only on the
+    vector and the static anchors, so the accumulated flag set is
+    invariant to how the feed is cut (1/2/7-way — cut-invariance-tested),
+    and the batch oracle (semantic_decontaminate's SQL) certifies the
+    union hash-exactly: same exact-decimal cosines, same tie rule, same
+    tau.
+
+    Scale: per batch ONE map-side broadcast pass over the arriving rows
+    (anchors are eval-suite-sized); only flagged rows are written. No
+    state store, no corpus-sized shuffle anywhere — the gate's cost is
+    O(batch x |anchors|) inside the scan stage."""
+    from kasper_spark.catalog import load_table
+    from kasper_spark.operators.similarity import _N_QUERY, norm_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < _N_QUERY).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("ee"),
+        norm_exact(F.col("embedding")).alias("en"),
+    )
+    stream, out_dir, ckpt = _staged_embedding_feed(spark, sf_dir, "kasper-semdecon-")
+
+    def gate_batch(df, epoch_id: int) -> None:
+        semantic_decon_gate(df, anchors).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={epoch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(gate_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.isdir(out_dir):
+        raise RuntimeError(
+            "streaming_semantic_decon_twin: no micro-batch ran — "
+            "the staged embedding feed found no input files"
+        )
+    return spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
+
+
+assert "semantic_decontaminate" in _OR, "batch semantic decon oracle missing"
+_OR["streaming_semantic_decon_twin"] = _OR["semantic_decontaminate"]

@@ -62,115 +62,92 @@ def load_all_operators() -> None:
 # (tools/bare_sweep.py, bare session, foreign cwd) at sf0.01 before this
 # rotation landed; the full pytest suite is green.
 DRIVER_SAMPLE_PRIORITY: list[str] = [
-    # -- 0. CHANGED this round (implementation or oracle text; each must
+    # -- 0. CHANGED this round (implementation text changed; each must
     #       earn a fresh hash-green row):
-    #       * benford expected_n overflow fix (double multiply of exact
-    #         doubles replaces the wrapping BIGINT product) — batch audit
-    #         + ingest twin share the projection and the oracle;
-    #       * kappa degenerate-case guard (pe = 1 -> NULL, both engines);
-    #       * sample-trained IVF (FAISS discipline: bounded md5-rank
-    #         training sample + ONE map-only full-corpus assignment) —
-    #         kmeans, both trained searches, and the two recall contracts
-    #         that compose those oracles.
-    "benford_digit_audit",
-    "streaming_benford_twin",
-    # NEW this round: parallel-order EWMA twin (per-KEY ordering contract
-    # over four user-disjoint lane sources — r9 verdict ticket #5)
+    #       * the three EWMA twin handlers now guard the num == 0
+    #         degenerate history (emit NULL ratio like the batch
+    #         operator, never ZeroDivisionError — ADVICE r10).
+    "streaming_ewma_anomaly_twin",
     "streaming_ewma_parallel_twin",
-    # NEW this round (wave 2): ROC-AUC label quality (histogram-rank
-    # rewrite), t-closeness (privacy-triad completion), bigram-LM
-    # surprisal (whole-bit perplexity proxy), hourly ACF (exact
-    # cleared-denominator correlogram)
-    "auc_label_quality",
-    "t_closeness_audit",
-    "bigram_lm_surprisal",
-    "hourly_autocorrelation",
-    # NEW this round (wave 3): incremental-view ACF twin + tokenizer
-    # fertility audit
-    "streaming_acf_twin",
-    "tokenizer_fertility_stats",
-    # NEW this round (wave 4): frame-level audio energy (VAD plumbing),
-    # funnel attribution on the state-v2 runtime (7th order-dependent
-    # twin, 3rd on TWS)
-    "audio_frame_energy",
-    "streaming_funnel_tws_twin",
-    # NEW this round (wave 5): embedding-level decontamination (the
-    # fuzzy complement of the n-gram/Bloom decontaminators)
-    "semantic_decontaminate",
-    # NEW this round (wave 6): mergeable HLL sketches AT INGEST (5th
-    # incremental-view twin; binary sketch partials) — the batch op is
-    # also re-certified since its report stage was factored for sharing
-    "streaming_hll_sliding_twin",
-    "hll_sliding_distinct_users",
-    # NEW this round (wave 7): detector-ensemble composition (STL x
-    # deseasonalized-CUSUM cross-tab, composition-certified)
-    "anomaly_ensemble_report",
-    # NEW this round (wave 8): AUC at ingest (6th incremental-view twin)
-    "streaming_auc_twin",
-    # NEW this round (wave 9): LSH index precision/recall contract (the
-    # dedup-side analog of the ANN recall contracts)
-    "lsh_precision_recall_contract",
-    # NEW this round (wave 10): time-to-conversion quantiles (sort-free
-    # exact ranks over the latency histogram)
-    "conversion_latency_quantiles",
-    # NEW this round (wave 11): per-source robust-scaler params (exact
-    # grouped quartiles via the histogram ceil-rank method)
-    "length_robust_scaler_params",
-    # NEW this round (wave 12): per-source shingle novelty (the unique-
-    # contribution complement of the pairwise overlap matrix)
-    "ngram_novelty_rate",
-    "annotator_agreement_kappa",
-    "kmeans_int8_assignments",
-    "ann_ivf_trained_topk",
-    "ann_ivf_pq_trained",
-    "ann_ivf_trained_recall_contract",
-    "ann_ivf_pq_trained_recall_contract",
-    # -- 1. Regression re-certification (r9 verdict ticket #2): the 50-row
-    #       window now leads with the queries whose newest driver-green
-    #       evidence is OLDEST, converting "ever green" into "recently
-    #       green" where it is weakest. Cohort below = every r03-evidence
-    #       query, then the r04 cohort in registration order. Shared
-    #       helpers (functions/exact.py, session confs, catalog) kept
-    #       evolving under them for 6+ rounds.
-    # r03 evidence:
-    "scan_filter_project",
-    "word_count",
-    "agg_distinct",
-    "join_left_outer",
-    "join_semi",
-    "join_anti",
-    "join_full_outer",
-    "array_functions",
-    "dedup_exact",
-    "inmem_lookup_join",
-    "json_extract_props",
-    "json_roundtrip",
-    "lateral_posexplode",
-    "multitenant_agg",
-    "rollup_orders",
-    "tokenset_jaccard_pairs",
-    "variant_extract_props",
-    "window_range_frame_trailing",
-    "window_running_sum",
-    "nested_order_lines",
-    "cube_events",
-    # r04 evidence:
-    "ann_int8_topk",
-    "gopher_quality_filters",
-    "grouped_minmax_normalize",
-    # (exactly 50 names. Round-10 policy: CHANGED first, then the
-    # oldest-evidence regression cohort. New round-10 operators take
-    # slots from the tail of the r04 section as they land — edit in
-    # place. Still queued after these: the rest of the r04 cohort
-    # (agg_argmax_battery, corpus_mix_sample, cohort_retention, corr_covar_qty_discount,
-    # funnel_view_click_purchase, grouping_sets_orders,
-    # histogram_totalprice, join_skew_salted,
-    # math_date_functions, mom_revenue_growth, pandas_udf_token_count,
-    # percentiles_quantity, pivot_native,
-    # pivot_segment_by_nation, referential_integrity_audit,
-    # stats_moments, stratified_topn_md5, string_functions, streaming twins, text_normalize, udtf_sentence_split,
-    # unpivot_part_metrics, upsert_snapshot, window_nav_lag_lead,
-    # training_data_pipeline, tfidf_top_terms) and the r05 cohort.)
+    "streaming_ewma_tws_twin",
+    # -- 0b. NEW this round (slots taken from the r05 tail as waves land):
+    # wave 1: semantic decontamination AT INGEST (broadcast eval anchors
+    # per micro-batch — r10 verdict ticket #4)
+    "streaming_semantic_decon_twin",
+    # wave 2: K-scaling ANN contract (K grows ~sqrt(N) with the corpus —
+    # r10 verdict ticket #3)
+    "ann_ivf_scaledk_recall_contract",
+    # wave 3: t-closeness EMD partials at ingest (7th incremental-view
+    # twin — r10 verdict ticket #6)
+    "streaming_t_closeness_twin",
+    # wave 4: round-11 tier
+    "suffix_ngram_dup_rate",
+    "url_host_stats",
+    "rouge_overlap_pairs",
+    "doc_dup_inflation_report",
+    # wave 5
+    "reservoir_sample_per_source",
+    "stopword_profile_by_source",
+    # wave 6
+    "streaming_reservoir_twin",
+    "minhash_jaccard_estimate_contract",
+    # wave 7
+    "zipf_tail_index_by_source",
+    "cross_lingual_contamination",
+    # -- 1. Regression re-certification (r10 verdict ticket #2): lead the
+    #       remaining slots with the queries whose newest driver-green
+    #       evidence is OLDEST (the r04 cohort below — last green row
+    #       r04), converting "ever green" into "green this round" where
+    #       it is weakest. Staleness ceiling drops to r05.
+    "training_data_pipeline",
+    "corpus_mix_sample",
+    "cohort_retention",
+    "funnel_view_click_purchase",
+    "mom_revenue_growth",
+    "upsert_snapshot",
+    "referential_integrity_audit",
+    "agg_argmax_battery",
+    "stats_moments",
+    "corr_covar_qty_discount",
+    "histogram_totalprice",
+    "percentiles_quantity",
+    "pivot_segment_by_nation",
+    "pivot_native",
+    "grouping_sets_orders",
+    "unpivot_part_metrics",
+    "window_nav_lag_lead",
+    "join_skew_salted",
+    "string_functions",
+    "math_date_functions",
+    "stratified_topn_md5",
+    "tfidf_top_terms",
+    "text_normalize",
+    "udtf_sentence_split",
+    "pandas_udf_token_count",
+    "streaming_word_count_twin",
+    "streaming_tumbling_window_twin",
+    "streaming_dedup_twin",
+    "streaming_session_window_twin",
+    "streaming_join_twin",
+    "streaming_stateful_count_twin",
+    "streaming_dedup_watermark_twin",
+    "streaming_enrich_static_twin",
+    # -- 2. r05-evidence head (the next-oldest cohort; these yield their
+    #       slots to new round-11 entries as waves land — edit in place,
+    #       keep the list at exactly 50 names):
+    "embedding_power_iteration",
+    # (exactly 50 names. Still queued after these, oldest first — the
+    # rest of the r05 cohort: ngram_decontaminate, dup_ngram_quality,
+    # vocab_coverage, substring_dup_spans, unigram_rarity_quality,
+    # semantic_dedup_leader, pii_redact, json_parse_dlq_audit,
+    # union_schema_evolution, table_checksum_orders, dq_constraint_report,
+    # incremental_agg_merge, profile_orders_columns,
+    # countmin_heavy_hitters, try_functions_battery,
+    # map_functions_battery, equidepth_histogram_totalprice,
+    # streaming_countmin_twin, ann_lsh_certified,
+    # pack_sequences_by_source, shingle_novelty_scores,
+    # winnowing_fingerprints, dedup_incremental_new_vs_base,
+    # cluster_lang_purity — then the r06 cohort.)
 ]
 
 

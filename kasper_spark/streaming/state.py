@@ -777,6 +777,9 @@ def ewma_anomalies_tws(events: DataFrame, k: int, den: int) -> DataFrame:
                 if len(hist) >= k:
                     num = sum(hist[-j] * (1 << (k - j)) for j in range(1, k + 1))
                     if abs(cents * den - num) > 2 * num:
+                        # num == 0 (all-zero trailing history): batch
+                        # emits NULL (Spark double div-by-zero), so mirror
+                        # that rather than ZeroDivisionError (ADVICE r10)
                         out.append(
                             (
                                 int(r.user_id),
@@ -784,7 +787,7 @@ def ewma_anomalies_tws(events: DataFrame, k: int, den: int) -> DataFrame:
                                 r.ts,
                                 cents,
                                 num / float(den),
-                                (cents * den) / float(num),
+                                (cents * den) / float(num) if num else None,
                             )
                         )
                 hist.append(cents)

@@ -77,3 +77,60 @@ def test_ivf_pq_trained_recall_vs_bruteforce(spark):
     # sf0.01, a notch above the seed-centroid composition's 0.48)
     assert set(t) == set(exact)
     assert _recall(t, exact) >= 0.4
+
+
+import os  # noqa: E402
+
+import pytest  # noqa: E402
+
+from tests.conftest import SF_SMOKE  # noqa: E402
+
+
+@pytest.mark.parametrize("n_files", [1, 2, 7])
+def test_streaming_semantic_decon_invariant_to_batch_cuts(spark, n_files):
+    """The accumulated contamination flags must not depend on WHERE the
+    embedding feed is cut into micro-batches: each vector's verdict
+    depends only on itself and the static anchors, so any split of the
+    training rows yields exactly the batch operator's flag set — same
+    (vec_id, nearest_eval_id) pairs, bit-identical exact-decimal cosines."""
+    from kasper_spark.catalog import load_table
+    from kasper_spark.operators.similarity import _N_QUERY, norm_exact
+    from kasper_spark.operators.streaming_twins import (
+        _staged_embedding_feed,
+        semantic_decon_gate,
+    )
+    from pyspark.sql import functions as F
+
+    batch = {
+        (r["vec_id"], r["nearest_eval_id"], str(r["max_cosine"]))
+        for r in QUERIES["semantic_decontaminate"](spark, SF_SMOKE).collect()
+    }
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < _N_QUERY).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("ee"),
+        norm_exact(F.col("embedding")).alias("en"),
+    )
+    stream, out_dir, ckpt = _staged_embedding_feed(
+        spark, SF_SMOKE, f"kasper-sdcut{n_files}-", n_files=n_files
+    )
+
+    def sink(df, epoch_id):
+        semantic_decon_gate(df, anchors).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={epoch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["vec_id"], r["nearest_eval_id"], str(r["max_cosine"]))
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+        .collect()
+    }
+    assert got == batch
