@@ -114,6 +114,8 @@ HEADLINE = [
     "ann_ivf_pq_residual",         # residual-encoded IVF-PQ (recall 0.95)
     "entity_resolution_pipeline",  # blocking + levenshtein + CC + survivor
     "ann_ivf_trained_topk",        # sample-trained IVF + map-only assignment
+    # round-11 additions (new keys set their baseline this round)
+    "ann_ivf_scaledk_topk",        # K ~ sqrt(N) trained IVF (prod growth rule)
 ]
 
 

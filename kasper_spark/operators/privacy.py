@@ -427,17 +427,31 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = cust.join(orders, "c_custkey").select(
         "c_nationkey", "c_mktsegment", "acctbal_bin", "sens"
     )
+    cells = fact.groupBy(
+        "c_nationkey", "c_mktsegment", "acctbal_bin", "sens"
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return t_closeness_report(cells)
+
+
+def t_closeness_report(cells: DataFrame) -> DataFrame:
+    """EMD report over per-(class, sensitive-value) COUNTS — the second
+    half of t_closeness_audit, factored because every input it needs is a
+    mergeable count partial: the class totals (n), the global sensitive
+    distribution (big_c/big_n) and the per-cell counts (c) are all sums
+    of c. That is what makes the audit runnable AT INGEST
+    (streaming_t_closeness_twin merges per-micro-batch cell partials and
+    calls this same function) — the EMD NUMERATORS clear denominators
+    exactly, so partial counts merge with zero error."""
+    from pyspark.sql.window import Window
+
     qi = ["c_nationkey", "c_mktsegment", "acctbal_bin"]
-    dom = fact.groupBy("sens").agg(F.count(F.lit(1)).cast("long").alias("big_c"))
+    dom = cells.groupBy("sens").agg(F.sum("c").cast("long").alias("big_c"))
     dom = dom.select(
         "sens",
         "big_c",
         F.sum("big_c").over(Window.partitionBy()).cast("long").alias("big_n"),
     )
-    cls = fact.groupBy(*qi).agg(F.count(F.lit(1)).cast("long").alias("n"))
-    cells = fact.groupBy(*qi, "sens").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
-    )
+    cls = cells.groupBy(*qi).agg(F.sum("c").cast("long").alias("n"))
     grid = cls.join(F.broadcast(dom))  # dense class x domain spine (m rows)
     cell = grid.join(cells, qi + ["sens"], "left").select(
         *qi,
@@ -472,3 +486,17 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("t_emd") > _T_CLOSE).alias("at_risk"),
         )
     )
+
+
+# streaming_t_closeness_twin (operators/streaming_twins.py, which imports
+# BEFORE this module) registered with oracle=None; its output contract is
+# identical to the batch audit's, so it shares the oracle — bound here,
+# at the end of the module that registers the batch op (the
+# streaming_mixture_twin lesson: binding in streaming_twins would raise
+# at import).
+from kasper_spark.registry import ORACLES as _OR  # noqa: E402
+from kasper_spark.registry import QUERIES as _Q  # noqa: E402
+
+assert "t_closeness_audit" in _OR, "batch t-closeness oracle missing"
+assert "streaming_t_closeness_twin" in _Q, "twin missing (import order)"
+_OR["streaming_t_closeness_twin"] = _OR["t_closeness_audit"]

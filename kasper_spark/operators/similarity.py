@@ -1058,11 +1058,17 @@ _KMEANS_QSCALE = 32  # q = floor(x * 32): integer grid, floor is engine-exact
 _KMEANS_TRAIN_N = 500
 
 
-def _kmeans_cte_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
+def _kmeans_cte_sql(
+    k: int | str = _KMEANS_K,
+    iters: int = _KMEANS_ITERS,
+    train_n: int | str = _KMEANS_TRAIN_N,
+) -> str:
     """Unrolled integer-exact Lloyd CTE chain: sample-trained centroids
     c{iters} plus the one full-corpus assignment pass (csF/dotF/fF) —
     shared by the kmeans_int8_assignments oracle and the trained-IVF
-    search oracle."""
+    search oracle. ``k`` and ``train_n`` may be ints or SQL scalar
+    expressions (the scaled-K variant derives both from COUNT(*), so the
+    same oracle text is correct at every corpus size)."""
     head = f"""
     WITH e AS (
         SELECT vec_id, u.x.pos AS dim,
@@ -1082,7 +1088,7 @@ def _kmeans_cte_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
                        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
                    ) AS rs
             FROM (SELECT DISTINCT vec_id FROM e)
-        ) WHERE rs <= {_KMEANS_TRAIN_N}
+        ) WHERE rs <= {train_n}
     ),
     es AS (
         SELECT e.vec_id, e.dim, e.q
@@ -1302,12 +1308,19 @@ def _assign_rows_scan(emb: DataFrame, cent: DataFrame, n_ranks: int) -> DataFram
     )
 
 
-def _kmeans_core(spark: SparkSession, sf_dir: str, iters: int = _KMEANS_ITERS) -> dict:
+def _kmeans_core(
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int = _KMEANS_ITERS,
+    k: int = _KMEANS_K,
+    train_n: int = _KMEANS_TRAIN_N,
+) -> dict:
     """Shared Lloyd core: returns the long-form quantized corpus ``e``,
     per-vector ``vv`` and the SAMPLE-trained post-final-update integer
     centroids ``cent`` — consumers run ONE full-corpus `_assign_ranked`
     pass against them (kmeans_int8_assignments, ann_ivf_trained_topk,
-    ann_ivf_pq_trained)."""
+    ann_ivf_pq_trained, and — with k/train_n derived from the corpus
+    size — ann_ivf_scaledk_topk)."""
     emb = load_table(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
@@ -1338,10 +1351,10 @@ def _kmeans_core(spark: SparkSession, sf_dir: str, iters: int = _KMEANS_ITERS) -
         e.select("vec_id")
         .distinct()
         .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
-        .limit(_KMEANS_TRAIN_N)
+        .limit(train_n)
     )
     es = e.join(F.broadcast(samp), "vec_id").transform(cut_lineage)
-    seed = samp.orderBy("vec_id").limit(_KMEANS_K)
+    seed = samp.orderBy("vec_id").limit(k)
     cent = es.join(F.broadcast(seed), "vec_id").select(
         F.col("vec_id").alias("cluster_id"),
         "dim",
@@ -1370,17 +1383,22 @@ def _kmeans_core(spark: SparkSession, sf_dir: str, iters: int = _KMEANS_ITERS) -
 _IVF_TRAINED_NPROBE = 2
 
 
-def _ivf_trained_cand_ctes_sql() -> str:
+def _ivf_trained_cand_ctes_sql(
+    k: int | str = _KMEANS_K,
+    train_n: int | str = _KMEANS_TRAIN_N,
+    nprobe: int | str = _IVF_TRAINED_NPROBE,
+) -> str:
     """kmeans chain (which now ends at the full-corpus assignment fF) +
     trained-IVF probe -> the `cand` (query, neighbor) CTE — shared by
-    ann_ivf_trained_topk and ann_ivf_pq_trained."""
+    ann_ivf_trained_topk, ann_ivf_pq_trained, and (with corpus-derived
+    k/train_n) ann_ivf_scaledk_topk."""
     return (
-        _kmeans_cte_sql()
+        _kmeans_cte_sql(k=k, train_n=train_n)
         + f""",
     members AS (SELECT vec_id, cluster_id FROM fF WHERE rn = 1),
     probe AS (
         SELECT vec_id, cluster_id FROM fF
-        WHERE rn <= {_IVF_TRAINED_NPROBE} AND vec_id < {_N_QUERY}
+        WHERE rn <= {nprobe} AND vec_id < {_N_QUERY}
     ),
     cand AS (
         SELECT DISTINCT p.vec_id AS query_id, m.vec_id AS neighbor_id
@@ -1391,9 +1409,13 @@ def _ivf_trained_cand_ctes_sql() -> str:
     )
 
 
-def _ivf_trained_oracle_sql() -> str:
+def _ivf_trained_oracle_sql(
+    k: int | str = _KMEANS_K,
+    train_n: int | str = _KMEANS_TRAIN_N,
+    nprobe: int | str = _IVF_TRAINED_NPROBE,
+) -> str:
     return (
-        _ivf_trained_cand_ctes_sql()
+        _ivf_trained_cand_ctes_sql(k=k, train_n=train_n, nprobe=nprobe)
         + f""",
     nrm AS (
         SELECT vec_id, embedding,
@@ -1418,20 +1440,26 @@ def _ivf_trained_oracle_sql() -> str:
     )
 
 
-def _ivf_trained_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_trained_candidates(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _KMEANS_K,
+    train_n: int = _KMEANS_TRAIN_N,
+    nprobe: int = _IVF_TRAINED_NPROBE,
+) -> DataFrame:
     """(query_id, neighbor_id) candidates from the TRAINED coarse quantizer
     (kmeans core -> integer-exact assignment -> nprobe lists) — the Spark
-    twin of _ivf_trained_cand_ctes_sql, shared by ann_ivf_trained_topk and
-    ann_ivf_pq_trained."""
-    core = _kmeans_core(spark, sf_dir)
+    twin of _ivf_trained_cand_ctes_sql, shared by ann_ivf_trained_topk,
+    ann_ivf_pq_trained, and ann_ivf_scaledk_topk."""
+    core = _kmeans_core(spark, sf_dir, k=k, train_n=train_n)
     # members and probe both read the ranked assignment — cut its lineage
     # so the full-corpus pass runs ONCE, not once per consumer subtree
     ranked = _assign_rows_scan(
-        core["emb"], core["cent"], _IVF_TRAINED_NPROBE
+        core["emb"], core["cent"], nprobe
     ).transform(cut_lineage)
     members = ranked.filter(F.col("rn") == 1).select("vec_id", "cluster_id")
     probe = ranked.filter(
-        (F.col("rn") <= _IVF_TRAINED_NPROBE) & (F.col("vec_id") < _N_QUERY)
+        (F.col("rn") <= nprobe) & (F.col("vec_id") < _N_QUERY)
     ).select(F.col("vec_id").alias("query_id"), "cluster_id")
     # No distinct: every member belongs to exactly ONE cluster (rn = 1)
     # and a query's nprobe clusters are distinct ranks, so each
@@ -1444,6 +1472,44 @@ def _ivf_trained_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         members.join(F.broadcast(probe), "cluster_id")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+
+
+def _exact_rerank(spark: SparkSession, sf_dir: str, cand: DataFrame) -> DataFrame:
+    """Exact-decimal cosine re-rank of a (query_id, neighbor_id) candidate
+    set to the top _TOP_K per query — the final stage shared by
+    ann_ivf_trained_topk and ann_ivf_scaledk_topk (join-order rationale in
+    the former's inline comments)."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = emb.select("vec_id", "embedding", norm_exact(F.col("embedding")).alias("nrm"))
+    a = nrm.filter(F.col("vec_id") < _N_QUERY).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    b = nrm.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    scored = (
+        cand.join(b, "neighbor_id")
+        .join(F.broadcast(a), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot_exact(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.select(
+            "query_id", "neighbor_id", "cosine", F.row_number().over(wr).alias("rank")
+        ).filter(F.col("rank") <= _TOP_K)
     )
 
 
@@ -1464,44 +1530,95 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus), and the decimal-exact re-rank only on candidates — the
     standard IVF cost model, with the training loop's integer arithmetic
     guaranteeing the same index is built on any cluster layout."""
-    from pyspark.sql.window import Window
+    # join order matters at scale (inside _exact_rerank): attach the
+    # neighbor embedding while the candidate rows are still skinny ids
+    # (one shuffle of ids + the 1/10th-sized embedding table), THEN
+    # broadcast the |Q| query embeddings and immediately reduce each row
+    # to (ids, cosine) — the wide arrays never cross a shuffle after that
+    # stage.
+    return _exact_rerank(spark, sf_dir, _ivf_trained_candidates(spark, sf_dir))
 
-    cand = _ivf_trained_candidates(spark, sf_dir)
-    emb = load_table(spark, sf_dir, "embeddings")
-    nrm = emb.select("vec_id", "embedding", norm_exact(F.col("embedding")).alias("nrm"))
-    # query side: |Q| rows — broadcast so attaching query embeddings is
-    # map-side and the only candidate-set shuffle is the neighbor join
-    a = nrm.filter(F.col("vec_id") < _N_QUERY).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        F.col("nrm").alias("qn"),
-    )
-    b = nrm.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("ce"),
-        F.col("nrm").alias("cn"),
-    )
-    # join order matters at scale: attach the neighbor embedding while the
-    # candidate rows are still skinny ids (one shuffle of ids + the 1/10th-
-    # sized embedding table), THEN broadcast the |Q| query embeddings and
-    # immediately reduce each row to (ids, cosine) — the wide arrays never
-    # cross a shuffle after this stage
-    scored = (
-        cand.join(b, "neighbor_id")
-        .join(F.broadcast(a), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            (dot_exact(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias(
-                "cosine"
-            ),
-        )
-    )
-    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+
+# --- Scaled-K trained IVF (round 11): K grows with the corpus ------------
+#
+# The certified fixed-K indexes (K = _KMEANS_K) keep the oracle cheap, but
+# at 10x data their inverted lists grow 10x and the exact re-rank with
+# them. Production (the FAISS guideline cited at _KMEANS_TRAIN_N) grows
+# the centroid count ~ sqrt(N) with a fixed probe count, so per-query
+# re-rank work is nprobe * N / K = nprobe * sqrt(N) — sublinear — while
+# the quantizer gets FINER as the corpus grows, holding recall. Both
+# engines derive K and the training-sample bound from COUNT(*) itself, so
+# ONE oracle text is correct at every corpus size (r10 verdict ticket #3).
+
+_SCALEDK_K_EXPR = (
+    f"GREATEST({_KMEANS_K}, CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)))"
+    f" AS BIGINT))"
+)
+_SCALEDK_K_SQL = f"(SELECT {_SCALEDK_K_EXPR} FROM embeddings)"
+_SCALEDK_TRAIN_SQL = (
+    f"(SELECT LEAST(CAST(COUNT(*) AS BIGINT), GREATEST({_KMEANS_TRAIN_N}, "
+    f"32 * {_SCALEDK_K_EXPR})) FROM embeddings)"
+)
+_SCALEDK_NPROBE_SQL = (
+    f"(SELECT GREATEST({_IVF_TRAINED_NPROBE}, "
+    f"CAST(floor(sqrt(CAST({_SCALEDK_K_EXPR} AS DOUBLE))) AS BIGINT)) "
+    f"FROM embeddings)"
+)
+
+
+def _scaledk_params(n: int) -> tuple[int, int, int]:
+    """(k, train_n, nprobe) for a corpus of n vectors: K = max(_KMEANS_K,
+    floor(sqrt(n))) centroids trained on min(n, max(_KMEANS_TRAIN_N,
+    32*K)) sample vectors (~32 points per centroid — the FAISS
+    training-floor shape; sample grows ~sqrt(N), so training cost stays
+    o(N * K)); nprobe = max(2, floor(sqrt(K))) lists probed, so the
+    probed fraction declines ~1/sqrt(K) while recall holds — per-query
+    re-rank work is nprobe * N/K ~ N^(3/4), still sublinear.
+    math.isqrt == floor(IEEE sqrt) at these magnitudes, so the SQL twins
+    (_SCALEDK_*_SQL) compute identical parameters."""
+    import math
+
+    k = max(_KMEANS_K, math.isqrt(n))
     return (
-        scored.select(
-            "query_id", "neighbor_id", "cosine", F.row_number().over(wr).alias("rank")
-        ).filter(F.col("rank") <= _TOP_K)
+        k,
+        min(n, max(_KMEANS_TRAIN_N, 32 * k)),
+        max(_IVF_TRAINED_NPROBE, math.isqrt(k)),
+    )
+
+
+@register_query(
+    "ann_ivf_scaledk_topk",
+    oracle=_ivf_trained_oracle_sql(
+        k=_SCALEDK_K_SQL, train_n=_SCALEDK_TRAIN_SQL, nprobe=_SCALEDK_NPROBE_SQL
+    ),
+)
+def ann_ivf_scaledk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-IVF search with the PRODUCTION K-scaling discipline:
+    K = max(_KMEANS_K = 8, floor(sqrt(N))) centroids (vs the fixed-K
+    certified index) and nprobe = max(2, floor(sqrt(K))) probed lists —
+    so each query's candidate list is nprobe * N/K ~ N^(3/4) rows and
+    the probe+re-rank cost grows SUBLINEARLY with the corpus while the
+    probed-fraction decline is offset by the quantizer getting finer
+    (ann_ivf_trained_topk's docstring promise, now an executing, certified
+    query; r10 verdict ticket #3). The corpus size enters both engines
+    the same way — Spark counts the table, the oracle derives K from
+    COUNT(*) — so this single definition is hash-certified at sf0.01 by
+    the driver AND meaningful at any scale. Recall@k is pinned by
+    ann_ivf_scaledk_recall_contract and asserted against its floor in
+    tests/test_similarity_quality.py; the 10x wall/recall measurement is
+    the SCALING.md scaled-K row.
+
+    Scale shape: identical plan skeleton to ann_ivf_trained_topk (sample-
+    bounded Lloyd, ONE map-only broadcast assignment scan, skinny-id
+    candidate join, decimal-exact re-rank); only the K/train_n arithmetic
+    differs. The broadcast centroid row grows as sqrt(N)*dims integers —
+    at N = 10^9, ~64 sqrt(N) longs ~ 16 MB, still broadcast-sized."""
+    n = load_table(spark, sf_dir, "embeddings").count()
+    k, train_n, nprobe = _scaledk_params(n)
+    return _exact_rerank(
+        spark,
+        sf_dir,
+        _ivf_trained_candidates(spark, sf_dir, k=k, train_n=train_n, nprobe=nprobe),
     )
 
 
@@ -2441,6 +2558,21 @@ def ann_ivf_trained_recall_contract(spark: SparkSession, sf_dir: str) -> DataFra
     regression (bad init, broken centroid update, wrong round count)
     shifts these per-query recalls and fails the gate."""
     return _recall_contract(spark, sf_dir, ann_ivf_trained_topk)
+
+
+@register_query(
+    "ann_ivf_scaledk_recall_contract",
+    oracle=_recall_oracle("ann_ivf_scaledk_topk"),
+)
+def ann_ivf_scaledk_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL CERTIFICATION for the K-SCALED trained IVF index (K ~
+    sqrt(N), fixed nprobe — the production growth discipline): pins
+    per-query recall@k of ann_ivf_scaledk_topk so the claim "recall holds
+    as K grows with the corpus" is a hash-certified quantity, not a
+    docstring promise (r10 verdict ticket #3). The recall FLOOR is
+    asserted in tests/test_similarity_quality.py; the 10x wall + recall
+    measurement lives in SCALING.md's scaled-K row."""
+    return _recall_contract(spark, sf_dir, ann_ivf_scaledk_topk)
 
 
 @register_query(

@@ -74,8 +74,10 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     # wave 1: semantic decontamination AT INGEST (broadcast eval anchors
     # per micro-batch — r10 verdict ticket #4)
     "streaming_semantic_decon_twin",
-    # wave 2: K-scaling ANN contract (K grows ~sqrt(N) with the corpus —
-    # r10 verdict ticket #3)
+    # wave 2: K-scaled trained IVF (K ~ sqrt(N), nprobe ~ sqrt(K) — the
+    # production growth discipline) + its recall contract (r10 verdict
+    # ticket #3)
+    "ann_ivf_scaledk_topk",
     "ann_ivf_scaledk_recall_contract",
     # wave 3: t-closeness EMD partials at ingest (7th incremental-view
     # twin — r10 verdict ticket #6)
@@ -132,12 +134,8 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "streaming_stateful_count_twin",
     "streaming_dedup_watermark_twin",
     "streaming_enrich_static_twin",
-    # -- 2. r05-evidence head (the next-oldest cohort; these yield their
-    #       slots to new round-11 entries as waves land — edit in place,
-    #       keep the list at exactly 50 names):
-    "embedding_power_iteration",
     # (exactly 50 names. Still queued after these, oldest first — the
-    # rest of the r05 cohort: ngram_decontaminate, dup_ngram_quality,
+    # r05 cohort: embedding_power_iteration, ngram_decontaminate, dup_ngram_quality,
     # vocab_coverage, substring_dup_spans, unigram_rarity_quality,
     # semantic_dedup_leader, pii_redact, json_parse_dlq_audit,
     # union_schema_evolution, table_checksum_orders, dq_constraint_report,

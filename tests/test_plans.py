@@ -183,6 +183,8 @@ _INTENTIONAL_BNLJ = {
     "kmeans_int8_assignments",
     "ann_ivf_trained_topk",
     "ann_ivf_pq_trained",
+    "ann_ivf_scaledk_topk",  # same map-only broadcast-centroid scan, K ~ sqrt(N)
+    "ann_ivf_scaledk_recall_contract",  # recall composition over the above
     # dense class x 5-row sensitive-domain spine (gapfill pattern)
     "t_closeness_audit",
     # grid-sized: 1-row (n,S) stat broadcast + 24-row lag spine over the
@@ -212,6 +214,7 @@ _ITERATIVE_EXCHANGE_CAPS = {
     "triangle_lsh_graph": 24,
     "kmeans_int8_assignments": 14,
     "ann_ivf_trained_topk": 32,
+    "ann_ivf_scaledk_topk": 32,
     "ann_ivf_pq_trained": 40,
     "neardup_cc_canonical": 10,
     "cc_lsh_graph": 10,

@@ -69,3 +69,26 @@ def test_pii_redact_plan_is_map_only(spark):
     """scan -> project, no exchange: the scrub pass must not shuffle."""
     plan = pii_redact(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_streaming_t_closeness_matches_batch(spark):
+    """The ingest twin's merged cell partials must reproduce the batch
+    audit exactly — same classes, same n_orders, bit-identical t_emd
+    (exact-integer EMD numerators, one double division)."""
+    from kasper_spark.registry import QUERIES, load_all_operators
+
+    load_all_operators()
+
+    def keyed(df):
+        return {
+            (r["c_nationkey"], r["c_mktsegment"], r["acctbal_bin"]): (
+                r["n_orders"],
+                r["t_emd"],
+                r["at_risk"],
+            )
+            for r in df.collect()
+        }
+
+    batch = keyed(QUERIES["t_closeness_audit"](spark, SF_SMOKE))
+    twin = keyed(QUERIES["streaming_t_closeness_twin"](spark, SF_SMOKE))
+    assert twin == batch and batch
