@@ -2299,3 +2299,256 @@ def lsh_precision_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame
         .otherwise(F.col("n_hit").cast("double") / F.col("n_true").cast("double"))
         .alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sparse tf-idf cosine near-dup pairs (round 11)
+# ---------------------------------------------------------------------------
+
+_SPARSE_DF_MIN = 2  # a df=1 shingle can't witness a pair
+_SPARSE_DF_MAX = 5  # posting-list prune: only rare shingles generate candidates
+_SPARSE_TAU = 0.5  # weighted-cosine near-dup gate
+
+
+@register_query(
+    "sparse_tfidf_cosine_pairs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), w -> w <> '') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, UNNEST(list_transform(
+                   generate_series(1, len(t) - {_SHINGLE_N - 1}),
+                   i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s
+        FROM toks WHERE len(t) >= {_SHINGLE_N}
+    ),
+    tf AS (
+        SELECT doc_id, s, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM sh GROUP BY doc_id, s
+    ),
+    df AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY s),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    post AS (
+        SELECT tf.doc_id, tf.s, df.df,
+               tf.tf * CAST(pow(2, LEAST(20,
+                   length(bin((nd.n + 1) // (df.df + 1))) - 1)) AS BIGINT) AS w
+        FROM tf JOIN df USING (s) CROSS JOIN nd
+    ),
+    nrm AS (
+        SELECT doc_id,
+               sqrt(CAST(SUM(CAST(w * w AS DECIMAL(30,0))) AS DOUBLE)) AS nrm
+        FROM post GROUP BY doc_id
+    ),
+    rare AS (
+        SELECT s FROM df WHERE df BETWEEN {_SPARSE_DF_MIN} AND {_SPARSE_DF_MAX}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM post a JOIN rare USING (s) JOIN post b USING (s)
+        WHERE a.doc_id < b.doc_id
+    ),
+    dots AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared,
+               SUM(CAST(pa.w * pb.w AS DECIMAL(30,0))) AS dot
+        FROM cand c
+        JOIN post pa ON pa.doc_id = c.doc_a
+        JOIN post pb ON pb.doc_id = c.doc_b AND pb.s = pa.s
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT d.doc_a, d.doc_b, d.n_shared,
+           CAST(d.dot AS DOUBLE) / (na.nrm * nb.nrm) AS cosine
+    FROM dots d
+    JOIN nrm na ON na.doc_id = d.doc_a
+    JOIN nrm nb ON nb.doc_id = d.doc_b
+    WHERE CAST(d.dot AS DOUBLE) / (na.nrm * nb.nrm) >= {_SPARSE_TAU}
+    """,
+)
+def sparse_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED sparse near-duplicate pairs — tf-idf cosine over shingle
+    count vectors, the sparse-retrieval complement of both the set-based
+    detectors (Jaccard/MinHash ignore multiplicity and weighting) and the
+    dense ANN family (no embeddings needed): two documents score high
+    when they share RARE shingles often, which is precisely the
+    paraphrase-with-shared-phrases signature tf-idf was built for.
+
+    Candidate generation is the Lucene/posting-list prune: only shingles
+    with df in [2, 5] (corpus-rare) may WITNESS a pair, so the self-join
+    runs over pruned posting lists and all-pairs never materializes; the
+    exact cosine is then accumulated over ALL shared shingles of each
+    surviving pair via two keyed joins (pair x posting, never doc x doc).
+    Exactness: idf is WHOLE-BIT — 2^min(20, floor(log2((N+1) div (df+1))))
+    via length(bin()) (the bigram_lm_surprisal trick; a double-valued idf
+    put the dot through the double->decimal cast, which drifted 1 ulp
+    between engines) — so the weights are pure BIGINTs, every dot/norm
+    term is an exact integer summed through DECIMAL(30,0), and the cosine
+    is correctly-rounded double ops over identical integers: bit-identical
+    on both engines. Per-term overflow bound: w <= doc_len * 2^20, so
+    w*w needs doc_len <= 2^11 tokens; chunk longer docs or lower the
+    idf cap (overflow-ledger discipline).
+
+    Scale: tf/df are partial-aggregated shuffles on (doc, shingle) /
+    shingle; the candidate join is bounded by the df cap (a df<=5 shingle
+    contributes <= 10 pairs); the dot join ships each candidate pair's
+    postings once. At 100 TB the df cap is corpus-relative (the
+    boilerplate CM-prefilter note) and the idf table is the same
+    broadcast the BM25 ranker already uses."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _tokens(F.col("text")).alias("t"))
+    sh = toks.select(
+        "doc_id", F.explode(_shingles_raw(F.col("t"))).alias("s")
+    )
+    tf = sh.groupBy("doc_id", "s").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    df = tf.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    shift = F.least(
+        F.lit(20),
+        F.length(F.bin(F.expr("(n + 1) div (df + 1)"))) - 1,
+    )
+    post = (
+        tf.join(df, "s")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "s",
+            "df",
+            (F.col("tf") * F.pow(F.lit(2), shift).cast("bigint")).alias("w"),
+        )
+    )
+    nrm = post.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum((F.col("w") * F.col("w")).cast("decimal(30,0)")).cast("double")
+        ).alias("nrm")
+    )
+    rare = df.filter(
+        (F.col("df") >= _SPARSE_DF_MIN) & (F.col("df") <= _SPARSE_DF_MAX)
+    ).select("s")
+    pa = post.select(F.col("doc_id").alias("doc_a"), "s")
+    pb = post.select(F.col("doc_id").alias("doc_b"), "s")
+    cand = (
+        pa.join(rare, "s")
+        .join(pb, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    dots = (
+        cand.join(
+            post.select(F.col("doc_id").alias("doc_a"), "s", F.col("w").alias("wa")),
+            "doc_a",
+        )
+        .join(
+            post.select(F.col("doc_id").alias("doc_b"), "s", F.col("w").alias("wb")),
+            ["doc_b", "s"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+            F.sum((F.col("wa") * F.col("wb")).cast("decimal(30,0)")).alias("dot"),
+        )
+    )
+    cos = F.col("dot").cast("double") / (F.col("na") * F.col("nb"))
+    return (
+        dots.join(nrm.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na")), "doc_a")
+        .join(nrm.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb")), "doc_b")
+        .select("doc_a", "doc_b", "n_shared", cos.alias("cosine"))
+        .filter(F.col("cosine") >= _SPARSE_TAU)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingle containment pairs (round 11): the ASYMMETRIC partial-dup detector
+# ---------------------------------------------------------------------------
+
+_CONTAIN_TAU = 0.8  # containment gate: |A∩B| / |A| for the smaller side
+
+
+@register_query(
+    "shingle_containment_pairs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), w -> w <> '') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+                   generate_series(1, len(t) - {_SHINGLE_N - 1}),
+                   i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS ss
+        FROM toks WHERE len(t) >= {_SHINGLE_N}
+    ),
+    e AS (SELECT doc_id, UNNEST(ss) AS s FROM sh WHERE len(ss) > 0),
+    sz AS (SELECT doc_id, CAST(len(ss) AS BIGINT) AS n FROM sh WHERE len(ss) > 0),
+    co AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT co.doc_a, co.doc_b, co.c,
+               x.n AS na, y.n AS nb,
+               CAST(co.c AS DOUBLE) / x.n AS contain_a,
+               CAST(co.c AS DOUBLE) / y.n AS contain_b
+        FROM co JOIN sz x ON x.doc_id = co.doc_a
+                JOIN sz y ON y.doc_id = co.doc_b
+    )
+    SELECT doc_a, doc_b, c AS n_shared, na, nb, contain_a, contain_b
+    FROM scored
+    WHERE contain_a >= {_CONTAIN_TAU} OR contain_b >= {_CONTAIN_TAU}
+    """,
+)
+def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC partial-duplicate detection by shingle CONTAINMENT —
+    |A∩B| / |A| — the measure Jaccard structurally misses: a short
+    document wholly quoted inside a much longer one has Jaccard
+    |A|/|B| ~ 0 but containment 1.0, and quote-expansion / boilerplate-
+    wrapping / page-concatenation dups are exactly that shape (Broder's
+    original resemblance-vs-containment distinction). Emits both
+    directions' containment with the shared-shingle count and both set
+    sizes, gated on either side clearing 0.8 — the curation verdict is
+    then direction-aware (drop the contained side, keep the container).
+
+    Exactness: counts are BIGINT, each containment is one exact-int
+    double division — bit-identical on both engines.
+
+    Scale: pair generation is the shared-shingle explode-join (only
+    pairs with a common shingle materialize — the source_ngram_overlap /
+    LSH-truth grain), then two size joins; never all-pairs. At 100 TB
+    the co-occurrence join is bounded the same way the boilerplate pass
+    is: a CM/df prefilter drops ubiquitous shingles from the JOIN KEY
+    set (a shingle shared by k docs contributes k(k-1)/2 pair rows), and
+    the exact containment is verified only on surviving candidates —
+    same plan, prefiltered key set."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    sh = toks.select(
+        "doc_id", F.array_distinct(_shingles_raw(F.col("toks"))).alias("ss")
+    ).filter(F.size("ss") > 0)
+    e = sh.select("doc_id", F.explode("ss").alias("s"))
+    sz = sh.select("doc_id", F.size("ss").cast("long").alias("n"))
+    co = (
+        e.select(F.col("doc_id").alias("doc_a"), "s")
+        .join(e.select(F.col("doc_id").alias("doc_b"), "s"), "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    scored = (
+        co.join(sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("c").alias("n_shared"),
+            "na",
+            "nb",
+            (F.col("c").cast("double") / F.col("na")).alias("contain_a"),
+            (F.col("c").cast("double") / F.col("nb")).alias("contain_b"),
+        )
+    )
+    return scored.filter(
+        (F.col("contain_a") >= _CONTAIN_TAU) | (F.col("contain_b") >= _CONTAIN_TAU)
+    )

@@ -2301,3 +2301,188 @@ def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf tail index per source (round 11)
+# ---------------------------------------------------------------------------
+
+
+@register_query(
+    "zipf_tail_index_by_source",
+    oracle="""
+    WITH wf AS (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS f
+        FROM (
+            SELECT source,
+                   UNNEST(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+            FROM documents
+        ) GROUP BY source, w
+    ),
+    pts AS (
+        SELECT source, f,
+               CAST(length(bin(ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY f DESC, w
+               ))) - 1 AS BIGINT) AS x,
+               CAST(length(bin(f)) - 1 AS BIGINT) AS y
+        FROM wf
+    ),
+    ols AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(f) AS BIGINT) AS n_tokens,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM pts GROUP BY source
+    )
+    SELECT source, n_types, n_tokens,
+           CAST(n_types * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n_types * sxx - sx * sx AS BIGINT) AS slope_den,
+           CASE WHEN n_types * sxx - sx * sx = 0 THEN NULL
+                ELSE CAST(n_types * sxy - sx * sy AS DOUBLE)
+                     / CAST(n_types * sxx - sx * sx AS DOUBLE)
+           END AS zipf_slope
+    FROM ols
+    """,
+)
+def zipf_tail_index_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf tail index per source — the rank-frequency power-law slope a
+    corpus linguist (and a data-mixture designer) reads to spot degenerate
+    sources: natural text sits near slope -1 on log f vs log rank;
+    boilerplate farms and template spam flatten or cliff the tail, so a
+    per-source slope shift is a cheap full-corpus health probe next to
+    the Gopher gates. Zero libm: both axes are WHOLE-BIT logs
+    (floor(log2) = length(bin(n)) - 1, integer-exact on both engines —
+    the bigram_lm_surprisal trick), the OLS slope numerator/denominator
+    are pure-BIGINT sums exposed as exact integers, and the slope itself
+    is ONE exact-int double division (NULL when the denominator
+    degenerates — fewer than two distinct rank octaves).
+
+    Overflow bound: x,y <= 63 (bit positions), so n*Sxy <= 63^2 * n_types^2
+    needs n_types < ~7e7 per source — beyond any real vocabulary; shard by
+    (source, first-letter) past that (overflow-ledger discipline).
+
+    Scale: one (source, word) shuffle for the frequency table, one
+    per-source rank window over TYPES (vocabulary-sized, never
+    token-sized), then a 6-sum partial aggregate — sources, not tokens,
+    cross the final exchange."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select("source", F.explode(_tokens(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.desc("f"), F.asc("w"))
+    )
+    pts = wf.select(
+        "source",
+        "f",
+        (F.length(F.bin(rk)) - 1).cast("long").alias("x"),
+        (F.length(F.bin(F.col("f"))) - 1).cast("long").alias("y"),
+    )
+    ols = pts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    num = F.col("n_types") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n_types") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return ols.select(
+        "source",
+        "n_types",
+        "n_tokens",
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double"))
+        .alias("zipf_slope"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL host stats (round 11): crawl-frontier hygiene report
+# ---------------------------------------------------------------------------
+
+
+@register_query(
+    "url_host_stats",
+    oracle="""
+    WITH urls AS (
+        SELECT doc_id, lang, source, n_chars,
+               'https://' || source || '-' || CAST(doc_id % 7 AS VARCHAR)
+                   || '.example.'
+                   || CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                                      WHEN 2 THEN 'net' ELSE 'io' END
+                   || '/' || lang || '/' || CAST(doc_id AS VARCHAR) AS url
+        FROM documents
+    ),
+    parsed AS (
+        SELECT doc_id, lang, n_chars,
+               regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+               regexp_extract(regexp_extract(url, '^https://([^/]+)/', 1),
+                   '\\.([a-z]+)$', 1) AS tld
+        FROM urls
+    )
+    SELECT host, tld,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars
+    FROM parsed
+    GROUP BY host, tld
+    """,
+)
+def url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level crawl-frontier report — the per-domain aggregate every
+    web-corpus pipeline maintains (politeness budgets, domain mixing
+    caps, spam-host blocklists all key on it): parse the host and TLD
+    out of each document's URL, then aggregate docs/languages/volume per
+    host. The driver corpus carries no URL column, so deterministic URLs
+    are synthesized from (source, doc_id, lang) first — identical string
+    arithmetic on both engines, the pii_redact injection precedent — and
+    the PARSING + AGGREGATION are what the oracle certifies: the regex
+    host/TLD extraction is the exact code a real crawl frontier would
+    run on its url column (RE2-compatible patterns, single capture
+    groups — the regexp_extract parity rules).
+
+    Scale: map-side synthesis + two regexp_extracts inside one codegen'd
+    projection, then a partial-aggregated groupBy on (host, tld) —
+    hosts, never documents, cross the shuffle. COUNT(DISTINCT lang) is
+    the only expand; its domain is bounded (languages)."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit("-"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example."),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("com"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("org"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("net"))
+        .otherwise(F.lit("io")),
+        F.lit("/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+    )
+    host = F.regexp_extract(url, r"^https://([^/]+)/", 1)
+    parsed = docs.select(
+        "lang",
+        "n_chars",
+        host.alias("host"),
+        F.regexp_extract(host, r"\.([a-z]+)$", 1).alias("tld"),
+    )
+    return parsed.groupBy("host", "tld").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("mean_chars"),
+    )
