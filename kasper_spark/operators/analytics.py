@@ -2638,3 +2638,107 @@ def benford_report_from_counts(counted: DataFrame) -> DataFrame:
             * (p40.cast("double") / F.lit(float(_B40)))
         ).alias("expected_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (round 11)
+# ---------------------------------------------------------------------------
+
+
+@register_query(
+    "rfm_customer_segments",
+    oracle="""
+    WITH rfm AS (
+        SELECT o_custkey AS custkey,
+               CAST(date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                              DATE '1999-01-01') AS BIGINT) AS recency_days,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS DOUBLE)
+                   AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT custkey, recency_days, frequency, monetary,
+               CAST(6 - NTILE(5) OVER (ORDER BY recency_days, custkey)
+                    AS BIGINT) AS r_score,
+               CAST(NTILE(5) OVER (ORDER BY frequency, custkey)
+                    AS BIGINT) AS f_score,
+               CAST(NTILE(5) OVER (ORDER BY monetary, custkey)
+                    AS BIGINT) AS m_score
+        FROM rfm
+    )
+    SELECT custkey, recency_days, frequency, monetary,
+           r_score, f_score, m_score,
+           CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                     THEN 'champion'
+                WHEN f_score >= 4 THEN 'loyal'
+                WHEN m_score >= 4 THEN 'big_spender'
+                WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+                WHEN r_score <= 2 THEN 'at_risk'
+                ELSE 'regular' END AS segment
+    FROM scored
+    """,
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    classic retention-marketing model: score each customer 1-5 on how
+    recently they ordered, how often, and how much, then label the
+    (r, f, m) cell with its playbook segment (champion / loyal /
+    big_spender / at_risk / hibernating / regular). The reference engine
+    leaves all modeling to user code; this is the canonical batch
+    scoring job such a user would run nightly.
+
+    Determinism: recency anchors to the fixed calendar date 1999-01-01
+    (just past the TPC-H order horizon) rather than a data-dependent max
+    — no global-scalar broadcast, and re-runs on a growing corpus keep
+    monotone semantics. Monetary sums through DECIMAL(14,4) (the exact-
+    sum discipline) with ONE final double cast; NTILE ties break on
+    custkey, so both engines bucket identically.
+
+    Scale: one partial-aggregated groupBy on custkey, then three global
+    NTILE windows over CUSTOMERS (post-aggregate cardinality). At 100 TB
+    the global sort is replaced by the histogram ceil-rank quantile
+    rewrite (length_robust_scaler_params' two-pass method) — the window
+    form is the spec; the segments only need the 4 cut points per
+    dimension."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    rfm = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.datediff(
+            F.lit("1999-01-01").cast("date"),
+            F.max("o_orderdate").cast("date"),
+        )
+        .cast("long")
+        .alias("recency_days"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,4)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    r_sc = (
+        6 - F.ntile(5).over(Window.orderBy("recency_days", "custkey"))
+    ).cast("long")
+    f_sc = F.ntile(5).over(Window.orderBy("frequency", "custkey")).cast("long")
+    m_sc = F.ntile(5).over(Window.orderBy("monetary", "custkey")).cast("long")
+    scored = rfm.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r_sc.alias("r_score"),
+        f_sc.alias("f_score"),
+        m_sc.alias("m_score"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4),
+            F.lit("champion"),
+        )
+        .when(F.col("f_score") >= 4, F.lit("loyal"))
+        .when(F.col("m_score") >= 4, F.lit("big_spender"))
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), F.lit("hibernating"))
+        .when(F.col("r_score") <= 2, F.lit("at_risk"))
+        .otherwise(F.lit("regular"))
+    )
+    return scored.select("*", seg.alias("segment"))

@@ -2552,3 +2552,161 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(
         (F.col("contain_a") >= _CONTAIN_TAU) | (F.col("contain_b") >= _CONTAIN_TAU)
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup savings report (round 11)
+# ---------------------------------------------------------------------------
+
+
+@register_query(
+    "doc_dup_inflation_report",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, source, md5(text) AS digest,
+               CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+                   AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    canon AS (SELECT digest, MIN(doc_id) AS canon_id FROM d GROUP BY digest)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id <> canon_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN doc_id <> canon_id THEN n_tokens ELSE 0 END)
+               AS BIGINT) AS dup_tokens,
+           CASE WHEN SUM(n_tokens)
+                     - SUM(CASE WHEN doc_id <> canon_id THEN n_tokens ELSE 0 END) = 0
+                THEN NULL
+                ELSE CAST(SUM(n_tokens) AS DOUBLE)
+                     / CAST(SUM(n_tokens) - SUM(CASE WHEN doc_id <> canon_id
+                            THEN n_tokens ELSE 0 END) AS BIGINT)
+           END AS inflation
+    FROM d JOIN canon USING (digest)
+    GROUP BY source
+    """,
+)
+def doc_dup_inflation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source DEDUP SAVINGS report — the capacity-planning readout a
+    100 TB pipeline publishes before running the expensive dedup pass:
+    for each source, how many of its rows are byte-exact copies of an
+    earlier document (canonical = global min doc_id per digest, the
+    dedup_exact rule) and how many training tokens the copies inflate
+    the corpus by. `inflation` = total/unique token ratio — the factor a
+    source's effective epoch count is silently multiplied by if dups are
+    left in (the data-repetition literature's concern, measured per
+    source). NULL inflation when a source is all-dup (empty unique side).
+
+    Exactness: md5 digests, BIGINT counts, one exact-int double division.
+
+    Scale: one digest shuffle for the canonical map (digests, not docs,
+    cross it after partial-agg), one digest-keyed join back, one
+    per-source partial aggregate. Strictly cheaper than the dedup it
+    forecasts."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("text")).alias("digest"),
+        F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    canon = d.groupBy("digest").agg(F.min("doc_id").alias("canon_id"))
+    j = d.join(canon, "digest")
+    is_dup = (F.col("doc_id") != F.col("canon_id")).cast("long")
+    agg = j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(is_dup).cast("long").alias("n_dup_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(F.col("n_tokens") * is_dup).cast("long").alias("dup_tokens"),
+    )
+    uniq = F.col("total_tokens") - F.col("dup_tokens")
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_dup_docs",
+        "total_tokens",
+        "dup_tokens",
+        F.when(uniq == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("total_tokens").cast("double") / uniq)
+        .alias("inflation"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-lingual contamination (round 11)
+# ---------------------------------------------------------------------------
+
+_XLANG_TAU = 0.5  # shingle-Jaccard gate across language buckets
+
+
+@register_query(
+    "cross_lingual_contamination",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(text, ' '), w -> w <> '') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, lang, list_distinct(list_transform(
+                   generate_series(1, len(t) - {_SHINGLE_N - 1}),
+                   i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS ss
+        FROM toks WHERE len(t) >= {_SHINGLE_N}
+    ),
+    e AS (SELECT doc_id, lang, UNNEST(ss) AS s FROM sh WHERE len(ss) > 0),
+    sz AS (SELECT doc_id, CAST(len(ss) AS BIGINT) AS n FROM sh WHERE len(ss) > 0),
+    co AS (
+        SELECT a.doc_id AS doc_a, a.lang AS lang_a,
+               b.doc_id AS doc_b, b.lang AS lang_b,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM e a JOIN e b
+          ON a.s = b.s AND a.doc_id < b.doc_id AND a.lang <> b.lang
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT co.doc_a, co.lang_a, co.doc_b, co.lang_b,
+           CAST(co.c AS DOUBLE) / (x.n + y.n - co.c) AS jaccard
+    FROM co JOIN sz x ON x.doc_id = co.doc_a
+            JOIN sz y ON y.doc_id = co.doc_b
+    WHERE CAST(co.c AS DOUBLE) / (x.n + y.n - co.c) >= {_XLANG_TAU}
+    """,
+)
+def cross_lingual_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-LANGUAGE duplicate detection: near-identical documents filed
+    under DIFFERENT language labels — in a real crawl these are
+    lang-ID errors, untranslated boilerplate, or code/math pages that
+    defeat the language classifier, and they poison per-language mixture
+    weights (the same bytes get counted in two buckets) and per-language
+    dedup (which typically runs within a bucket and never sees the
+    pair). Same shingle-Jaccard grain as the dedup family, restricted to
+    lang_a <> lang_b pairs; emits both labels so the fix (relabel or
+    drop) is direct.
+
+    Scale: the shared-shingle explode-join with the cross-lang predicate
+    pushed INTO the join — within-language pairs (the vast majority)
+    never materialize; then two size joins; never all-pairs. The 100 TB
+    prefilter is the same df-cap as shingle_containment_pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", _tokens(F.col("text")).alias("toks"))
+    sh = toks.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(_shingles_raw(F.col("toks"))).alias("ss"),
+    ).filter(F.size("ss") > 0)
+    e = sh.select("doc_id", "lang", F.explode("ss").alias("s"))
+    sz = sh.select("doc_id", F.size("ss").cast("long").alias("n"))
+    ea = e.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"), "s")
+    eb = e.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"), "s")
+    co = (
+        ea.join(eb, "s")
+        .filter((F.col("doc_a") < F.col("doc_b")) & (F.col("lang_a") != F.col("lang_b")))
+        .groupBy("doc_a", "lang_a", "doc_b", "lang_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        co.join(sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select("doc_a", "lang_a", "doc_b", "lang_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= _XLANG_TAU)
+    )

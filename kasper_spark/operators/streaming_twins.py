@@ -3114,3 +3114,95 @@ def streaming_t_closeness_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("c").cast("long").alias("c"))
     )
     return t_closeness_report(merged)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-source audit sample AT INGEST (round 11)
+# ---------------------------------------------------------------------------
+
+_RESERVOIR_K = 5  # audit-sample size per source
+
+
+@register_query(
+    "streaming_reservoir_twin",
+    oracle=f"""
+    SELECT source, doc_id, rk FROM (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    ) WHERE rk <= {_RESERVOIR_K}
+    """,
+)
+def streaming_reservoir_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-source audit sample maintained AT INGEST — the
+    reservoir-sampling job (keep k uniform representatives per stratum
+    as the stream flows) in its MERGEABLE deterministic form: rank by
+    md5(doc_id) (the portable pseudo-random order every stratified
+    sampler in this repo uses — stratified_topn_md5's rationale) and
+    keep the k smallest. Bottom-k by a hash IS the classic KMV
+    "k minimum values" sketch: each micro-batch emits its own per-source
+    bottom-k partial, and bottom-k of the UNION of partials equals
+    bottom-k of the union of the data — an exact merge, so the sample is
+    invariant to how the stream is cut AND reproducible across engines
+    (a rand()-based reservoir is neither). The oracle certifies the
+    merged sample against the whole-table ranking.
+
+    Scale: per batch a per-source window truncated to k rows (partial-
+    pushed by WindowGroupLimit — only k rows per stratum survive the
+    exchange); merged state is k x |sources| rows. No state store —
+    the parquet partial dir IS the reservoir; a store-backed variant
+    would putall the same k-row lists per tenant (A18-A20 surface)."""
+    from pyspark.sql.window import Window
+
+    work = _workdir("kasper-sreservoir-")
+    src_dir = os.path.join(work, "src")
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ck")
+    os.makedirs(src_dir)
+    os.symlink(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(src_dir, "documents.parquet"),
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, source string")
+        .option("recursiveFileLookup", "true")
+        .format("parquet")
+        .load(src_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+
+    def bottomk(df):
+        return (
+            df.select("source", "doc_id", F.row_number().over(w).alias("rk"))
+            .filter(F.col("rk") <= _RESERVOIR_K)
+        )
+
+    def sink_batch(df, epoch_id: int) -> None:
+        bottomk(df).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={epoch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.isdir(out_dir):
+        raise RuntimeError(
+            f"streaming_reservoir_twin: no micro-batch ran over {src_dir} — "
+            "the file stream source found no input files"
+        )
+    merged = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+        .select("source", "doc_id")
+    )
+    return bottomk(merged)

@@ -82,20 +82,15 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     # wave 3: t-closeness EMD partials at ingest (7th incremental-view
     # twin — r10 verdict ticket #6)
     "streaming_t_closeness_twin",
-    # wave 4: round-11 tier
-    "suffix_ngram_dup_rate",
-    "url_host_stats",
-    "rouge_overlap_pairs",
-    "doc_dup_inflation_report",
-    # wave 5
-    "reservoir_sample_per_source",
-    "stopword_profile_by_source",
-    # wave 6
-    "streaming_reservoir_twin",
-    "minhash_jaccard_estimate_contract",
-    # wave 7
+    # waves 4-6: the round-11 corpus-analysis tier
     "zipf_tail_index_by_source",
+    "sparse_tfidf_cosine_pairs",
+    "shingle_containment_pairs",
+    "url_host_stats",
+    "doc_dup_inflation_report",
     "cross_lingual_contamination",
+    "rfm_customer_segments",
+    "streaming_reservoir_twin",
     # -- 1. Regression re-certification (r10 verdict ticket #2): lead the
     #       remaining slots with the queries whose newest driver-green
     #       evidence is OLDEST (the r04 cohort below — last green row
@@ -134,8 +129,11 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "streaming_stateful_count_twin",
     "streaming_dedup_watermark_twin",
     "streaming_enrich_static_twin",
+    # -- 2. r05-evidence head (next-oldest cohort, fills to 50):
+    "embedding_power_iteration",
+    "ngram_decontaminate",
     # (exactly 50 names. Still queued after these, oldest first — the
-    # r05 cohort: embedding_power_iteration, ngram_decontaminate, dup_ngram_quality,
+    # rest of the r05 cohort: dup_ngram_quality,
     # vocab_coverage, substring_dup_spans, unigram_rarity_quality,
     # semantic_dedup_leader, pii_redact, json_parse_dlq_audit,
     # union_schema_evolution, table_checksum_orders, dq_constraint_report,

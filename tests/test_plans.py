@@ -161,6 +161,7 @@ _INTENTIONAL_BNLJ = {
     "q11_important_value",  # 1-row broadcast: national total threshold
     "q15_top_supplier",  # 1-row broadcast: global max revenue
     "tfidf_top_terms",  # 1-row broadcast of the corpus doc count
+    "sparse_tfidf_cosine_pairs",  # same 1-row corpus-count broadcast (idf shift)
     "unigram_rarity_quality",  # 1-row broadcast of the corpus token total
     "gapfill_hourly_events",  # bounded spine: distinct types x hour sequence
     "cusum_changepoint_events",  # same bounded types x hours spine as gapfill
@@ -187,6 +188,7 @@ _INTENTIONAL_BNLJ = {
     "ann_ivf_scaledk_recall_contract",  # recall composition over the above
     # dense class x 5-row sensitive-domain spine (gapfill pattern)
     "t_closeness_audit",
+    "streaming_t_closeness_twin",  # same report projection over merged partials
     # grid-sized: 1-row (n,S) stat broadcast + 24-row lag spine over the
     # calendar-bounded hourly series
     "hourly_autocorrelation",

@@ -1,0 +1,147 @@
+"""Property gates for the round-11 corpus-analysis tier — the oracle sweep
+certifies cross-engine value equality; these pin the semantic invariants a
+refactor could silently break while both engines stay (wrongly) in
+agreement."""
+
+from __future__ import annotations
+
+from kasper_spark.registry import QUERIES, load_all_operators
+from tests.conftest import SF_ORACLE, SF_SMOKE
+
+load_all_operators()
+
+
+def test_containment_bounds_and_direction(spark):
+    """Containments live in (0, 1]; the shared count never exceeds either
+    set size; every emitted pair clears the gate on at least one side."""
+    rows = QUERIES["shingle_containment_pairs"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["contain_a"] <= 1.0 and 0 < r["contain_b"] <= 1.0, r
+        assert r["n_shared"] <= min(r["na"], r["nb"]), r
+        assert max(r["contain_a"], r["contain_b"]) >= 0.8, r
+
+
+def test_sparse_cosine_cauchy_schwarz(spark):
+    """Weighted cosine is bounded by 1 (integer weights, exact sums — any
+    excess means the dot/norm accounting broke), and every emitted pair
+    clears the tau gate."""
+    rows = QUERIES["sparse_tfidf_cosine_pairs"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert 0.5 <= r["cosine"] <= 1.0 + 1e-12, r
+        assert r["n_shared"] >= 1
+
+
+def test_sparse_and_containment_agree_on_heavy_dups(spark):
+    """A pair that is a near-total containment dup (both sides >= 0.95)
+    must also surface in the weighted-cosine detector — the two views
+    disagree on asymmetric partials, never on full dups."""
+    cont = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["shingle_containment_pairs"](spark, SF_ORACLE).collect()
+        if min(r["contain_a"], r["contain_b"]) >= 0.95
+    }
+    cosp = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["sparse_tfidf_cosine_pairs"](spark, SF_ORACLE).collect()
+    }
+    assert cont, "no heavy dups at sf0.01 — gate data drifted"
+    assert cont <= cosp, cont - cosp
+
+
+def test_rfm_scores_and_segments(spark):
+    """Every score in 1..5, quintiles roughly balanced (ntile guarantees
+    |bucket sizes| differ by <= 1), and the segment label matches its
+    rule on every row."""
+    rows = QUERIES["rfm_customer_segments"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["r_score"] <= 5 and 1 <= r["f_score"] <= 5 and 1 <= r["m_score"] <= 5
+        if r["r_score"] >= 4 and r["f_score"] >= 4 and r["m_score"] >= 4:
+            want = "champion"
+        elif r["f_score"] >= 4:
+            want = "loyal"
+        elif r["m_score"] >= 4:
+            want = "big_spender"
+        elif r["r_score"] <= 2 and r["f_score"] <= 2:
+            want = "hibernating"
+        elif r["r_score"] <= 2:
+            want = "at_risk"
+        else:
+            want = "regular"
+        assert r["segment"] == want, r
+    for col in ("r_score", "f_score", "m_score"):
+        sizes = {}
+        for r in rows:
+            sizes[r[col]] = sizes.get(r[col], 0) + 1
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (col, sizes)
+
+
+def test_zipf_slope_is_negative_and_exact(spark):
+    """Rank-frequency slopes must be negative for every source (frequency
+    falls with rank by construction of the ranking), and the exposed
+    exact integers must reproduce the double."""
+    rows = QUERIES["zipf_tail_index_by_source"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert r["slope_den"] > 0, r
+        assert r["zipf_slope"] < 0, r
+        assert r["zipf_slope"] == r["slope_num"] / r["slope_den"], r
+
+
+def test_dup_inflation_accounting(spark):
+    """Per source: dup counts/token sums never exceed totals, and the
+    corpus-wide canonical count equals the distinct digest count."""
+    rows = QUERIES["doc_dup_inflation_report"](spark, SF_ORACLE).collect()
+    assert rows
+    total_docs = sum(r["n_docs"] for r in rows)
+    total_dups = sum(r["n_dup_docs"] for r in rows)
+    for r in rows:
+        assert 0 <= r["n_dup_docs"] <= r["n_docs"], r
+        assert 0 <= r["dup_tokens"] <= r["total_tokens"], r
+        if r["inflation"] is not None:
+            assert r["inflation"] >= 1.0, r
+    from kasper_spark.catalog import load_table
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    n_digests = docs.select(F.md5("text").alias("d")).distinct().count()
+    assert total_docs - total_dups == n_digests
+
+
+def test_cross_lingual_pairs_cross_languages(spark):
+    """Every emitted pair really crosses a language boundary and clears
+    the Jaccard gate."""
+    rows = QUERIES["cross_lingual_contamination"](spark, SF_ORACLE).collect()
+    assert rows, "synthetic corpus has cross-lang dups — none found"
+    for r in rows:
+        assert r["lang_a"] != r["lang_b"], r
+        assert r["jaccard"] >= 0.5, r
+
+
+def test_reservoir_twin_matches_static_ranking(spark):
+    """The merged ingest reservoir equals the whole-table md5 bottom-k per
+    source (KMV merge exactness), with exactly k rows per source."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from kasper_spark.catalog import load_table
+
+    got = {
+        (r["source"], r["rk"]): r["doc_id"]
+        for r in QUERIES["streaming_reservoir_twin"](spark, SF_SMOKE).collect()
+    }
+    docs = load_table(spark, SF_SMOKE, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    want = {
+        (r["source"], r["rk"]): r["doc_id"]
+        for r in docs.select(
+            "source", "doc_id", F.row_number().over(w).alias("rk")
+        )
+        .filter(F.col("rk") <= 5)
+        .collect()
+    }
+    assert got == want
