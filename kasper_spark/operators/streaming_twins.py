@@ -3206,3 +3206,78 @@ def streaming_reservoir_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id")
     )
     return bottomk(merged)
+
+
+# ---------------------------------------------------------------------------
+# Zipf tail index AT INGEST (round 11): 8th incremental-view twin
+# ---------------------------------------------------------------------------
+
+
+@register_query("streaming_zipf_twin")  # oracle bound at module end (text imports first)
+def streaming_zipf_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zipf_tail_index_by_source AT INGEST: the per-(source, word)
+    frequency table is a mergeable integer partial, so each arriving
+    micro-batch emits its own word-count partial and the read-side merge
+    + the SAME rank/whole-bit-log/OLS projection reproduce the batch
+    slope bit-for-bit — the live corpus-health probe (a source whose
+    tail flattens mid-crawl is degenerating NOW, not at the nightly
+    audit). Incremental-view discipline (dup-matrix/Benford/ACF/HLL/AUC/
+    mixture/t-closeness twins); no state store, cut-invariant by
+    construction.
+
+    Scale: per batch one (source, word) partial-agg over the arriving
+    rows; merged state is the vocabulary per source (types, not tokens);
+    the read-side window and OLS run over types only."""
+    from kasper_spark.operators.text import _tokens, zipf_report_from_wf
+
+    work = _workdir("kasper-szipf-")
+    src_dir = os.path.join(work, "src")
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ck")
+    os.makedirs(src_dir)
+    os.symlink(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(src_dir, "documents.parquet"),
+    )
+    stream = (
+        spark.readStream.schema("text string, source string")
+        .option("recursiveFileLookup", "true")
+        .format("parquet")
+        .load(src_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def sink_batch(df, epoch_id: int) -> None:
+        (
+            df.select("source", F.explode(_tokens(F.col("text"))).alias("w"))
+            .groupBy("source", "w")
+            .agg(F.count(F.lit(1)).cast("long").alias("f"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"batch={epoch_id}"))
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.isdir(out_dir):
+        raise RuntimeError(
+            f"streaming_zipf_twin: no micro-batch ran over {src_dir} — "
+            "the file stream source found no input files"
+        )
+    merged = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+        .groupBy("source", "w")
+        .agg(F.sum("f").cast("long").alias("f"))
+    )
+    return zipf_report_from_wf(merged)
+
+
+# text.py imports BEFORE this module, so the batch oracle is already
+# registered — bind directly (unlike the privacy/evaluation tail binds).
+assert "zipf_tail_index_by_source" in _OR, "batch Zipf oracle missing"
+_OR["streaming_zipf_twin"] = _OR["zipf_tail_index_by_source"]

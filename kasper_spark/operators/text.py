@@ -2376,6 +2376,17 @@ def zipf_tail_index_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "w")
         .agg(F.count(F.lit(1)).cast("long").alias("f"))
     )
+    return zipf_report_from_wf(wf)
+
+
+def zipf_report_from_wf(wf: DataFrame) -> DataFrame:
+    """Rank/whole-bit-log/OLS projection over a (source, w, f) frequency
+    table — factored because the frequency table is a mergeable count
+    partial: streaming_zipf_twin merges per-micro-batch (source, word)
+    partials and calls this same function, so the live corpus-health
+    probe is bit-identical to the batch one."""
+    from pyspark.sql.window import Window
+
     rk = F.row_number().over(
         Window.partitionBy("source").orderBy(F.desc("f"), F.asc("w"))
     )

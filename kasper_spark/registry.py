@@ -91,6 +91,7 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "cross_lingual_contamination",
     "rfm_customer_segments",
     "streaming_reservoir_twin",
+    "streaming_zipf_twin",
     # -- 1. Regression re-certification (r10 verdict ticket #2): lead the
     #       remaining slots with the queries whose newest driver-green
     #       evidence is OLDEST (the r04 cohort below — last green row
@@ -131,9 +132,8 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "streaming_enrich_static_twin",
     # -- 2. r05-evidence head (next-oldest cohort, fills to 50):
     "embedding_power_iteration",
-    "ngram_decontaminate",
     # (exactly 50 names. Still queued after these, oldest first — the
-    # rest of the r05 cohort: dup_ngram_quality,
+    # rest of the r05 cohort: ngram_decontaminate, dup_ngram_quality,
     # vocab_coverage, substring_dup_spans, unigram_rarity_quality,
     # semantic_dedup_leader, pii_redact, json_parse_dlq_audit,
     # union_schema_evolution, table_checksum_orders, dq_constraint_report,
