@@ -2059,18 +2059,34 @@ def exact_quantiles_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbounded domains, descend coarse->fine buckets with the same plan
     twice. The rank lookup table is groups x quantiles x 2 rows,
     broadcast."""
-    from pyspark.sql.window import Window
-
     li = load_table(spark, sf_dir, "lineitem")
+    hist = quantile_hist_counts(li)
+    return quantiles_from_hist(hist)
+
+
+def quantile_hist_counts(li: DataFrame) -> DataFrame:
+    """(l_returnflag, cents, cnt) value-histogram — the mergeable
+    sufficient statistic for exact quantiles over an integer domain
+    (per-value counts sum across any partition of the input), shared by
+    the batch operator and the streaming twin."""
     cents = li.select(
         "l_returnflag",
         F.floor(F.col("l_extendedprice") * 100 + 0.5)
         .cast("bigint")
         .alias("c"),
     )
-    hist = cents.groupBy("l_returnflag", "c").agg(
-        F.count(F.lit(1)).alias("cnt")
+    return cents.groupBy("l_returnflag", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
     )
+
+
+def quantiles_from_hist(hist: DataFrame) -> DataFrame:
+    """The cumulative-rank quantile selection over a merged value
+    histogram (see exact_quantiles_histogram's docstring for the
+    exactness argument)."""
+    from pyspark.sql.window import Window
+
+    spark = hist.sparkSession
     w = (
         Window.partitionBy("l_returnflag")
         .orderBy("c")
@@ -2742,3 +2758,158 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("regular"))
     )
     return scored.select("*", seg.alias("segment"))
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules (round 11)
+# ---------------------------------------------------------------------------
+
+
+@register_query(
+    "market_basket_lift",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        FROM lineitem
+    ),
+    n_b AS (
+        SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n_baskets
+        FROM baskets
+    ),
+    item_n AS (
+        SELECT item, CAST(COUNT(*) AS BIGINT) AS item_baskets
+        FROM baskets GROUP BY item
+        HAVING COUNT(*) >= 5
+    ),
+    kept AS (
+        SELECT b.basket, b.item
+        FROM baskets b JOIN item_n i ON b.item = i.item
+    ),
+    sized AS (
+        SELECT basket FROM kept GROUP BY basket
+        HAVING COUNT(*) BETWEEN 2 AND 12
+    ),
+    pairs AS (
+        SELECT a.item AS item_a, b.item AS item_b,
+               CAST(COUNT(*) AS BIGINT) AS pair_baskets
+        FROM kept a
+        JOIN sized s ON a.basket = s.basket
+        JOIN kept b ON a.basket = b.basket AND a.item < b.item
+        GROUP BY a.item, b.item
+        HAVING COUNT(*) >= 2
+    )
+    SELECT p.item_a, p.item_b, p.pair_baskets,
+           ia.item_baskets AS baskets_a,
+           ib.item_baskets AS baskets_b,
+           CAST(p.pair_baskets AS DOUBLE) / CAST(n.n_baskets AS DOUBLE)
+               AS support,
+           CAST(p.pair_baskets AS DOUBLE) / CAST(ia.item_baskets AS DOUBLE)
+               AS confidence_a_b,
+           (CAST(p.pair_baskets AS DOUBLE) * CAST(n.n_baskets AS DOUBLE))
+             / (CAST(ia.item_baskets AS DOUBLE)
+                * CAST(ib.item_baskets AS DOUBLE)) AS lift
+    FROM pairs p
+    JOIN item_n ia ON p.item_a = ia.item
+    JOIN item_n ib ON p.item_b = ib.item
+    CROSS JOIN n_b n
+    ORDER BY lift DESC, item_a, item_b
+    LIMIT 100
+    """,
+)
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (support / confidence / lift) over
+    order baskets — the classic a-priori co-purchase analysis (Agrawal &
+    Srikant, VLDB'94) every retail / recommendation pipeline runs, and a
+    workload family the reference leaves entirely to user code. A basket
+    is an order's distinct part set; a rule (a -> b) scores
+    support = P(a,b), confidence = P(b|a), lift = P(a,b)/(P(a)P(b)); the
+    report is the top-100 pairs by lift.
+
+    Scale (the a-priori discipline — this is what keeps 100 TB feasible):
+    (1) items below min_item_support=5 baskets are pruned BEFORE any pair
+    is formed (downward closure: an infrequent item cannot be in a
+    frequent pair); (2) baskets larger than 12 surviving items are dropped
+    (a B-item basket emits C(B,2) pairs — the cap bounds per-basket work;
+    capped-basket exclusion is the standard Spark FPGrowth practice);
+    (3) the pair build is a SELF-JOIN ON THE BASKET KEY — co-partitioned
+    by orderkey, so pair generation is shuffle-local and never all-pairs
+    across items. Pair counts are partial-aggregated; the min pair
+    support of 2 prunes the singleton tail before the dimension joins.
+    item_n is part-cardinality (dimension-sized) -> broadcast; n_baskets
+    is a 1-row broadcast (the TPC-H Q22 scalar shape).
+
+    Determinism: all counts are exact BIGINTs < 2**53, so each cast to
+    double is exact and the single multiply/divide per metric rounds
+    identically on both engines; ordering ties break on (item_a, item_b).
+    Overflow: pair_baskets * n_baskets as BIGINT would overflow past
+    ~3e9 baskets, so both factors cast to double FIRST (the Benford
+    expected_n discipline)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    ).distinct()
+    n_b = baskets.agg(
+        F.count_distinct(F.col("basket")).cast("long").alias("n_baskets")
+    )
+    item_n = (
+        baskets.groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("item_baskets"))
+        .filter(F.col("item_baskets") >= 5)
+    )
+    kept = baskets.join(F.broadcast(item_n.select("item")), "item").select(
+        "basket", "item"
+    )
+    sized = (
+        kept.groupBy("basket")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .filter((F.col("sz") >= 2) & (F.col("sz") <= 12))
+        .select("basket")
+    )
+    a = kept.alias("a").join(sized.alias("s"), "basket")
+    pairs = (
+        a.join(kept.alias("b"), "basket")
+        .filter(F.col("a.item") < F.col("b.item"))
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_baskets"))
+        .filter(F.col("pair_baskets") >= 2)
+    )
+    ia = item_n.select(
+        F.col("item").alias("item_a"), F.col("item_baskets").alias("baskets_a")
+    )
+    ib = item_n.select(
+        F.col("item").alias("item_b"), F.col("item_baskets").alias("baskets_b")
+    )
+    return (
+        pairs.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .crossJoin(F.broadcast(n_b))
+        .select(
+            "item_a",
+            "item_b",
+            "pair_baskets",
+            "baskets_a",
+            "baskets_b",
+            (
+                F.col("pair_baskets").cast("double")
+                / F.col("n_baskets").cast("double")
+            ).alias("support"),
+            (
+                F.col("pair_baskets").cast("double")
+                / F.col("baskets_a").cast("double")
+            ).alias("confidence_a_b"),
+            (
+                (
+                    F.col("pair_baskets").cast("double")
+                    * F.col("n_baskets").cast("double")
+                )
+                / (
+                    F.col("baskets_a").cast("double")
+                    * F.col("baskets_b").cast("double")
+                )
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "item_a", "item_b")
+        .limit(100)
+    )

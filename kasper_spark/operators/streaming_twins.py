@@ -3281,3 +3281,79 @@ def streaming_zipf_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registered — bind directly (unlike the privacy/evaluation tail binds).
 assert "zipf_tail_index_by_source" in _OR, "batch Zipf oracle missing"
 _OR["streaming_zipf_twin"] = _OR["zipf_tail_index_by_source"]
+
+
+# ---------------------------------------------------------------------------
+# Exact quantiles AT INGEST (round 11): 9th incremental-view twin
+# ---------------------------------------------------------------------------
+
+
+@register_query("streaming_quantile_twin")  # oracle bound at module end
+def streaming_quantile_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact_quantiles_histogram AT INGEST: the per-(group, cents-value)
+    count histogram is a mergeable integer partial (per-value counts sum
+    across any cut of the stream), so each arriving micro-batch emits its
+    own value-histogram partial and the read-side merge + the SAME
+    cumulative-rank selection reproduce the batch quartiles bit-for-bit
+    — EXACT percentiles maintained live, the thing t-digest/GK sketches
+    only approximate. This is the integer-domain trick: over a bounded
+    value domain (cents), the full histogram IS the quantile sketch, with
+    zero approximation error and trivially mergeable state. 9th
+    incremental-view twin (dup-matrix/Benford/ACF/HLL/AUC/mixture/
+    t-closeness/Zipf); no state store, cut-invariant by construction.
+
+    Scale: per batch one (group, cents) partial-agg over arriving rows;
+    merged state is bounded by the VALUE DOMAIN (~1e6 distinct cents for
+    TPC-H prices), not the row count — at 100 TB the partials stay
+    domain-sized while a sorted-quantile job would shuffle every row."""
+    from kasper_spark.operators.analytics import (
+        quantile_hist_counts,
+        quantiles_from_hist,
+    )
+
+    work = _workdir("kasper-squant-")
+    src_dir = os.path.join(work, "src")
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ck")
+    os.makedirs(src_dir)
+    os.symlink(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        os.path.join(src_dir, "lineitem.parquet"),
+    )
+    stream = (
+        spark.readStream.schema("l_returnflag string, l_extendedprice double")
+        .option("recursiveFileLookup", "true")
+        .format("parquet")
+        .load(src_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def sink_batch(df, epoch_id: int) -> None:
+        quantile_hist_counts(df).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={epoch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.isdir(out_dir):
+        raise RuntimeError(
+            f"streaming_quantile_twin: no micro-batch ran over {src_dir} — "
+            "the file stream source found no input files"
+        )
+    merged = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+        .groupBy("l_returnflag", "c")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    return quantiles_from_hist(merged)
+
+
+# analytics.py imports BEFORE this module -> batch oracle already registered.
+assert "exact_quantiles_histogram" in _OR, "batch quantile oracle missing"
+_OR["streaming_quantile_twin"] = _OR["exact_quantiles_histogram"]

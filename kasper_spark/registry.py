@@ -92,6 +92,13 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "rfm_customer_segments",
     "streaming_reservoir_twin",
     "streaming_zipf_twin",
+    # wave 8: a-priori market-basket association rules
+    "market_basket_lift",
+    # wave 9: exact quantiles at ingest (9th incremental-view twin) +
+    # the batch operator whose text was refactored into shared
+    # counts/projection halves (same plan; must earn a fresh row)
+    "streaming_quantile_twin",
+    "exact_quantiles_histogram",
     # -- 1. Regression re-certification (r10 verdict ticket #2): lead the
     #       remaining slots with the queries whose newest driver-green
     #       evidence is OLDEST (the r04 cohort below — last green row

@@ -145,3 +145,74 @@ def test_reservoir_twin_matches_static_ranking(spark):
         .collect()
     }
     assert got == want
+
+
+def test_market_basket_rule_algebra(spark):
+    """Association-rule identities that hold by construction: the pair
+    count never exceeds either item's basket count, confidence and
+    support live in (0, 1], and lift satisfies its defining identity
+    lift = confidence / P(b) (re-derived from the emitted counts)."""
+    rows = QUERIES["market_basket_lift"](spark, SF_ORACLE).collect()
+    assert rows, "no qualifying pairs at sf0.01 — support gates drifted"
+    for r in rows:
+        assert r["pair_baskets"] <= min(r["baskets_a"], r["baskets_b"]), r
+        assert 0 < r["support"] <= 1.0 and 0 < r["confidence_a_b"] <= 1.0, r
+        n_baskets = r["pair_baskets"] / r["support"]
+        p_b = r["baskets_b"] / n_baskets
+        assert abs(r["lift"] - r["confidence_a_b"] / p_b) < 1e-9, r
+        assert r["item_a"] < r["item_b"], r
+
+
+def test_streaming_quantile_twin_equals_batch(spark):
+    """The ingest twin must reproduce the batch exact-quantile table
+    bit-for-bit (same merged histogram -> same rank selection)."""
+    import pandas as pd
+
+    key = ["l_returnflag", "q"]
+    batch = (
+        QUERIES["exact_quantiles_histogram"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    twin = (
+        QUERIES["streaming_quantile_twin"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(batch, twin, check_like=True)
+
+
+def test_quantile_hist_partials_merge_cut_invariantly(spark):
+    """The value histogram is a mergeable sufficient statistic: cutting
+    the input ANY way (here: 3 disjoint orderkey residue classes),
+    emitting per-cut partials, and merging them yields exactly the
+    uncut quantile table — the algebraic property the streaming twin's
+    correctness rests on, checked without streaming machinery."""
+    from pyspark.sql import functions as F
+
+    from kasper_spark.catalog import load_table
+    from kasper_spark.operators.analytics import (
+        quantile_hist_counts,
+        quantiles_from_hist,
+    )
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    whole = {
+        (r["l_returnflag"], r["q"]): (r["n"], str(r["value_cents"]))
+        for r in quantiles_from_hist(quantile_hist_counts(li)).collect()
+    }
+    parts = [
+        quantile_hist_counts(li.filter(F.col("l_orderkey") % 3 == i))
+        for i in range(3)
+    ]
+    u = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    merged = u.groupBy("l_returnflag", "c").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    cut = {
+        (r["l_returnflag"], r["q"]): (r["n"], str(r["value_cents"]))
+        for r in quantiles_from_hist(merged).collect()
+    }
+    assert cut == whole
