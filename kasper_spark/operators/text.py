@@ -2497,3 +2497,372 @@ def url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("total_chars"),
         (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("mean_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (round 11)
+# ---------------------------------------------------------------------------
+
+_BPE_SEP = "\x1f"  # unit separator: never appears in the space-split tokens
+_BPE_MIN_F = 5
+_BPE_MERGES = 3
+
+# One iteration of the pair-count CTE, shared by the 3 chained oracle steps.
+_BPE_PAIR_SQL = """
+    SELECT pr[1] AS sa, pr[2] AS sb, CAST(SUM(f) AS BIGINT) AS cnt
+    FROM (
+        SELECT f, unnest(list_zip(syms[:len(syms)-1], syms[2:])) AS pr
+        FROM (SELECT f, list_filter(string_split(s, chr(31)), x -> x <> '')
+                  AS syms FROM {src})
+    ) t(f, pr)
+    GROUP BY 1, 2
+"""
+
+_BPE_ORACLE = f"""
+    WITH wt AS (
+        SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS f
+        FROM (SELECT unnest(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS w
+              FROM documents)
+        GROUP BY w
+        HAVING COUNT(*) >= {_BPE_MIN_F} AND length(w) BETWEEN 2 AND 20
+    ),
+    r0 AS (
+        SELECT chr(31) || array_to_string(string_split(word, ''), chr(31))
+                 || chr(31) AS s, f
+        FROM wt
+    ),
+    p1 AS ({_BPE_PAIR_SQL.format(src="r0")}),
+    w1 AS (SELECT sa, sb, cnt FROM p1 ORDER BY cnt DESC, sa, sb LIMIT 1),
+    r1 AS (
+        SELECT replace(s, chr(31) || w1.sa || chr(31) || w1.sb || chr(31),
+                       chr(31) || w1.sa || w1.sb || chr(31)) AS s, f
+        FROM r0 CROSS JOIN w1
+    ),
+    p2 AS ({_BPE_PAIR_SQL.format(src="r1")}),
+    w2 AS (SELECT sa, sb, cnt FROM p2 ORDER BY cnt DESC, sa, sb LIMIT 1),
+    r2 AS (
+        SELECT replace(s, chr(31) || w2.sa || chr(31) || w2.sb || chr(31),
+                       chr(31) || w2.sa || w2.sb || chr(31)) AS s, f
+        FROM r1 CROSS JOIN w2
+    ),
+    p3 AS ({_BPE_PAIR_SQL.format(src="r2")}),
+    w3 AS (SELECT sa, sb, cnt FROM p3 ORDER BY cnt DESC, sa, sb LIMIT 1)
+    SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS merge_rank, sa AS sym_a, sb AS sym_b,
+               sa || sb AS merged, cnt AS pair_count FROM w1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), sa, sb, sa || sb, cnt FROM w2
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), sa, sb, sa || sb, cnt FROM w3
+    ) ORDER BY merge_rank
+"""
+
+
+def _bpe_pair_counts(repr_df: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts (weighted by word-type frequency) over
+    the separator-string representation — one map-side explode + one
+    partial-aggregated groupBy per iteration."""
+    syms = F.filter(F.split(F.col("s"), _BPE_SEP), lambda x: x != "")
+    n = F.size(syms)
+    pairs = F.arrays_zip(
+        F.slice(syms, 1, n - 1).alias("a"), F.slice(syms, 2, n - 1).alias("b")
+    )
+    return (
+        repr_df.select(F.col("f"), F.explode(pairs).alias("pr"))
+        .groupBy(
+            F.col("pr.a").alias("sa"), F.col("pr.b").alias("sb")
+        )
+        .agg(F.sum("f").cast("long").alias("cnt"))
+    )
+
+
+def _bpe_winner(pair_df: DataFrame) -> DataFrame:
+    return pair_df.orderBy(F.desc("cnt"), "sa", "sb").limit(1)
+
+
+def _bpe_apply(repr_df: DataFrame, winner: DataFrame) -> DataFrame:
+    """Greedy left-to-right merge of the winning pair: string replace over
+    the separator representation is non-overlapping left-to-right in both
+    engines, which IS the BPE merge rule (the consumed trailing separator
+    stops a merged symbol from re-merging within the pass)."""
+    sep = F.lit(_BPE_SEP)
+    pat = F.concat(sep, F.col("sa"), sep, F.col("sb"), sep)
+    rep = F.concat(sep, F.col("sa"), F.col("sb"), sep)
+    return repr_df.crossJoin(F.broadcast(winner)).select(
+        F.replace(F.col("s"), pat, rep).alias("s"), "f"
+    )
+
+
+@register_query("bpe_learn_merges", oracle=_BPE_ORACLE)
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge learning (Sennrich et al., ACL'16) — the
+    first 3 merge rules of the tokenizer-training loop every LLM pipeline
+    runs before anything else touches the corpus. BPE trains on the WORD-
+    TYPE table (distinct words with corpus frequencies), not corpus
+    tokens: each word is a separator-joined symbol string (initially
+    characters); each round counts adjacent symbol pairs weighted by word
+    frequency, picks the most frequent pair (ties break lexicographically
+    for cross-engine determinism), and greedily merges it everywhere.
+
+    Scale (how SentencePiece/HF-tokenizers distribute the same loop): the
+    training state is VOCABULARY-sized — word types with counts, not the
+    100 TB corpus; the corpus is touched exactly once (the word-count
+    groupBy). Each merge round is one map-side pair explode + a partial-
+    aggregated groupBy over the type table, and the winner is a 1-row
+    broadcast applied map-side — no row ever moves for the merge itself.
+    The merge count is model-sized (k ~ 30k rounds in production; 3 here
+    to keep the oracle a finite CTE chain), and rounds are inherently
+    sequential (each changes the pair distribution the next one counts).
+
+    Greedy-merge equivalence: `replace` is non-overlapping left-to-right
+    in both engines, and the consumed trailing separator prevents the
+    merged token from immediately re-merging — exactly the BPE pass rule
+    ("aaa" + merge(a,a) -> ["aa","a"], never ["aa","aa"])."""
+    docs = load_table(spark, sf_dir, "documents")
+    wt = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+        .filter(
+            (F.col("f") >= _BPE_MIN_F)
+            & (F.length("word") >= 2)
+            & (F.length("word") <= 20)
+        )
+    )
+    chars = F.filter(F.split(F.col("word"), ""), lambda x: x != "")
+    repr_df = wt.select(
+        F.concat(
+            F.lit(_BPE_SEP),
+            F.array_join(chars, _BPE_SEP),
+            F.lit(_BPE_SEP),
+        ).alias("s"),
+        "f",
+    )
+    winners = []
+    for rank in range(1, _BPE_MERGES + 1):
+        w = _bpe_winner(_bpe_pair_counts(repr_df))
+        winners.append(
+            w.select(
+                F.lit(rank).cast("long").alias("merge_rank"),
+                F.col("sa").alias("sym_a"),
+                F.col("sb").alias("sym_b"),
+                F.concat("sa", "sb").alias("merged"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        if rank < _BPE_MERGES:
+            repr_df = _bpe_apply(repr_df, w)
+    out = winners[0]
+    for w in winners[1:]:
+        out = out.unionByName(w)
+    return out.orderBy("merge_rank")
+
+
+# ---------------------------------------------------------------------------
+# Readability + lexical diversity (round 11)
+# ---------------------------------------------------------------------------
+
+
+@register_query(
+    "readability_flesch_by_source",
+    oracle="""
+    WITH per_word AS (
+        SELECT doc_id, source, w,
+               CAST(len(regexp_extract_all(w, '[aeiou]+')) AS BIGINT) AS syl
+        FROM (SELECT doc_id, source,
+                     unnest(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS w
+              FROM documents)
+    ),
+    per_doc AS (
+        SELECT doc_id, source,
+               CAST(COUNT(*) AS BIGINT) AS words,
+               CAST(SUM(syl) AS BIGINT) AS syllables,
+               CAST((COUNT(*) + 14) // 15 AS BIGINT) AS sentences
+        FROM per_word GROUP BY doc_id, source
+    ),
+    scored AS (
+        SELECT source, words, syllables, sentences,
+               206.835
+                 - 1.015 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+                 - 84.6 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))
+                   AS score
+        FROM per_doc
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(words) AS BIGINT) AS total_words,
+           CAST(SUM(syllables) AS BIGINT) AS total_syllables,
+           206.835
+             - 1.015 * (CAST(SUM(words) AS DOUBLE)
+                        / CAST(SUM(sentences) AS DOUBLE))
+             - 84.6 * (CAST(SUM(syllables) AS DOUBLE)
+                       / CAST(SUM(words) AS DOUBLE)) AS flesch_aggregate,
+           MIN(score) AS min_doc_score,
+           MAX(score) AS max_doc_score,
+           CAST(SUM(CASE WHEN score < 30 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_very_difficult
+    FROM scored GROUP BY source ORDER BY source
+    """,
+)
+def readability_flesch_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease audit per source — the readability gate a
+    curation pipeline runs alongside the Gopher filters (C4 used similar
+    surface heuristics): score = 206.835 - 1.015*ASL - 84.6*ASW, with
+    syllables approximated by vowel-group counts (the standard
+    dictionary-free heuristic) and, because this corpus has no sentence
+    punctuation, a fixed 15-word sentence proxy (documented bias, same in
+    both engines: sentences = ceil(words/15)).
+
+    Determinism: per-source scores are computed from INTEGER sufficient
+    statistics (sum of words/syllables/sentences — BIGINTs that merge
+    across any partitioning), never by averaging per-doc doubles (a
+    float sum's value depends on reduction order; an integer sum's does
+    not). Per-doc scores feed only MIN/MAX/threshold-count — selection
+    and comparison of bit-identical doubles, not summation.
+
+    Scale: explode -> two partial-aggregated groupBys (doc, then source);
+    no joins, no windows; state is per-doc then per-source counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_word = docs.select(
+        "doc_id",
+        "source",
+        F.explode(_tokens(F.col("text"))).alias("w"),
+    ).select(
+        "doc_id",
+        "source",
+        F.regexp_count(F.col("w"), F.lit("[aeiou]+")).cast("long").alias("syl"),
+    )
+    per_doc = per_word.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("words"),
+        F.sum("syl").cast("long").alias("syllables"),
+        ((F.count(F.lit(1)) + 14) / 15)
+        .cast("long")
+        .alias("sentences"),
+    )
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("words").cast("double") / F.col("sentences").cast("double"))
+        - F.lit(84.6)
+        * (F.col("syllables").cast("double") / F.col("words").cast("double"))
+    )
+    scored = per_doc.select("source", "words", "syllables", "sentences", score.alias("score"))
+    agg_score = (
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (
+            F.sum("words").cast("long").cast("double")
+            / F.sum("sentences").cast("long").cast("double")
+        )
+        - F.lit(84.6)
+        * (
+            F.sum("syllables").cast("long").cast("double")
+            / F.sum("words").cast("long").cast("double")
+        )
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("words").cast("long").alias("total_words"),
+            F.sum("syllables").cast("long").alias("total_syllables"),
+            agg_score.alias("flesch_aggregate"),
+            F.min("score").alias("min_doc_score"),
+            F.max("score").alias("max_doc_score"),
+            F.sum(F.when(F.col("score") < 30, 1).otherwise(0))
+            .cast("long")
+            .alias("n_very_difficult"),
+        )
+        .orderBy("source")
+    )
+
+
+@register_query(
+    "lexical_diversity_ttr",
+    oracle="""
+    WITH wc AS (
+        SELECT doc_id, source, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, source,
+                     unnest(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS w
+              FROM documents)
+        GROUP BY doc_id, source, w
+    ),
+    per_doc AS (
+        SELECT doc_id, source,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hapax
+        FROM wc GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_types) AS BIGINT) AS total_types,
+           CAST(SUM(n_hapax) AS BIGINT) AS total_hapax,
+           CAST(SUM(n_types) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE)
+               AS ttr,
+           CAST(SUM(n_hapax) AS DOUBLE) / CAST(SUM(n_types) AS DOUBLE)
+               AS hapax_rate,
+           CAST(SUM(CASE WHEN CAST(n_types AS DOUBLE)
+                              / CAST(n_tokens AS DOUBLE) < 0.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_low_diversity
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def lexical_diversity_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio / hapax-rate audit per source — the lexical-
+    diversity quality gate (low TTR = repetitive, template, or spam text;
+    complementary to dup_ngram_quality's n-gram view because TTR sees
+    GLOBAL within-doc repetition, not adjacency). Emits macro TTR from
+    summed integer counts, hapax share of the vocabulary, and the count
+    of low-diversity docs (per-doc TTR < 0.5).
+
+    Determinism: the integer-sufficient-statistic discipline (see
+    readability_flesch_by_source); the per-doc threshold compares a
+    single-division double that both engines compute identically.
+
+    Scale: explode -> (doc, word) partial-agg (the only real shuffle,
+    keyed wide) -> per-doc -> per-source; no joins; the (doc, word)
+    intermediate is the corpus's per-doc vocabulary, the same scale
+    class every dedup shingle pass already handles."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(
+            "doc_id", "source", F.explode(_tokens(F.col("text"))).alias("w")
+        )
+        .groupBy("doc_id", "source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    per_doc = wc.groupBy("doc_id", "source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+    )
+    doc_ttr = F.col("n_types").cast("double") / F.col("n_tokens").cast("double")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_types").cast("long").alias("total_types"),
+            F.sum("n_hapax").cast("long").alias("total_hapax"),
+            (
+                F.sum("n_types").cast("long").cast("double")
+                / F.sum("n_tokens").cast("long").cast("double")
+            ).alias("ttr"),
+            (
+                F.sum("n_hapax").cast("long").cast("double")
+                / F.sum("n_types").cast("long").cast("double")
+            ).alias("hapax_rate"),
+            F.sum(F.when(doc_ttr < 0.5, 1).otherwise(0))
+            .cast("long")
+            .alias("n_low_diversity"),
+        )
+        .orderBy("source")
+    )

@@ -99,6 +99,11 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     # counts/projection halves (same plan; must earn a fresh row)
     "streaming_quantile_twin",
     "exact_quantiles_histogram",
+    # wave 10: BPE merge learning (tokenizer-training loop, 3 rounds)
+    "bpe_learn_merges",
+    # wave 11: readability + lexical-diversity quality gates
+    "readability_flesch_by_source",
+    "lexical_diversity_ttr",
     # -- 1. Regression re-certification (r10 verdict ticket #2): lead the
     #       remaining slots with the queries whose newest driver-green
     #       evidence is OLDEST (the r04 cohort below — last green row

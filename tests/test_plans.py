@@ -159,6 +159,7 @@ _INTENTIONAL_BNLJ = {
     # shape) — the same physical shape Spark gives a ScalarSubquery.
     "q22_idle_rich_customers",
     "market_basket_lift",  # 1-row broadcast: global basket count (Q22 shape)
+    "bpe_learn_merges",  # 1-row broadcast per merge round: the winning pair
     "q11_important_value",  # 1-row broadcast: national total threshold
     "q15_top_supplier",  # 1-row broadcast: global max revenue
     "tfidf_top_terms",  # 1-row broadcast of the corpus doc count

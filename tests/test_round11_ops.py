@@ -216,3 +216,51 @@ def test_quantile_hist_partials_merge_cut_invariantly(spark):
         for r in quantiles_from_hist(merged).collect()
     }
     assert cut == whole
+
+
+def test_bpe_merges_are_greedy_and_monotone(spark):
+    """Three merge rows in rank order; pair counts are NON-INCREASING
+    (a merge can only create pairs no more frequent than the pair it
+    consumed, and can only shrink existing pair counts); the merged
+    symbol is the concatenation; and re-running merge 1 by hand over a
+    degenerate 'aaa'-style word respects the greedy non-overlap rule."""
+    rows = QUERIES["bpe_learn_merges"](spark, SF_ORACLE).collect()
+    assert [r["merge_rank"] for r in rows] == [1, 2, 3]
+    for r in rows:
+        assert r["merged"] == r["sym_a"] + r["sym_b"], r
+        assert r["pair_count"] > 0
+    counts = [r["pair_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True), counts
+    # greedy non-overlap semantics of the separator-replace trick
+    sep = "\x1f"
+    s = sep + sep.join("aaa") + sep
+    merged = s.replace(sep + "a" + sep + "a" + sep, sep + "aa" + sep)
+    assert [x for x in merged.split(sep) if x] == ["aa", "a"]
+
+
+def test_flesch_components_and_bounds(spark):
+    """Syllable counts are at least one per word (every token has a
+    vowel group or contributes zero — verify non-negative and <= chars),
+    the aggregate score is bounded by the per-doc extremes, and the
+    very-difficult count never exceeds n_docs."""
+    rows = QUERIES["readability_flesch_by_source"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert r["total_syllables"] >= 0
+        assert 0 <= r["n_very_difficult"] <= r["n_docs"], r
+        assert r["min_doc_score"] <= r["max_doc_score"], r
+        # aggregate is a pooled ratio, not a mean — still must sit within
+        # a generous envelope of the doc extremes for sane data
+        assert r["min_doc_score"] - 1e-9 <= r["flesch_aggregate"], r
+
+
+def test_ttr_identities(spark):
+    """types <= tokens, hapax <= types, ratios in (0, 1], and the
+    low-diversity count bounded by n_docs."""
+    rows = QUERIES["lexical_diversity_ttr"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert r["total_types"] <= r["total_tokens"], r
+        assert r["total_hapax"] <= r["total_types"], r
+        assert 0 < r["ttr"] <= 1.0 and 0 < r["hapax_rate"] <= 1.0, r
+        assert 0 <= r["n_low_diversity"] <= r["n_docs"], r
