@@ -1188,3 +1188,100 @@ from kasper_spark.registry import ORACLES as _OR  # noqa: E402
 
 assert "quality_weighted_mixture" in _OR, "batch mixture oracle missing"
 _OR["streaming_mixture_twin"] = _OR["quality_weighted_mixture"]
+
+
+# ---------------------------------------------------------------------------
+# Curriculum phase assignment (round 11)
+# ---------------------------------------------------------------------------
+
+
+@register_query(
+    "curriculum_phases",
+    oracle="""
+    WITH per_doc AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                    AS BIGINT) AS n_tokens,
+               CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_letters
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(n_letters AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                   AS difficulty,
+               CAST(NTILE(3) OVER (
+                   ORDER BY CAST(n_letters AS DOUBLE)
+                            / CAST(n_tokens AS DOUBLE), doc_id
+               ) AS BIGINT) AS phase
+        FROM per_doc
+        WHERE n_tokens > 0
+    )
+    SELECT phase,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS phase_tokens,
+           MIN(difficulty) AS min_difficulty,
+           MAX(difficulty) AS max_difficulty,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM(SUM(n_tokens)) OVER (ORDER BY phase) AS BIGINT)
+               AS cumulative_tokens
+    FROM scored GROUP BY phase ORDER BY phase
+    """,
+)
+def curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning phase assignment (Bengio et al., ICML'09, the
+    easy-to-hard schedule pretraining runs actually use): rank every
+    document by a difficulty proxy (mean word length — cheap, monotone
+    with readability on this corpus), split the ranking into 3 equal
+    phases with NTILE, and report each phase's doc count, token budget,
+    difficulty envelope, and the cumulative token schedule a trainer
+    would consume phase by phase.
+
+    Determinism: difficulty is a single divide of exact integer counts
+    (letters / tokens — bit-identical both engines), NTILE ties break on
+    doc_id, and phase totals are integer sums; the cumulative schedule
+    is a 3-row ordered window over exact BIGINTs.
+
+    Scale: map-side per-doc counts (no explode — length/replace string
+    ops), one global NTILE window over doc-count rows (at 100 TB, the
+    histogram ceil-rank rewrite replaces the global sort exactly as in
+    rfm_customer_segments — the phases only need 2 cut points), then a
+    3-key aggregate."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+        .cast("long")
+        .alias("n_tokens"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        .cast("long")
+        .alias("n_letters"),
+    ).filter(F.col("n_tokens") > 0)
+    difficulty = F.col("n_letters").cast("double") / F.col("n_tokens").cast(
+        "double"
+    )
+    scored = per_doc.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        difficulty.alias("difficulty"),
+        F.ntile(3)
+        .over(Window.orderBy(difficulty, "doc_id"))
+        .cast("long")
+        .alias("phase"),
+    )
+    agg = scored.groupBy("phase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("phase_tokens"),
+        F.min("difficulty").alias("min_difficulty"),
+        F.max("difficulty").alias("max_difficulty"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+    w_cum = Window.orderBy("phase").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return agg.select(
+        "*", F.sum("phase_tokens").over(w_cum).cast("long").alias("cumulative_tokens")
+    ).orderBy("phase")

@@ -2670,3 +2670,198 @@ def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("lat").alias("latency_sec"))
         .select("q", "n_converted", "latency_sec")
     )
+
+
+# ---------------------------------------------------------------------------
+# Forecast-baseline evaluation: seasonal-naive MASE (round 11)
+# ---------------------------------------------------------------------------
+
+
+@register_query(
+    "forecast_mase_seasonal_naive",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo,
+               date_trunc('hour', MAX(ts)) AS hi
+        FROM events
+    ),
+    hours AS (
+        SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts
+        FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    spine AS (SELECT event_type, hour_ts FROM types CROSS JOIN hours),
+    agg AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    series AS (
+        SELECT spine.event_type AS event_type, spine.hour_ts AS hour_ts,
+               CAST(COALESCE(agg.n, 0) AS BIGINT) AS n
+        FROM spine LEFT JOIN agg
+          ON spine.event_type = agg.event_type
+         AND spine.hour_ts = agg.hour_ts
+    ),
+    lagged AS (
+        SELECT event_type, n,
+               lag(n, 24) OVER (PARTITION BY event_type ORDER BY hour_ts)
+                   AS f_seasonal,
+               lag(n, 1) OVER (PARTITION BY event_type ORDER BY hour_ts)
+                   AS f_naive
+        FROM series
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hours_scored,
+           CAST(SUM(abs(n - f_seasonal)) AS BIGINT) AS sum_abs_err_seasonal,
+           CAST(SUM(abs(n - f_naive)) AS BIGINT) AS sum_abs_err_naive,
+           CAST(SUM(abs(n - f_seasonal)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS mae_seasonal,
+           CAST(SUM(abs(n - f_naive)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS mae_naive,
+           CAST(SUM(abs(n - f_seasonal)) AS DOUBLE)
+             / CAST(NULLIF(SUM(abs(n - f_naive)), 0) AS DOUBLE) AS mase
+    FROM lagged
+    WHERE f_seasonal IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def forecast_mase_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast evaluation (MASE — Hyndman & Koehler 2006):
+    score the 24-hour seasonal-naive forecast (y_hat_t = y_{t-24}) of
+    hourly event counts against the random-walk naive (y_hat_t = y_{t-1})
+    per event type. MASE < 1 means daily seasonality is real signal a
+    forecaster should exploit; MASE >= 1 means the "same hour yesterday"
+    rule beats nothing — the go/no-go gate run BEFORE anyone trains a
+    forecast model on the stream. Complements the decomposition views
+    (stl/ACF/seasonality-profile) with a proper out-of-sample-style error
+    metric rather than a fit diagnostic.
+
+    Determinism: counts are integers over the SAME zero-filled dense
+    spine both engines build (gapfill's bounded types x hours cross
+    join); absolute errors and their sums are exact BIGINTs; each
+    double is a single cast-divide of exact integers. Scoring starts at
+    hour 25 (both lags non-null there) so the two MAEs share one
+    denominator and MASE reduces to the integer-sum ratio.
+
+    Scale: the spine is types x hours (domain-sized, not data-sized);
+    one partial-aggregated hourly groupBy over the corpus, one per-type
+    window over spine rows, one per-type final agg."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias(
+            "hour_ts"
+        )
+    )
+    spine = ev.select("event_type").distinct().crossJoin(hours)
+    agg = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    series = spine.join(agg, ["event_type", "hour_ts"], "left").select(
+        "event_type",
+        "hour_ts",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hour_ts")
+    lagged = series.select(
+        "event_type",
+        "n",
+        F.lag("n", 24).over(w).alias("f_seasonal"),
+        F.lag("n", 1).over(w).alias("f_naive"),
+    ).filter(F.col("f_seasonal").isNotNull())
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours_scored"),
+            F.sum(F.abs(F.col("n") - F.col("f_seasonal")))
+            .cast("long")
+            .alias("sum_abs_err_seasonal"),
+            F.sum(F.abs(F.col("n") - F.col("f_naive")))
+            .cast("long")
+            .alias("sum_abs_err_naive"),
+            (
+                F.sum(F.abs(F.col("n") - F.col("f_seasonal"))).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mae_seasonal"),
+            (
+                F.sum(F.abs(F.col("n") - F.col("f_naive"))).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mae_naive"),
+            (
+                F.sum(F.abs(F.col("n") - F.col("f_seasonal"))).cast("double")
+                / F.nullif(
+                    F.sum(F.abs(F.col("n") - F.col("f_naive"))), F.lit(0)
+                ).cast("double")
+            ).alias("mase"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Forward as-of join (round 11)
+# ---------------------------------------------------------------------------
+
+
+@register_query(
+    "asof_join_next_purchase",
+    oracle="""
+    SELECT
+        v.event_id AS view_id,
+        v.user_id,
+        (
+            SELECT MIN(p.ts) FROM events p
+            WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+              AND p.ts >= v.ts
+        ) AS next_purchase_ts
+    FROM events v
+    WHERE v.event_type = 'view'
+    """,
+)
+def asof_join_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of FORWARD join: for each view, the first purchase at or after
+    it by the same user — the other direction of asof_join_last_click
+    and the primitive behind time-to-convert attribution (a kdb aj /
+    Pandas merge_asof(direction='forward') equivalent the reference has
+    no analog for).
+
+    Spark-first shape (mirror of the backward join): union both event
+    kinds, sort within user by time, and carry the next purchase
+    timestamp BACKWARD with a running MIN over the following-rows frame
+    — one shuffle + one sort for the whole table instead of a correlated
+    per-row subquery. Purchases sort before views at the same timestamp
+    so a simultaneous purchase counts (ts >= v.ts), matching the
+    oracle's >=."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("view", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "purchase", F.col("ts")).alias(
+            "purchase_ts"
+        ),
+    )
+    order_tag = F.when(F.col("event_type") == "purchase", 0).otherwise(1)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", order_tag, "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    with_next = tagged.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.min("purchase_ts").over(w).alias("next_purchase_ts"),
+    )
+    return with_next.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", "next_purchase_ts"
+    )

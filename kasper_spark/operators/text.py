@@ -2866,3 +2866,86 @@ def lexical_diversity_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Negative-sampling distribution (round 11)
+# ---------------------------------------------------------------------------
+
+
+@register_query(
+    "negative_sampling_table",
+    oracle="""
+    WITH wf AS (
+        SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS f
+        FROM (SELECT unnest(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS w
+              FROM documents)
+        GROUP BY w
+    ),
+    tot AS (SELECT CAST(SUM(f) AS BIGINT) AS total_tokens FROM wf),
+    top AS (
+        SELECT word, f FROM wf ORDER BY f DESC, word LIMIT 500
+    ),
+    weighted AS (
+        SELECT word, f,
+               sqrt(sqrt(CAST(f AS DOUBLE) * CAST(f AS DOUBLE)
+                         * CAST(f AS DOUBLE))) AS weight
+        FROM top
+    )
+    SELECT w.word, w.f,
+           CAST(w.f AS DOUBLE) / CAST(t.total_tokens AS DOUBLE)
+               AS token_share,
+           w.weight,
+           w.weight / MAX(w.weight) OVER () AS rel_weight,
+           CAST(ROW_NUMBER() OVER (ORDER BY w.f DESC, w.word) AS BIGINT)
+               AS sample_rank
+    FROM weighted w CROSS JOIN tot t
+    ORDER BY sample_rank
+    """,
+)
+def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec-style negative-sampling distribution (Mikolov et al.,
+    NeurIPS'13): sampling weight proportional to f^(3/4) over the top-500
+    vocabulary — the table every skip-gram / contrastive trainer draws
+    negatives from.
+
+    Bit-portability of the 3/4 power WITHOUT libm pow (pow is not
+    correctly rounded and differs across libms): f^0.75 = sqrt(sqrt(f^3)),
+    and IEEE-754 sqrt IS correctly rounded on every conforming engine —
+    so c*c*c (one fixed multiply order) followed by two sqrts is
+    bit-identical on Spark and DuckDB. The normalizing constant is
+    deliberately NOT emitted (a float sum's value depends on reduction
+    order); rel_weight normalizes by the MAX weight instead (selection,
+    not summation) — a sampler rescales in one driver-side pass.
+
+    Scale: one word-count groupBy (partial-aggregated), a top-500
+    selection, map-side weights, a 500-row window, and a 1-row
+    total-tokens broadcast (the unigram_rarity_quality shape)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    tot = wf.agg(F.sum("f").cast("long").alias("total_tokens"))
+    top = wf.orderBy(F.desc("f"), "word").limit(500)
+    c = F.col("f").cast("double")
+    weighted = top.select("word", "f", F.sqrt(F.sqrt(c * c * c)).alias("weight"))
+    w_all = Window.partitionBy()
+    w_rank = Window.orderBy(F.desc("f"), "word")
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "word",
+            "f",
+            (F.col("f").cast("double") / F.col("total_tokens").cast("double"))
+            .alias("token_share"),
+            "weight",
+            (F.col("weight") / F.max("weight").over(w_all)).alias("rel_weight"),
+            F.row_number().over(w_rank).cast("long").alias("sample_rank"),
+        )
+        .orderBy("sample_rank")
+    )

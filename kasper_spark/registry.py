@@ -104,6 +104,12 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     # wave 11: readability + lexical-diversity quality gates
     "readability_flesch_by_source",
     "lexical_diversity_ttr",
+    # wave 12: forecast-baseline evaluation + negative-sampling table
+    "forecast_mase_seasonal_naive",
+    "negative_sampling_table",
+    # wave 13: forward as-of join + curriculum schedule
+    "asof_join_next_purchase",
+    "curriculum_phases",
     # -- 1. Regression re-certification (r10 verdict ticket #2): lead the
     #       remaining slots with the queries whose newest driver-green
     #       evidence is OLDEST (the r04 cohort below — last green row

@@ -160,6 +160,8 @@ _INTENTIONAL_BNLJ = {
     "q22_idle_rich_customers",
     "market_basket_lift",  # 1-row broadcast: global basket count (Q22 shape)
     "bpe_learn_merges",  # 1-row broadcast per merge round: the winning pair
+    "forecast_mase_seasonal_naive",  # same bounded types x hours spine as gapfill
+    "negative_sampling_table",  # 1-row broadcast of the corpus token total
     "q11_important_value",  # 1-row broadcast: national total threshold
     "q15_top_supplier",  # 1-row broadcast: global max revenue
     "tfidf_top_terms",  # 1-row broadcast of the corpus doc count

@@ -264,3 +264,79 @@ def test_ttr_identities(spark):
         assert r["total_hapax"] <= r["total_types"], r
         assert 0 < r["ttr"] <= 1.0 and 0 < r["hapax_rate"] <= 1.0, r
         assert 0 <= r["n_low_diversity"] <= r["n_docs"], r
+
+
+def test_mase_identity_and_scoring_window(spark):
+    """MASE must equal the ratio of the two emitted integer error sums;
+    both MAEs re-derive from sums/count; every type scores the same
+    number of hours (shared dense spine minus the 24-hour warmup)."""
+    rows = QUERIES["forecast_mase_seasonal_naive"](spark, SF_ORACLE).collect()
+    assert rows
+    hours = {r["n_hours_scored"] for r in rows}
+    assert len(hours) == 1, hours
+    for r in rows:
+        assert abs(
+            r["mae_seasonal"] - r["sum_abs_err_seasonal"] / r["n_hours_scored"]
+        ) < 1e-12
+        if r["sum_abs_err_naive"] > 0:
+            assert abs(
+                r["mase"] - r["sum_abs_err_seasonal"] / r["sum_abs_err_naive"]
+            ) < 1e-12
+        else:
+            assert r["mase"] is None
+
+
+def test_negative_sampling_power_law_flattening(spark):
+    """f^0.75 flattens the distribution: rel_weight ordering matches f
+    ordering, the top row has rel_weight exactly 1.0, weight ratios are
+    SMALLER than the corresponding frequency ratios (the whole point of
+    the 3/4 power), and the sqrt(sqrt(f^3)) identity reproduces f^0.75
+    to float precision."""
+    rows = QUERIES["negative_sampling_table"](spark, SF_ORACLE).collect()
+    assert rows and rows[0]["rel_weight"] == 1.0
+    assert [r["sample_rank"] for r in rows] == list(range(1, len(rows) + 1))
+    top = rows[0]
+    for r in rows[1:]:
+        f_ratio = r["f"] / top["f"]
+        assert r["rel_weight"] >= f_ratio - 1e-12, r
+        assert abs(r["weight"] - r["f"] ** 0.75) <= 2e-9 * r["weight"]
+
+
+def test_forward_asof_never_precedes_view(spark):
+    """Every matched purchase timestamp is >= its view's timestamp, and
+    any view with NO later purchase has NULL — checked against a direct
+    per-user reconstruction on the smoke data."""
+    from pyspark.sql import functions as F
+
+    from kasper_spark.catalog import load_table
+
+    out = {
+        r["view_id"]: r["next_purchase_ts"]
+        for r in QUERIES["asof_join_next_purchase"](spark, SF_SMOKE).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events")
+    rows = ev.filter(F.col("event_type").isin("view", "purchase")).collect()
+    purchases = sorted(
+        (r["user_id"], r["ts"]) for r in rows if r["event_type"] == "purchase"
+    )
+    views = [(r["event_id"], r["user_id"], r["ts"]) for r in rows if r["event_type"] == "view"]
+    assert out and len(out) == len(views)
+    for vid, uid, ts in views:
+        expected = min(
+            (pts for pu, pts in purchases if pu == uid and pts >= ts),
+            default=None,
+        )
+        assert out[vid] == expected, (vid, out[vid], expected)
+
+
+def test_curriculum_phases_partition_the_corpus(spark):
+    """Exactly 3 phases; difficulty envelopes are ordered and
+    non-overlapping (NTILE over the difficulty ranking); the cumulative
+    schedule telescopes to the total token count."""
+    rows = QUERIES["curriculum_phases"](spark, SF_ORACLE).collect()
+    assert [r["phase"] for r in rows] == [1, 2, 3]
+    for a, b in zip(rows, rows[1:]):
+        assert a["max_difficulty"] <= b["min_difficulty"] + 1e-12
+    assert rows[-1]["cumulative_tokens"] == sum(r["phase_tokens"] for r in rows)
+    sizes = [r["n_docs"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1, sizes
