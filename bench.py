@@ -116,6 +116,9 @@ HEADLINE = [
     "ann_ivf_trained_topk",        # sample-trained IVF + map-only assignment
     # round-11 additions (new keys set their baseline this round)
     "ann_ivf_scaledk_topk",        # K ~ sqrt(N) trained IVF (prod growth rule)
+    "market_basket_lift",          # a-priori basket self-join + lift ranking
+    "bpe_learn_merges",            # 3-round tokenizer-training loop
+    "image_edge_density",          # real PGM decode + numpy gradient kernel
 ]
 
 

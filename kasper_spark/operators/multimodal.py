@@ -1341,3 +1341,118 @@ def audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_frames long, min_energy long, max_energy long, "
         "peak_frame long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Image edge density (round 11)
+# ---------------------------------------------------------------------------
+
+EDGE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("grad_x_sum", LongType()),
+        StructField("grad_y_sum", LongType()),
+        StructField("n_edges", LongType()),
+        StructField("edge_density", DoubleType()),
+        StructField("max_gradient", IntegerType()),
+    ]
+)
+
+
+@register_query(
+    "image_edge_density",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 16 + n_chars % 17 AS w, 12 + doc_id % 9 AS h
+        FROM documents
+    ), px AS (
+        SELECT doc_id, w, h, UNNEST(range(0, w * h)) AS i FROM dims
+    ), grads AS (
+        SELECT doc_id, w, h,
+            CASE WHEN i % w < w - 1 THEN
+                abs((((i + 1) % w) * 7 + ((i + 1) // w) * 13 + doc_id) % 256
+                    - ((i % w) * 7 + (i // w) * 13 + doc_id) % 256)
+            ELSE 0 END AS gx,
+            CASE WHEN i < w * (h - 1) THEN
+                abs((((i + w) % w) * 7 + ((i + w) // w) * 13 + doc_id) % 256
+                    - ((i % w) * 7 + (i // w) * 13 + doc_id) % 256)
+            ELSE 0 END AS gy,
+            CASE WHEN i % w < w - 1 THEN
+                abs((((i + 1) % w) * 7 + ((i + 1) // w) * 13 + doc_id) % 256
+                    - ((i % w) * 7 + (i // w) * 13 + doc_id) % 256)
+            ELSE -1 END AS hx,
+            CASE WHEN i < w * (h - 1) THEN
+                abs((((i + w) % w) * 7 + ((i + w) // w) * 13 + doc_id) % 256
+                    - ((i % w) * 7 + (i // w) * 13 + doc_id) % 256)
+            ELSE -1 END AS hy
+        FROM px
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(SUM(gx) AS BIGINT) AS grad_x_sum,
+           CAST(SUM(gy) AS BIGINT) AS grad_y_sum,
+           CAST((w - 1) * h + w * (h - 1) AS BIGINT) AS n_edges,
+           CAST(SUM(gx) + SUM(gy) AS DOUBLE)
+             / CAST((w - 1) * h + w * (h - 1) AS DOUBLE) AS edge_density,
+           CAST(GREATEST(MAX(hx), MAX(hy)) AS INTEGER) AS max_gradient
+    FROM grads GROUP BY doc_id, w, h
+    """,
+)
+def image_edge_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient-energy / edge-density profile over REAL image bytes — the
+    blur / blank-frame / synthetic-texture detector a multimodal curation
+    pipeline scores every image with before training (low edge density =
+    flat or blurred content; the numpy body is the same first-difference
+    kernel a Sobel pass reduces to on axis-aligned gradients). Decodes
+    each PGM payload and computes |dI/dx| and |dI/dy| sums, total edge
+    count, mean gradient magnitude (edge_density), and the per-image max
+    gradient.
+
+    The DuckDB oracle recomputes every gradient ANALYTICALLY from the
+    generation texture (integer arithmetic over UNNEST(range(w*h)) with
+    the last column/row excluded per axis), so a hash match certifies the
+    decode + the numpy diff kernel end to end — a transposed raster, an
+    off-by-one slice, or a dtype overflow (uint8 diff wraps!) all change
+    grad sums and fail the gate.
+
+    Scale: map-only (mapInPandas over Arrow batches; blobs never
+    shuffle); output is 8 scalars per image. Real deployments swap
+    decode_pgm for PIL and keep the identical plumbing."""
+    _register_codec_by_value()
+    media = pgm_image_table(spark, sf_dir)
+
+    def edges(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        def one(doc_id: int, payload: bytes):
+            w, h, _maxval, raster = decode_pgm(bytes(payload))
+            img = (
+                _np.frombuffer(raster, dtype=_np.uint8)
+                .reshape(h, w)
+                .astype(_np.int64)  # uint8 diff would wrap at 0/255
+            )
+            dx = _np.abs(_np.diff(img, axis=1))
+            dy = _np.abs(_np.diff(img, axis=0))
+            gx, gy = int(dx.sum()), int(dy.sum())
+            n_edges = (w - 1) * h + w * (h - 1)
+            mx = int(max(dx.max() if dx.size else -1, dy.max() if dy.size else -1))
+            return (
+                doc_id, w, h, gx, gy, n_edges,
+                float(gx + gy) / float(n_edges), mx,
+            )
+
+        cols = [
+            "doc_id", "width", "height", "grad_x_sum",
+            "grad_y_sum", "n_edges", "edge_density", "max_gradient",
+        ]
+        for b in batches:
+            yield _pd.DataFrame(
+                [one(int(d), p) for d, p in zip(b["doc_id"], b["payload"])],
+                columns=cols,
+            )
+
+    return media.mapInPandas(edges, schema=EDGE_SCHEMA)

@@ -110,6 +110,8 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     # wave 13: forward as-of join + curriculum schedule
     "asof_join_next_purchase",
     "curriculum_phases",
+    # wave 14: image gradient-energy audit (real decode, analytic oracle)
+    "image_edge_density",
     # -- 1. Regression re-certification (r10 verdict ticket #2): lead the
     #       remaining slots with the queries whose newest driver-green
     #       evidence is OLDEST (the r04 cohort below — last green row
@@ -138,28 +140,23 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "stratified_topn_md5",
     "tfidf_top_terms",
     "text_normalize",
-    "udtf_sentence_split",
-    "pandas_udf_token_count",
-    "streaming_word_count_twin",
-    "streaming_tumbling_window_twin",
-    "streaming_dedup_twin",
-    "streaming_session_window_twin",
-    "streaming_join_twin",
-    "streaming_stateful_count_twin",
-    "streaming_dedup_watermark_twin",
-    "streaming_enrich_static_twin",
-    # -- 2. r05-evidence head (next-oldest cohort, fills to 50):
-    "embedding_power_iteration",
-    # (exactly 50 names. Still queued after these, oldest first — the
-    # rest of the r05 cohort: ngram_decontaminate, dup_ngram_quality,
-    # vocab_coverage, substring_dup_spans, unigram_rarity_quality,
-    # semantic_dedup_leader, pii_redact, json_parse_dlq_audit,
-    # union_schema_evolution, table_checksum_orders, dq_constraint_report,
-    # incremental_agg_merge, profile_orders_columns,
-    # countmin_heavy_hitters, try_functions_battery,
-    # map_functions_battery, equidepth_histogram_totalprice,
-    # streaming_countmin_twin, ann_lsh_certified,
-    # pack_sequences_by_source, shingle_novelty_scores,
+    # (exactly 50 names: 27 new/changed round-11 entries + the 23
+    # oldest-evidence r04 rotation names above. The r04 tail displaced
+    # by this round's new waves keeps queue position for r12, oldest
+    # first: udtf_sentence_split, pandas_udf_token_count,
+    # streaming_word_count_twin, streaming_tumbling_window_twin,
+    # streaming_dedup_twin, streaming_session_window_twin,
+    # streaming_join_twin, streaming_stateful_count_twin,
+    # streaming_dedup_watermark_twin, streaming_enrich_static_twin,
+    # embedding_power_iteration — then the r05 cohort:
+    # ngram_decontaminate, dup_ngram_quality, vocab_coverage,
+    # substring_dup_spans, unigram_rarity_quality, semantic_dedup_leader,
+    # pii_redact, json_parse_dlq_audit, union_schema_evolution,
+    # table_checksum_orders, dq_constraint_report, incremental_agg_merge,
+    # profile_orders_columns, countmin_heavy_hitters,
+    # try_functions_battery, map_functions_battery,
+    # equidepth_histogram_totalprice, streaming_countmin_twin,
+    # ann_lsh_certified, pack_sequences_by_source, shingle_novelty_scores,
     # winnowing_fingerprints, dedup_incremental_new_vs_base,
     # cluster_lang_purity — then the r06 cohort.)
 ]

@@ -147,6 +147,7 @@ _INTENTIONAL_BNLJ = {
     "exact_quantiles_histogram",  # groups x 3-quantile rank lookup, broadcast
     "interarrival_quantiles_by_type",  # same 3-row quantile rank lookup, broadcast
     "streaming_interarrival_twin",  # shares that tail over the drained partials
+    "streaming_quantile_twin",  # same 3-row rank lookup over the merged histogram
     "session_duration_quantiles",  # same 3-row rank lookup over the duration domain
     "conversion_latency_quantiles",  # same 3-row rank lookup over the latency domain
     "length_robust_scaler_params",  # same 3-row rank lookup over the length domain

@@ -340,3 +340,33 @@ def test_curriculum_phases_partition_the_corpus(spark):
     assert rows[-1]["cumulative_tokens"] == sum(r["phase_tokens"] for r in rows)
     sizes = [r["n_docs"] for r in rows]
     assert max(sizes) - min(sizes) <= 1, sizes
+
+
+def test_edge_density_matches_numpy_reference(spark):
+    """Independent per-image reconstruction: regenerate the texture from
+    the generator formula in pure Python and compare gradient sums for a
+    handful of images — catches a decoder/oracle co-drift that the hash
+    gate alone cannot (both engines agreeing on the wrong texture)."""
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["image_edge_density"](spark, SF_SMOKE).collect()
+    }
+    assert rows
+    import numpy as np
+
+    from kasper_spark.catalog import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "n_chars").collect()
+    checked = 0
+    for d in docs[:5]:
+        did, n_chars = d["doc_id"], d["n_chars"]
+        w, h = 16 + n_chars % 17, 12 + did % 9
+        xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+        img = (xs * 7 + ys * 13 + did) % 256
+        gx = int(np.abs(np.diff(img, axis=1)).sum())
+        gy = int(np.abs(np.diff(img, axis=0)).sum())
+        r = rows[did]
+        assert (r["grad_x_sum"], r["grad_y_sum"]) == (gx, gy), did
+        assert r["n_edges"] == (w - 1) * h + w * (h - 1)
+        checked += 1
+    assert checked == 5
