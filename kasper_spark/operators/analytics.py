@@ -2913,3 +2913,75 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "item_a", "item_b")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency violation audit (round 11)
+# ---------------------------------------------------------------------------
+
+# (fd_name, table, lhs, rhs) — the declared dependency candidates a
+# schema-inference / data-contract audit would check.
+_FD_PAIRS = (
+    ("lineitem.orderkey->returnflag", "lineitem", "l_orderkey", "l_returnflag"),
+    ("lineitem.partkey->suppkey", "lineitem", "l_partkey", "l_suppkey"),
+    ("orders.custkey->orderstatus", "orders", "o_custkey", "o_orderstatus"),
+    ("documents.doc_id->lang", "documents", "doc_id", "lang"),
+    ("events.user_id->event_type", "events", "user_id", "event_type"),
+)
+
+
+@register_query(
+    "fd_violation_audit",
+    oracle=" UNION ALL ".join(
+        f"""
+    SELECT '{name}' AS fd_name,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN v > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_keys,
+           CAST(SUM(CASE WHEN v > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS violation_share,
+           CAST(MAX(v) AS BIGINT) AS max_rhs_variants
+    FROM (SELECT {lhs}, CAST(COUNT(DISTINCT {rhs}) AS BIGINT) AS v
+          FROM {table} GROUP BY {lhs})
+    """
+        for name, table, lhs, rhs in _FD_PAIRS
+    )
+    + " ORDER BY fd_name",
+)
+def fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency violation audit — the data-contract check
+    behind schema inference and key discovery (the TANE/Metanome problem
+    restricted to DECLARED candidates, which is how production contract
+    tools like Deequ run it): for each declared lhs -> rhs dependency,
+    how many lhs keys map to more than one rhs value, and how badly.
+    documents.doc_id -> lang must hold (doc_id is the key — 0 violating
+    keys is the regression signal); the behavioral pairs are expected to
+    violate and their share is the drift metric.
+
+    Scale: each pair is one partial-aggregated (lhs, distinct rhs)
+    groupBy + a 1-row final agg — the audit reads each table once per
+    declared pair and ships only per-key variant counts; a full TANE
+    lattice search would be exponential in columns, which is exactly why
+    the contract declares its candidates up front.
+
+    Determinism: counts exact; one terminal divide."""
+    out = None
+    for name, table, lhs, rhs in _FD_PAIRS:
+        t = load_table(spark, sf_dir, table)
+        per_key = t.groupBy(lhs).agg(
+            F.count_distinct(F.col(rhs)).cast("long").alias("v")
+        )
+        rep = per_key.agg(
+            F.lit(name).alias("fd_name"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum(F.when(F.col("v") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating_keys"),
+            (
+                F.sum(F.when(F.col("v") > 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("violation_share"),
+            F.max("v").cast("long").alias("max_rhs_variants"),
+        )
+        out = rep if out is None else out.unionByName(rep)
+    return out.orderBy("fd_name")

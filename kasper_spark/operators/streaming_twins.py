@@ -3357,3 +3357,81 @@ def streaming_quantile_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 # analytics.py imports BEFORE this module -> batch oracle already registered.
 assert "exact_quantiles_histogram" in _OR, "batch quantile oracle missing"
 _OR["streaming_quantile_twin"] = _OR["exact_quantiles_histogram"]
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive MASE AT INGEST (round 11): 10th incremental-view twin
+# ---------------------------------------------------------------------------
+
+
+@register_query("streaming_mase_twin")  # oracle bound at module end
+def streaming_mase_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """forecast_mase_seasonal_naive AT INGEST: the per-(type, hour) count
+    grid is a mergeable integer partial, so each arriving micro-batch
+    emits its own hourly-count partial and the read-side merge + the SAME
+    spine/lag/MASE projection reproduce the batch evaluation bit-for-bit
+    — the live "is daily seasonality still beating the naive forecast"
+    monitor. 10th incremental-view twin; no state store, cut-invariant by
+    construction (fixed hour buckets, integer counts).
+
+    Scale: per batch one (type, hour) partial-agg over arriving rows;
+    merged state is the types x observed-hours grid (domain-sized); the
+    spine window runs over grid rows only.
+
+    ts handling: staged from the NORMALIZED batch reader (micros), so the
+    stream schema declares `ts timestamp` without tripping the driver
+    testdata's TIMESTAMP(NANOS) physical type (the streaming_acf_twin
+    discipline); hour truncation is sub-second-insensitive, so staged
+    micros and the oracle's nanos agree. 4 unordered part files, one per
+    trigger — counts need no ordering."""
+    from kasper_spark.operators.temporal import (
+        mase_hourly_counts,
+        mase_report_from_counts,
+    )
+
+    work = _workdir("kasper-smase-")
+    src_dir = os.path.join(work, "src")
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ck")
+
+    ensure_nanos_as_long(spark)
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    normalize_driver_ts(raw, ("ts",)).select("ts", "event_type").repartition(
+        4
+    ).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(src_dir)
+    )
+
+    def sink_batch(df, epoch_id: int) -> None:
+        mase_hourly_counts(df).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={epoch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.isdir(out_dir):
+        raise RuntimeError(
+            f"streaming_mase_twin: no micro-batch ran over {src_dir} — "
+            "the file stream source found no input files"
+        )
+    merged = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+        .groupBy("event_type", "hour_ts")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    return mase_report_from_counts(merged)
+
+
+assert "forecast_mase_seasonal_naive" in _OR, "batch MASE oracle missing"
+_OR["streaming_mase_twin"] = _OR["forecast_mase_seasonal_naive"]

@@ -2747,22 +2747,34 @@ def forecast_mase_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the spine is types x hours (domain-sized, not data-sized);
     one partial-aggregated hourly groupBy over the corpus, one per-type
     window over spine rows, one per-type final agg."""
+    ev = load_table(spark, sf_dir, "events")
+    return mase_report_from_counts(mase_hourly_counts(ev))
+
+
+def mase_hourly_counts(ev: DataFrame) -> DataFrame:
+    """(event_type, hour_ts, n) hourly counts — the mergeable sufficient
+    statistic (integer counts per fixed hour bucket sum across any cut of
+    the input), shared by the batch evaluation and the streaming twin."""
+    return ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+def mase_report_from_counts(agg: DataFrame) -> DataFrame:
+    """Spine zero-fill + lag forecasts + the MASE aggregation over merged
+    hourly counts (see forecast_mase_seasonal_naive's docstring). The
+    spine bounds come from the counted hours: date_trunc(min ts) equals
+    min(date_trunc(ts)), so batch and merged-partial paths see the same
+    dense grid."""
     from pyspark.sql.window import Window
 
-    ev = load_table(spark, sf_dir, "events")
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
-    )
+    bounds = agg.agg(F.min("hour_ts").alias("lo"), F.max("hour_ts").alias("hi"))
     hours = bounds.select(
         F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias(
             "hour_ts"
         )
     )
-    spine = ev.select("event_type").distinct().crossJoin(hours)
-    agg = ev.groupBy(
-        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    spine = agg.select("event_type").distinct().crossJoin(hours)
     series = spine.join(agg, ["event_type", "hour_ts"], "left").select(
         "event_type",
         "hour_ts",
@@ -2864,4 +2876,127 @@ def asof_join_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return with_next.filter(F.col("event_type") == "view").select(
         F.col("event_id").alias("view_id"), "user_id", "next_purchase_ts"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution (round 11)
+# ---------------------------------------------------------------------------
+
+_MTA_LOOKBACK_DAYS = 7
+
+
+@register_query(
+    "multi_touch_attribution",
+    oracle=f"""
+    WITH clicks AS (
+        SELECT event_id AS c_id, user_id, ts AS c_ts,
+               CAST(json_extract(props, '$.k') AS BIGINT) % 5 AS channel
+        FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT event_id AS p_id, user_id, ts AS p_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT p.p_id, c.channel,
+               ROW_NUMBER() OVER (PARTITION BY p.p_id
+                                  ORDER BY c.c_ts, c.c_id) AS pos,
+               COUNT(*) OVER (PARTITION BY p.p_id) AS n
+        FROM purchases p
+        JOIN clicks c
+          ON p.user_id = c.user_id
+         AND c.c_ts <= p.p_ts
+         AND c.c_ts >= p.p_ts - INTERVAL {_MTA_LOOKBACK_DAYS} DAY
+    ),
+    credited AS (
+        SELECT channel,
+               CASE WHEN n = 1 THEN 1000000
+                    WHEN n = 2 THEN 500000
+                    WHEN pos = 1 OR pos = n THEN 400000
+                    ELSE CAST(floor(200000.0 / (n - 2)) AS BIGINT)
+               END AS credit_micros
+        FROM touches
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(credit_micros) AS BIGINT) AS credit_micros,
+           CAST(SUM(credit_micros) AS DOUBLE) / 1000000.0
+               AS attributed_conversions
+    FROM credited GROUP BY channel ORDER BY channel
+    """,
+)
+def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution — the standard
+    marketing-science credit model: each purchase distributes one
+    conversion across the clicks that preceded it within a 7-day
+    lookback; first and last touch get 40% each, the middles split the
+    remaining 20% (1 touch takes 100%, 2 touches 50/50). Channel is the
+    deterministic props-key residue (the json_extract_props column).
+
+    Determinism: credit is INTEGER MICRO-UNITS (floor of the middle
+    split), so per-channel totals are exact BIGINT sums — a float credit
+    would sum in reduction order and break cross-engine hashing; the
+    single terminal divide by 1e6 is exact-input rounding, identical on
+    both engines. Floor (not cast) does the truncation: DuckDB's
+    double->BIGINT CAST rounds-to-nearest while Spark's truncates — floor
+    agrees everywhere.
+
+    Scale: the touch join is user-keyed and time-bounded (clicks within 7
+    days of a purchase) — a co-partitioned shuffle join whose per-user
+    intermediate is bounded by the user's own activity window, never a
+    cross join; the position window runs per purchase (bounded list);
+    credit aggregation is a |channels|-key partial agg."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        (F.get_json_object("props", "$.k").cast("long") % 5).alias("channel"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    touches = (
+        purchases.join(clicks, "user_id")
+        .filter(
+            (F.col("c_ts") <= F.col("p_ts"))
+            & (
+                F.col("c_ts")
+                >= F.col("p_ts") - F.expr(f"interval {_MTA_LOOKBACK_DAYS} day")
+            )
+        )
+        .select(
+            "p_id",
+            "channel",
+            F.row_number()
+            .over(Window.partitionBy("p_id").orderBy("c_ts", "c_id"))
+            .alias("pos"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("p_id"))
+            .alias("n"),
+        )
+    )
+    credit = (
+        F.when(F.col("n") == 1, F.lit(1000000))
+        .when(F.col("n") == 2, F.lit(500000))
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("n")), F.lit(400000))
+        .otherwise(
+            F.floor(F.lit(200000.0) / (F.col("n") - 2)).cast("long")
+        )
+        .cast("long")
+    )
+    return (
+        touches.select("channel", credit.alias("credit_micros"))
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.sum("credit_micros").cast("long").alias("credit_micros"),
+            (F.sum("credit_micros").cast("double") / F.lit(1000000.0)).alias(
+                "attributed_conversions"
+            ),
+        )
+        .orderBy("channel")
     )

@@ -2949,3 +2949,106 @@ def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sample_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Source-fair quality calibration (round 11)
+# ---------------------------------------------------------------------------
+
+
+@register_query(
+    "quality_percentile_calibration",
+    oracle="""
+    WITH med AS (
+        SELECT n_chars AS global_median FROM (
+            SELECT n_chars,
+                   ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rk,
+                   COUNT(*) OVER () AS n
+            FROM documents
+        ) WHERE rk = (n + 1) // 2
+    ),
+    scored AS (
+        SELECT source, doc_id, n_chars,
+               PERCENT_RANK() OVER (
+                   PARTITION BY source ORDER BY n_chars, doc_id
+               ) AS pctl
+        FROM documents
+    )
+    SELECT s.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN s.n_chars > m.global_median
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_above_raw_median,
+           CAST(SUM(CASE WHEN s.n_chars > m.global_median
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS share_above_raw_median,
+           CAST(SUM(CASE WHEN s.pctl >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_above_within_pctl,
+           CAST(SUM(CASE WHEN s.pctl >= 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS share_above_within_pctl
+    FROM scored s CROSS JOIN med m
+    GROUP BY s.source ORDER BY s.source
+    """,
+)
+def quality_percentile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-fair quality thresholding — the calibration step a mixture
+    pipeline runs before filtering a multi-source corpus with one global
+    cutoff: a RAW threshold (the global median document length here, as
+    the stand-in quality score) keeps a source-dependent share of each
+    source (long-form sources dominate), while a WITHIN-SOURCE percentile
+    threshold keeps ~50% of every source by construction. The report
+    shows both shares side by side per source — the evidence for choosing
+    percentile-calibrated gates (the quality-weighted-mixture rationale).
+
+    Determinism: the global median is an exact order statistic via the
+    ROW_NUMBER rank (lower median, ties broken on doc_id — both engines
+    pick the identical row; no interpolation); PERCENT_RANK is rank
+    arithmetic over the same total order; threshold counts are exact ints.
+
+    Scale: one per-source window (percent_rank), one global-median
+    selection (at 100 TB: the value-histogram rank lookup from
+    exact_quantiles_histogram replaces the global ROW_NUMBER), a 1-row
+    median broadcast, and a per-source aggregate."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w_rank = Window.orderBy("n_chars", "doc_id")
+    med = (
+        docs.select(
+            "n_chars",
+            F.row_number().over(w_rank).alias("rk"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        )
+        .filter(F.col("rk") == F.floor((F.col("n") + 1) / 2).cast("long"))
+        .select(F.col("n_chars").alias("global_median"))
+    )
+    w_src = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    scored = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.percent_rank().over(w_src).alias("pctl"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(med))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("n_chars") > F.col("global_median"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_above_raw_median"),
+            (
+                F.sum(
+                    F.when(F.col("n_chars") > F.col("global_median"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("share_above_raw_median"),
+            F.sum(F.when(F.col("pctl") >= 0.5, 1).otherwise(0))
+            .cast("long")
+            .alias("n_above_within_pctl"),
+            (
+                F.sum(F.when(F.col("pctl") >= 0.5, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("share_above_within_pctl"),
+        )
+        .orderBy("source")
+    )

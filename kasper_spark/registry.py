@@ -112,6 +112,13 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "curriculum_phases",
     # wave 14: image gradient-energy audit (real decode, analytic oracle)
     "image_edge_density",
+    # wave 15: MASE at ingest (10th incremental-view twin) + U-shaped
+    # attribution; forecast_mase text refactored into shared halves
+    "streaming_mase_twin",
+    "multi_touch_attribution",
+    # wave 16: FD-violation contract audit + source-fair calibration
+    "fd_violation_audit",
+    "quality_percentile_calibration",
     # -- 1. Regression re-certification (r10 verdict ticket #2): lead the
     #       remaining slots with the queries whose newest driver-green
     #       evidence is OLDEST (the r04 cohort below — last green row
@@ -136,14 +143,12 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "window_nav_lag_lead",
     "join_skew_salted",
     "string_functions",
-    "math_date_functions",
-    "stratified_topn_md5",
-    "tfidf_top_terms",
-    "text_normalize",
-    # (exactly 50 names: 27 new/changed round-11 entries + the 23
+    # (exactly 50 names: 31 new/changed round-11 entries + the 19
     # oldest-evidence r04 rotation names above. The r04 tail displaced
     # by this round's new waves keeps queue position for r12, oldest
-    # first: udtf_sentence_split, pandas_udf_token_count,
+    # first: math_date_functions, stratified_topn_md5, tfidf_top_terms,
+    # text_normalize,
+    # udtf_sentence_split, pandas_udf_token_count,
     # streaming_word_count_twin, streaming_tumbling_window_twin,
     # streaming_dedup_twin, streaming_session_window_twin,
     # streaming_join_twin, streaming_stateful_count_twin,

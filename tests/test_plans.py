@@ -162,7 +162,9 @@ _INTENTIONAL_BNLJ = {
     "market_basket_lift",  # 1-row broadcast: global basket count (Q22 shape)
     "bpe_learn_merges",  # 1-row broadcast per merge round: the winning pair
     "forecast_mase_seasonal_naive",  # same bounded types x hours spine as gapfill
+    "streaming_mase_twin",  # shares that spine over the drained partials
     "negative_sampling_table",  # 1-row broadcast of the corpus token total
+    "quality_percentile_calibration",  # 1-row broadcast: exact global median
     "q11_important_value",  # 1-row broadcast: national total threshold
     "q15_top_supplier",  # 1-row broadcast: global max revenue
     "tfidf_top_terms",  # 1-row broadcast of the corpus doc count

@@ -370,3 +370,90 @@ def test_edge_density_matches_numpy_reference(spark):
         assert r["n_edges"] == (w - 1) * h + w * (h - 1)
         checked += 1
     assert checked == 5
+
+
+def test_streaming_mase_twin_equals_batch(spark):
+    """The ingest twin must reproduce the batch MASE table bit-for-bit
+    (same merged hourly grid -> same spine/lag/aggregate)."""
+    import pandas as pd
+
+    batch = (
+        QUERIES["forecast_mase_seasonal_naive"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    twin = (
+        QUERIES["streaming_mase_twin"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(batch, twin, check_like=True)
+
+
+def test_attribution_conserves_conversions(spark):
+    """Credit conservation: every purchase with >= 1 touch distributes
+    AT MOST 1,000,000 micro-units (exactly 1M for n <= 2 or when
+    (n-2) | 200000; the floor loses < (n-2) micro-units otherwise), so
+    total credit is bounded by purchases-with-touches x 1M and within
+    0.1% of it; per-touch credit never exceeds 40% for n >= 3."""
+    from pyspark.sql import functions as F
+
+    from kasper_spark.catalog import load_table
+
+    rows = QUERIES["multi_touch_attribution"](spark, SF_ORACLE).collect()
+    assert rows
+    total = sum(r["credit_micros"] for r in rows)
+    ev = load_table(spark, SF_ORACLE, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    touched = (
+        p.join(c, "user_id")
+        .filter(
+            (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("interval 7 day"))
+        )
+        .select("p_id")
+        .distinct()
+        .count()
+    )
+    assert touched > 0
+    assert total <= touched * 1_000_000
+    assert total >= touched * 1_000_000 * 0.999
+
+
+def test_fd_audit_key_holds_and_behavior_violates(spark):
+    """doc_id -> lang must have ZERO violating keys (doc_id is the table
+    key); the behavioral pairs must each violate at least once at
+    sf0.01; max_rhs_variants >= 1 everywhere and shares in [0, 1]."""
+    rows = {r["fd_name"]: r for r in QUERIES["fd_violation_audit"](spark, SF_ORACLE).collect()}
+    assert rows["documents.doc_id->lang"]["n_violating_keys"] == 0
+    for name in (
+        "lineitem.orderkey->returnflag",
+        "orders.custkey->orderstatus",
+        "events.user_id->event_type",
+    ):
+        assert rows[name]["n_violating_keys"] > 0, name
+    for r in rows.values():
+        assert 0 <= r["violation_share"] <= 1.0
+        assert r["max_rhs_variants"] >= 1
+        assert r["n_violating_keys"] <= r["n_keys"]
+
+
+def test_percentile_calibration_balances_sources(spark):
+    """The within-source percentile gate keeps ~50% of EVERY source
+    (within one doc of half, by percent_rank construction), while the
+    raw global-median gate is allowed to drift per source; totals above
+    the raw median are ~half the corpus overall."""
+    rows = QUERIES["quality_percentile_calibration"](spark, SF_ORACLE).collect()
+    assert rows
+    total = sum(r["n_docs"] for r in rows)
+    raw_above = sum(r["n_above_raw_median"] for r in rows)
+    assert abs(raw_above - total / 2) <= total * 0.02 + 1
+    for r in rows:
+        assert abs(r["share_above_within_pctl"] - 0.5) <= 0.5 / r["n_docs"] + 0.02, r
