@@ -390,3 +390,218 @@ def hybrid_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.select(
         "*", F.row_number().over(wf).cast("long").alias("fused_rank")
     ).filter(F.col("fused_rank") <= _BM25_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Pseudo-relevance feedback (PRF) query expansion (round 11)
+# ---------------------------------------------------------------------------
+
+_PRF_FB_DOCS = 10  # feedback depth: top-k of the seed ranking
+_PRF_EXP_TERMS = 3  # expansion terms appended to the seed query
+
+# Expansion selection + round-2 BM25 over the expanded term set, as one
+# shared CTE chain appended to _BM25_CORE_SQL (which provides bm25_ranked
+# for the SEED query).
+_PRF_CORE_SQL = f"""
+    {_BM25_CORE_SQL},
+    fb AS (SELECT doc_id FROM bm25_ranked WHERE rk <= {_PRF_FB_DOCS}),
+    tok AS (
+        SELECT doc_id, UNNEST({_toks_sql()}) AS w FROM documents
+    ),
+    fbtf AS (
+        SELECT t.w AS term, CAST(COUNT(*) AS BIGINT) AS f_fb
+        FROM tok t JOIN fb USING (doc_id) GROUP BY t.w
+    ),
+    dfall AS (
+        SELECT w AS term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df_all
+        FROM tok GROUP BY w
+    ),
+    expansion AS (
+        SELECT f.term, f.f_fb, d.df_all
+        FROM fbtf f JOIN dfall d USING (term) CROSS JOIN stats s
+        WHERE f.term NOT IN ({", ".join("'" + t + "'" for t in _BM25_TERMS)})
+        ORDER BY CASE WHEN d.df_all * 2 <= s.n_docs THEN 1 ELSE 0 END DESC,
+                 f.f_fb DESC, d.df_all ASC, f.term LIMIT {_PRF_EXP_TERMS}
+    ),
+    terms2 AS (
+        SELECT term FROM (VALUES {_BM25_TERMS_SQL}) AS t(term)
+        UNION ALL SELECT term FROM expansion
+    ),
+    tf2 AS (
+        SELECT d.doc_id,
+               CAST(len({_toks_sql('d.text')}) AS BIGINT) AS dl,
+               t.term,
+               CAST(len(list_filter({_toks_sql('d.text')}, w -> w = t.term))
+                    AS BIGINT) AS tf
+        FROM documents d CROSS JOIN terms2 t
+    ),
+    df2 AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        FROM tf2 WHERE tf > 0 GROUP BY term
+    ),
+    contrib2 AS (
+        SELECT f.doc_id,
+               CAST(
+                   ((CAST(s.n_docs AS DOUBLE) - CAST(df2.df AS DOUBLE) + 0.5)
+                    / (CAST(df2.df AS DOUBLE) + 0.5))
+                   * ((CAST(f.tf AS DOUBLE) * {_BM25_K1 + 1.0})
+                      / (CAST(f.tf AS DOUBLE)
+                         + {_BM25_K1} * ({1.0 - _BM25_B}
+                             + ({_BM25_B} * CAST(f.dl AS DOUBLE))
+                               / (CAST(s.total_tokens AS DOUBLE)
+                                  / CAST(s.n_docs AS DOUBLE)))))
+                   AS DECIMAL(30, 12)) AS part
+        FROM tf2 f JOIN df2 USING (term) CROSS JOIN stats s
+        WHERE f.tf > 0
+    ),
+    bm25_2 AS (
+        SELECT doc_id, CAST(SUM(part) AS DECIMAL(30, 12)) AS score_dec
+        FROM contrib2 GROUP BY doc_id
+    ),
+    ranked2 AS (
+        SELECT doc_id, score_dec,
+               ROW_NUMBER() OVER (ORDER BY score_dec DESC, doc_id) AS rk
+        FROM bm25_2
+    )
+"""
+
+
+def _bm25_score_over_terms(docs, terms_df):
+    """Generalized BM25 (same k1/b/idf as _bm25_ranked) over a term set
+    given as a DataFrame — the data-dependent-query building block PRF
+    needs (the literal-terms path compiles to the same plan)."""
+    from pyspark.sql.window import Window
+
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    base = docs.select(
+        "doc_id", toks.alias("t"), F.size(toks).cast("long").alias("dl")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_tokens"),
+    )
+    tf = base.crossJoin(F.broadcast(terms_df)).select(
+        "doc_id",
+        "dl",
+        "term",
+        F.size(F.expr("filter(t, w -> w = term)")).cast("long").alias("tf"),
+    )
+    df_t = tf.filter(F.col("tf") > 0).groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")
+    idf = (
+        F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5))
+    tf_part = (F.col("tf").cast("double") * F.lit(_BM25_K1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + F.lit(_BM25_K1)
+        * (F.lit(1.0 - _BM25_B) + (F.lit(_BM25_B) * F.col("dl").cast("double")) / avgdl)
+    )
+    contrib = (
+        tf.filter(F.col("tf") > 0)
+        .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", (idf * tf_part).cast("decimal(30,12)").alias("part"))
+    )
+    bm25 = contrib.groupBy("doc_id").agg(
+        F.sum("part").cast("decimal(30,12)").alias("score_dec")
+    )
+    w = Window.orderBy(F.desc("score_dec"), F.asc("doc_id"))
+    return bm25.select(
+        "doc_id", "score_dec", F.row_number().over(w).alias("rank")
+    )
+
+
+def _prf_expansion(spark: SparkSession, sf_dir: str):
+    """(expansion DataFrame, docs) — the selected feedback terms with
+    their stats, shared by both PRF registry entries."""
+    docs = load_table(spark, sf_dir, "documents")
+    round1 = _bm25_ranked(spark, sf_dir)
+    fb = round1.filter(F.col("rank") <= _PRF_FB_DOCS).select("doc_id")
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    tok = docs.select("doc_id", F.explode(toks).alias("w"))
+    fbtf = (
+        tok.join(F.broadcast(fb), "doc_id")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("f_fb"))
+    )
+    dfall = (
+        tok.select("doc_id", "w")
+        .distinct()
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("df_all"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    is_rare = F.when(F.col("df_all") * 2 <= F.col("n_docs"), 1).otherwise(0)
+    expansion = (
+        fbtf.join(dfall, "w")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(~F.col("w").isin(*_BM25_TERMS))
+        .orderBy(is_rare.desc(), F.desc("f_fb"), F.asc("df_all"), F.asc("w"))
+        .limit(_PRF_EXP_TERMS)
+        .select(F.col("w").alias("term"), "f_fb", "df_all")
+    )
+    return expansion, docs
+
+
+@register_query(
+    "prf_expansion_terms",
+    oracle=f"""
+    WITH {_PRF_CORE_SQL}
+    SELECT term, f_fb, df_all FROM expansion ORDER BY term
+    """,
+)
+def prf_expansion_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The feedback terms PRF selects (Rocchio-style pseudo-relevance
+    feedback, the classic two-pass retrieval trick): rank the seed
+    query's top-{_PRF_FB_DOCS} documents' vocabulary with DISCRIMINATIVE
+    terms first (df*2 <= n — a hard preference, not a hard filter, so
+    the selection degrades gracefully on a stopword-dense corpus like
+    this synthetic one instead of emptying), then feedback frequency,
+    then rarer-in-corpus, then lexical; seed terms excluded; top
+    {_PRF_EXP_TERMS} kept.
+    Certified separately from the final ranking so a term-selection
+    regression is visible as ITS OWN hash break, not a downstream one.
+
+    Scale: feedback tf is a {_PRF_FB_DOCS}-doc broadcast-join slice; the
+    corpus df table is the standard (doc, term) distinct shuffle every
+    tf-idf operator already pays (shareable lineage)."""
+    expansion, _ = _prf_expansion(spark, sf_dir)
+    return expansion.orderBy("term")
+
+
+@register_query(
+    "prf_query_expansion_topk",
+    oracle=f"""
+    WITH {_PRF_CORE_SQL}
+    SELECT doc_id,
+           CAST(score_dec AS DOUBLE) AS bm25_score,
+           CAST(rk AS BIGINT) AS rank
+    FROM ranked2 WHERE rk <= {_BM25_TOPK}
+    """,
+)
+def prf_query_expansion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 with pseudo-relevance-feedback query expansion, end to end:
+    seed ranking -> top-{_PRF_FB_DOCS} feedback docs -> top-
+    {_PRF_EXP_TERMS} expansion terms (prf_expansion_terms) -> round-2
+    BM25 over seed+expansion -> global top-{_BM25_TOPK}. The entire
+    composition (both retrieval passes AND the data-dependent term
+    selection between them) sits under one oracle hash.
+
+    Scale: two BM25 passes (each a single scan with tf computed inside
+    the scan stage — see bm25_keyword_topk) + the expansion selection;
+    the expanded term set reaches round 2 as a {len(_BM25_TERMS) + _PRF_EXP_TERMS}-row
+    broadcast, so round 2's plan is the seed plan with a broadcast term
+    table instead of literals."""
+    expansion, docs = _prf_expansion(spark, sf_dir)
+    seeds = expansion.sparkSession.createDataFrame(
+        [(t,) for t in _BM25_TERMS], ["term"]
+    )
+    terms2 = seeds.unionByName(expansion.select("term"))
+    ranked2 = _bm25_score_over_terms(docs, terms2)
+    return ranked2.filter(F.col("rank") <= _BM25_TOPK).select(
+        "doc_id",
+        F.col("score_dec").cast("double").alias("bm25_score"),
+        F.col("rank").cast("long").alias("rank"),
+    )

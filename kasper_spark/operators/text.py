@@ -3052,3 +3052,148 @@ def quality_percentile_calibration(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law exponent per source (round 11)
+# ---------------------------------------------------------------------------
+
+
+@register_query(
+    "heaps_law_by_source",
+    oracle="""
+    WITH tok AS (
+        SELECT source, doc_id,
+               UNNEST(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+        FROM documents
+    ),
+    doc_tokens AS (
+        SELECT source, doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok
+        FROM tok GROUP BY source, doc_id
+    ),
+    first_occ AS (
+        SELECT source, MIN(doc_id) AS first_doc
+        FROM tok GROUP BY source, w
+    ),
+    new_types AS (
+        SELECT source, first_doc AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_new
+        FROM first_occ GROUP BY source, first_doc
+    ),
+    growth AS (
+        SELECT d.source, d.doc_id,
+               CAST(SUM(d.n_tok) OVER (
+                   PARTITION BY d.source ORDER BY d.doc_id
+               ) AS BIGINT) AS n_cum,
+               CAST(SUM(COALESCE(nt.n_new, 0)) OVER (
+                   PARTITION BY d.source ORDER BY d.doc_id
+               ) AS BIGINT) AS v_cum
+        FROM doc_tokens d
+        LEFT JOIN new_types nt
+          ON d.source = nt.source AND d.doc_id = nt.doc_id
+    ),
+    pts AS (
+        SELECT source,
+               CAST(length(bin(n_cum)) - 1 AS BIGINT) AS x,
+               CAST(length(bin(v_cum)) - 1 AS BIGINT) AS y,
+               n_cum, v_cum
+        FROM growth
+    ),
+    ols AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MAX(n_cum) AS BIGINT) AS total_tokens,
+               CAST(MAX(v_cum) AS BIGINT) AS total_types,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM pts GROUP BY source
+    )
+    SELECT source, n_docs, total_tokens, total_types,
+           CAST(n_docs * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n_docs * sxx - sx * sx AS BIGINT) AS slope_den,
+           CASE WHEN n_docs * sxx - sx * sx = 0 THEN NULL
+                ELSE CAST(n_docs * sxy - sx * sy AS DOUBLE)
+                     / CAST(n_docs * sxx - sx * sx AS DOUBLE)
+           END AS heaps_beta
+    FROM ols ORDER BY source
+    """,
+)
+def heaps_law_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law exponent per source — the vocabulary-GROWTH twin of the
+    Zipf tail index: V(N) ~ k * N^beta, so beta is the OLS slope of
+    log V against log N along the corpus's own ingestion order. Natural
+    text sits around beta ~ 0.5; a source whose beta collapses toward 0
+    has stopped contributing new vocabulary (template/boilerplate farm),
+    and beta ~ 1 is a unique-token generator (serial numbers, hashes) —
+    both are mixture red flags the Zipf slope alone can miss because it
+    sees the final frequency table, not the growth path.
+
+    Zero libm (the zipf_tail_index discipline): both axes are WHOLE-BIT
+    logs (length(bin(n)) - 1), the OLS numerator/denominator are exact
+    BIGINT sums (bound: bit positions <= 63, so n_docs < ~7e7 per source
+    before the ledger's shard recipe applies), and the slope is one
+    exact-int double division.
+
+    Scale: one (source, word) shuffle each for doc token counts and
+    first occurrences (the explode is shared lineage), one per-source
+    cumulative window over DOCS (corpus-document-sized, never
+    token-sized), then a 6-sum partial aggregate."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", "doc_id", F.explode(_tokens(F.col("text"))).alias("w")
+    )
+    doc_tokens = tok.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok")
+    )
+    new_types = (
+        tok.groupBy("source", "w")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("source", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    )
+    w_cum = Window.partitionBy("source").orderBy("doc_id")
+    growth = (
+        doc_tokens.join(new_types, ["source", "doc_id"], "left")
+        .select(
+            "source",
+            "doc_id",
+            F.sum("n_tok").over(w_cum).cast("long").alias("n_cum"),
+            F.sum(F.coalesce(F.col("n_new"), F.lit(0)))
+            .over(w_cum)
+            .cast("long")
+            .alias("v_cum"),
+        )
+    )
+    pts = growth.select(
+        "source",
+        "n_cum",
+        "v_cum",
+        (F.length(F.bin(F.col("n_cum"))) - 1).cast("long").alias("x"),
+        (F.length(F.bin(F.col("v_cum"))) - 1).cast("long").alias("y"),
+    )
+    ols = pts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.max("n_cum").cast("long").alias("total_tokens"),
+        F.max("v_cum").cast("long").alias("total_types"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    num = F.col("n_docs") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n_docs") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return ols.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "total_types",
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double"))
+        .alias("heaps_beta"),
+    ).orderBy("source")

@@ -119,6 +119,10 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     # wave 16: FD-violation contract audit + source-fair calibration
     "fd_violation_audit",
     "quality_percentile_calibration",
+    # wave 17: Heaps'-law growth exponent + PRF query expansion
+    "heaps_law_by_source",
+    "prf_expansion_terms",
+    "prf_query_expansion_topk",
     # -- 1. Regression re-certification (r10 verdict ticket #2): lead the
     #       remaining slots with the queries whose newest driver-green
     #       evidence is OLDEST (the r04 cohort below — last green row
@@ -140,13 +144,11 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "pivot_native",
     "grouping_sets_orders",
     "unpivot_part_metrics",
-    "window_nav_lag_lead",
-    "join_skew_salted",
-    "string_functions",
-    # (exactly 50 names: 31 new/changed round-11 entries + the 19
+    # (exactly 50 names: 34 new/changed round-11 entries + the 16
     # oldest-evidence r04 rotation names above. The r04 tail displaced
     # by this round's new waves keeps queue position for r12, oldest
-    # first: math_date_functions, stratified_topn_md5, tfidf_top_terms,
+    # first: window_nav_lag_lead, join_skew_salted, string_functions,
+    # math_date_functions, stratified_topn_md5, tfidf_top_terms,
     # text_normalize,
     # udtf_sentence_split, pandas_udf_token_count,
     # streaming_word_count_twin, streaming_tumbling_window_twin,

@@ -185,6 +185,8 @@ _INTENTIONAL_BNLJ = {
     "key_skew_report",  # 1-row broadcasts of per-key-audit totals/thresholds
     "boilerplate_shingle_stats_cms",  # 1-row broadcast: CM sketch map + doc count
     "mrr_relevance_contract",  # 1-row broadcast of corpus stats (BM25 shape)
+    "prf_expansion_terms",  # 1-row corpus-count broadcast in the term gate
+    "prf_query_expansion_topk",  # BM25 corpus-stats + bounded term-set broadcasts
     # map-only IVF assignment: ONE broadcast row carrying all k trained
     # centroids, ranked in-row per vector (zero-shuffle scan — the r10
     # rewrite that took the trained family from 2.9-3.3x to <=1.6x at 10x)

@@ -457,3 +457,41 @@ def test_percentile_calibration_balances_sources(spark):
     assert abs(raw_above - total / 2) <= total * 0.02 + 1
     for r in rows:
         assert abs(r["share_above_within_pctl"] - 0.5) <= 0.5 / r["n_docs"] + 0.02, r
+
+
+def test_heaps_beta_sane_and_monotone_growth(spark):
+    """Heaps exponent in [0, 1]; totals consistent (types <= tokens).
+    This synthetic corpus draws from a FIXED ~31-word vocabulary, so V
+    saturates immediately and beta ~ 0 — exactly the 'template farm /
+    vocabulary stopped growing' red flag the operator exists to raise;
+    assert that interpretation (beta well below the ~0.5 of natural
+    text) rather than a natural-text envelope."""
+    rows = QUERIES["heaps_law_by_source"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert r["total_types"] <= r["total_tokens"]
+        assert r["heaps_beta"] is not None
+        assert 0 <= r["heaps_beta"] <= 1.0 + 1e-9, r
+        assert r["heaps_beta"] < 0.3, r  # saturated-vocabulary flag fires
+
+
+def test_prf_expands_with_non_seed_terms_and_reranks(spark):
+    """Expansion terms are disjoint from the seeds, corpus-non-stopword
+    (df*2 <= n), and the round-2 ranking actually uses them: at least
+    one document's rank differs from the seed-only BM25 ranking."""
+    from kasper_spark.operators.retrieval import _BM25_TERMS
+
+    exp = QUERIES["prf_expansion_terms"](spark, SF_ORACLE).collect()
+    assert len(exp) == 3
+    for r in exp:
+        assert r["term"] not in _BM25_TERMS
+        assert r["f_fb"] > 0
+    seed = {
+        r["doc_id"]: r["rank"]
+        for r in QUERIES["bm25_keyword_topk"](spark, SF_ORACLE).collect()
+    }
+    prf = {
+        r["doc_id"]: r["rank"]
+        for r in QUERIES["prf_query_expansion_topk"](spark, SF_ORACLE).collect()
+    }
+    assert prf and (set(prf) != set(seed) or any(prf[d] != seed[d] for d in prf))
