@@ -1456,3 +1456,87 @@ def image_edge_density(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return media.mapInPandas(edges, schema=EDGE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio zero-crossing rate (round 11)
+# ---------------------------------------------------------------------------
+
+
+@register_query(
+    "audio_zero_crossing_rate",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 200 + n_chars % 300 AS n FROM documents
+    ), smp AS (
+        SELECT doc_id, n, UNNEST(range(0, n)) AS t FROM dims
+    ), v AS (
+        SELECT doc_id, n, t,
+               (t * 37 + doc_id * 101) % 65536 - 32768 AS s
+        FROM smp
+    ), lagged AS (
+        SELECT doc_id, n, t, s,
+               lag(s) OVER (PARTITION BY doc_id ORDER BY t) AS prev
+        FROM v
+    ), crossings AS (
+        SELECT doc_id, n, t,
+               CASE WHEN prev IS NOT NULL
+                         AND ((prev < 0) <> (s < 0)) THEN 1 ELSE 0 END AS x
+        FROM lagged
+    )
+    SELECT doc_id,
+           CAST(MAX(n) AS BIGINT) AS n_samples,
+           CAST(SUM(x) AS BIGINT) AS n_crossings,
+           CAST(SUM(x) AS DOUBLE) / CAST(MAX(n) - 1 AS DOUBLE) AS zcr,
+           CAST(MIN(CASE WHEN x = 1 THEN t END) AS BIGINT)
+               AS first_crossing_t
+    FROM crossings GROUP BY doc_id
+    """,
+)
+def audio_zero_crossing_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-crossing rate over REAL WAV bytes — the other first-line VAD /
+    voiced-unvoiced feature next to frame energy (high ZCR = noise or
+    fricatives, low ZCR = voiced speech or tones): decode the RIFF/PCM16
+    container, count sign changes between consecutive samples (the
+    (prev < 0) != (cur < 0) convention — zero counts as non-negative),
+    report the rate and the first crossing position. The DuckDB oracle
+    recomputes every sample analytically from the synthesis formula (the
+    audio_frame_energy discipline), so the hash certifies container
+    parsing, int16 decoding (signedness!), and the crossing rule end to
+    end — an unsigned-dtype slip flips every crossing and fails loudly.
+
+    Scale: map-only mapInPandas; the numpy body is one vectorized
+    compare-and-shift per clip; stats-only rows out."""
+    _register_codec_by_value()
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+
+        def one(doc_id: int, payload: bytes):
+            payload = bytes(payload)
+            sr, n, data = decode_wav(payload)
+            s = _np.frombuffer(data, dtype="<i2")
+            neg = s < 0
+            x = neg[1:] != neg[:-1]
+            n_cross = int(x.sum())
+            first = int(_np.argmax(x)) + 1 if n_cross else None
+            return (
+                doc_id,
+                n,
+                n_cross,
+                float(n_cross) / float(n - 1),
+                first,
+            )
+
+        cols = ["doc_id", "n_samples", "n_crossings", "zcr", "first_crossing_t"]
+        for b in batches:
+            yield pd.DataFrame(
+                [one(int(d), p) for d, p in zip(b["doc_id"], b["payload"])],
+                columns=cols,
+            )
+
+    return wav_audio_table(spark, sf_dir).mapInPandas(
+        stats,
+        "doc_id long, n_samples long, n_crossings long, zcr double, "
+        "first_crossing_t long",
+    )

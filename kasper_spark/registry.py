@@ -123,6 +123,9 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "heaps_law_by_source",
     "prf_expansion_terms",
     "prf_query_expansion_topk",
+    # wave 18: PPJoin prefix-filtered exact Jaccard + audio ZCR
+    "prefix_filter_jaccard_pairs",
+    "audio_zero_crossing_rate",
     # -- 1. Regression re-certification (r10 verdict ticket #2): lead the
     #       remaining slots with the queries whose newest driver-green
     #       evidence is OLDEST (the r04 cohort below — last green row
@@ -142,12 +145,11 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "percentiles_quantity",
     "pivot_segment_by_nation",
     "pivot_native",
-    "grouping_sets_orders",
-    "unpivot_part_metrics",
-    # (exactly 50 names: 34 new/changed round-11 entries + the 16
+    # (exactly 50 names: 36 new/changed round-11 entries + the 14
     # oldest-evidence r04 rotation names above. The r04 tail displaced
     # by this round's new waves keeps queue position for r12, oldest
-    # first: window_nav_lag_lead, join_skew_salted, string_functions,
+    # first: grouping_sets_orders, unpivot_part_metrics,
+    # window_nav_lag_lead, join_skew_salted, string_functions,
     # math_date_functions, stratified_topn_md5, tfidf_top_terms,
     # text_normalize,
     # udtf_sentence_split, pandas_udf_token_count,

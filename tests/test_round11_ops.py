@@ -495,3 +495,56 @@ def test_prf_expands_with_non_seed_terms_and_reranks(spark):
         for r in QUERIES["prf_query_expansion_topk"](spark, SF_ORACLE).collect()
     }
     assert prf and (set(prf) != set(seed) or any(prf[d] != seed[d] for d in prf))
+
+
+def test_prefix_filter_matches_exhaustive_jaccard(spark):
+    """Recall proof at smoke scale: an exhaustive all-pairs exact Jaccard
+    over the same shingle sets finds EXACTLY the pairs the prefix-filter
+    join emits — the downward-closure theorem in action (recall 1.0 is a
+    property, not a tuning outcome)."""
+    from pyspark.sql import functions as F
+
+    from kasper_spark.catalog import load_table
+    from kasper_spark.operators.dedup import _PFX_TAU, _shingles_raw, _tokens
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in QUERIES["prefix_filter_jaccard_pairs"](spark, SF_SMOKE).collect()
+    }
+    docs = load_table(spark, SF_SMOKE, "documents")
+    sets = {
+        r["doc_id"]: set(r["sh"])
+        for r in docs.select(
+            "doc_id",
+            F.array_distinct(_shingles_raw(_tokens(F.col("text")))).alias("sh"),
+        ).collect()
+    }
+    ids = sorted(sets)
+    expected = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = sets[a], sets[b]
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            if inter and inter / len(sa | sb) >= _PFX_TAU:
+                expected[(a, b)] = inter / len(sa | sb)
+    assert set(got) == set(expected), (set(got) ^ set(expected))
+    for k, v in got.items():
+        assert abs(v - expected[k]) < 1e-12
+
+
+def test_zcr_bounds_and_signed_decode(spark):
+    """ZCR in [0, 1]; the first crossing index is consistent with a
+    positive crossing count; an unsigned-decode regression would push
+    ZCR to 0 for every clip (all samples 'non-negative'), so assert at
+    least one clip crosses."""
+    rows = QUERIES["audio_zero_crossing_rate"](spark, SF_SMOKE).collect()
+    assert rows
+    assert any(r["n_crossings"] > 0 for r in rows)
+    for r in rows:
+        assert 0.0 <= r["zcr"] <= 1.0, r
+        if r["n_crossings"] > 0:
+            assert 1 <= r["first_crossing_t"] <= r["n_samples"] - 1, r
+        else:
+            assert r["first_crossing_t"] is None
