@@ -500,3 +500,122 @@ from kasper_spark.registry import QUERIES as _Q  # noqa: E402
 assert "t_closeness_audit" in _OR, "batch t-closeness oracle missing"
 assert "streaming_t_closeness_twin" in _Q, "twin missing (import order)"
 _OR["streaming_t_closeness_twin"] = _OR["t_closeness_audit"]
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity generalization ladder (round 11)
+# ---------------------------------------------------------------------------
+
+# Generalization levels for the (nationkey, mktsegment, acctbal) QI set —
+# each level strictly coarsens the previous one (the Samarati lattice
+# walked along one fixed path, which is how production anonymizers apply
+# a reviewed policy rather than searching the full lattice online).
+_KGEN_LEVELS_SQL = (
+    ("L0", "c_nationkey", "c_mktsegment", "CAST(floor(c_acctbal / 1000) AS BIGINT)"),
+    ("L1", "c_nationkey", "c_mktsegment", "CAST(floor(c_acctbal / 5000) AS BIGINT)"),
+    ("L2", "c_nationkey", "'*'", "CAST(floor(c_acctbal / 5000) AS BIGINT)"),
+    ("L3", "CAST(-1 AS BIGINT)", "'*'", "CAST(floor(c_acctbal / 10000) AS BIGINT)"),
+)
+
+
+@register_query(
+    "k_anonymity_generalization_ladder",
+    oracle=f"""
+    WITH levels AS (
+        {" UNION ALL ".join(
+            f'''SELECT '{lvl}' AS level, CAST(COUNT(*) AS BIGINT) AS n_classes,
+                   CAST(MIN(n) AS BIGINT) AS min_class_size,
+                   CAST(SUM(CASE WHEN n < {_K_ANON} THEN n ELSE 0 END)
+                        AS BIGINT) AS rows_suppressed,
+                   CAST(SUM(n) AS BIGINT) AS n_rows
+            FROM (SELECT CAST({nat} AS BIGINT) AS qi1, {seg} AS qi2,
+                         {bal} AS qi3, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM customer GROUP BY 1, 2, 3)'''
+            for lvl, nat, seg, bal in _KGEN_LEVELS_SQL
+        )}
+    ),
+    scored AS (
+        SELECT level, n_classes, min_class_size, rows_suppressed,
+               CAST(rows_suppressed AS DOUBLE) / CAST(n_rows AS DOUBLE)
+                   AS suppression_share
+        FROM levels
+    )
+    SELECT level, n_classes, min_class_size, rows_suppressed,
+           suppression_share,
+           (suppression_share <= 0.01
+            AND level = (SELECT MIN(level) FROM scored s2
+                         WHERE s2.suppression_share <= 0.01)) AS chosen
+    FROM scored ORDER BY level
+    """,
+)
+def k_anonymity_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity REPAIR policy evaluation — the step after the audit:
+    walk a fixed generalization ladder over the quasi-identifier set
+    (finer bins -> coarser bins -> drop segment -> drop nation) and report,
+    per level, the equivalence-class landscape and the rows suppression
+    would delete to enforce k = {_K_ANON}; the first level whose
+    suppression cost is <= 1% of rows is marked `chosen` (the
+    minimal-information-loss pick along the policy path — the Samarati
+    lattice walked along one reviewed path, not searched online).
+
+    Determinism: per-level stats are exact integer aggregates; the
+    chosen flag compares exact shares and the lexicographic level name.
+
+    Scale: four partial-aggregated groupBys over the same scan (each
+    keyed by a strictly-coarser QI tuple — class counts, never rows,
+    cross the shuffle), a 4-row window. Privacy audits are batch-scoped
+    by design (SCALING.md round-11 note: they need the full QI
+    distribution)."""
+    cust = load_table(spark, sf_dir, "customer")
+    levels = []
+    specs = (
+        ("L0", F.col("c_nationkey").cast("long"), F.col("c_mktsegment"),
+         F.floor(F.col("c_acctbal") / 1000).cast("long")),
+        ("L1", F.col("c_nationkey").cast("long"), F.col("c_mktsegment"),
+         F.floor(F.col("c_acctbal") / 5000).cast("long")),
+        ("L2", F.col("c_nationkey").cast("long"), F.lit("*"),
+         F.floor(F.col("c_acctbal") / 5000).cast("long")),
+        ("L3", F.lit(-1).cast("long"), F.lit("*"),
+         F.floor(F.col("c_acctbal") / 10000).cast("long")),
+    )
+    for lvl, qi1, qi2, qi3 in specs:
+        classes = cust.groupBy(
+            qi1.alias("qi1"), qi2.alias("qi2"), qi3.alias("qi3")
+        ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+        levels.append(
+            classes.agg(
+                F.lit(lvl).alias("level"),
+                F.count(F.lit(1)).cast("long").alias("n_classes"),
+                F.min("n").cast("long").alias("min_class_size"),
+                F.sum(F.when(F.col("n") < _K_ANON, F.col("n")).otherwise(0))
+                .cast("long")
+                .alias("rows_suppressed"),
+                F.sum("n").cast("long").alias("n_rows"),
+            )
+        )
+    out = levels[0]
+    for m in levels[1:]:
+        out = out.unionByName(m)
+    scored = out.select(
+        "level",
+        "n_classes",
+        "min_class_size",
+        "rows_suppressed",
+        (
+            F.col("rows_suppressed").cast("double")
+            / F.col("n_rows").cast("double")
+        ).alias("suppression_share"),
+    )
+    from pyspark.sql.window import Window
+
+    w_all = Window.partitionBy()
+    first_ok = F.min(
+        F.when(F.col("suppression_share") <= 0.01, F.col("level"))
+    ).over(w_all)
+    return scored.select(
+        "*",
+        (
+            (F.col("suppression_share") <= 0.01)
+            & (F.col("level") == first_ok)
+        ).alias("chosen"),
+    ).orderBy("level")

@@ -3000,3 +3000,134 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# SLO burn-rate alerts (round 11)
+# ---------------------------------------------------------------------------
+
+_SLO_TARGET = 0.25  # error budget: errors may be at most 25% of events
+_SLO_LONG_HOURS = 6
+
+
+@register_query(
+    "slo_burn_rate_alerts",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo,
+               date_trunc('hour', MAX(ts)) AS hi
+        FROM events
+    ),
+    hours AS (
+        SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts
+        FROM bounds
+    ),
+    agg AS (
+        SELECT date_trunc('hour', ts) AS hour_ts,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_err
+        FROM events GROUP BY 1
+    ),
+    series AS (
+        SELECT h.hour_ts,
+               CAST(COALESCE(a.n_total, 0) AS BIGINT) AS n_total,
+               CAST(COALESCE(a.n_err, 0) AS BIGINT) AS n_err
+        FROM hours h LEFT JOIN agg a ON h.hour_ts = a.hour_ts
+    ),
+    windows AS (
+        SELECT hour_ts, n_total, n_err,
+               CAST(SUM(n_total) OVER w6 AS BIGINT) AS n_total_6h,
+               CAST(SUM(n_err) OVER w6 AS BIGINT) AS n_err_6h
+        FROM series
+        WINDOW w6 AS (ORDER BY hour_ts
+                      ROWS BETWEEN {_SLO_LONG_HOURS - 1} PRECEDING
+                                AND CURRENT ROW)
+    )
+    SELECT hour_ts, n_total, n_err, n_total_6h, n_err_6h,
+           CASE WHEN n_total = 0 THEN NULL
+                ELSE (CAST(n_err AS DOUBLE) / CAST(n_total AS DOUBLE))
+                     / {_SLO_TARGET} END AS burn_1h,
+           CASE WHEN n_total_6h = 0 THEN NULL
+                ELSE (CAST(n_err_6h AS DOUBLE) / CAST(n_total_6h AS DOUBLE))
+                     / {_SLO_TARGET} END AS burn_6h,
+           (n_total > 0 AND n_total_6h > 0
+            AND CAST(n_err AS DOUBLE) / CAST(n_total AS DOUBLE)
+                > {_SLO_TARGET}
+            AND CAST(n_err_6h AS DOUBLE) / CAST(n_total_6h AS DOUBLE)
+                > {_SLO_TARGET}) AS alert
+    FROM windows ORDER BY hour_ts
+    """,
+)
+def slo_burn_rate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn-rate alerting (the Google SRE workbook
+    policy): alert only when BOTH the fast window (1h error rate) and the
+    slow window ({_SLO_LONG_HOURS}h trailing) burn above the error budget
+    ({int(_SLO_TARGET * 100)}% here) — the two-window AND is what keeps
+    one bad minute from paging (fast-only) while still catching slow
+    leaks (slow-only would page hours late). Emits the full hourly series
+    with both burn rates and the alert flag.
+
+    Determinism: counts over the dense hour spine are exact integers
+    (zero-filled hours emit NULL burn, never a division error); each burn
+    is one exact-int divide then one divide by the budget constant; the
+    alert predicate compares exact-int ratios against the literal budget
+    (no derived-double comparison chains).
+
+    Scale: one hourly partial-agg over the corpus; the spine and the
+    6-hour trailing window are hour-count-sized (domain, not data); the
+    alert is a map-side predicate over spine rows."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias(
+            "hour_ts"
+        )
+    )
+    agg = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_ts")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("n_err"),
+    )
+    series = hours.join(agg, "hour_ts", "left").select(
+        "hour_ts",
+        F.coalesce(F.col("n_total"), F.lit(0)).cast("long").alias("n_total"),
+        F.coalesce(F.col("n_err"), F.lit(0)).cast("long").alias("n_err"),
+    )
+    w6 = Window.orderBy("hour_ts").rowsBetween(-(_SLO_LONG_HOURS - 1), 0)
+    windows = series.select(
+        "hour_ts",
+        "n_total",
+        "n_err",
+        F.sum("n_total").over(w6).cast("long").alias("n_total_6h"),
+        F.sum("n_err").over(w6).cast("long").alias("n_err_6h"),
+    )
+    rate_1h = F.col("n_err").cast("double") / F.col("n_total").cast("double")
+    rate_6h = F.col("n_err_6h").cast("double") / F.col("n_total_6h").cast(
+        "double"
+    )
+    return windows.select(
+        "hour_ts",
+        "n_total",
+        "n_err",
+        "n_total_6h",
+        "n_err_6h",
+        F.when(F.col("n_total") == 0, F.lit(None).cast("double"))
+        .otherwise(rate_1h / F.lit(_SLO_TARGET))
+        .alias("burn_1h"),
+        F.when(F.col("n_total_6h") == 0, F.lit(None).cast("double"))
+        .otherwise(rate_6h / F.lit(_SLO_TARGET))
+        .alias("burn_6h"),
+        (
+            (F.col("n_total") > 0)
+            & (F.col("n_total_6h") > 0)
+            & (rate_1h > F.lit(_SLO_TARGET))
+            & (rate_6h > F.lit(_SLO_TARGET))
+        ).alias("alert"),
+    ).orderBy("hour_ts")

@@ -126,6 +126,9 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     # wave 18: PPJoin prefix-filtered exact Jaccard + audio ZCR
     "prefix_filter_jaccard_pairs",
     "audio_zero_crossing_rate",
+    # wave 19: k-anonymity repair ladder + SLO burn-rate alerts
+    "k_anonymity_generalization_ladder",
+    "slo_burn_rate_alerts",
     # -- 1. Regression re-certification (r10 verdict ticket #2): lead the
     #       remaining slots with the queries whose newest driver-green
     #       evidence is OLDEST (the r04 cohort below — last green row
@@ -143,12 +146,11 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "corr_covar_qty_discount",
     "histogram_totalprice",
     "percentiles_quantity",
-    "pivot_segment_by_nation",
-    "pivot_native",
-    # (exactly 50 names: 36 new/changed round-11 entries + the 14
+    # (exactly 50 names: 38 new/changed round-11 entries + the 12
     # oldest-evidence r04 rotation names above. The r04 tail displaced
     # by this round's new waves keeps queue position for r12, oldest
-    # first: grouping_sets_orders, unpivot_part_metrics,
+    # first: pivot_segment_by_nation, pivot_native,
+    # grouping_sets_orders, unpivot_part_metrics,
     # window_nav_lag_lead, join_skew_salted, string_functions,
     # math_date_functions, stratified_topn_md5, tfidf_top_terms,
     # text_normalize,

@@ -548,3 +548,40 @@ def test_zcr_bounds_and_signed_decode(spark):
             assert 1 <= r["first_crossing_t"] <= r["n_samples"] - 1, r
         else:
             assert r["first_crossing_t"] is None
+
+
+def test_kanon_ladder_monotone_and_one_chosen(spark):
+    """Coarser levels can only shrink the class count and suppression
+    cost path should be non-increasing along the declared ladder for
+    class count; exactly one (or zero) level is chosen, and it is the
+    first one meeting the 1% suppression bar."""
+    rows = QUERIES["k_anonymity_generalization_ladder"](spark, SF_ORACLE).collect()
+    assert [r["level"] for r in rows] == ["L0", "L1", "L2", "L3"]
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_classes"] <= a["n_classes"], (a, b)
+    chosen = [r for r in rows if r["chosen"]]
+    ok = [r for r in rows if r["suppression_share"] <= 0.01]
+    assert len(chosen) == (1 if ok else 0)
+    if ok:
+        assert chosen[0]["level"] == min(r["level"] for r in ok)
+
+
+def test_slo_alert_requires_both_windows(spark):
+    """The alert fires iff BOTH windows burn above budget — re-derive the
+    predicate from the emitted exact counts for every hour; burn rates
+    re-derive from counts too."""
+    rows = QUERIES["slo_burn_rate_alerts"](spark, SF_ORACLE).collect()
+    assert rows
+    fired = 0
+    for r in rows:
+        want = (
+            r["n_total"] > 0
+            and r["n_total_6h"] > 0
+            and r["n_err"] / r["n_total"] > 0.25
+            and r["n_err_6h"] / r["n_total_6h"] > 0.25
+        )
+        assert bool(r["alert"]) == want, r
+        fired += bool(r["alert"])
+        if r["n_total"] > 0:
+            assert abs(r["burn_1h"] - (r["n_err"] / r["n_total"]) / 0.25) < 1e-12
+    assert fired > 0, "uniform 1/5 error mix should breach a 25% budget sometimes"
