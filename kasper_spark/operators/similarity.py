@@ -3112,3 +3112,130 @@ def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding drift report (round 11)
+# ---------------------------------------------------------------------------
+
+
+@register_query(
+    "embedding_drift_report",
+    oracle=f"""
+    WITH ex AS (
+        -- float -> DOUBLE -> decimal: the embedding_label_centroids cast
+        -- chain (casting FLOAT straight to decimal rounds halfway cases
+        -- differently across engines)
+        SELECT label, vec_id % 2 AS half, t.pos AS pos,
+               CAST(t.v AS DOUBLE) AS v
+        FROM embeddings,
+             LATERAL (SELECT UNNEST(generate_series(1, len(embedding))) AS pos,
+                             UNNEST(embedding) AS v) t
+    ),
+    means AS (
+        SELECT label, half, pos,
+               CAST(SUM(CAST(v AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*)
+                   AS mean_v,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM ex GROUP BY label, half, pos
+    ),
+    vecs AS (
+        SELECT label, half,
+               list(mean_v ORDER BY pos) AS m,
+               MIN(n) AS n
+        FROM means GROUP BY label, half
+    ),
+    paired AS (
+        SELECT a.label, a.n AS n_half0, b.n AS n_half1,
+               a.m AS m0, b.m AS m1
+        FROM vecs a JOIN vecs b
+          ON a.label = b.label AND a.half = 0 AND b.half = 1
+    ),
+    dots AS (
+        SELECT label, n_half0, n_half1,
+               {dot_exact_sql('m0', 'm1')} AS d01,
+               {dot_exact_sql('m0', 'm0')} AS d00,
+               {dot_exact_sql('m1', 'm1')} AS d11
+        FROM paired
+    )
+    SELECT label, n_half0, n_half1,
+           d01 / (sqrt(d00) * sqrt(d11)) AS centroid_cosine,
+           sqrt(d00 + d11 - 2 * d01) AS centroid_l2_shift,
+           sqrt(d00) AS norm_half0, sqrt(d11) AS norm_half1
+    FROM dots ORDER BY label
+    """,
+)
+def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift report — the model/data-shift monitor a vector
+    pipeline runs before trusting a refreshed corpus or re-embedded
+    batch: split each label's vectors into two cohorts (vec_id parity as
+    the old/new stand-in; production keys on ingestion date), compute
+    both cohort centroids EXACTLY, and report the centroid cosine and L2
+    shift per label. Cosine ~ 1 and small L2: the embedding space is
+    stable; a dropped cosine on one label = that class moved (re-embed,
+    or the upstream encoder changed under you).
+
+    Determinism: per-position means use the decimal(38,4) component-sum
+    discipline (embedding_label_centroids); centroid vectors reassemble
+    in pos order; dot products via dot_exact (per-element double product
+    -> decimal(30,12) -> exact sum); cosine/L2 are single expressions
+    over those exact doubles, with L2 in the algebraic d00+d11-2*d01 form
+    so both engines evaluate the identical shape (no per-element diff
+    array whose fold order could differ).
+
+    Scale: posexplode collapses map-side into (label, half, pos)
+    accumulators (the centroid-update shape — the exchange carries
+    2 x labels x dims rows, never vectors); everything after is
+    centroid-sized."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "label",
+        "half",
+        (F.col("pos") + 1).cast("bigint").alias("pos"),
+        F.col("v").cast("double").alias("v"),
+    )
+    means = ex.groupBy("label", "half", "pos").agg(
+        (
+            F.sum(F.col("v").cast("decimal(38,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_v"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    vecs = means.groupBy("label", "half").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mean_v"))),
+            lambda s: s.mean_v,
+        ).alias("m"),
+        F.min("n").cast("long").alias("n"),
+    )
+    a = vecs.filter(F.col("half") == 0).select(
+        "label", F.col("m").alias("m0"), F.col("n").alias("n_half0")
+    )
+    b = vecs.filter(F.col("half") == 1).select(
+        "label", F.col("m").alias("m1"), F.col("n").alias("n_half1")
+    )
+    dots = a.join(b, "label").select(
+        "label",
+        "n_half0",
+        "n_half1",
+        dot_exact(F.col("m0"), F.col("m1")).alias("d01"),
+        dot_exact(F.col("m0"), F.col("m0")).alias("d00"),
+        dot_exact(F.col("m1"), F.col("m1")).alias("d11"),
+    )
+    return dots.select(
+        "label",
+        "n_half0",
+        "n_half1",
+        (
+            F.col("d01") / (F.sqrt(F.col("d00")) * F.sqrt(F.col("d11")))
+        ).alias("centroid_cosine"),
+        F.sqrt(F.col("d00") + F.col("d11") - 2 * F.col("d01")).alias(
+            "centroid_l2_shift"
+        ),
+        F.sqrt(F.col("d00")).alias("norm_half0"),
+        F.sqrt(F.col("d11")).alias("norm_half1"),
+    ).orderBy("label")

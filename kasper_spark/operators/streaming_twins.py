@@ -3435,3 +3435,75 @@ def streaming_mase_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 assert "forecast_mase_seasonal_naive" in _OR, "batch MASE oracle missing"
 _OR["streaming_mase_twin"] = _OR["forecast_mase_seasonal_naive"]
+
+
+# ---------------------------------------------------------------------------
+# SLO burn-rate AT INGEST (round 11): 11th incremental-view twin
+# ---------------------------------------------------------------------------
+
+
+@register_query("streaming_slo_twin")  # oracle bound at module end
+def streaming_slo_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """slo_burn_rate_alerts AT INGEST: the hourly (n_total, n_err) pair is
+    a mergeable integer partial, so each micro-batch emits its own
+    error-budget partial and the read-side merge + the SAME
+    spine/two-window projection reproduce the batch alert table
+    bit-for-bit — which is the shape an SRE pipeline actually wants:
+    burn-rate pages come from the LIVE stream, and this twin certifies
+    the live view converges to the batch audit. 11th incremental-view
+    twin; cut-invariant by construction (fixed hour buckets, integer
+    counts; the MASE-twin staging discipline for nano-ts)."""
+    from kasper_spark.operators.temporal import (
+        slo_hourly_counts,
+        slo_report_from_counts,
+    )
+
+    work = _workdir("kasper-sslo-")
+    src_dir = os.path.join(work, "src")
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ck")
+
+    ensure_nanos_as_long(spark)
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    normalize_driver_ts(raw, ("ts",)).select("ts", "event_type").repartition(
+        4
+    ).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(src_dir)
+    )
+
+    def sink_batch(df, epoch_id: int) -> None:
+        slo_hourly_counts(df).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={epoch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.isdir(out_dir):
+        raise RuntimeError(
+            f"streaming_slo_twin: no micro-batch ran over {src_dir} — "
+            "the file stream source found no input files"
+        )
+    merged = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+        .groupBy("hour_ts")
+        .agg(
+            F.sum("n_total").cast("long").alias("n_total"),
+            F.sum("n_err").cast("long").alias("n_err"),
+        )
+    )
+    return slo_report_from_counts(merged)
+
+
+assert "slo_burn_rate_alerts" in _OR, "batch SLO oracle missing"
+_OR["streaming_slo_twin"] = _OR["slo_burn_rate_alerts"]

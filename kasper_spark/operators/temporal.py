@@ -3077,23 +3077,32 @@ def slo_burn_rate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one hourly partial-agg over the corpus; the spine and the
     6-hour trailing window are hour-count-sized (domain, not data); the
     alert is a map-side predicate over spine rows."""
-    from pyspark.sql.window import Window
-
     ev = load_table(spark, sf_dir, "events")
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
-    )
-    hours = bounds.select(
-        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias(
-            "hour_ts"
-        )
-    )
-    agg = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_ts")).agg(
+    return slo_report_from_counts(slo_hourly_counts(ev))
+
+
+def slo_hourly_counts(ev: DataFrame) -> DataFrame:
+    """(hour_ts, n_total, n_err) — the mergeable sufficient statistic
+    (both counts sum across any cut of the stream), shared by the batch
+    report and the streaming twin."""
+    return ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_ts")).agg(
         F.count(F.lit(1)).cast("long").alias("n_total"),
         F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
         .cast("long")
         .alias("n_err"),
+    )
+
+
+def slo_report_from_counts(agg: DataFrame) -> DataFrame:
+    """Spine zero-fill + two-window burn rates over merged hourly counts
+    (see slo_burn_rate_alerts)."""
+    from pyspark.sql.window import Window
+
+    bounds = agg.agg(F.min("hour_ts").alias("lo"), F.max("hour_ts").alias("hi"))
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias(
+            "hour_ts"
+        )
     )
     series = hours.join(agg, "hour_ts", "left").select(
         "hour_ts",

@@ -129,6 +129,9 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     # wave 19: k-anonymity repair ladder + SLO burn-rate alerts
     "k_anonymity_generalization_ladder",
     "slo_burn_rate_alerts",
+    # wave 20: embedding drift + SLO at ingest (11th incremental twin)
+    "embedding_drift_report",
+    "streaming_slo_twin",
     # -- 1. Regression re-certification (r10 verdict ticket #2): lead the
     #       remaining slots with the queries whose newest driver-green
     #       evidence is OLDEST (the r04 cohort below — last green row
@@ -144,12 +147,11 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "agg_argmax_battery",
     "stats_moments",
     "corr_covar_qty_discount",
-    "histogram_totalprice",
-    "percentiles_quantity",
-    # (exactly 50 names: 38 new/changed round-11 entries + the 12
+    # (exactly 50 names: 40 new/changed round-11 entries + the 10
     # oldest-evidence r04 rotation names above. The r04 tail displaced
     # by this round's new waves keeps queue position for r12, oldest
-    # first: pivot_segment_by_nation, pivot_native,
+    # first: histogram_totalprice, percentiles_quantity,
+    # pivot_segment_by_nation, pivot_native,
     # grouping_sets_orders, unpivot_part_metrics,
     # window_nav_lag_lead, join_skew_salted, string_functions,
     # math_date_functions, stratified_topn_md5, tfidf_top_terms,

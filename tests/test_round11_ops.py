@@ -585,3 +585,36 @@ def test_slo_alert_requires_both_windows(spark):
         if r["n_total"] > 0:
             assert abs(r["burn_1h"] - (r["n_err"] / r["n_total"]) / 0.25) < 1e-12
     assert fired > 0, "uniform 1/5 error mix should breach a 25% budget sometimes"
+
+
+def test_embedding_drift_identities(spark):
+    """Cosine in [-1, 1]; L2 shift consistent with the emitted norms via
+    the triangle/parallelogram bounds |n0 - n1| <= L2 <= n0 + n1; both
+    halves populated for every label."""
+    rows = QUERIES["embedding_drift_report"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 - 1e-9 <= r["centroid_cosine"] <= 1.0 + 1e-9, r
+        assert r["n_half0"] > 0 and r["n_half1"] > 0
+        lo = abs(r["norm_half0"] - r["norm_half1"]) - 1e-9
+        hi = r["norm_half0"] + r["norm_half1"] + 1e-9
+        assert lo <= r["centroid_l2_shift"] <= hi, r
+
+
+def test_streaming_slo_twin_equals_batch(spark):
+    """The ingest twin must reproduce the batch SLO table bit-for-bit."""
+    import pandas as pd
+
+    batch = (
+        QUERIES["slo_burn_rate_alerts"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("hour_ts")
+        .reset_index(drop=True)
+    )
+    twin = (
+        QUERIES["streaming_slo_twin"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("hour_ts")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(batch, twin, check_like=True)
