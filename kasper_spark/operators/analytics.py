@@ -2985,3 +2985,129 @@ def fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = rep if out is None else out.unionByName(rep)
     return out.orderBy("fd_name")
+
+
+# ---------------------------------------------------------------------------
+# Single-pass correlation matrix (round 11)
+# ---------------------------------------------------------------------------
+
+# (column, integer scale): quantity/price in hundredths, rates in
+# ten-thousandths — correlation is scale-invariant, so each column keeps
+# its natural exact-integer grid.
+_CORRM_COLS = (
+    ("l_quantity", 100),
+    ("l_extendedprice", 100),
+    ("l_discount", 10000),
+    ("l_tax", 10000),
+)
+_CORRM_N = len(_CORRM_COLS)
+
+
+@register_query(
+    "correlation_matrix_lineitem",
+    oracle=f"""
+    WITH cents AS (
+        SELECT {", ".join(
+            f"CAST(floor({c} * {s} + 0.5) AS BIGINT) AS c{i}"
+            for i, (c, s) in enumerate(_CORRM_COLS)
+        )}
+        FROM lineitem
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               {", ".join(
+                   f"CAST(SUM(c{i}) AS BIGINT) AS s{i}"
+                   for i in range(_CORRM_N)
+               )},
+               {", ".join(
+                   f"CAST(SUM(CAST(c{i} AS DECIMAL(18,0))"
+                   f" * CAST(c{j} AS DECIMAL(18,0))) AS DOUBLE) AS p{i}_{j}"
+                   for i in range(_CORRM_N)
+                   for j in range(i, _CORRM_N)
+               )}
+        FROM cents
+    )
+    {" UNION ALL ".join(
+        f'''SELECT '{_CORRM_COLS[i][0]}' AS col_a,
+               '{_CORRM_COLS[j][0]}' AS col_b,
+               n,
+               (CAST(n AS DOUBLE) * p{i}_{j}
+                - CAST(s{i} AS DOUBLE) * CAST(s{j} AS DOUBLE))
+               / (sqrt(CAST(n AS DOUBLE) * p{i}_{i}
+                       - CAST(s{i} AS DOUBLE) * CAST(s{i} AS DOUBLE))
+                  * sqrt(CAST(n AS DOUBLE) * p{j}_{j}
+                         - CAST(s{j} AS DOUBLE) * CAST(s{j} AS DOUBLE)))
+                   AS pearson_r
+        FROM stats'''
+        for i in range(_CORRM_N)
+        for j in range(i + 1, _CORRM_N)
+    )}
+    ORDER BY col_a, col_b
+    """,
+)
+def correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pairwise Pearson correlation matrix over lineitem's numeric
+    measures in ONE aggregation pass — the profiling step feature
+    engineering runs before any modeling (corr_covar_qty_discount does
+    one pair; this does all C(4,2) from a single scan's sufficient
+    statistics: n, 4 sums, 10 cross/self product sums). "One pass vs one
+    query per pair" is the dq_constraint_report argument at 100 TB.
+
+    Determinism + overflow: each value sits on its natural exact integer
+    grid (hundredths / ten-thousandths); plain sums are exact BIGINTs;
+    PRODUCT sums go through DECIMAL(18,0) x DECIMAL(18,0) (exact 128-bit
+    accumulation on both engines — a BIGINT product sum overflows at
+    ~1e18, which price-squared hits within a few thousand rows), emitted
+    as ONE deterministic double each; every correlation is a single
+    fixed double expression over those (cast-to-double before the n*p
+    products — the Benford discipline).
+
+    Scale: one partial-aggregated scan -> a 1-row stats table -> a
+    6-row projection."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        *[
+            F.floor(F.col(c) * s + 0.5).cast("long").alias(f"c{i}")
+            for i, (c, s) in enumerate(_CORRM_COLS)
+        ]
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    aggs += [
+        F.sum(F.col(f"c{i}")).cast("long").alias(f"s{i}")
+        for i in range(_CORRM_N)
+    ]
+    aggs += [
+        F.sum(
+            F.col(f"c{i}").cast("decimal(18,0)")
+            * F.col(f"c{j}").cast("decimal(18,0)")
+        )
+        .cast("double")
+        .alias(f"p{i}_{j}")
+        for i in range(_CORRM_N)
+        for j in range(i, _CORRM_N)
+    ]
+    stats = cents.agg(*aggs)
+    rows = []
+    for i in range(_CORRM_N):
+        for j in range(i + 1, _CORRM_N):
+            num = F.col("n").cast("double") * F.col(f"p{i}_{j}") - F.col(
+                f"s{i}"
+            ).cast("double") * F.col(f"s{j}").cast("double")
+            var_i = F.col("n").cast("double") * F.col(f"p{i}_{i}") - F.col(
+                f"s{i}"
+            ).cast("double") * F.col(f"s{i}").cast("double")
+            var_j = F.col("n").cast("double") * F.col(f"p{j}_{j}") - F.col(
+                f"s{j}"
+            ).cast("double") * F.col(f"s{j}").cast("double")
+            rows.append(
+                stats.select(
+                    F.lit(_CORRM_COLS[i][0]).alias("col_a"),
+                    F.lit(_CORRM_COLS[j][0]).alias("col_b"),
+                    "n",
+                    (num / (F.sqrt(var_i) * F.sqrt(var_j))).alias("pearson_r"),
+                )
+            )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("col_a", "col_b")

@@ -3140,3 +3140,132 @@ def slo_report_from_counts(agg: DataFrame) -> DataFrame:
             & (rate_6h > F.lit(_SLO_TARGET))
         ).alias("alert"),
     ).orderBy("hour_ts")
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust daily trend (round 11)
+# ---------------------------------------------------------------------------
+
+
+@register_query(
+    "theil_sen_daily_trend",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(date_trunc('day', MIN(ts)) AS DATE) AS lo,
+               CAST(date_trunc('day', MAX(ts)) AS DATE) AS hi
+        FROM events
+    ),
+    days AS (
+        SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS day_ts
+        FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    spine AS (SELECT event_type, CAST(day_ts AS DATE) AS d
+              FROM types CROSS JOIN days),
+    agg AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    series AS (
+        SELECT s.event_type,
+               CAST(date_diff('day', b.lo, s.d) AS BIGINT) AS x,
+               CAST(COALESCE(a.n, 0) AS BIGINT) AS y
+        FROM spine s
+        LEFT JOIN agg a ON s.event_type = a.event_type AND s.d = a.d
+        CROSS JOIN bounds b
+    ),
+    slopes AS (
+        SELECT a.event_type,
+               CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE)
+                   AS slope
+        FROM series a JOIN series b
+          ON a.event_type = b.event_type AND a.x < b.x
+    ),
+    ranked AS (
+        SELECT event_type, slope,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY slope) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS m
+        FROM slopes
+    )
+    SELECT event_type,
+           CAST(MAX(m) AS BIGINT) AS n_pairs,
+           MIN(CASE WHEN rk = (m + 1) // 2 THEN slope END)
+               AS theil_sen_slope
+    FROM ranked GROUP BY event_type ORDER BY event_type
+    """,
+)
+def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimate of each event type's daily volume —
+    the median of all pairwise slopes, the standard outlier-immune
+    alternative to OLS (breakdown point 29% vs 0%: one bad ingest day
+    drags an OLS line but not the pairwise-slope median). Complements
+    the forecast/decomposition views with the robust version of "is this
+    stream growing".
+
+    Determinism: daily counts over the dense day spine are exact
+    integers; each pairwise slope is ONE exact-int double division;
+    the median is pure SELECTION (lower median via ROW_NUMBER — ties on
+    equal slope values select the same value regardless of tie order).
+
+    Scale: the pair build is per-type over DAY-count rows (C(days, 2) ~
+    5k pairs per type per year — domain-sized, independent of event
+    volume; the corpus is touched once by the daily partial agg). At
+    decade horizons, the standard subsample estimator (random pair
+    sample) replaces the full cross — same plan with a hash-gate on
+    pairs."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("lo"),
+        F.date_trunc("day", F.max("ts")).cast("date").alias("hi"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("d"),
+        "lo",
+    )
+    spine = ev.select("event_type").distinct().crossJoin(days)
+    agg = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    series = spine.join(agg, ["event_type", "d"], "left").select(
+        "event_type",
+        F.datediff(F.col("d"), F.col("lo")).cast("long").alias("x"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("y"),
+    )
+    a = series.alias("a")
+    b = series.alias("b")
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("a.x") < F.col("b.x"))
+        .select(
+            "event_type",
+            (
+                (F.col("b.y") - F.col("a.y")).cast("double")
+                / (F.col("b.x") - F.col("a.x")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("slope")
+    w_all = Window.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(w_all).alias("m"),
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("m").cast("long").alias("n_pairs"),
+            F.min(
+                F.when(
+                    F.col("rk") == F.floor((F.col("m") + 1) / 2).cast("long"),
+                    F.col("slope"),
+                )
+            ).alias("theil_sen_slope"),
+        )
+        .orderBy("event_type")
+    )

@@ -132,6 +132,9 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     # wave 20: embedding drift + SLO at ingest (11th incremental twin)
     "embedding_drift_report",
     "streaming_slo_twin",
+    # wave 21: Theil-Sen robust trend + single-pass correlation matrix
+    "theil_sen_daily_trend",
+    "correlation_matrix_lineitem",
     # -- 1. Regression re-certification (r10 verdict ticket #2): lead the
     #       remaining slots with the queries whose newest driver-green
     #       evidence is OLDEST (the r04 cohort below — last green row
@@ -145,12 +148,11 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "upsert_snapshot",
     "referential_integrity_audit",
     "agg_argmax_battery",
-    "stats_moments",
-    "corr_covar_qty_discount",
-    # (exactly 50 names: 40 new/changed round-11 entries + the 10
+    # (exactly 50 names: 42 new/changed round-11 entries + the 8
     # oldest-evidence r04 rotation names above. The r04 tail displaced
     # by this round's new waves keeps queue position for r12, oldest
-    # first: histogram_totalprice, percentiles_quantity,
+    # first: stats_moments, corr_covar_qty_discount,
+    # histogram_totalprice, percentiles_quantity,
     # pivot_segment_by_nation, pivot_native,
     # grouping_sets_orders, unpivot_part_metrics,
     # window_nav_lag_lead, join_skew_salted, string_functions,

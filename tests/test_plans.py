@@ -163,6 +163,7 @@ _INTENTIONAL_BNLJ = {
     "bpe_learn_merges",  # 1-row broadcast per merge round: the winning pair
     "forecast_mase_seasonal_naive",  # same bounded types x hours spine as gapfill
     "streaming_mase_twin",  # shares that spine over the drained partials
+    "theil_sen_daily_trend",  # bounded types x days spine + 1-row bounds broadcast
     "negative_sampling_table",  # 1-row broadcast of the corpus token total
     "quality_percentile_calibration",  # 1-row broadcast: exact global median
     "q11_important_value",  # 1-row broadcast: national total threshold

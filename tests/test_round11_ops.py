@@ -618,3 +618,83 @@ def test_streaming_slo_twin_equals_batch(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(batch, twin, check_like=True)
+
+
+def test_theil_sen_robustness_vs_numpy(spark):
+    """Re-derive the pairwise-slope lower median in pure Python from the
+    daily series for one type — selection identity, not approximation."""
+    from pyspark.sql import functions as F
+
+    from kasper_spark.catalog import load_table
+
+    out = {
+        r["event_type"]: (r["n_pairs"], r["theil_sen_slope"])
+        for r in QUERIES["theil_sen_daily_trend"](spark, SF_SMOKE).collect()
+    }
+    assert out
+    ev = load_table(spark, SF_SMOKE, "events")
+    et = sorted(out)[0]
+    days = (
+        ev.filter(F.col("event_type") == et)
+        .groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    counts = {r["d"]: r["n"] for r in days}
+    lo = min(
+        r["d"]
+        for r in ev.groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("d"))
+        .count()
+        .collect()
+    )
+    hi = max(
+        r["d"]
+        for r in ev.groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("d"))
+        .count()
+        .collect()
+    )
+    import datetime
+
+    xs, ys = [], []
+    d = lo
+    i = 0
+    while d <= hi:
+        xs.append(i)
+        ys.append(counts.get(d, 0))
+        d += datetime.timedelta(days=1)
+        i += 1
+    slopes = sorted(
+        (ys[j] - ys[i]) / (xs[j] - xs[i])
+        for i in range(len(xs))
+        for j in range(i + 1, len(xs))
+    )
+    want = slopes[(len(slopes) + 1) // 2 - 1]
+    got_pairs, got_slope = out[et]
+    assert got_pairs == len(slopes)
+    assert got_slope == want, (got_slope, want)
+
+
+def test_correlation_matrix_bounds_and_symmetric_pairs(spark):
+    """Six unordered pairs, each |r| <= 1; the (quantity, discount) pair
+    must numerically match the dedicated corr_covar operator's Pearson
+    value to double precision."""
+    rows = QUERIES["correlation_matrix_lineitem"](spark, SF_ORACLE).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert -1.0 - 1e-12 <= r["pearson_r"] <= 1.0 + 1e-12, r
+    pairs = {
+        frozenset((r["col_a"], r["col_b"])): r["pearson_r"] for r in rows
+    }
+    pair = pairs[frozenset(("l_discount", "l_quantity"))]
+    # independent ground truth: numpy Pearson over the same exact grids
+    import numpy as np
+
+    from kasper_spark.catalog import load_table
+
+    li = load_table(spark, SF_ORACLE, "lineitem").select(
+        "l_quantity", "l_discount"
+    ).collect()
+    q = np.array([round(r["l_quantity"] * 100) for r in li], dtype=np.float64)
+    d = np.array([round(r["l_discount"] * 10000) for r in li], dtype=np.float64)
+    want = np.corrcoef(q, d)[0, 1]
+    assert abs(pair - want) < 1e-9, (pair, want)
