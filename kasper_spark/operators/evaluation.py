@@ -852,3 +852,220 @@ from kasper_spark.registry import ORACLES as _OR  # noqa: E402
 
 assert "auc_label_quality" in _OR, "batch AUC oracle missing (twin bind)"
 _OR["streaming_auc_twin"] = _OR["auc_label_quality"]
+
+
+# ---------------------------------------------------------------------------
+# Experimentation tier (round 11): A/B z-test + CUPED
+# ---------------------------------------------------------------------------
+
+_CUPED_CUTOFF = "2024-01-16"  # pre-period / post-period boundary
+
+
+@register_query(
+    "ab_test_mean_ztest",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, user_id % 2 AS arm,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events GROUP BY user_id
+    ),
+    arms AS (
+        SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS s,
+               CAST(SUM(y * y) AS BIGINT) AS ss
+        FROM per_user GROUP BY arm
+    ),
+    wide AS (
+        SELECT
+            MAX(CASE WHEN arm = 0 THEN n END) AS n_a,
+            MAX(CASE WHEN arm = 0 THEN s END) AS s_a,
+            MAX(CASE WHEN arm = 0 THEN ss END) AS ss_a,
+            MAX(CASE WHEN arm = 1 THEN n END) AS n_b,
+            MAX(CASE WHEN arm = 1 THEN s END) AS s_b,
+            MAX(CASE WHEN arm = 1 THEN ss END) AS ss_b
+        FROM arms
+    )
+    SELECT n_a, n_b,
+           CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+           CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+           (CAST(n_a AS DOUBLE) * CAST(ss_a AS DOUBLE)
+            - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE))
+           / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE)) AS var_a,
+           (CAST(n_b AS DOUBLE) * CAST(ss_b AS DOUBLE)
+            - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE))
+           / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE)) AS var_b,
+           (CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+            - CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+           / sqrt(((CAST(n_a AS DOUBLE) * CAST(ss_a AS DOUBLE)
+                    - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE))
+                   / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE)))
+                  / CAST(n_a AS DOUBLE)
+                  + ((CAST(n_b AS DOUBLE) * CAST(ss_b AS DOUBLE)
+                      - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE))
+                     / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE)))
+                    / CAST(n_b AS DOUBLE)) AS z_stat,
+           abs((CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                - CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+               / sqrt(((CAST(n_a AS DOUBLE) * CAST(ss_a AS DOUBLE)
+                        - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE))
+                       / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE)))
+                      / CAST(n_a AS DOUBLE)
+                      + ((CAST(n_b AS DOUBLE) * CAST(ss_b AS DOUBLE)
+                          - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE))
+                         / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE)))
+                        / CAST(n_b AS DOUBLE))) > 1.96 AS significant_95
+    FROM wide
+    """,
+)
+def ab_test_mean_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample (Welch) z-test on the per-user purchase count — the
+    experimentation-platform readout (arm = user_id parity as the
+    deterministic hash split). A PROPORTION test saturates on this
+    corpus (every active user purchases within the window, pooled
+    variance 0 -> division by zero under ANSI — found by the gate), so
+    the metric is the user-level MEAN with per-arm variances, which is
+    what mature platforms test anyway (continuous metrics dominate
+    conversion flags). The p-value needs the normal CDF (libm erf — not
+    bit-portable), so the decision compares |z| against the literal
+    1.96, which is how alerting thresholds are implemented anyway.
+
+    Determinism: per-arm n / sum / sum-of-squares are exact BIGINTs;
+    means, population variances and z are fixed double expressions over
+    them (cast-to-double first; sqrt correctly rounded).
+
+    Scale: one per-user partial agg, a 2-row arm aggregate, a 1-row
+    report."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("y")
+    ).select((F.col("user_id") % 2).alias("arm"), "y")
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("ss"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == 0, F.col("s"))).alias("s_a"),
+        F.max(F.when(F.col("arm") == 0, F.col("ss"))).alias("ss_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == 1, F.col("s"))).alias("s_b"),
+        F.max(F.when(F.col("arm") == 1, F.col("ss"))).alias("ss_b"),
+    )
+
+    def _mean(s, n):
+        return F.col(s).cast("double") / F.col(n).cast("double")
+
+    def _var(n, s, ss):
+        nd = F.col(n).cast("double")
+        return (
+            nd * F.col(ss).cast("double")
+            - F.col(s).cast("double") * F.col(s).cast("double")
+        ) / (nd * nd)
+
+    z = (_mean("s_b", "n_b") - _mean("s_a", "n_a")) / F.sqrt(
+        _var("n_a", "s_a", "ss_a") / F.col("n_a").cast("double")
+        + _var("n_b", "s_b", "ss_b") / F.col("n_b").cast("double")
+    )
+    return wide.select(
+        "n_a",
+        "n_b",
+        _mean("s_a", "n_a").alias("mean_a"),
+        _mean("s_b", "n_b").alias("mean_b"),
+        _var("n_a", "s_a", "ss_a").alias("var_a"),
+        _var("n_b", "s_b", "ss_b").alias("var_b"),
+        z.alias("z_stat"),
+        (F.abs(z) > 1.96).alias("significant_95"),
+    )
+
+
+@register_query(
+    "cuped_adjusted_metric",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_CUTOFF}'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS pre,
+               CAST(SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUTOFF}'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS post
+        FROM events GROUP BY user_id
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(pre) AS BIGINT) AS sx,
+               CAST(SUM(post) AS BIGINT) AS sy,
+               CAST(SUM(pre * post) AS BIGINT) AS sxy,
+               CAST(SUM(pre * pre) AS BIGINT) AS sxx,
+               CAST(SUM(post * post) AS BIGINT) AS syy
+        FROM per_user
+    )
+    SELECT n, sx AS sum_pre, sy AS sum_post,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta,
+           ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+           / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               AS variance_reduction
+    FROM stats
+    """,
+)
+def cuped_adjusted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM'13 — the standard
+    experimentation-platform sensitivity boost): regress each user's
+    post-period activity on their pre-period activity (theta =
+    cov(pre, post) / var(pre)) and report the variance reduction the
+    adjusted metric Y - theta*(X - mean(X)) achieves, which is exactly
+    rho^2 — computed here as the cov^2/(varX*varY) ratio over cleared
+    integer sufficient statistics. A platform applies theta per
+    experiment readout; this operator certifies the estimator itself.
+
+    Determinism: n / sums / cross-products are exact BIGINTs (counts
+    per user are small; the product sums are bounded by (events per
+    user)^2 * users — document-scale, not price-scale, so no decimal
+    path needed: the sf-independent bound is events_per_user < ~3e4 at
+    n_users < ~1e10); theta and rho^2 are fixed double expressions over
+    those (cast-to-double first, the Benford discipline).
+
+    Scale: one per-user partial agg -> a 1-row sufficient-statistic
+    table -> a 1-row report."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(_CUPED_CUTOFF).cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cutoff, 1).otherwise(0))
+        .cast("long")
+        .alias("pre"),
+        F.sum(F.when(F.col("ts") >= cutoff, 1).otherwise(0))
+        .cast("long")
+        .alias("post"),
+    )
+    stats = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pre").cast("long").alias("sx"),
+        F.sum("post").cast("long").alias("sy"),
+        F.sum(F.col("pre") * F.col("post")).cast("long").alias("sxy"),
+        F.sum(F.col("pre") * F.col("pre")).cast("long").alias("sxx"),
+        F.sum(F.col("post") * F.col("post")).cast("long").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    cov = nd * F.col("sxy").cast("double") - sx * sy
+    var_x = nd * F.col("sxx").cast("double") - sx * sx
+    var_y = nd * F.col("syy").cast("double") - sy * sy
+    return stats.select(
+        "n",
+        F.col("sx").alias("sum_pre"),
+        F.col("sy").alias("sum_post"),
+        (cov / var_x).alias("theta"),
+        ((cov * cov) / (var_x * var_y)).alias("variance_reduction"),
+    )

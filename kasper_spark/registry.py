@@ -135,6 +135,9 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     # wave 21: Theil-Sen robust trend + single-pass correlation matrix
     "theil_sen_daily_trend",
     "correlation_matrix_lineitem",
+    # wave 22: experimentation tier (Welch z-test + CUPED)
+    "ab_test_mean_ztest",
+    "cuped_adjusted_metric",
     # -- 1. Regression re-certification (r10 verdict ticket #2): lead the
     #       remaining slots with the queries whose newest driver-green
     #       evidence is OLDEST (the r04 cohort below — last green row
@@ -146,12 +149,11 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "funnel_view_click_purchase",
     "mom_revenue_growth",
     "upsert_snapshot",
-    "referential_integrity_audit",
-    "agg_argmax_battery",
-    # (exactly 50 names: 42 new/changed round-11 entries + the 8
+    # (exactly 50 names: 44 new/changed round-11 entries + the 6
     # oldest-evidence r04 rotation names above. The r04 tail displaced
     # by this round's new waves keeps queue position for r12, oldest
-    # first: stats_moments, corr_covar_qty_discount,
+    # first: referential_integrity_audit, agg_argmax_battery,
+    # stats_moments, corr_covar_qty_discount,
     # histogram_totalprice, percentiles_quantity,
     # pivot_segment_by_nation, pivot_native,
     # grouping_sets_orders, unpivot_part_metrics,

@@ -698,3 +698,46 @@ def test_correlation_matrix_bounds_and_symmetric_pairs(spark):
     d = np.array([round(r["l_discount"] * 10000) for r in li], dtype=np.float64)
     want = np.corrcoef(q, d)[0, 1]
     assert abs(pair - want) < 1e-9, (pair, want)
+
+
+def test_ab_ztest_identities(spark):
+    """Variances are non-negative, the z statistic re-derives from the
+    emitted means/variances/counts, and the significance flag matches
+    |z| > 1.96."""
+    r = QUERIES["ab_test_mean_ztest"](spark, SF_ORACLE).collect()[0]
+    assert r["var_a"] >= 0 and r["var_b"] >= 0
+    import math
+
+    se = math.sqrt(r["var_a"] / r["n_a"] + r["var_b"] / r["n_b"])
+    assert abs(r["z_stat"] - (r["mean_b"] - r["mean_a"]) / se) < 1e-9
+    assert bool(r["significant_95"]) == (abs(r["z_stat"]) > 1.96)
+
+
+def test_cuped_matches_numpy_and_reduces_variance(spark):
+    """theta and rho^2 re-derive from a numpy reconstruction of the
+    per-user pre/post counts; variance_reduction (= rho^2) lives in
+    [0, 1]."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from kasper_spark.catalog import load_table
+
+    r = QUERIES["cuped_adjusted_metric"](spark, SF_ORACLE).collect()[0]
+    assert 0.0 <= r["variance_reduction"] <= 1.0
+    ev = load_table(spark, SF_ORACLE, "events")
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    pu = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cutoff, 1).otherwise(0)).alias("pre"),
+        F.sum(F.when(F.col("ts") >= cutoff, 1).otherwise(0)).alias("post"),
+    ).collect()
+    pre = np.array([x["pre"] for x in pu], dtype=np.float64)
+    post = np.array([x["post"] for x in pu], dtype=np.float64)
+    cov = np.mean(pre * post) - pre.mean() * post.mean()
+    theta = cov / (np.mean(pre * pre) - pre.mean() ** 2)
+    rho2 = cov * cov / (
+        (np.mean(pre * pre) - pre.mean() ** 2)
+        * (np.mean(post * post) - post.mean() ** 2)
+    )
+    assert abs(r["theta"] - theta) < 1e-9
+    assert abs(r["variance_reduction"] - rho2) < 1e-9
