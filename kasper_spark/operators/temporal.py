@@ -2847,9 +2847,14 @@ def asof_join_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     kinds, sort within user by time, and carry the next purchase
     timestamp BACKWARD with a running MIN over the following-rows frame
     — one shuffle + one sort for the whole table instead of a correlated
-    per-row subquery. Purchases sort before views at the same timestamp
-    so a simultaneous purchase counts (ts >= v.ts), matching the
-    oracle's >=."""
+    per-row subquery. Purchases sort AFTER views at the same timestamp
+    (view tag 0, purchase tag 1) so a simultaneous purchase lands inside
+    the view's following-rows frame and counts (ts >= v.ts), matching
+    the oracle's >=. Note the tag direction is the MIRROR of the
+    backward join's: a preceding frame needs same-ts purchases sorted
+    first, a following frame needs them sorted last (ADVICE r11; the
+    constructed-tie case is pinned by
+    tests/test_round12_ops.py::test_asof_forward_same_ts_purchase)."""
     from pyspark.sql.window import Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -2862,7 +2867,7 @@ def asof_join_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_ts"
         ),
     )
-    order_tag = F.when(F.col("event_type") == "purchase", 0).otherwise(1)
+    order_tag = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", order_tag, "event_id")
