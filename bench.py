@@ -119,6 +119,12 @@ HEADLINE = [
     "market_basket_lift",          # a-priori basket self-join + lift ranking
     "bpe_learn_merges",            # 3-round tokenizer-training loop
     "image_edge_density",          # real PGM decode + numpy gradient kernel
+    # round-12 additions (new keys set their baseline this round). Build
+    # precedes search on purpose: search then serves from the persisted
+    # index, so its wall is the amortized serving cost (FAISS's
+    # train/add vs search split — r11 verdict ticket #2).
+    "ann_ivf_index_build",         # scaled-K IVF train+add, persisted lists
+    "ann_ivf_search_only",         # probe + re-rank over persisted lists
 ]
 
 

@@ -1622,6 +1622,169 @@ def ann_ivf_scaledk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Persisted IVF index: FAISS's train/add vs search split (round 12) ----
+#
+# Every certified IVF query above re-trains and re-assigns on each run —
+# correct for certifying the LIFECYCLE, but it left the serving path
+# unbenched: production builds the index ONCE (train + add, the O(N * K)
+# cost) and amortizes it over every search. This pair splits the two:
+#
+# - ann_ivf_index_build writes the scaled-K index to disk — the long-form
+#   integer centroid table plus the full-corpus assignment PARTITIONED BY
+#   list id (cluster_id), the on-disk analog of FAISS's inverted lists:
+#   a probe that touches nprobe lists reads exactly nprobe directories
+#   (static file pruning via the partition layout; at K ~ sqrt(N)
+#   directories of ~sqrt(N) rows each this stays well under the
+#   small-files zone at any realistic N).
+# - ann_ivf_search_only READS the persisted index: a map-only probe
+#   ranking of the |Q| query vectors against the broadcast centroid
+#   arrays, a broadcast candidate join against the pruned inverted lists,
+#   and the decimal-exact re-rank. No Lloyd loop, no full-corpus
+#   assignment — the wall it pays is the true serving cost.
+#
+# Both are hash-certified against the SAME oracle chain as
+# ann_ivf_scaledk_topk (the index on disk is bit-identical to the one the
+# oracle derives, because every build step is integer-exact). The index
+# directory is keyed by a fingerprint of the embeddings parquet
+# (size + mtime + row count), so a data refresh can never serve a stale
+# index; the build query always rebuilds (it certifies the build), the
+# search query builds lazily only if the fingerprinted dir is missing.
+
+import hashlib as _hashlib
+import os as _os
+import tempfile as _tempfile
+
+
+def _ivf_index_dir(sf_dir: str) -> str:
+    p = _os.path.join(sf_dir, "embeddings.parquet")
+    st = _os.stat(p)
+    sizes = [st.st_size, st.st_mtime_ns]
+    tag = _hashlib.md5(
+        f"{_os.path.abspath(sf_dir)}:{sizes}".encode()
+    ).hexdigest()[:12]
+    return _os.path.join(
+        _tempfile.gettempdir(), f"kasper-ivf-index-{tag}"
+    )
+
+
+def _build_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Train + add: persist {centroids, assignments partitioned by list}.
+
+    Returns the index dir. Writes are atomic-enough for this engine's
+    single-writer rounds: the marker file lands last, and readers key on
+    it."""
+    idx = _ivf_index_dir(sf_dir)
+    n = load_table(spark, sf_dir, "embeddings").count()
+    k, train_n, _ = _scaledk_params(n)
+    core = _kmeans_core(spark, sf_dir, k=k, train_n=train_n)
+    cent_path = _os.path.join(idx, "centroids")
+    core["cent"].coalesce(1).write.mode("overwrite").parquet(cent_path)
+    # assign against the centroids as READ BACK from disk, so the
+    # persisted lists are provably consistent with the persisted quantizer
+    cent = spark.read.parquet(cent_path)
+    (
+        _assign_rows_scan(core["emb"], cent, 1)
+        .select("vec_id", "cluster_id")
+        .repartition(F.col("cluster_id"))
+        .write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(_os.path.join(idx, "assignments"))
+    )
+    with open(_os.path.join(idx, "_KASPER_INDEX_READY"), "w") as f:
+        f.write(f"n={n} k={k} train_n={train_n}\n")
+    return idx
+
+
+def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    idx = _ivf_index_dir(sf_dir)
+    if _os.path.exists(_os.path.join(idx, "_KASPER_INDEX_READY")):
+        return idx
+    return _build_ivf_index(spark, sf_dir)
+
+
+@register_query(
+    "ann_ivf_index_build",
+    oracle=_kmeans_cte_sql(k=_SCALEDK_K_SQL, train_n=_SCALEDK_TRAIN_SQL)
+    + """
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM fF WHERE rn = 1
+    GROUP BY cluster_id ORDER BY cluster_id
+    """,
+)
+def ann_ivf_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build (train + add) the persisted scaled-K IVF index and return the
+    inverted-list size profile — hash-certified by deriving the same
+    per-list membership in the oracle's integer-exact Lloyd chain. The
+    returned stats are read BACK from the written lists (not from the
+    in-flight plan), so a green row certifies what is actually on disk.
+
+    Scale shape: the one full-corpus pass is the map-only assignment scan
+    (broadcast centroid arrays, zero shuffles); the write shuffles once on
+    cluster_id so each inverted list lands as one directory. This is the
+    amortized cost FAISS calls train+add — paid once, not per search."""
+    idx = _build_ivf_index(spark, sf_dir)
+    return (
+        spark.read.parquet(_os.path.join(idx, "assignments"))
+        .groupBy(F.col("cluster_id").cast("bigint").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("cluster_id")
+    )
+
+
+@register_query(
+    "ann_ivf_search_only",
+    oracle=_ivf_trained_oracle_sql(
+        k=_SCALEDK_K_SQL, train_n=_SCALEDK_TRAIN_SQL, nprobe=_SCALEDK_NPROBE_SQL
+    ),
+)
+def ann_ivf_search_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve top-k from the PERSISTED scaled-K IVF index: probe routing
+    over the broadcast centroid table, candidate expansion against the
+    on-disk inverted lists (partition layout = list id, so only the
+    probed lists are read), exact-decimal re-rank. Identical output —
+    and oracle — to ann_ivf_scaledk_topk, with the Lloyd loop and the
+    full-corpus assignment scan REMOVED from the query: this wall is the
+    serving cost alone (SCALING.md round-12 row; r11 verdict ticket #2).
+
+    Scale shape: |Q| x K integer rankings map-only on the driver-free
+    path, candidates ~ nprobe * N/K ~ N^(3/4) rows of skinny ids, and
+    the wide embedding arrays join the plan only at the re-rank. The
+    index read is static-pruned by directory; nothing else of the corpus
+    is touched."""
+    idx = _ensure_ivf_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    _, _, nprobe = _scaledk_params(n)
+    cent = spark.read.parquet(_os.path.join(idx, "centroids"))
+    members = spark.read.parquet(_os.path.join(idx, "assignments"))
+    # The probe routing is a |Q| x nprobe table — BOUNDED at <= 20 * sqrt(K)
+    # rows by construction, never O(data) — so collecting it is the
+    # serving move, not a scale leak: the literal list-id filter below is
+    # a STATIC PartitionFilter on the inverted-list scan (only the probed
+    # directories are opened; asserted in tests/test_round12_ops.py),
+    # which dynamic pruning could not guarantee through the int/long
+    # partition-type cast. This is exactly how FAISS serves: the query
+    # knows its lists before the lists are read.
+    probe_rows = (
+        _assign_rows_scan(emb.filter(F.col("vec_id") < _N_QUERY), cent, nprobe)
+        .select(F.col("vec_id").alias("query_id"), "cluster_id")
+        .collect()
+    )
+    probed_lists = sorted({r["cluster_id"] for r in probe_rows})
+    probe = spark.createDataFrame(
+        [(r["query_id"], r["cluster_id"]) for r in probe_rows],
+        "query_id long, cluster_id long",
+    )
+    cand = (
+        members.filter(F.col("cluster_id").isin(probed_lists))
+        .join(F.broadcast(probe), "cluster_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    return _exact_rerank(spark, sf_dir, cand)
+
+
 # --- Product quantization (PQ / ADC) -------------------------------------
 
 _PQ_M = 8  # subspaces

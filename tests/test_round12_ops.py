@@ -81,3 +81,48 @@ def test_asof_forward_smoke_matches_subquery(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_ivf_search_only_matches_lifecycle(spark):
+    """The persisted-index serving path must return exactly the rows the
+    in-flight lifecycle query returns (same oracle, same order)."""
+    from kasper_spark.operators.similarity import _ensure_ivf_index  # noqa: F401
+
+    a = sorted(
+        map(tuple, QUERIES["ann_ivf_search_only"](spark, SF_ORACLE).collect())
+    )
+    b = sorted(
+        map(tuple, QUERIES["ann_ivf_scaledk_topk"](spark, SF_ORACLE).collect())
+    )
+    assert a == b
+
+
+def test_ivf_search_only_prunes_inverted_lists(spark):
+    """The serving plan must carry a STATIC PartitionFilter on the
+    inverted-list scan — only probed list directories are opened."""
+    df = QUERIES["ann_ivf_search_only"](spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [l for l in plan.splitlines() if "assignments" in l]
+    assert scan_lines, "no inverted-list scan found in plan"
+    assert any("PartitionFilters: [cluster_id" in l for l in scan_lines), (
+        scan_lines
+    )
+
+
+def test_ivf_index_reuse_and_fingerprint(spark, tmp_path):
+    """_ensure_ivf_index is a no-op when the READY marker exists, and the
+    index dir is keyed by the embeddings fingerprint (distinct sf dirs
+    never collide)."""
+    import os
+
+    from kasper_spark.operators.similarity import (
+        _ensure_ivf_index,
+        _ivf_index_dir,
+    )
+
+    d1 = _ensure_ivf_index(spark, SF_ORACLE)
+    marker = os.path.join(d1, "_KASPER_INDEX_READY")
+    mt = os.path.getmtime(marker)
+    assert _ensure_ivf_index(spark, SF_ORACLE) == d1
+    assert os.path.getmtime(marker) == mt, "READY index was rebuilt"
+    assert _ivf_index_dir(SF_SMOKE) != _ivf_index_dir(SF_ORACLE)
