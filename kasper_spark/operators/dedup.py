@@ -26,6 +26,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kasper_spark.catalog import load_table
+from kasper_spark.functions.thresholds import (
+    corpus_relative_thr,
+    corpus_relative_thr_sql,
+)
 from kasper_spark.lineage import cut_lineage
 from kasper_spark.registry import register_query
 
@@ -2306,7 +2310,13 @@ def lsh_precision_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame
 # ---------------------------------------------------------------------------
 
 _SPARSE_DF_MIN = 2  # a df=1 shingle can't witness a pair
-_SPARSE_DF_MAX = 5  # posting-list prune: only rare shingles generate candidates
+# Posting-list prune ceiling: "rare" = df <= GREATEST(5, N // 100), i.e.
+# shingles seen in at most ~1% of documents, floored at the historical
+# absolute 5 so driver-scale hashes are unchanged (N = 500 -> thr = 5).
+# Corpus-RELATIVE per r11 verdict ticket #3: the absolute band emptied as
+# the corpus grew, which inverted the 10x scaling measurement.
+_SPARSE_DF_MAX = 5
+_SPARSE_DF_DIV = 100
 _SPARSE_TAU = 0.5  # weighted-cosine near-dup gate
 
 
@@ -2342,7 +2352,9 @@ _SPARSE_TAU = 0.5  # weighted-cosine near-dup gate
         FROM post GROUP BY doc_id
     ),
     rare AS (
-        SELECT s FROM df WHERE df BETWEEN {_SPARSE_DF_MIN} AND {_SPARSE_DF_MAX}
+        SELECT s FROM df
+        WHERE df BETWEEN {_SPARSE_DF_MIN}
+              AND {corpus_relative_thr_sql("documents", _SPARSE_DF_MAX, _SPARSE_DF_DIV)}
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -2390,11 +2402,14 @@ def sparse_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf cap (overflow-ledger discipline).
 
     Scale: tf/df are partial-aggregated shuffles on (doc, shingle) /
-    shingle; the candidate join is bounded by the df cap (a df<=5 shingle
-    contributes <= 10 pairs); the dot join ships each candidate pair's
-    postings once. At 100 TB the df cap is corpus-relative (the
-    boilerplate CM-prefilter note) and the idf table is the same
-    broadcast the BM25 ranker already uses."""
+    shingle; the candidate join is bounded by the df cap (a df<=thr
+    shingle contributes <= thr*(thr-1)/2 pairs); the dot join ships each
+    candidate pair's postings once. The cap itself is CORPUS-RELATIVE —
+    thr = GREATEST(5, N // 100) via the shared
+    functions/thresholds.py helper, derived from COUNT(*) in both
+    engines — so "rare" keeps meaning "~1% of documents" at any N and
+    the band can never empty out as the corpus grows. The idf table is
+    the same broadcast the BM25 ranker already uses."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", _tokens(F.col("text")).alias("t"))
     sh = toks.select(
@@ -2422,9 +2437,12 @@ def sparse_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("w") * F.col("w")).cast("decimal(30,0)")).cast("double")
         ).alias("nrm")
     )
-    rare = df.filter(
-        (F.col("df") >= _SPARSE_DF_MIN) & (F.col("df") <= _SPARSE_DF_MAX)
-    ).select("s")
+    thr = corpus_relative_thr(docs, _SPARSE_DF_MAX, _SPARSE_DF_DIV)
+    rare = (
+        df.crossJoin(F.broadcast(thr))
+        .filter((F.col("df") >= _SPARSE_DF_MIN) & (F.col("df") <= F.col("thr")))
+        .select("s")
+    )
     pa = post.select(F.col("doc_id").alias("doc_a"), "s")
     pb = post.select(F.col("doc_id").alias("doc_b"), "s")
     cand = (

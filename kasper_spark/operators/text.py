@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kasper_spark.catalog import load_table
+from kasper_spark.functions.thresholds import corpus_relative_thr
 from kasper_spark.lineage import cut_lineage
 from kasper_spark.registry import register_query
 
@@ -1444,7 +1445,10 @@ def boilerplate_shingle_stats_cms(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("dc.k")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    # corpus-relative boilerplate floor (this operator pioneered the
+    # rule; since round 12 it flows through the shared helper so every
+    # adopter computes GREATEST(floor, N // div) identically)
+    thr_row = corpus_relative_thr(docs, 3, 1000)
 
     # est = least over the D depth-row counters, computed ROW-LOCALLY via
     # D broadcast HASH joins (inner joins are safe: every probed bucket
@@ -1460,10 +1464,8 @@ def boilerplate_shingle_stats_cms(spark: SparkSession, sf_dir: str) -> DataFrame
         ).select(F.col("k").alias(f"k{d}"), F.col("cnt").alias(f"n{d}"))
         probed = probed.join(F.broadcast(side), f"k{d}")
     est = F.least(*[F.col(f"n{d}") for d in range(_BOILER_CMS_D)])
-    thr = F.greatest(F.lit(3).cast("long"), F.expr("n_docs div 1000"))
     cand = (
-        probed.crossJoin(F.broadcast(n_docs))
-        .withColumn("thr", thr)
+        probed.crossJoin(F.broadcast(thr_row))
         .filter(est >= F.col("thr"))
         .select("doc_id", "shingle", "thr")
     )
