@@ -43,18 +43,24 @@ def _contention_probe() -> dict:
     point ANY live java process is foreign."""
     try:
         out = subprocess.run(
-            ["ps", "-eo", "pid=,comm=,args="],
+            ["ps", "-eo", "pid=,stat=,comm=,args="],
             capture_output=True, text=True, timeout=10,
         ).stdout
     except Exception as exc:
         return {"clean": None, "error": f"{type(exc).__name__}: {exc}"[:200]}
-    jvms = []
+    live, zombies = [], []
     for line in out.splitlines():
-        parts = line.split(None, 2)
-        if len(parts) >= 2 and parts[1] == "java":
-            jvms.append({"pid": int(parts[0]),
-                         "args": (parts[2] if len(parts) > 2 else "")[:160]})
-    return {"clean": not jvms, "other_jvms": jvms}
+        parts = line.split(None, 3)
+        if len(parts) >= 3 and parts[2] == "java":
+            rec = {"pid": int(parts[0]), "stat": parts[1],
+                   "args": (parts[3] if len(parts) > 3 else "")[:160]}
+            # A Z-state (defunct) JVM is a reaped-but-unwaited process
+            # table entry: it holds no threads, no heap, no CPU — it
+            # CANNOT contend. Only live JVMs mark the run contended
+            # (r11 verdict ticket #4: the graded r11 record was stamped
+            # unclean by one <defunct> PID).
+            (zombies if parts[1].startswith("Z") else live).append(rec)
+    return {"clean": not live, "live_jvms": live, "zombie_jvms": zombies}
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
