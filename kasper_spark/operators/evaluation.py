@@ -1069,3 +1069,157 @@ def cuped_adjusted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cov / var_x).alias("theta"),
         ((cov * cov) / (var_x * var_y)).alias("variance_reduction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Always-valid sequential test (mSPRT, round 12)
+# ---------------------------------------------------------------------------
+
+_MSPRT_TAU2 = 0.01  # normal mixture prior N(0, tau^2) on the mean effect
+_MSPRT_LN_INV_ALPHA = 2.9957322735539909  # ln(1/0.05), literal (zero-libm)
+
+_MSPRT_ORACLE = f"""
+    WITH per_user AS (
+        SELECT user_id, user_id % 2 AS arm,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events GROUP BY user_id
+    ),
+    arms AS (
+        SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS s,
+               CAST(SUM(y * y) AS BIGINT) AS ss
+        FROM per_user GROUP BY arm
+    ),
+    wide AS (
+        SELECT
+            MAX(CASE WHEN arm = 0 THEN n END) AS n_a,
+            MAX(CASE WHEN arm = 0 THEN s END) AS s_a,
+            MAX(CASE WHEN arm = 0 THEN ss END) AS ss_a,
+            MAX(CASE WHEN arm = 1 THEN n END) AS n_b,
+            MAX(CASE WHEN arm = 1 THEN s END) AS s_b,
+            MAX(CASE WHEN arm = 1 THEN ss END) AS ss_b
+        FROM arms
+    ),
+    calc AS (
+        SELECT n_a, n_b,
+               CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                   - CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS delta,
+               ((CAST(n_a AS DOUBLE) * CAST(ss_a AS DOUBLE)
+                 - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE))
+                / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE)))
+                   / CAST(n_a AS DOUBLE)
+               + ((CAST(n_b AS DOUBLE) * CAST(ss_b AS DOUBLE)
+                   - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE))
+                  / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE)))
+                   / CAST(n_b AS DOUBLE) AS v_n
+        FROM wide
+    ),
+    terms AS (
+        SELECT n_a, n_b, delta, v_n,
+               {_MSPRT_TAU2} / v_n AS mixture_u,
+               delta * delta * {_MSPRT_TAU2}
+                   / (2 * v_n * (v_n + {_MSPRT_TAU2})) AS lr_exponent
+        FROM calc
+    )
+    SELECT n_a, n_b, delta, v_n, mixture_u, lr_exponent,
+           lr_exponent - mixture_u / 2 AS log_e_lower,
+           lr_exponent - mixture_u / 2 > {_MSPRT_LN_INV_ALPHA}
+               AS significant_always_valid
+    FROM terms
+    """
+
+
+@register_query("ab_test_msprt", oracle=_MSPRT_ORACLE)
+def ab_test_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential readout (mSPRT — Johari, Pekelis & Walsh's
+    "peeking" fix; Robbins' normal mixture) over the SAME per-user
+    sufficient statistics as ab_test_mean_ztest. The fixed-horizon z-test
+    is only valid when read ONCE at a pre-registered n: a platform
+    dashboard refreshed daily reads it hundreds of times, and the
+    probability that ANY read crosses 1.96 under the null climbs toward
+    certainty (the peeking problem). The mSPRT's mixture likelihood
+    ratio Lambda_n = sqrt(V/(V+tau^2)) * exp(delta^2 tau^2 /
+    (2V(V+tau^2))) is a nonnegative martingale under H0, so by Ville's
+    inequality P(sup_n Lambda_n >= 1/alpha) <= alpha — the decision
+    "reject when Lambda >= 1/alpha" is valid at EVERY look
+    simultaneously; Lambda is exactly the e-value the always-valid
+    literature monitors.
+
+    Zero-libm decision (the bigram-surprisal discipline — exp/ln are not
+    bit-portable across engines): with u = tau^2/V,
+    ln Lambda = g - ln(1+u)/2 for g = delta^2 tau^2 / (2V(V+tau^2)),
+    and ln(1+u) <= u gives the ALGEBRAIC lower bound
+    log_e_lower = g - u/2 <= ln Lambda. Rejecting when
+    log_e_lower > ln(1/alpha) (a literal) is therefore slightly
+    conservative — it can only under-reject, so the always-valid
+    type-I guarantee is preserved — and every reported column is pure
+    arithmetic over exact integer sufficient statistics: bit-identical
+    on both engines. (As V -> 0 with n, u -> 0 and the bound tightens
+    to the exact test.)
+
+    Scale: identical to the z-test — one per-user partial agg, a 2-row
+    arm table, a 1-row report; the sequential guarantee costs nothing
+    at the plan level, which is why platforms default to it."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("y")
+    ).select((F.col("user_id") % 2).alias("arm"), "y")
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("ss"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == 0, F.col("s"))).alias("s_a"),
+        F.max(F.when(F.col("arm") == 0, F.col("ss"))).alias("ss_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == 1, F.col("s"))).alias("s_b"),
+        F.max(F.when(F.col("arm") == 1, F.col("ss"))).alias("ss_b"),
+    )
+
+    def _mean(s, n):
+        return F.col(s).cast("double") / F.col(n).cast("double")
+
+    def _var(n, s, ss):
+        nd = F.col(n).cast("double")
+        return (
+            nd * F.col(ss).cast("double")
+            - F.col(s).cast("double") * F.col(s).cast("double")
+        ) / (nd * nd)
+
+    delta = _mean("s_b", "n_b") - _mean("s_a", "n_a")
+    v_n = _var("n_a", "s_a", "ss_a") / F.col("n_a").cast("double") + _var(
+        "n_b", "s_b", "ss_b"
+    ) / F.col("n_b").cast("double")
+    calc = wide.select(
+        "n_a", "n_b", delta.alias("delta"), v_n.alias("v_n")
+    )
+    tau2 = F.lit(_MSPRT_TAU2)
+    terms = calc.select(
+        "n_a",
+        "n_b",
+        "delta",
+        "v_n",
+        (tau2 / F.col("v_n")).alias("mixture_u"),
+        (
+            F.col("delta") * F.col("delta") * tau2
+            / (F.lit(2) * F.col("v_n") * (F.col("v_n") + tau2))
+        ).alias("lr_exponent"),
+    )
+    log_e_lower = F.col("lr_exponent") - F.col("mixture_u") / F.lit(2)
+    return terms.select(
+        "n_a",
+        "n_b",
+        "delta",
+        "v_n",
+        "mixture_u",
+        "lr_exponent",
+        log_e_lower.alias("log_e_lower"),
+        (log_e_lower > F.lit(_MSPRT_LN_INV_ALPHA)).alias(
+            "significant_always_valid"
+        ),
+    )
