@@ -3507,3 +3507,112 @@ def streaming_slo_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 assert "slo_burn_rate_alerts" in _OR, "batch SLO oracle missing"
 _OR["streaming_slo_twin"] = _OR["slo_burn_rate_alerts"]
+
+
+# ---------------------------------------------------------------------------
+# Sessionization on the state-v2 runtime (round 12)
+# ---------------------------------------------------------------------------
+
+
+def _session_tws_run(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> DataFrame:
+    """Run sessionize_tws over an n_files time-ordered feed of events plus
+    a per-user SENTINEL flush file (event_id = -1 at max_ts + 2h): the
+    sentinel closes every still-open session after the real data, so the
+    bounded availableNow drain emits exactly the oracle's session set.
+    Parametrized by n_files so the cut-invariance test can re-run the
+    same pipeline under different micro-batch boundaries."""
+    from kasper_spark.protoshim import ensure_protobuf, ship_shim_to_workers
+    from kasper_spark.streaming.state import sessionize_tws
+
+    ensure_protobuf()
+    ship_shim_to_workers(spark)
+
+    src_dir, out_dir, ckpt = _stage_time_ordered(
+        spark, sf_dir, "kasper-tsess-", n_files, "value"
+    )
+    raw = normalize_driver_ts(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")), ("ts",)
+    )
+    mx = raw.agg(F.max("ts").alias("m"))
+    sentinels = (
+        raw.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.lit(-1).cast("long").alias("event_id"),
+            (F.col("m") + F.expr("INTERVAL 2 HOURS")).alias("ts"),
+            F.lit(0.0).alias("value"),
+        )
+    )
+    # written LAST -> latest mtime -> FileStreamSource discovers it as the
+    # final micro-batch (the flush batch)
+    sentinels.coalesce(1).write.parquet(os.path.join(src_dir, "range=99"))
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_id long, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(os.path.join(src_dir, "range=*"))
+        .select("user_id", "event_id", "ts")
+    )
+    sessions = sessionize_tws(stream, 30)
+
+    def sink_batch(df, epoch_id: int) -> None:
+        df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={epoch_id}")
+        )
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, rocksdb)
+    try:
+        q = (
+            sessions.writeStream.foreachBatch(sink_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    return spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
+
+
+@register_query(
+    "streaming_session_tws_twin",
+    # same gaps-and-islands oracle as the native session_window twin
+    # (gap >= 30 minutes starts a new session) — bound below
+    oracle=None,
+)
+def streaming_session_tws_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap sessionization on the STATE-V2 runtime
+    (transformWithStateInPandas) — the session-window family's port to
+    the modern StatefulProcessor protocol (r11 verdict ticket #7),
+    completing the two-runtime discipline: the native session_window
+    operator, the apws family, and now TWS all certify the same
+    semantics. Open-session state lives in a typed ValueState; closed
+    sessions emit exactly once (Append); the final open sessions drain
+    via the per-user sentinel flush batch (the availableNow analog of
+    the watermark passing the last gap — see _session_tws_run).
+
+    Cut-invariance is pinned by tests/test_round12_ops.py: the emitted
+    session set is identical under 2-, 4- and 5-file micro-batch
+    boundaries, because the only state that crosses a cut is
+    (start, last, n) and the feed is globally time-ordered."""
+    return _session_tws_run(spark, sf_dir, 4)
+
+
+assert "streaming_session_window_twin" in _OR, "session oracle missing"
+_OR["streaming_session_tws_twin"] = _OR["streaming_session_window_twin"]

@@ -933,3 +933,79 @@ def funnel_attribution_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def sessionize_tws(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Dynamic-gap sessionization on transformWithStateInPandas (state v2)
+    — the fourth certified TWS operator and the state-v2 port of the
+    session-window family (r11 verdict ticket #7; the native
+    session_window twin certifies the built-in operator, this one
+    certifies the same semantics through the StatefulProcessor protocol).
+
+    Per-user state is the OPEN session only: (start_ns, last_ns, n) as a
+    JSON ValueState (~40 bytes/user, evictable). Each batch's rows are
+    re-sorted by (ts, event_id); a row whose gap from the open session's
+    last event is >= gap_minutes CLOSES that session (emitted once,
+    Append mode — the session_window merge convention: exact-gap starts a
+    new session) and opens a new one. A SENTINEL row (event_id = -1) only
+    flushes: it closes whatever is open and never opens a session —
+    bounded feeds append one sentinel per user after the real data so the
+    final open sessions drain deterministically (the availableNow analog
+    of the watermark advancing past the last gap).
+
+    Timestamps round-trip as integer NANOSECONDS through the state and
+    the emitted frame (pd.Timestamp.value both ways), so session_start is
+    bit-exact against the batch gaps-and-islands oracle.
+
+    ``events`` must carry (user_id long, event_id long, ts timestamp)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_ns = gap_minutes * 60 * 1_000_000_000
+
+    # nested class: cloudpickle serializes by value (foreign-cwd workers)
+    class Sessionize(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._open = handle.getValueState("open", "j string")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import json
+
+            import pandas as pd
+
+            cur = json.loads(self._open.get()[0]) if self._open.exists() else None
+            pdf = pd.concat(list(rows)).sort_values(["ts", "event_id"])
+            out = []
+            for r in pdf.itertuples():
+                t = int(pd.Timestamp(r.ts).value)
+                sentinel = int(r.event_id) < 0
+                if cur is not None and (sentinel or t - cur[1] >= gap_ns):
+                    out.append(
+                        (int(key[0]), pd.Timestamp(cur[0]), int(cur[2]))
+                    )
+                    cur = None
+                if not sentinel:
+                    if cur is None:
+                        cur = [t, t, 1]  # (start_ns, last_ns, n)
+                    else:
+                        cur[1] = t
+                        cur[2] += 1
+            if cur is None:
+                self._open.clear()
+            else:
+                self._open.update((json.dumps(cur),))
+            yield pd.DataFrame(
+                out, columns=["user_id", "session_start", "n_events"]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        Sessionize(),
+        outputStructType="user_id long, session_start timestamp, n_events long",
+        outputMode="Append",
+        timeMode="None",
+    )

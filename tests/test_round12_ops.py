@@ -126,3 +126,28 @@ def test_ivf_index_reuse_and_fingerprint(spark, tmp_path):
     assert _ensure_ivf_index(spark, SF_ORACLE) == d1
     assert os.path.getmtime(marker) == mt, "READY index was rebuilt"
     assert _ivf_index_dir(SF_SMOKE) != _ivf_index_dir(SF_ORACLE)
+
+
+def test_session_tws_cut_invariance(spark):
+    """The TWS sessionizer's emitted session set must be identical under
+    different micro-batch boundaries (2 vs 5 files) — the only state that
+    crosses a cut is the open (start, last, n) triple."""
+    from kasper_spark.operators.streaming_twins import _session_tws_run
+
+    a = sorted(map(tuple, _session_tws_run(spark, SF_SMOKE, 2).collect()))
+    b = sorted(map(tuple, _session_tws_run(spark, SF_SMOKE, 5).collect()))
+    assert a == b
+    assert a, "no sessions emitted"
+
+
+def test_session_tws_matches_native_session_window(spark):
+    """TWS sessionization and the native session_window twin implement the
+    same gap->=30min convention: identical (user, start, n) sets."""
+    tws = sorted(
+        map(tuple, QUERIES["streaming_session_tws_twin"](spark, SF_SMOKE).collect())
+    )
+    native = sorted(
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in QUERIES["streaming_session_window_twin"](spark, SF_SMOKE).collect()
+    )
+    assert tws == native
