@@ -46,7 +46,17 @@ def main() -> int:
         )
 
     failures: list[str] = []
-    names = [n for n in QUERIES if n.startswith(prefix)]
+    if prefix == "@window":
+        # the driver-window view: the first 50 names in queries() order
+        # (DRIVER_SAMPLE_PRIORITY first) — what CORRECTNESS_r{N} will run
+        from kasper_spark.registry import driver_ordered
+
+        names = list(driver_ordered(QUERIES))[:50]
+    elif prefix.startswith("@file:"):
+        with open(prefix[6:]) as fh:
+            names = [l.strip() for l in fh if l.strip()]
+    else:
+        names = [n for n in QUERIES if n.startswith(prefix)]
     for i, name in enumerate(names):
         t0 = time.time()
         try:
