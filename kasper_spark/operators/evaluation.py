@@ -1223,3 +1223,168 @@ def ab_test_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
             "significant_always_valid"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Experiment health: sample-ratio mismatch + minimum detectable effect (r12)
+# ---------------------------------------------------------------------------
+
+_SRM_CHI2_95 = 3.841458820694124  # chi^2_{1, 0.95}, literal (zero-libm)
+# z_{0.975} + z_{0.80}: the 80%-power two-sided-5% MDE multiplier, literal
+_MDE_Z_SUM = 2.8016212335729143
+
+
+@register_query(
+    "ab_test_srm_check",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id, user_id % 2 AS arm FROM events GROUP BY user_id
+    ),
+    counts AS (
+        SELECT
+            CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+            CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        FROM per_user
+    )
+    SELECT n_a, n_b,
+           CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+               / CAST(n_a + n_b AS DOUBLE) AS chi2,
+           CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+               / CAST(n_a + n_b AS DOUBLE) > {_SRM_CHI2_95} AS srm_detected
+    FROM counts
+    """,
+)
+def ab_test_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio mismatch check — the guardrail every experimentation
+    platform runs BEFORE reading any metric: if the 50/50 assignment's
+    realized unit counts deviate more than chance allows, the experiment
+    is corrupted (broken bucketing, bot filtering applied per-arm, logging
+    loss) and all readouts are void. For a 2-cell 50/50 design Pearson's
+    chi-square collapses algebraically to (n_a - n_b)^2 / (n_a + n_b) —
+    an exact-integer numerator over an exact-integer denominator, one
+    double division — compared against the literal chi^2_{1,0.95}
+    critical value (zero-libm: no CDF call on either engine).
+
+    Scale: one per-user dedup shuffle -> 1-row counts -> 1-row report."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.select("user_id").distinct().select(
+        (F.col("user_id") % 2).alias("arm")
+    )
+    counts = per_user.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    d = F.col("n_a") - F.col("n_b")
+    chi2 = (d * d).cast("double") / (F.col("n_a") + F.col("n_b")).cast("double")
+    return counts.select(
+        "n_a",
+        "n_b",
+        chi2.alias("chi2"),
+        (chi2 > F.lit(_SRM_CHI2_95)).alias("srm_detected"),
+    )
+
+
+@register_query(
+    "ab_test_mde_report",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id, user_id % 2 AS arm,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events GROUP BY user_id
+    ),
+    arms AS (
+        SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS s,
+               CAST(SUM(y * y) AS BIGINT) AS ss
+        FROM per_user GROUP BY arm
+    ),
+    wide AS (
+        SELECT
+            MAX(CASE WHEN arm = 0 THEN n END) AS n_a,
+            MAX(CASE WHEN arm = 0 THEN s END) AS s_a,
+            MAX(CASE WHEN arm = 0 THEN ss END) AS ss_a,
+            MAX(CASE WHEN arm = 1 THEN n END) AS n_b,
+            MAX(CASE WHEN arm = 1 THEN s END) AS s_b,
+            MAX(CASE WHEN arm = 1 THEN ss END) AS ss_b
+        FROM arms
+    ),
+    calc AS (
+        SELECT n_a, n_b,
+               CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+               ((CAST(n_a AS DOUBLE) * CAST(ss_a AS DOUBLE)
+                 - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE))
+                / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE)))
+                   / CAST(n_a AS DOUBLE)
+               + ((CAST(n_b AS DOUBLE) * CAST(ss_b AS DOUBLE)
+                   - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE))
+                  / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE)))
+                   / CAST(n_b AS DOUBLE) AS v_n
+        FROM wide
+    )
+    SELECT n_a, n_b, mean_a, v_n,
+           {_MDE_Z_SUM} * sqrt(v_n) AS mde_abs,
+           {_MDE_Z_SUM} * sqrt(v_n) / mean_a AS mde_rel
+    FROM calc
+    """,
+)
+def ab_test_mde_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect at the CURRENT sample size — the power
+    readout a platform shows next to every running experiment ("you can
+    currently detect a +X% lift with 80% power"): mde = (1.96 +
+    z_{0.80}) * SE(delta) — the same 1.96 literal the z-test decides
+    with, plus z_{0.80} = 0.8416212335729143, summed once into the
+    2.8016... LITERAL so no inverse-CDF call exists on either engine — and SE^2 = var_a/n_a +
+    var_b/n_b the same Welch variance the z-test and mSPRT use. Relative
+    MDE divides by the control mean.
+
+    Scale: the z-test plan verbatim — per-user partial agg, 2-row arms,
+    1-row report."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("y")
+    ).select((F.col("user_id") % 2).alias("arm"), "y")
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("ss"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == 0, F.col("s"))).alias("s_a"),
+        F.max(F.when(F.col("arm") == 0, F.col("ss"))).alias("ss_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == 1, F.col("s"))).alias("s_b"),
+        F.max(F.when(F.col("arm") == 1, F.col("ss"))).alias("ss_b"),
+    )
+
+    def _var_over_n(n, s, ss):
+        nd = F.col(n).cast("double")
+        return (
+            (
+                nd * F.col(ss).cast("double")
+                - F.col(s).cast("double") * F.col(s).cast("double")
+            )
+            / (nd * nd)
+        ) / nd
+
+    mean_a = F.col("s_a").cast("double") / F.col("n_a").cast("double")
+    v_n = _var_over_n("n_a", "s_a", "ss_a") + _var_over_n("n_b", "s_b", "ss_b")
+    calc = wide.select(
+        "n_a", "n_b", mean_a.alias("mean_a"), v_n.alias("v_n")
+    )
+    mde = F.lit(_MDE_Z_SUM) * F.sqrt(F.col("v_n"))
+    return calc.select(
+        "n_a",
+        "n_b",
+        "mean_a",
+        "v_n",
+        mde.alias("mde_abs"),
+        (mde / F.col("mean_a")).alias("mde_rel"),
+    )
