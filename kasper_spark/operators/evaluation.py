@@ -1388,3 +1388,241 @@ def ab_test_mde_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         mde.alias("mde_abs"),
         (mde / F.col("mean_a")).alias("mde_rel"),
     )
+
+
+# ---------------------------------------------------------------------------
+# nDCG@10 relevance contract (round 12)
+# ---------------------------------------------------------------------------
+
+# 1/log2(i+1) for rank i = 1..10, QUANTIZED to 12 decimals and embedded as
+# the SAME decimal literals in both engines: the discount table is part of
+# the metric definition here, so nDCG — whose textbook form needs log2, a
+# libm call that is not bit-portable (the MRR docstring's old caveat) —
+# becomes exact-DECIMAL arithmetic end to end. Computed once by
+# tools-of-record Python (math.log2) and frozen.
+_NDCG_K = 10
+_NDCG_DISCOUNTS = (
+    "1.000000000000",
+    "0.630929753571",
+    "0.500000000000",
+    "0.430676558073",
+    "0.386852807235",
+    "0.356207187108",
+    "0.333333333333",
+    "0.315464876786",
+    "0.301029995664",
+    "0.289064826318",
+)
+_NDCG_MAX_GRADE = 4  # graded relevance: grade = LEAST(min_tf, 4)
+
+_NDCG_DISC_SQL = ", ".join(
+    f"({i + 1}, CAST('{d}' AS DECIMAL(14,12)))"
+    for i, d in enumerate(_NDCG_DISCOUNTS)
+)
+
+
+def _bm25_graded_scored_sql() -> str:
+    """The shared BM25 CTE chain (stats/tf/df/qt/scored) of
+    mrr_relevance_contract — factored so the nDCG contract rides the
+    identical decimal-exact score."""
+    return f"""
+    WITH stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len({_toks_sql()})) AS BIGINT) AS total_tokens
+        FROM documents
+    ),
+    tf AS (
+        SELECT d.doc_id,
+               CAST(len({_toks_sql('d.text')}) AS BIGINT) AS dl,
+               t.term,
+               CAST(len(list_filter({_toks_sql('d.text')}, w -> w = t.term))
+                    AS BIGINT) AS tf
+        FROM documents d CROSS JOIN (VALUES {_MRR_TERMS_SQL}) AS t(term)
+    ),
+    df AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        FROM tf WHERE tf > 0 GROUP BY term
+    ),
+    qt AS (
+        SELECT * FROM (VALUES {_MRR_QT_SQL}) AS q(query_id, term)
+    ),
+    scored AS (
+        SELECT q.query_id, f.doc_id,
+               CAST(SUM(CASE WHEN f.tf > 0 THEN
+                   CAST(
+                       ((CAST(s.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+                        / (CAST(df.df AS DOUBLE) + 0.5))
+                       * ((CAST(f.tf AS DOUBLE) * {_BM25_K1 + 1.0})
+                          / (CAST(f.tf AS DOUBLE)
+                             + {_BM25_K1} * ({1.0 - _BM25_B}
+                                 + ({_BM25_B} * CAST(f.dl AS DOUBLE))
+                                   / (CAST(s.total_tokens AS DOUBLE)
+                                      / CAST(s.n_docs AS DOUBLE)))))
+                       AS DECIMAL(30, 12))
+                   ELSE CAST(0 AS DECIMAL(30, 12)) END) AS DECIMAL(30, 12))
+                   AS score_dec,
+               CAST(MIN(f.tf) AS BIGINT) AS min_tf
+        FROM qt q
+        JOIN tf f USING (term)
+        JOIN df USING (term)
+        CROSS JOIN stats s
+        GROUP BY q.query_id, f.doc_id
+    )"""
+
+
+@register_query(
+    "ndcg_relevance_contract",
+    oracle=_bm25_graded_scored_sql()
+    + f""",
+    ranked AS (
+        SELECT query_id, doc_id,
+               LEAST(min_tf, {_NDCG_MAX_GRADE}) AS grade,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY score_dec DESC, doc_id
+               ) AS rk
+        FROM scored WHERE score_dec > 0
+    ),
+    top AS (SELECT * FROM ranked WHERE rk <= {_NDCG_K}),
+    ideal AS (
+        SELECT query_id, grade,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY grade DESC, doc_id
+               ) AS irk
+        FROM top
+    ),
+    disc AS (SELECT * FROM (VALUES {_NDCG_DISC_SQL}) AS d(rk, w)),
+    dcg AS (
+        SELECT t.query_id,
+               CAST(COUNT(*) AS BIGINT) AS n_top,
+               CAST(SUM(CAST(t.grade * d.w AS DECIMAL(38,12)))
+                    AS DECIMAL(38,12)) AS dcg_dec
+        FROM top t JOIN disc d ON d.rk = t.rk
+        GROUP BY t.query_id
+    ),
+    idcg AS (
+        SELECT i.query_id,
+               CAST(SUM(CAST(i.grade * d.w AS DECIMAL(38,12)))
+                    AS DECIMAL(38,12)) AS idcg_dec
+        FROM ideal i JOIN disc d ON d.rk = i.irk
+        GROUP BY i.query_id
+    )
+    SELECT CAST(g.query_id AS BIGINT) AS query_id, g.n_top,
+           CAST(g.dcg_dec AS DOUBLE) AS dcg,
+           CAST(c.idcg_dec AS DOUBLE) AS idcg,
+           CASE WHEN c.idcg_dec > 0
+                THEN CAST(g.dcg_dec AS DOUBLE) / CAST(c.idcg_dec AS DOUBLE)
+                ELSE 0.0 END AS ndcg
+    FROM dcg g JOIN idcg c USING (query_id)
+    """,
+)
+def ndcg_relevance_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the BM25 ranker against graded relevance — the ranking
+    metric the MRR contract's docstring declared out of reach because its
+    log2 discount is a libm call. The unlock: the 10 discounts
+    1/log2(i+1) are FROZEN as 12-decimal literals (part of the metric
+    definition, like 1.96 in the z-test), so DCG = sum(grade * w_i) and
+    the ideal-permutation IDCG are exact DECIMAL(38,12) sums — order
+    independent, bit-identical — and only the final ratio is a double
+    division. Grades are LEAST(min_tf, 4) over the same per-(query, doc)
+    min term frequency the MRR ground truth uses; ranks are the same
+    decimal-exact BM25 order (shared CTE chain / plan halves with
+    mrr_relevance_contract).
+
+    Scale: identical to MRR — scan-stage tf over the 13-term union
+    vocabulary, broadcast df/stats/query-terms/discounts, per-query
+    ranking windows bounded by the retrieved set."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks(F.col("text"))
+    base = docs.select(
+        "doc_id", toks.alias("t"), F.size(toks).cast("long").alias("dl")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_tokens"),
+    )
+    term_col = F.explode(F.array(*[F.lit(t) for t in _MRR_TERMS])).alias("term")
+    tf = base.select("doc_id", "dl", "t", term_col).select(
+        "doc_id",
+        "dl",
+        "term",
+        F.size(F.expr("filter(t, w -> w = term)")).cast("long").alias("tf"),
+    )
+    df_t = tf.filter(F.col("tf") > 0).groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, ts in _MRR_QUERIES for t in ts],
+        "query_id long, term string",
+    )
+    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")
+    idf = (
+        F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5))
+    tf_part = (F.col("tf").cast("double") * F.lit(_BM25_K1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + F.lit(_BM25_K1)
+        * (F.lit(1.0 - _BM25_B) + (F.lit(_BM25_B) * F.col("dl").cast("double")) / avgdl)
+    )
+    contrib = F.when(
+        F.col("tf") > 0, (idf * tf_part).cast("decimal(30,12)")
+    ).otherwise(F.lit(0).cast("decimal(30,12)"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(F.broadcast(qt), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(contrib).cast("decimal(30,12)").alias("score_dec"),
+            F.min("tf").cast("long").alias("min_tf"),
+        )
+        .filter(F.col("score_dec") > 0)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_dec"), F.asc("doc_id"))
+    top = (
+        scored.select(
+            "query_id",
+            "doc_id",
+            F.least(F.col("min_tf"), F.lit(_NDCG_MAX_GRADE)).alias("grade"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= _NDCG_K)
+    )
+    wi = Window.partitionBy("query_id").orderBy(F.desc("grade"), F.asc("doc_id"))
+    ideal = top.select("query_id", "grade", F.row_number().over(wi).alias("irk"))
+    disc = spark.createDataFrame(
+        [(i + 1, d) for i, d in enumerate(_NDCG_DISCOUNTS)],
+        "rk int, w_str string",
+    ).select("rk", F.col("w_str").cast("decimal(14,12)").alias("w"))
+    dcg = (
+        top.join(F.broadcast(disc), "rk")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_top"),
+            F.sum((F.col("grade") * F.col("w")).cast("decimal(38,12)"))
+            .cast("decimal(38,12)")
+            .alias("dcg_dec"),
+        )
+    )
+    idcg = (
+        ideal.join(F.broadcast(disc.select(F.col("rk").alias("irk"), "w")), "irk")
+        .groupBy("query_id")
+        .agg(
+            F.sum((F.col("grade") * F.col("w")).cast("decimal(38,12)"))
+            .cast("decimal(38,12)")
+            .alias("idcg_dec")
+        )
+    )
+    return dcg.join(idcg, "query_id").select(
+        "query_id",
+        "n_top",
+        F.col("dcg_dec").cast("double").alias("dcg"),
+        F.col("idcg_dec").cast("double").alias("idcg"),
+        F.when(
+            F.col("idcg_dec") > 0,
+            F.col("dcg_dec").cast("double") / F.col("idcg_dec").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("ndcg"),
+    )
