@@ -395,9 +395,11 @@ _MRR_QT_SQL = ", ".join(
 )
 
 
-@register_query(
-    "mrr_relevance_contract",
-    oracle=f"""
+def _bm25_graded_scored_sql() -> str:
+    """The shared BM25 CTE chain (stats/tf/df/qt/scored) of
+    mrr_relevance_contract — factored so the nDCG contract rides the
+    identical decimal-exact score."""
+    return f"""
     WITH stats AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(len({_toks_sql()})) AS BIGINT) AS total_tokens
@@ -439,7 +441,14 @@ _MRR_QT_SQL = ", ".join(
         JOIN df USING (term)
         CROSS JOIN stats s
         GROUP BY q.query_id, f.doc_id
-    ),
+    )"""
+
+
+
+@register_query(
+    "mrr_relevance_contract",
+    oracle=_bm25_graded_scored_sql()
+    + f""",
     ranked AS (
         SELECT query_id, doc_id, min_tf,
                ROW_NUMBER() OVER (
@@ -473,9 +482,9 @@ def mrr_relevance_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     a coverage criterion the ranker does not optimize directly). This is
     the MRR eval loop a retrieval deployment runs on every index build,
     made hash-certifiable: ranks are decimal-exact BM25 order, rr is one
-    exact-int division. (nDCG needs log2 — not bit-portable across libm;
-    MRR is the rational member of the standard eval family, so it is the
-    one that can carry a cross-engine contract.)
+    exact-int division. (nDCG's log2 discount is a libm call, so it
+    carries its contract via frozen decimal discount literals instead —
+    see ndcg_relevance_contract, which shares this query's CTE chain.)
 
     Scale: per-(doc, term) tf is computed INSIDE the scan stage over the
     13-term union vocabulary (no explode of tokens); df and corpus stats
@@ -1419,55 +1428,6 @@ _NDCG_DISC_SQL = ", ".join(
     f"({i + 1}, CAST('{d}' AS DECIMAL(14,12)))"
     for i, d in enumerate(_NDCG_DISCOUNTS)
 )
-
-
-def _bm25_graded_scored_sql() -> str:
-    """The shared BM25 CTE chain (stats/tf/df/qt/scored) of
-    mrr_relevance_contract — factored so the nDCG contract rides the
-    identical decimal-exact score."""
-    return f"""
-    WITH stats AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-               CAST(SUM(len({_toks_sql()})) AS BIGINT) AS total_tokens
-        FROM documents
-    ),
-    tf AS (
-        SELECT d.doc_id,
-               CAST(len({_toks_sql('d.text')}) AS BIGINT) AS dl,
-               t.term,
-               CAST(len(list_filter({_toks_sql('d.text')}, w -> w = t.term))
-                    AS BIGINT) AS tf
-        FROM documents d CROSS JOIN (VALUES {_MRR_TERMS_SQL}) AS t(term)
-    ),
-    df AS (
-        SELECT term, CAST(COUNT(*) AS BIGINT) AS df
-        FROM tf WHERE tf > 0 GROUP BY term
-    ),
-    qt AS (
-        SELECT * FROM (VALUES {_MRR_QT_SQL}) AS q(query_id, term)
-    ),
-    scored AS (
-        SELECT q.query_id, f.doc_id,
-               CAST(SUM(CASE WHEN f.tf > 0 THEN
-                   CAST(
-                       ((CAST(s.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
-                        / (CAST(df.df AS DOUBLE) + 0.5))
-                       * ((CAST(f.tf AS DOUBLE) * {_BM25_K1 + 1.0})
-                          / (CAST(f.tf AS DOUBLE)
-                             + {_BM25_K1} * ({1.0 - _BM25_B}
-                                 + ({_BM25_B} * CAST(f.dl AS DOUBLE))
-                                   / (CAST(s.total_tokens AS DOUBLE)
-                                      / CAST(s.n_docs AS DOUBLE)))))
-                       AS DECIMAL(30, 12))
-                   ELSE CAST(0 AS DECIMAL(30, 12)) END) AS DECIMAL(30, 12))
-                   AS score_dec,
-               CAST(MIN(f.tf) AS BIGINT) AS min_tf
-        FROM qt q
-        JOIN tf f USING (term)
-        JOIN df USING (term)
-        CROSS JOIN stats s
-        GROUP BY q.query_id, f.doc_id
-    )"""
 
 
 @register_query(
