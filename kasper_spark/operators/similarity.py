@@ -3402,3 +3402,124 @@ def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(F.col("d00")).alias("norm_half0"),
         F.sqrt(F.col("d11")).alias("norm_half1"),
     ).orderBy("label")
+
+
+# ---------------------------------------------------------------------------
+# Mutual k-NN pairs over the persisted inverted lists (round 12)
+# ---------------------------------------------------------------------------
+
+_MUTUAL_K = 3  # reciprocal rank bound: both sides must rank the other <= K
+
+
+@register_query(
+    "mutual_knn_pairs",
+    oracle=_kmeans_cte_sql(k=_SCALEDK_K_SQL, train_n=_SCALEDK_TRAIN_SQL)
+    + f""",
+    members AS (SELECT vec_id, cluster_id FROM fF WHERE rn = 1),
+    nrm AS (
+        SELECT vec_id, embedding,
+               sqrt({dot_double_sql('embedding', 'embedding')}) AS nrm
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               {dot_double_sql('na.embedding', 'nb.embedding')}
+                   / (na.nrm * nb.nrm) AS cosine
+        FROM members a
+        JOIN members b ON b.cluster_id = a.cluster_id
+                      AND b.vec_id <> a.vec_id
+        JOIN nrm na ON na.vec_id = a.vec_id
+        JOIN nrm nb ON nb.vec_id = b.vec_id
+    ),
+    ranked AS (
+        SELECT va, vb, cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY va ORDER BY cosine DESC, vb
+               ) AS rk
+        FROM scored
+    )
+    SELECT a.va AS vec_a, a.vb AS vec_b, a.cosine,
+           a.rk AS rank_ab, b.rk AS rank_ba
+    FROM ranked a
+    JOIN ranked b ON b.va = a.vb AND b.vb = a.va
+    WHERE a.rk <= {_MUTUAL_K} AND b.rk <= {_MUTUAL_K} AND a.va < a.vb
+    """,
+)
+def mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECIPROCAL nearest-neighbor pairs — the symmetric semantic-dup
+    confirmation gate (a pair survives only if EACH vector ranks the
+    other in its top-{3}): one-directional kNN flags hubs (a generic
+    vector near everything) as dups of half the corpus; mutuality is the
+    standard de-hubbing fix (the reciprocal-NN criterion from
+    agglomerative clustering / bitext mining). Neighborhoods are
+    IVF-list-local — each vector ranks only its OWN inverted list's
+    members, read from the PERSISTED scaled-K index (the second consumer
+    of ann_ivf_index_build's on-disk layout; nprobe=1 by construction,
+    the classic IVF mutual-NN approximation) — and the cosine is the
+    SEQUENTIAL double fold (dot_double), not the decimal-quantized dot:
+    over the arbitrary within-list pair population the per-element
+    DECIMAL(30,12) rounding can land exactly on a tie, where Spark
+    rounds HALF_UP and DuckDB half-even (observed: pair 141x272 at
+    sf0.01, 1e-12 divergence) — the left-to-right double fold has no
+    quantization step at all and is verified bit-identical across
+    engines (dot_double's 138k-pair check).
+
+    Scale: the self-join is blocked by list id (co-partitioned shuffle,
+    never all-pairs; per-list pair volume is bounded by the ~sqrt(N)
+    list size so total pair work is ~N^1.5 WITHIN lists — the accepted
+    mutual-NN cost, paid inside partitions), the rank window is
+    per-vector, and the reciprocal check is a self-join of the
+    rank-bounded (<= {3}N rows) table on the flipped key."""
+    idx = _ensure_ivf_index(spark, sf_dir)
+    members = spark.read.parquet(_os.path.join(idx, "assignments")).select(
+        "vec_id", F.col("cluster_id").cast("bigint").alias("cluster_id")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = emb.select(
+        "vec_id", "embedding", F.sqrt(dot_double(F.col("embedding"), F.col("embedding"))).alias("nrm")
+    )
+    a = members.join(nrm, "vec_id").select(
+        F.col("vec_id").alias("va"),
+        "cluster_id",
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = members.join(nrm, "vec_id").select(
+        F.col("vec_id").alias("vb"),
+        "cluster_id",
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    scored = (
+        a.join(b, "cluster_id")
+        .filter(F.col("vb") != F.col("va"))
+        .select(
+            "va",
+            "vb",
+            (dot_double(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("va").orderBy(F.desc("cosine"), F.asc("vb"))
+    ranked = cut_lineage(
+        scored.select("va", "vb", "cosine", F.row_number().over(w).alias("rk")).filter(
+            F.col("rk") <= _MUTUAL_K
+        )
+    )
+    flipped = ranked.select(
+        F.col("vb").alias("va"), F.col("va").alias("vb"), F.col("rk").alias("rk_ba")
+    )
+    return (
+        ranked.join(flipped, ["va", "vb"])
+        .filter(F.col("va") < F.col("vb"))
+        .select(
+            F.col("va").alias("vec_a"),
+            F.col("vb").alias("vec_b"),
+            "cosine",
+            F.col("rk").alias("rank_ab"),
+            F.col("rk_ba").alias("rank_ba"),
+        )
+    )
