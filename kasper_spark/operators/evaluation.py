@@ -1586,3 +1586,65 @@ def ndcg_relevance_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("ndcg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Churn label builder (round 12)
+# ---------------------------------------------------------------------------
+
+
+@register_query(
+    "churn_label_builder",
+    oracle=f"""
+    SELECT user_id,
+           CAST(SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_CUTOFF}'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_events_pre,
+           CAST(SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_CUTOFF}'
+                          AND event_type = 'purchase'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases_pre,
+           CAST(COUNT(DISTINCT CASE WHEN ts < TIMESTAMP '{_CUPED_CUTOFF}'
+                                    THEN CAST(ts AS DATE) END)
+                AS BIGINT) AS active_days_pre,
+           SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUTOFF}'
+                    THEN 1 ELSE 0 END) = 0 AS churned
+    FROM events
+    GROUP BY user_id
+    HAVING SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_CUTOFF}'
+                    THEN 1 ELSE 0 END) > 0
+    """,
+)
+def churn_label_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-prediction TRAINING TABLE: per user, observation-window
+    features (event count, purchase count, distinct active days before
+    the cutoff) and the label — churned = zero activity in the outcome
+    window at or after the cutoff. This is the label-leakage-safe
+    supervised-dataset shape every retention model starts from: features
+    draw ONLY on the pre-cutoff window, the label ONLY on the post
+    window, and the two are built in the same single pass as disjoint
+    conditional aggregates so no join can smuggle post-cutoff signal
+    into a feature (the deterministic-splits / leakage-audit
+    discipline). Users with no pre-cutoff activity are excluded — they
+    have no feature support and would all be trivially 'churned-at-
+    birth' rows.
+
+    Scale: one per-user partial-aggregated shuffle; the distinct-day
+    count is per-(user, day) cardinality inside the agg — all integer
+    sufficient statistics, no window functions."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(_CUPED_CUTOFF).cast("timestamp")
+    pre = F.col("ts") < cutoff
+    out = ev.groupBy("user_id").agg(
+        F.sum(F.when(pre, 1).otherwise(0)).cast("long").alias("n_events_pre"),
+        F.sum(
+            F.when(pre & (F.col("event_type") == "purchase"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_purchases_pre"),
+        F.count_distinct(
+            F.when(pre, F.col("ts").cast("date"))
+        )
+        .cast("long")
+        .alias("active_days_pre"),
+        (F.sum(F.when(~pre, 1).otherwise(0)) == 0).alias("churned"),
+    )
+    return out.filter(F.col("n_events_pre") > 0)

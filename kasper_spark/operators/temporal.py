@@ -3274,3 +3274,135 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival estimator (round 12)
+# ---------------------------------------------------------------------------
+
+_KM_CENSOR = "2024-01-24"  # right-censor horizon: users active at/after
+# this date are censored at (horizon - first_day), not counted as churned
+
+
+@register_query(
+    "kaplan_meier_survival",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(MIN(ts) AS DATE) AS first_day,
+               CAST(MAX(ts) AS DATE) AS last_day
+        FROM events GROUP BY user_id
+    ),
+    subjects AS (
+        SELECT user_id,
+               CASE WHEN last_day < DATE '{_KM_CENSOR}'
+                    THEN date_diff('day', first_day, last_day)
+                    ELSE date_diff('day', first_day, DATE '{_KM_CENSOR}')
+               END AS t,
+               CASE WHEN last_day < DATE '{_KM_CENSOR}' THEN 1 ELSE 0 END
+                   AS died
+        FROM per_user
+    ),
+    at_t AS (
+        SELECT t,
+               CAST(COUNT(*) AS BIGINT) AS n_at,
+               CAST(SUM(died) AS BIGINT) AS n_deaths
+        FROM subjects GROUP BY t
+    ),
+    risk AS (
+        SELECT t, n_deaths,
+               SUM(n_at) OVER (ORDER BY t
+                               ROWS BETWEEN CURRENT ROW
+                               AND UNBOUNDED FOLLOWING) AS n_risk
+        FROM at_t
+    ),
+    factors AS (
+        SELECT t, CAST(n_risk AS BIGINT) AS n_risk, n_deaths,
+               1 - CAST(n_deaths AS DOUBLE) / CAST(n_risk AS DOUBLE)
+                   AS factor,
+               ROW_NUMBER() OVER (ORDER BY t) AS rn
+        FROM risk WHERE n_deaths > 0
+    ),
+    flist AS (SELECT list(factor ORDER BY t) AS fl FROM factors)
+    SELECT f.t AS duration_days, f.n_risk, f.n_deaths,
+           CAST(list_reduce(list_slice(fl, 1, f.rn), (a, b) -> a * b)
+                AS DOUBLE) AS survival
+    FROM factors f CROSS JOIN flist
+    """,
+)
+def kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-churn — THE retention
+    readout (median lifetime, survival-at-day-k) and the censoring-aware
+    complement of cohort_retention: a user still active at the horizon
+    must not count as churned at their last observed day, they are
+    RIGHT-CENSORED there, which naive retention tables get wrong. Subject
+    lifetime runs first-activity -> last-activity (death) or -> horizon
+    (censored); S(t) = prod over death times u <= t of (1 - d_u/n_u)
+    with n_u the at-risk count (lifetime >= u, censored included).
+
+    Exactness — the cumulative product is the interesting part: each
+    factor is one exact-int double division and one subtraction
+    (correctly rounded), and S(t) is a SEQUENTIAL left-to-right fold
+    over the death-time-ordered factor list (Spark F.aggregate over the
+    sorted collected array == DuckDB list_reduce over list(ORDER BY t);
+    1.0 * x == x exactly, so the engines' folds are bit-identical — the
+    dot_double discipline applied to products; exp(sum(log)) would be
+    libm, a windowed PRODUCT() does not exist portably).
+
+    Scale: the per-user min/max is a partial-aggregated shuffle; from
+    there everything lives on the DAY-DOMAIN table (<= observation-window
+    days, here <= 31 rows) — the single-partition risk window and the
+    collected factor array are bounded by the calendar, not the corpus
+    (the peak_concurrency/hour-spine discipline)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    censor = F.lit(_KM_CENSOR).cast("date")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("first_day"),
+        F.max("ts").cast("date").alias("last_day"),
+    )
+    died = F.col("last_day") < censor
+    subjects = per_user.select(
+        F.when(died, F.datediff(F.col("last_day"), F.col("first_day")))
+        .otherwise(F.datediff(censor, F.col("first_day")))
+        .alias("t"),
+        F.when(died, 1).otherwise(0).alias("died"),
+    )
+    at_t = subjects.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n_at"),
+        F.sum("died").cast("long").alias("n_deaths"),
+    )
+    w_risk = Window.orderBy("t").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    risk = at_t.select(
+        "t",
+        "n_deaths",
+        F.sum("n_at").over(w_risk).cast("long").alias("n_risk"),
+    )
+    factor = F.lit(1) - F.col("n_deaths").cast("double") / F.col(
+        "n_risk"
+    ).cast("double")
+    factors = risk.filter(F.col("n_deaths") > 0).select(
+        "t", "n_risk", "n_deaths", factor.alias("factor")
+    )
+    arr = factors.agg(
+        F.array_sort(
+            F.collect_list(F.struct("t", "n_risk", "n_deaths", "factor"))
+        ).alias("a")
+    )
+    exploded = arr.select(F.posexplode("a").alias("pos", "row"), F.col("a"))
+    survival = F.aggregate(
+        F.transform(
+            F.slice(F.col("a"), 1, F.col("pos") + 1), lambda x: x["factor"]
+        ),
+        F.lit(1.0),
+        lambda acc, x: acc * x,
+    )
+    return exploded.select(
+        F.col("row.t").alias("duration_days"),
+        F.col("row.n_risk").alias("n_risk"),
+        F.col("row.n_deaths").alias("n_deaths"),
+        survival.alias("survival"),
+    )
