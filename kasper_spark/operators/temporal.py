@@ -3406,3 +3406,193 @@ def kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("row.n_deaths").alias("n_deaths"),
         survival.alias("survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Window funnel depth (round 12)
+# ---------------------------------------------------------------------------
+
+
+@register_query(
+    "window_funnel_depth",
+    oracle="""
+    WITH v AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'view'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    step2 AS (
+        SELECT v.user_id, v.event_id, v.ts AS v_ts, MIN(c.ts) AS c_ts
+        FROM v LEFT JOIN c
+          ON c.user_id = v.user_id
+         AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+        GROUP BY v.user_id, v.event_id, v.ts
+    ),
+    step3 AS (
+        SELECT s.user_id, s.event_id,
+               CASE WHEN s.c_ts IS NULL THEN 1
+                    WHEN MAX(CASE WHEN p.ts IS NOT NULL THEN 1 ELSE 0 END) = 1
+                    THEN 3 ELSE 2 END AS depth
+        FROM step2 s LEFT JOIN p
+          ON p.user_id = s.user_id
+         AND s.c_ts IS NOT NULL
+         AND p.ts >= s.c_ts AND p.ts <= s.v_ts + INTERVAL 1 HOUR
+        GROUP BY s.user_id, s.event_id, s.c_ts
+    ),
+    per_user AS (
+        SELECT user_id, CAST(MAX(depth) AS BIGINT) AS funnel_depth
+        FROM step3 GROUP BY user_id
+    )
+    SELECT funnel_depth, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM per_user GROUP BY funnel_depth ORDER BY funnel_depth
+    """,
+)
+def window_funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse-style windowFunnel: per user, the deepest
+    view -> click -> purchase chain completed within ONE HOUR of the
+    anchoring view, reported as a depth histogram. Greedy == existential
+    here and both engines exploit it: for a fixed view, the EARLIEST
+    in-window click maximizes the remaining purchase interval
+    [c.ts, v.ts + 1h] (any later click's interval is a subset), so
+    step 2 keeps only min(click_ts) per view and step 3 is one
+    existence flag — the three-way existential join (views x clicks x
+    purchases per user, cubic in the worst case) collapses to two
+    quadratic-at-worst user-keyed joins.
+
+    Scale: both joins are equi on user_id (co-partitioned shuffle) with
+    the hour bound cutting the per-user pair volume; per-view state is
+    one (min_click, exists_purchase) pair; the histogram is a 3-row
+    aggregate. The funnel definition the reference's per-message loop
+    could only approximate with hand-rolled state."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", F.col("ts").alias("v_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    hour = F.expr("INTERVAL 1 HOUR")
+    step2 = (
+        v.join(
+            c,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("c_ts") >= F.col("v_ts"))
+            & (F.col("c_ts") <= F.col("v_ts") + hour),
+            "left",
+        )
+        .groupBy("user_id", "event_id", "v_ts")
+        .agg(F.min("c_ts").alias("c_ts"))
+    )
+    step3 = (
+        step2.join(
+            p,
+            (F.col("p_user") == F.col("user_id"))
+            & F.col("c_ts").isNotNull()
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + hour),
+            "left",
+        )
+        .groupBy("user_id", "event_id", "c_ts")
+        .agg(
+            F.when(F.col("c_ts").isNull(), 1)
+            .when(
+                F.max(F.when(F.col("p_ts").isNotNull(), 1).otherwise(0)) == 1, 3
+            )
+            .otherwise(2)
+            .alias("depth")
+        )
+    )
+    per_user = step3.groupBy("user_id").agg(
+        F.max("depth").cast("long").alias("funnel_depth")
+    )
+    return (
+        per_user.groupBy("funnel_depth")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("funnel_depth")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed interval join (round 12): the equi-join rewrite of a range join
+# ---------------------------------------------------------------------------
+
+
+@register_query(
+    "bucketed_range_join_conversions",
+    oracle="""
+    SELECT v.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT v.event_id) AS BIGINT) AS n_converted_views
+    FROM (SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'view') v
+    JOIN (SELECT user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+      ON p.user_id = v.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    GROUP BY v.user_id
+    ORDER BY v.user_id
+    """,
+)
+def bucketed_range_join_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View -> purchase pairs within one hour, built as a BUCKETED
+    EQUI-JOIN instead of the inequality join the spec (and the oracle)
+    states: each view emits its two covering hour buckets
+    (floor(v_ts), floor(v_ts + 1h)), purchases join on the exact key
+    (user_id, hour_bucket), and the true range predicate re-filters the
+    survivors. The rewrite matters because Catalyst plans a bare
+    `p.ts BETWEEN v.ts AND v.ts + 1h` join as a broadcast-nested-loop
+    (or a per-key sort within user groups at best): the bucket key turns
+    it into a plain shuffled hash join whose candidate volume is bounded
+    by events-per-(user, hour) — the standard interval-join rewrite every
+    scale engine (and Spark's own range-join hints on Databricks) uses.
+    No dedupe pass is needed: a purchase lies in exactly one hour bucket,
+    so each (view, purchase) pair survives the exact filter from exactly
+    one of the view's two bucket rows.
+
+    Scale: 2 rows per view (the interval spans at most 2 hour buckets),
+    equi-shuffle on (user, bucket), exact predicate map-side after the
+    join; the count aggregates are partial. At a 100 TB event volume the
+    bucket granularity tracks the window size (1h window -> 1h buckets),
+    keeping the candidate fan-in constant."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", F.col("ts").alias("v_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.floor(F.unix_timestamp(F.col("ts")) / 3600).alias("bucket"),
+    )
+    v2 = v.select(
+        "user_id",
+        "event_id",
+        "v_ts",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor(F.unix_timestamp(F.col("v_ts")) / 3600),
+                    F.floor(
+                        F.unix_timestamp(F.col("v_ts") + F.expr("INTERVAL 1 HOUR"))
+                        / 3600
+                    ),
+                )
+            )
+        ).alias("bucket"),
+    )
+    pairs = v2.join(
+        p,
+        (F.col("p_user") == F.col("user_id")) & (p["bucket"] == v2["bucket"]),
+    ).filter(
+        (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.count_distinct("event_id").cast("long").alias("n_converted_views"),
+        )
+        .orderBy("user_id")
+    )
