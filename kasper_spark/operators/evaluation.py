@@ -1631,20 +1631,52 @@ def churn_label_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     count is per-(user, day) cardinality inside the agg — all integer
     sufficient statistics, no window functions."""
     ev = load_table(spark, sf_dir, "events")
+    return churn_labels_from_partials(churn_daily_partials(ev))
+
+
+def churn_daily_partials(ev: DataFrame) -> DataFrame:
+    """Mergeable half of churn_label_builder: per-(user, activity-day,
+    pre/post) integer counters. Day grain (not per-user) so the
+    distinct-active-days feature stays mergeable — summing counters by
+    (user, day, pre) across any batch cut reproduces the batch partials,
+    which is what streaming_churn_twin certifies."""
     cutoff = F.lit(_CUPED_CUTOFF).cast("timestamp")
-    pre = F.col("ts") < cutoff
-    out = ev.groupBy("user_id").agg(
-        F.sum(F.when(pre, 1).otherwise(0)).cast("long").alias("n_events_pre"),
-        F.sum(
-            F.when(pre & (F.col("event_type") == "purchase"), 1).otherwise(0)
-        )
+    return ev.groupBy(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        (F.col("ts") < cutoff).alias("pre"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_purchases"),
+    )
+
+
+def churn_labels_from_partials(p: DataFrame) -> DataFrame:
+    """Finalize half of churn_label_builder over (merged) daily partials."""
+    pre = F.col("pre")
+    out = p.groupBy("user_id").agg(
+        F.coalesce(F.sum(F.when(pre, F.col("n_events"))), F.lit(0))
+        .cast("long")
+        .alias("n_events_pre"),
+        F.coalesce(F.sum(F.when(pre, F.col("n_purchases"))), F.lit(0))
         .cast("long")
         .alias("n_purchases_pre"),
-        F.count_distinct(
-            F.when(pre, F.col("ts").cast("date"))
-        )
+        F.count_distinct(F.when(pre, F.col("day")))
         .cast("long")
         .alias("active_days_pre"),
-        (F.sum(F.when(~pre, 1).otherwise(0)) == 0).alias("churned"),
+        (
+            F.coalesce(F.sum(F.when(~pre, F.col("n_events"))), F.lit(0)) == 0
+        ).alias("churned"),
     )
     return out.filter(F.col("n_events_pre") > 0)
+
+
+# --- forward oracle binding (see operators/streaming_twins.py) -----------
+from kasper_spark.registry import ORACLES as _OR  # noqa: E402
+from kasper_spark.registry import QUERIES as _Q  # noqa: E402
+
+assert "churn_label_builder" in _OR, "batch churn oracle missing"
+assert "streaming_churn_twin" in _Q, "twin missing (import order)"
+_OR["streaming_churn_twin"] = _OR["churn_label_builder"]

@@ -3616,3 +3616,76 @@ def streaming_session_tws_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 assert "streaming_session_window_twin" in _OR, "session oracle missing"
 _OR["streaming_session_tws_twin"] = _OR["streaming_session_window_twin"]
+
+
+# ---------------------------------------------------------------------------
+# Churn labels at ingest (round 12): 12th incremental-view twin
+# ---------------------------------------------------------------------------
+
+
+@register_query("streaming_churn_twin")  # oracle bound at module end
+def streaming_churn_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """churn_label_builder AT INGEST: the per-(user, day, pre/post)
+    counter pair is a mergeable integer partial, so each micro-batch
+    emits its own daily partials and the read-side merge + the SAME
+    finalize projection reproduce the batch training table bit-for-bit —
+    the shape a feature store actually wants (labels refresh from the
+    live stream; this twin certifies the live view converges to the
+    batch build). 12th incremental-view twin; cut-invariant by
+    construction (fixed day buckets and a fixed cutoff literal, integer
+    counts)."""
+    from kasper_spark.operators.evaluation import (
+        churn_daily_partials,
+        churn_labels_from_partials,
+    )
+
+    work = _workdir("kasper-schurn-")
+    src_dir = os.path.join(work, "src")
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ck")
+
+    ensure_nanos_as_long(spark)
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    normalize_driver_ts(raw, ("ts",)).select(
+        "user_id", "ts", "event_type"
+    ).repartition(4).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_type string")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(src_dir)
+    )
+
+    def sink_batch(df, epoch_id: int) -> None:
+        churn_daily_partials(df).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={epoch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.isdir(out_dir):
+        raise RuntimeError(
+            f"streaming_churn_twin: no micro-batch ran over {src_dir} — "
+            "the file stream source found no input files"
+        )
+    merged = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+        .groupBy("user_id", "day", "pre")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("n_purchases").cast("long").alias("n_purchases"),
+        )
+    )
+    return churn_labels_from_partials(merged)
+
+
+# oracle binding lives at the end of operators/evaluation.py: that module
+# imports AFTER this one, so churn_label_builder's oracle does not exist
+# yet here (the one cross-module binding that points forward, not back)

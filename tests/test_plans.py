@@ -160,6 +160,7 @@ _INTENTIONAL_BNLJ = {
     # shape) — the same physical shape Spark gives a ScalarSubquery.
     "q22_idle_rich_customers",
     "market_basket_lift",  # 1-row broadcast: global basket count (Q22 shape)
+    "market_basket_triples",  # same 1-row basket-count broadcast (Q22 shape)
     "bpe_learn_merges",  # 1-row broadcast per merge round: the winning pair
     "forecast_mase_seasonal_naive",  # same bounded types x hours spine as gapfill
     "streaming_mase_twin",  # shares that spine over the drained partials
