@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -1540,3 +1541,111 @@ def audio_zero_crossing_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_samples long, n_crossings long, zcr double, "
         "first_crossing_t long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Image luminance-histogram profile (round 12)
+# ---------------------------------------------------------------------------
+
+_HIST_BINS = 16  # luminance bins: value // 16 over the 0..255 range
+
+HIST_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("dominant_bin", IntegerType()),
+        StructField("dominant_share", DoubleType()),
+        StructField("n_nonzero_bins", IntegerType()),
+        StructField("low_contrast", BooleanType()),
+    ]
+)
+
+
+@register_query(
+    "image_histogram_stats",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id, 16 + n_chars % 17 AS w, 12 + doc_id % 9 AS h
+        FROM documents
+    ), px AS (
+        SELECT doc_id, w, h, UNNEST(range(0, w * h)) AS i FROM dims
+    ), binned AS (
+        SELECT doc_id, w, h,
+               (((i % w) * 7 + (i // w) * 13 + doc_id) % 256) // {_HIST_BINS}
+                   AS bin
+        FROM px
+    ), hist AS (
+        SELECT doc_id, w, h, bin, CAST(COUNT(*) AS BIGINT) AS n
+        FROM binned GROUP BY doc_id, w, h, bin
+    ), ranked AS (
+        SELECT doc_id, w, h, bin, n,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY n DESC, bin
+               ) AS rk,
+               CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT)
+                   AS n_nonzero,
+               CAST(SUM(n) OVER (PARTITION BY doc_id) AS BIGINT) AS total
+        FROM hist
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(bin AS INTEGER) AS dominant_bin,
+           CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS dominant_share,
+           CAST(n_nonzero AS INTEGER) AS n_nonzero_bins,
+           CAST(n AS DOUBLE) / CAST(total AS DOUBLE) > 0.5 AS low_contrast
+    FROM ranked WHERE rk = 1
+    """,
+)
+def image_histogram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luminance-histogram profile over REAL image bytes — the
+    flat/over-exposed/low-contrast detector that complements
+    image_edge_density in a multimodal curation gate (edge density
+    catches blur; a dominant histogram bin catches blank frames and
+    synthetic fills even when residual noise keeps gradients nonzero).
+    Decodes each PGM payload, bins pixels into 16 luminance buckets
+    (numpy bincount), and reports the dominant bin, its share, the
+    nonzero-bin count, and the >50%-dominance low-contrast flag.
+
+    The DuckDB oracle recomputes the histogram ANALYTICALLY from the
+    generation texture (the image_edge_density discipline), so a hash
+    match certifies decode + binning end to end — a wrong bin width, a
+    transposed raster, or a dropped remainder row all shift the
+    dominant-bin counts and fail the gate.
+
+    Scale: map-only (mapInPandas over Arrow batches; blobs never
+    shuffle); per-image output is 7 scalars. Real deployments swap
+    decode_pgm for PIL and keep the identical plumbing."""
+    _register_codec_by_value()
+    media = pgm_image_table(spark, sf_dir)
+
+    def hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        def one(doc_id: int, payload: bytes):
+            w, h, _maxval, raster = decode_pgm(bytes(payload))
+            img = _np.frombuffer(raster, dtype=_np.uint8)
+            counts = _np.bincount(img // _HIST_BINS, minlength=_HIST_BINS)
+            # dominant bin: max count, ties to the LOWER bin id (matches
+            # the oracle's ORDER BY n DESC, bin)
+            dom = int(_np.argmax(counts))
+            total = int(counts.sum())
+            share = float(counts[dom]) / float(total)
+            return (
+                doc_id, w, h, dom, share,
+                int((counts > 0).sum()), share > 0.5,
+            )
+
+        cols = [
+            "doc_id", "width", "height", "dominant_bin",
+            "dominant_share", "n_nonzero_bins", "low_contrast",
+        ]
+        for b in batches:
+            yield _pd.DataFrame(
+                [one(int(d), p) for d, p in zip(b["doc_id"], b["payload"])],
+                columns=cols,
+            )
+
+    return media.mapInPandas(hist, schema=HIST_SCHEMA)
