@@ -78,10 +78,26 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "ann_ivf_search_only",
     # wave 2: market-basket level-3 triples (ticket #5)
     "market_basket_triples",
-    # wave 3: always-valid sequential A/B readout (ticket #6)
-    "ab_test_msprt",
     # wave 4: sessionization on the state-v2 runtime (ticket #7)
     "streaming_session_tws_twin",
+    # wave 5: experiment health (peeking-safe + guardrails + power)
+    "ab_test_msprt",
+    "ab_test_srm_check",
+    "ab_test_mde_report",
+    # wave 6: nDCG via frozen decimal discount literals
+    "ndcg_relevance_contract",
+    # wave 7: reciprocal-NN dedup over the persisted inverted lists
+    "mutual_knn_pairs",
+    # wave 8: lifecycle analytics (leakage-safe labels + censoring-aware
+    # survival) and the 12th incremental-view twin
+    "churn_label_builder",
+    "kaplan_meier_survival",
+    "streaming_churn_twin",
+    # wave 9: funnel depth + the bucketed interval-join rewrite
+    "window_funnel_depth",
+    "bucketed_range_join_conversions",
+    # wave 10: multimodal low-contrast gate
+    "image_histogram_stats",
     # -- 1. Regression re-certification (ticket #1): the r04 tail whose
     #       newest driver-green evidence is oldest (last green row r04),
     #       queued verbatim from the r11 rotation note:
@@ -118,19 +134,13 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "dup_ngram_quality",
     "vocab_coverage",
     "substring_dup_spans",
-    "unigram_rarity_quality",
-    "semantic_dedup_leader",
-    "pii_redact",
-    "json_parse_dlq_audit",
-    "union_schema_evolution",
-    "table_checksum_orders",
-    "dq_constraint_report",
-    "incremental_agg_merge",
-    "profile_orders_columns",
-    "countmin_heavy_hitters",
-    # (exactly 50 names: 8 new/changed round-12 entries + 28 r04-tail +
-    # 14 r05-head rotation names. The r05 tail keeps queue position for
-    # r13, oldest first: try_functions_battery, map_functions_battery,
+    # (exactly 50 names: 18 new/changed round-12 entries + 28 r04-tail +
+    # 4 r05-head rotation names. The rest of the r05 cohort keeps queue
+    # position for r13, oldest first: unigram_rarity_quality,
+    # semantic_dedup_leader, pii_redact, json_parse_dlq_audit,
+    # union_schema_evolution, table_checksum_orders, dq_constraint_report,
+    # incremental_agg_merge, profile_orders_columns,
+    # countmin_heavy_hitters, try_functions_battery, map_functions_battery,
     # equidepth_histogram_totalprice, streaming_countmin_twin,
     # ann_lsh_certified, pack_sequences_by_source, shingle_novelty_scores,
     # winnowing_fingerprints, dedup_incremental_new_vs_base,
