@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kasper_spark.catalog import load_table
+from kasper_spark.lineage import cut_lineage
 from kasper_spark.registry import register_query
 
 # shared constants: drift in curation/retrieval fails loudly here
@@ -1680,3 +1681,141 @@ from kasper_spark.registry import QUERIES as _Q  # noqa: E402
 assert "churn_label_builder" in _OR, "batch churn oracle missing"
 assert "streaming_churn_twin" in _Q, "twin missing (import order)"
 _OR["streaming_churn_twin"] = _OR["churn_label_builder"]
+
+
+# ---------------------------------------------------------------------------
+# Precision/recall@k (round 12): completes the ranking-eval family
+# ---------------------------------------------------------------------------
+
+_PRK_K = 5
+
+
+@register_query(
+    "precision_recall_at_k",
+    oracle=_bm25_graded_scored_sql()
+    + f""",
+    ranked AS (
+        SELECT query_id, doc_id, min_tf,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY score_dec DESC, doc_id
+               ) AS rk
+        FROM scored WHERE score_dec > 0
+    ),
+    rel AS (
+        SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_relevant
+        FROM ranked WHERE min_tf >= {_MRR_REL_TF} GROUP BY query_id
+    ),
+    hits AS (
+        SELECT query_id,
+               CAST(SUM(CASE WHEN min_tf >= {_MRR_REL_TF}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+               CAST(COUNT(*) AS BIGINT) AS n_top
+        FROM ranked WHERE rk <= {_PRK_K} GROUP BY query_id
+    )
+    SELECT CAST(h.query_id AS BIGINT) AS query_id,
+           h.n_top, h.n_hits,
+           COALESCE(r.n_relevant, 0) AS n_relevant,
+           CAST(h.n_hits AS DOUBLE) / CAST(h.n_top AS DOUBLE)
+               AS precision_at_k,
+           CASE WHEN COALESCE(r.n_relevant, 0) > 0
+                THEN CAST(h.n_hits AS DOUBLE) / CAST(r.n_relevant AS DOUBLE)
+                ELSE 0.0 END AS recall_at_k
+    FROM hits h LEFT JOIN rel r USING (query_id)
+    """,
+)
+def precision_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision@5 and recall@5 of the BM25 ranker against the shared
+    min-tf relevance ground truth — with MRR (first-hit rank) and nDCG
+    (graded positions) this completes the standard ranking-eval family,
+    all three riding the SAME decimal-exact scored CTE so one index
+    build is judged from every angle a retrieval deployment reports.
+    Pure counting: hits in the top-k and the relevant-set size are exact
+    BIGINTs, the two ratios are single exact-int double divisions.
+
+    Scale: the shared scored/ranked shape (scan-stage tf, broadcast
+    df/stats, per-query windows); the metric adds only two bounded
+    aggregates over the rank-filtered rows."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks(F.col("text"))
+    base = docs.select(
+        "doc_id", toks.alias("t"), F.size(toks).cast("long").alias("dl")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_tokens"),
+    )
+    term_col = F.explode(F.array(*[F.lit(t) for t in _MRR_TERMS])).alias("term")
+    tf = base.select("doc_id", "dl", "t", term_col).select(
+        "doc_id",
+        "dl",
+        "term",
+        F.size(F.expr("filter(t, w -> w = term)")).cast("long").alias("tf"),
+    )
+    df_t = tf.filter(F.col("tf") > 0).groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, ts in _MRR_QUERIES for t in ts],
+        "query_id long, term string",
+    )
+    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")
+    idf = (
+        F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5))
+    tf_part = (F.col("tf").cast("double") * F.lit(_BM25_K1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + F.lit(_BM25_K1)
+        * (F.lit(1.0 - _BM25_B) + (F.lit(_BM25_B) * F.col("dl").cast("double")) / avgdl)
+    )
+    contrib = F.when(
+        F.col("tf") > 0, (idf * tf_part).cast("decimal(30,12)")
+    ).otherwise(F.lit(0).cast("decimal(30,12)"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(F.broadcast(qt), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(contrib).cast("decimal(30,12)").alias("score_dec"),
+            F.min("tf").cast("long").alias("min_tf"),
+        )
+        .filter(F.col("score_dec") > 0)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_dec"), F.asc("doc_id"))
+    ranked = cut_lineage(
+        scored.select(
+            "query_id", "doc_id", "min_tf", F.row_number().over(w).alias("rk")
+        )
+    )
+    rel = (
+        ranked.filter(F.col("min_tf") >= _MRR_REL_TF)
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_relevant"))
+    )
+    hits = (
+        ranked.filter(F.col("rk") <= _PRK_K)
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.when(F.col("min_tf") >= _MRR_REL_TF, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hits"),
+            F.count(F.lit(1)).cast("long").alias("n_top"),
+        )
+    )
+    return hits.join(rel, "query_id", "left").select(
+        "query_id",
+        "n_top",
+        "n_hits",
+        F.coalesce("n_relevant", F.lit(0)).cast("long").alias("n_relevant"),
+        (F.col("n_hits").cast("double") / F.col("n_top").cast("double")).alias(
+            "precision_at_k"
+        ),
+        F.when(
+            F.coalesce("n_relevant", F.lit(0)) > 0,
+            F.col("n_hits").cast("double") / F.col("n_relevant").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("recall_at_k"),
+    )
