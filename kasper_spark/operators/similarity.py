@@ -3448,7 +3448,7 @@ _MUTUAL_K = 3  # reciprocal rank bound: both sides must rank the other <= K
 def mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RECIPROCAL nearest-neighbor pairs — the symmetric semantic-dup
     confirmation gate (a pair survives only if EACH vector ranks the
-    other in its top-{3}): one-directional kNN flags hubs (a generic
+    other in its top-3): one-directional kNN flags hubs (a generic
     vector near everything) as dups of half the corpus; mutuality is the
     standard de-hubbing fix (the reciprocal-NN criterion from
     agglomerative clustering / bitext mining). Neighborhoods are
@@ -3469,7 +3469,7 @@ def mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     list size so total pair work is ~N^1.5 WITHIN lists — the accepted
     mutual-NN cost, paid inside partitions), the rank window is
     per-vector, and the reciprocal check is a self-join of the
-    rank-bounded (<= {3}N rows) table on the flipped key."""
+    rank-bounded (<= 3N rows) table on the flipped key."""
     idx = _ensure_ivf_index(spark, sf_dir)
     members = spark.read.parquet(_os.path.join(idx, "assignments")).select(
         "vec_id", F.col("cluster_id").cast("bigint").alias("cluster_id")
