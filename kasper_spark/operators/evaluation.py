@@ -1172,11 +1172,24 @@ def ab_test_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
     arm table, a 1-row report; the sequential guarantee costs nothing
     at the plan level, which is why platforms default to it."""
     ev = load_table(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(
+    return msprt_report_from_user_counts(msprt_user_counts(ev))
+
+
+def msprt_user_counts(ev: DataFrame) -> DataFrame:
+    """Mergeable half of ab_test_msprt: per-user purchase counts
+    (user_id, y). Summing y by user across any batch cut reproduces the
+    batch partials — what streaming_msprt_twin certifies. The user id is
+    kept (not the arm) so the merge key is the true entity."""
+    return ev.groupBy("user_id").agg(
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
         .cast("long")
         .alias("y")
-    ).select((F.col("user_id") % 2).alias("arm"), "y")
+    )
+
+
+def msprt_report_from_user_counts(per_user_raw: DataFrame) -> DataFrame:
+    """Finalize half of ab_test_msprt over (merged) per-user counts."""
+    per_user = per_user_raw.select((F.col("user_id") % 2).alias("arm"), "y")
     arms = per_user.groupBy("arm").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("y").cast("long").alias("s"),
@@ -1681,6 +1694,10 @@ from kasper_spark.registry import QUERIES as _Q  # noqa: E402
 assert "churn_label_builder" in _OR, "batch churn oracle missing"
 assert "streaming_churn_twin" in _Q, "twin missing (import order)"
 _OR["streaming_churn_twin"] = _OR["churn_label_builder"]
+
+assert "ab_test_msprt" in _OR, "batch mSPRT oracle missing"
+assert "streaming_msprt_twin" in _Q, "twin missing (import order)"
+_OR["streaming_msprt_twin"] = _OR["ab_test_msprt"]
 
 
 # ---------------------------------------------------------------------------

@@ -3689,3 +3689,67 @@ def streaming_churn_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle binding lives at the end of operators/evaluation.py: that module
 # imports AFTER this one, so churn_label_builder's oracle does not exist
 # yet here (the one cross-module binding that points forward, not back)
+
+
+# ---------------------------------------------------------------------------
+# Always-valid A/B readout at ingest (round 12): 13th incremental-view twin
+# ---------------------------------------------------------------------------
+
+
+@register_query("streaming_msprt_twin")  # oracle bound in evaluation.py
+def streaming_msprt_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ab_test_msprt AT INGEST — the pairing the always-valid literature
+    exists for: the e-value is only anytime-valid if the metric can
+    actually be read at any time, i.e. maintained incrementally from the
+    live stream. Per-user purchase counts are sum-mergeable partials, so
+    each micro-batch emits its own (user, y) rows and the read-side
+    merge + the SAME mSPRT projection reproduce the batch readout
+    bit-for-bit against the batch oracle. 13th incremental-view twin;
+    cut-invariant by construction (integer per-user counters)."""
+    from kasper_spark.operators.evaluation import (
+        msprt_report_from_user_counts,
+        msprt_user_counts,
+    )
+
+    work = _workdir("kasper-smsprt-")
+    src_dir = os.path.join(work, "src")
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ck")
+
+    ensure_nanos_as_long(spark)
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    normalize_driver_ts(raw, ("ts",)).select(
+        "user_id", "event_type"
+    ).repartition(4).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema("user_id long, event_type string")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(src_dir)
+    )
+
+    def sink_batch(df, epoch_id: int) -> None:
+        msprt_user_counts(df).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={epoch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.isdir(out_dir):
+        raise RuntimeError(
+            f"streaming_msprt_twin: no micro-batch ran over {src_dir} — "
+            "the file stream source found no input files"
+        )
+    merged = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+        .groupBy("user_id")
+        .agg(F.sum("y").cast("long").alias("y"))
+    )
+    return msprt_report_from_user_counts(merged)

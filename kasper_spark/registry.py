@@ -80,12 +80,16 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "market_basket_triples",
     # wave 4: sessionization on the state-v2 runtime (ticket #7)
     "streaming_session_tws_twin",
-    # wave 5: experiment health (peeking-safe + guardrails + power)
+    # wave 5: experiment health (peeking-safe + guardrails + power),
+    # with the always-valid readout ALSO maintained at ingest (13th
+    # incremental-view twin)
     "ab_test_msprt",
+    "streaming_msprt_twin",
     "ab_test_srm_check",
     "ab_test_mde_report",
-    # wave 6: nDCG via frozen decimal discount literals
+    # wave 6: nDCG via frozen decimal discount literals + P/R@5
     "ndcg_relevance_contract",
+    "precision_recall_at_k",
     # wave 7: reciprocal-NN dedup over the persisted inverted lists
     "mutual_knn_pairs",
     # wave 8: lifecycle analytics (leakage-safe labels + censoring-aware
@@ -132,11 +136,10 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     # -- 2. then the r05 cohort head (evidence r05), oldest-first:
     "ngram_decontaminate",
     "dup_ngram_quality",
-    "vocab_coverage",
-    "substring_dup_spans",
-    # (exactly 50 names: 18 new/changed round-12 entries + 28 r04-tail +
-    # 4 r05-head rotation names. The rest of the r05 cohort keeps queue
-    # position for r13, oldest first: unigram_rarity_quality,
+    # (exactly 50 names: 20 new/changed round-12 entries + 28 r04-tail +
+    # 2 r05-head rotation names. The rest of the r05 cohort keeps queue
+    # position for r13, oldest first: vocab_coverage, substring_dup_spans,
+    # unigram_rarity_quality,
     # semantic_dedup_leader, pii_redact, json_parse_dlq_audit,
     # union_schema_evolution, table_checksum_orders, dq_constraint_report,
     # incremental_agg_merge, profile_orders_columns,
