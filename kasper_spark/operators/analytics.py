@@ -3327,3 +3327,109 @@ def correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("col_a", "col_b")
+
+
+# ---------------------------------------------------------------------------
+# Revenue concentration: Lorenz/Gini + top-share (round 12)
+# ---------------------------------------------------------------------------
+
+
+@register_query(
+    "revenue_concentration_gini",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(10,4)))
+                    AS DECIMAL(38,4)) AS rev
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT rev,
+               ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS i,
+               COUNT(*) OVER () AS n
+        FROM per_cust
+    ),
+    sums AS (
+        SELECT CAST(MAX(n) AS BIGINT) AS n,
+               CAST(SUM(rev) AS DECIMAL(38,4)) AS total,
+               CAST(SUM(CAST(i AS DECIMAL(18,0)) * rev)
+                    AS DECIMAL(38,4)) AS weighted,
+               CAST(SUM(CASE WHEN i > n - GREATEST(1, n // 10)
+                             THEN rev ELSE CAST(0 AS DECIMAL(38,4)) END)
+                    AS DECIMAL(38,4)) AS top_decile_rev
+        FROM ranked
+    )
+    SELECT n AS n_customers,
+           CAST(total AS DOUBLE) AS total_revenue,
+           (2.0 * CAST(weighted AS DOUBLE)
+            - (CAST(n AS DOUBLE) + 1.0) * CAST(total AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)) AS gini,
+           CAST(top_decile_rev AS DOUBLE) / CAST(total AS DOUBLE)
+               AS top_decile_share
+    FROM sums
+    """,
+)
+def revenue_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration — the Gini coefficient over per-customer
+    revenue plus the top-decile share (the "what fraction of revenue do
+    the top 10% of customers carry" Pareto readout every commercial
+    analytics deck opens with). Gini uses the rank-weighted closed form
+    G = (2 * sum(i * x_i) - (n+1) * sum(x_i)) / (n * sum(x_i)) over
+    ascending-ranked revenues: both sums are EXACT DECIMALS (rank is an
+    integer, revenue a decimal — products and sums stay in decimal), so
+    the only doubles are the final fixed expression (cast-first, the
+    Benford discipline). Rank ties break on custkey; equal revenues make
+    the tie order irrelevant to the weighted sum's VALUE... not in
+    general — but each (i, rev) permutation among equal revs yields the
+    same multiset of products, so the SUM is permutation-invariant.
+
+    Scale: one per-customer partial agg; the global revenue rank is the
+    certified spec form (the rfm_customer_segments precedent — at 100 TB
+    the rank comes from a revenue-histogram prefix scan, SCALING.md)."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        dsum_dec(money("o_totalprice")).cast("decimal(38,4)").alias("rev")
+    )
+    w = Window.orderBy("rev", "o_custkey")
+    ranked = per_cust.select(
+        "rev",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    top_cut = F.col("n") - F.greatest(
+        F.lit(1).cast("long"), F.floor(F.col("n") / 10).cast("long")
+    )
+    sums = ranked.agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum("rev").cast("decimal(38,4)").alias("total"),
+        F.sum(F.col("i").cast("decimal(18,0)") * F.col("rev"))
+        .cast("decimal(38,4)")
+        .alias("weighted"),
+        F.sum(
+            F.when(
+                F.col("i") > top_cut,
+                F.col("rev"),
+            ).otherwise(F.lit(0).cast("decimal(38,4)"))
+        )
+        .cast("decimal(38,4)")
+        .alias("top_decile_rev"),
+    )
+    nd = F.col("n").cast("double")
+    total_d = F.col("total").cast("double")
+    return sums.select(
+        F.col("n").alias("n_customers"),
+        total_d.alias("total_revenue"),
+        (
+            (F.lit(2.0) * F.col("weighted").cast("double") - (nd + F.lit(1.0)) * total_d)
+            / (nd * total_d)
+        ).alias("gini"),
+        (F.col("top_decile_rev").cast("double") / total_d).alias(
+            "top_decile_share"
+        ),
+    )
