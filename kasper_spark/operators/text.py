@@ -2520,7 +2520,7 @@ _BPE_PAIR_SQL = """
     GROUP BY 1, 2
 """
 
-_BPE_ORACLE = f"""
+_BPE_CHAIN_SQL = f"""
     WITH wt AS (
         SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS f
         FROM (SELECT unnest(list_filter(string_split(text, ' '),
@@ -2549,7 +2549,9 @@ _BPE_ORACLE = f"""
         FROM r1 CROSS JOIN w2
     ),
     p3 AS ({_BPE_PAIR_SQL.format(src="r2")}),
-    w3 AS (SELECT sa, sb, cnt FROM p3 ORDER BY cnt DESC, sa, sb LIMIT 1)
+    w3 AS (SELECT sa, sb, cnt FROM p3 ORDER BY cnt DESC, sa, sb LIMIT 1)"""
+
+_BPE_ORACLE = _BPE_CHAIN_SQL + """
     SELECT * FROM (
         SELECT CAST(1 AS BIGINT) AS merge_rank, sa AS sym_a, sb AS sym_b,
                sa || sb AS merged, cnt AS pair_count FROM w1
@@ -3199,3 +3201,154 @@ def heaps_law_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(num.cast("double") / den.cast("double"))
         .alias("heaps_beta"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# BPE encode + compression report (round 12): the tokenizer's APPLY side
+# ---------------------------------------------------------------------------
+
+
+@register_query(
+    "bpe_encode_compression",
+    oracle=_BPE_CHAIN_SQL
+    + """,
+    corpus AS (
+        SELECT source, w AS word, CAST(COUNT(*) AS BIGINT) AS f
+        FROM (SELECT source,
+                     unnest(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS w
+              FROM documents)
+        GROUP BY source, w
+    ),
+    e0 AS (
+        SELECT source, f, CAST(length(word) AS BIGINT) AS n_chars,
+               chr(31) || array_to_string(string_split(word, ''), chr(31))
+                 || chr(31) AS s
+        FROM corpus
+    ),
+    e1 AS (
+        SELECT source, f, n_chars,
+               replace(s, chr(31) || w1.sa || chr(31) || w1.sb || chr(31),
+                       chr(31) || w1.sa || w1.sb || chr(31)) AS s
+        FROM e0 CROSS JOIN w1
+    ),
+    e2 AS (
+        SELECT source, f, n_chars,
+               replace(s, chr(31) || w2.sa || chr(31) || w2.sb || chr(31),
+                       chr(31) || w2.sa || w2.sb || chr(31)) AS s
+        FROM e1 CROSS JOIN w2
+    ),
+    e3 AS (
+        SELECT source, f, n_chars,
+               replace(s, chr(31) || w3.sa || chr(31) || w3.sb || chr(31),
+                       chr(31) || w3.sa || w3.sb || chr(31)) AS s
+        FROM e2 CROSS JOIN w3
+    ),
+    counted AS (
+        SELECT source, f, n_chars,
+               CAST(len(list_filter(string_split(s, chr(31)),
+                                    x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM e3
+    )
+    SELECT source,
+           CAST(SUM(f) AS BIGINT) AS n_words,
+           CAST(SUM(f * n_chars) AS BIGINT) AS chars_total,
+           CAST(SUM(f * n_tokens) AS BIGINT) AS tokens_total,
+           CAST(SUM(f * n_tokens) AS DOUBLE) / CAST(SUM(f) AS DOUBLE)
+               AS tokens_per_word,
+           CAST(SUM(f * n_chars) AS DOUBLE) / CAST(SUM(f * n_tokens) AS DOUBLE)
+               AS compression_ratio
+    FROM counted GROUP BY source ORDER BY source
+    """,
+)
+def bpe_encode_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer lifecycle's APPLY side: encode the WHOLE corpus with
+    the merges bpe_learn_merges learned and report per-source token
+    economics — tokens-per-word and chars-per-token compression, the
+    numbers that decide context-window budgets and per-source training
+    cost. Encoding runs on the (source, word-type) table weighted by
+    corpus frequency (every word, including the rare/long types the
+    TRAINING gate excluded — training is sampled, encoding is total,
+    exactly as production tokenizers behave), applying the learned pair
+    merges IN RANK ORDER via the same non-overlapping left-to-right
+    replace that defines a BPE pass.
+
+    Scale: learning state is vocabulary-sized (see bpe_learn_merges);
+    encoding is map-side over the type table with three 1-row winner
+    broadcasts — the corpus is touched once for the (source, word)
+    count, and no row moves for any merge. All counts are exact BIGINTs;
+    the two ratios are final double divisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    # --- learn (same loop as bpe_learn_merges) ---
+    wt = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+        .filter(
+            (F.col("f") >= _BPE_MIN_F)
+            & (F.length("word") >= 2)
+            & (F.length("word") <= 20)
+        )
+    )
+    chars = F.filter(F.split(F.col("word"), ""), lambda x: x != "")
+    repr_df = wt.select(
+        F.concat(
+            F.lit(_BPE_SEP), F.array_join(chars, _BPE_SEP), F.lit(_BPE_SEP)
+        ).alias("s"),
+        "f",
+    )
+    winners = []
+    for _rank in range(1, _BPE_MERGES + 1):
+        w = _bpe_winner(_bpe_pair_counts(repr_df))
+        winners.append(w)
+        if _rank < _BPE_MERGES:
+            repr_df = _bpe_apply(repr_df, w)
+    # --- encode (all word types, frequency-weighted, per source) ---
+    corpus = (
+        docs.select("source", F.explode(_tokens(F.col("text"))).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    enc = corpus.select(
+        "source",
+        "f",
+        F.length("word").cast("long").alias("n_chars"),
+        F.concat(
+            F.lit(_BPE_SEP), F.array_join(chars, _BPE_SEP), F.lit(_BPE_SEP)
+        ).alias("s"),
+    )
+    sep = F.lit(_BPE_SEP)
+    for w in winners:
+        pat = F.concat(sep, F.col("sa"), sep, F.col("sb"), sep)
+        rep = F.concat(sep, F.col("sa"), F.col("sb"), sep)
+        enc = enc.crossJoin(F.broadcast(w)).select(
+            "source",
+            "f",
+            "n_chars",
+            F.replace(F.col("s"), pat, rep).alias("s"),
+        )
+    counted = enc.select(
+        "source",
+        "f",
+        "n_chars",
+        F.size(F.filter(F.split(F.col("s"), _BPE_SEP), lambda x: x != ""))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return (
+        counted.groupBy("source")
+        .agg(
+            F.sum("f").cast("long").alias("n_words"),
+            F.sum(F.col("f") * F.col("n_chars")).cast("long").alias("chars_total"),
+            F.sum(F.col("f") * F.col("n_tokens")).cast("long").alias("tokens_total"),
+            (
+                F.sum(F.col("f") * F.col("n_tokens")).cast("double")
+                / F.sum("f").cast("double")
+            ).alias("tokens_per_word"),
+            (
+                F.sum(F.col("f") * F.col("n_chars")).cast("double")
+                / F.sum(F.col("f") * F.col("n_tokens")).cast("double")
+            ).alias("compression_ratio"),
+        )
+        .orderBy("source")
+    )

@@ -104,6 +104,8 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "image_histogram_stats",
     # wave 11: revenue concentration (exact-decimal Gini + top-decile)
     "revenue_concentration_gini",
+    # wave 12: the tokenizer lifecycle's APPLY side (learn -> encode)
+    "bpe_encode_compression",
     # -- 1. Regression re-certification (ticket #1): the r04 tail whose
     #       newest driver-green evidence is oldest (last green row r04),
     #       queued verbatim from the r11 rotation note:
@@ -136,10 +138,9 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "streaming_enrich_static_twin",
     "embedding_power_iteration",
     # -- 2. then the r05 cohort head (evidence r05), oldest-first:
-    "ngram_decontaminate",
-    # (exactly 50 names: 21 new/changed round-12 entries + 28 r04-tail +
-    # 1 r05-head rotation name. The rest of the r05 cohort keeps queue
-    # position for r13, oldest first: dup_ngram_quality, vocab_coverage,
+    # (exactly 50 names: 22 new/changed round-12 entries + the 28-name
+    # r04 tail. The full r05 cohort keeps queue position for r13, oldest
+    # first: ngram_decontaminate, dup_ngram_quality, vocab_coverage,
     # substring_dup_spans, unigram_rarity_quality,
     # semantic_dedup_leader, pii_redact, json_parse_dlq_audit,
     # union_schema_evolution, table_checksum_orders, dq_constraint_report,
