@@ -3621,3 +3621,192 @@ def bucketed_range_join_conversions(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal forecast intervals (round 12)
+# ---------------------------------------------------------------------------
+
+_CONF_ALPHA_NUM = 9  # 1 - alpha = 9/10: kept as a RATIO so the conformal
+_CONF_ALPHA_DEN = 10  # rank is pure integer arithmetic on both engines
+
+
+@register_query(
+    "conformal_forecast_intervals",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo,
+               date_trunc('hour', MAX(ts)) AS hi
+        FROM events
+    ),
+    hours AS (
+        SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts
+        FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    spine AS (SELECT event_type, hour_ts FROM types CROSS JOIN hours),
+    agg AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    series AS (
+        SELECT spine.event_type AS event_type, spine.hour_ts AS hour_ts,
+               CAST(COALESCE(agg.n, 0) AS BIGINT) AS n
+        FROM spine LEFT JOIN agg
+          ON spine.event_type = agg.event_type
+         AND spine.hour_ts = agg.hour_ts
+    ),
+    lagged AS (
+        SELECT event_type, hour_ts, n,
+               lag(n, 24) OVER (PARTITION BY event_type ORDER BY hour_ts)
+                   AS f_seasonal
+        FROM series
+    ),
+    scored AS (
+        SELECT l.event_type, l.hour_ts,
+               ABS(l.n - l.f_seasonal) AS r,
+               l.hour_ts > b.hi - INTERVAL 24 HOUR AS is_holdout
+        FROM lagged l CROSS JOIN bounds b
+        WHERE l.f_seasonal IS NOT NULL
+    ),
+    cal_ranked AS (
+        SELECT event_type, r,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY r, hour_ts) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_cal
+        FROM scored WHERE NOT is_holdout
+    ),
+    q AS (
+        SELECT event_type, CAST(MAX(n_cal) AS BIGINT) AS n_cal,
+               CAST(MAX(CASE WHEN rn =
+                   ({_CONF_ALPHA_NUM} * (n_cal + 1) + {_CONF_ALPHA_DEN - 1})
+                       // {_CONF_ALPHA_DEN}
+                   THEN r END) AS BIGINT) AS q_alpha
+        FROM cal_ranked GROUP BY event_type
+    ),
+    hold AS (
+        SELECT s.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_holdout,
+               CAST(SUM(CASE WHEN s.r <= q.q_alpha THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_covered
+        FROM scored s JOIN q ON q.event_type = s.event_type
+        WHERE s.is_holdout
+        GROUP BY s.event_type
+    )
+    SELECT q.event_type, q.n_cal, q.q_alpha,
+           h.n_holdout, h.n_covered,
+           CAST(h.n_covered AS DOUBLE) / CAST(h.n_holdout AS DOUBLE)
+               AS holdout_coverage
+    FROM q JOIN hold h ON h.event_type = q.event_type
+    ORDER BY q.event_type
+    """,
+)
+def conformal_forecast_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals over the seasonal-naive hourly
+    forecast — the DISTRIBUTION-FREE uncertainty layer modern forecast
+    pipelines wrap around any point model (Vovk's conformal guarantee:
+    if calibration and test are exchangeable, the interval
+    [forecast - q, forecast + q] with q = the ceil((1-alpha)(n+1))-th
+    smallest calibration residual covers with probability >= 1 - alpha,
+    NO distributional assumption). Calibration = all scored hours except
+    the final 24; holdout = that last day; the report is the per-type
+    conformal quantile and its realized holdout coverage.
+
+    Exactness: residuals are exact BIGINTs (integer counts), the
+    conformal rank is pure integer arithmetic (alpha kept as the ratio
+    9/10 so ceil is (9(n+1)+9) // 10 — no float rank), the quantile is
+    SELECTED not interpolated, and coverage is one exact-int division.
+
+    Scale: the series lives on the bounded types x hours spine (the
+    MASE/gapfill discipline); ranking windows are per-type over
+    spine-sized partitions; the corpus is touched once by the hourly
+    count."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_ts")
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(hours))
+    agg = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    series = spine.join(agg, ["event_type", "hour_ts"], "left").select(
+        "event_type",
+        "hour_ts",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hour_ts")
+    lagged = series.select(
+        "event_type",
+        "hour_ts",
+        "n",
+        F.lag("n", 24).over(w).alias("f_seasonal"),
+    )
+    scored = (
+        lagged.filter(F.col("f_seasonal").isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            "hour_ts",
+            F.abs(F.col("n") - F.col("f_seasonal")).alias("r"),
+            (
+                F.col("hour_ts") > F.col("hi") - F.expr("INTERVAL 24 HOUR")
+            ).alias("is_holdout"),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("r", "hour_ts")
+    wc = Window.partitionBy("event_type")
+    cal_ranked = scored.filter(~F.col("is_holdout")).select(
+        "event_type",
+        "r",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_cal"),
+    )
+    conf_rank = F.floor(
+        (
+            F.lit(_CONF_ALPHA_NUM) * (F.col("n_cal") + 1)
+            + F.lit(_CONF_ALPHA_DEN - 1)
+        )
+        / F.lit(_CONF_ALPHA_DEN)
+    )
+    q = cal_ranked.groupBy("event_type").agg(
+        F.max("n_cal").cast("long").alias("n_cal"),
+        F.max(F.when(F.col("rn") == conf_rank, F.col("r")))
+        .cast("long")
+        .alias("q_alpha"),
+    )
+    hold = (
+        scored.filter(F.col("is_holdout"))
+        .join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_holdout"),
+            F.sum(F.when(F.col("r") <= F.col("q_alpha"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_covered"),
+        )
+    )
+    return (
+        q.join(hold, "event_type")
+        .select(
+            "event_type",
+            "n_cal",
+            "q_alpha",
+            "n_holdout",
+            "n_covered",
+            (
+                F.col("n_covered").cast("double")
+                / F.col("n_holdout").cast("double")
+            ).alias("holdout_coverage"),
+        )
+        .orderBy("event_type")
+    )

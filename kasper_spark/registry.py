@@ -106,6 +106,8 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "revenue_concentration_gini",
     # wave 12: the tokenizer lifecycle's APPLY side (learn -> encode)
     "bpe_encode_compression",
+    # wave 13: split-conformal intervals over the seasonal-naive forecast
+    "conformal_forecast_intervals",
     # -- 1. Regression re-certification (ticket #1): the r04 tail whose
     #       newest driver-green evidence is oldest (last green row r04),
     #       queued verbatim from the r11 rotation note:
