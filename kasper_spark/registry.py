@@ -138,7 +138,6 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "streaming_stateful_count_twin",
     "streaming_dedup_watermark_twin",
     "streaming_enrich_static_twin",
-    "embedding_power_iteration",
     # -- 2. then the r05 cohort head (evidence r05), oldest-first:
     # (exactly 50 names: 22 new/changed round-12 entries + the 28-name
     # r04 tail. The full r05 cohort keeps queue position for r13, oldest
