@@ -257,3 +257,47 @@ def test_mutual_knn_is_symmetric_subset(spark):
         assert r["vec_a"] < r["vec_b"]
         assert 1 <= r["rank_ab"] <= 3 and 1 <= r["rank_ba"] <= 3
         assert -1.0 - 1e-12 <= r["cosine"] <= 1.0 + 1e-12
+
+
+def test_bpe_encode_compression_bounds(spark):
+    """Tokens-per-word in [1, max word length]; compression >= 1 (a merge
+    can only shorten); totals consistent."""
+    rows = QUERIES["bpe_encode_compression"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert r["tokens_total"] <= r["chars_total"], r
+        assert r["tokens_per_word"] >= 1.0, r
+        assert r["compression_ratio"] >= 1.0, r
+        assert r["n_words"] > 0
+
+
+def test_conformal_coverage_near_target(spark):
+    """The conformal guarantee is marginal (>= 90% in expectation over
+    exchangeable splits); on this stationary synthetic series the holdout
+    coverage should not collapse — assert a loose floor and sane q."""
+    rows = QUERIES["conformal_forecast_intervals"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert r["q_alpha"] is not None and r["q_alpha"] >= 0, r
+        assert r["n_holdout"] == 24, r
+        assert r["holdout_coverage"] >= 0.5, r
+
+
+def test_gini_bounds_and_top_share(spark):
+    """Gini in [0, 1); top-decile share in (0, 1] and at least 10%/n-ish
+    (the top decile cannot carry LESS than a uniform share of customers
+    ordered ascending)."""
+    r = QUERIES["revenue_concentration_gini"](spark, SF_ORACLE).collect()[0]
+    assert 0.0 <= r["gini"] < 1.0, r
+    assert 0.0 < r["top_decile_share"] <= 1.0, r
+    assert r["top_decile_share"] >= 0.1 - 1e-9, "top decile below uniform"
+
+
+def test_msprt_twin_matches_batch(spark):
+    """The ingest twin's merged per-user counters finalize to the batch
+    e-value readout."""
+    a = sorted(map(tuple, QUERIES["ab_test_msprt"](spark, SF_SMOKE).collect()))
+    b = sorted(
+        map(tuple, QUERIES["streaming_msprt_twin"](spark, SF_SMOKE).collect())
+    )
+    assert a == b
