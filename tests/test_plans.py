@@ -187,6 +187,9 @@ _INTENTIONAL_BNLJ = {
     "key_skew_report",  # 1-row broadcasts of per-key-audit totals/thresholds
     "boilerplate_shingle_stats_cms",  # 1-row broadcast: CM sketch map + doc count
     "mrr_relevance_contract",  # 1-row broadcast of corpus stats (BM25 shape)
+    "ndcg_relevance_contract",  # same 1-row corpus-stats broadcast (BM25 shape)
+    "bpe_encode_compression",  # 1-row winner broadcast per merge (learn-op shape)
+    "conformal_forecast_intervals",  # bounded types x hours spine + 1-row bounds
     "prf_expansion_terms",  # 1-row corpus-count broadcast in the term gate
     "prf_query_expansion_topk",  # BM25 corpus-stats + bounded term-set broadcasts
     # map-only IVF assignment: ONE broadcast row carrying all k trained
