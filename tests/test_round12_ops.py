@@ -301,3 +301,84 @@ def test_msprt_twin_matches_batch(spark):
         map(tuple, QUERIES["streaming_msprt_twin"](spark, SF_SMOKE).collect())
     )
     assert a == b
+
+
+def test_bucketed_range_join_exact_boundaries(spark, tmp_path):
+    """Constructed boundary cases generated data cannot hit: a purchase at
+    EXACTLY v_ts (inclusive lower bound), at exactly v_ts + 1h (inclusive
+    upper bound), and 1 microsecond past the window (excluded). Also
+    exercises the two-bucket explode when the view sits exactly on an
+    hour boundary (its interval endpoints land in adjacent buckets)."""
+    import datetime as dt
+
+    v = dt.datetime(2026, 1, 1, 10, 0, 0)  # exactly on the hour
+    rows = [
+        (1, v, 1, "view", 1.0, "{}"),
+        (2, v, 1, "purchase", 5.0, "{}"),  # == v_ts -> counts
+        (3, v + dt.timedelta(hours=1), 1, "purchase", 5.0, "{}"),  # == v+1h -> counts
+        (4, v + dt.timedelta(hours=1, microseconds=1), 1, "purchase", 5.0, "{}"),  # out
+        (5, v + dt.timedelta(minutes=30), 2, "purchase", 5.0, "{}"),  # other user
+    ]
+    sf_dir = _write_events(spark, tmp_path, rows)
+    out = {
+        r["user_id"]: (r["n_pairs"], r["n_converted_views"])
+        for r in QUERIES["bucketed_range_join_conversions"](spark, sf_dir).collect()
+    }
+    assert out == {1: (2, 1)}, out
+
+
+def test_window_funnel_exact_boundaries(spark, tmp_path):
+    """Constructed ties: click at exactly v_ts and purchase at exactly
+    v_ts + 1h complete depth 3 (all bounds inclusive); a purchase 1
+    microsecond later must NOT, leaving depth 2."""
+    import datetime as dt
+
+    v = dt.datetime(2026, 1, 1, 10, 0, 0)
+    rows = [
+        # user 1: view, click at same instant, purchase at the window edge
+        (1, v, 1, "view", 1.0, "{}"),
+        (2, v, 1, "click", 1.0, "{}"),
+        (3, v + dt.timedelta(hours=1), 1, "purchase", 5.0, "{}"),
+        # user 2: same, but purchase just past the edge -> depth 2
+        (4, v, 2, "view", 1.0, "{}"),
+        (5, v, 2, "click", 1.0, "{}"),
+        (6, v + dt.timedelta(hours=1, microseconds=1), 2, "purchase", 5.0, "{}"),
+        # user 3: click BEFORE the view must not count -> depth 1
+        (7, v - dt.timedelta(seconds=1), 3, "click", 1.0, "{}"),
+        (8, v, 3, "view", 1.0, "{}"),
+    ]
+    sf_dir = _write_events(spark, tmp_path, rows)
+    hist = {
+        r["funnel_depth"]: r["n_users"]
+        for r in QUERIES["window_funnel_depth"](spark, sf_dir).collect()
+    }
+    assert hist == {1: 1, 2: 1, 3: 1}, hist
+
+
+def test_session_tws_exact_gap_boundary(spark, tmp_path):
+    """A gap of EXACTLY 30 minutes starts a new session (the >= rule the
+    native session_window twin documents); 30 min minus 1 microsecond
+    continues the session."""
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+    rows = [
+        # user 1: exact-30min gap -> two sessions of 1 event each
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=30), 1, "view", 1.0, "{}"),
+        # user 2: 30min - 1us gap -> one session of 2 events
+        (3, t0, 2, "view", 1.0, "{}"),
+        (4, t0 + dt.timedelta(minutes=30, microseconds=-1), 2, "view", 1.0, "{}"),
+    ]
+    sf_dir = _write_events(spark, tmp_path, rows)
+    from kasper_spark.operators.streaming_twins import _session_tws_run
+
+    got = sorted(
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in _session_tws_run(spark, sf_dir, 2).collect()
+    )
+    assert got == [
+        (1, t0, 1),
+        (1, t0 + dt.timedelta(minutes=30), 1),
+        (2, t0, 2),
+    ], got
