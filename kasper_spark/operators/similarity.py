@@ -1695,6 +1695,16 @@ def _build_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     return idx
 
 
+def _ivf_index_meta(idx: str) -> dict:
+    """Parse the READY marker's n/k/train_n — so the serving path derives
+    its probe parameters from the INDEX it reads instead of re-counting
+    the corpus (one fewer scan per search)."""
+    with open(_os.path.join(idx, "_KASPER_INDEX_READY")) as f:
+        return {
+            k: int(v) for k, v in (kv.split("=") for kv in f.read().split())
+        }
+
+
 def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     idx = _ivf_index_dir(sf_dir)
     if _os.path.exists(_os.path.join(idx, "_KASPER_INDEX_READY")):
@@ -1754,8 +1764,9 @@ def ann_ivf_search_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     is touched."""
     idx = _ensure_ivf_index(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
-    _, _, nprobe = _scaledk_params(n)
+    # probe parameters come from the index marker, not a corpus count —
+    # serving must not pay a table scan to learn what the build knew
+    _, _, nprobe = _scaledk_params(_ivf_index_meta(idx)["n"])
     cent = spark.read.parquet(_os.path.join(idx, "centroids"))
     members = spark.read.parquet(_os.path.join(idx, "assignments"))
     # The probe routing is a |Q| x nprobe table — BOUNDED at <= 20 * sqrt(K)
