@@ -1646,9 +1646,10 @@ def ann_ivf_scaledk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ann_ivf_scaledk_topk (the index on disk is bit-identical to the one the
 # oracle derives, because every build step is integer-exact). The index
 # directory is keyed by a fingerprint of the embeddings parquet
-# (size + mtime + row count), so a data refresh can never serve a stale
-# index; the build query always rebuilds (it certifies the build), the
-# search query builds lazily only if the fingerprinted dir is missing.
+# (file size + mtime_ns — any rewrite of the table changes at least one),
+# so a data refresh can never serve a stale index; the build query always
+# rebuilds (it certifies the build), the search query builds lazily only
+# if the fingerprinted dir is missing.
 
 import hashlib as _hashlib
 import os as _os
@@ -1672,8 +1673,12 @@ def _build_ivf_index(spark: SparkSession, sf_dir: str) -> str:
 
     Returns the index dir. Writes are atomic-enough for this engine's
     single-writer rounds: the marker file lands last, and readers key on
-    it."""
+    it — and the marker is REMOVED first, so a crash mid-rebuild can
+    never leave a valid-looking marker over a mixed-generation index."""
     idx = _ivf_index_dir(sf_dir)
+    marker = _os.path.join(idx, "_KASPER_INDEX_READY")
+    if _os.path.exists(marker):
+        _os.remove(marker)
     n = load_table(spark, sf_dir, "embeddings").count()
     k, train_n, _ = _scaledk_params(n)
     core = _kmeans_core(spark, sf_dir, k=k, train_n=train_n)
@@ -1690,7 +1695,7 @@ def _build_ivf_index(spark: SparkSession, sf_dir: str) -> str:
         .partitionBy("cluster_id")
         .parquet(_os.path.join(idx, "assignments"))
     )
-    with open(_os.path.join(idx, "_KASPER_INDEX_READY"), "w") as f:
+    with open(marker, "w") as f:
         f.write(f"n={n} k={k} train_n={train_n}\n")
     return idx
 

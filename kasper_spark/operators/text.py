@@ -3270,8 +3270,15 @@ def bpe_encode_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus frequency (every word, including the rare/long types the
     TRAINING gate excluded — training is sampled, encoding is total,
     exactly as production tokenizers behave), applying the learned pair
-    merges IN RANK ORDER via the same non-overlapping left-to-right
-    replace that defines a BPE pass.
+    merges IN RANK ORDER via ONE non-overlapping left-to-right replace
+    per merge. Adjacent-repeat caveat (same as bpe_learn_merges'
+    separator-consumption rule): a single pass under-merges runs of the
+    same pair — "a a a a" with merge (a,a) encodes as [aa, a, a], not
+    [aa, aa], because the match consumes the trailing separator. A true
+    BPE encoder iterates each merge to a fixed point; both engines apply
+    the identical single-pass rule here, so hashes agree and
+    tokens_total is slightly INFLATED vs a fixed-point encoder (an
+    upper bound on token cost, never an undercount).
 
     Scale: learning state is vocabulary-sized (see bpe_learn_merges);
     encoding is map-side over the type table with three 1-row winner

@@ -957,7 +957,14 @@ def sessionize_tws(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     the emitted frame (pd.Timestamp.value both ways), so session_start is
     bit-exact against the batch gaps-and-islands oracle.
 
-    ``events`` must carry (user_id long, event_id long, ts timestamp)."""
+    ``events`` must carry (user_id long, event_id long, ts timestamp).
+    CONTRACT: batch-oracle equivalence requires the feed to be globally
+    time-ordered ACROSS micro-batches per user (rows are re-sorted only
+    within a batch). A cross-batch straggler older than the open
+    session's last event is counted into that session without moving the
+    gap anchor backward (last_ns advances by max(), never regresses) —
+    a deliberate, bounded divergence from the batch gaps-and-islands
+    oracle rather than silent state corruption."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -990,7 +997,12 @@ def sessionize_tws(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                     if cur is None:
                         cur = [t, t, 1]  # (start_ns, last_ns, n)
                     else:
-                        cur[1] = t
+                        # max(): a cross-batch straggler with t < last_ns
+                        # (rows are sorted only WITHIN a batch) counts
+                        # toward the open session but must never move the
+                        # gap anchor backward — otherwise one late event
+                        # silently extends the session past its true gap.
+                        cur[1] = max(cur[1], t)
                         cur[2] += 1
             if cur is None:
                 self._open.clear()
