@@ -92,6 +92,15 @@ def dot_double_sql(a: str, b: str) -> str:
     )
 
 
+# Measured dead end, recorded so it isn't retried: unrolling dot_double's
+# fold into a static 64-term getItem expression tree IS bit-identical and
+# plannable, but Spark evaluates the ~320-node tree SLOWER than the
+# interpreted higher-order fold (2M pairs: 38 s vs 18 s warm) — the deep
+# Add nesting defeats codegen's subexpression splitting. Per-group numpy
+# accumulation in dimension order (see mutual_knn_pairs) is the fast path
+# that keeps bit-identity.
+
+
 @register_query(
     "embedding_norms",
     oracle=f"""
@@ -3425,6 +3434,16 @@ def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _MUTUAL_K = 3  # reciprocal rank bound: both sides must rank the other <= K
+# Per-list member cap (r12 verdict ticket #3): an inverted list larger than
+# this is split into ceil(m / CAP) sub-buckets by xxhash64(vec_id), and each
+# vector ranks only its own sub-bucket plus its XOR-paired buddy (sb ^ 1) —
+# symmetric visibility, so mutuality still works across the pair — bounding
+# per-vector candidate work at 2 * CAP and TOTAL pair work at O(N * CAP)
+# (linear), vs the uncapped sum(m^2) ~ N^1.5. Lists at every certified scale
+# (sf0.01 max 39, sf0.1 max 65, the 10x harness ~200) are far under the cap,
+# so the capped path changes nothing where hashes are checked; it exists for
+# the N >= CAP^2 (~1M-vector) regime and is exercised by a constructed test.
+_MUTUAL_LIST_CAP = 1024
 
 
 @register_query(
@@ -3480,49 +3499,98 @@ def mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantization step at all and is verified bit-identical across
     engines (dot_double's 138k-pair check).
 
-    Scale: the self-join is blocked by list id (co-partitioned shuffle,
-    never all-pairs; per-list pair volume is bounded by the ~sqrt(N)
-    list size so total pair work is ~N^1.5 WITHIN lists — the accepted
-    mutual-NN cost, paid inside partitions), the rank window is
-    per-vector, and the reciprocal check is a self-join of the
-    rank-bounded (<= 3N rows) table on the flipped key."""
+    Scale (r12 verdict ticket #3 — the superlinear residue, now bounded
+    and cheapened). (1) PER-LIST CAP: lists larger than _MUTUAL_LIST_CAP
+    split into xxhash64 sub-buckets with XOR-paired buddy visibility
+    (see the constant's comment) — only HOME members are ranked, against
+    their bucket's home+guest population, so per-vector candidates are
+    <= 2 * _MUTUAL_LIST_CAP and TOTAL pair volume is O(N * CAP) — linear
+    in the corpus — with output EXACT whenever every list fits the cap
+    (all certified scales; the sub-bucketed regime starts near
+    N ~ CAP^2). (2) IN-GROUP MATRIX SCORING: each (list, sub-bucket)
+    group is one applyInPandas call that builds the full Gram matrix by
+    64 vectorized outer-product ACCUMULATIONS IN DIMENSION ORDER —
+    G += u_i * w_i is, per element, exactly the (acc + p_i) step of
+    dot_double's left-to-right fold, so every cosine is BIT-IDENTICAL to
+    the certified per-pair expression (asserted pairwise in
+    tests/test_round13_ops.py) while the m^2 pair volume exists only as
+    numpy flops, never as rows, joins, or a rank-window shuffle (the
+    previous form's wall: ~9 us per interpreted higher-order-function
+    dot). Only the rank-bounded (<= _MUTUAL_K * N row) top-K output
+    leaves the group; the reciprocal check is a self-join of that table
+    on the flipped key. This is the sanctioned Pandas-UDF case: exact
+    per-group linear algebra the built-in operators only express as an
+    interpreted per-pair fold."""
     idx = _ensure_ivf_index(spark, sf_dir)
     members = spark.read.parquet(_os.path.join(idx, "assignments")).select(
         "vec_id", F.col("cluster_id").cast("bigint").alias("cluster_id")
     )
     emb = load_table(spark, sf_dir, "embeddings")
-    nrm = emb.select(
-        "vec_id", "embedding", F.sqrt(dot_double(F.col("embedding"), F.col("embedding"))).alias("nrm")
-    )
-    a = members.join(nrm, "vec_id").select(
-        F.col("vec_id").alias("va"),
+    # sub-bucket assignment: nsub = ceil(m / CAP) per list (a K-row
+    # broadcast), sb = xxhash64(vec_id) mod nsub; every vector appears
+    # once as HOME in its own sub-bucket and (when its XOR buddy exists)
+    # once as GUEST in the buddy — guests are rank targets only.
+    counts = members.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("m"))
+    mem = members.join(F.broadcast(counts), "cluster_id").select(
         "cluster_id",
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
+        "vec_id",
+        F.ceil(F.col("m") / F.lit(_MUTUAL_LIST_CAP)).cast("int").alias("nsub"),
     )
-    b = members.join(nrm, "vec_id").select(
-        F.col("vec_id").alias("vb"),
+    sb = F.pmod(F.xxhash64(F.col("vec_id")), F.col("nsub")).cast("int")
+    home = mem.select(
+        "cluster_id", sb.alias("sb"), "vec_id", F.lit(True).alias("home"), "nsub"
+    )
+    guest = home.filter(
+        (F.col("nsub") > 1) & (F.col("sb").bitwiseXOR(F.lit(1)) < F.col("nsub"))
+    ).select(
         "cluster_id",
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
+        F.col("sb").bitwiseXOR(F.lit(1)).alias("sb"),
+        "vec_id",
+        F.lit(False).alias("home"),
+        "nsub",
     )
-    scored = (
-        a.join(b, "cluster_id")
-        .filter(F.col("vb") != F.col("va"))
-        .select(
-            "va",
-            "vb",
-            (dot_double(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias(
-                "cosine"
-            ),
-        )
+    rows = home.unionByName(guest).drop("nsub").join(
+        emb.select("vec_id", "embedding"), "vec_id"
     )
-    from pyspark.sql.window import Window
 
-    w = Window.partitionBy("va").orderBy(F.desc("cosine"), F.asc("vb"))
+    def _topk_group(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy()
+        homef = pdf["home"].to_numpy()
+        # float32 -> float64 widening is exact — same as .cast("double")
+        V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        n, d = V.shape
+        # sequential-fold norms and Gram matrix: accumulating one product
+        # term per dimension IN INDEX ORDER reproduces dot_double's
+        # ((0.0 + p_0) + p_1) + ... additions element-for-element, so
+        # values are bit-identical to the certified per-pair expression.
+        nn = np.zeros(n)
+        hi = np.flatnonzero(homef)
+        U = V[hi]
+        G = np.zeros((len(hi), n))
+        for i in range(d):
+            nn += V[:, i] * V[:, i]
+            G += U[:, i : i + 1] * V[None, :, i]
+        nrm_all = np.sqrt(nn)
+        cos = G / (nrm_all[hi][:, None] * nrm_all[None, :])
+        out = []
+        for j in range(len(hi)):
+            va = ids[hi[j]]
+            row = cos[j]
+            valid = np.flatnonzero(ids != va)
+            if valid.size == 0:
+                continue
+            # (cosine DESC, vb ASC) — lexsort is stable, last key primary
+            order = valid[np.lexsort((ids[valid], -row[valid]))][:_MUTUAL_K]
+            for r, idx in enumerate(order, 1):
+                out.append((int(va), int(ids[idx]), float(row[idx]), r))
+        return pd.DataFrame(out, columns=["va", "vb", "cosine", "rk"])
+
     ranked = cut_lineage(
-        scored.select("va", "vb", "cosine", F.row_number().over(w).alias("rk")).filter(
-            F.col("rk") <= _MUTUAL_K
+        rows.groupBy("cluster_id", "sb").applyInPandas(
+            _topk_group, "va long, vb long, cosine double, rk int"
         )
     )
     flipped = ranked.select(

