@@ -131,6 +131,11 @@ HEADLINE = [
     # train/add vs search split — r11 verdict ticket #2).
     "ann_ivf_index_build",         # scaled-K IVF train+add, persisted lists
     "ann_ivf_search_only",         # probe + re-rank over persisted lists
+    # round-13 additions (new keys set their baseline this round).
+    # Same build-precedes-search discipline as the coarse pair above.
+    "ann_ivf_pq_index_build",      # PQ encode+add over the persisted lists
+    "ann_ivf_pq_search_only",      # ADC serving from on-disk codes
+    "mutual_knn_pairs",            # reciprocal-NN over the persisted lists
 ]
 
 

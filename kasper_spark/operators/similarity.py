@@ -1850,11 +1850,12 @@ def _pq_slice_arr() -> Column:
     )
 
 
-def _pq_parts(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(encoded, lut): the PQ building blocks shared by ann_pq_topk and
-    ann_ivf_pq_topk — md5-seed codebook, per-subspace nearest-codeword
-    encoding, and the per-query exact-decimal ADC lookup table. Both
-    consumers' oracles replicate these CTEs verbatim (keep in sync)."""
+def _pq_codebook_df(emb: DataFrame) -> DataFrame:
+    """(sub_j, code_r, cvec, c2): the md5-seed PQ codebook — 16 seed
+    vectors sliced into 8 subspaces, with each codeword's self-dot
+    precomputed. Persistable: cvec (float arrays) and c2 (double)
+    round-trip parquet exactly, so encoding against a read-back codebook
+    is bit-identical to encoding against the in-flight one."""
     from pyspark.sql.window import Window
 
     seeds = (
@@ -1867,7 +1868,7 @@ def _pq_parts(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
             .alias("code_r"),
         )
     )
-    codebook = seeds.select(
+    return seeds.select(
         "code_r", F.posexplode(_pq_slice_arr()).alias("sub_j", "cvec")
     ).select(
         "sub_j",
@@ -1875,11 +1876,17 @@ def _pq_parts(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
         "cvec",
         dot_double(F.col("cvec"), F.col("cvec")).alias("c2"),
     )
+
+
+def _pq_encode(emb: DataFrame, codebook: DataFrame) -> DataFrame:
+    """(vec_id, sub_j, code_r): nearest-codeword encoding of every vector
+    against ``codebook`` (exact L2 rank ||c||^2 - 2 s.c, codeword-id
+    tiebreak via the struct-min)."""
     slices = emb.select(
         "vec_id", F.posexplode(_pq_slice_arr()).alias("sub_j", "svec")
     )
     score = F.col("c2") - F.lit(2.0) * dot_double(F.col("svec"), F.col("cvec"))
-    encoded = (
+    return (
         slices.join(F.broadcast(codebook), "sub_j")
         .select(
             "vec_id",
@@ -1889,7 +1896,15 @@ def _pq_parts(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
         .groupBy("vec_id", "sub_j")
         .agg(F.min("sc").getField("r").alias("code_r"))
     )
-    lut = (
+
+
+def _pq_lut(emb: DataFrame, codebook: DataFrame) -> DataFrame:
+    """(query_id, sub_j, code_r, pdist): the per-query exact-decimal ADC
+    lookup table over ``codebook`` — |Q| x M x K rows, broadcast-sized."""
+    slices = emb.select(
+        "vec_id", F.posexplode(_pq_slice_arr()).alias("sub_j", "svec")
+    )
+    return (
         slices.filter(F.col("vec_id") < _N_QUERY)
         .join(F.broadcast(codebook), "sub_j")
         .select(
@@ -1899,7 +1914,15 @@ def _pq_parts(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
             _dot_exact_dec(F.col("svec"), F.col("cvec")).alias("pdist"),
         )
     )
-    return encoded, lut
+
+
+def _pq_parts(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(encoded, lut): the PQ building blocks shared by ann_pq_topk and
+    ann_ivf_pq_topk — md5-seed codebook, per-subspace nearest-codeword
+    encoding, and the per-query exact-decimal ADC lookup table. Both
+    consumers' oracles replicate these CTEs verbatim (keep in sync)."""
+    codebook = _pq_codebook_df(emb)
+    return _pq_encode(emb, codebook), _pq_lut(emb, codebook)
 
 
 # The PQ CTE chain (seeds/subs/codebook/slices/encoded/lut) is shared
@@ -2277,13 +2300,10 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_query(
-    "ann_ivf_pq_trained",
-    # trained-quantizer candidates (shared CTE prefix with
-    # ann_ivf_trained_topk) scored by the shared PQ chain (_PQ_CTES_SQL) —
-    # each half is independently hash-certified; this pins the composition.
-    oracle=_ivf_trained_cand_ctes_sql()
-    + f""",
+# The ADC scoring tail shared VERBATIM by ann_ivf_pq_trained and
+# ann_ivf_pq_search_only's oracles: candidates (a `cand` CTE from any
+# coarse quantizer) scored by the PQ chain, shortlisted, exact-re-ranked.
+_PQ_ADC_TAIL_SQL = f""",
     {_PQ_CTES_SQL},
     adc AS MATERIALIZED (
         SELECT c.query_id, c.neighbor_id,
@@ -2322,42 +2342,17 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) AS rank
         FROM rer
     ) WHERE rank <= {_TOP_K}
-    """,
-)
-def ann_ivf_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ over the TRAINED coarse quantizer — the full production
-    index, certified end-to-end: the integer-exact Lloyd loop builds
-    fixed-K centroid lists (assignment O(N*K_const) — this is the answer
-    to ann_ivf_pq_topk's demo-quantizer scale note, where K grows with N),
-    queries probe their nprobe nearest lists, and candidates are scored
-    from 8-byte PQ codes via the exact-decimal ADC table before one
-    bounded exact-cosine re-rank. Train -> partition -> encode -> probe ->
-    ADC -> re-rank: every arrow is an already-certified piece
-    (_kmeans_core / _ivf_trained_candidates / _pq_parts), and the
-    composed oracle pins their interaction.
+    """
 
-    Scale: centroids, codebook, and LUT broadcast; candidate generation is
-    partition-pruned (nprobe/K of the corpus per query); ADC reads codes
-    only. This is the memory/work profile of a billion-vector serving
-    index, expressed as DataFrame algebra."""
+
+def _pq_shortlist_rerank(spark: SparkSession, sf_dir: str, adc: DataFrame) -> DataFrame:
+    """ADC shortlist -> exact-decimal cosine re-rank: the Spark twin of
+    _PQ_ADC_TAIL_SQL's short/nrmf/rer chain, shared by ann_ivf_pq_trained
+    and ann_ivf_pq_search_only. ``adc`` carries (query_id, neighbor_id,
+    adc_score)."""
     from pyspark.sql.window import Window
 
-    cand = _ivf_trained_candidates(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    encoded, lut = _pq_parts(emb)
-    adc = (
-        cand.join(
-            encoded.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
-        )
-        .join(F.broadcast(lut), ["query_id", "sub_j", "code_r"])
-        .groupBy("query_id", "neighbor_id")
-        .agg(
-            F.sum("pdist")
-            .cast("decimal(38,12)")
-            .cast("double")
-            .alias("adc_score")
-        )
-    )
     w_short = Window.partitionBy("query_id").orderBy(
         F.desc("adc_score"), F.asc("neighbor_id")
     )
@@ -2409,6 +2404,225 @@ def ann_ivf_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= _TOP_K)
     )
+
+
+@register_query(
+    "ann_ivf_pq_trained",
+    # trained-quantizer candidates (shared CTE prefix with
+    # ann_ivf_trained_topk) scored by the shared PQ chain (_PQ_CTES_SQL) —
+    # each half is independently hash-certified; this pins the composition.
+    oracle=_ivf_trained_cand_ctes_sql() + _PQ_ADC_TAIL_SQL,
+)
+def ann_ivf_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ over the TRAINED coarse quantizer — the full production
+    index, certified end-to-end: the integer-exact Lloyd loop builds
+    fixed-K centroid lists (assignment O(N*K_const) — this is the answer
+    to ann_ivf_pq_topk's demo-quantizer scale note, where K grows with N),
+    queries probe their nprobe nearest lists, and candidates are scored
+    from 8-byte PQ codes via the exact-decimal ADC table before one
+    bounded exact-cosine re-rank. Train -> partition -> encode -> probe ->
+    ADC -> re-rank: every arrow is an already-certified piece
+    (_kmeans_core / _ivf_trained_candidates / _pq_parts), and the
+    composed oracle pins their interaction.
+
+    Scale: centroids, codebook, and LUT broadcast; candidate generation is
+    partition-pruned (nprobe/K of the corpus per query); ADC reads codes
+    only. This is the memory/work profile of a billion-vector serving
+    index, expressed as DataFrame algebra."""
+    cand = _ivf_trained_candidates(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    encoded, lut = _pq_parts(emb)
+    adc = (
+        cand.join(
+            encoded.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+        )
+        .join(F.broadcast(lut), ["query_id", "sub_j", "code_r"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum("pdist")
+            .cast("decimal(38,12)")
+            .cast("double")
+            .alias("adc_score")
+        )
+    )
+    return _pq_shortlist_rerank(spark, sf_dir, adc)
+
+
+# --- Persisted IVF-PQ index (round 13): FAISS IndexIVFPQ's add side ------
+#
+# The round-12 split persisted the COARSE index (centroids + inverted
+# lists); the PQ family still re-derived its codebook and re-encoded the
+# corpus on every run. This extends the same fingerprint-keyed directory
+# with the PQ artifacts FAISS stores per IndexIVFPQ:
+#
+# - pq_codebook: the 8 x 16 codeword table (sub_j, code_r, cvec, c2) —
+#   one tiny file, broadcast at search time;
+# - pq_codes: ONE row per vector (vec_id, codes array<int> ordered by
+#   subspace), PARTITIONED BY the coarse list id — the on-disk analog of
+#   FAISS packing the M-byte PQ codes inside each inverted list, so a
+#   probe reads exactly the probed lists' codes and NOTHING else of the
+#   corpus until the shortlist re-rank.
+#
+# Consistency discipline matches _build_ivf_index: codes are encoded
+# against the codebook AS READ BACK from disk (cvec/c2 round-trip parquet
+# exactly), the PQ marker is removed before any rewrite and lands last,
+# and the artifacts live under the same data-fingerprint key as the
+# coarse index, so a data refresh invalidates coarse and PQ together.
+
+_PQ_MARKER = "_KASPER_PQ_READY"
+
+
+def _build_ivf_pq_index(spark: SparkSession, sf_dir: str) -> str:
+    """Augment the persisted coarse IVF index with PQ codebook + codes.
+
+    Returns the index dir (building the coarse index first if absent)."""
+    idx = _ensure_ivf_index(spark, sf_dir)
+    marker = _os.path.join(idx, _PQ_MARKER)
+    if _os.path.exists(marker):
+        _os.remove(marker)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb_path = _os.path.join(idx, "pq_codebook")
+    _pq_codebook_df(emb).coalesce(1).write.mode("overwrite").parquet(cb_path)
+    # encode against the codebook as READ BACK from disk — the persisted
+    # codes are provably consistent with the persisted codebook
+    codebook = spark.read.parquet(cb_path)
+    assign = spark.read.parquet(_os.path.join(idx, "assignments")).select(
+        "vec_id", F.col("cluster_id").cast("bigint").alias("cluster_id")
+    )
+    (
+        _pq_encode(emb, codebook)
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub_j", "code_r"))),
+                lambda s: s["code_r"],
+            ).alias("codes")
+        )
+        .join(assign, "vec_id")
+        .repartition(F.col("cluster_id"))
+        .write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(_os.path.join(idx, "pq_codes"))
+    )
+    with open(marker, "w") as f:
+        f.write(f"m={_PQ_M} k={_PQ_K} subdim={_PQ_SUBDIM}\n")
+    return idx
+
+
+def _ensure_ivf_pq_index(spark: SparkSession, sf_dir: str) -> str:
+    idx = _ivf_index_dir(sf_dir)
+    if _os.path.exists(_os.path.join(idx, "_KASPER_INDEX_READY")) and _os.path.exists(
+        _os.path.join(idx, _PQ_MARKER)
+    ):
+        return idx
+    return _build_ivf_pq_index(spark, sf_dir)
+
+
+@register_query(
+    "ann_ivf_pq_index_build",
+    oracle=f"""
+    WITH {_PQ_CTES_SQL}
+    SELECT CAST(sub_j AS BIGINT) AS sub_j,
+           CAST(code_r AS BIGINT) AS code_r,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM encoded
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def ann_ivf_pq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build (encode + add) the persisted PQ layer of the IVF index and
+    return the per-(subspace, codeword) code histogram — hash-certified
+    by re-deriving the same encoding in the oracle's PQ chain. The stats
+    are read BACK from the written codes (not the in-flight plan), so a
+    green row certifies the bytes on disk: every vector's codeword in
+    every subspace matches the certified nearest-codeword rule.
+
+    Scale shape: one corpus pass for the encode (slices x broadcast
+    codebook, map-side min-struct), one cluster_id shuffle for the
+    partitioned write — the amortized add cost, paid once. The returned
+    histogram doubles as the codebook-balance diagnostic (a subspace
+    whose mass collapses onto few codewords quantizes poorly)."""
+    idx = _build_ivf_pq_index(spark, sf_dir)
+    codes = spark.read.parquet(_os.path.join(idx, "pq_codes"))
+    return (
+        codes.select(F.posexplode("codes").alias("sub_j", "code_r"))
+        .groupBy(
+            F.col("sub_j").cast("bigint").alias("sub_j"),
+            F.col("code_r").cast("bigint").alias("code_r"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .orderBy("sub_j", "code_r")
+    )
+
+
+@register_query(
+    "ann_ivf_pq_search_only",
+    # scaled-K coarse candidates (the persisted index's quantizer) scored
+    # by the VERBATIM shared ADC tail — both halves hash-certified solo
+    # (ann_ivf_scaledk_topk / ann_ivf_pq_trained); this pins the serving
+    # composition over the on-disk artifacts.
+    oracle=_ivf_trained_cand_ctes_sql(
+        k=_SCALEDK_K_SQL, train_n=_SCALEDK_TRAIN_SQL, nprobe=_SCALEDK_NPROBE_SQL
+    )
+    + _PQ_ADC_TAIL_SQL,
+)
+def ann_ivf_pq_search_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve IVF-PQ top-k ENTIRELY from the persisted index: probe routing
+    over the broadcast on-disk centroids, candidate codes read from the
+    statically pruned pq_codes partitions (only the probed lists' files
+    open), ADC scoring against the query LUT built from the on-disk
+    codebook, then the bounded exact re-rank — no Lloyd loop, no corpus
+    encode, no full-corpus scan anywhere outside the |shortlist| re-rank
+    join. This is FAISS IndexIVFPQ's search path as DataFrame algebra,
+    and the wall it pays is the true ADC serving cost (r12 verdict
+    ticket #2; the build cost lives in ann_ivf_pq_index_build).
+
+    Scale shape: probe table |Q| x nprobe collected (bounded by
+    construction, never O(data)) into a literal list-id filter = static
+    PartitionFilters on the codes scan (asserted in
+    tests/test_round13_ops.py, same discipline as ann_ivf_search_only);
+    candidates ~ nprobe * N/K rows of (id, 8 codes); the wide embedding
+    arrays enter only at the _PQ_SHORTLIST-bounded re-rank."""
+    idx = _ensure_ivf_pq_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    # probe parameters from the index marker — serving pays no corpus scan
+    _, _, nprobe = _scaledk_params(_ivf_index_meta(idx)["n"])
+    cent = spark.read.parquet(_os.path.join(idx, "centroids"))
+    probe_rows = (
+        _assign_rows_scan(emb.filter(F.col("vec_id") < _N_QUERY), cent, nprobe)
+        .select(F.col("vec_id").alias("query_id"), "cluster_id")
+        .collect()
+    )
+    probed_lists = sorted({r["cluster_id"] for r in probe_rows})
+    probe = spark.createDataFrame(
+        [(r["query_id"], r["cluster_id"]) for r in probe_rows],
+        "query_id long, cluster_id long",
+    )
+    codebook = spark.read.parquet(_os.path.join(idx, "pq_codebook"))
+    lut = _pq_lut(emb, codebook)
+    codes = spark.read.parquet(_os.path.join(idx, "pq_codes"))
+    cand_codes = (
+        codes.filter(F.col("cluster_id").isin(probed_lists))
+        .join(F.broadcast(probe), "cluster_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.posexplode("codes").alias("sub_j", "code_r"),
+        )
+    )
+    adc = (
+        cand_codes.join(F.broadcast(lut), ["query_id", "sub_j", "code_r"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum("pdist")
+            .cast("decimal(38,12)")
+            .cast("double")
+            .alias("adc_score")
+        )
+    )
+    return _pq_shortlist_rerank(spark, sf_dir, adc)
 
 
 # ---------------------------------------------------------------------------

@@ -109,6 +109,60 @@ def test_mutual_knn_capped_path(spark, monkeypatch):
             )
 
 
+def test_ivf_pq_search_only_prunes_code_lists(spark):
+    """The ADC serving plan must carry a STATIC PartitionFilter on the
+    pq_codes scan — only the probed lists' code files are opened (the
+    same discipline test_ivf_search_only_prunes_inverted_lists pins for
+    the coarse index)."""
+    df = QUERIES["ann_ivf_pq_search_only"](spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [l for l in plan.splitlines() if "pq_codes" in l]
+    assert scan_lines, "no pq_codes scan found in plan"
+    assert any("PartitionFilters: [cluster_id" in l for l in scan_lines), (
+        scan_lines
+    )
+
+
+def test_ivf_pq_persisted_codes_match_inflight_encoding(spark):
+    """Per-vector, per-subspace equality between the codes READ BACK from
+    the persisted index and a fresh in-flight encoding — stronger than
+    the build query's histogram oracle (which could mask compensating
+    swaps between vectors)."""
+    from kasper_spark.catalog import load_table
+    from kasper_spark.operators import similarity as S
+
+    idx = S._ensure_ivf_pq_index(spark, SF_SMOKE)
+    persisted = (
+        spark.read.parquet(S._os.path.join(idx, "pq_codes"))
+        .select("vec_id", F.posexplode("codes").alias("sub_j", "code_r"))
+    )
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    fresh, _ = S._pq_parts(emb)
+    a = sorted(map(tuple, persisted.collect()))
+    b = sorted(map(tuple, fresh.select("vec_id", "sub_j", "code_r").collect()))
+    assert a == b
+
+
+def test_ivf_pq_index_reuse_and_marker_order(spark):
+    """_ensure_ivf_pq_index is a no-op when both markers exist; a rebuild
+    removes the PQ marker BEFORE rewriting so readers never see a marker
+    over a half-written index."""
+    import os
+
+    from kasper_spark.operators import similarity as S
+
+    d1 = S._ensure_ivf_pq_index(spark, SF_SMOKE)
+    marker = os.path.join(d1, S._PQ_MARKER)
+    assert os.path.exists(marker)
+    assert os.path.exists(os.path.join(d1, "_KASPER_INDEX_READY"))
+    mt = os.path.getmtime(marker)
+    assert S._ensure_ivf_pq_index(spark, SF_SMOKE) == d1
+    assert os.path.getmtime(marker) == mt, "READY PQ index was rebuilt"
+    # rebuild rewrites the marker (removed first, recreated last)
+    S._build_ivf_pq_index(spark, SF_SMOKE)
+    assert os.path.getmtime(marker) != mt
+
+
 def test_mutual_knn_plan_has_no_pair_shuffle(spark, monkeypatch):
     """The m^2 pair volume must stay inside the per-group numpy call:
     the physical plan may shuffle rows (groupBy cluster_id/sb) but must
