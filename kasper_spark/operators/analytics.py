@@ -2662,9 +2662,10 @@ def benford_report_from_counts(counted: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register_query(
-    "rfm_customer_segments",
-    oracle="""
+# Naive-spec oracle shared by the certified spec form and the histogram
+# scale form (rfm_customer_segments_hist) — exact rank equality, so one
+# oracle pins both.
+_RFM_ORACLE = """
     WITH rfm AS (
         SELECT o_custkey AS custkey,
                CAST(date_diff('day', CAST(MAX(o_orderdate) AS DATE),
@@ -2694,8 +2695,43 @@ def benford_report_from_counts(counted: DataFrame) -> DataFrame:
                 WHEN r_score <= 2 THEN 'at_risk'
                 ELSE 'regular' END AS segment
     FROM scored
-    """,
-)
+    """
+
+
+def _rfm_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(custkey, recency_days, frequency, monetary): the per-customer RFM
+    table shared by the spec and histogram forms."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.datediff(
+            F.lit("1999-01-01").cast("date"),
+            F.max("o_orderdate").cast("date"),
+        )
+        .cast("long")
+        .alias("recency_days"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,4)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+
+
+def _rfm_segment_expr():
+    """The playbook segment CASE over (r_score, f_score, m_score)."""
+    return (
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4),
+            F.lit("champion"),
+        )
+        .when(F.col("f_score") >= 4, F.lit("loyal"))
+        .when(F.col("m_score") >= 4, F.lit("big_spender"))
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), F.lit("hibernating"))
+        .when(F.col("r_score") <= 2, F.lit("at_risk"))
+        .otherwise(F.lit("regular"))
+    )
+
+
+@register_query("rfm_customer_segments", oracle=_RFM_ORACLE)
 def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM (recency / frequency / monetary) customer segmentation — the
     classic retention-marketing model: score each customer 1-5 on how
@@ -2713,26 +2749,13 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     custkey, so both engines bucket identically.
 
     Scale: one partial-aggregated groupBy on custkey, then three global
-    NTILE windows over CUSTOMERS (post-aggregate cardinality). At 100 TB
-    the global sort is replaced by the histogram ceil-rank quantile
-    rewrite (length_robust_scaler_params' two-pass method) — the window
-    form is the spec; the segments only need the 4 cut points per
-    dimension."""
+    NTILE windows over CUSTOMERS (post-aggregate cardinality) — the
+    certified SPEC form; rfm_customer_segments_hist is the executable
+    scale form (identical ranks from per-dimension histogram prefix
+    scans, no global row sort; r12 verdict ticket #4)."""
     from pyspark.sql.window import Window
 
-    orders = load_table(spark, sf_dir, "orders")
-    rfm = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
-        F.datediff(
-            F.lit("1999-01-01").cast("date"),
-            F.max("o_orderdate").cast("date"),
-        )
-        .cast("long")
-        .alias("recency_days"),
-        F.count(F.lit(1)).cast("long").alias("frequency"),
-        F.sum(F.col("o_totalprice").cast("decimal(14,4)"))
-        .cast("double")
-        .alias("monetary"),
-    )
+    rfm = _rfm_base(spark, sf_dir)
     r_sc = (
         6 - F.ntile(5).over(Window.orderBy("recency_days", "custkey"))
     ).cast("long")
@@ -2747,18 +2770,40 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         f_sc.alias("f_score"),
         m_sc.alias("m_score"),
     )
-    seg = (
-        F.when(
-            (F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4),
-            F.lit("champion"),
-        )
-        .when(F.col("f_score") >= 4, F.lit("loyal"))
-        .when(F.col("m_score") >= 4, F.lit("big_spender"))
-        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), F.lit("hibernating"))
-        .when(F.col("r_score") <= 2, F.lit("at_risk"))
-        .otherwise(F.lit("regular"))
+    return scored.select("*", _rfm_segment_expr().alias("segment"))
+
+
+@register_query("rfm_customer_segments_hist", oracle=_RFM_ORACLE)
+def rfm_customer_segments_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXECUTABLE scale form of rfm_customer_segments (r12 verdict
+    ticket #4): identical output against the SAME naive-spec oracle,
+    with all three global NTILE sorts replaced by histogram prefix
+    ranks — each dimension's rank comes from its value histogram's
+    cumulative window (|distinct values| rows) plus a PARTITIONED
+    row_number within the tie group (functions/ranks.py), and the NTILE
+    bucket is the closed-form split of that rank. Rank equality is
+    exact (same tiebreak key), so both engines' buckets — and the
+    oracle hash — are unchanged. No customer row ever crosses a global
+    sort; the widest shuffles carry (value, count) histograms."""
+    from kasper_spark.functions.ranks import hist_prefix_rank, ntile_from_rank
+
+    df = _rfm_base(spark, sf_dir)
+    df = hist_prefix_rank(df, "recency_days", "custkey", "_ir", n_name="_n")
+    df = hist_prefix_rank(df, "frequency", "custkey", "_if")
+    df = hist_prefix_rank(df, "monetary", "custkey", "_im")
+    n = F.col("_n")
+    scored = df.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        (F.lit(6).cast("long") - ntile_from_rank(F.col("_ir"), n, 5)).alias(
+            "r_score"
+        ),
+        ntile_from_rank(F.col("_if"), n, 5).alias("f_score"),
+        ntile_from_rank(F.col("_im"), n, 5).alias("m_score"),
     )
-    return scored.select("*", seg.alias("segment"))
+    return scored.select("*", _rfm_segment_expr().alias("segment"))
 
 
 # ---------------------------------------------------------------------------
@@ -3334,9 +3379,10 @@ def correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register_query(
-    "revenue_concentration_gini",
-    oracle="""
+# The naive-spec oracle shared by the certified spec form and the
+# histogram scale form (their outputs are exactly equal — see
+# revenue_concentration_gini_hist for the permutation-invariance proof).
+_GINI_ORACLE = """
     WITH per_cust AS (
         SELECT o_custkey,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(10,4)))
@@ -3367,8 +3413,10 @@ def correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(top_decile_rev AS DOUBLE) / CAST(total AS DOUBLE)
                AS top_decile_share
     FROM sums
-    """,
-)
+    """
+
+
+@register_query("revenue_concentration_gini", oracle=_GINI_ORACLE)
 def revenue_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue concentration — the Gini coefficient over per-customer
     revenue plus the top-decile share (the "what fraction of revenue do
@@ -3383,9 +3431,10 @@ def revenue_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     general — but each (i, rev) permutation among equal revs yields the
     same multiset of products, so the SUM is permutation-invariant.
 
-    Scale: one per-customer partial agg; the global revenue rank is the
-    certified spec form (the rfm_customer_segments precedent — at 100 TB
-    the rank comes from a revenue-histogram prefix scan, SCALING.md)."""
+    Scale: one per-customer partial agg; the global revenue rank makes
+    this the certified SPEC form — revenue_concentration_gini_hist is
+    the executable scale form (identical output from the value-histogram
+    prefix scan, no global row sort; r12 verdict ticket #4)."""
     from pyspark.sql.window import Window
 
     orders = load_table(spark, sf_dir, "orders")
@@ -3419,6 +3468,74 @@ def revenue_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("decimal(38,4)")
         .alias("top_decile_rev"),
+    )
+    nd = F.col("n").cast("double")
+    total_d = F.col("total").cast("double")
+    return sums.select(
+        F.col("n").alias("n_customers"),
+        total_d.alias("total_revenue"),
+        (
+            (F.lit(2.0) * F.col("weighted").cast("double") - (nd + F.lit(1.0)) * total_d)
+            / (nd * total_d)
+        ).alias("gini"),
+        (F.col("top_decile_rev").cast("double") / total_d).alias(
+            "top_decile_share"
+        ),
+    )
+
+
+@register_query("revenue_concentration_gini_hist", oracle=_GINI_ORACLE)
+def revenue_concentration_gini_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXECUTABLE scale form of revenue_concentration_gini (r12
+    verdict ticket #4): identical output, certified against the SAME
+    naive-spec oracle, with the global row rank eliminated entirely.
+
+    Why no rank is needed: the spec's rank-weighted sum is permutation-
+    invariant among equal revenues, so for a revenue value v with count c
+    and b customers strictly below, its copies occupy ranks b+1..b+c and
+    contribute v * (c*b + c*(c+1)/2) — a CLOSED FORM per histogram
+    bucket. Likewise the top-decile mass of v is v * clamp(b+c-t, 0, c)
+    for cut rank t. So the whole statistic folds over the (rev -> count)
+    histogram: one partial-aggregated groupBy per customer, one groupBy
+    per distinct revenue, one cumulative window over the DOMAIN-sized
+    histogram (the prefix scan), one aggregate. No row ever crosses a
+    global sort; every product stays in the spec's exact decimal types
+    (rank sums <= n^2/2 fit DECIMAL(18,0) to n ~ 10^9), so the sums are
+    equal exactly, not approximately — the oracle hash is shared."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        dsum_dec(money("o_totalprice")).cast("decimal(38,4)").alias("rev")
+    )
+    hist = per_cust.groupBy("rev").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w_before = Window.orderBy("rev").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy()
+    cum = hist.select(
+        "rev",
+        "c",
+        F.coalesce(F.sum("c").over(w_before), F.lit(0)).cast("long").alias("b"),
+        F.sum("c").over(w_all).cast("long").alias("n"),
+    )
+    # ranks b+1..b+c: sum = c*b + c*(c+1)/2 (c*(c+1) is even -> exact)
+    rank_sum = (
+        F.col("c") * F.col("b")
+        + F.floor((F.col("c") * (F.col("c") + F.lit(1))) / 2).cast("long")
+    ).cast("decimal(18,0)")
+    top_cut = F.col("n") - F.greatest(
+        F.lit(1).cast("long"), F.floor(F.col("n") / 10).cast("long")
+    )
+    n_above = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("c"), F.col("b") + F.col("c") - top_cut),
+    ).cast("decimal(18,0)")
+    sums = cum.agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum(F.col("rev") * F.col("c").cast("decimal(18,0)"))
+        .cast("decimal(38,4)")
+        .alias("total"),
+        F.sum(F.col("rev") * rank_sum).cast("decimal(38,4)").alias("weighted"),
+        F.sum(F.col("rev") * n_above).cast("decimal(38,4)").alias("top_decile_rev"),
     )
     nd = F.col("n").cast("double")
     total_d = F.col("total").cast("double")

@@ -1195,9 +1195,9 @@ _OR["streaming_mixture_twin"] = _OR["quality_weighted_mixture"]
 # ---------------------------------------------------------------------------
 
 
-@register_query(
-    "curriculum_phases",
-    oracle="""
+# Naive-spec oracle shared by the certified spec form and the histogram
+# scale form (curriculum_phases_hist) — exact rank equality pins both.
+_CURRICULUM_ORACLE = """
     WITH per_doc AS (
         SELECT doc_id, source,
                CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
@@ -1225,8 +1225,54 @@ _OR["streaming_mixture_twin"] = _OR["quality_weighted_mixture"]
            CAST(SUM(SUM(n_tokens)) OVER (ORDER BY phase) AS BIGINT)
                AS cumulative_tokens
     FROM scored GROUP BY phase ORDER BY phase
-    """,
-)
+    """
+
+
+def _curriculum_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, n_tokens, difficulty): the per-document
+    difficulty table shared by the spec and histogram forms."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+        .cast("long")
+        .alias("n_tokens"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        .cast("long")
+        .alias("n_letters"),
+    ).filter(F.col("n_tokens") > 0)
+    return per_doc.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (
+            F.col("n_letters").cast("double") / F.col("n_tokens").cast("double")
+        ).alias("difficulty"),
+    )
+
+
+def _curriculum_report(scored: DataFrame) -> DataFrame:
+    """Phase-level aggregation + cumulative token schedule over a
+    (…, n_tokens, difficulty, phase) table."""
+    from pyspark.sql.window import Window
+
+    agg = scored.groupBy("phase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("phase_tokens"),
+        F.min("difficulty").alias("min_difficulty"),
+        F.max("difficulty").alias("max_difficulty"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+    w_cum = Window.orderBy("phase").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return agg.select(
+        "*", F.sum("phase_tokens").over(w_cum).cast("long").alias("cumulative_tokens")
+    ).orderBy("phase")
+
+
+@register_query("curriculum_phases", oracle=_CURRICULUM_ORACLE)
 def curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum-learning phase assignment (Bengio et al., ICML'09, the
     easy-to-hard schedule pretraining runs actually use): rank every
@@ -1242,46 +1288,49 @@ def curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a 3-row ordered window over exact BIGINTs.
 
     Scale: map-side per-doc counts (no explode — length/replace string
-    ops), one global NTILE window over doc-count rows (at 100 TB, the
-    histogram ceil-rank rewrite replaces the global sort exactly as in
-    rfm_customer_segments — the phases only need 2 cut points), then a
-    3-key aggregate."""
+    ops), one global NTILE window over doc-count rows — the certified
+    SPEC form; curriculum_phases_hist is the executable scale form
+    (identical phases from the difficulty-histogram prefix scan, no
+    global row sort; r12 verdict ticket #4)."""
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents")
-    per_doc = docs.select(
-        "doc_id",
-        "source",
-        F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
-        .cast("long")
-        .alias("n_tokens"),
-        F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
-        .cast("long")
-        .alias("n_letters"),
-    ).filter(F.col("n_tokens") > 0)
-    difficulty = F.col("n_letters").cast("double") / F.col("n_tokens").cast(
-        "double"
-    )
-    scored = per_doc.select(
+    scored0 = _curriculum_scored(spark, sf_dir)
+    scored = scored0.select(
         "doc_id",
         "source",
         "n_tokens",
-        difficulty.alias("difficulty"),
+        "difficulty",
         F.ntile(3)
-        .over(Window.orderBy(difficulty, "doc_id"))
+        .over(Window.orderBy("difficulty", "doc_id"))
         .cast("long")
         .alias("phase"),
     )
-    agg = scored.groupBy("phase").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("n_tokens").cast("long").alias("phase_tokens"),
-        F.min("difficulty").alias("min_difficulty"),
-        F.max("difficulty").alias("max_difficulty"),
-        F.countDistinct("source").cast("long").alias("n_sources"),
+    return _curriculum_report(scored)
+
+
+@register_query("curriculum_phases_hist", oracle=_CURRICULUM_ORACLE)
+def curriculum_phases_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXECUTABLE scale form of curriculum_phases (r12 verdict
+    ticket #4): identical output against the SAME naive-spec oracle.
+    Each document's global difficulty rank comes from the difficulty
+    HISTOGRAM's cumulative window (|distinct difficulty values| rows —
+    difficulty is a ratio of two bounded integers, so the domain is far
+    smaller than the corpus) plus a partitioned row_number within the
+    tie group; the 3-way phase is the closed-form NTILE split of that
+    rank (functions/ranks.py). Rank equality is exact (same doc_id
+    tiebreak), so phase assignment — and the oracle hash — match the
+    window spec bit-for-bit while no document row crosses a global
+    sort."""
+    from kasper_spark.functions.ranks import hist_prefix_rank, ntile_from_rank
+
+    df = hist_prefix_rank(
+        _curriculum_scored(spark, sf_dir), "difficulty", "doc_id", "_i", n_name="_n"
     )
-    w_cum = Window.orderBy("phase").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    scored = df.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "difficulty",
+        ntile_from_rank(F.col("_i"), F.col("_n"), 3).alias("phase"),
     )
-    return agg.select(
-        "*", F.sum("phase_tokens").over(w_cum).cast("long").alias("cumulative_tokens")
-    ).orderBy("phase")
+    return _curriculum_report(scored)

@@ -163,6 +163,43 @@ def test_ivf_pq_index_reuse_and_marker_order(spark):
     assert os.path.getmtime(marker) != mt
 
 
+def test_hist_scale_forms_equal_spec_forms(spark):
+    """The three histogram prefix-rank scale forms must reproduce their
+    spec forms' output EXACTLY (same rows, same values) — rank equality
+    is the whole contract (r12 verdict ticket #4)."""
+    for spec, hist in [
+        ("revenue_concentration_gini", "revenue_concentration_gini_hist"),
+        ("rfm_customer_segments", "rfm_customer_segments_hist"),
+        ("curriculum_phases", "curriculum_phases_hist"),
+    ]:
+        a = sorted(map(tuple, QUERIES[spec](spark, SF_ORACLE).collect()))
+        b = sorted(map(tuple, QUERIES[hist](spark, SF_ORACLE).collect()))
+        assert a == b, f"{hist} diverged from {spec}"
+
+
+def test_ntile_from_rank_matches_window_ntile(spark):
+    """Closed-form NTILE vs the window NTILE on adversarial sizes
+    (n < k, n == k, n % k != 0, big n) — every rank, every k."""
+    from pyspark.sql.window import Window
+
+    from kasper_spark.functions.ranks import ntile_from_rank
+
+    for n in (1, 2, 4, 5, 6, 7, 23, 100, 101):
+        for k in (3, 5):
+            df = spark.range(1, n + 1).select(
+                F.col("id").alias("i"), F.lit(n).cast("long").alias("n")
+            )
+            got = df.select(
+                "i", ntile_from_rank(F.col("i"), F.col("n"), k).alias("b")
+            )
+            want = df.select(
+                "i", F.ntile(k).over(Window.orderBy("i")).cast("long").alias("b")
+            )
+            assert sorted(map(tuple, got.collect())) == sorted(
+                map(tuple, want.collect())
+            ), f"ntile mismatch at n={n} k={k}"
+
+
 def test_mutual_knn_plan_has_no_pair_shuffle(spark, monkeypatch):
     """The m^2 pair volume must stay inside the per-group numpy call:
     the physical plan may shuffle rows (groupBy cluster_id/sb) but must
