@@ -136,6 +136,12 @@ HEADLINE = [
     "ann_ivf_pq_index_build",      # PQ encode+add over the persisted lists
     "ann_ivf_pq_search_only",      # ADC serving from on-disk codes
     "mutual_knn_pairs",            # reciprocal-NN over the persisted lists
+    # ranking-eval family on the cached scored ranking (ticket #6):
+    # mrr_relevance_contract above stays the in-flight build
+    # certification; these serve from the fingerprint-keyed cache.
+    "ndcg_relevance_contract",     # graded nDCG@10 from cached ranking
+    "precision_recall_at_k",       # P/R@5 from cached ranking
+    "prf_query_expansion_topk",    # PRF round-2 over cached round-1
 ]
 
 

@@ -445,6 +445,77 @@ def _bm25_graded_scored_sql() -> str:
     )"""
 
 
+def _graded_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, score_dec DECIMAL(30,12), min_tf), score_dec > 0
+    — the Spark twin of _bm25_graded_scored_sql's ``scored`` CTE, shared
+    by the whole ranking-eval family (MRR / nDCG / P-R@k)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks(F.col("text"))
+    base = docs.select(
+        "doc_id", toks.alias("t"), F.size(toks).cast("long").alias("dl")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_tokens"),
+    )
+    term_col = F.explode(F.array(*[F.lit(t) for t in _MRR_TERMS])).alias("term")
+    tf = base.select("doc_id", "dl", "t", term_col).select(
+        "doc_id",
+        "dl",
+        "term",
+        F.size(F.expr("filter(t, w -> w = term)")).cast("long").alias("tf"),
+    )
+    df_t = tf.filter(F.col("tf") > 0).groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, ts in _MRR_QUERIES for t in ts],
+        "query_id long, term string",
+    )
+    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")
+    idf = (
+        F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5))
+    tf_part = (F.col("tf").cast("double") * F.lit(_BM25_K1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + F.lit(_BM25_K1)
+        * (F.lit(1.0 - _BM25_B) + (F.lit(_BM25_B) * F.col("dl").cast("double")) / avgdl)
+    )
+    contrib = F.when(F.col("tf") > 0, (idf * tf_part).cast("decimal(30,12)")).otherwise(
+        F.lit(0).cast("decimal(30,12)")
+    )
+    return (
+        tf.join(F.broadcast(df_t), "term")
+        .join(F.broadcast(qt), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(contrib).cast("decimal(30,12)").alias("score_dec"),
+            F.min("tf").cast("long").alias("min_tf"),
+        )
+        .filter(F.col("score_dec") > 0)
+    )
+
+
+def _graded_scored_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scored ranking as SERVED from the fingerprint-keyed parquet
+    cache (functions/result_cache.py) — built lazily once per corpus
+    version by the in-flight chain above. DECIMAL/BIGINT columns
+    round-trip parquet exactly, so consumers' oracle hashes are
+    unchanged (equality vs the in-flight chain asserted in
+    tests/test_round13_ops.py). mrr_relevance_contract stays on the
+    in-flight chain as the build-path certification; nDCG and P-R@k
+    serve from here (r12 verdict ticket #6)."""
+    from kasper_spark.functions.result_cache import cached_result
+
+    return cached_result(
+        spark,
+        sf_dir,
+        "bm25-graded-scored",
+        "documents",
+        lambda: _graded_scored(spark, sf_dir),
+    )
+
 
 @register_query(
     "mrr_relevance_contract",
@@ -492,55 +563,12 @@ def mrr_relevance_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; the per-query ranking window is PARTITIONED by query — each
     query's retrieved set, not the corpus, bounds a partition. The
     first-relevant rank is min(rk) over relevant rows, not a full sort
-    consumed by a driver."""
+    consumed by a driver. This query IS the family's in-flight
+    certification of the scored chain; nDCG and P-R@k serve the same
+    ranking from the fingerprint-keyed cache (_graded_scored_cached)."""
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents")
-    toks = _toks(F.col("text"))
-    base = docs.select(
-        "doc_id", toks.alias("t"), F.size(toks).cast("long").alias("dl")
-    )
-    stats = base.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("dl").cast("long").alias("total_tokens"),
-    )
-    term_col = F.explode(F.array(*[F.lit(t) for t in _MRR_TERMS])).alias("term")
-    tf = base.select("doc_id", "dl", "t", term_col).select(
-        "doc_id",
-        "dl",
-        "term",
-        F.size(F.expr("filter(t, w -> w = term)")).cast("long").alias("tf"),
-    )
-    df_t = tf.filter(F.col("tf") > 0).groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("df")
-    )
-    qt = spark.createDataFrame(
-        [(qid, t) for qid, ts in _MRR_QUERIES for t in ts],
-        "query_id long, term string",
-    )
-    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")
-    idf = (
-        F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5)
-    ) / (F.col("df").cast("double") + F.lit(0.5))
-    tf_part = (F.col("tf").cast("double") * F.lit(_BM25_K1 + 1.0)) / (
-        F.col("tf").cast("double")
-        + F.lit(_BM25_K1)
-        * (F.lit(1.0 - _BM25_B) + (F.lit(_BM25_B) * F.col("dl").cast("double")) / avgdl)
-    )
-    contrib = F.when(F.col("tf") > 0, (idf * tf_part).cast("decimal(30,12)")).otherwise(
-        F.lit(0).cast("decimal(30,12)")
-    )
-    scored = (
-        tf.join(F.broadcast(df_t), "term")
-        .join(F.broadcast(qt), "term")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("query_id", "doc_id")
-        .agg(
-            F.sum(contrib).cast("decimal(30,12)").alias("score_dec"),
-            F.min("tf").cast("long").alias("min_tf"),
-        )
-        .filter(F.col("score_dec") > 0)
-    )
+    scored = _graded_scored(spark, sf_dir)
     w = Window.partitionBy("query_id").orderBy(F.desc("score_dec"), F.asc("doc_id"))
     ranked = scored.select(
         "query_id", "doc_id", "min_tf", F.row_number().over(w).alias("rk")
@@ -1504,55 +1532,13 @@ def ndcg_relevance_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: identical to MRR — scan-stage tf over the 13-term union
     vocabulary, broadcast df/stats/query-terms/discounts, per-query
-    ranking windows bounded by the retrieved set."""
+    ranking windows bounded by the retrieved set. SERVES the scored
+    ranking from the fingerprint-keyed cache (r12 verdict ticket #6);
+    the chain itself stays certified in-flight by
+    mrr_relevance_contract."""
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents")
-    toks = _toks(F.col("text"))
-    base = docs.select(
-        "doc_id", toks.alias("t"), F.size(toks).cast("long").alias("dl")
-    )
-    stats = base.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("dl").cast("long").alias("total_tokens"),
-    )
-    term_col = F.explode(F.array(*[F.lit(t) for t in _MRR_TERMS])).alias("term")
-    tf = base.select("doc_id", "dl", "t", term_col).select(
-        "doc_id",
-        "dl",
-        "term",
-        F.size(F.expr("filter(t, w -> w = term)")).cast("long").alias("tf"),
-    )
-    df_t = tf.filter(F.col("tf") > 0).groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("df")
-    )
-    qt = spark.createDataFrame(
-        [(qid, t) for qid, ts in _MRR_QUERIES for t in ts],
-        "query_id long, term string",
-    )
-    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")
-    idf = (
-        F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5)
-    ) / (F.col("df").cast("double") + F.lit(0.5))
-    tf_part = (F.col("tf").cast("double") * F.lit(_BM25_K1 + 1.0)) / (
-        F.col("tf").cast("double")
-        + F.lit(_BM25_K1)
-        * (F.lit(1.0 - _BM25_B) + (F.lit(_BM25_B) * F.col("dl").cast("double")) / avgdl)
-    )
-    contrib = F.when(
-        F.col("tf") > 0, (idf * tf_part).cast("decimal(30,12)")
-    ).otherwise(F.lit(0).cast("decimal(30,12)"))
-    scored = (
-        tf.join(F.broadcast(df_t), "term")
-        .join(F.broadcast(qt), "term")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("query_id", "doc_id")
-        .agg(
-            F.sum(contrib).cast("decimal(30,12)").alias("score_dec"),
-            F.min("tf").cast("long").alias("min_tf"),
-        )
-        .filter(F.col("score_dec") > 0)
-    )
+    scored = _graded_scored_cached(spark, sf_dir)
     w = Window.partitionBy("query_id").orderBy(F.desc("score_dec"), F.asc("doc_id"))
     top = (
         scored.select(
@@ -1751,55 +1737,12 @@ def precision_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the shared scored/ranked shape (scan-stage tf, broadcast
     df/stats, per-query windows); the metric adds only two bounded
-    aggregates over the rank-filtered rows."""
+    aggregates over the rank-filtered rows. SERVES the scored ranking
+    from the fingerprint-keyed cache (r12 verdict ticket #6); the chain
+    itself stays certified in-flight by mrr_relevance_contract."""
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents")
-    toks = _toks(F.col("text"))
-    base = docs.select(
-        "doc_id", toks.alias("t"), F.size(toks).cast("long").alias("dl")
-    )
-    stats = base.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("dl").cast("long").alias("total_tokens"),
-    )
-    term_col = F.explode(F.array(*[F.lit(t) for t in _MRR_TERMS])).alias("term")
-    tf = base.select("doc_id", "dl", "t", term_col).select(
-        "doc_id",
-        "dl",
-        "term",
-        F.size(F.expr("filter(t, w -> w = term)")).cast("long").alias("tf"),
-    )
-    df_t = tf.filter(F.col("tf") > 0).groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("df")
-    )
-    qt = spark.createDataFrame(
-        [(qid, t) for qid, ts in _MRR_QUERIES for t in ts],
-        "query_id long, term string",
-    )
-    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")
-    idf = (
-        F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5)
-    ) / (F.col("df").cast("double") + F.lit(0.5))
-    tf_part = (F.col("tf").cast("double") * F.lit(_BM25_K1 + 1.0)) / (
-        F.col("tf").cast("double")
-        + F.lit(_BM25_K1)
-        * (F.lit(1.0 - _BM25_B) + (F.lit(_BM25_B) * F.col("dl").cast("double")) / avgdl)
-    )
-    contrib = F.when(
-        F.col("tf") > 0, (idf * tf_part).cast("decimal(30,12)")
-    ).otherwise(F.lit(0).cast("decimal(30,12)"))
-    scored = (
-        tf.join(F.broadcast(df_t), "term")
-        .join(F.broadcast(qt), "term")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("query_id", "doc_id")
-        .agg(
-            F.sum(contrib).cast("decimal(30,12)").alias("score_dec"),
-            F.min("tf").cast("long").alias("min_tf"),
-        )
-        .filter(F.col("score_dec") > 0)
-    )
+    scored = _graded_scored_cached(spark, sf_dir)
     w = Window.partitionBy("query_id").orderBy(F.desc("score_dec"), F.asc("doc_id"))
     ranked = cut_lineage(
         scored.select(

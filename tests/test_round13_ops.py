@@ -200,6 +200,35 @@ def test_ntile_from_rank_matches_window_ntile(spark):
             ), f"ntile mismatch at n={n} k={k}"
 
 
+def test_result_cache_equals_inflight_chains(spark):
+    """The fingerprint-keyed ranking caches must be bit-equal to their
+    in-flight chains (decimal/bigint parquet round-trip), and a second
+    read must not rebuild (marker mtime stable)."""
+    import os
+
+    from kasper_spark.functions.result_cache import _MARKER, cache_dir
+    from kasper_spark.operators.evaluation import (
+        _graded_scored,
+        _graded_scored_cached,
+    )
+    from kasper_spark.operators.retrieval import (
+        _bm25_ranked,
+        _bm25_ranked_cached,
+    )
+
+    for fresh_fn, cached_fn, name in [
+        (_graded_scored, _graded_scored_cached, "bm25-graded-scored"),
+        (_bm25_ranked, _bm25_ranked_cached, "bm25-keyword-ranked"),
+    ]:
+        a = sorted(map(tuple, fresh_fn(spark, SF_SMOKE).collect()))
+        b = sorted(map(tuple, cached_fn(spark, SF_SMOKE).collect()))
+        assert a == b, f"cache {name} diverged from its in-flight chain"
+        marker = os.path.join(cache_dir(SF_SMOKE, name, "documents"), _MARKER)
+        mt = os.path.getmtime(marker)
+        cached_fn(spark, SF_SMOKE).collect()
+        assert os.path.getmtime(marker) == mt, f"cache {name} was rebuilt"
+
+
 def test_mutual_knn_plan_has_no_pair_shuffle(spark, monkeypatch):
     """The m^2 pair volume must stay inside the per-group numpy call:
     the physical plan may shuffle rows (groupBy cluster_id/sb) but must
