@@ -1704,9 +1704,19 @@ def _build_ivf_index(spark: SparkSession, sf_dir: str) -> str:
         .partitionBy("cluster_id")
         .parquet(_os.path.join(idx, "assignments"))
     )
-    with open(marker, "w") as f:
-        f.write(f"n={n} k={k} train_n={train_n}\n")
+    _ivf_marker_write(idx, n=n, k=k, train_n=train_n)
     return idx
+
+
+def _ivf_marker_write(idx: str, n: int, k: int, train_n: int) -> None:
+    """(Re)write the READY marker ATOMICALLY (tmp + rename), so a reader
+    that races an incremental append sees either the old or the new
+    (n, k, train_n) — never a torn file. Shared by the offline build and
+    the streaming index-append twin's per-epoch n update."""
+    tmp = _os.path.join(idx, "_KASPER_INDEX_READY.tmp")
+    with open(tmp, "w") as f:
+        f.write(f"n={n} k={k} train_n={train_n}\n")
+    _os.replace(tmp, _os.path.join(idx, "_KASPER_INDEX_READY"))
 
 
 def _ivf_index_meta(idx: str) -> dict:
@@ -1776,7 +1786,16 @@ def ann_ivf_search_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     the wide embedding arrays join the plan only at the re-rank. The
     index read is static-pruned by directory; nothing else of the corpus
     is touched."""
-    idx = _ensure_ivf_index(spark, sf_dir)
+    return _search_persisted_index(spark, sf_dir, _ensure_ivf_index(spark, sf_dir))
+
+
+def _search_persisted_index(
+    spark: SparkSession, sf_dir: str, idx: str
+) -> DataFrame:
+    """ann_ivf_search_only's serving body over an EXPLICIT index dir —
+    shared with the streaming index-append twin's mid-stream serving
+    check (the index under maintenance is a work dir, not the
+    fingerprint-keyed one)."""
     emb = load_table(spark, sf_dir, "embeddings")
     # probe parameters come from the index marker, not a corpus count —
     # serving must not pay a table scan to learn what the build knew

@@ -3753,3 +3753,135 @@ def streaming_msprt_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("y").cast("long").alias("y"))
     )
     return msprt_report_from_user_counts(merged)
+
+
+# ---------------------------------------------------------------------------
+# Persisted-IVF-index incremental maintenance (round 13): the 14th
+# incremental view, and the first maintained ON DISK
+# ---------------------------------------------------------------------------
+
+
+def _ivf_append_run(
+    spark: SparkSession, sf_dir: str, n_files: int
+) -> tuple[str, DataFrame]:
+    """Seed a WORK-DIR copy of the persisted scaled-K IVF index with the
+    first half of the corpus, then stream the remaining vectors through
+    availableNow micro-batches: each epoch assigns its arrivals against
+    the on-disk centroids (the same read-back quantizer the offline
+    build certifies against) and APPENDS them to the correct inverted
+    list directories, then atomically refreshes the marker's n — exactly
+    how a production vector store keeps an IVF index current between
+    retrains (assignment is embarrassingly incremental; only training is
+    offline). Returns (work index dir, per-list size profile read back
+    from the maintained index).
+
+    Cut-invariance: each vector's list depends only on the vector and
+    the static centroids, and appends commute, so the final on-disk
+    index is invariant to how the feed is cut (tested 2 vs 5 files) and
+    equal to the all-at-once offline build — the twin shares
+    ann_ivf_index_build's oracle verbatim. Mid-stream, the marker's n
+    lags by exactly the unappended tail, so _search_persisted_index
+    serves a correct index over the vectors ingested so far
+    (tests/test_round13_ops.py)."""
+    from kasper_spark.catalog import load_table
+    from kasper_spark.operators.similarity import (
+        _assign_rows_scan,
+        _ensure_ivf_index,
+        _ivf_index_meta,
+        _ivf_marker_write,
+    )
+
+    real = _ensure_ivf_index(spark, sf_dir)
+    meta = _ivf_index_meta(real)
+    split = meta["n"] // 2
+
+    work = _workdir("kasper-sivfidx-")
+    idx = os.path.join(work, "index")
+    os.makedirs(idx)
+    shutil.copytree(
+        os.path.join(real, "centroids"), os.path.join(idx, "centroids")
+    )
+    assignments = os.path.join(idx, "assignments")
+    (
+        spark.read.parquet(os.path.join(real, "assignments"))
+        .filter(F.col("vec_id") < split)
+        .select("vec_id", F.col("cluster_id").cast("bigint").alias("cluster_id"))
+        .repartition(F.col("cluster_id"))
+        .write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(assignments)
+    )
+    _ivf_marker_write(idx, n=split, k=meta["k"], train_n=meta["train_n"])
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    src_dir = os.path.join(work, "src")
+    (
+        emb.filter(F.col("vec_id") >= split)
+        .select("vec_id", "embedding")
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(src_dir)
+    )
+    ckpt = os.path.join(work, "ck")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src_dir)
+    )
+    cent = spark.read.parquet(os.path.join(idx, "centroids"))
+
+    def append_batch(df, epoch_id: int) -> None:
+        out = (
+            _assign_rows_scan(df, cent, 1)
+            .select(
+                "vec_id", F.col("cluster_id").cast("bigint").alias("cluster_id")
+            )
+            .persist()
+        )
+        try:
+            n_new = out.count()
+            (
+                out.repartition(F.col("cluster_id"))
+                .write.mode("append")
+                .partitionBy("cluster_id")
+                .parquet(assignments)
+            )
+            m = _ivf_index_meta(idx)
+            _ivf_marker_write(
+                idx, n=m["n"] + n_new, k=m["k"], train_n=m["train_n"]
+            )
+        finally:
+            out.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    profile = (
+        spark.read.parquet(assignments)
+        .groupBy(F.col("cluster_id").cast("bigint").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("cluster_id")
+    )
+    return idx, profile
+
+
+@register_query("streaming_ivf_index_append_twin")
+def streaming_ivf_index_append_twin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The incremental-maintenance twin of ann_ivf_index_build: half the
+    corpus seeds the on-disk index, the rest arrives as a stream and is
+    appended per epoch into the partitioned inverted lists with an
+    atomic marker/n refresh (see _ivf_append_run). Shares the offline
+    build's oracle VERBATIM — a green row certifies that streaming
+    maintenance converges to the identical on-disk index."""
+    return _ivf_append_run(spark, sf_dir, n_files=3)[1]
+
+
+assert "ann_ivf_index_build" in _OR, "offline IVF build oracle missing"
+_OR["streaming_ivf_index_append_twin"] = _OR["ann_ivf_index_build"]

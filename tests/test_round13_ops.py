@@ -200,6 +200,91 @@ def test_ntile_from_rank_matches_window_ntile(spark):
             ), f"ntile mismatch at n={n} k={k}"
 
 
+def test_ivf_append_twin_cut_invariance(spark):
+    """The on-disk index the streaming append maintains must be invariant
+    to micro-batch boundaries (2 vs 5 source files): same per-list
+    profile AND same full assignment rows — the 14th incremental view,
+    the first maintained on disk."""
+    from kasper_spark.operators import similarity as S
+    from kasper_spark.operators.streaming_twins import _ivf_append_run
+
+    idx2, prof2 = _ivf_append_run(spark, SF_SMOKE, 2)
+    idx5, prof5 = _ivf_append_run(spark, SF_SMOKE, 5)
+    assert sorted(map(tuple, prof2.collect())) == sorted(
+        map(tuple, prof5.collect())
+    )
+    a2 = sorted(
+        map(
+            tuple,
+            spark.read.parquet(S._os.path.join(idx2, "assignments"))
+            .select("vec_id", F.col("cluster_id").cast("long"))
+            .collect(),
+        )
+    )
+    a5 = sorted(
+        map(
+            tuple,
+            spark.read.parquet(S._os.path.join(idx5, "assignments"))
+            .select("vec_id", F.col("cluster_id").cast("long"))
+            .collect(),
+        )
+    )
+    assert a2 == a5 and a2, "assignments differ across cut boundaries"
+
+
+def test_ivf_append_twin_serves_mid_stream_and_converges(spark):
+    """_search_persisted_index over the maintained index: mid-stream
+    (base half only) every neighbor comes from the ingested prefix and
+    the marker's n drives the probe params; after full drain the search
+    result equals ann_ivf_search_only's over the offline index exactly."""
+    import os
+    import shutil
+
+    from kasper_spark.operators import similarity as S
+    from kasper_spark.operators.streaming_twins import _ivf_append_run
+
+    # mid-stream state: seed the work index with the base half only
+    real = S._ensure_ivf_index(spark, SF_SMOKE)
+    meta = S._ivf_index_meta(real)
+    split = meta["n"] // 2
+    work = S._tempfile.mkdtemp(prefix="kasper-midstream-")
+    try:
+        idx = os.path.join(work, "index")
+        os.makedirs(idx)
+        shutil.copytree(
+            os.path.join(real, "centroids"), os.path.join(idx, "centroids")
+        )
+        (
+            spark.read.parquet(os.path.join(real, "assignments"))
+            .filter(F.col("vec_id") < split)
+            .select(
+                "vec_id", F.col("cluster_id").cast("bigint").alias("cluster_id")
+            )
+            .repartition(F.col("cluster_id"))
+            .write.mode("overwrite")
+            .partitionBy("cluster_id")
+            .parquet(os.path.join(idx, "assignments"))
+        )
+        S._ivf_marker_write(idx, n=split, k=meta["k"], train_n=meta["train_n"])
+        mid = S._search_persisted_index(spark, SF_SMOKE, idx).collect()
+        assert mid, "mid-stream search returned nothing"
+        assert all(r["neighbor_id"] < split for r in mid), (
+            "mid-stream search surfaced a vector not yet ingested"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    # converged state: full drain == the offline index's serving result
+    idx_full, _ = _ivf_append_run(spark, SF_SMOKE, 3)
+    got = sorted(
+        map(tuple, S._search_persisted_index(spark, SF_SMOKE, idx_full).collect())
+    )
+    want = sorted(
+        map(tuple, QUERIES["ann_ivf_search_only"](spark, SF_SMOKE).collect())
+    )
+    assert got == want
+
+
 def test_result_cache_equals_inflight_chains(spark):
     """The fingerprint-keyed ranking caches must be bit-equal to their
     in-flight chains (decimal/bigint parquet round-trip), and a second
