@@ -3515,17 +3515,22 @@ _OR["streaming_slo_twin"] = _OR["slo_burn_rate_alerts"]
 
 
 def _session_tws_run(
-    spark: SparkSession, sf_dir: str, n_files: int = 4
+    spark: SparkSession, sf_dir: str, n_files: int = 4, sessionizer=None
 ) -> DataFrame:
     """Run sessionize_tws over an n_files time-ordered feed of events plus
     a per-user SENTINEL flush file (event_id = -1 at max_ts + 2h): the
     sentinel closes every still-open session after the real data, so the
     bounded availableNow drain emits exactly the oracle's session set.
     Parametrized by n_files so the cut-invariance test can re-run the
-    same pipeline under different micro-batch boundaries."""
+    same pipeline under different micro-batch boundaries, and by
+    ``sessionizer`` so the state-v1 comparator (sessionize_apws) rides
+    the IDENTICAL staged feed — the same-boundary attribution ladder of
+    r12 verdict ticket #7."""
     from kasper_spark.protoshim import ensure_protobuf, ship_shim_to_workers
     from kasper_spark.streaming.state import sessionize_tws
 
+    if sessionizer is None:
+        sessionizer = sessionize_tws
     ensure_protobuf()
     ship_shim_to_workers(spark)
 
@@ -3560,7 +3565,7 @@ def _session_tws_run(
         .load(os.path.join(src_dir, "range=*"))
         .select("user_id", "event_id", "ts")
     )
-    sessions = sessionize_tws(stream, 30)
+    sessions = sessionizer(stream, 30)
 
     def sink_batch(df, epoch_id: int) -> None:
         df.write.mode("overwrite").parquet(
@@ -3885,3 +3890,21 @@ def streaming_ivf_index_append_twin(
 
 assert "ann_ivf_index_build" in _OR, "offline IVF build oracle missing"
 _OR["streaming_ivf_index_append_twin"] = _OR["ann_ivf_index_build"]
+
+
+@register_query("streaming_session_apws_twin", oracle=None)
+def streaming_session_apws_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap sessionization on the STATE-V1 runtime
+    (applyInPandasWithState) — sessionize_tws's same-boundary comparator
+    made a certified query: the session-window family now runs on all
+    THREE stateful runtimes (native session_window, apws, TWS) against
+    one oracle, and the v1-vs-v2 wall difference on the identical staged
+    feed is the protocol's attributable cost (r12 verdict ticket #7;
+    ladder in tools/tws_session_ladder.py, numbers in SCALING.md)."""
+    from kasper_spark.streaming.state import sessionize_apws
+
+    return _session_tws_run(spark, sf_dir, 4, sessionizer=sessionize_apws)
+
+
+assert "streaming_session_window_twin" in _OR, "session oracle missing"
+_OR["streaming_session_apws_twin"] = _OR["streaming_session_window_twin"]

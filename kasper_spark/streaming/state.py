@@ -935,6 +935,57 @@ def funnel_attribution_tws(events: DataFrame) -> DataFrame:
     )
 
 
+def sessionize_apws(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Dynamic-gap sessionization on applyInPandasWithState (state v1) —
+    sessionize_tws's SAME-BOUNDARY comparator (r12 verdict ticket #7):
+    identical algorithm, identical per-user (start_ns, last_ns, n) open-
+    session state, identical sentinel-flush contract, differing ONLY in
+    the state protocol (v1 tuple GroupState vs the v2 protobuf
+    StatefulProcessor). Running both over the same staged feed isolates
+    the v2 protocol's cost from the Arrow boundary and the state shape —
+    the round-10 keyed-count ladder's discipline, now on the session
+    workload. Same time-ordered-feed contract and max() straggler guard
+    as sessionize_tws."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_ns = gap_minutes * 60 * 1_000_000_000
+
+    # nested fn: cloudpickle serializes by value (foreign-cwd workers)
+    def sessionize(key, pdfs, state):
+        import pandas as pd
+
+        cur = list(state.get) if state.exists else None
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        out = []
+        for r in pdf.itertuples():
+            t = int(pd.Timestamp(r.ts).value)
+            sentinel = int(r.event_id) < 0
+            if cur is not None and (sentinel or t - cur[1] >= gap_ns):
+                out.append((int(key[0]), pd.Timestamp(cur[0]), int(cur[2])))
+                cur = None
+            if not sentinel:
+                if cur is None:
+                    cur = [t, t, 1]  # (start_ns, last_ns, n)
+                else:
+                    cur[1] = max(cur[1], t)
+                    cur[2] += 1
+        if cur is None:
+            state.remove()
+        else:
+            state.update(tuple(cur))
+        yield pd.DataFrame(
+            out, columns=["user_id", "session_start", "n_events"]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType="user_id long, session_start timestamp, n_events long",
+        stateStructType="start_ns long, last_ns long, n long",
+        outputMode="Append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def sessionize_tws(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Dynamic-gap sessionization on transformWithStateInPandas (state v2)
     — the fourth certified TWS operator and the state-v2 port of the

@@ -285,6 +285,32 @@ def test_ivf_append_twin_serves_mid_stream_and_converges(spark):
     assert got == want
 
 
+def test_session_apws_cut_invariance_and_tws_parity(spark):
+    """The state-v1 comparator must be cut-invariant (2 vs 5 files) and
+    emit exactly the TWS twin's session set on the same feed — the
+    three-runtime session family's pairwise agreement."""
+    from kasper_spark.operators.streaming_twins import _session_tws_run
+    from kasper_spark.streaming.state import sessionize_apws
+
+    a = sorted(
+        map(
+            tuple,
+            _session_tws_run(spark, SF_SMOKE, 2, sessionizer=sessionize_apws)
+            .collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            _session_tws_run(spark, SF_SMOKE, 5, sessionizer=sessionize_apws)
+            .collect(),
+        )
+    )
+    assert a == b and a, "apws sessionizer not cut-invariant"
+    tws = sorted(map(tuple, _session_tws_run(spark, SF_SMOKE, 2).collect()))
+    assert a == tws, "v1 and v2 runtimes diverged on the same feed"
+
+
 def test_result_cache_equals_inflight_chains(spark):
     """The fingerprint-keyed ranking caches must be bit-equal to their
     in-flight chains (decimal/bigint parquet round-trip), and a second
