@@ -2491,6 +2491,19 @@ def ann_ivf_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_MARKER = "_KASPER_PQ_READY"
 
 
+def _codes_array(encoded: DataFrame) -> DataFrame:
+    """(vec_id, codes array<int> ordered by subspace) from the long-form
+    (vec_id, sub_j, code_r) encoding — the packed row layout pq_codes
+    persists (shared by the offline build and the streaming append
+    twin)."""
+    return encoded.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub_j", "code_r"))),
+            lambda s: s["code_r"],
+        ).alias("codes")
+    )
+
+
 def _build_ivf_pq_index(spark: SparkSession, sf_dir: str) -> str:
     """Augment the persisted coarse IVF index with PQ codebook + codes.
 
@@ -2509,14 +2522,7 @@ def _build_ivf_pq_index(spark: SparkSession, sf_dir: str) -> str:
         "vec_id", F.col("cluster_id").cast("bigint").alias("cluster_id")
     )
     (
-        _pq_encode(emb, codebook)
-        .groupBy("vec_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("sub_j", "code_r"))),
-                lambda s: s["code_r"],
-            ).alias("codes")
-        )
+        _codes_array(_pq_encode(emb, codebook))
         .join(assign, "vec_id")
         .repartition(F.col("cluster_id"))
         .write.mode("overwrite")
@@ -2603,7 +2609,17 @@ def ann_ivf_pq_search_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_round13_ops.py, same discipline as ann_ivf_search_only);
     candidates ~ nprobe * N/K rows of (id, 8 codes); the wide embedding
     arrays enter only at the _PQ_SHORTLIST-bounded re-rank."""
-    idx = _ensure_ivf_pq_index(spark, sf_dir)
+    return _search_pq_persisted_index(
+        spark, sf_dir, _ensure_ivf_pq_index(spark, sf_dir)
+    )
+
+
+def _search_pq_persisted_index(
+    spark: SparkSession, sf_dir: str, idx: str
+) -> DataFrame:
+    """ann_ivf_pq_search_only's ADC serving body over an EXPLICIT index
+    dir — shared with the streaming PQ-append twin's mid-stream serving
+    check."""
     emb = load_table(spark, sf_dir, "embeddings")
     # probe parameters from the index marker — serving pays no corpus scan
     _, _, nprobe = _scaledk_params(_ivf_index_meta(idx)["n"])

@@ -3908,3 +3908,145 @@ def streaming_session_apws_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 assert "streaming_session_window_twin" in _OR, "session oracle missing"
 _OR["streaming_session_apws_twin"] = _OR["streaming_session_window_twin"]
+
+
+def _ivf_pq_append_run(
+    spark: SparkSession, sf_dir: str, n_files: int
+) -> tuple[str, DataFrame]:
+    """The FULL IVF-PQ index maintained at ingest: seed a work-dir index
+    with the persisted centroids + codebook and the first half's
+    inverted lists AND code arrays, then stream the remaining vectors —
+    each epoch routes arrivals to their coarse list (_assign_rows_scan),
+    encodes their PQ codes against the ON-DISK codebook (_pq_encode over
+    the read-back quantizer — the build's consistency discipline), and
+    appends BOTH artifacts into the partitioned list directories with an
+    atomic marker/n refresh. Returns (work index dir, per-(subspace,
+    codeword) histogram read back from the maintained codes).
+
+    Same cut-invariance argument as _ivf_append_run (assignment and
+    encoding are per-vector pure functions of static on-disk state;
+    appends commute), so the twin shares ann_ivf_pq_index_build's oracle
+    verbatim, and ADC serving (_search_pq_persisted_index) works
+    mid-stream over exactly the ingested prefix."""
+    from kasper_spark.catalog import load_table
+    from kasper_spark.operators.similarity import (
+        _PQ_MARKER,
+        _assign_rows_scan,
+        _codes_array,
+        _ensure_ivf_pq_index,
+        _ivf_index_meta,
+        _ivf_marker_write,
+        _pq_encode,
+    )
+
+    real = _ensure_ivf_pq_index(spark, sf_dir)
+    meta = _ivf_index_meta(real)
+    split = meta["n"] // 2
+
+    work = _workdir("kasper-sivfpq-")
+    idx = os.path.join(work, "index")
+    os.makedirs(idx)
+    for d in ("centroids", "pq_codebook"):
+        shutil.copytree(os.path.join(real, d), os.path.join(idx, d))
+    for d in ("assignments", "pq_codes"):
+        (
+            spark.read.parquet(os.path.join(real, d))
+            .filter(F.col("vec_id") < split)
+            .withColumn(
+                "cluster_id", F.col("cluster_id").cast("bigint")
+            )
+            .repartition(F.col("cluster_id"))
+            .write.mode("overwrite")
+            .partitionBy("cluster_id")
+            .parquet(os.path.join(idx, d))
+        )
+    _ivf_marker_write(idx, n=split, k=meta["k"], train_n=meta["train_n"])
+    shutil.copyfile(
+        os.path.join(real, _PQ_MARKER), os.path.join(idx, _PQ_MARKER)
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    src_dir = os.path.join(work, "src")
+    (
+        emb.filter(F.col("vec_id") >= split)
+        .select("vec_id", "embedding")
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(src_dir)
+    )
+    ckpt = os.path.join(work, "ck")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src_dir)
+    )
+    cent = spark.read.parquet(os.path.join(idx, "centroids"))
+    codebook = spark.read.parquet(os.path.join(idx, "pq_codebook"))
+
+    def append_batch(df, epoch_id: int) -> None:
+        routed = (
+            _assign_rows_scan(df, cent, 1)
+            .select(
+                "vec_id", F.col("cluster_id").cast("bigint").alias("cluster_id")
+            )
+            .persist()
+        )
+        try:
+            n_new = routed.count()
+            (
+                routed.repartition(F.col("cluster_id"))
+                .write.mode("append")
+                .partitionBy("cluster_id")
+                .parquet(os.path.join(idx, "assignments"))
+            )
+            (
+                _codes_array(_pq_encode(df, codebook))
+                .join(routed, "vec_id")
+                .repartition(F.col("cluster_id"))
+                .write.mode("append")
+                .partitionBy("cluster_id")
+                .parquet(os.path.join(idx, "pq_codes"))
+            )
+            m = _ivf_index_meta(idx)
+            _ivf_marker_write(
+                idx, n=m["n"] + n_new, k=m["k"], train_n=m["train_n"]
+            )
+        finally:
+            routed.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    profile = (
+        spark.read.parquet(os.path.join(idx, "pq_codes"))
+        .select(F.posexplode("codes").alias("sub_j", "code_r"))
+        .groupBy(
+            F.col("sub_j").cast("bigint").alias("sub_j"),
+            F.col("code_r").cast("bigint").alias("code_r"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .orderBy("sub_j", "code_r")
+    )
+    return idx, profile
+
+
+@register_query("streaming_ivf_pq_append_twin")
+def streaming_ivf_pq_append_twin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The incremental-maintenance twin of ann_ivf_pq_index_build — the
+    15th incremental view, maintaining the FULL IVF-PQ layout (inverted
+    lists + code arrays) on disk per micro-batch (see
+    _ivf_pq_append_run). Shares the offline PQ build's oracle VERBATIM:
+    a green row certifies streaming maintenance converges to the
+    identical on-disk codes."""
+    return _ivf_pq_append_run(spark, sf_dir, n_files=3)[1]
+
+
+assert "ann_ivf_pq_index_build" in _OR, "offline PQ build oracle missing"
+_OR["streaming_ivf_pq_append_twin"] = _OR["ann_ivf_pq_index_build"]

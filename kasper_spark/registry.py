@@ -62,10 +62,10 @@ def load_all_operators() -> None:
 # ROUND-13 EVIDENCE: every name below passed the local oracle sweep
 # (tools/bare_sweep.py, bare session, foreign cwd) at sf0.01 before this
 # rotation landed; the full pytest suite is green.
-# Window arithmetic: 7 new + 17 changed + 25 r05 + 1 r06 = 50.
+# Window arithmetic: 8 new + 17 changed + 25 r05 = 50.
 # r14 queue (oldest evidence after this round, from the CORRECTNESS_r*
-# history): the remaining 33-name r06 cohort (ann_bruteforce_topk is
-# taken this round; next oldest-first: deterministic_split,
+# history): the 34-name r06 cohort, oldest-first: ann_bruteforce_topk,
+# deterministic_split,
 # doc_fingerprint, embedding_label_centroids, embedding_neardup_pairs,
 # embedding_norms, label_propagation_communities, lang_id_heuristic,
 # multimodal_meta, neardup_cc_canonical, ngram_bigram_counts,
@@ -82,6 +82,8 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "curriculum_phases_hist",
     # incremental on-disk IVF maintenance — 14th incremental view (#5)
     "streaming_ivf_index_append_twin",
+    # full IVF-PQ maintained at ingest — 15th incremental view (#2+#5)
+    "streaming_ivf_pq_append_twin",
     # the state-v1 session comparator, now certified (#7)
     "streaming_session_apws_twin",
     # -- 1. CHANGED this round (17; implementation text changed, each
@@ -136,8 +138,6 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "winnowing_fingerprints",
     "dedup_incremental_new_vs_base",
     "cluster_lang_purity",
-    # -- 3. r06 cohort head (1 name) with the remaining slot:
-    "ann_bruteforce_topk",
 ]
 
 

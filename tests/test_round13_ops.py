@@ -285,6 +285,46 @@ def test_ivf_append_twin_serves_mid_stream_and_converges(spark):
     assert got == want
 
 
+def test_ivf_pq_append_twin_cut_invariance_and_serving(spark):
+    """The maintained IVF-PQ index: cut-invariant code rows (2 vs 5 file
+    boundaries) and ADC serving over the fully drained work index equals
+    ann_ivf_pq_search_only over the offline index exactly."""
+    from kasper_spark.operators import similarity as S
+    from kasper_spark.operators.streaming_twins import _ivf_pq_append_run
+
+    idx2, prof2 = _ivf_pq_append_run(spark, SF_SMOKE, 2)
+    idx5, prof5 = _ivf_pq_append_run(spark, SF_SMOKE, 5)
+    assert sorted(map(tuple, prof2.collect())) == sorted(
+        map(tuple, prof5.collect())
+    )
+    codes2 = sorted(
+        map(
+            tuple,
+            spark.read.parquet(S._os.path.join(idx2, "pq_codes"))
+            .select("vec_id", F.posexplode("codes").alias("sub_j", "code_r"))
+            .collect(),
+        )
+    )
+    codes5 = sorted(
+        map(
+            tuple,
+            spark.read.parquet(S._os.path.join(idx5, "pq_codes"))
+            .select("vec_id", F.posexplode("codes").alias("sub_j", "code_r"))
+            .collect(),
+        )
+    )
+    assert codes2 == codes5 and codes2, "codes differ across cut boundaries"
+    got = sorted(
+        map(
+            tuple, S._search_pq_persisted_index(spark, SF_SMOKE, idx2).collect()
+        )
+    )
+    want = sorted(
+        map(tuple, QUERIES["ann_ivf_pq_search_only"](spark, SF_SMOKE).collect())
+    )
+    assert got == want
+
+
 def test_session_apws_cut_invariance_and_tws_parity(spark):
     """The state-v1 comparator must be cut-invariant (2 vs 5 files) and
     emit exactly the TWS twin's session set on the same feed — the
