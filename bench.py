@@ -142,6 +142,8 @@ HEADLINE = [
     "ndcg_relevance_contract",     # graded nDCG@10 from cached ranking
     "precision_recall_at_k",       # P/R@5 from cached ranking
     "prf_query_expansion_topk",    # PRF round-2 over cached round-1
+    "lsh_index_build",             # minhash+banding persisted (pay-once)
+    "lsh_neardup_search_only",     # near-dup lookup from the on-disk index
 ]
 
 

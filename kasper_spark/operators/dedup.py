@@ -1263,12 +1263,10 @@ def _build_lsh_graph_cte() -> str:
 _LSH_GRAPH_CTE = _build_lsh_graph_cte()
 
 
-def _md5_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_a, doc_b) LSH near-dup edges over the FULL documents table —
-    the Python twin of _LSH_GRAPH_CTE, same plan shape as
-    minhash_lsh_candidates (shingle explode -> partial-agg minhash ->
-    band-signature bucket shuffle -> intra-bucket pairs -> signature
-    verify) with the md5 hash family so both engines agree bit-for-bit."""
+def _md5_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, m0..m31): the md5-family MinHash signatures over the
+    documents table — the Spark twin of _LSH_BANDS_CTE's ``sigs``,
+    shared by _md5_lsh_pairs and the persisted LSH index build."""
     par = spark.sparkContext.defaultParallelism
     docs = load_table(spark, sf_dir, "documents").repartition(par)
     toks = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
@@ -1276,7 +1274,7 @@ def _md5_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # non-attribute explode child: see minhash_lsh_candidates on the
     # InferFiltersFromGenerate plan trap
     ex = raw.select("doc_id", F.explode(F.array_distinct("raw")).alias("s"))
-    sigs = ex.groupBy("doc_id").agg(
+    return ex.groupBy("doc_id").agg(
         *[
             F.min(
                 F.conv(
@@ -1288,13 +1286,12 @@ def _md5_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(_NUM_HASHES)
         ]
     )
-    # consumed twice (banding + signature verify): cut_lineage
-    # materializes once (MEMORY_AND_DISK) and, unlike a pinned persist(),
-    # cuts the shingle->hash lineage out of every downstream plan and is
-    # released by the ContextCleaner when the result goes out of scope —
-    # no cache bleeding into the next query of a 169-query sweep.
-    sigs = sigs.transform(cut_lineage)
-    bands = sigs.select(
+
+
+def _band_sigs(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, bsig): the banded signature rows over a ``sigs``
+    table — the Spark twin of _LSH_BANDS_CTE's ``bands``."""
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -1314,6 +1311,22 @@ def _md5_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bs"),
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig"))
+
+
+def _md5_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b) LSH near-dup edges over the FULL documents table —
+    the Python twin of _LSH_GRAPH_CTE, same plan shape as
+    minhash_lsh_candidates (shingle explode -> partial-agg minhash ->
+    band-signature bucket shuffle -> intra-bucket pairs -> signature
+    verify) with the md5 hash family so both engines agree bit-for-bit."""
+    sigs = _md5_sigs(spark, sf_dir)
+    # consumed twice (banding + signature verify): cut_lineage
+    # materializes once (MEMORY_AND_DISK) and, unlike a pinned persist(),
+    # cuts the shingle->hash lineage out of every downstream plan and is
+    # released by the ContextCleaner when the result goes out of scope —
+    # no cache bleeding into the next query of a 169-query sweep.
+    sigs = sigs.transform(cut_lineage)
+    bands = _band_sigs(sigs)
     buckets = (
         bands.groupBy("band", "bsig")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("members"))
@@ -2883,3 +2896,224 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= _PFX_TAU)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted MinHash-LSH index (round 13): the build/serve split applied to
+# the dedup family (the similarity family's persisted-IVF discipline —
+# operators/similarity.py:_ivf_index_dir — on the banded signature table)
+# ---------------------------------------------------------------------------
+#
+# Every LSH query above recomputes 32 md5 minhashes per shingle per run —
+# correct for certifying the chain, but production builds the signature
+# index ONCE per corpus version and serves every near-dup LOOKUP from it.
+# Layout under a documents-fingerprint-keyed dir:
+#
+# - sigs: (doc_id, m0..m31) — the MinHash signatures (the verify side);
+# - bands: (doc_id, bsig) PARTITIONED BY (band, bucket) where
+#   bucket = xxhash64(bsig) mod _LSH_IDX_BUCKETS. band alone cannot prune
+#   (a query probes all 8 bands); the signature-hash sub-bucket makes the
+#   probe STATICALLY prunable: a |Q|-doc lookup opens exactly its
+#   |Q| x 8 (band, bucket) directories out of 8 x _LSH_IDX_BUCKETS —
+#   the FAISS-style "know your lists before reading" move. The bucket is
+#   a pure storage detail (engine-internal hash): results join on
+#   (band, bsig) exactly, so the oracle never sees it.
+
+_LSH_IDX_BUCKETS = 16
+_LSH_IDX_QUERIES = 20  # bounded query-doc subset for the serving contract
+_LSH_IDX_MARKER = "_KASPER_LSH_READY"
+
+
+def _lsh_index_dir(sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"kasper-lsh-index-{tag}")
+
+
+def _build_lsh_index(spark: SparkSession, sf_dir: str) -> str:
+    """Persist {sigs, bands partitioned by (band, bucket)}. Marker removed
+    first / written last — the coarse-IVF build's crash discipline."""
+    import os
+
+    idx = _lsh_index_dir(sf_dir)
+    marker = os.path.join(idx, _LSH_IDX_MARKER)
+    if os.path.exists(marker):
+        os.remove(marker)
+    sigs = _md5_sigs(spark, sf_dir).transform(cut_lineage)
+    sigs.write.mode("overwrite").parquet(os.path.join(idx, "sigs"))
+    # band from the sigs as READ BACK from disk (longs round-trip exactly;
+    # kept consistent with the persisted verify side by construction)
+    sigs_disk = spark.read.parquet(os.path.join(idx, "sigs"))
+    (
+        _band_sigs(sigs_disk)
+        .withColumn(
+            "bucket",
+            F.pmod(F.xxhash64(F.col("bsig")), F.lit(_LSH_IDX_BUCKETS)).cast("int"),
+        )
+        .repartition(F.col("band"), F.col("bucket"))
+        .write.mode("overwrite")
+        .partitionBy("band", "bucket")
+        .parquet(os.path.join(idx, "bands"))
+    )
+    with open(marker, "w") as f:
+        f.write(
+            f"hashes={_NUM_HASHES} bands={_BANDS} buckets={_LSH_IDX_BUCKETS}\n"
+        )
+    return idx
+
+
+def _ensure_lsh_index(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    idx = _lsh_index_dir(sf_dir)
+    if os.path.exists(os.path.join(idx, _LSH_IDX_MARKER)):
+        return idx
+    return _build_lsh_index(spark, sf_dir)
+
+
+@register_query(
+    "lsh_index_build",
+    oracle="WITH " + _LSH_BANDS_CTE
+    + """
+    SELECT CAST(band AS BIGINT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT bsig) AS BIGINT) AS n_buckets
+    FROM bands
+    GROUP BY band
+    ORDER BY band
+    """,
+)
+def lsh_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the persisted MinHash-LSH index and return the per-band
+    occupancy profile (rows and distinct signatures) — read BACK from
+    the written band table, so a green row certifies the bytes on disk
+    against the oracle's full banding chain. The profile doubles as the
+    collision diagnostic: n_buckets near n_rows means the band is
+    selective; a collapse signals a degenerate hash family.
+
+    Scale shape: one corpus pass for the signatures (shingle explode ->
+    partial-agg min per hash, the certified minhash plan), one shuffle
+    into the (band, bucket) layout — the pay-once build cost of the
+    near-dup serving path (lsh_neardup_search_only)."""
+    import os
+
+    idx = _build_lsh_index(spark, sf_dir)
+    bands = spark.read.parquet(os.path.join(idx, "bands"))
+    return (
+        bands.groupBy(F.col("band").cast("bigint").alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("bsig").alias("n_buckets"),
+        )
+        .orderBy("band")
+    )
+
+
+def _lsh_agree_expr(a: str, b: str):
+    cols = [
+        (F.col(f"{a}.m{i}") == F.col(f"{b}.m{i}")).cast("int")
+        for i in range(_NUM_HASHES)
+    ]
+    out = cols[0]
+    for c in cols[1:]:
+        out = out + c
+    return out
+
+
+@register_query(
+    "lsh_neardup_search_only",
+    oracle="WITH " + _LSH_BANDS_CTE
+    + f""",
+    q AS (
+        SELECT doc_id, band, bsig FROM bands
+        WHERE doc_id < {_LSH_IDX_QUERIES}
+    ),
+    cand AS (
+        SELECT DISTINCT q.doc_id AS query_id, b.doc_id AS neighbor_id
+        FROM q JOIN bands b USING (band, bsig)
+        WHERE b.doc_id <> q.doc_id
+    ),
+    agreed AS (
+        SELECT c.query_id, c.neighbor_id,
+               ({" + ".join(f"(CASE WHEN x.m{i} = y.m{i} THEN 1 ELSE 0 END)" for i in range(_NUM_HASHES))})
+                   AS n_agree
+        FROM cand c
+        JOIN sigs x ON c.query_id = x.doc_id
+        JOIN sigs y ON c.neighbor_id = y.doc_id
+    )
+    SELECT query_id, neighbor_id, CAST(n_agree AS BIGINT) AS n_agree
+    FROM agreed
+    WHERE n_agree / {_NUM_HASHES}.0 >= 0.5
+    ORDER BY query_id, neighbor_id
+    """,
+)
+def lsh_neardup_search_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup LOOKUP served entirely from the persisted LSH index: the
+    |Q| query docs' band signatures are read from the on-disk sigs
+    (doc_id pushdown), their |Q| x 8 (band, bucket) probe list is
+    collected (bounded by construction) into a STATIC partition filter
+    on the bands scan — only the probed bucket directories open — and
+    candidates join on (band, bsig) exactly, then verify by signature
+    agreement >= 0.5 against the on-disk sigs. No shingling, no md5, no
+    corpus scan anywhere: this is the marginal cost of asking "what
+    near-duplicates does this document have?" against a built index —
+    the query a curation pipeline serves interactively while
+    minhash_lsh_candidates' full self-join shape remains the batch
+    build-side certification.
+
+    Scale: probes are |Q| x _BANDS rows; the bands scan is pruned to
+    |probes| directories of |corpus| / (8 x _LSH_IDX_BUCKETS) rows each;
+    the verify join touches only candidates. Partition pruning is
+    plan-asserted in tests/test_round13_ops.py."""
+    import os
+    from functools import reduce
+
+    idx = _ensure_lsh_index(spark, sf_dir)
+    sigs = spark.read.parquet(os.path.join(idx, "sigs"))
+    probe_rows = (
+        _band_sigs(sigs.filter(F.col("doc_id") < _LSH_IDX_QUERIES))
+        .withColumn(
+            "bucket",
+            F.pmod(F.xxhash64(F.col("bsig")), F.lit(_LSH_IDX_BUCKETS)).cast("int"),
+        )
+        .collect()
+    )
+    probe = spark.createDataFrame(
+        [(r["doc_id"], r["band"], r["bsig"]) for r in probe_rows],
+        "query_id long, band int, bsig string",
+    )
+    probed = sorted({(r["band"], r["bucket"]) for r in probe_rows})
+    prune = reduce(
+        lambda acc, bk: acc
+        | ((F.col("band") == bk[0]) & (F.col("bucket") == bk[1])),
+        probed,
+        F.lit(False),
+    )
+    bands = spark.read.parquet(os.path.join(idx, "bands"))
+    cand = (
+        bands.filter(prune)
+        .join(F.broadcast(probe), ["band", "bsig"])
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", F.col("doc_id").alias("neighbor_id"))
+        .distinct()
+    )
+    x = sigs.alias("x")
+    y = sigs.alias("y")
+    agreed = (
+        cand.join(x, F.col("query_id") == F.col("x.doc_id"))
+        .join(y, F.col("neighbor_id") == F.col("y.doc_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _lsh_agree_expr("x", "y").cast("bigint").alias("n_agree"),
+        )
+    )
+    return agreed.filter(
+        F.col("n_agree").cast("double") / _NUM_HASHES >= 0.5
+    ).orderBy("query_id", "neighbor_id")

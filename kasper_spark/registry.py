@@ -62,10 +62,11 @@ def load_all_operators() -> None:
 # ROUND-13 EVIDENCE: every name below passed the local oracle sweep
 # (tools/bare_sweep.py, bare session, foreign cwd) at sf0.01 before this
 # rotation landed; the full pytest suite is green.
-# Window arithmetic: 8 new + 17 changed + 25 r05 = 50.
+# Window arithmetic: 10 new + 17 changed + 23 r05 = 50.
 # r14 queue (oldest evidence after this round, from the CORRECTNESS_r*
-# history): the 34-name r06 cohort, oldest-first: ann_bruteforce_topk,
-# deterministic_split,
+# history): first the 2 r05 names displaced by the LSH-index pair
+# (dedup_incremental_new_vs_base, cluster_lang_purity), then the 34-name
+# r06 cohort, oldest-first: ann_bruteforce_topk, deterministic_split,
 # doc_fingerprint, embedding_label_centroids, embedding_neardup_pairs,
 # embedding_norms, label_propagation_communities, lang_id_heuristic,
 # multimodal_meta, neardup_cc_canonical, ngram_bigram_counts,
@@ -86,6 +87,9 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "streaming_ivf_pq_append_twin",
     # the state-v1 session comparator, now certified (#7)
     "streaming_session_apws_twin",
+    # the build/serve split applied to the dedup family
+    "lsh_index_build",
+    "lsh_neardup_search_only",
     # -- 1. CHANGED this round (17; implementation text changed, each
     #       must earn a fresh hash-green row):
     # in-group matrix scorer + per-list cap (ticket #3)
@@ -136,8 +140,6 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "pack_sequences_by_source",
     "shingle_novelty_scores",
     "winnowing_fingerprints",
-    "dedup_incremental_new_vs_base",
-    "cluster_lang_purity",
 ]
 
 

@@ -325,6 +325,29 @@ def test_ivf_pq_append_twin_cut_invariance_and_serving(spark):
     assert got == want
 
 
+def test_lsh_search_only_prunes_bucket_partitions(spark):
+    """The LSH serving plan must carry a STATIC PartitionFilter on the
+    persisted bands scan — only the probed (band, bucket) directories
+    open — and the index must not rebuild on re-serve."""
+    import os
+
+    from kasper_spark.operators import dedup as D
+
+    df = QUERIES["lsh_neardup_search_only"](spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [l for l in plan.splitlines() if "bands" in l and "Scan" in l]
+    assert scan_lines, "no bands scan found in plan"
+    assert any("PartitionFilters: [" in l and "band" in l for l in scan_lines), (
+        scan_lines
+    )
+    marker = os.path.join(
+        D._lsh_index_dir(SF_ORACLE), D._LSH_IDX_MARKER
+    )
+    mt = os.path.getmtime(marker)
+    QUERIES["lsh_neardup_search_only"](spark, SF_ORACLE).collect()
+    assert os.path.getmtime(marker) == mt, "READY LSH index was rebuilt"
+
+
 def test_session_apws_cut_invariance_and_tws_parity(spark):
     """The state-v1 comparator must be cut-invariant (2 vs 5 files) and
     emit exactly the TWS twin's session set on the same feed — the
