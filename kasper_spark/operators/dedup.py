@@ -3071,10 +3071,15 @@ def lsh_neardup_search_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     |probes| directories of |corpus| / (8 x _LSH_IDX_BUCKETS) rows each;
     the verify join touches only candidates. Partition pruning is
     plan-asserted in tests/test_round13_ops.py."""
+    return _search_lsh_index(spark, _ensure_lsh_index(spark, sf_dir))
+
+
+def _search_lsh_index(spark: SparkSession, idx: str) -> DataFrame:
+    """lsh_neardup_search_only's serving body over an EXPLICIT index dir
+    — shared with the streaming LSH-append twin's freshness check."""
     import os
     from functools import reduce
 
-    idx = _ensure_lsh_index(spark, sf_dir)
     sigs = spark.read.parquet(os.path.join(idx, "sigs"))
     probe_rows = (
         _band_sigs(sigs.filter(F.col("doc_id") < _LSH_IDX_QUERIES))

@@ -4050,3 +4050,152 @@ def streaming_ivf_pq_append_twin(
 
 assert "ann_ivf_pq_index_build" in _OR, "offline PQ build oracle missing"
 _OR["streaming_ivf_pq_append_twin"] = _OR["ann_ivf_pq_index_build"]
+
+
+def _lsh_append_run(
+    spark: SparkSession, sf_dir: str, n_files: int
+) -> tuple[str, DataFrame]:
+    """The persisted MinHash-LSH index maintained at ingest: seed a
+    work-dir index with the first half of the corpus's signatures and
+    band rows, then stream the remaining DOCUMENTS — each epoch shingles
+    and minhashes its arrivals (the certified signature expressions),
+    appends their sigs and their (band, bucket)-partitioned band rows,
+    and refreshes the marker. New documents become findable by
+    lsh_neardup_search_only the moment their epoch commits — the
+    index-freshness contract a curation pipeline needs when the corpus
+    grows continuously. Returns (work index dir, per-band occupancy
+    profile read back from the maintained band table).
+
+    Cut-invariance: a document's signature depends only on its own text
+    (per-doc pure function), appends commute — the twin shares
+    lsh_index_build's oracle verbatim."""
+    from kasper_spark.catalog import load_table
+    from kasper_spark.operators.dedup import (
+        _LSH_IDX_BUCKETS,
+        _LSH_IDX_MARKER,
+        _band_sigs,
+        _ensure_lsh_index,
+        _md5_sigs,
+    )
+
+    real = _ensure_lsh_index(spark, sf_dir)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    split = n_docs // 2
+
+    work = _workdir("kasper-slsh-")
+    idx = os.path.join(work, "index")
+    os.makedirs(idx)
+    (
+        spark.read.parquet(os.path.join(real, "sigs"))
+        .filter(F.col("doc_id") < split)
+        .write.mode("overwrite")
+        .parquet(os.path.join(idx, "sigs"))
+    )
+    (
+        spark.read.parquet(os.path.join(real, "bands"))
+        .filter(F.col("doc_id") < split)
+        .withColumn("bucket", F.col("bucket").cast("int"))
+        .repartition(F.col("band"), F.col("bucket"))
+        .write.mode("overwrite")
+        .partitionBy("band", "bucket")
+        .parquet(os.path.join(idx, "bands"))
+    )
+    shutil.copyfile(
+        os.path.join(real, _LSH_IDX_MARKER), os.path.join(idx, _LSH_IDX_MARKER)
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    src_dir = os.path.join(work, "src")
+    (
+        docs.filter(F.col("doc_id") >= split)
+        .select("doc_id", "text")
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(src_dir)
+    )
+    ckpt = os.path.join(work, "ck")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src_dir)
+    )
+
+    def append_batch(df, epoch_id: int) -> None:
+        # _md5_sigs shingles/minhashes a TABLE; the batch is one already
+        # — run the same expressions over it directly
+        from kasper_spark.operators.dedup import (
+            _NUM_HASHES,
+            _shingles_raw,
+            _tokens,
+        )
+
+        toks = df.select("doc_id", _tokens(F.col("text")).alias("toks"))
+        raw = toks.select("doc_id", _shingles_raw(F.col("toks")).alias("raw"))
+        ex = raw.select(
+            "doc_id", F.explode(F.array_distinct("raw")).alias("s")
+        )
+        sigs = ex.groupBy("doc_id").agg(
+            *[
+                F.min(
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"{i}|"), F.col("s"))), 1, 15
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                ).alias(f"m{i}")
+                for i in range(_NUM_HASHES)
+            ]
+        ).persist()
+        try:
+            sigs.write.mode("append").parquet(os.path.join(idx, "sigs"))
+            (
+                _band_sigs(sigs)
+                .withColumn(
+                    "bucket",
+                    F.pmod(
+                        F.xxhash64(F.col("bsig")), F.lit(_LSH_IDX_BUCKETS)
+                    ).cast("int"),
+                )
+                .repartition(F.col("band"), F.col("bucket"))
+                .write.mode("append")
+                .partitionBy("band", "bucket")
+                .parquet(os.path.join(idx, "bands"))
+            )
+        finally:
+            sigs.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    profile = (
+        spark.read.parquet(os.path.join(idx, "bands"))
+        .groupBy(F.col("band").cast("bigint").alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("bsig").alias("n_buckets"),
+        )
+        .orderBy("band")
+    )
+    return idx, profile
+
+
+@register_query("streaming_lsh_index_append_twin")
+def streaming_lsh_index_append_twin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The incremental-maintenance twin of lsh_index_build — the 16th
+    incremental view, completing the trilogy: every persisted index in
+    the engine (coarse IVF, IVF-PQ, MinHash-LSH) is also maintained at
+    ingest. Shares the offline LSH build's oracle VERBATIM."""
+    return _lsh_append_run(spark, sf_dir, n_files=3)[1]
+
+
+assert "lsh_index_build" in _OR, "offline LSH build oracle missing"
+_OR["streaming_lsh_index_append_twin"] = _OR["lsh_index_build"]

@@ -348,6 +348,44 @@ def test_lsh_search_only_prunes_bucket_partitions(spark):
     assert os.path.getmtime(marker) == mt, "READY LSH index was rebuilt"
 
 
+def test_lsh_append_twin_cut_invariance_and_serving(spark):
+    """The maintained LSH index: cut-invariant band rows (2 vs 5 file
+    boundaries) and near-dup serving over the drained work index equals
+    lsh_neardup_search_only over the offline index exactly."""
+    import os
+
+    from kasper_spark.operators import dedup as D
+    from kasper_spark.operators.streaming_twins import _lsh_append_run
+
+    idx2, prof2 = _lsh_append_run(spark, SF_SMOKE, 2)
+    idx5, prof5 = _lsh_append_run(spark, SF_SMOKE, 5)
+    assert sorted(map(tuple, prof2.collect())) == sorted(
+        map(tuple, prof5.collect())
+    )
+    rows2 = sorted(
+        map(
+            tuple,
+            spark.read.parquet(os.path.join(idx2, "bands"))
+            .select("doc_id", "bsig", F.col("band").cast("long"))
+            .collect(),
+        )
+    )
+    rows5 = sorted(
+        map(
+            tuple,
+            spark.read.parquet(os.path.join(idx5, "bands"))
+            .select("doc_id", "bsig", F.col("band").cast("long"))
+            .collect(),
+        )
+    )
+    assert rows2 == rows5 and rows2, "band rows differ across cut boundaries"
+    got = sorted(map(tuple, D._search_lsh_index(spark, idx2).collect()))
+    want = sorted(
+        map(tuple, QUERIES["lsh_neardup_search_only"](spark, SF_SMOKE).collect())
+    )
+    assert got == want
+
+
 def test_session_apws_cut_invariance_and_tws_parity(spark):
     """The state-v1 comparator must be cut-invariant (2 vs 5 files) and
     emit exactly the TWS twin's session set on the same feed — the
