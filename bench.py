@@ -144,6 +144,8 @@ HEADLINE = [
     "prf_query_expansion_topk",    # PRF round-2 over cached round-1
     "lsh_index_build",             # minhash+banding persisted (pay-once)
     "lsh_neardup_search_only",     # near-dup lookup from the on-disk index
+    "ann_ivf_pq_residual_index_build",  # residual encode+add (pay-once)
+    "ann_ivf_pq_residual_search_only",  # residual ADC serving from disk
 ]
 
 

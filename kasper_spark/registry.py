@@ -62,10 +62,11 @@ def load_all_operators() -> None:
 # ROUND-13 EVIDENCE: every name below passed the local oracle sweep
 # (tools/bare_sweep.py, bare session, foreign cwd) at sf0.01 before this
 # rotation landed; the full pytest suite is green.
-# Window arithmetic: 11 new + 17 changed + 22 r05 = 50.
+# Window arithmetic: 13 new + 17 changed + 20 r05 = 50.
 # r14 queue (oldest evidence after this round, from the CORRECTNESS_r*
-# history): first the 3 r05 names displaced by the LSH-index family
-# (winnowing_fingerprints, dedup_incremental_new_vs_base,
+# history): first the 5 r05 names displaced by the persisted-index
+# additions (pack_sequences_by_source, shingle_novelty_scores,
+# winnowing_fingerprints, dedup_incremental_new_vs_base,
 # cluster_lang_purity), then the 34-name
 # r06 cohort, oldest-first: ann_bruteforce_topk, deterministic_split,
 # doc_fingerprint, embedding_label_centroids, embedding_neardup_pairs,
@@ -93,6 +94,9 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "lsh_neardup_search_only",
     # LSH index maintained at ingest — 16th incremental view
     "streaming_lsh_index_append_twin",
+    # persisted residual-PQ layer (ticket #2's parenthetical)
+    "ann_ivf_pq_residual_index_build",
+    "ann_ivf_pq_residual_search_only",
     # -- 1. CHANGED this round (17; implementation text changed, each
     #       must earn a fresh hash-green row):
     # in-group matrix scorer + per-list cap (ticket #3)
@@ -140,8 +144,6 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "equidepth_histogram_totalprice",
     "streaming_countmin_twin",
     "ann_lsh_certified",
-    "pack_sequences_by_source",
-    "shingle_novelty_scores",
 ]
 
 

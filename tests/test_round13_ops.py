@@ -325,6 +325,33 @@ def test_ivf_pq_append_twin_cut_invariance_and_serving(spark):
     assert got == want
 
 
+def test_pqres_persisted_codes_match_inflight_and_prune(spark):
+    """Residual-PQ persisted codes equal a fresh in-flight residual
+    encoding per (vector, subspace); the serving plan statically prunes
+    the pqres_codes partitions."""
+    from kasper_spark.operators import similarity as S
+
+    idx = S._ensure_pqres_index(spark, SF_SMOKE)
+    persisted = (
+        spark.read.parquet(S._os.path.join(idx, "pqres_codes"))
+        .select("vec_id", F.posexplode("codes").alias("sub_j", "code_r"))
+    )
+    core = S._residual_core(spark, SF_SMOKE)
+    fresh = S._pqres_encode(core["res"], S._pqres_codebook(core["res"]))
+    a = sorted(map(tuple, persisted.collect()))
+    b = sorted(map(tuple, fresh.select("vec_id", "sub_j", "code_r").collect()))
+    assert a == b and a
+    plan = (
+        QUERIES["ann_ivf_pq_residual_search_only"](spark, SF_ORACLE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scan_lines = [l for l in plan.splitlines() if "pqres_codes" in l]
+    assert scan_lines, "no pqres_codes scan found in plan"
+    assert any("PartitionFilters: [cid" in l for l in scan_lines), scan_lines
+
+
 def test_lsh_search_only_prunes_bucket_partitions(spark):
     """The LSH serving plan must carry a STATIC PartitionFilter on the
     persisted bands scan — only the probed (band, bucket) directories
