@@ -70,6 +70,53 @@ def plan_compaction(
     return out
 
 
+def compact_index_partitions(
+    spark: SparkSession, table_dir: str, target_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Compact every leaf partition directory of a partitioned on-disk
+    index table (the round-13 persisted indexes: assignments / pq_codes /
+    pqres_codes / bands) in place, returning the number of leaves
+    rewritten.
+
+    Why this exists: the streaming append twins commit one part-file per
+    micro-batch per touched partition, so a long-running maintained index
+    accretes epoch-count small files per inverted list — exactly the
+    overhead profile the module docstring describes. Each leaf is
+    rewritten through compact_parquet_dir into a sibling temp dir and
+    SWAPPED in by rename (old dir moved aside first, removed last), so a
+    crash leaves either the old or the new complete leaf on disk — never
+    a partial mix. Partition pruning is untouched (directory names are
+    the partition values and never change); values and the serving
+    results are preserved (round-trip-tested in
+    tests/test_round13_ops.py). Single-writer rounds, like the index
+    builds themselves: compacting under concurrent readers is the table-
+    format-transaction concern the module docstring defers."""
+    import shutil
+
+    leaves = sorted(
+        {
+            os.path.dirname(f)
+            for f in glob.glob(
+                os.path.join(table_dir, "**", "*.parquet"), recursive=True
+            )
+        }
+    )
+    rewritten = 0
+    for leaf in leaves:
+        if len(glob.glob(os.path.join(leaf, "*.parquet"))) <= 1:
+            continue
+        tmp = leaf + ".compacting"
+        old = leaf + ".old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        compact_parquet_dir(spark, leaf, tmp, target_bytes)
+        os.rename(leaf, old)
+        os.rename(tmp, leaf)
+        shutil.rmtree(old)
+        rewritten += 1
+    return rewritten
+
+
 def compact_parquet_dir(
     spark: SparkSession, src: str, dst: str, target_bytes: int
 ) -> int:

@@ -439,6 +439,54 @@ def test_session_apws_cut_invariance_and_tws_parity(spark):
     assert a == tws, "v1 and v2 runtimes diverged on the same feed"
 
 
+def test_index_compaction_preserves_serving(spark):
+    """Compacting a streamed-into index's leaf partitions shrinks the
+    file count and changes NOTHING else: identical assignment rows and
+    identical serving output before/after."""
+    import glob
+    import os
+
+    from kasper_spark.maintenance import compact_index_partitions
+    from kasper_spark.operators import similarity as S
+    from kasper_spark.operators.streaming_twins import _ivf_append_run
+
+    idx, _ = _ivf_append_run(spark, SF_SMOKE, 5)
+    table = os.path.join(idx, "assignments")
+    before_files = len(
+        glob.glob(os.path.join(table, "**", "*.parquet"), recursive=True)
+    )
+    before_rows = sorted(
+        map(
+            tuple,
+            spark.read.parquet(table)
+            .select("vec_id", F.col("cluster_id").cast("long"))
+            .collect(),
+        )
+    )
+    before_serve = sorted(
+        map(tuple, S._search_persisted_index(spark, SF_SMOKE, idx).collect())
+    )
+    n = compact_index_partitions(spark, table, target_bytes=64 * 1024 * 1024)
+    assert n > 0, "nothing compacted despite 5 append epochs"
+    after_files = len(
+        glob.glob(os.path.join(table, "**", "*.parquet"), recursive=True)
+    )
+    assert after_files < before_files
+    after_rows = sorted(
+        map(
+            tuple,
+            spark.read.parquet(table)
+            .select("vec_id", F.col("cluster_id").cast("long"))
+            .collect(),
+        )
+    )
+    assert after_rows == before_rows
+    after_serve = sorted(
+        map(tuple, S._search_persisted_index(spark, SF_SMOKE, idx).collect())
+    )
+    assert after_serve == before_serve
+
+
 def test_result_cache_equals_inflight_chains(spark):
     """The fingerprint-keyed ranking caches must be bit-equal to their
     in-flight chains (decimal/bigint parquet round-trip), and a second
