@@ -1288,6 +1288,23 @@ def _md5_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pack_sig(sigs: DataFrame) -> DataFrame:
+    """(doc_id, sig array<long>): the 32 minhash columns packed into one
+    array for storage (see _build_lsh_index's scan-width rationale)."""
+    return sigs.select(
+        "doc_id", F.array(*[f"m{i}" for i in range(_NUM_HASHES)]).alias("sig")
+    )
+
+
+def _unpack_sig(packed: DataFrame) -> DataFrame:
+    """Inverse of _pack_sig: re-expose m0..m31 as columns (a projection —
+    the underlying scan still reads just doc_id + sig)."""
+    return packed.select(
+        "doc_id",
+        *[F.col("sig").getItem(i).alias(f"m{i}") for i in range(_NUM_HASHES)],
+    )
+
+
 def _band_sigs(sigs: DataFrame) -> DataFrame:
     """(doc_id, band, bsig): the banded signature rows over a ``sigs``
     table — the Spark twin of _LSH_BANDS_CTE's ``bands``."""
@@ -2930,8 +2947,11 @@ def _lsh_index_dir(sf_dir: str) -> str:
     import tempfile
 
     st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    # v2: the on-disk LAYOUT version (packed sig array) is part of the
+    # key, so a code release that changes the layout abandons old dirs
+    # instead of misreading them — fingerprints cover data AND format.
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}".encode()
+        f"{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}:v2".encode()
     ).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), f"kasper-lsh-index-{tag}")
 
@@ -2946,10 +2966,14 @@ def _build_lsh_index(spark: SparkSession, sf_dir: str) -> str:
     if os.path.exists(marker):
         os.remove(marker)
     sigs = _md5_sigs(spark, sf_dir).transform(cut_lineage)
-    sigs.write.mode("overwrite").parquet(os.path.join(idx, "sigs"))
+    # ONE array column, not 32 long columns: the signature is always read
+    # whole (banding and verify both need every hash), so packing it keeps
+    # the scan at 2 columns — the repo-wide <= 8-column scan gate — and
+    # one column chunk per file instead of 32.
+    _pack_sig(sigs).write.mode("overwrite").parquet(os.path.join(idx, "sigs"))
     # band from the sigs as READ BACK from disk (longs round-trip exactly;
     # kept consistent with the persisted verify side by construction)
-    sigs_disk = spark.read.parquet(os.path.join(idx, "sigs"))
+    sigs_disk = _unpack_sig(spark.read.parquet(os.path.join(idx, "sigs")))
     (
         _band_sigs(sigs_disk)
         .withColumn(
@@ -3080,7 +3104,7 @@ def _search_lsh_index(spark: SparkSession, idx: str) -> DataFrame:
     import os
     from functools import reduce
 
-    sigs = spark.read.parquet(os.path.join(idx, "sigs"))
+    sigs = _unpack_sig(spark.read.parquet(os.path.join(idx, "sigs")))
     probe_rows = (
         _band_sigs(sigs.filter(F.col("doc_id") < _LSH_IDX_QUERIES))
         .withColumn(

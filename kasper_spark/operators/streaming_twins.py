@@ -4076,6 +4076,7 @@ def _lsh_append_run(
         _band_sigs,
         _ensure_lsh_index,
         _md5_sigs,
+        _pack_sig,
     )
 
     real = _ensure_lsh_index(spark, sf_dir)
@@ -4150,7 +4151,9 @@ def _lsh_append_run(
             ]
         ).persist()
         try:
-            sigs.write.mode("append").parquet(os.path.join(idx, "sigs"))
+            _pack_sig(sigs).write.mode("append").parquet(
+                os.path.join(idx, "sigs")
+            )
             (
                 _band_sigs(sigs)
                 .withColumn(
