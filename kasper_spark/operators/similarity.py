@@ -1317,6 +1317,80 @@ def _assign_rows_scan(emb: DataFrame, cent: DataFrame, n_ranks: int) -> DataFram
     )
 
 
+def _assign_rows_scan_np(
+    emb: DataFrame, cent: DataFrame, n_ranks: int
+) -> DataFrame:
+    """BIT-IDENTICAL numpy twin of :func:`_assign_rows_scan`, for the
+    hot maintenance path (the streaming index-append twins assign every
+    arriving micro-batch): the same exact-BIGINT distance
+    f = (n^2*||q||^2 - 2n*(q.S) + ||S||^2) / n^2 evaluated as int64
+    numpy matrix arithmetic inside mapInPandas instead of interpreted
+    per-(row, centroid) higher-order functions — the mutual_knn_pairs
+    lesson applied to assignment (measured ~10x per epoch at 10x data).
+
+    Bit-identity argument (asserted exhaustively at sf0.01/sf0.1 in
+    tests/test_round13_ops.py): q = floor(32x) on float64 matches
+    Spark's floor-cast; every product/sum stays in int64 (bounds: |q| <=
+    32, n <= train_n, so n^2*vv ~ 1e12 << 2^63 AND << 2^53, making the
+    final int64 -> float64 conversion exact); the one double division
+    is the same IEEE op; ties rank by (f, cluster_id) via stable
+    lexsort, matching the struct array_sort order. The centroid state
+    (K x (n, ss, sarr)) is collected driver-side — the same bounded
+    payload _assign_rows_scan folds into its one broadcast row."""
+    rows = (
+        cent.groupBy("cluster_id")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(F.col("s") * F.col("s")).alias("ss"),
+            F.array_sort(F.collect_list(F.struct("dim", "s"))).alias("sd"),
+        )
+        .select(
+            "cluster_id",
+            "n",
+            "ss",
+            F.transform(F.col("sd"), lambda p: p["s"]).alias("sarr"),
+        )
+        .collect()
+    )
+    rows.sort(key=lambda r: r["cluster_id"])
+    import numpy as np
+
+    cids = np.array([r["cluster_id"] for r in rows], dtype=np.int64)
+    nn = np.array([r["n"] for r in rows], dtype=np.int64)
+    ss = np.array([r["ss"] for r in rows], dtype=np.int64)
+    S = np.array([r["sarr"] for r in rows], dtype=np.int64)  # (K, d)
+    k_top = n_ranks
+
+    def assign(pdfs):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            q = np.floor(V * _KMEANS_QSCALE).astype(np.int64)
+            vv = (q * q).sum(axis=1)  # (rows,) int64
+            d = q @ S.T  # (rows, K) int64 — exact
+            fnum = (nn * nn)[None, :] * vv[:, None] - 2 * nn[None, :] * d + ss[None, :]
+            f = fnum.astype(np.float64) / (nn * nn).astype(np.float64)[None, :]
+            ids = pdf["vec_id"].to_numpy()
+            out_vec, out_cid, out_rn = [], [], []
+            for j in range(len(ids)):
+                order = np.lexsort((cids, f[j]))[:k_top]
+                for r, ci in enumerate(order, 1):
+                    out_vec.append(int(ids[j]))
+                    out_cid.append(int(cids[ci]))
+                    out_rn.append(r)
+            yield pd.DataFrame(
+                {"vec_id": out_vec, "cluster_id": out_cid, "rn": out_rn}
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id long, cluster_id long, rn int"
+    )
+
+
 def _kmeans_core(
     spark: SparkSession,
     sf_dir: str,

@@ -3790,7 +3790,7 @@ def _ivf_append_run(
     (tests/test_round13_ops.py)."""
     from kasper_spark.catalog import load_table
     from kasper_spark.operators.similarity import (
-        _assign_rows_scan,
+        _assign_rows_scan_np,
         _ensure_ivf_index,
         _ivf_index_meta,
         _ivf_marker_write,
@@ -3838,7 +3838,7 @@ def _ivf_append_run(
 
     def append_batch(df, epoch_id: int) -> None:
         out = (
-            _assign_rows_scan(df, cent, 1)
+            _assign_rows_scan_np(df, cent, 1)
             .select(
                 "vec_id", F.col("cluster_id").cast("bigint").alias("cluster_id")
             )
@@ -3931,7 +3931,7 @@ def _ivf_pq_append_run(
     from kasper_spark.catalog import load_table
     from kasper_spark.operators.similarity import (
         _PQ_MARKER,
-        _assign_rows_scan,
+        _assign_rows_scan_np,
         _codes_array,
         _ensure_ivf_pq_index,
         _ivf_index_meta,
@@ -3986,7 +3986,7 @@ def _ivf_pq_append_run(
 
     def append_batch(df, epoch_id: int) -> None:
         routed = (
-            _assign_rows_scan(df, cent, 1)
+            _assign_rows_scan_np(df, cent, 1)
             .select(
                 "vec_id", F.col("cluster_id").cast("bigint").alias("cluster_id")
             )

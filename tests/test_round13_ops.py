@@ -439,6 +439,27 @@ def test_session_apws_cut_invariance_and_tws_parity(spark):
     assert a == tws, "v1 and v2 runtimes diverged on the same feed"
 
 
+def test_assign_rows_scan_np_bit_identical(spark):
+    """The numpy assignment twin must reproduce _assign_rows_scan
+    EXHAUSTIVELY — every (vector, rank) row, every scale we test,
+    nprobe > 1 included — before the maintenance path may use it."""
+    from kasper_spark.catalog import load_table
+    from kasper_spark.operators import similarity as S
+
+    for sf in (SF_SMOKE, SF_ORACLE):
+        idx = S._ensure_ivf_index(spark, sf)
+        cent = spark.read.parquet(S._os.path.join(idx, "centroids"))
+        emb = load_table(spark, sf, "embeddings")
+        for n_ranks in (1, 3):
+            a = sorted(
+                map(tuple, S._assign_rows_scan(emb, cent, n_ranks).collect())
+            )
+            b = sorted(
+                map(tuple, S._assign_rows_scan_np(emb, cent, n_ranks).collect())
+            )
+            assert a == b and a, f"divergence at {sf} n_ranks={n_ranks}"
+
+
 def test_index_compaction_preserves_serving(spark):
     """Compacting a streamed-into index's leaf partitions shrinks the
     file count and changes NOTHING else: identical assignment rows and
