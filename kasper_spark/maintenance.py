@@ -101,12 +101,18 @@ def compact_index_partitions(
             )
         }
     )
+    # scratch dirs live OUTSIDE the table root: a crash mid-swap must
+    # never leave a "cluster_id=5.old"-shaped sibling that partition
+    # discovery would parse as a (malformed) partition value.
+    scratch = os.path.join(os.path.dirname(os.path.abspath(table_dir)), ".compact-scratch")
+    os.makedirs(scratch, exist_ok=True)
     rewritten = 0
     for leaf in leaves:
         if len(glob.glob(os.path.join(leaf, "*.parquet"))) <= 1:
             continue
-        tmp = leaf + ".compacting"
-        old = leaf + ".old"
+        rel = os.path.relpath(leaf, table_dir).replace(os.sep, "__")
+        tmp = os.path.join(scratch, rel + ".compacting")
+        old = os.path.join(scratch, rel + ".old")
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(old, ignore_errors=True)
         compact_parquet_dir(spark, leaf, tmp, target_bytes)
@@ -114,6 +120,7 @@ def compact_index_partitions(
         os.rename(tmp, leaf)
         shutil.rmtree(old)
         rewritten += 1
+    shutil.rmtree(scratch, ignore_errors=True)
     return rewritten
 
 
