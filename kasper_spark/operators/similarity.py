@@ -1768,10 +1768,16 @@ def _build_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     cent_path = _os.path.join(idx, "centroids")
     core["cent"].coalesce(1).write.mode("overwrite").parquet(cent_path)
     # assign against the centroids as READ BACK from disk, so the
-    # persisted lists are provably consistent with the persisted quantizer
+    # persisted lists are provably consistent with the persisted
+    # quantizer. The numpy scan is BIT-IDENTICAL to _assign_rows_scan
+    # (exhaustively asserted in tests/test_round13_ops.py) and turns the
+    # build's dominant term — N x K interpreted higher-order-function
+    # distances — into int64 matrix arithmetic; the in-flight lifecycle
+    # queries (ann_ivf_trained/scaledk_topk) keep the plan-native scan
+    # they certify.
     cent = spark.read.parquet(cent_path)
     (
-        _assign_rows_scan(core["emb"], cent, 1)
+        _assign_rows_scan_np(core["emb"], cent, 1)
         .select("vec_id", "cluster_id")
         .repartition(F.col("cluster_id"))
         .write.mode("overwrite")
