@@ -1463,6 +1463,78 @@ def _kmeans_core(
     return {"emb": emb, "e": e, "vv": vv, "cent": cent}
 
 
+def _train_centroids_np(
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int = _KMEANS_ITERS,
+    k: int = _KMEANS_K,
+    train_n: int = _KMEANS_TRAIN_N,
+) -> DataFrame:
+    """BIT-IDENTICAL numpy twin of _kmeans_core's TRAINING loop, for the
+    offline index build: the training sample is BOUNDED by design
+    (train_n ~ 32K rows — FAISS's training floor), so Lloyd can run on
+    the driver over the collected sample, exactly as FAISS trains. The
+    sample is still selected DISTRIBUTED (the same md5-rank
+    TakeOrderedAndProject Spark subquery — no full id list ever reaches
+    the driver); only the train_n sampled vectors are collected.
+
+    Bit-identity (asserted against _kmeans_core's cent exhaustively in
+    tests/test_round13_ops.py): q = floor(32x) int64; per-round
+    assignment uses the same f = (n^2*vv - 2n*d + ss) / n^2 with int64
+    numerators (bounds keep them far under 2^53, so the one float64
+    division sees identical operands), ties to the lower cluster id;
+    centroid updates are integer sums/counts; clusters that lose all
+    members DROP from the table (matching the groupBy semantics).
+    Returns the same long-form (cluster_id, dim, s, n) rows."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    samp = (
+        emb.select("vec_id")
+        .distinct()
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(train_n)
+    )
+    rows = (
+        emb.join(F.broadcast(samp), "vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    q = np.floor(V * _KMEANS_QSCALE).astype(np.int64)  # (m, d)
+    vv = (q * q).sum(axis=1)
+    seed_ids = np.sort(ids)[:k]
+    seed_pos = np.searchsorted(ids, seed_ids)
+    cids = ids[seed_pos].copy()  # cluster ids = seed vec_ids
+    S = q[seed_pos].copy()  # (k, d) integer sums
+    n = np.ones(len(cids), dtype=np.int64)
+    for _ in range(iters):
+        ss = (S * S).sum(axis=1)
+        d = q @ S.T  # (m, k) int64
+        fnum = (n * n)[None, :] * vv[:, None] - 2 * n[None, :] * d + ss[None, :]
+        f = fnum.astype(np.float64) / (n * n).astype(np.float64)[None, :]
+        # argmin with tie to the LOWER cluster id: cids is ascending, and
+        # np.argmin returns the first minimum
+        assert np.all(np.diff(cids) > 0)
+        best = np.argmin(f, axis=1)
+        keep = np.unique(best)
+        new_S = np.zeros((len(keep), q.shape[1]), dtype=np.int64)
+        new_n = np.zeros(len(keep), dtype=np.int64)
+        for j, c in enumerate(keep):
+            members = q[best == c]
+            new_S[j] = members.sum(axis=0)
+            new_n[j] = len(members)
+        cids = cids[keep]
+        S, n = new_S, new_n
+    out = []
+    for ci in range(len(cids)):
+        for dim0 in range(S.shape[1]):
+            out.append((int(cids[ci]), dim0 + 1, int(S[ci, dim0]), int(n[ci])))
+    return spark.createDataFrame(out, "cluster_id long, dim int, s long, n long")
+
+
 _IVF_TRAINED_NPROBE = 2
 
 
@@ -1764,20 +1836,22 @@ def _build_ivf_index(spark: SparkSession, sf_dir: str) -> str:
         _os.remove(marker)
     n = load_table(spark, sf_dir, "embeddings").count()
     k, train_n, _ = _scaledk_params(n)
-    core = _kmeans_core(spark, sf_dir, k=k, train_n=train_n)
+    # Train on the driver from the BOUNDED sample (_train_centroids_np —
+    # bit-identical to _kmeans_core's Lloyd loop, exhaustively asserted),
+    # then assign the corpus with the bit-identical numpy scan: the
+    # offline build is now numpy end-to-end — FAISS's actual shape — and
+    # the oracle still re-derives the whole chain independently. The
+    # in-flight lifecycle queries (ann_ivf_trained/scaledk_topk) keep the
+    # plan-native DataFrame forms they certify.
+    cent_df = _train_centroids_np(spark, sf_dir, k=k, train_n=train_n)
     cent_path = _os.path.join(idx, "centroids")
-    core["cent"].coalesce(1).write.mode("overwrite").parquet(cent_path)
+    cent_df.coalesce(1).write.mode("overwrite").parquet(cent_path)
     # assign against the centroids as READ BACK from disk, so the
-    # persisted lists are provably consistent with the persisted
-    # quantizer. The numpy scan is BIT-IDENTICAL to _assign_rows_scan
-    # (exhaustively asserted in tests/test_round13_ops.py) and turns the
-    # build's dominant term — N x K interpreted higher-order-function
-    # distances — into int64 matrix arithmetic; the in-flight lifecycle
-    # queries (ann_ivf_trained/scaledk_topk) keep the plan-native scan
-    # they certify.
+    # persisted lists are provably consistent with the persisted quantizer
     cent = spark.read.parquet(cent_path)
+    emb = load_table(spark, sf_dir, "embeddings")
     (
-        _assign_rows_scan_np(core["emb"], cent, 1)
+        _assign_rows_scan_np(emb, cent, 1)
         .select("vec_id", "cluster_id")
         .repartition(F.col("cluster_id"))
         .write.mode("overwrite")

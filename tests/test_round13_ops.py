@@ -460,6 +460,31 @@ def test_assign_rows_scan_np_bit_identical(spark):
             assert a == b and a, f"divergence at {sf} n_ranks={n_ranks}"
 
 
+def test_train_centroids_np_bit_identical(spark):
+    """The driver-side numpy Lloyd trainer must reproduce _kmeans_core's
+    post-final-update centroid table EXACTLY (every (cluster, dim, s, n)
+    row) at both certified scales with the scaled-K parameters."""
+    from kasper_spark.catalog import load_table
+    from kasper_spark.operators import similarity as S
+
+    for sf in (SF_SMOKE, SF_ORACLE):
+        n = load_table(spark, sf, "embeddings").count()
+        k, train_n, _ = S._scaledk_params(n)
+        a = sorted(
+            map(
+                tuple,
+                S._kmeans_core(spark, sf, k=k, train_n=train_n)["cent"].collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                S._train_centroids_np(spark, sf, k=k, train_n=train_n).collect(),
+            )
+        )
+        assert a == b and a, f"centroid divergence at {sf}"
+
+
 def test_index_compaction_preserves_serving(spark):
     """Compacting a streamed-into index's leaf partitions shrinks the
     file count and changes NOTHING else: identical assignment rows and
