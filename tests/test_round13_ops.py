@@ -177,6 +177,56 @@ def test_hist_scale_forms_equal_spec_forms(spark):
         assert a == b, f"{hist} diverged from {spec}"
 
 
+def test_hist_prefix_rank_matches_window_rank_under_ties(spark):
+    """Randomized (seeded) tables with HEAVY ties: the histogram prefix
+    rank must equal ROW_NUMBER() OVER (ORDER BY value, key) row-for-row
+    — tie groups are where the two formulations could diverge."""
+    import random
+
+    from pyspark.sql.window import Window
+
+    from kasper_spark.functions.ranks import hist_prefix_rank
+
+    rng = random.Random(131)
+    for trial in range(3):
+        n = rng.randrange(30, 120)
+        rows = [
+            (i, float(rng.randrange(5)))  # 5 distinct values -> big ties
+            for i in range(n)
+        ]
+        rng.shuffle(rows)
+        df = spark.createDataFrame(rows, "key long, value double")
+        got = sorted(
+            map(
+                tuple,
+                hist_prefix_rank(df, "value", "key", "i", n_name="n")
+                .select("key", "i", "n")
+                .collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                df.select(
+                    "key",
+                    F.row_number()
+                    .over(Window.orderBy("value", "key"))
+                    .cast("long")
+                    .alias("i"),
+                    F.count(F.lit(1))
+                    .over(
+                        Window.partitionBy().rowsBetween(
+                            Window.unboundedPreceding, Window.unboundedFollowing
+                        )
+                    )
+                    .cast("long")
+                    .alias("n"),
+                ).collect(),
+            )
+        )
+        assert got == want, f"trial {trial}: rank divergence"
+
+
 def test_ntile_from_rank_matches_window_ntile(spark):
     """Closed-form NTILE vs the window NTILE on adversarial sizes
     (n < k, n == k, n % k != 0, big n) — every rank, every k."""
