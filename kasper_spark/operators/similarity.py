@@ -2071,6 +2071,58 @@ def _pq_encode(emb: DataFrame, codebook: DataFrame) -> DataFrame:
     )
 
 
+def _pq_encode_np(emb: DataFrame, codebook: DataFrame) -> DataFrame:
+    """BIT-IDENTICAL numpy twin of :func:`_pq_encode` for the build /
+    maintenance path (the same interpreted-HOF-to-numpy move as
+    _assign_rows_scan_np, asserted exhaustively in
+    tests/test_round13_ops.py): per subspace, the codeword distance
+    c2 - 2.0 * dot(svec, cvec) is evaluated with the dot accumulated in
+    dimension order (each += is the fold's (acc + p_i) step in float64,
+    and numpy does not fuse multiply-add), ties to the lower codeword id
+    via first-minimum over code_r-ascending rows."""
+    rows = codebook.collect()
+    import numpy as np
+
+    by_sub: dict[int, list] = {}
+    for r in rows:
+        by_sub.setdefault(r["sub_j"], []).append(r)
+    subs = sorted(by_sub)
+    C, C2, CR = {}, {}, {}
+    for j in subs:
+        rs = sorted(by_sub[j], key=lambda r: r["code_r"])
+        C[j] = np.array([r["cvec"] for r in rs], dtype=np.float64)
+        C2[j] = np.array([r["c2"] for r in rs], dtype=np.float64)
+        CR[j] = np.array([r["code_r"] for r in rs], dtype=np.int64)
+
+    def encode(pdfs):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            out_vec, out_sub, out_code = [], [], []
+            for j in subs:
+                S = V[:, j * _PQ_SUBDIM : (j + 1) * _PQ_SUBDIM]
+                D = np.zeros((len(ids), C[j].shape[0]))
+                for i in range(_PQ_SUBDIM):
+                    D += S[:, i : i + 1] * C[j][None, :, i]
+                score = C2[j][None, :] - 2.0 * D
+                best = np.argmin(score, axis=1)  # first min = lower code_r
+                out_vec.extend(int(x) for x in ids)
+                out_sub.extend([j] * len(ids))
+                out_code.extend(int(CR[j][b]) for b in best)
+            yield pd.DataFrame(
+                {"vec_id": out_vec, "sub_j": out_sub, "code_r": out_code}
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        encode, "vec_id long, sub_j int, code_r int"
+    )
+
+
 def _pq_lut(emb: DataFrame, codebook: DataFrame) -> DataFrame:
     """(query_id, sub_j, code_r, pdist): the per-query exact-decimal ADC
     lookup table over ``codebook`` — |Q| x M x K rows, broadcast-sized."""
@@ -2676,7 +2728,7 @@ def _build_ivf_pq_index(spark: SparkSession, sf_dir: str) -> str:
         "vec_id", F.col("cluster_id").cast("bigint").alias("cluster_id")
     )
     (
-        _codes_array(_pq_encode(emb, codebook))
+        _codes_array(_pq_encode_np(emb, codebook))
         .join(assign, "vec_id")
         .repartition(F.col("cluster_id"))
         .write.mode("overwrite")

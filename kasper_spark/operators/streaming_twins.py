@@ -3936,7 +3936,7 @@ def _ivf_pq_append_run(
         _ensure_ivf_pq_index,
         _ivf_index_meta,
         _ivf_marker_write,
-        _pq_encode,
+        _pq_encode_np,
     )
 
     real = _ensure_ivf_pq_index(spark, sf_dir)
@@ -4001,7 +4001,7 @@ def _ivf_pq_append_run(
                 .parquet(os.path.join(idx, "assignments"))
             )
             (
-                _codes_array(_pq_encode(df, codebook))
+                _codes_array(_pq_encode_np(df, codebook))
                 .join(routed, "vec_id")
                 .repartition(F.col("cluster_id"))
                 .write.mode("append")

@@ -510,6 +510,20 @@ def test_assign_rows_scan_np_bit_identical(spark):
             assert a == b and a, f"divergence at {sf} n_ranks={n_ranks}"
 
 
+def test_pq_encode_np_bit_identical(spark):
+    """The numpy PQ encoder must reproduce _pq_encode's nearest-codeword
+    choice for EVERY (vector, subspace) at both certified scales."""
+    from kasper_spark.catalog import load_table
+    from kasper_spark.operators import similarity as S
+
+    for sf in (SF_SMOKE, SF_ORACLE):
+        emb = load_table(spark, sf, "embeddings")
+        cb = S._pq_codebook_df(emb)
+        a = sorted(map(tuple, S._pq_encode(emb, cb).collect()))
+        b = sorted(map(tuple, S._pq_encode_np(emb, cb).collect()))
+        assert a == b and a, f"PQ encode divergence at {sf}"
+
+
 def test_train_centroids_np_bit_identical(spark):
     """The driver-side numpy Lloyd trainer must reproduce _kmeans_core's
     post-final-update centroid table EXACTLY (every (cluster, dim, s, n)
