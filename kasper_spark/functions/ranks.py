@@ -37,25 +37,34 @@ def hist_prefix_rank(
 ) -> DataFrame:
     """Append the global (value ASC, key ASC) row rank as ``rank_name``
     (and, when ``n_name`` is given, the total row count) — computed via
-    the histogram prefix scan, never a global row sort."""
-    hist = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("_hc"))
-    w_before = Window.orderBy(value_col).rowsBetween(
+    the histogram prefix scan, never a global row sort.
+
+    NULL-correct (ADVICE r13): the rows-to-histogram join is null-SAFE,
+    and the histogram prefix window orders ASC with Spark's default
+    nulls-first — so NULL-valued rows rank first, exactly as the spec
+    window ``ROW_NUMBER() OVER (ORDER BY value, key)`` would assign."""
+    hist = (
+        df.groupBy(value_col)
+        .agg(F.count(F.lit(1)).alias("_hc"))
+        .withColumnRenamed(value_col, "_hv")
+    )
+    w_before = Window.orderBy(F.col("_hv").asc_nulls_first()).rowsBetween(
         Window.unboundedPreceding, -1
     )
     w_all = Window.partitionBy()
     pre_cols = [
-        F.col(value_col),
+        F.col("_hv"),
         F.coalesce(F.sum("_hc").over(w_before), F.lit(0)).cast("long").alias("_hb"),
     ]
     if n_name is not None:
         pre_cols.append(F.sum("_hc").over(w_all).cast("long").alias(n_name))
     pre = hist.select(*pre_cols)
     w_in = Window.partitionBy(value_col).orderBy(key_col)
-    out = df.join(pre, value_col).withColumn(
+    out = df.join(pre, F.col(value_col).eqNullSafe(F.col("_hv"))).withColumn(
         rank_name,
         (F.col("_hb") + F.row_number().over(w_in).cast("long")).cast("long"),
     )
-    return out.drop("_hb")
+    return out.drop("_hb", "_hv")
 
 
 def ntile_from_rank(i: Column, n: Column, k: int) -> Column:

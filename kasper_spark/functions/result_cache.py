@@ -25,23 +25,21 @@ separately, the FAISS train/add-vs-search attribution.
 
 from __future__ import annotations
 
-import hashlib
 import os
-import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+from kasper_spark import index_catalog as _cat
 
 _MARKER = "_KASPER_CACHE_READY"
 
 
 def cache_dir(sf_dir: str, name: str, fingerprint_table: str) -> str:
-    src = os.path.join(sf_dir, f"{fingerprint_table}.parquet")
-    st = os.stat(src)
-    tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{name}:{st.st_size}:{st.st_mtime_ns}".encode()
-    ).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"kasper-cache-{name}-{tag}")
+    return _cat.fingerprint_dir(
+        f"kasper-cache-{name}",
+        os.path.join(sf_dir, f"{fingerprint_table}.parquet"),
+    )
 
 
 def cached_result(
@@ -54,10 +52,8 @@ def cached_result(
     """Return ``build()``'s result as read back from the fingerprint-keyed
     parquet cache, building it lazily on first use per corpus version."""
     d = cache_dir(sf_dir, name, fingerprint_table)
-    marker = os.path.join(d, _MARKER)
     data = os.path.join(d, "data")
-    if not os.path.exists(marker):
+    if not _cat.marker_exists(d, _MARKER):
         build().write.mode("overwrite").parquet(data)
-        with open(marker, "w") as f:
-            f.write("ok\n")
+        _cat.marker_write(d, _MARKER, ok=1)
     return spark.read.parquet(data)

@@ -83,14 +83,27 @@ def compact_index_partitions(
     accretes epoch-count small files per inverted list — exactly the
     overhead profile the module docstring describes. Each leaf is
     rewritten through compact_parquet_dir into a sibling temp dir and
-    SWAPPED in by rename (old dir moved aside first, removed last), so a
-    crash leaves either the old or the new complete leaf on disk — never
-    a partial mix. Partition pruning is untouched (directory names are
-    the partition values and never change); values and the serving
-    results are preserved (round-trip-tested in
-    tests/test_round13_ops.py). Single-writer rounds, like the index
-    builds themselves: compacting under concurrent readers is the table-
-    format-transaction concern the module docstring defers."""
+    SWAPPED in by rename. The two renames per leaf are NOT atomic
+    together, so the whole pass runs under guarded_maintenance (ADVICE
+    r13): every ``_KASPER_*READY`` marker next to the table is removed
+    first and restored only after all leaves are swapped — a crash at
+    any point leaves the index visibly not-ready (marker-gated serving
+    refuses it; recovery is a rebuild), never silently missing a leaf.
+    Partition pruning is untouched (directory names are the partition
+    values and never change); values and the serving results are
+    preserved (round-trip-tested in tests/test_round13_ops.py).
+    Single-writer rounds, like the index builds themselves: compacting
+    under concurrent readers is the table-format-transaction concern the
+    module docstring defers."""
+    from kasper_spark.index_catalog import guarded_maintenance
+
+    with guarded_maintenance(os.path.dirname(os.path.abspath(table_dir))):
+        return _compact_index_partitions_unguarded(spark, table_dir, target_bytes)
+
+
+def _compact_index_partitions_unguarded(
+    spark: SparkSession, table_dir: str, target_bytes: int
+) -> int:
     import shutil
 
     leaves = sorted(

@@ -3517,10 +3517,11 @@ def revenue_concentration_gini_hist(spark: SparkSession, sf_dir: str) -> DataFra
         F.coalesce(F.sum("c").over(w_before), F.lit(0)).cast("long").alias("b"),
         F.sum("c").over(w_all).cast("long").alias("n"),
     )
-    # ranks b+1..b+c: sum = c*b + c*(c+1)/2 (c*(c+1) is even -> exact)
+    # ranks b+1..b+c: sum = c*b + c*(c+1)/2 (c*(c+1) is even -> exact).
+    # `div` keeps the halving in int64: Spark's `/` on longs is DOUBLE
+    # division, which loses exactness once c*(c+1) > 2^53 (ADVICE r13).
     rank_sum = (
-        F.col("c") * F.col("b")
-        + F.floor((F.col("c") * (F.col("c") + F.lit(1))) / 2).cast("long")
+        F.col("c") * F.col("b") + F.expr("(c * (c + 1)) div 2")
     ).cast("decimal(18,0)")
     top_cut = F.col("n") - F.greatest(
         F.lit(1).cast("long"), F.floor(F.col("n") / 10).cast("long")

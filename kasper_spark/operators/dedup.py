@@ -2939,32 +2939,35 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LSH_IDX_BUCKETS = 16
 _LSH_IDX_QUERIES = 20  # bounded query-doc subset for the serving contract
 _LSH_IDX_MARKER = "_KASPER_LSH_READY"
+# The maintained index's flat LSM-style tail: epochs append ONE file here
+# (band/bucket as data columns) and a periodic fold moves the rows into
+# the partitioned bands layout — see streaming_twins._lsh_append_run.
+_LSH_PENDING = "bands_pending"
 
 
 def _lsh_index_dir(sf_dir: str) -> str:
-    import hashlib
     import os
-    import tempfile
 
-    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    from kasper_spark import index_catalog as _cat
+
     # v2: the on-disk LAYOUT version (packed sig array) is part of the
     # key, so a code release that changes the layout abandons old dirs
     # instead of misreading them — fingerprints cover data AND format.
-    tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}:v2".encode()
-    ).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"kasper-lsh-index-{tag}")
+    return _cat.fingerprint_dir(
+        "kasper-lsh-index", os.path.join(sf_dir, "documents.parquet"), version="v2"
+    )
 
 
 def _build_lsh_index(spark: SparkSession, sf_dir: str) -> str:
     """Persist {sigs, bands partitioned by (band, bucket)}. Marker removed
-    first / written last — the coarse-IVF build's crash discipline."""
+    first / written last (atomically) — index_catalog's shared crash
+    discipline."""
     import os
 
+    from kasper_spark import index_catalog as _cat
+
     idx = _lsh_index_dir(sf_dir)
-    marker = os.path.join(idx, _LSH_IDX_MARKER)
-    if os.path.exists(marker):
-        os.remove(marker)
+    _cat.marker_remove(idx, _LSH_IDX_MARKER)
     sigs = _md5_sigs(spark, sf_dir).transform(cut_lineage)
     # ONE array column, not 32 long columns: the signature is always read
     # whole (banding and verify both need every hash), so packing it keeps
@@ -2985,18 +2988,21 @@ def _build_lsh_index(spark: SparkSession, sf_dir: str) -> str:
         .partitionBy("band", "bucket")
         .parquet(os.path.join(idx, "bands"))
     )
-    with open(marker, "w") as f:
-        f.write(
-            f"hashes={_NUM_HASHES} bands={_BANDS} buckets={_LSH_IDX_BUCKETS}\n"
-        )
+    _cat.marker_write(
+        idx,
+        _LSH_IDX_MARKER,
+        hashes=_NUM_HASHES,
+        bands=_BANDS,
+        buckets=_LSH_IDX_BUCKETS,
+    )
     return idx
 
 
 def _ensure_lsh_index(spark: SparkSession, sf_dir: str) -> str:
-    import os
+    from kasper_spark import index_catalog as _cat
 
     idx = _lsh_index_dir(sf_dir)
-    if os.path.exists(os.path.join(idx, _LSH_IDX_MARKER)):
+    if _cat.marker_exists(idx, _LSH_IDX_MARKER):
         return idx
     return _build_lsh_index(spark, sf_dir)
 
@@ -3100,7 +3106,15 @@ def lsh_neardup_search_only(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _search_lsh_index(spark: SparkSession, idx: str) -> DataFrame:
     """lsh_neardup_search_only's serving body over an EXPLICIT index dir
-    — shared with the streaming LSH-append twin's freshness check."""
+    — shared with the streaming LSH-append twin's freshness check.
+
+    When the index is under streaming maintenance, rows committed since
+    the last fold sit in the flat ``bands_pending`` tail; serving unions
+    it in (filtered by the same band/bucket predicate — no partition
+    pruning, but the tail is bounded by fold_every epochs of arrivals) —
+    the memtable-plus-SSTable read. An offline-built index has no tail
+    and serves exactly as before."""
+    import glob
     import os
     from functools import reduce
 
@@ -3124,7 +3138,18 @@ def _search_lsh_index(spark: SparkSession, idx: str) -> DataFrame:
         probed,
         F.lit(False),
     )
-    bands = spark.read.parquet(os.path.join(idx, "bands"))
+    bands = spark.read.parquet(os.path.join(idx, "bands")).select(
+        "doc_id", "bsig", F.col("band").cast("int").alias("band"),
+        F.col("bucket").cast("int").alias("bucket"),
+    )
+    tail_files = glob.glob(os.path.join(idx, _LSH_PENDING, "*.parquet"))
+    if tail_files:
+        bands = bands.unionByName(
+            spark.read.parquet(os.path.join(idx, _LSH_PENDING)).select(
+                "doc_id", "bsig", F.col("band").cast("int").alias("band"),
+                F.col("bucket").cast("int").alias("bucket"),
+            )
+        )
     cand = (
         bands.filter(prune)
         .join(F.broadcast(probe), ["band", "bsig"])

@@ -1806,20 +1806,18 @@ def ann_ivf_scaledk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rebuilds (it certifies the build), the search query builds lazily only
 # if the fingerprinted dir is missing.
 
-import hashlib as _hashlib
 import os as _os
-import tempfile as _tempfile
+
+from kasper_spark import index_catalog as _cat
+
+_IVF_MARKER = "_KASPER_INDEX_READY"
 
 
 def _ivf_index_dir(sf_dir: str) -> str:
-    p = _os.path.join(sf_dir, "embeddings.parquet")
-    st = _os.stat(p)
-    sizes = [st.st_size, st.st_mtime_ns]
-    tag = _hashlib.md5(
-        f"{_os.path.abspath(sf_dir)}:{sizes}".encode()
-    ).hexdigest()[:12]
-    return _os.path.join(
-        _tempfile.gettempdir(), f"kasper-ivf-index-{tag}"
+    # fingerprint-keyed (data identity + layout version, index_catalog's
+    # shared scheme): a rewrite of the embeddings table abandons the dir
+    return _cat.fingerprint_dir(
+        "kasper-ivf-index", _os.path.join(sf_dir, "embeddings.parquet")
     )
 
 
@@ -1831,9 +1829,7 @@ def _build_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     it — and the marker is REMOVED first, so a crash mid-rebuild can
     never leave a valid-looking marker over a mixed-generation index."""
     idx = _ivf_index_dir(sf_dir)
-    marker = _os.path.join(idx, "_KASPER_INDEX_READY")
-    if _os.path.exists(marker):
-        _os.remove(marker)
+    _cat.marker_remove(idx, _IVF_MARKER)
     n = load_table(spark, sf_dir, "embeddings").count()
     k, train_n, _ = _scaledk_params(n)
     # Train on the driver from the BOUNDED sample (_train_centroids_np —
@@ -1863,29 +1859,23 @@ def _build_ivf_index(spark: SparkSession, sf_dir: str) -> str:
 
 
 def _ivf_marker_write(idx: str, n: int, k: int, train_n: int) -> None:
-    """(Re)write the READY marker ATOMICALLY (tmp + rename), so a reader
-    that races an incremental append sees either the old or the new
-    (n, k, train_n) — never a torn file. Shared by the offline build and
-    the streaming index-append twin's per-epoch n update."""
-    tmp = _os.path.join(idx, "_KASPER_INDEX_READY.tmp")
-    with open(tmp, "w") as f:
-        f.write(f"n={n} k={k} train_n={train_n}\n")
-    _os.replace(tmp, _os.path.join(idx, "_KASPER_INDEX_READY"))
+    """(Re)write the READY marker atomically (index_catalog protocol), so
+    a reader that races an incremental append sees either the old or the
+    new (n, k, train_n) — never a torn file. Shared by the offline build
+    and the streaming index-append twin's per-epoch n update."""
+    _cat.marker_write(idx, _IVF_MARKER, n=n, k=k, train_n=train_n)
 
 
 def _ivf_index_meta(idx: str) -> dict:
     """Parse the READY marker's n/k/train_n — so the serving path derives
     its probe parameters from the INDEX it reads instead of re-counting
     the corpus (one fewer scan per search)."""
-    with open(_os.path.join(idx, "_KASPER_INDEX_READY")) as f:
-        return {
-            k: int(v) for k, v in (kv.split("=") for kv in f.read().split())
-        }
+    return _cat.marker_read_ints(idx, _IVF_MARKER)
 
 
 def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     idx = _ivf_index_dir(sf_dir)
-    if _os.path.exists(_os.path.join(idx, "_KASPER_INDEX_READY")):
+    if _cat.marker_exists(idx, _IVF_MARKER):
         return idx
     return _build_ivf_index(spark, sf_dir)
 
@@ -2715,9 +2705,7 @@ def _build_ivf_pq_index(spark: SparkSession, sf_dir: str) -> str:
 
     Returns the index dir (building the coarse index first if absent)."""
     idx = _ensure_ivf_index(spark, sf_dir)
-    marker = _os.path.join(idx, _PQ_MARKER)
-    if _os.path.exists(marker):
-        _os.remove(marker)
+    _cat.marker_remove(idx, _PQ_MARKER)
     emb = load_table(spark, sf_dir, "embeddings")
     cb_path = _os.path.join(idx, "pq_codebook")
     _pq_codebook_df(emb).coalesce(1).write.mode("overwrite").parquet(cb_path)
@@ -2735,15 +2723,14 @@ def _build_ivf_pq_index(spark: SparkSession, sf_dir: str) -> str:
         .partitionBy("cluster_id")
         .parquet(_os.path.join(idx, "pq_codes"))
     )
-    with open(marker, "w") as f:
-        f.write(f"m={_PQ_M} k={_PQ_K} subdim={_PQ_SUBDIM}\n")
+    _cat.marker_write(idx, _PQ_MARKER, m=_PQ_M, k=_PQ_K, subdim=_PQ_SUBDIM)
     return idx
 
 
 def _ensure_ivf_pq_index(spark: SparkSession, sf_dir: str) -> str:
     idx = _ivf_index_dir(sf_dir)
-    if _os.path.exists(_os.path.join(idx, "_KASPER_INDEX_READY")) and _os.path.exists(
-        _os.path.join(idx, _PQ_MARKER)
+    if _cat.marker_exists(idx, _IVF_MARKER) and _cat.marker_exists(
+        idx, _PQ_MARKER
     ):
         return idx
     return _build_ivf_pq_index(spark, sf_dir)
@@ -3664,9 +3651,7 @@ _PQRES_MARKER = "_KASPER_PQRES_READY"
 
 def _build_pqres_index(spark: SparkSession, sf_dir: str) -> str:
     idx = _ivf_index_dir(sf_dir)
-    marker = _os.path.join(idx, _PQRES_MARKER)
-    if _os.path.exists(marker):
-        _os.remove(marker)
+    _cat.marker_remove(idx, _PQRES_MARKER)
     _os.makedirs(idx, exist_ok=True)
     core = _residual_core(spark, sf_dir)
     cb_path = _os.path.join(idx, "pqres_codebook")
@@ -3684,14 +3669,15 @@ def _build_pqres_index(spark: SparkSession, sf_dir: str) -> str:
         .partitionBy("cid")
         .parquet(_os.path.join(idx, "pqres_codes"))
     )
-    with open(marker, "w") as f:
-        f.write(f"m={_PQ_M} k={_PQ_K} subdim={_PQ_SUBDIM} ivf_k={_IVF_K}\n")
+    _cat.marker_write(
+        idx, _PQRES_MARKER, m=_PQ_M, k=_PQ_K, subdim=_PQ_SUBDIM, ivf_k=_IVF_K
+    )
     return idx
 
 
 def _ensure_pqres_index(spark: SparkSession, sf_dir: str) -> str:
     idx = _ivf_index_dir(sf_dir)
-    if _os.path.exists(_os.path.join(idx, _PQRES_MARKER)):
+    if _cat.marker_exists(idx, _PQRES_MARKER):
         return idx
     return _build_pqres_index(spark, sf_dir)
 

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+from kasper_spark import index_catalog as _cat
 from kasper_spark.catalog import ensure_nanos_as_long, normalize_driver_ts
 from kasper_spark.operators.dedup import _LSH_BANDS_CTE
 from kasper_spark.registry import register_query
@@ -3817,6 +3818,8 @@ def _ivf_append_run(
         .parquet(assignments)
     )
     _ivf_marker_write(idx, n=split, k=meta["k"], train_n=meta["train_n"])
+    log = _cat.EpochLog(idx)
+    log.set_base(n=split)
 
     emb = load_table(spark, sf_dir, "embeddings")
     src_dir = os.path.join(work, "src")
@@ -3837,6 +3840,13 @@ def _ivf_append_run(
     cent = spark.read.parquet(os.path.join(idx, "centroids"))
 
     def append_batch(df, epoch_id: int) -> None:
+        # exactly-once under micro-batch re-execution (ADVICE r13): skip
+        # committed epochs; stage with overwrite + adopt via deterministic
+        # epoch-keyed renames; derive the marker's n from the epoch log so
+        # a replayed marker refresh can never double-count.
+        if log.is_committed(epoch_id):
+            return
+        stage = os.path.join(work, "stage", str(epoch_id), "assignments")
         out = (
             _assign_rows_scan_np(df, cent, 1)
             .select(
@@ -3848,13 +3858,15 @@ def _ivf_append_run(
             n_new = out.count()
             (
                 out.repartition(F.col("cluster_id"))
-                .write.mode("append")
+                .write.mode("overwrite")
                 .partitionBy("cluster_id")
-                .parquet(assignments)
+                .parquet(stage)
             )
+            _cat.adopt_staged(stage, assignments, epoch_id)
+            log.record(epoch_id, n=n_new)
             m = _ivf_index_meta(idx)
             _ivf_marker_write(
-                idx, n=m["n"] + n_new, k=m["k"], train_n=m["train_n"]
+                idx, n=log.total("n"), k=m["k"], train_n=m["train_n"]
             )
         finally:
             out.unpersist()
@@ -3964,6 +3976,8 @@ def _ivf_pq_append_run(
     shutil.copyfile(
         os.path.join(real, _PQ_MARKER), os.path.join(idx, _PQ_MARKER)
     )
+    log = _cat.EpochLog(idx)
+    log.set_base(n=split)
 
     emb = load_table(spark, sf_dir, "embeddings")
     src_dir = os.path.join(work, "src")
@@ -3985,6 +3999,13 @@ def _ivf_pq_append_run(
     codebook = spark.read.parquet(os.path.join(idx, "pq_codebook"))
 
     def append_batch(df, epoch_id: int) -> None:
+        # same exactly-once protocol as _ivf_append_run's sink (skip /
+        # stage-overwrite / adopt / log-derived marker), over BOTH
+        # artifacts — an epoch is committed only once lists AND codes
+        # are adopted, so a replay can never leave them out of step.
+        if log.is_committed(epoch_id):
+            return
+        stage = os.path.join(work, "stage", str(epoch_id))
         routed = (
             _assign_rows_scan_np(df, cent, 1)
             .select(
@@ -3996,21 +4017,26 @@ def _ivf_pq_append_run(
             n_new = routed.count()
             (
                 routed.repartition(F.col("cluster_id"))
-                .write.mode("append")
+                .write.mode("overwrite")
                 .partitionBy("cluster_id")
-                .parquet(os.path.join(idx, "assignments"))
+                .parquet(os.path.join(stage, "assignments"))
             )
             (
                 _codes_array(_pq_encode_np(df, codebook))
                 .join(routed, "vec_id")
                 .repartition(F.col("cluster_id"))
-                .write.mode("append")
+                .write.mode("overwrite")
                 .partitionBy("cluster_id")
-                .parquet(os.path.join(idx, "pq_codes"))
+                .parquet(os.path.join(stage, "pq_codes"))
             )
+            for d in ("assignments", "pq_codes"):
+                _cat.adopt_staged(
+                    os.path.join(stage, d), os.path.join(idx, d), epoch_id
+                )
+            log.record(epoch_id, n=n_new)
             m = _ivf_index_meta(idx)
             _ivf_marker_write(
-                idx, n=m["n"] + n_new, k=m["k"], train_n=m["train_n"]
+                idx, n=log.total("n"), k=m["k"], train_n=m["train_n"]
             )
         finally:
             routed.unpersist()
@@ -4053,26 +4079,37 @@ _OR["streaming_ivf_pq_append_twin"] = _OR["ann_ivf_pq_index_build"]
 
 
 def _lsh_append_run(
-    spark: SparkSession, sf_dir: str, n_files: int
+    spark: SparkSession, sf_dir: str, n_files: int, fold_every: int = 4
 ) -> tuple[str, DataFrame]:
     """The persisted MinHash-LSH index maintained at ingest: seed a
     work-dir index with the first half of the corpus's signatures and
     band rows, then stream the remaining DOCUMENTS — each epoch shingles
-    and minhashes its arrivals (the certified signature expressions),
-    appends their sigs and their (band, bucket)-partitioned band rows,
-    and refreshes the marker. New documents become findable by
-    lsh_neardup_search_only the moment their epoch commits — the
-    index-freshness contract a curation pipeline needs when the corpus
-    grows continuously. Returns (work index dir, per-band occupancy
-    profile read back from the maintained band table).
+    and minhashes its arrivals (the certified signature expressions) and
+    commits them exactly-once (EpochLog + staged adopt, ADVICE r13).
+
+    LSM-style append shape (r13 verdict ticket #4 — the per-epoch
+    partitioned append was the registry's heaviest wall): an epoch lands
+    as ONE flat sigs file and ONE flat band-rows file in the index's
+    ``bands_pending`` tail — no 128-directory committer round per epoch
+    — and the tail is FOLDED into the (band, bucket)-partitioned layout
+    every ``fold_every`` epochs and at drain, under the marker guard
+    (serving is gated on the marker, so a crash mid-fold is visible,
+    never double-served). New documents stay findable the moment their
+    epoch commits: _search_lsh_index unions the bounded pending tail —
+    the memtable-over-SSTable read a production vector store does.
+    Returns (work index dir, per-band occupancy profile read back from
+    the folded band table).
 
     Cut-invariance: a document's signature depends only on its own text
-    (per-doc pure function), appends commute — the twin shares
-    lsh_index_build's oracle verbatim."""
+    (per-doc pure function), appends and folds commute on row sets — the
+    twin shares lsh_index_build's oracle verbatim."""
+    import glob
+
     from kasper_spark.catalog import load_table
     from kasper_spark.operators.dedup import (
         _LSH_IDX_BUCKETS,
         _LSH_IDX_MARKER,
+        _LSH_PENDING,
         _band_sigs,
         _ensure_lsh_index,
         _md5_sigs,
@@ -4104,6 +4141,29 @@ def _lsh_append_run(
     shutil.copyfile(
         os.path.join(real, _LSH_IDX_MARKER), os.path.join(idx, _LSH_IDX_MARKER)
     )
+    log = _cat.EpochLog(idx)
+    pending = os.path.join(idx, _LSH_PENDING)
+    os.makedirs(pending, exist_ok=True)
+
+    def fold_pending(tag: str) -> None:
+        """Fold the flat tail into the partitioned band layout. Names are
+        deterministic per trigger (``tag``), so a re-fold adopts over the
+        same targets; the marker guard makes a mid-fold crash visible."""
+        files = glob.glob(os.path.join(pending, "*.parquet"))
+        if not files:
+            return
+        with _cat.guarded_maintenance(idx):
+            stage = os.path.join(work, "stage", f"fold-{tag}")
+            (
+                spark.read.parquet(pending)
+                .repartition(F.col("band"), F.col("bucket"))
+                .write.mode("overwrite")
+                .partitionBy("band", "bucket")
+                .parquet(stage)
+            )
+            _cat.adopt_staged(stage, os.path.join(idx, "bands"), f"fold-{tag}")
+            for f in files:
+                os.remove(f)
 
     docs = load_table(spark, sf_dir, "documents")
     src_dir = os.path.join(work, "src")
@@ -4131,6 +4191,8 @@ def _lsh_append_run(
             _tokens,
         )
 
+        if log.is_committed(epoch_id):
+            return
         toks = df.select("doc_id", _tokens(F.col("text")).alias("toks"))
         raw = toks.select("doc_id", _shingles_raw(F.col("toks")).alias("raw"))
         ex = raw.select(
@@ -4151,8 +4213,19 @@ def _lsh_append_run(
             ]
         ).persist()
         try:
-            _pack_sig(sigs).write.mode("append").parquet(
-                os.path.join(idx, "sigs")
+            # materialize the cache with the PARALLEL agg before the
+            # single-file staging writes (coalesce(1) would otherwise
+            # pull the whole signature computation into one task)
+            sigs.count()
+            stage = os.path.join(work, "stage", str(epoch_id))
+            (
+                _pack_sig(sigs)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(stage, "sigs"))
+            )
+            _cat.adopt_staged(
+                os.path.join(stage, "sigs"), os.path.join(idx, "sigs"), epoch_id
             )
             (
                 _band_sigs(sigs)
@@ -4162,13 +4235,16 @@ def _lsh_append_run(
                         F.xxhash64(F.col("bsig")), F.lit(_LSH_IDX_BUCKETS)
                     ).cast("int"),
                 )
-                .repartition(F.col("band"), F.col("bucket"))
-                .write.mode("append")
-                .partitionBy("band", "bucket")
-                .parquet(os.path.join(idx, "bands"))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(stage, "pending"))
             )
+            _cat.adopt_staged(os.path.join(stage, "pending"), pending, epoch_id)
+            log.record(epoch_id)
         finally:
             sigs.unpersist()
+        if (epoch_id + 1) % fold_every == 0:
+            fold_pending(str(epoch_id))
 
     q = (
         stream.writeStream.foreachBatch(append_batch)
@@ -4177,6 +4253,7 @@ def _lsh_append_run(
         .start()
     )
     q.awaitTermination()
+    fold_pending("final")
     profile = (
         spark.read.parquet(os.path.join(idx, "bands"))
         .groupBy(F.col("band").cast("bigint").alias("band"))

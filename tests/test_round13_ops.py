@@ -297,7 +297,9 @@ def test_ivf_append_twin_serves_mid_stream_and_converges(spark):
     real = S._ensure_ivf_index(spark, SF_SMOKE)
     meta = S._ivf_index_meta(real)
     split = meta["n"] // 2
-    work = S._tempfile.mkdtemp(prefix="kasper-midstream-")
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="kasper-midstream-")
     try:
         idx = os.path.join(work, "index")
         os.makedirs(idx)
