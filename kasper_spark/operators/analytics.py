@@ -1397,9 +1397,7 @@ def try_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_query(
-    "equidepth_histogram_totalprice",
-    oracle="""
+_EQUIDEPTH_ORACLE = """
     WITH tiled AS (
         SELECT o_totalprice,
                ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
@@ -1413,8 +1411,10 @@ def try_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM tiled
     GROUP BY bucket
     ORDER BY bucket
-    """,
-)
+    """
+
+
+@register_query("equidepth_histogram_totalprice", oracle=_EQUIDEPTH_ORACLE)
 def equidepth_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-DEPTH (quantile) histogram: 10 buckets of equal row count with
     their value ranges — the profile that stays readable under skew, where
@@ -1422,11 +1422,11 @@ def equidepth_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFram
     bucket. The two together are the standard column-profiling pair.
 
     Ties are broken by o_orderkey so bucket assignment (and therefore the
-    hash) is total-order deterministic on both engines. Exactness note:
-    this verification form pays one global sort (ntile over the whole
-    table); the at-scale form is approxQuantile bucket BOUNDARIES (one
-    stats pass, map-side bucketing) — same trade documented on
-    zorder_key_events, whose layout writer shows that path."""
+    hash) is total-order deterministic on both engines. This is the
+    naive-spec VERIFICATION form (one global ntile sort); the executable
+    scale form with the identical output and oracle is
+    equidepth_histogram_hist below — no row ever crosses a global sort
+    there."""
     from pyspark.sql.window import Window
 
     orders = load_table(spark, sf_dir, "orders")
@@ -1444,6 +1444,77 @@ def equidepth_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFram
             F.max("o_totalprice").alias("hi"),
         )
         .select(F.col("bucket").cast("bigint").alias("bucket"), "n", "lo", "hi")
+        .orderBy("bucket")
+    )
+
+
+@register_query("equidepth_histogram_hist", oracle=_EQUIDEPTH_ORACLE)
+def equidepth_histogram_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXECUTABLE scale form of equidepth_histogram_totalprice (r13
+    verdict ticket #2) — identical output, certified against the SAME
+    naive-spec oracle, with the global ntile sort eliminated.
+
+    Why no row rank is needed: a price value v with b rows strictly below
+    and count c occupies ranks b+1..b+c CONTIGUOUSLY (ties share a value,
+    so which tied row gets which rank never moves a value across a bucket
+    edge). NTILE(k)'s bucket rank ranges are a closed form of (n, k)
+    alone — with q = n div k, r = n mod k, bucket j covers ranks
+    [(j-1)q + min(j-1, r) + 1, jq + min(j, r)] — so each histogram entry
+    knows exactly which buckets it intersects and contributes
+    overlap = min(hi_j, b+c) - max(lo_j, b+1) + 1 rows to each. The plan
+    is: one partial-aggregated groupBy to the (value, count) histogram,
+    one cumulative window over the DOMAIN-sized histogram (the
+    hist_prefix_rank discipline), a map-side sequence-explode into the
+    <= k intersecting buckets per entry (no join, no spine, no BNLJ),
+    and a 10-group aggregate. All rank arithmetic is int64-exact (`div`,
+    never double division), so the bucket stats equal the spec's exactly
+    and the oracle hash is shared."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    hist = orders.groupBy("o_totalprice").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w_before = Window.orderBy("o_totalprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.partitionBy()
+    cum = hist.select(
+        "o_totalprice",
+        "c",
+        F.coalesce(F.sum("c").over(w_before), F.lit(0)).cast("long").alias("b"),
+        F.sum("c").over(w_all).cast("long").alias("_n"),
+    )
+    # bucket_of(rank i) — NTILE(k)'s inverse, integer-exact; when q = 0
+    # every rank satisfies the WHEN branch, so the `div _q` never runs
+    bucket_of = (
+        "CASE WHEN {i} <= _r * (_q + 1)"
+        "     THEN ({i} - 1) div (_q + 1) + 1"
+        "     ELSE _r + ({i} - _r * (_q + 1) - 1) div _q + 1 END"
+    )
+    spanned = (
+        cum.withColumn("_q", F.expr("_n div 10"))
+        .withColumn("_r", F.expr("_n % 10"))
+        .withColumn("_first", F.expr(bucket_of.format(i="(b + 1)")))
+        .withColumn("_last", F.expr(bucket_of.format(i="(b + c)")))
+        .withColumn("bucket", F.explode(F.sequence("_first", "_last")))
+        .withColumn(
+            "_lo_rank",
+            F.expr("(bucket - 1) * _q + least(bucket - 1, _r) + 1"),
+        )
+        .withColumn("_hi_rank", F.expr("bucket * _q + least(bucket, _r)"))
+        .withColumn(
+            "_ov",
+            F.expr("least(_hi_rank, b + c) - greatest(_lo_rank, b + 1) + 1"),
+        )
+    )
+    return (
+        spanned.groupBy(F.col("bucket").cast("bigint").alias("bucket"))
+        .agg(
+            F.sum("_ov").cast("long").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
         .orderBy("bucket")
     )
 

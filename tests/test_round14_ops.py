@@ -236,3 +236,87 @@ def test_lsh_pending_tail_served_before_fold(spark, tmp_path):
         os.remove(f)
     mid_served = sorted(map(tuple, D._search_lsh_index(spark, mid).collect()))
     assert mid_served == want, "pending tail rows invisible to serving"
+
+
+def test_delete_logical_equals_physical_serving(spark):
+    """Mid-maintenance serving: with tombstones present and reclaim
+    PENDING, serving must anti-join them and equal the post-reclaim
+    serving bit-for-bit — a takedown is effective the moment the
+    tombstone lands, not when compaction gets around to it."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kasper_spark.operators import similarity as S
+
+    idx = S._copy_ivf_index(spark, SF_SMOKE, "kasper-deltest-")
+    assignments = os.path.join(idx, "assignments")
+    (
+        spark.read.parquet(assignments)
+        .filter(F.col("vec_id") % S._DELETE_MOD == S._DELETE_REM)
+        .select("vec_id")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(idx, S._TOMBSTONES))
+    )
+    logical = sorted(
+        map(tuple, S._search_persisted_index(spark, SF_SMOKE, idx).collect())
+    )
+    reclaimed = S._ivf_reclaim_tombstones(spark, idx)
+    assert reclaimed > 0, "test predicate deleted nothing"
+    assert not glob.glob(os.path.join(idx, S._TOMBSTONES, "*.parquet")), (
+        "reclaim must clear consumed tombstones"
+    )
+    physical = sorted(
+        map(tuple, S._search_persisted_index(spark, SF_SMOKE, idx).collect())
+    )
+    assert logical == physical and logical
+    # marker n reflects the reclaim
+    n_disk = spark.read.parquet(assignments).count()
+    assert S._ivf_index_meta(idx)["n"] == n_disk
+
+
+def test_split_rebalances_storage_and_preserves_results(spark):
+    """The storage split must actually move rows (child partition exists,
+    parent shrank ~in half) while equal-budget serving stays IDENTICAL
+    to the unsplit index."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kasper_spark.operators import similarity as S
+
+    before = sorted(
+        map(
+            tuple,
+            S._search_persisted_index(
+                spark, SF_SMOKE, S._ensure_ivf_index(spark, SF_SMOKE)
+            ).collect(),
+        )
+    )
+    idx = S._copy_ivf_index(spark, SF_SMOKE, "kasper-splittest-")
+    sizes0 = {
+        int(r["cluster_id"]): r["c"]
+        for r in spark.read.parquet(os.path.join(idx, "assignments"))
+        .groupBy(F.col("cluster_id").cast("long").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    parent, child = S._ivf_split_largest_list(spark, idx)
+    assert sizes0[parent] == max(sizes0.values())
+    sizes1 = {
+        int(r["cluster_id"]): r["c"]
+        for r in spark.read.parquet(os.path.join(idx, "assignments"))
+        .groupBy(F.col("cluster_id").cast("long").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert child in sizes1 and sizes1[child] > 0, "child list empty"
+    assert sizes1[parent] + sizes1[child] == sizes0[parent], "rows lost/dup"
+    assert sizes1[parent] < sizes0[parent]
+    assert sum(sizes1.values()) == sum(sizes0.values())
+    after = sorted(
+        map(tuple, S._search_persisted_index(spark, SF_SMOKE, idx).collect())
+    )
+    assert after == before, "split changed equal-budget search results"
