@@ -3847,6 +3847,9 @@ def _ivf_append_run(
         if log.is_committed(epoch_id):
             return
         stage = os.path.join(work, "stage", str(epoch_id), "assignments")
+        # single-file micro-batch = one partition: spread the numpy
+        # assignment scan across cores (see the LSH twin's note)
+        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
         out = (
             _assign_rows_scan_np(df, cent, 1)
             .select(
@@ -4006,6 +4009,9 @@ def _ivf_pq_append_run(
         if log.is_committed(epoch_id):
             return
         stage = os.path.join(work, "stage", str(epoch_id))
+        # single-file micro-batch = one partition: spread the numpy
+        # assign + PQ-encode scans across cores (see the LSH twin's note)
+        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
         routed = (
             _assign_rows_scan_np(df, cent, 1)
             .select(
@@ -4193,6 +4199,12 @@ def _lsh_append_run(
 
         if log.is_committed(epoch_id):
             return
+        # a single-file micro-batch arrives as ONE partition; fan the
+        # CPU-bound shingle/md5 work across the executor cores first
+        # (the _md5_sigs discipline — without this, each epoch's
+        # signatures compute in one task: measured 18 s/epoch vs ~1 s
+        # at 10x, the whole of this twin's round-13 wall)
+        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
         toks = df.select("doc_id", _tokens(F.col("text")).alias("toks"))
         raw = toks.select("doc_id", _shingles_raw(F.col("toks")).alias("raw"))
         ex = raw.select(
