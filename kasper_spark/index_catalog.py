@@ -194,3 +194,58 @@ def adopt_staged(staged_root: str, table_root: str, epoch_id: int | str) -> int:
             if m and int(m.group(1)) >= len(files):
                 os.remove(stale)
     return moved
+
+
+def reclaim_tombstones(
+    spark,
+    idx: str,
+    tables: dict[str, list[str]],
+    key_col: str,
+    tombstones: str = "tombstones",
+) -> int:
+    """Physically rewrite each of an index's tables without the
+    tombstoned keys, preserving each table's partition layout, then
+    consume the tombstone files. One distributed anti-join pass per
+    table (the tombstone side broadcasts — it is the accumulated delete
+    set, small relative to the corpus by the time a reclaim is
+    scheduled). Returns the kept-row count of the FIRST table (the
+    index's primary membership table, for the caller's marker refresh).
+
+    MUST run inside guarded_maintenance: the per-table directory swap is
+    not atomic across tables, and the marker guard is what makes a crash
+    mid-reclaim visible instead of serving lists and codes from
+    different generations. Production gates this on a per-partition
+    tombstone fraction and rewrites only dirty leaves — the plumbing is
+    identical, the predicate is the caller's."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    tomb_dir = os.path.join(idx, tombstones)
+    if not glob.glob(os.path.join(tomb_dir, "*.parquet")):
+        return -1
+    dead = spark.read.parquet(tomb_dir).select(key_col)
+    n_first = -1
+    for t, pcols in tables.items():
+        src = os.path.join(idx, t)
+        kept = spark.read.parquet(src).join(
+            F.broadcast(dead), key_col, "left_anti"
+        )
+        tmp = os.path.join(idx, t + ".reclaiming")
+        shutil.rmtree(tmp, ignore_errors=True)
+        if pcols:
+            (
+                kept.repartition(*[F.col(c) for c in pcols])
+                .write.mode("overwrite")
+                .partitionBy(*pcols)
+                .parquet(tmp)
+            )
+        else:
+            kept.write.mode("overwrite").parquet(tmp)
+        if n_first < 0:
+            n_first = spark.read.parquet(tmp).count()
+        shutil.rmtree(src)
+        os.rename(tmp, src)
+    for f in glob.glob(os.path.join(tomb_dir, "*.parquet")):
+        os.remove(f)
+    return n_first

@@ -3119,6 +3119,18 @@ def _search_lsh_index(spark: SparkSession, idx: str) -> DataFrame:
     from functools import reduce
 
     sigs = _unpack_sig(spark.read.parquet(os.path.join(idx, "sigs")))
+    if glob.glob(os.path.join(idx, _LSH_TOMBSTONES, "*.parquet")):
+        # logical deletes awaiting reclaim: a tombstoned doc can neither
+        # probe nor verify (band rows it left behind die at the sig join)
+        sigs = sigs.join(
+            F.broadcast(
+                spark.read.parquet(
+                    os.path.join(idx, _LSH_TOMBSTONES)
+                ).select("doc_id")
+            ),
+            "doc_id",
+            "left_anti",
+        )
     probe_rows = (
         _band_sigs(sigs.filter(F.col("doc_id") < _LSH_IDX_QUERIES))
         .withColumn(
@@ -3171,3 +3183,74 @@ def _search_lsh_index(spark: SparkSession, idx: str) -> DataFrame:
     return agreed.filter(
         F.col("n_agree").cast("double") / _NUM_HASHES >= 0.5
     ).orderBy("query_id", "neighbor_id")
+
+
+# --- LSH index delete maintenance (round 14): the takedown path of the
+# persisted near-dup index — tombstone-then-reclaim, sharing
+# index_catalog's guarded reclaim with the IVF/PQ deletes.
+
+_LSH_DELETE_MOD = 9
+_LSH_DELETE_REM = 4
+_LSH_TOMBSTONES = "tombstones"
+
+
+@register_query(
+    "lsh_index_delete",
+    oracle="WITH " + _LSH_BANDS_CTE
+    + f"""
+    SELECT CAST(band AS BIGINT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT bsig) AS BIGINT) AS n_buckets
+    FROM bands WHERE doc_id % {_LSH_DELETE_MOD} <> {_LSH_DELETE_REM}
+    GROUP BY band
+    ORDER BY band
+    """,
+)
+def lsh_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown maintenance on the persisted MinHash-LSH index: tombstone
+    the doc set (doc_id % 9 == 4 — the deterministic stand-in for DMCA /
+    dedup-kill removals), then one guarded reclaim pass rewrites BOTH
+    tables (flat sigs + (band, bucket)-partitioned bands) without the
+    dead documents. A tombstoned doc stops serving immediately
+    (_search_lsh_index anti-joins the tombstones: it can neither be a
+    query nor survive the signature verify); reclaim makes it physically
+    gone. Certified as build-minus-deleted equality on the per-band
+    occupancy profile read BACK from the reclaimed band table — a
+    document's signature depends only on its own text, so deleting docs
+    must change nothing else (the oracle re-derives the full banding
+    chain minus the deleted ids)."""
+    import os
+    import shutil
+    import tempfile
+
+    from kasper_spark import index_catalog as _cat
+
+    real = _ensure_lsh_index(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="kasper-lshdel-")
+    idx = os.path.join(work, "index")
+    shutil.copytree(real, idx)
+    (
+        spark.read.parquet(os.path.join(idx, "sigs"))
+        .filter(F.col("doc_id") % _LSH_DELETE_MOD == _LSH_DELETE_REM)
+        .select("doc_id")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(idx, _LSH_TOMBSTONES))
+    )
+    with _cat.guarded_maintenance(idx):
+        _cat.reclaim_tombstones(
+            spark,
+            idx,
+            {"sigs": [], "bands": ["band", "bucket"]},
+            "doc_id",
+            _LSH_TOMBSTONES,
+        )
+    bands = spark.read.parquet(os.path.join(idx, "bands"))
+    return (
+        bands.groupBy(F.col("band").cast("bigint").alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("bsig").alias("n_buckets"),
+        )
+        .orderBy("band")
+    )

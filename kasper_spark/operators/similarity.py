@@ -4275,13 +4275,15 @@ _TOMBSTONES = "tombstones"
 _SPLIT_MAP = "split_map"
 
 
-def _copy_ivf_index(spark: SparkSession, sf_dir: str, prefix: str) -> str:
-    """Work-dir copy of the ensured coarse IVF index (centroids +
-    assignments + marker) for a maintenance query to mutate."""
+def _copy_ivf_index(
+    spark: SparkSession, sf_dir: str, prefix: str, ensure=None
+) -> str:
+    """Work-dir copy of the ensured index (default: the coarse IVF —
+    centroids + assignments + marker) for a maintenance query to mutate."""
     import shutil as _shutil
     import tempfile as _tmp
 
-    real = _ensure_ivf_index(spark, sf_dir)
+    real = (ensure or _ensure_ivf_index)(spark, sf_dir)
     work = _tmp.mkdtemp(prefix=prefix)
     idx = _os.path.join(work, "index")
     _shutil.copytree(real, idx)
@@ -4295,41 +4297,26 @@ def _ivf_reclaim_tombstones(spark: SparkSession, idx: str) -> int:
     assignments table is swapped, so a crash leaves the index visibly
     not-ready instead of half-old-half-new. Returns rows reclaimed.
 
-    Scale shape: ONE distributed anti-join pass over the lists (the
-    tombstone side broadcasts — it is the accumulated delete set, tiny
-    relative to the corpus by the time a reclaim is scheduled) and one
-    partitioned rewrite. Production would gate this on a per-list
-    tombstone fraction and rewrite only dirty leaves (the plumbing is
-    identical; every leaf is dirty under the test predicate)."""
-    import glob as _glob
-    import shutil as _shutil
+    Scale shape: ONE distributed anti-join pass per table (the tombstone
+    side broadcasts — it is the accumulated delete set, tiny relative to
+    the corpus by the time a reclaim is scheduled) and one partitioned
+    rewrite, via index_catalog.reclaim_tombstones (the shared reclaim
+    all three persisted indexes use). ``tables`` extends the rewrite to
+    dependent artifacts (the PQ delete reclaims codes too — lists and
+    codes must never come from different generations, which the marker
+    guard enforces across the multi-table swap)."""
+    return _ivf_reclaim(spark, idx, {"assignments": ["cluster_id"]})
 
-    tomb = _os.path.join(idx, _TOMBSTONES)
-    if not _glob.glob(_os.path.join(tomb, "*.parquet")):
-        return 0
-    assignments = _os.path.join(idx, "assignments")
+
+def _ivf_reclaim(
+    spark: SparkSession, idx: str, tables: dict[str, list[str]]
+) -> int:
     with _cat.guarded_maintenance(idx) as saved:
-        dead = spark.read.parquet(tomb).select("vec_id")
-        kept = (
-            spark.read.parquet(assignments)
-            .join(F.broadcast(dead), "vec_id", "left_anti")
-            .select(
-                "vec_id", F.col("cluster_id").cast("bigint").alias("cluster_id")
-            )
+        n_kept = _cat.reclaim_tombstones(
+            spark, idx, tables, "vec_id", _TOMBSTONES
         )
-        tmp = _os.path.join(idx, "assignments.reclaiming")
-        _shutil.rmtree(tmp, ignore_errors=True)
-        (
-            kept.repartition(F.col("cluster_id"))
-            .write.mode("overwrite")
-            .partitionBy("cluster_id")
-            .parquet(tmp)
-        )
-        n_kept = spark.read.parquet(tmp).count()
-        _shutil.rmtree(assignments)
-        _os.rename(tmp, assignments)
-        for f in _glob.glob(_os.path.join(tomb, "*.parquet")):
-            _os.remove(f)
+        if n_kept < 0:
+            return 0
         old = dict(
             kv.split("=") for kv in saved["_KASPER_INDEX_READY"].split()
         )
@@ -4527,3 +4514,51 @@ def ann_ivf_split_search_only(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLES_REF["ann_ivf_split_search_only"] = _ORACLES_REF["ann_ivf_search_only"]
+
+
+@register_query(
+    "ann_ivf_pq_index_delete",
+    oracle=f"""
+    WITH {_PQ_CTES_SQL}
+    SELECT CAST(sub_j AS BIGINT) AS sub_j,
+           CAST(code_r AS BIGINT) AS code_r,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM encoded WHERE vec_id % {_DELETE_MOD} <> {_DELETE_REM}
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def ann_ivf_pq_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete maintenance across BOTH artifacts of the persisted IVF-PQ
+    index: tombstone, then one guarded reclaim pass that rewrites the
+    inverted lists AND the code arrays without the dead vectors — the
+    multi-table consistency case the marker guard exists for (a crash
+    between the two table swaps leaves the index visibly not-ready, never
+    serving codes for vectors whose list rows are gone). Certified as
+    build-minus-deleted equality on the per-(subspace, codeword) code
+    histogram read BACK from the reclaimed codes; the codebook is
+    untouched (deletes must never silently retrain the quantizer)."""
+    idx = _copy_ivf_index(
+        spark, sf_dir, "kasper-pqdel-", ensure=_ensure_ivf_pq_index
+    )
+    (
+        spark.read.parquet(_os.path.join(idx, "assignments"))
+        .filter(F.col("vec_id") % _DELETE_MOD == _DELETE_REM)
+        .select("vec_id")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(_os.path.join(idx, _TOMBSTONES))
+    )
+    _ivf_reclaim(
+        spark, idx, {"assignments": ["cluster_id"], "pq_codes": ["cluster_id"]}
+    )
+    return (
+        spark.read.parquet(_os.path.join(idx, "pq_codes"))
+        .select(F.posexplode("codes").alias("sub_j", "code_r"))
+        .groupBy(
+            F.col("sub_j").cast("bigint").alias("sub_j"),
+            F.col("code_r").cast("bigint").alias("code_r"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .orderBy("sub_j", "code_r")
+    )

@@ -320,3 +320,50 @@ def test_split_rebalances_storage_and_preserves_results(spark):
         map(tuple, S._search_persisted_index(spark, SF_SMOKE, idx).collect())
     )
     assert after == before, "split changed equal-budget search results"
+
+
+def test_lsh_delete_logical_equals_physical_serving(spark):
+    """The LSH takedown path: with tombstones present and reclaim
+    pending, serving must anti-join them and equal post-reclaim serving
+    bit-for-bit (and tombstoned docs must vanish from both the query and
+    the neighbor side)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kasper_spark.operators import dedup as D
+
+    real = D._ensure_lsh_index(spark, SF_SMOKE)
+    idx = os.path.join(tempfile.mkdtemp(prefix="kasper-lshdeltest-"), "index")
+    shutil.copytree(real, idx)
+    (
+        spark.read.parquet(os.path.join(idx, "sigs"))
+        .filter(F.col("doc_id") % D._LSH_DELETE_MOD == D._LSH_DELETE_REM)
+        .select("doc_id")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(idx, D._LSH_TOMBSTONES))
+    )
+    logical = sorted(map(tuple, D._search_lsh_index(spark, idx).collect()))
+    from kasper_spark import index_catalog as icat
+
+    with icat.guarded_maintenance(idx):
+        icat.reclaim_tombstones(
+            spark,
+            idx,
+            {"sigs": [], "bands": ["band", "bucket"]},
+            "doc_id",
+            D._LSH_TOMBSTONES,
+        )
+    physical = sorted(map(tuple, D._search_lsh_index(spark, idx).collect()))
+    assert logical == physical
+    dead = {
+        d
+        for d in range(D._LSH_IDX_QUERIES)
+        if d % D._LSH_DELETE_MOD == D._LSH_DELETE_REM
+    }
+    assert not any(r[0] in dead or r[1] in dead for r in physical), (
+        "tombstoned doc still served"
+    )
