@@ -4291,3 +4291,95 @@ def streaming_lsh_index_append_twin(
 
 assert "lsh_index_build" in _OR, "offline LSH build oracle missing"
 _OR["streaming_lsh_index_append_twin"] = _OR["lsh_index_build"]
+
+
+def _ivf_delete_run(
+    spark: SparkSession, sf_dir: str, n_files: int
+) -> tuple[str, DataFrame]:
+    """The DELETE half of index maintenance at ingest: seed a work-dir
+    copy of the FULL coarse IVF index, then stream the takedown ids
+    (vec_id % 7 == 3 — ann_ivf_index_delete's predicate) — each epoch
+    lands its tombstones exactly-once (EpochLog skip + staged adopt into
+    the index's tombstones dir), making the deletes effective for
+    serving IMMEDIATELY (the anti-join in _search_persisted_index), and
+    the drain runs one guarded reclaim pass. Returns (work index dir,
+    per-list profile read back from the reclaimed lists).
+
+    Cut-invariance: tombstones commute (set union) and the reclaim is a
+    pure function of the final tombstone set, so the twin shares
+    ann_ivf_index_delete's oracle VERBATIM — a green row certifies that
+    streaming takedowns converge to the same index an offline
+    delete+reclaim produces."""
+    from kasper_spark.operators.similarity import (
+        _DELETE_MOD,
+        _DELETE_REM,
+        _TOMBSTONES,
+        _copy_ivf_index,
+        _ivf_reclaim,
+    )
+
+    idx = _copy_ivf_index(spark, sf_dir, "kasper-sivfdel-")
+    work = _workdir("kasper-sivfdel-src-")
+    log = _cat.EpochLog(idx)
+
+    src_dir = os.path.join(work, "src")
+    (
+        spark.read.parquet(os.path.join(idx, "assignments"))
+        .filter(F.col("vec_id") % _DELETE_MOD == _DELETE_REM)
+        .select("vec_id")
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(src_dir)
+    )
+    ckpt = os.path.join(work, "ck")
+    stream = (
+        spark.readStream.schema("vec_id long")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src_dir)
+    )
+    tomb = os.path.join(idx, _TOMBSTONES)
+
+    def append_batch(df, epoch_id: int) -> None:
+        if log.is_committed(epoch_id):
+            return
+        stage = os.path.join(work, "stage", str(epoch_id))
+        (
+            df.select("vec_id")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        _cat.adopt_staged(stage, tomb, epoch_id)
+        log.record(epoch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    _ivf_reclaim(spark, idx, {"assignments": ["cluster_id"]})
+    profile = (
+        spark.read.parquet(os.path.join(idx, "assignments"))
+        .groupBy(F.col("cluster_id").cast("bigint").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("cluster_id")
+    )
+    return idx, profile
+
+
+@register_query("streaming_ivf_delete_twin")
+def streaming_ivf_delete_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-DELETE twin of ann_ivf_index_delete — the 17th
+    incremental view, and the first over the REMOVAL path: takedown ids
+    arrive as a stream, each epoch's tombstones commit exactly-once and
+    are serving-effective immediately, and the drain's guarded reclaim
+    converges to the offline delete's index. Shares
+    ann_ivf_index_delete's oracle VERBATIM."""
+    return _ivf_delete_run(spark, sf_dir, n_files=3)[1]
+
+
+assert "ann_ivf_index_delete" in _OR, "offline IVF delete oracle missing"
+_OR["streaming_ivf_delete_twin"] = _OR["ann_ivf_index_delete"]

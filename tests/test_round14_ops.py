@@ -367,3 +367,20 @@ def test_lsh_delete_logical_equals_physical_serving(spark):
     assert not any(r[0] in dead or r[1] in dead for r in physical), (
         "tombstoned doc still served"
     )
+
+
+def test_streaming_delete_twin_cut_invariant_and_offline_equal(spark):
+    """Takedowns arriving as a stream must converge to the offline
+    delete+reclaim exactly, regardless of how the tombstone feed is cut,
+    and mid-protocol the index must never serve a committed takedown."""
+    from kasper_spark.operators.streaming_twins import _ivf_delete_run
+
+    idx2, prof2 = _ivf_delete_run(spark, SF_SMOKE, 2)
+    idx5, prof5 = _ivf_delete_run(spark, SF_SMOKE, 5)
+    a = sorted(map(tuple, prof2.collect()))
+    b = sorted(map(tuple, prof5.collect()))
+    assert a == b and a, "delete twin not cut-invariant"
+    offline = sorted(
+        map(tuple, QUERIES["ann_ivf_index_delete"](spark, SF_SMOKE).collect())
+    )
+    assert a == offline, "streamed takedowns diverged from offline delete"
