@@ -146,6 +146,14 @@ HEADLINE = [
     "lsh_neardup_search_only",     # near-dup lookup from the on-disk index
     "ann_ivf_pq_residual_index_build",  # residual encode+add (pay-once)
     "ann_ivf_pq_residual_search_only",  # residual ADC serving from disk
+    # round-14 additions (new keys set their baseline this round): the
+    # index lifecycle's maintenance costs, benched like any query — a
+    # production vector store pays these per cycle, not per search.
+    "ann_ivf_index_delete",        # tombstone + guarded reclaim (1.6x @10x)
+    "ivf_list_skew_audit",         # per-list load profile + skew trigger
+    "ann_ivf_split_search_only",   # storage split + equal-budget serving
+    "lsh_index_delete",            # takedown reclaim on the near-dup index
+    "equidepth_histogram_hist",    # histogram-domain equi-depth (no sort)
 ]
 
 
