@@ -4276,17 +4276,26 @@ _SPLIT_MAP = "split_map"
 
 
 def _copy_ivf_index(
-    spark: SparkSession, sf_dir: str, prefix: str, ensure=None
+    spark: SparkSession, sf_dir: str, prefix: str, ensure=None, parts=None
 ) -> str:
-    """Work-dir copy of the ensured index (default: the coarse IVF —
-    centroids + assignments + marker) for a maintenance query to mutate."""
+    """Work-dir copy of the ensured index for a maintenance query to
+    mutate. Copies ONLY the named artifacts (default: the coarse IVF's
+    centroids + assignments + marker) — the shared fingerprint dir may
+    also hold PQ/residual artifacts other queries ensured, which a
+    coarse-only maintenance pass must neither pay to copy nor mutate."""
     import shutil as _shutil
     import tempfile as _tmp
 
     real = (ensure or _ensure_ivf_index)(spark, sf_dir)
     work = _tmp.mkdtemp(prefix=prefix)
     idx = _os.path.join(work, "index")
-    _shutil.copytree(real, idx)
+    _os.makedirs(idx)
+    for part in parts or ("centroids", "assignments", _IVF_MARKER):
+        src = _os.path.join(real, part)
+        if _os.path.isdir(src):
+            _shutil.copytree(src, _os.path.join(idx, part))
+        else:
+            _shutil.copyfile(src, _os.path.join(idx, part))
     return idx
 
 
@@ -4539,7 +4548,18 @@ def ann_ivf_pq_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram read BACK from the reclaimed codes; the codebook is
     untouched (deletes must never silently retrain the quantizer)."""
     idx = _copy_ivf_index(
-        spark, sf_dir, "kasper-pqdel-", ensure=_ensure_ivf_pq_index
+        spark,
+        sf_dir,
+        "kasper-pqdel-",
+        ensure=_ensure_ivf_pq_index,
+        parts=(
+            "centroids",
+            "assignments",
+            "pq_codebook",
+            "pq_codes",
+            _IVF_MARKER,
+            _PQ_MARKER,
+        ),
     )
     (
         spark.read.parquet(_os.path.join(idx, "assignments"))
