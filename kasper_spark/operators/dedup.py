@@ -3219,6 +3219,7 @@ def lsh_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     document's signature depends only on its own text, so deleting docs
     must change nothing else (the oracle re-derives the full banding
     chain minus the deleted ids)."""
+    import atexit
     import os
     import shutil
     import tempfile
@@ -3227,6 +3228,9 @@ def lsh_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     real = _ensure_lsh_index(spark, sf_dir)
     work = tempfile.mkdtemp(prefix="kasper-lshdel-")
+    # the returned profile lazily re-scans the work copy — exit-scoped
+    # cleanup, the twins' _workdir discipline
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
     idx = os.path.join(work, "index")
     shutil.copytree(real, idx)
     (

@@ -4283,11 +4283,15 @@ def _copy_ivf_index(
     centroids + assignments + marker) — the shared fingerprint dir may
     also hold PQ/residual artifacts other queries ensured, which a
     coarse-only maintenance pass must neither pay to copy nor mutate."""
+    import atexit as _atexit
     import shutil as _shutil
     import tempfile as _tmp
 
     real = (ensure or _ensure_ivf_index)(spark, sf_dir)
     work = _tmp.mkdtemp(prefix=prefix)
+    # returned DataFrames lazily re-scan the work copy, so removal waits
+    # for interpreter exit (the streaming twins' _workdir discipline)
+    _atexit.register(_shutil.rmtree, work, ignore_errors=True)
     idx = _os.path.join(work, "index")
     _os.makedirs(idx)
     for part in parts or ("centroids", "assignments", _IVF_MARKER):
