@@ -384,3 +384,82 @@ def test_streaming_delete_twin_cut_invariant_and_offline_equal(spark):
         map(tuple, QUERIES["ann_ivf_index_delete"](spark, SF_SMOKE).collect())
     )
     assert a == offline, "streamed takedowns diverged from offline delete"
+
+
+def test_equidepth_hist_form_matches_window_under_ties(spark):
+    """The closed-form NTILE rank-range fold must equal the window
+    NTILE(10) on adversarial shapes the orders data never reaches: heavy
+    ties spanning bucket edges, n < k (empty buckets), one distinct
+    value, and n == 1. Exercised through the same arithmetic the
+    registered query uses, over a synthetic value column."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    cases = [
+        [5] * 37,                                # one value, ties cross all edges
+        [1, 1, 1, 2],                            # n < k: empty buckets
+        [7],                                     # n == 1
+        [1] * 9 + [2] * 9 + [3] * 9 + [4] * 6,   # tie groups vs 10 buckets
+        list(range(100)) + [50] * 23,            # mixed uniques + one hot value
+    ]
+    for vals in cases:
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "k long, v long"
+        )
+        tiled = df.select(
+            "v", F.ntile(10).over(Window.orderBy("v", "k")).alias("bucket")
+        )
+        want = sorted(
+            map(
+                tuple,
+                tiled.groupBy("bucket")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.min("v").alias("lo"),
+                    F.max("v").alias("hi"),
+                )
+                .select(F.col("bucket").cast("long"), "n", "lo", "hi")
+                .collect(),
+            )
+        )
+        hist = df.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+        w_before = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+        cum = hist.select(
+            "v",
+            "c",
+            F.coalesce(F.sum("c").over(w_before), F.lit(0)).cast("long").alias("b"),
+            F.sum("c").over(Window.partitionBy()).cast("long").alias("_n"),
+        )
+        bucket_of = (
+            "CASE WHEN {i} <= _r * (_q + 1)"
+            "     THEN ({i} - 1) div (_q + 1) + 1"
+            "     ELSE _r + ({i} - _r * (_q + 1) - 1) div _q + 1 END"
+        )
+        spanned = (
+            cum.withColumn("_q", F.expr("_n div 10"))
+            .withColumn("_r", F.expr("_n % 10"))
+            .withColumn("_first", F.expr(bucket_of.format(i="(b + 1)")))
+            .withColumn("_last", F.expr(bucket_of.format(i="(b + c)")))
+            .withColumn("bucket", F.explode(F.sequence("_first", "_last")))
+            .withColumn(
+                "_lo_rank", F.expr("(bucket - 1) * _q + least(bucket - 1, _r) + 1")
+            )
+            .withColumn("_hi_rank", F.expr("bucket * _q + least(bucket, _r)"))
+            .withColumn(
+                "_ov",
+                F.expr("least(_hi_rank, b + c) - greatest(_lo_rank, b + 1) + 1"),
+            )
+        )
+        got = sorted(
+            map(
+                tuple,
+                spanned.groupBy(F.col("bucket").cast("long").alias("bucket"))
+                .agg(
+                    F.sum("_ov").cast("long").alias("n"),
+                    F.min("v").alias("lo"),
+                    F.max("v").alias("hi"),
+                )
+                .collect(),
+            )
+        )
+        assert got == want, f"divergence on case {vals[:6]}... (n={len(vals)})"
