@@ -3768,7 +3768,11 @@ def streaming_msprt_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_append_run(
-    spark: SparkSession, sf_dir: str, n_files: int
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int,
+    fault=None,
+    retries: int = 0,
 ) -> tuple[str, DataFrame]:
     """Seed a WORK-DIR copy of the persisted scaled-K IVF index with the
     first half of the corpus, then stream the remaining vectors through
@@ -3780,6 +3784,14 @@ def _ivf_append_run(
     retrains (assignment is embarrassingly incremental; only training is
     offline). Returns (work index dir, per-list size profile read back
     from the maintained index).
+
+    ``fault(epoch_id, point)`` is a crash-injection hook for the
+    exactly-once tests: it is called at the three commit points
+    ("staged", "adopted", "recorded"); raising there kills the stream
+    mid-epoch, and the run restarts it from the SAME checkpoint up to
+    ``retries`` times — Spark re-executes the failed epoch with the same
+    epoch_id, which is precisely the re-execution the EpochLog protocol
+    must absorb without duplicating a row.
 
     Cut-invariance: each vector's list depends only on the vector and
     the static centroids, and appends commute, so the final on-disk
@@ -3865,8 +3877,14 @@ def _ivf_append_run(
                 .partitionBy("cluster_id")
                 .parquet(stage)
             )
+            if fault is not None:
+                fault(epoch_id, "staged")
             _cat.adopt_staged(stage, assignments, epoch_id)
+            if fault is not None:
+                fault(epoch_id, "adopted")
             log.record(epoch_id, n=n_new)
+            if fault is not None:
+                fault(epoch_id, "recorded")
             m = _ivf_index_meta(idx)
             _ivf_marker_write(
                 idx, n=log.total("n"), k=m["k"], train_n=m["train_n"]
@@ -3874,13 +3892,21 @@ def _ivf_append_run(
         finally:
             out.unpersist()
 
-    q = (
-        stream.writeStream.foreachBatch(append_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    attempts = 0
+    while True:
+        q = (
+            stream.writeStream.foreachBatch(append_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+            break
+        except Exception:
+            attempts += 1
+            if attempts > retries:
+                raise
     profile = (
         spark.read.parquet(assignments)
         .groupBy(F.col("cluster_id").cast("bigint").alias("cluster_id"))

@@ -463,3 +463,38 @@ def test_equidepth_hist_form_matches_window_under_ties(spark):
             )
         )
         assert got == want, f"divergence on case {vals[:6]}... (n={len(vals)})"
+
+
+def test_append_twin_survives_crash_replay_at_every_commit_point(spark):
+    """END-TO-END exactly-once: kill the stream mid-epoch at each of the
+    three commit points (staged / adopted / recorded) and let Structured
+    Streaming re-execute the epoch from the SAME checkpoint. The final
+    index must be row-identical to a clean run — zero duplicates, zero
+    losses — and the marker's n must equal the rows on disk."""
+    from pyspark.sql import functions as F
+
+    from kasper_spark.operators import similarity as S
+    from kasper_spark.operators.streaming_twins import _ivf_append_run
+
+    fired: set = set()
+
+    def fault(epoch_id: int, point: str) -> None:
+        if point not in fired:
+            fired.add(point)
+            raise RuntimeError(f"injected crash at {point} (epoch {epoch_id})")
+
+    idx, prof = _ivf_append_run(spark, SF_SMOKE, 4, fault=fault, retries=3)
+    assert fired == {"staged", "adopted", "recorded"}, fired
+    crashed = sorted(map(tuple, prof.collect()))
+    clean = sorted(
+        map(tuple, _ivf_append_run(spark, SF_SMOKE, 4)[1].collect())
+    )
+    assert crashed == clean, "crash-replay run diverged from clean run"
+    rows = (
+        spark.read.parquet(S._os.path.join(idx, "assignments"))
+        .select("vec_id")
+        .collect()
+    )
+    ids = [r["vec_id"] for r in rows]
+    assert len(ids) == len(set(ids)), "replay duplicated vectors"
+    assert S._ivf_index_meta(idx)["n"] == len(ids), "marker n out of step"
