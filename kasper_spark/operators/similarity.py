@@ -1977,15 +1977,15 @@ def _search_persisted_index(
         .collect()
     )
     probe_pairs = {(r["query_id"], r["cluster_id"]) for r in probe_rows}
-    if _glob.glob(_os.path.join(idx, _SPLIT_MAP, "*.parquet")):
+    split_pairs = _split_map_read(idx)
+    if split_pairs:
         # expand each probed parent through the split-map to its
         # sub-lists (transitively — a sub-list may itself split later).
-        # The map is |splits| rows, bounded by maintenance cadence, so
-        # collecting it is the same bounded-probe move as the routing
-        # table itself; equal budget, identical candidates.
+        # The map is |splits| rows of driver-side routing metadata;
+        # equal budget, identical candidates.
         kids: dict[int, list[int]] = {}
-        for r in spark.read.parquet(_os.path.join(idx, _SPLIT_MAP)).collect():
-            kids.setdefault(int(r["parent"]), []).append(int(r["child"]))
+        for parent, child in split_pairs:
+            kids.setdefault(int(parent), []).append(int(child))
         frontier = list(probe_pairs)
         while frontier:
             q, cid = frontier.pop()
@@ -4272,7 +4272,31 @@ def mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DELETE_MOD = 7
 _DELETE_REM = 3
 _TOMBSTONES = "tombstones"
-_SPLIT_MAP = "split_map"
+# The split-map is |splits| rows of driver-bounded routing METADATA, so it
+# lives as an atomically-replaced JSON file next to the markers — not a
+# Spark table (a table write/read costs two jobs per maintenance cycle
+# for data that never leaves the driver).
+_SPLIT_MAP = "split_map.json"
+
+
+def _split_map_read(idx: str) -> list[list[int]]:
+    import json as _json
+
+    p = _os.path.join(idx, _SPLIT_MAP)
+    if not _os.path.exists(p):
+        return []
+    with open(p) as f:
+        return _json.load(f)
+
+
+def _split_map_append(idx: str, parent: int, child: int) -> None:
+    import json as _json
+
+    pairs = _split_map_read(idx) + [[parent, child]]
+    tmp = _os.path.join(idx, _SPLIT_MAP + ".tmp")
+    with open(tmp, "w") as f:
+        _json.dump(pairs, f)
+    _os.replace(tmp, _os.path.join(idx, _SPLIT_MAP))
 
 
 def _copy_ivf_index(
@@ -4497,14 +4521,7 @@ def _ivf_split_largest_list(spark: SparkSession, idx: str) -> tuple[int, int]:
         _shutil.rmtree(_os.path.join(assignments, f"cluster_id={parent}"))
         _cat.adopt_staged(stage, assignments, f"split-{parent}")
         _shutil.rmtree(stage, ignore_errors=True)
-        (
-            spark.createDataFrame(
-                [(parent, child)], "parent long, child long"
-            )
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(_os.path.join(idx, _SPLIT_MAP))
-        )
+        _split_map_append(idx, parent, child)
     return parent, child
 
 
