@@ -4409,3 +4409,35 @@ def streaming_ivf_delete_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 assert "ann_ivf_index_delete" in _OR, "offline IVF delete oracle missing"
 _OR["streaming_ivf_delete_twin"] = _OR["ann_ivf_index_delete"]
+
+
+@register_query("ivf_index_compact_maintenance")
+def ivf_index_compact_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPACTION leg of the maintenance loop, driver-certified: run
+    the streamed index append (5 epochs — one part-file per touched list
+    per epoch, the exact small-files accretion a long-running maintained
+    index suffers), then compact every multi-file inverted list in place
+    (maintenance.compact_index_partitions — marker-guarded rename-swap),
+    and return the per-list profile read back from the COMPACTED lists.
+    Shares ann_ivf_index_build's oracle VERBATIM: a green row certifies
+    that compaction preserved every row of a streamed-into index while
+    collapsing its epoch fragments (file-count reduction is asserted in
+    tests/test_round13_ops.py; this query pins the row identity under
+    the driver's hash gate). With this, all four maintenance verbs —
+    append, delete, split, compact — are hash-certified."""
+    from kasper_spark.maintenance import compact_index_partitions
+
+    idx, _ = _ivf_append_run(spark, sf_dir, n_files=5)
+    compact_index_partitions(
+        spark, os.path.join(idx, "assignments"), target_bytes=64 * 1024 * 1024
+    )
+    return (
+        spark.read.parquet(os.path.join(idx, "assignments"))
+        .groupBy(F.col("cluster_id").cast("bigint").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("cluster_id")
+    )
+
+
+assert "ann_ivf_index_build" in _OR
+_OR["ivf_index_compact_maintenance"] = _OR["ann_ivf_index_build"]

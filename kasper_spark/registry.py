@@ -60,9 +60,9 @@ def load_all_operators() -> None:
 # ROUND-14 EVIDENCE: every name below passed the local oracle sweep
 # (tools/bare_sweep.py, bare session, foreign cwd) at sf0.01 before this
 # rotation landed; the full pytest suite is green.
-# Window arithmetic: 7 new + 16 changed + 5 r05 + 22 r06 = 50.
+# Window arithmetic: 8 new + 16 changed + 5 r05 + 21 r06 = 50.
 # r15 queue (oldest evidence after this round, from the CORRECTNESS_r*
-# history): the 14 remaining r06 names (quality_score, setop_except, setop_except_all,
+# history): the 15 remaining r06 names (quality_score, ann_lsh_topk, setop_except, setop_except_all,
 # setop_intersect, setop_intersect_all, setop_union,
 # simhash_fingerprints, streaming_tws_count_twin, text_stats,
 # token_count_regex, triangle_clustering_coeff, window_rank_functions,
@@ -72,7 +72,7 @@ def load_all_operators() -> None:
 # bucketed_join_no_shuffle, cc_lsh_graph, csv_roundtrip_nation,
 # events_by_day, events_sliding_1h_15m, events_tumbling_1h, ...).
 DRIVER_SAMPLE_PRIORITY: list[str] = [
-    # -- 0. NEW this round (7):
+    # -- 0. NEW this round (8):
     # the index lifecycle closes: deletes + skew audit + storage split
     # (r13 verdict ticket #3)
     "ann_ivf_index_delete",
@@ -84,6 +84,8 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "equidepth_histogram_hist",
     # takedown ids arriving as a stream — the 17th incremental view
     "streaming_ivf_delete_twin",
+    # compaction under the hash gate: all four maintenance verbs certified
+    "ivf_index_compact_maintenance",
     # -- 1. CHANGED this round (16; implementation text changed, each
     #       must earn a fresh hash-green row):
     # exactly-once epoch protocol + per-epoch parallelization + the LSH
@@ -117,9 +119,9 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "winnowing_fingerprints",
     "dedup_incremental_new_vs_base",
     "cluster_lang_purity",
-    # -- 3. The r06 cohort head (22 of 36; newest evidence r06), in the
-    #       queued order (quality_score displaced to the r15 queue by
-    #       the streaming delete twin):
+    # -- 3. The r06 cohort head (21 of 36; newest evidence r06), in the
+    #       queued order (quality_score and ann_lsh_topk displaced to the
+    #       r15 queue by the delete twin and the compaction query):
     "ann_bruteforce_topk",
     "deterministic_split",
     "doc_fingerprint",
@@ -140,7 +142,6 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "q9_product_profit",
     "q18_large_orders",
     "q21_waiting_suppliers",
-    "ann_lsh_topk",
     "simhash_md5_certified",
 ]
 
