@@ -196,6 +196,115 @@ def adopt_staged(staged_root: str, table_root: str, epoch_id: int | str) -> int:
     return moved
 
 
+# Broadcast budget for the accumulated tombstone set. The serving
+# anti-join and the reclaim pass WANT the delete side broadcast (it is
+# normally tiny next to the corpus), but "small" must be measured, not
+# assumed: at the 100 TB scale these docstrings claim, an unbounded
+# accumulated delete set broadcast to every executor is an OOM, not an
+# optimization (ADVICE r14). Under the cap we broadcast; over it we hand
+# the join to the planner (AQE picks shuffle/broadcast from real sizes).
+BROADCAST_TOMBSTONE_BYTES = 64 * 1024 * 1024
+
+
+def tombstones_side(spark, tomb_dir: str, key_col: str):
+    """The tombstone DataFrame for an anti-join, broadcast only while the
+    on-disk delete set fits the broadcast budget. Returns None when there
+    are no tombstone files (callers skip the join entirely)."""
+    files = glob.glob(os.path.join(tomb_dir, "*.parquet"))
+    if not files:
+        return None
+    from pyspark.sql import functions as F
+
+    dead = spark.read.parquet(tomb_dir).select(key_col)
+    if sum(os.path.getsize(f) for f in files) <= BROADCAST_TOMBSTONE_BYTES:
+        return F.broadcast(dead)
+    return dead
+
+
+def fold_pending_epochs(
+    spark,
+    pending_dir: str,
+    table_root: str,
+    pcols: list[str],
+    log: "EpochLog",
+    group_size: int = 1,
+    final: bool = False,
+    fault=None,
+) -> list[int]:
+    """Fold a maintained index's flat LSM pending tail into its
+    partitioned table layout, one DETERMINISTIC EPOCH GROUP at a time,
+    each fold committed in the EpochLog — SELF-HEALING at every crash
+    point, so recovery is re-running the fold, never a rebuild (r14
+    verdict ticket #5; ADVICE r14 flagged the double-adopt window in the
+    tag-per-trigger form):
+
+    - an epoch belongs to group ``epoch_id // group_size`` — a pure
+      function of the epoch id, so a group's pending-file set can never
+      differ between a crashed fold and its retry (the failure mode of
+      tagging folds by trigger: a later fold saw MORE files and
+      re-adopted the earlier rows under a different tag);
+    - fold targets are deterministic PER GROUP (``adopt_staged`` under
+      tag ``fold-<table>-g<group>``), so a replayed fold overwrites its
+      own files instead of duplicating them;
+    - the fold record lands (atomically, via EpochLog.record) only after
+      adoption, so a crash before it re-runs the same idempotent fold;
+    - pending files are removed only after the record exists, so a crash
+      between record and removal just re-removes — never re-adopts.
+
+    Complete groups (``group_size`` epochs present) always fold; the
+    trailing partial group folds only when ``final=True`` (the drain
+    call — after which no epoch can ever join it, keeping its file set
+    deterministic too). ``fault(point, group_id)`` is the
+    crash-injection hook, called at the three per-group commit points
+    ("staged", "adopted", "recorded").
+
+    Returns the group ids folded (committed-and-cleaned) this call."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    table_tag = os.path.basename(table_root.rstrip("/"))
+    by_group: dict[int, dict[int, list[str]]] = {}
+    for f in glob.glob(os.path.join(pending_dir, "epoch-*.parquet")):
+        m = re.match(r"^epoch-(\d+)-\d+\.parquet$", os.path.basename(f))
+        if not m:
+            continue
+        eid = int(m.group(1))
+        by_group.setdefault(eid // group_size, {}).setdefault(eid, []).append(f)
+    folded: list[int] = []
+    for gid in sorted(by_group):
+        epochs = by_group[gid]
+        if len(epochs) < group_size and not final:
+            continue  # trailing partial group: only the drain folds it
+        gfiles = sorted(f for files in epochs.values() for f in files)
+        tag = f"fold-{table_tag}-g{gid}"
+        if not log.is_committed(tag):
+            stage = tempfile.mkdtemp(prefix="kasper-fold-")
+            try:
+                out = os.path.join(stage, "out")
+                (
+                    spark.read.parquet(*gfiles)
+                    .repartition(*[F.col(c) for c in pcols])
+                    .write.mode("overwrite")
+                    .partitionBy(*pcols)
+                    .parquet(out)
+                )
+                if fault is not None:
+                    fault("staged", gid)
+                adopt_staged(out, table_root, tag)
+                if fault is not None:
+                    fault("adopted", gid)
+            finally:
+                shutil.rmtree(stage, ignore_errors=True)
+            log.record(tag)
+            if fault is not None:
+                fault("recorded", gid)
+        for f in gfiles:
+            os.remove(f)
+        folded.append(gid)
+    return folded
+
+
 def reclaim_tombstones(
     spark,
     idx: str,
@@ -206,31 +315,30 @@ def reclaim_tombstones(
     """Physically rewrite each of an index's tables without the
     tombstoned keys, preserving each table's partition layout, then
     consume the tombstone files. One distributed anti-join pass per
-    table (the tombstone side broadcasts — it is the accumulated delete
-    set, small relative to the corpus by the time a reclaim is
-    scheduled). Returns the kept-row count of the FIRST table (the
-    index's primary membership table, for the caller's marker refresh).
+    table; the tombstone side broadcasts only while it fits the
+    broadcast budget (see tombstones_side — an accumulated delete set
+    past the cap falls back to a planner-chosen join, never an executor
+    OOM). Returns the kept-row count of the FIRST table (the index's
+    primary membership table, for the caller's marker refresh).
 
     MUST run inside guarded_maintenance: the per-table directory swap is
     not atomic across tables, and the marker guard is what makes a crash
     mid-reclaim visible instead of serving lists and codes from
-    different generations. Production gates this on a per-partition
-    tombstone fraction and rewrites only dirty leaves — the plumbing is
-    identical, the predicate is the caller's."""
+    different generations. For the production dirty-leaf form that
+    rewrites only partitions over a tombstone-fraction threshold, see
+    reclaim_tombstones_partial."""
     import shutil
 
     from pyspark.sql import functions as F
 
     tomb_dir = os.path.join(idx, tombstones)
-    if not glob.glob(os.path.join(tomb_dir, "*.parquet")):
+    dead = tombstones_side(spark, tomb_dir, key_col)
+    if dead is None:
         return -1
-    dead = spark.read.parquet(tomb_dir).select(key_col)
     n_first = -1
     for t, pcols in tables.items():
         src = os.path.join(idx, t)
-        kept = spark.read.parquet(src).join(
-            F.broadcast(dead), key_col, "left_anti"
-        )
+        kept = spark.read.parquet(src).join(dead, key_col, "left_anti")
         tmp = os.path.join(idx, t + ".reclaiming")
         shutil.rmtree(tmp, ignore_errors=True)
         if pcols:
@@ -249,3 +357,99 @@ def reclaim_tombstones(
     for f in glob.glob(os.path.join(tomb_dir, "*.parquet")):
         os.remove(f)
     return n_first
+
+
+def reclaim_tombstones_partial(
+    spark,
+    idx: str,
+    tables: dict[str, list[str]],
+    key_col: str,
+    part_col: str,
+    tombstones: str = "tombstones",
+    min_dead_permille: int = 0,
+) -> tuple[int, list[int]]:
+    """Dirty-leaf reclaim (r14 verdict ticket #6): rewrite ONLY the
+    partitions whose tombstone fraction crosses the threshold; clean
+    leaves keep their files byte-untouched, and their few dead rows stay
+    masked by the serving anti-join (their tombstones are KEPT, not
+    consumed). A leaf is dirty iff ``dead > 0 AND dead * 1000 >=
+    min_dead_permille * total`` — an exact integer gate, so the decision
+    is engine- and float-independent. With threshold 0, every leaf
+    holding at least one tombstone rewrites, which is row-identical to
+    the full reclaim_tombstones pass (pinned in tests).
+
+    Requires the tombstone files to carry ``part_col`` alongside
+    ``key_col``: the delete path reads index membership to find its
+    keys, so the leaf id is free at tombstone-write time — storing it is
+    what lets a 100 TB reclaim locate dirty leaves from the (tiny)
+    tombstone table alone instead of joining the whole index. Per-leaf
+    totals come from one count over the primary table (count aggregates
+    read parquet footers, not data pages).
+
+    MUST run inside guarded_maintenance, same as reclaim_tombstones.
+    Returns (rows_reclaimed, dirty_leaf_values)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    tomb_dir = os.path.join(idx, tombstones)
+    if not glob.glob(os.path.join(tomb_dir, "*.parquet")):
+        return 0, []
+    primary = next(iter(tables))
+    dead_full = spark.read.parquet(tomb_dir)
+    dead_per_leaf = {
+        int(r["p"]): int(r["c"])
+        for r in dead_full.groupBy(F.col(part_col).cast("long").alias("p"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    total_per_leaf = {
+        int(r["p"]): int(r["c"])
+        for r in spark.read.parquet(os.path.join(idx, primary))
+        .groupBy(F.col(part_col).cast("long").alias("p"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    dirty = sorted(
+        p
+        for p, dc in dead_per_leaf.items()
+        if dc > 0
+        and dc * 1000 >= min_dead_permille * total_per_leaf.get(p, 0)
+    )
+    if not dirty:
+        return 0, []
+    dead = tombstones_side(spark, tomb_dir, key_col)
+    reclaimed = sum(dead_per_leaf[p] for p in dirty)
+    for t, pcols in tables.items():
+        src = os.path.join(idx, t)
+        kept = (
+            spark.read.parquet(src)
+            .filter(F.col(part_col).cast("long").isin(dirty))
+            .join(dead, key_col, "left_anti")
+        )
+        tmp = os.path.join(idx, t + ".reclaiming")
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            kept.repartition(*[F.col(c) for c in pcols])
+            .write.mode("overwrite")
+            .partitionBy(*pcols)
+            .parquet(tmp)
+        )
+        # swap ONLY the dirty leaf directories; every other leaf's files
+        # are never opened for write, let alone rewritten
+        for p in dirty:
+            leaf = f"{part_col}={p}"
+            shutil.rmtree(os.path.join(src, leaf), ignore_errors=True)
+            new_leaf = os.path.join(tmp, leaf)
+            if os.path.isdir(new_leaf):
+                os.rename(new_leaf, os.path.join(src, leaf))
+        shutil.rmtree(tmp, ignore_errors=True)
+    # consume only the DIRTY leaves' tombstones — the clean leaves' dead
+    # rows are still on disk and serving still needs their mask
+    keep_tomb = dead_full.filter(~F.col(part_col).cast("long").isin(dirty))
+    tmp = tomb_dir + ".rewriting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    keep_tomb.coalesce(1).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(tomb_dir)
+    os.rename(tmp, tomb_dir)
+    return reclaimed, dirty

@@ -3118,19 +3118,15 @@ def _search_lsh_index(spark: SparkSession, idx: str) -> DataFrame:
     import os
     from functools import reduce
 
+    from kasper_spark import index_catalog as _cat
+
     sigs = _unpack_sig(spark.read.parquet(os.path.join(idx, "sigs")))
-    if glob.glob(os.path.join(idx, _LSH_TOMBSTONES, "*.parquet")):
-        # logical deletes awaiting reclaim: a tombstoned doc can neither
-        # probe nor verify (band rows it left behind die at the sig join)
-        sigs = sigs.join(
-            F.broadcast(
-                spark.read.parquet(
-                    os.path.join(idx, _LSH_TOMBSTONES)
-                ).select("doc_id")
-            ),
-            "doc_id",
-            "left_anti",
-        )
+    # logical deletes awaiting reclaim: a tombstoned doc can neither
+    # probe nor verify (band rows it left behind die at the sig join);
+    # broadcast is size-gated (index_catalog.tombstones_side)
+    dead = _cat.tombstones_side(spark, os.path.join(idx, _LSH_TOMBSTONES), "doc_id")
+    if dead is not None:
+        sigs = sigs.join(dead, "doc_id", "left_anti")
     probe_rows = (
         _band_sigs(sigs.filter(F.col("doc_id") < _LSH_IDX_QUERIES))
         .withColumn(

@@ -1811,6 +1811,12 @@ import os as _os
 from kasper_spark import index_catalog as _cat
 
 _IVF_MARKER = "_KASPER_INDEX_READY"
+# LSM pending tails of the streaming append twins (see
+# streaming_twins._ivf_append_run / _ivf_pq_append_run): epochs land one
+# flat file here; folds move rows into the partitioned layout. Serving
+# unions the bounded tail — absent on an offline-built index.
+_IVF_PENDING = "assignments_pending"
+_PQ_PENDING = "pq_codes_pending"
 
 
 def _ivf_index_dir(sf_dir: str) -> str:
@@ -1871,6 +1877,22 @@ def _ivf_index_meta(idx: str) -> dict:
     its probe parameters from the INDEX it reads instead of re-counting
     the corpus (one fewer scan per search)."""
     return _cat.marker_read_ints(idx, _IVF_MARKER)
+
+
+def _ivf_nprobe(meta: dict) -> int:
+    """Serving probe count for a PERSISTED index, derived from the
+    marker's stored k — the quantizer actually on disk — never re-derived
+    from the marker's (mutable) n. _scaledk_params couples nprobe to k to
+    n only at BUILD time; after a delete/reclaim rewrites the marker with
+    the shrunken n, recomputing k from that n can cross an isqrt boundary
+    and silently change nprobe — making tombstone-phase serving and
+    post-reclaim serving diverge at corpus sizes near a step (ADVICE
+    r14). Deletes never change the list count, so the probe budget keyed
+    to the on-disk k is the invariant one; math.isqrt(k) matches
+    _SCALEDK_NPROBE_SQL exactly at build-time k."""
+    import math
+
+    return max(_IVF_TRAINED_NPROBE, math.isqrt(int(meta["k"])))
 
 
 def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
@@ -1949,20 +1971,33 @@ def _search_persisted_index(
 
     emb = load_table(spark, sf_dir, "embeddings")
     # probe parameters come from the index marker, not a corpus count —
-    # serving must not pay a table scan to learn what the build knew
-    _, _, nprobe = _scaledk_params(_ivf_index_meta(idx)["n"])
+    # serving must not pay a table scan to learn what the build knew;
+    # nprobe keys off the marker's k (see _ivf_nprobe), never its n
+    nprobe = _ivf_nprobe(_ivf_index_meta(idx))
     cent = spark.read.parquet(_os.path.join(idx, "centroids"))
     members = spark.read.parquet(_os.path.join(idx, "assignments"))
-    if _glob.glob(_os.path.join(idx, _TOMBSTONES, "*.parquet")):
-        members = members.join(
-            F.broadcast(
-                spark.read.parquet(_os.path.join(idx, _TOMBSTONES)).select(
-                    "vec_id"
+    if _glob.glob(_os.path.join(idx, _IVF_PENDING, "*.parquet")):
+        # LSM tail under streaming maintenance: rows committed since the
+        # last fold serve from the flat pending files (memtable-over-
+        # SSTable); dropDuplicates heals the one crash window where an
+        # epoch sits both in a partially-adopted fold and in the tail.
+        members = (
+            members.select(
+                "vec_id", F.col("cluster_id").cast("long").alias("cluster_id")
+            )
+            .unionByName(
+                spark.read.parquet(_os.path.join(idx, _IVF_PENDING)).select(
+                    "vec_id",
+                    F.col("cluster_id").cast("long").alias("cluster_id"),
                 )
-            ),
-            "vec_id",
-            "left_anti",
+            )
+            .dropDuplicates(["vec_id"])
         )
+    # logical deletes awaiting reclaim: anti-join them out (broadcast
+    # only while the delete set fits the budget — index_catalog's gate)
+    dead = _cat.tombstones_side(spark, _os.path.join(idx, _TOMBSTONES), "vec_id")
+    if dead is not None:
+        members = members.join(dead, "vec_id", "left_anti")
     # The probe routing is a |Q| x nprobe table — BOUNDED at <= 20 * sqrt(K)
     # rows by construction, never O(data) — so collecting it is the
     # serving move, not a scale leak: the literal list-id filter below is
@@ -2847,8 +2882,9 @@ def _search_pq_persisted_index(
     dir — shared with the streaming PQ-append twin's mid-stream serving
     check."""
     emb = load_table(spark, sf_dir, "embeddings")
-    # probe parameters from the index marker — serving pays no corpus scan
-    _, _, nprobe = _scaledk_params(_ivf_index_meta(idx)["n"])
+    # probe parameters from the index marker — serving pays no corpus
+    # scan, and nprobe keys off the stored k (see _ivf_nprobe), not n
+    nprobe = _ivf_nprobe(_ivf_index_meta(idx))
     cent = spark.read.parquet(_os.path.join(idx, "centroids"))
     probe_rows = (
         _assign_rows_scan(emb.filter(F.col("vec_id") < _N_QUERY), cent, nprobe)
@@ -2860,9 +2896,26 @@ def _search_pq_persisted_index(
         [(r["query_id"], r["cluster_id"]) for r in probe_rows],
         "query_id long, cluster_id long",
     )
+    import glob as _glob
+
     codebook = spark.read.parquet(_os.path.join(idx, "pq_codebook"))
     lut = _pq_lut(emb, codebook)
     codes = spark.read.parquet(_os.path.join(idx, "pq_codes"))
+    if _glob.glob(_os.path.join(idx, _PQ_PENDING, "*.parquet")):
+        # LSM tail under streaming maintenance (see _search_persisted_index)
+        codes = (
+            codes.select(
+                "vec_id", "codes",
+                F.col("cluster_id").cast("long").alias("cluster_id"),
+            )
+            .unionByName(
+                spark.read.parquet(_os.path.join(idx, _PQ_PENDING)).select(
+                    "vec_id", "codes",
+                    F.col("cluster_id").cast("long").alias("cluster_id"),
+                )
+            )
+            .dropDuplicates(["vec_id"])
+        )
     cand_codes = (
         codes.filter(F.col("cluster_id").isin(probed_lists))
         .join(F.broadcast(probe), "cluster_id")

@@ -3773,17 +3773,23 @@ def _ivf_append_run(
     n_files: int,
     fault=None,
     retries: int = 0,
+    fold_every: int = 4,
 ) -> tuple[str, DataFrame]:
     """Seed a WORK-DIR copy of the persisted scaled-K IVF index with the
     first half of the corpus, then stream the remaining vectors through
     availableNow micro-batches: each epoch assigns its arrivals against
     the on-disk centroids (the same read-back quantizer the offline
-    build certifies against) and APPENDS them to the correct inverted
-    list directories, then atomically refreshes the marker's n — exactly
-    how a production vector store keeps an IVF index current between
-    retrains (assignment is embarrassingly incremental; only training is
-    offline). Returns (work index dir, per-list size profile read back
-    from the maintained index).
+    build certifies against), lands them as ONE flat file in the LSM
+    pending tail (r14 verdict ticket #4 — the LSH twin's proven shape:
+    no K-directory committer round per epoch), and atomically refreshes
+    the marker's n; the log-gated group fold moves the tail into the
+    partitioned inverted lists every ``fold_every`` epochs and at drain
+    (self-healing — index_catalog.fold_pending_epochs), while serving
+    unions the bounded tail — exactly how a production vector store
+    keeps an IVF index current between retrains (assignment is
+    embarrassingly incremental; only training is offline). Returns
+    (work index dir, per-list size profile read back from the
+    maintained index).
 
     ``fault(epoch_id, point)`` is a crash-injection hook for the
     exactly-once tests: it is called at the three commit points
@@ -3803,6 +3809,7 @@ def _ivf_append_run(
     (tests/test_round13_ops.py)."""
     from kasper_spark.catalog import load_table
     from kasper_spark.operators.similarity import (
+        _IVF_PENDING,
         _assign_rows_scan_np,
         _ensure_ivf_index,
         _ivf_index_meta,
@@ -3832,6 +3839,8 @@ def _ivf_append_run(
     _ivf_marker_write(idx, n=split, k=meta["k"], train_n=meta["train_n"])
     log = _cat.EpochLog(idx)
     log.set_base(n=split)
+    pending = os.path.join(idx, _IVF_PENDING)
+    os.makedirs(pending, exist_ok=True)
 
     emb = load_table(spark, sf_dir, "embeddings")
     src_dir = os.path.join(work, "src")
@@ -3870,16 +3879,23 @@ def _ivf_append_run(
             .persist()
         )
         try:
+            # LSM append shape (r14 verdict ticket #4 — the LSH twin's
+            # proven fix applied here): the epoch lands as ONE flat file
+            # in the pending tail — no K-directory committer round per
+            # epoch — and the log-gated group fold moves the tail into
+            # the partitioned inverted lists every fold_every epochs and
+            # at drain. The parallel count materializes the cache before
+            # the single-file staging write (coalesce(1) would otherwise
+            # pull the assignment scan into one task).
             n_new = out.count()
             (
-                out.repartition(F.col("cluster_id"))
+                out.coalesce(1)
                 .write.mode("overwrite")
-                .partitionBy("cluster_id")
                 .parquet(stage)
             )
             if fault is not None:
                 fault(epoch_id, "staged")
-            _cat.adopt_staged(stage, assignments, epoch_id)
+            _cat.adopt_staged(stage, pending, epoch_id)
             if fault is not None:
                 fault(epoch_id, "adopted")
             log.record(epoch_id, n=n_new)
@@ -3891,6 +3907,11 @@ def _ivf_append_run(
             )
         finally:
             out.unpersist()
+        if (epoch_id + 1) % fold_every == 0:
+            _cat.fold_pending_epochs(
+                spark, pending, assignments, ["cluster_id"], log,
+                group_size=fold_every,
+            )
 
     attempts = 0
     while True:
@@ -3907,6 +3928,20 @@ def _ivf_append_run(
             attempts += 1
             if attempts > retries:
                 raise
+    # Drain: fold the trailing pending group into the partitioned lists
+    # (a crashed mid-stream fold also self-heals here — the group fold is
+    # log-gated and idempotent), then reconcile the marker once from the
+    # committed epoch log: a crash between log.record and the marker
+    # refresh on the FINAL epoch replays into the is_committed skip,
+    # which never rewrites the marker — without this, marker n stays
+    # permanently behind the rows on disk (ADVICE r14). total() is
+    # replay-safe by construction.
+    _cat.fold_pending_epochs(
+        spark, pending, assignments, ["cluster_id"], log,
+        group_size=fold_every, final=True,
+    )
+    m = _ivf_index_meta(idx)
+    _ivf_marker_write(idx, n=log.total("n"), k=m["k"], train_n=m["train_n"])
     profile = (
         spark.read.parquet(assignments)
         .groupBy(F.col("cluster_id").cast("bigint").alias("cluster_id"))
@@ -3952,7 +3987,7 @@ _OR["streaming_session_apws_twin"] = _OR["streaming_session_window_twin"]
 
 
 def _ivf_pq_append_run(
-    spark: SparkSession, sf_dir: str, n_files: int
+    spark: SparkSession, sf_dir: str, n_files: int, fold_every: int = 4
 ) -> tuple[str, DataFrame]:
     """The FULL IVF-PQ index maintained at ingest: seed a work-dir index
     with the persisted centroids + codebook and the first half's
@@ -3960,8 +3995,12 @@ def _ivf_pq_append_run(
     each epoch routes arrivals to their coarse list (_assign_rows_scan),
     encodes their PQ codes against the ON-DISK codebook (_pq_encode over
     the read-back quantizer — the build's consistency discipline), and
-    appends BOTH artifacts into the partitioned list directories with an
-    atomic marker/n refresh. Returns (work index dir, per-(subspace,
+    lands BOTH artifacts as one flat file each in their LSM pending
+    tails with an atomic marker/n refresh; the log-gated group folds
+    (index_catalog.fold_pending_epochs — self-healing, r14 verdict
+    tickets #4/#5) move the tails into the partitioned list directories
+    every ``fold_every`` epochs and at drain, and ADC serving unions the
+    bounded codes tail. Returns (work index dir, per-(subspace,
     codeword) histogram read back from the maintained codes).
 
     Same cut-invariance argument as _ivf_append_run (assignment and
@@ -3971,7 +4010,9 @@ def _ivf_pq_append_run(
     mid-stream over exactly the ingested prefix."""
     from kasper_spark.catalog import load_table
     from kasper_spark.operators.similarity import (
+        _IVF_PENDING,
         _PQ_MARKER,
+        _PQ_PENDING,
         _assign_rows_scan_np,
         _codes_array,
         _ensure_ivf_pq_index,
@@ -4007,6 +4048,10 @@ def _ivf_pq_append_run(
     )
     log = _cat.EpochLog(idx)
     log.set_base(n=split)
+    pend_assign = os.path.join(idx, _IVF_PENDING)
+    pend_codes = os.path.join(idx, _PQ_PENDING)
+    os.makedirs(pend_assign, exist_ok=True)
+    os.makedirs(pend_codes, exist_ok=True)
 
     emb = load_table(spark, sf_dir, "embeddings")
     src_dir = os.path.join(work, "src")
@@ -4046,25 +4091,36 @@ def _ivf_pq_append_run(
             .persist()
         )
         try:
+            # LSM append shape (r14 verdict ticket #4): each artifact
+            # lands as ONE flat file in its pending tail; the parallel
+            # count materializes the cache before the single-file
+            # staging writes (the coalesce(1) discipline).
             n_new = routed.count()
             (
-                routed.repartition(F.col("cluster_id"))
+                routed.coalesce(1)
                 .write.mode("overwrite")
-                .partitionBy("cluster_id")
                 .parquet(os.path.join(stage, "assignments"))
             )
-            (
+            codes = (
                 _codes_array(_pq_encode_np(df, codebook))
                 .join(routed, "vec_id")
-                .repartition(F.col("cluster_id"))
-                .write.mode("overwrite")
-                .partitionBy("cluster_id")
-                .parquet(os.path.join(stage, "pq_codes"))
+                .persist()
             )
-            for d in ("assignments", "pq_codes"):
-                _cat.adopt_staged(
-                    os.path.join(stage, d), os.path.join(idx, d), epoch_id
+            try:
+                codes.count()
+                (
+                    codes.coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(stage, "pq_codes"))
                 )
+            finally:
+                codes.unpersist()
+            _cat.adopt_staged(
+                os.path.join(stage, "assignments"), pend_assign, epoch_id
+            )
+            _cat.adopt_staged(
+                os.path.join(stage, "pq_codes"), pend_codes, epoch_id
+            )
             log.record(epoch_id, n=n_new)
             m = _ivf_index_meta(idx)
             _ivf_marker_write(
@@ -4072,6 +4128,15 @@ def _ivf_pq_append_run(
             )
         finally:
             routed.unpersist()
+        if (epoch_id + 1) % fold_every == 0:
+            for pend, table in (
+                (pend_assign, "assignments"),
+                (pend_codes, "pq_codes"),
+            ):
+                _cat.fold_pending_epochs(
+                    spark, pend, os.path.join(idx, table), ["cluster_id"],
+                    log, group_size=fold_every,
+                )
 
     q = (
         stream.writeStream.foreachBatch(append_batch)
@@ -4080,6 +4145,19 @@ def _ivf_pq_append_run(
         .start()
     )
     q.awaitTermination()
+    # drain: fold the trailing pending groups (self-healing), then the
+    # marker reconcile from the epoch log — the final-epoch crash-replay
+    # heal (ADVICE r14; see _ivf_append_run)
+    for pend, table in (
+        (pend_assign, "assignments"),
+        (pend_codes, "pq_codes"),
+    ):
+        _cat.fold_pending_epochs(
+            spark, pend, os.path.join(idx, table), ["cluster_id"],
+            log, group_size=fold_every, final=True,
+        )
+    m = _ivf_index_meta(idx)
+    _ivf_marker_write(idx, n=log.total("n"), k=m["k"], train_n=m["train_n"])
     profile = (
         spark.read.parquet(os.path.join(idx, "pq_codes"))
         .select(F.posexplode("codes").alias("sub_j", "code_r"))
@@ -4111,7 +4189,12 @@ _OR["streaming_ivf_pq_append_twin"] = _OR["ann_ivf_pq_index_build"]
 
 
 def _lsh_append_run(
-    spark: SparkSession, sf_dir: str, n_files: int, fold_every: int = 4
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int,
+    fold_every: int = 4,
+    fold_fault=None,
+    fold_retries: int = 0,
 ) -> tuple[str, DataFrame]:
     """The persisted MinHash-LSH index maintained at ingest: seed a
     work-dir index with the first half of the corpus's signatures and
@@ -4124,9 +4207,10 @@ def _lsh_append_run(
     as ONE flat sigs file and ONE flat band-rows file in the index's
     ``bands_pending`` tail — no 128-directory committer round per epoch
     — and the tail is FOLDED into the (band, bucket)-partitioned layout
-    every ``fold_every`` epochs and at drain, under the marker guard
-    (serving is gated on the marker, so a crash mid-fold is visible,
-    never double-served). New documents stay findable the moment their
+    every ``fold_every`` epochs and at drain, via the SELF-HEALING
+    log-gated group fold (index_catalog.fold_pending_epochs: a crash at
+    any fold point recovers by re-running the fold, never by rebuild —
+    r14 verdict ticket #5). New documents stay findable the moment their
     epoch commits: _search_lsh_index unions the bounded pending tail —
     the memtable-over-SSTable read a production vector store does.
     Returns (work index dir, per-band occupancy profile read back from
@@ -4177,25 +4261,31 @@ def _lsh_append_run(
     pending = os.path.join(idx, _LSH_PENDING)
     os.makedirs(pending, exist_ok=True)
 
-    def fold_pending(tag: str) -> None:
-        """Fold the flat tail into the partitioned band layout. Names are
-        deterministic per trigger (``tag``), so a re-fold adopts over the
-        same targets; the marker guard makes a mid-fold crash visible."""
-        files = glob.glob(os.path.join(pending, "*.parquet"))
-        if not files:
-            return
-        with _cat.guarded_maintenance(idx):
-            stage = os.path.join(work, "stage", f"fold-{tag}")
-            (
-                spark.read.parquet(pending)
-                .repartition(F.col("band"), F.col("bucket"))
-                .write.mode("overwrite")
-                .partitionBy("band", "bucket")
-                .parquet(stage)
-            )
-            _cat.adopt_staged(stage, os.path.join(idx, "bands"), f"fold-{tag}")
-            for f in files:
-                os.remove(f)
+    def fold_pending(final: bool = False) -> None:
+        """Fold the flat tail into the partitioned band layout via the
+        shared LOG-GATED GROUP fold (index_catalog.fold_pending_epochs,
+        group = fold_every epochs): fold targets are deterministic per
+        epoch group and every fold commits in the EpochLog, so a crash
+        at any point — including between adoption and pending-file
+        removal, the double-adopt window ADVICE r14 flagged in the
+        tag-per-trigger form — recovers by simply RE-RUNNING the fold:
+        no rebuild, no duplicated band rows (r14 verdict ticket #5;
+        crash-injection test at every fold commit point in
+        tests/test_round15_ops.py). ``fold_fault``/``fold_retries``
+        thread the hook through."""
+        attempts = 0
+        while True:
+            try:
+                _cat.fold_pending_epochs(
+                    spark, pending, os.path.join(idx, "bands"),
+                    ["band", "bucket"], log,
+                    group_size=fold_every, final=final, fault=fold_fault,
+                )
+                return
+            except Exception:
+                attempts += 1
+                if attempts > fold_retries:
+                    raise
 
     docs = load_table(spark, sf_dir, "documents")
     src_dir = os.path.join(work, "src")
@@ -4282,7 +4372,7 @@ def _lsh_append_run(
         finally:
             sigs.unpersist()
         if (epoch_id + 1) % fold_every == 0:
-            fold_pending(str(epoch_id))
+            fold_pending()
 
     q = (
         stream.writeStream.foreachBatch(append_batch)
@@ -4291,7 +4381,7 @@ def _lsh_append_run(
         .start()
     )
     q.awaitTermination()
-    fold_pending("final")
+    fold_pending(final=True)
     profile = (
         spark.read.parquet(os.path.join(idx, "bands"))
         .groupBy(F.col("band").cast("bigint").alias("band"))
