@@ -4081,8 +4081,12 @@ def _ivf_pq_append_run(
             return
         stage = os.path.join(work, "stage", str(epoch_id))
         # single-file micro-batch = one partition: spread the numpy
-        # assign + PQ-encode scans across cores (see the LSH twin's note)
-        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        # assign + PQ-encode scans across cores (see the LSH twin's
+        # note) — and CACHE the spread batch: both scans read it, and
+        # without the persist the repartition shuffle runs twice
+        df = df.repartition(
+            df.sparkSession.sparkContext.defaultParallelism
+        ).persist()
         routed = (
             _assign_rows_scan_np(df, cent, 1)
             .select(
@@ -4101,9 +4105,12 @@ def _ivf_pq_append_run(
                 .write.mode("overwrite")
                 .parquet(os.path.join(stage, "assignments"))
             )
+            # the routing side is micro-batch-bounded (one epoch's ids —
+            # capped by maxRecordsPerTrigger in production), so the
+            # codes<-list join broadcasts instead of shuffling per epoch
             codes = (
                 _codes_array(_pq_encode_np(df, codebook))
-                .join(routed, "vec_id")
+                .join(F.broadcast(routed.select("vec_id", "cluster_id")), "vec_id")
                 .persist()
             )
             try:
@@ -4128,6 +4135,7 @@ def _ivf_pq_append_run(
             )
         finally:
             routed.unpersist()
+            df.unpersist()
         if (epoch_id + 1) % fold_every == 0:
             for pend, table in (
                 (pend_assign, "assignments"),
