@@ -1,0 +1,210 @@
+"""Round-15 property gates: the self-healing log-gated group fold (r14
+verdict ticket #5 / ADVICE r14's double-adopt window), the
+nprobe-from-marker-k serving invariant (ADVICE r14 medium), the
+final-epoch marker reconcile (ADVICE r14), and the dirty-leaf partial
+reclaim (ticket #6). The oracle sweep certifies value equality; these
+pin the crash/replay and files-untouched invariants the sweep cannot
+reach."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kasper_spark import index_catalog as cat
+from kasper_spark.registry import QUERIES, load_all_operators
+from tests.conftest import SF_ORACLE, SF_SMOKE  # noqa: F401
+
+load_all_operators()
+
+
+def test_ivf_nprobe_from_marker_k_not_mutated_n():
+    """ADVICE r14 (medium): after a delete/reclaim shrinks the marker's
+    n across an isqrt step, re-deriving nprobe from n would change the
+    probe budget mid-lifecycle — serving must key nprobe off the stored
+    k instead. The chosen sizes make the old derivation provably
+    diverge, so this test bites."""
+    from kasper_spark.operators.similarity import _ivf_nprobe, _scaledk_params
+
+    k_built, _, nprobe_built = _scaledk_params(10_000)  # k=100, nprobe=10
+    # a reclaim rewrote the marker with the shrunken n; k is untouched
+    meta_after_delete = {"n": 8_000, "k": k_built, "train_n": 3_200}
+    assert _ivf_nprobe(meta_after_delete) == nprobe_built == 10
+    # the pre-fix derivation crosses the isqrt boundary — the divergence
+    # the fix exists to prevent
+    assert _scaledk_params(8_000)[2] == 9
+
+
+def test_fold_group_determinism_no_double_adopt(spark, tmp_path):
+    """The ADVICE r14 double-adopt scenario, replayed against the shared
+    fold: crash AFTER adoption but BEFORE the fold record, then land
+    MORE epochs, then fold again. The group key is a pure function of
+    the epoch id, so the retry re-adopts over its own deterministic
+    targets and the later epochs fold as a different group — total rows
+    come out exactly once."""
+    idx = str(tmp_path)
+    pending = os.path.join(idx, "pending")
+    table = os.path.join(idx, "bands")
+    os.makedirs(pending)
+    os.makedirs(table)
+    log = cat.EpochLog(idx)
+
+    def land(eid: int) -> None:
+        stage = os.path.join(idx, f"stage-{eid}")
+        (
+            spark.range(eid * 10, eid * 10 + 10)
+            .select(
+                F.col("id").alias("doc_id"),
+                (F.col("id") % 4).cast("long").alias("band"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        cat.adopt_staged(stage, pending, eid)
+
+    land(0)
+    land(1)
+
+    boom = {"staged": False, "adopted": True, "recorded": False}
+
+    def fault_after_adopt(point: str, gid: int) -> None:
+        if boom.get(point):
+            boom[point] = False
+            raise RuntimeError(f"injected crash at {point} g{gid}")
+
+    with pytest.raises(RuntimeError):
+        cat.fold_pending_epochs(
+            spark, pending, table, ["band"], log,
+            group_size=2, fault=fault_after_adopt,
+        )
+    # the crash window: rows adopted into the table AND still pending
+    assert cat.EpochLog(idx).is_committed("fold-bands-g0") is False
+    land(2)
+    land(3)
+    cat.fold_pending_epochs(
+        spark, pending, table, ["band"], log, group_size=2, final=True
+    )
+    ids = [r["doc_id"] for r in spark.read.parquet(table).collect()]
+    assert sorted(ids) == list(range(40)), "fold duplicated or lost rows"
+    assert not os.listdir(pending) or all(
+        not f.endswith(".parquet") for f in os.listdir(pending)
+    )
+
+
+def test_lsh_fold_crash_recovers_without_rebuild(spark):
+    """Crash-injection at every fold commit point of the LSH append
+    twin: the run must recover by RE-RUNNING the fold (fold_retries) —
+    no rebuild — and converge to the clean run's profile with zero
+    duplicated band rows (r14 verdict ticket #5's done-bar)."""
+    from kasper_spark.operators import dedup as D
+    from kasper_spark.operators.streaming_twins import _lsh_append_run
+
+    fired: set = set()
+
+    def fold_fault(point: str, gid: int) -> None:
+        if point not in fired:
+            fired.add(point)
+            raise RuntimeError(f"injected fold crash at {point} (g{gid})")
+
+    idx, prof = _lsh_append_run(
+        spark, SF_SMOKE, 3, fold_every=2, fold_fault=fold_fault,
+        fold_retries=4,
+    )
+    assert fired == {"staged", "adopted", "recorded"}, fired
+    crashed = sorted(map(tuple, prof.collect()))
+    clean = sorted(
+        map(tuple, QUERIES["lsh_index_build"](spark, SF_SMOKE).collect())
+    )
+    assert crashed == clean, "fold crash-recovery diverged from clean build"
+    bands = spark.read.parquet(os.path.join(idx, "bands"))
+    dup = (
+        bands.groupBy("doc_id", "band")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .count()
+    )
+    assert dup == 0, "fold recovery duplicated band rows"
+    served = sorted(map(tuple, D._search_lsh_index(spark, idx).collect()))
+    want = sorted(
+        map(tuple, QUERIES["lsh_neardup_search_only"](spark, SF_SMOKE).collect())
+    )
+    assert served == want
+
+
+def test_final_epoch_marker_reconcile_after_crash(spark):
+    """ADVICE r14: a crash between log.record and the marker refresh on
+    the FINAL epoch replays into the is_committed early-return — the
+    drain-time reconcile must still bring the marker's n in step with
+    the rows on disk."""
+    from kasper_spark.operators import similarity as S
+    from kasper_spark.operators.streaming_twins import _ivf_append_run
+
+    n_files = 3
+    fired: list = []
+
+    def fault(epoch_id: int, point: str) -> None:
+        if point == "recorded" and epoch_id == n_files - 1 and not fired:
+            fired.append(epoch_id)
+            raise RuntimeError("injected crash after FINAL epoch record")
+
+    idx, _prof = _ivf_append_run(spark, SF_SMOKE, n_files, fault=fault, retries=2)
+    assert fired, "fault never fired — the test lost its scenario"
+    rows = (
+        spark.read.parquet(os.path.join(idx, "assignments"))
+        .select("vec_id")
+        .collect()
+    )
+    ids = [r["vec_id"] for r in rows]
+    assert len(ids) == len(set(ids)), "replay duplicated vectors"
+    assert S._ivf_index_meta(idx)["n"] == len(ids), (
+        "marker n permanently behind the rows on disk — the final-epoch "
+        "reconcile did not run"
+    )
+
+
+def test_ivf_pending_tail_served_before_fold(spark):
+    """Mid-maintenance freshness for the IVF LSM tail: rows still in
+    assignments_pending (not yet folded) must be visible to
+    _search_persisted_index via the memtable-over-SSTable union."""
+    from kasper_spark.operators import similarity as S
+    from kasper_spark.operators.streaming_twins import _ivf_append_run
+
+    # fold_every > epoch count: the mid-stream folds never run; we
+    # reconstruct the pre-drain state by moving the drain-folded rows
+    # back into the tail (the round-14 LSH test's move, on IVF)
+    import shutil
+    import tempfile
+
+    idx, _ = _ivf_append_run(spark, SF_SMOKE, 2, fold_every=1000)
+    want = sorted(
+        map(tuple, QUERIES["ann_ivf_search_only"](spark, SF_SMOKE).collect())
+    )
+    mid = tempfile.mkdtemp(prefix="kasper-ivftail-")
+    try:
+        shutil.copytree(idx, os.path.join(mid, "index"))
+        midx = os.path.join(mid, "index")
+        assignments = os.path.join(midx, "assignments")
+        tail = os.path.join(midx, S._IVF_PENDING)
+        moved = []
+        for root, _dirs, files in os.walk(assignments):
+            for f in files:
+                if f.startswith("epoch-fold-"):
+                    moved.append(os.path.join(root, f))
+        assert moved, "expected drain-folded epoch files in the lists"
+        rel = spark.read.option("basePath", assignments).parquet(*moved).select(
+            "vec_id", F.col("cluster_id").cast("long").alias("cluster_id")
+        )
+        os.makedirs(tail, exist_ok=True)
+        rel.coalesce(1).write.mode("overwrite").parquet(tail + "-stage")
+        cat.adopt_staged(tail + "-stage", tail, "re")
+        for f in moved:
+            os.remove(f)
+        served = sorted(
+            map(tuple, S._search_persisted_index(spark, SF_SMOKE, midx).collect())
+        )
+        assert served == want, "pending tail rows invisible to IVF serving"
+    finally:
+        shutil.rmtree(mid, ignore_errors=True)
