@@ -4656,3 +4656,65 @@ def ann_ivf_pq_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_vecs"))
         .orderBy("sub_j", "code_r")
     )
+
+
+@register_query(
+    "ann_ivf_pq_residual_index_delete",
+    oracle=_ORACLES_REF["ann_ivf_pq_residual"].split(_PQRES_SPLIT)[0]
+    + f"""
+    SELECT CAST(sub_j AS BIGINT) AS sub_j,
+           CAST(code_r AS BIGINT) AS code_r,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM encoded WHERE vec_id % {_DELETE_MOD} <> {_DELETE_REM}
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def ann_ivf_pq_residual_index_delete(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delete maintenance on the persisted RESIDUAL-PQ layer — the last
+    ANN artifact without a delete path (r14 verdict ticket #7): tombstone
+    the takedown set, run one guarded reclaim over the cid-partitioned
+    residual code lists (index_catalog.reclaim_tombstones — the same
+    shared pass the coarse/PQ deletes ride), and return the
+    per-(subspace, codeword) histogram read BACK from the reclaimed
+    codes. Certified as build-minus-deleted equality against the
+    residual oracle's own encoding chain; the residual codebook is
+    untouched (deletes never silently retrain a quantizer). With this,
+    every persisted artifact family — coarse lists, PQ codes, residual
+    codes, LSH sigs/bands — supports the full
+    build/serve/append/delete lifecycle.
+
+    Scale shape: the tombstone side is size-gate broadcast, the reclaim
+    is one anti-join pass over the cid-partitioned codes with a
+    partitioned rewrite — never O(pairs), never a retrain."""
+    idx = _copy_ivf_index(
+        spark,
+        sf_dir,
+        "kasper-pqresdel-",
+        ensure=_ensure_pqres_index,
+        parts=("pqres_codebook", "pqres_codes", _PQRES_MARKER),
+    )
+    (
+        spark.read.parquet(_os.path.join(idx, "pqres_codes"))
+        .filter(F.col("vec_id") % _DELETE_MOD == _DELETE_REM)
+        .select("vec_id")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(_os.path.join(idx, _TOMBSTONES))
+    )
+    with _cat.guarded_maintenance(idx):
+        _cat.reclaim_tombstones(
+            spark, idx, {"pqres_codes": ["cid"]}, "vec_id", _TOMBSTONES
+        )
+    return (
+        spark.read.parquet(_os.path.join(idx, "pqres_codes"))
+        .select(F.posexplode("codes").alias("sub_j", "code_r"))
+        .groupBy(
+            F.col("sub_j").cast("bigint").alias("sub_j"),
+            F.col("code_r").cast("bigint").alias("code_r"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .orderBy("sub_j", "code_r")
+    )
