@@ -4718,3 +4718,106 @@ def ann_ivf_pq_residual_index_delete(
         .agg(F.count(F.lit(1)).alias("n_vecs"))
         .orderBy("sub_j", "code_r")
     )
+
+
+# --- Partial (dirty-leaf) tombstone reclaim (round 15, r14 verdict
+# ticket #6): production never rewrites a 100 TB index because 0.1% of
+# one list died — it gates on the per-partition tombstone fraction and
+# rewrites only the dirty leaves, leaving everything else byte-untouched
+# while the serving anti-join keeps masking the clean leaves' few dead
+# rows (their tombstones are KEPT). index_catalog.reclaim_tombstones_partial
+# is the shared mechanism; this query certifies it.
+
+_PARTIAL_LIGHT_MOD = 251  # ~0.4%/list: the "not worth a rewrite" cohort
+_PARTIAL_LIGHT_REM = 5
+_PARTIAL_MIN_PERMILLE = 50
+
+
+def _ivf_reclaim_partial(
+    spark: SparkSession, idx: str, min_dead_permille: int
+) -> tuple[int, list[int]]:
+    """Threshold-gated reclaim of the coarse IVF lists + the marker-n
+    refresh, under the marker guard (the partial analog of
+    _ivf_reclaim)."""
+    with _cat.guarded_maintenance(idx) as saved:
+        reclaimed, dirty = _cat.reclaim_tombstones_partial(
+            spark,
+            idx,
+            {"assignments": ["cluster_id"]},
+            "vec_id",
+            "cluster_id",
+            _TOMBSTONES,
+            min_dead_permille,
+        )
+        old = dict(
+            kv.split("=") for kv in saved["_KASPER_INDEX_READY"].split()
+        )
+        _ivf_marker_write(
+            idx,
+            n=int(old["n"]) - reclaimed,
+            k=int(old["k"]),
+            train_n=int(old["train_n"]),
+        )
+        return reclaimed, dirty
+
+
+@register_query(
+    "ivf_partial_reclaim_serving",
+    oracle=_kmeans_cte_sql(k=_SCALEDK_K_SQL, train_n=_SCALEDK_TRAIN_SQL)
+    + f"""
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM fF WHERE rn = 1
+      AND NOT (vec_id % {_DELETE_MOD} = {_DELETE_REM}
+               AND CAST(cluster_id AS BIGINT) % 3 = 0)
+      AND NOT (vec_id % {_PARTIAL_LIGHT_MOD} = {_PARTIAL_LIGHT_REM})
+    GROUP BY cluster_id ORDER BY cluster_id
+    """,
+)
+def ivf_partial_reclaim_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-leaf delete maintenance: tombstone a SKEWED takedown set —
+    heavy in every third list (the %7 cohort restricted to
+    cluster_id % 3 == 0) plus a light ~0.4% cohort everywhere — then run
+    the threshold-gated partial reclaim (50 permille): only the heavy
+    lists rewrite; the light cohort's rows stay on disk, masked by the
+    serving anti-join over their KEPT tombstones. The returned LOGICAL
+    per-list profile (membership anti-join remaining tombstones) equals
+    build-minus-ALL-deleted — the oracle re-derives the Lloyd chain
+    minus both cohorts — so a green row certifies that partial reclaim
+    plus tombstone masking serves exactly what a full reclaim would,
+    while tests/test_round15_ops.py pins the physical half: clean
+    leaves' files are byte-untouched and threshold 0 reproduces the
+    full reclaim row set.
+
+    Scale shape: dirty leaves are located from the (tiny) tombstone
+    table alone — it carries cluster_id, free at tombstone-write time —
+    one anti-join pass restricted by partition pruning to the dirty
+    leaves, one per-leaf directory swap; clean leaves are never opened
+    for write."""
+    idx = _copy_ivf_index(spark, sf_dir, "kasper-ivfpart-")
+    assignments = _os.path.join(idx, "assignments")
+    a = spark.read.parquet(assignments).select(
+        "vec_id", F.col("cluster_id").cast("long").alias("cluster_id")
+    )
+    (
+        a.filter(
+            (
+                (F.col("vec_id") % _DELETE_MOD == _DELETE_REM)
+                & (F.col("cluster_id") % 3 == 0)
+            )
+            | (F.col("vec_id") % _PARTIAL_LIGHT_MOD == _PARTIAL_LIGHT_REM)
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(_os.path.join(idx, _TOMBSTONES))
+    )
+    _ivf_reclaim_partial(spark, idx, _PARTIAL_MIN_PERMILLE)
+    members = spark.read.parquet(assignments)
+    dead = _cat.tombstones_side(spark, _os.path.join(idx, _TOMBSTONES), "vec_id")
+    if dead is not None:
+        members = members.join(dead, "vec_id", "left_anti")
+    return (
+        members.groupBy(F.col("cluster_id").cast("bigint").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("cluster_id")
+    )

@@ -208,3 +208,114 @@ def test_ivf_pending_tail_served_before_fold(spark):
         assert served == want, "pending tail rows invisible to IVF serving"
     finally:
         shutil.rmtree(mid, ignore_errors=True)
+
+
+def _leaf_stats(table: str) -> dict:
+    out = {}
+    for root, _dirs, files in os.walk(table):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                out[os.path.relpath(p, table)] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def test_partial_reclaim_touches_only_dirty_leaves(spark):
+    """Ticket #6's physical half: a threshold-gated reclaim must rewrite
+    ONLY the leaves over threshold — every clean leaf's files stay
+    byte-untouched (same name, size, mtime) — while the kept tombstones
+    keep masking the clean leaves' dead rows for serving."""
+    from kasper_spark.operators import similarity as S
+
+    idx = S._copy_ivf_index(spark, SF_SMOKE, "kasper-partphys-")
+    assignments = os.path.join(idx, "assignments")
+    a = spark.read.parquet(assignments).select(
+        "vec_id", F.col("cluster_id").cast("long").alias("cluster_id")
+    )
+    prof = sorted(
+        (r["c"], r["cluster_id"])
+        for r in a.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    dirty_list = prof[0][1]          # smallest list: tombstone ALL of it
+    clean_list = prof[-1][1]         # largest list: tombstone ONE row
+    assert prof[-1][0] >= 2, "need a list with >= 2 rows for the clean case"
+    one = a.filter(F.col("cluster_id") == clean_list).agg(
+        F.min("vec_id").alias("v")
+    ).collect()[0]["v"]
+    (
+        a.filter(
+            (F.col("cluster_id") == dirty_list) | (F.col("vec_id") == one)
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(idx, S._TOMBSTONES))
+    )
+    before = _leaf_stats(assignments)
+    # 90% threshold: the fully-dead list rewrites, the 1-row cohort stays
+    reclaimed, dirty = S._ivf_reclaim_partial(spark, idx, 900)
+    assert dirty == [dirty_list]
+    after = _leaf_stats(assignments)
+    dirty_prefix = f"cluster_id={dirty_list}"
+    for rel, st in before.items():
+        if rel.startswith(dirty_prefix):
+            assert rel not in after, "fully-dead leaf should be gone"
+        else:
+            assert after.get(rel) == st, f"clean leaf file touched: {rel}"
+    # kept tombstones: exactly the clean list's one row
+    tomb = spark.read.parquet(os.path.join(idx, S._TOMBSTONES)).collect()
+    assert [(r["vec_id"], r["cluster_id"]) for r in tomb] == [(one, clean_list)]
+    # logical serving equals original-minus-tombstoned
+    members = spark.read.parquet(assignments)
+    dead = cat.tombstones_side(spark, os.path.join(idx, S._TOMBSTONES), "vec_id")
+    served = sorted(
+        r["vec_id"]
+        for r in members.join(dead, "vec_id", "left_anti")
+        .select("vec_id")
+        .collect()
+    )
+    want = sorted(
+        r["vec_id"]
+        for r in a.filter(
+            (F.col("cluster_id") != dirty_list) & (F.col("vec_id") != one)
+        )
+        .select("vec_id")
+        .collect()
+    )
+    assert served == want
+
+
+def test_partial_reclaim_threshold_zero_equals_full(spark):
+    """reclaim(threshold=0) must reproduce the full reclaim's surviving
+    row set (the verdict's equivalence criterion)."""
+    from kasper_spark.operators import similarity as S
+
+    def survivors(partial: bool):
+        idx = S._copy_ivf_index(spark, SF_SMOKE, "kasper-parteq-")
+        assignments = os.path.join(idx, "assignments")
+        (
+            spark.read.parquet(assignments)
+            .filter(F.col("vec_id") % S._DELETE_MOD == S._DELETE_REM)
+            .select(
+                "vec_id", F.col("cluster_id").cast("long").alias("cluster_id")
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(idx, S._TOMBSTONES))
+        )
+        if partial:
+            S._ivf_reclaim_partial(spark, idx, 0)
+        else:
+            S._ivf_reclaim_tombstones(spark, idx)
+        rows = sorted(
+            (r["vec_id"], int(r["cluster_id"]))
+            for r in spark.read.parquet(assignments)
+            .select("vec_id", F.col("cluster_id").cast("long").alias("cluster_id"))
+            .collect()
+        )
+        return rows, S._ivf_index_meta(idx)["n"]
+
+    part_rows, part_n = survivors(True)
+    full_rows, full_n = survivors(False)
+    assert part_rows == full_rows
+    assert part_n == full_n == len(part_rows)
