@@ -319,3 +319,71 @@ def test_partial_reclaim_threshold_zero_equals_full(spark):
     full_rows, full_n = survivors(False)
     assert part_rows == full_rows
     assert part_n == full_n == len(part_rows)
+
+
+def test_retrain_old_generation_serves_until_flip(spark):
+    """Ticket #3's mid-retrain serving criterion: between the new
+    generation's build and the marker flip, serving must still be the
+    OLD (stale) index; after the one atomic marker replace it must be
+    the re-trained one — equal to the fresh build's serving."""
+    from kasper_spark.operators import similarity as S
+
+    idx = S._build_stale_ivf_index(spark, SF_SMOKE)
+    stale_served = sorted(
+        map(tuple, S._search_persisted_index(spark, SF_SMOKE, idx).collect())
+    )
+    seen: dict = {}
+
+    def before_flip(i: str) -> None:
+        seen["mid"] = sorted(
+            map(tuple, S._search_persisted_index(spark, SF_SMOKE, i).collect())
+        )
+        seen["meta"] = S._ivf_index_meta(i)
+
+    S._ivf_retrain(spark, SF_SMOKE, idx, before_flip=before_flip)
+    assert seen["mid"] == stale_served, "mid-retrain serving left the old gen"
+    assert int(seen["meta"].get("gen", 0)) == 0, "flip happened early"
+    meta = S._ivf_index_meta(idx)
+    assert meta["gen"] == 1
+    new_served = sorted(
+        map(tuple, S._search_persisted_index(spark, SF_SMOKE, idx).collect())
+    )
+    want = sorted(
+        map(tuple, QUERIES["ann_ivf_search_only"](spark, SF_SMOKE).collect())
+    )
+    assert new_served == want, "post-flip serving != fresh-build serving"
+
+
+def test_retrain_consumes_tombstones(spark):
+    """A retrain applies pending takedowns: tombstoned ids are never
+    re-assigned, the new generation starts with no tombstones, and the
+    flipped marker's n counts the live membership only."""
+    import glob
+
+    from kasper_spark.operators import similarity as S
+
+    idx = S._build_stale_ivf_index(spark, SF_SMOKE)
+    a = spark.read.parquet(os.path.join(idx, "assignments"))
+    (
+        a.filter(F.col("vec_id") % S._DELETE_MOD == S._DELETE_REM)
+        .select("vec_id")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(idx, S._TOMBSTONES))
+    )
+    all_ids = {r["vec_id"] for r in a.select("vec_id").collect()}
+    dead_ids = {v for v in all_ids if v % S._DELETE_MOD == S._DELETE_REM}
+    S._ivf_retrain(spark, SF_SMOKE, idx)
+    meta = S._ivf_index_meta(idx)
+    root = S._ivf_gen_root(idx, meta)
+    new_ids = {
+        r["vec_id"]
+        for r in spark.read.parquet(os.path.join(root, "assignments"))
+        .select("vec_id")
+        .collect()
+    }
+    assert new_ids == all_ids - dead_ids, "retrain kept or lost wrong ids"
+    assert not glob.glob(os.path.join(root, S._TOMBSTONES, "*.parquet")), (
+        "the new generation must start with tombstones consumed"
+    )
+    assert meta["n"] == len(new_ids)
