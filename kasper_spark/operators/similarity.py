@@ -5023,3 +5023,63 @@ def ivf_retrain_search_only(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLES_REF["ivf_retrain_search_only"] = _ORACLES_REF["ann_ivf_search_only"]
+
+
+@register_query(
+    "ivf_generation_gc",
+    oracle=None,  # bound to ann_ivf_search_only's oracle verbatim below
+)
+def ivf_generation_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Garbage-collect superseded index generations after a re-train,
+    then serve: the marker names the live generation, so every artifact
+    outside its root is dead weight once in-flight readers drain — GC
+    removes the old generation's tables (and its consumed split-map /
+    pending residue) and serving is UNCHANGED, certified by sharing
+    ann_ivf_search_only's oracle verbatim. The files-actually-removed
+    half is pinned in tests/test_round15_ops.py.
+
+    Scale shape: GC is pure directory removal keyed off one marker read
+    — no Spark job touches the dead generation. At 100 TB this is the
+    storage-reclaim step a retention policy schedules after the flip's
+    grace period."""
+    idx = _build_stale_ivf_index(spark, sf_dir)
+    _ivf_retrain(spark, sf_dir, idx)
+    _ivf_generation_gc(idx)
+    return _search_persisted_index(spark, sf_dir, idx)
+
+
+def _ivf_generation_gc(idx: str) -> list[str]:
+    """Remove every coarse-IVF artifact outside the marker's live
+    generation root. Returns the removed paths. Safe at any point after
+    the flip: serving resolves through the marker, so nothing it can
+    read is touched; a crash mid-GC just leaves some dead files for the
+    next GC (removal is idempotent)."""
+    import shutil as _shutil
+
+    meta = _ivf_index_meta(idx)
+    live = _ivf_gen_root(idx, meta)
+    removed: list[str] = []
+    victims = []
+    if live != idx:
+        # generation-0 artifacts live at the index root
+        victims += [
+            _os.path.join(idx, d)
+            for d in ("centroids", "assignments", _TOMBSTONES,
+                      _IVF_PENDING, _SPLIT_MAP)
+        ]
+    for p in _glob_mod.glob(_os.path.join(idx, "gen-*")):
+        if _os.path.isdir(p) and p != live:
+            victims.append(p)
+    for p in victims:
+        if _os.path.isdir(p):
+            _shutil.rmtree(p, ignore_errors=True)
+            removed.append(p)
+        elif _os.path.exists(p):
+            _os.remove(p)
+            removed.append(p)
+    return removed
+
+
+import glob as _glob_mod  # noqa: E402
+
+_ORACLES_REF["ivf_generation_gc"] = _ORACLES_REF["ann_ivf_search_only"]

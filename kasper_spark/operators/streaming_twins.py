@@ -4539,3 +4539,37 @@ def ivf_index_compact_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
 
 assert "ann_ivf_index_build" in _OR
 _OR["ivf_index_compact_maintenance"] = _OR["ann_ivf_index_build"]
+
+
+@register_query("streaming_ivf_retrain_twin")
+def streaming_ivf_retrain_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrain at the end of an ingest window — the 18th incremental
+    view, composing the two maintenance paths end-to-end: half the
+    corpus seeds the index, the rest streams in through the LSM append
+    twin (exactly-once epochs, log-gated folds), and at drain the
+    quantizer RE-TRAINS on the now-doubled corpus with an atomic
+    generation flip (similarity._ivf_retrain) — the production cadence
+    where append drift accumulates until the skew audit triggers a
+    retrain. Returns the per-list profile read back from the NEW
+    generation's lists; shares ann_ivf_index_build's oracle VERBATIM —
+    a green row certifies that ingest-then-retrain converges to exactly
+    the index a fresh build over the full corpus produces."""
+    from kasper_spark.operators.similarity import (
+        _ivf_gen_root,
+        _ivf_index_meta,
+        _ivf_retrain,
+    )
+
+    idx, _ = _ivf_append_run(spark, sf_dir, n_files=3)
+    _ivf_retrain(spark, sf_dir, idx)
+    root = _ivf_gen_root(idx, _ivf_index_meta(idx))
+    return (
+        spark.read.parquet(os.path.join(root, "assignments"))
+        .groupBy(F.col("cluster_id").cast("bigint").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("cluster_id")
+    )
+
+
+assert "ann_ivf_index_build" in _OR
+_OR["streaming_ivf_retrain_twin"] = _OR["ann_ivf_index_build"]

@@ -387,3 +387,22 @@ def test_retrain_consumes_tombstones(spark):
         "the new generation must start with tombstones consumed"
     )
     assert meta["n"] == len(new_ids)
+
+
+def test_generation_gc_removes_only_dead_generations(spark):
+    """GC after a retrain must remove the superseded generation's
+    artifacts and leave the live generation byte-untouched."""
+    from kasper_spark.operators import similarity as S
+
+    idx = S._build_stale_ivf_index(spark, SF_SMOKE)
+    S._ivf_retrain(spark, SF_SMOKE, idx)
+    live = S._ivf_gen_root(idx, S._ivf_index_meta(idx))
+    live_before = _leaf_stats(live)
+    assert os.path.isdir(os.path.join(idx, "assignments")), "stale gen-0 gone early"
+    removed = S._ivf_generation_gc(idx)
+    assert any(p.endswith("assignments") for p in removed)
+    assert not os.path.isdir(os.path.join(idx, "assignments"))
+    assert not os.path.isdir(os.path.join(idx, "centroids"))
+    assert _leaf_stats(live) == live_before, "GC touched the live generation"
+    # idempotent on a clean index
+    assert S._ivf_generation_gc(idx) == []
