@@ -154,6 +154,13 @@ HEADLINE = [
     "ann_ivf_split_search_only",   # storage split + equal-budget serving
     "lsh_index_delete",            # takedown reclaim on the near-dup index
     "equidepth_histogram_hist",    # histogram-domain equi-depth (no sort)
+    # round-15 additions (new keys set their baseline this round): the
+    # retrain generation flip completes the lifecycle, and reclaim goes
+    # dirty-leaf.
+    "ann_ivf_index_retrain",       # stale quantizer -> retrain -> gen flip
+    "ivf_retrain_search_only",     # serving through the flipped generation
+    "ivf_partial_reclaim_serving", # threshold-gated dirty-leaf reclaim
+    "ann_ivf_pq_residual_index_delete",  # residual-codes takedown reclaim
 ]
 
 
