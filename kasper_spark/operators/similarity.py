@@ -2923,10 +2923,14 @@ def _search_pq_persisted_index(
     )
     import glob as _glob
 
-    codebook = spark.read.parquet(_os.path.join(idx, "pq_codebook"))
+    # the PQ artifacts resolve through the PQ marker's GENERATION
+    # (mirrors _ivf_gen_root): a codebook re-train builds gen-pq-{g}/
+    # whole and flips this marker once — old codes serve until the flip
+    pq_root = _pq_gen_root(idx, _cat.marker_read_ints(idx, _PQ_MARKER))
+    codebook = spark.read.parquet(_os.path.join(pq_root, "pq_codebook"))
     lut = _pq_lut(emb, codebook)
-    codes = spark.read.parquet(_os.path.join(idx, "pq_codes"))
-    if _glob.glob(_os.path.join(idx, _PQ_PENDING, "*.parquet")):
+    codes = spark.read.parquet(_os.path.join(pq_root, "pq_codes"))
+    if _glob.glob(_os.path.join(pq_root, _PQ_PENDING, "*.parquet")):
         # LSM tail under streaming maintenance (see _search_persisted_index)
         codes = (
             codes.select(
@@ -2934,7 +2938,7 @@ def _search_pq_persisted_index(
                 F.col("cluster_id").cast("long").alias("cluster_id"),
             )
             .unionByName(
-                spark.read.parquet(_os.path.join(idx, _PQ_PENDING)).select(
+                spark.read.parquet(_os.path.join(pq_root, _PQ_PENDING)).select(
                     "vec_id", "codes",
                     F.col("cluster_id").cast("long").alias("cluster_id"),
                 )
@@ -5083,3 +5087,159 @@ def _ivf_generation_gc(idx: str) -> list[str]:
 import glob as _glob_mod  # noqa: E402
 
 _ORACLES_REF["ivf_generation_gc"] = _ORACLES_REF["ann_ivf_search_only"]
+
+
+# --- PQ codebook re-train (round 15): the retrain verb extended to the
+# PQ layer. The coarse retrain re-shapes the LISTS; codebook drift
+# degrades the CODES — under distribution shift the md5-seeded codebook
+# no longer spans the corpus, and ADC recall decays. Same generation
+# discipline: new codebook + full re-encode build whole under
+# gen-pq-{g}/, one atomic PQ-marker replace flips serving.
+
+
+def _pq_gen_root(idx: str, pq_meta: dict) -> str:
+    """Resolve the PQ artifact root for the generation the PQ marker
+    points at (the PQ twin of _ivf_gen_root; gen-pq-* namespaces keep
+    coarse and PQ generations independent — a codebook retrain does not
+    touch the lists, and a list retrain carries the codebook)."""
+    g = int(pq_meta.get("gen", 0))
+    return _os.path.join(idx, f"gen-pq-{g}") if g else idx
+
+
+def _pq_retrain(spark: SparkSession, sf_dir: str, idx: str, before_flip=None) -> str:
+    """Re-train the PQ codebook on the CURRENT corpus and flip the PQ
+    layer to a new generation: re-derive the md5-seeded codebook over
+    today's rows, re-encode the whole corpus against it (as READ BACK
+    from disk — the build consistency discipline), land codes
+    partitioned by the UNCHANGED coarse lists, and replace the PQ marker
+    once. Serving (_search_pq_persisted_index) resolves codebook and
+    codes through the marker's generation, so mid-retrain ADC runs on
+    the old codebook and post-flip ADC on the new — never a mix of
+    codebook and codes from different generations (the invariant the
+    multi-table marker guard protects during deletes, achieved here by
+    construction: a generation is immutable once flipped in)."""
+    pq_meta = _cat.marker_read_ints(idx, _PQ_MARKER)
+    new_gen = int(pq_meta.get("gen", 0)) + 1
+    new_root = _os.path.join(idx, f"gen-pq-{new_gen}")
+    _os.makedirs(new_root, exist_ok=True)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb_path = _os.path.join(new_root, "pq_codebook")
+    _pq_codebook_df(emb).coalesce(1).write.mode("overwrite").parquet(cb_path)
+    codebook = spark.read.parquet(cb_path)
+    assign = spark.read.parquet(_os.path.join(idx, "assignments")).select(
+        "vec_id", F.col("cluster_id").cast("bigint").alias("cluster_id")
+    )
+    (
+        _codes_array(_pq_encode_np(emb, codebook))
+        .join(assign, "vec_id")
+        .repartition(F.col("cluster_id"))
+        .write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(_os.path.join(new_root, "pq_codes"))
+    )
+    if before_flip is not None:
+        before_flip(idx)
+    _cat.marker_write(
+        idx, _PQ_MARKER, m=_PQ_M, k=_PQ_K, subdim=_PQ_SUBDIM, gen=new_gen
+    )
+    return idx
+
+
+def _build_stale_pq_index(spark: SparkSession, sf_dir: str) -> str:
+    """A work-dir IVF-PQ index in the CODEBOOK-retrain trigger state: the
+    coarse layer is current (copied from the certified index), but the
+    PQ codebook was seeded when the corpus was HALF its current size —
+    and the full corpus is encoded against that stale codebook. The
+    recall decay this produces is what a codebook retrain repairs."""
+    import atexit as _atexit
+    import shutil as _shutil
+    import tempfile as _tmp
+
+    real = _ensure_ivf_pq_index(spark, sf_dir)
+    work = _tmp.mkdtemp(prefix="kasper-pqstale-")
+    _atexit.register(_shutil.rmtree, work, ignore_errors=True)
+    idx = _os.path.join(work, "index")
+    _os.makedirs(idx)
+    for part in ("centroids", "assignments"):
+        _shutil.copytree(_os.path.join(real, part), _os.path.join(idx, part))
+    _shutil.copyfile(
+        _os.path.join(real, _IVF_MARKER), _os.path.join(idx, _IVF_MARKER)
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    cb_path = _os.path.join(idx, "pq_codebook")
+    _pq_codebook_df(emb.filter(F.col("vec_id") < n // 2)).coalesce(
+        1
+    ).write.mode("overwrite").parquet(cb_path)
+    codebook = spark.read.parquet(cb_path)
+    assign = spark.read.parquet(_os.path.join(idx, "assignments")).select(
+        "vec_id", F.col("cluster_id").cast("bigint").alias("cluster_id")
+    )
+    (
+        _codes_array(_pq_encode_np(emb, codebook))
+        .join(assign, "vec_id")
+        .repartition(F.col("cluster_id"))
+        .write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(_os.path.join(idx, "pq_codes"))
+    )
+    _cat.marker_write(idx, _PQ_MARKER, m=_PQ_M, k=_PQ_K, subdim=_PQ_SUBDIM)
+    return idx
+
+
+@register_query(
+    "ann_ivf_pq_codebook_retrain",
+    oracle=None,  # bound to ann_ivf_pq_index_build's oracle verbatim below
+)
+def ann_ivf_pq_codebook_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codebook re-train under distribution shift, certified as
+    FRESH-BUILD EQUALITY: start from the stale state (codebook seeded at
+    half the corpus, full corpus encoded against it — see
+    _build_stale_pq_index), re-derive the codebook from the current
+    corpus, re-encode everything, flip the PQ generation atomically, and
+    return the per-(subspace, codeword) histogram read BACK from the new
+    generation's codes. Shares ann_ivf_pq_index_build's oracle VERBATIM:
+    the codebook and the encoding are pure functions of the corpus, so
+    the retrained layer must equal a fresh PQ build. Together with
+    ann_ivf_index_retrain this closes retrain across BOTH quantizer
+    layers — FAISS's coarse quantizer and its product quantizer.
+
+    Scale shape: the codebook derivation is a bounded top-16 selection;
+    the one full-corpus pass is the Arrow-batched numpy encode; one
+    cluster_id shuffle lands the codes; old codes serve until the one
+    atomic marker flip (pinned in tests/test_round15_ops.py)."""
+    idx = _build_stale_pq_index(spark, sf_dir)
+    _pq_retrain(spark, sf_dir, idx)
+    root = _pq_gen_root(idx, _cat.marker_read_ints(idx, _PQ_MARKER))
+    return (
+        spark.read.parquet(_os.path.join(root, "pq_codes"))
+        .select(F.posexplode("codes").alias("sub_j", "code_r"))
+        .groupBy(
+            F.col("sub_j").cast("bigint").alias("sub_j"),
+            F.col("code_r").cast("bigint").alias("code_r"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .orderBy("sub_j", "code_r")
+    )
+
+
+_ORACLES_REF["ann_ivf_pq_codebook_retrain"] = _ORACLES_REF["ann_ivf_pq_index_build"]
+
+
+@register_query(
+    "ivf_pq_retrain_search_only",
+    oracle=None,  # bound to ann_ivf_pq_search_only's oracle verbatim below
+)
+def ivf_pq_retrain_search_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve ADC top-k THROUGH the PQ generation flip: retrain the stale
+    codebook (see ann_ivf_pq_codebook_retrain), then run the ordinary
+    persisted-PQ serving body — which resolves codebook and codes
+    through the PQ marker's generation. Shares ann_ivf_pq_search_only's
+    oracle VERBATIM: after a correct codebook retrain the layer equals
+    the fresh build, so serving it must equal serving the fresh build."""
+    idx = _build_stale_pq_index(spark, sf_dir)
+    _pq_retrain(spark, sf_dir, idx)
+    return _search_pq_persisted_index(spark, sf_dir, idx)
+
+
+_ORACLES_REF["ivf_pq_retrain_search_only"] = _ORACLES_REF["ann_ivf_pq_search_only"]

@@ -79,9 +79,10 @@ def load_all_operators() -> None:
 # ROUND-15 EVIDENCE: every name below passed the local oracle sweep
 # (tools/bare_sweep.py, bare session, foreign cwd) at sf0.01 before this
 # rotation landed; the full pytest suite is green.
-# Window arithmetic: 6 new + 12 changed + 15 r06 + 17 r07 = 50.
-# r16 queue (oldest evidence after this round): the remaining 30 r07
-# names alphabetically (multimodal_features, multimodal_frame_sample,
+# Window arithmetic: 8 new + 12 changed + 15 r06 + 15 r07 = 50.
+# r16 queue (oldest evidence after this round): the remaining 32 r07
+# names alphabetically (minhash_jaccard_contract, minhash_lsh_candidates,
+# multimodal_features, multimodal_frame_sample,
 # multimodal_resize, multimodal_scene_cuts, multimodal_wav_features,
 # neardup_clusters, orc_roundtrip_supplier, pagerank_lsh_graph,
 # partitioned_parquet_prune, q10..q22 (12 TPC-H shapes),
@@ -90,13 +91,16 @@ def load_all_operators() -> None:
 # streaming_lsh_dedup_twin, triangle_lsh_graph, xml_roundtrip_orders,
 # zorder_key_events), then the r08 cohort.
 DRIVER_SAMPLE_PRIORITY: list[str] = [
-    # -- 0. NEW this round (6): the lifecycle completes — retrain under
-    #       distribution shift with an atomic generation flip (r14
-    #       verdict ticket #3), generation GC, ingest-then-retrain (18th
-    #       incremental view), dirty-leaf partial reclaim (ticket #6),
-    #       and the residual-PQ delete (ticket #7).
+    # -- 0. NEW this round (8): the lifecycle completes — retrain under
+    #       distribution shift with an atomic generation flip, on BOTH
+    #       quantizer layers (r14 verdict ticket #3), generation GC,
+    #       ingest-then-retrain (18th incremental view), dirty-leaf
+    #       partial reclaim (ticket #6), and the residual-PQ delete
+    #       (ticket #7).
     "ann_ivf_index_retrain",
     "ivf_retrain_search_only",
+    "ann_ivf_pq_codebook_retrain",
+    "ivf_pq_retrain_search_only",
     "streaming_ivf_retrain_twin",
     "ivf_generation_gc",
     "ivf_partial_reclaim_serving",
@@ -137,7 +141,7 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "window_rank_functions",
     "window_topk_per_group",
     "winnowing_overlap_pairs",
-    # -- 3. The r07 cohort head (17 of 47; newest evidence r07),
+    # -- 3. The r07 cohort head (15 of 47; newest evidence r07),
     #       alphabetically:
     "approx_distinct_users",
     "approx_percentile_totalprice",
@@ -154,8 +158,6 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "jsonl_roundtrip_orders",
     "lpa_lsh_graph",
     "lsh_candidates_md5",
-    "minhash_jaccard_contract",
-    "minhash_lsh_candidates",
 ]
 
 

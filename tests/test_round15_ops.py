@@ -406,3 +406,36 @@ def test_generation_gc_removes_only_dead_generations(spark):
     assert _leaf_stats(live) == live_before, "GC touched the live generation"
     # idempotent on a clean index
     assert S._ivf_generation_gc(idx) == []
+
+
+def test_pq_codebook_retrain_serves_old_until_flip(spark):
+    """The PQ-layer twin of the generation-flip serving criterion:
+    mid-retrain ADC runs on the stale codebook; the single PQ-marker
+    replace flips serving to the retrained layer, which equals the
+    fresh build's serving."""
+    from kasper_spark import index_catalog as icat
+    from kasper_spark.operators import similarity as S
+
+    idx = S._build_stale_pq_index(spark, SF_SMOKE)
+    stale = sorted(
+        map(tuple, S._search_pq_persisted_index(spark, SF_SMOKE, idx).collect())
+    )
+    seen: dict = {}
+
+    def before_flip(i: str) -> None:
+        seen["mid"] = sorted(
+            map(tuple, S._search_pq_persisted_index(spark, SF_SMOKE, i).collect())
+        )
+        seen["meta"] = icat.marker_read_ints(i, S._PQ_MARKER)
+
+    S._pq_retrain(spark, SF_SMOKE, idx, before_flip=before_flip)
+    assert seen["mid"] == stale, "mid-retrain ADC left the old codebook"
+    assert int(seen["meta"].get("gen", 0)) == 0, "PQ flip happened early"
+    assert icat.marker_read_ints(idx, S._PQ_MARKER)["gen"] == 1
+    new_served = sorted(
+        map(tuple, S._search_pq_persisted_index(spark, SF_SMOKE, idx).collect())
+    )
+    want = sorted(
+        map(tuple, QUERIES["ann_ivf_pq_search_only"](spark, SF_SMOKE).collect())
+    )
+    assert new_served == want, "post-flip ADC != fresh-build ADC"
