@@ -1317,6 +1317,103 @@ def _assign_rows_scan(emb: DataFrame, cent: DataFrame, n_ranks: int) -> DataFram
     )
 
 
+def _parquet_nrows(path: str) -> int:
+    """Exact row count of a parquet file/table from its FOOTER metadata
+    (no data pages read, no Spark job) — the count a maintenance verb
+    needs is always of an artifact it just read or wrote, so paying a
+    full count() job for it is pure overhead. Parquet row counts are
+    part of the format's committed metadata, so this equals
+    spark.read.parquet(path).count() by construction."""
+    import pyarrow.dataset as _pads
+
+    return _pads.dataset(path, format="parquet").count_rows()
+
+
+def _centroid_state(cent) -> tuple:
+    """(cids, nn, ss, S) int64 arrays of the K-centroid quantizer state,
+    from either the long-form DataFrame (one groupBy+collect job), a
+    persisted centroid table path (one driver pyarrow read — the table
+    is K x d driver-bounded rows by design), or a pre-built
+    (cids, nn, ss, S) tuple (driver-trained state used in place)."""
+    import numpy as np
+
+    if isinstance(cent, tuple):
+        return cent
+    if isinstance(cent, str):
+        import pyarrow.dataset as _pads
+
+        t = _pads.dataset(cent, format="parquet").to_table(
+            columns=["cluster_id", "dim", "s", "n"]
+        )
+        cid_r = t.column("cluster_id").to_numpy().astype(np.int64)
+        dim_r = t.column("dim").to_numpy().astype(np.int64)
+        s_r = t.column("s").to_numpy().astype(np.int64)
+        n_r = t.column("n").to_numpy().astype(np.int64)
+        order = np.lexsort((dim_r, cid_r))
+        cid_r, dim_r, s_r, n_r = cid_r[order], dim_r[order], s_r[order], n_r[order]
+        cids, first = np.unique(cid_r, return_index=True)
+        d = len(dim_r) // len(cids)
+        S = s_r.reshape(len(cids), d)
+        nn = n_r[first]
+        ss = (S * S).sum(axis=1)
+        return cids, nn, ss, S
+    rows = (
+        cent.groupBy("cluster_id")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(F.col("s") * F.col("s")).alias("ss"),
+            F.array_sort(F.collect_list(F.struct("dim", "s"))).alias("sd"),
+        )
+        .select(
+            "cluster_id",
+            "n",
+            "ss",
+            F.transform(F.col("sd"), lambda p: p["s"]).alias("sarr"),
+        )
+        .collect()
+    )
+    rows.sort(key=lambda r: r["cluster_id"])
+    cids = np.array([r["cluster_id"] for r in rows], dtype=np.int64)
+    nn = np.array([r["n"] for r in rows], dtype=np.int64)
+    ss = np.array([r["ss"] for r in rows], dtype=np.int64)
+    S = np.array([r["sarr"] for r in rows], dtype=np.int64)  # (K, d)
+    return cids, nn, ss, S
+
+
+def _write_centroids_parquet(path: str, cids, S, n) -> None:
+    """Persist the driver-trained quantizer state as the long-form
+    centroid table — written directly with pyarrow (the state is K x d
+    driver-bounded rows; round-tripping it through a Spark job to land
+    one small file was 2 jobs of pure overhead per build/retrain).
+    Layout-compatible with the Spark write it replaces: a directory of
+    one part file with columns (cluster_id long, dim int, s long,
+    n long), INT64 values round-tripping exactly."""
+    import shutil as _shutil
+
+    import numpy as np
+    import pyarrow as _pa
+    import pyarrow.parquet as _papq
+
+    k, d = S.shape
+    _shutil.rmtree(path, ignore_errors=True)
+    _os.makedirs(path)
+    table = _pa.table(
+        {
+            "cluster_id": _pa.array(
+                np.repeat(np.asarray(cids, dtype=np.int64), d), _pa.int64()
+            ),
+            "dim": _pa.array(
+                np.tile(np.arange(1, d + 1, dtype=np.int32), k), _pa.int32()
+            ),
+            "s": _pa.array(np.asarray(S, dtype=np.int64).ravel(), _pa.int64()),
+            "n": _pa.array(
+                np.repeat(np.asarray(n, dtype=np.int64), d), _pa.int64()
+            ),
+        }
+    )
+    _papq.write_table(table, _os.path.join(path, "part-00000.parquet"))
+
+
 def _assign_rows_scan_np(
     emb: DataFrame, cent: DataFrame, n_ranks: int
 ) -> DataFrame:
@@ -1336,29 +1433,17 @@ def _assign_rows_scan_np(
     is the same IEEE op; ties rank by (f, cluster_id) via stable
     lexsort, matching the struct array_sort order. The centroid state
     (K x (n, ss, sarr)) is collected driver-side — the same bounded
-    payload _assign_rows_scan folds into its one broadcast row."""
-    rows = (
-        cent.groupBy("cluster_id")
-        .agg(
-            F.max("n").alias("n"),
-            F.sum(F.col("s") * F.col("s")).alias("ss"),
-            F.array_sort(F.collect_list(F.struct("dim", "s"))).alias("sd"),
-        )
-        .select(
-            "cluster_id",
-            "n",
-            "ss",
-            F.transform(F.col("sd"), lambda p: p["s"]).alias("sarr"),
-        )
-        .collect()
-    )
-    rows.sort(key=lambda r: r["cluster_id"])
+    payload _assign_rows_scan folds into its one broadcast row.
+
+    ``cent`` may be the long-form centroid DataFrame OR the path of the
+    persisted centroid table: the table is K x d rows of driver-bounded
+    quantizer state by design (FAISS holds its quantizer driver-side),
+    so the path form loads it with one pyarrow footer+page read instead
+    of a Spark groupBy+collect job — identical arrays, fewer jobs on
+    every build/retrain/append cycle (round-15 opt)."""
     import numpy as np
 
-    cids = np.array([r["cluster_id"] for r in rows], dtype=np.int64)
-    nn = np.array([r["n"] for r in rows], dtype=np.int64)
-    ss = np.array([r["ss"] for r in rows], dtype=np.int64)
-    S = np.array([r["sarr"] for r in rows], dtype=np.int64)  # (K, d)
+    cids, nn, ss, S = _centroid_state(cent)
     k_top = n_ranks
 
     def assign(pdfs):
@@ -1375,15 +1460,23 @@ def _assign_rows_scan_np(
             fnum = (nn * nn)[None, :] * vv[:, None] - 2 * nn[None, :] * d + ss[None, :]
             f = fnum.astype(np.float64) / (nn * nn).astype(np.float64)[None, :]
             ids = pdf["vec_id"].to_numpy()
-            out_vec, out_cid, out_rn = [], [], []
-            for j in range(len(ids)):
-                order = np.lexsort((cids, f[j]))[:k_top]
-                for r, ci in enumerate(order, 1):
-                    out_vec.append(int(ids[j]))
-                    out_cid.append(int(cids[ci]))
-                    out_rn.append(r)
+            # vectorized (f, cluster_id) ranking: stable argsort keeps
+            # index order on f-ties, and index order IS cids-ascending
+            # order (cids sorted above), so row j's first k_top columns
+            # equal np.lexsort((cids, f[j]))[:k_top] exactly — the same
+            # tie rule, without a per-row Python loop (round-15 opt:
+            # the per-row lexsort was ~60% of the assignment scan).
+            kk = min(k_top, f.shape[1])
+            if kk == 1:
+                order = np.argmin(f, axis=1)[:, None]  # first min = low cid
+            else:
+                order = np.argsort(f, axis=1, kind="stable")[:, :kk]
             yield pd.DataFrame(
-                {"vec_id": out_vec, "cluster_id": out_cid, "rn": out_rn}
+                {
+                    "vec_id": np.repeat(ids.astype(np.int64), kk),
+                    "cluster_id": cids[order].ravel(),
+                    "rn": np.tile(np.arange(1, kk + 1, dtype=np.int32), len(ids)),
+                }
             )
 
     return emb.select("vec_id", "embedding").mapInPandas(
@@ -1488,6 +1581,28 @@ def _train_centroids_np(
     Returns the same long-form (cluster_id, dim, s, n) rows."""
     import numpy as np
 
+    cids, S, n = _train_centroids_arrays(spark, sf_dir, iters, k, train_n)
+    out = []
+    for ci in range(len(cids)):
+        for dim0 in range(S.shape[1]):
+            out.append((int(cids[ci]), dim0 + 1, int(S[ci, dim0]), int(n[ci])))
+    return spark.createDataFrame(out, "cluster_id long, dim int, s long, n long")
+
+
+def _train_centroids_arrays(
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int = _KMEANS_ITERS,
+    k: int = _KMEANS_K,
+    train_n: int = _KMEANS_TRAIN_N,
+) -> tuple:
+    """The driver Lloyd loop of :func:`_train_centroids_np`, returning the
+    raw (cids, S, n) numpy state — the form the pyarrow centroid writer
+    consumes directly (round-15 opt: the build path no longer routes the
+    driver-resident quantizer through createDataFrame + a Spark write
+    job)."""
+    import numpy as np
+
     emb = load_table(spark, sf_dir, "embeddings")
     samp = (
         emb.select("vec_id")
@@ -1520,19 +1635,15 @@ def _train_centroids_np(
         assert np.all(np.diff(cids) > 0)
         best = np.argmin(f, axis=1)
         keep = np.unique(best)
+        # vectorized per-cluster integer sums (order-independent, so
+        # bit-identical to the per-cluster loop this replaces)
+        inv = np.searchsorted(keep, best)
         new_S = np.zeros((len(keep), q.shape[1]), dtype=np.int64)
-        new_n = np.zeros(len(keep), dtype=np.int64)
-        for j, c in enumerate(keep):
-            members = q[best == c]
-            new_S[j] = members.sum(axis=0)
-            new_n[j] = len(members)
+        np.add.at(new_S, inv, q)
+        new_n = np.bincount(inv, minlength=len(keep)).astype(np.int64)
         cids = cids[keep]
         S, n = new_S, new_n
-    out = []
-    for ci in range(len(cids)):
-        for dim0 in range(S.shape[1]):
-            out.append((int(cids[ci]), dim0 + 1, int(S[ci, dim0]), int(n[ci])))
-    return spark.createDataFrame(out, "cluster_id long, dim int, s long, n long")
+    return cids, S, n
 
 
 _IVF_TRAINED_NPROBE = 2
@@ -1630,6 +1741,43 @@ def _ivf_trained_candidates(
     )
 
 
+def _ivf_trained_candidates_np(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _KMEANS_K,
+    train_n: int = _KMEANS_TRAIN_N,
+    nprobe: int = _IVF_TRAINED_NPROBE,
+) -> DataFrame:
+    """BIT-IDENTICAL fast form of :func:`_ivf_trained_candidates`
+    (round-15 opt): the driver Lloyd loop replaces the iterative
+    DataFrame Lloyd (whose per-round lineage cuts each cost a
+    materialization job), and the corpus assignment runs as the numpy
+    scan — both twins exhaustively asserted bit-identical in
+    tests/test_round13_ops.py, and the consumers' oracles still
+    re-derive the full chain independently. Plan shape: train jobs are
+    sample-bounded; members (rn=1, argmin) is ONE map-only scan fused
+    into the consumer's plan; the probe ranking runs over just the |Q|
+    query rows (parquet-pushed filter) — the same probe-vs-members split
+    _search_persisted_index serves with."""
+    import numpy as np
+
+    cids, S, cn = _train_centroids_arrays(spark, sf_dir, k=k, train_n=train_n)
+    state = (cids, cn, (S * S).sum(axis=1), S)
+    emb = load_table(spark, sf_dir, "embeddings")
+    members = _assign_rows_scan_np(emb, state, 1).select("vec_id", "cluster_id")
+    probe = (
+        _assign_rows_scan_np(emb.filter(F.col("vec_id") < _N_QUERY), state, nprobe)
+        .select(F.col("vec_id").alias("query_id"), "cluster_id")
+    )
+    # same no-distinct rationale as _ivf_trained_candidates: one cluster
+    # per member, distinct probe ranks -> each pair arises at most once
+    return (
+        members.join(F.broadcast(probe), "cluster_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+
+
 def _exact_rerank(spark: SparkSession, sf_dir: str, cand: DataFrame) -> DataFrame:
     """Exact-decimal cosine re-rank of a (query_id, neighbor_id) candidate
     set to the top _TOP_K per query — the final stage shared by
@@ -1691,7 +1839,7 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast the |Q| query embeddings and immediately reduce each row
     # to (ids, cosine) — the wide arrays never cross a shuffle after that
     # stage.
-    return _exact_rerank(spark, sf_dir, _ivf_trained_candidates(spark, sf_dir))
+    return _exact_rerank(spark, sf_dir, _ivf_trained_candidates_np(spark, sf_dir))
 
 
 # --- Scaled-K trained IVF (round 11): K grows with the corpus ------------
@@ -1768,12 +1916,14 @@ def ann_ivf_scaledk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate join, decimal-exact re-rank); only the K/train_n arithmetic
     differs. The broadcast centroid row grows as sqrt(N)*dims integers —
     at N = 10^9, ~64 sqrt(N) longs ~ 16 MB, still broadcast-sized."""
-    n = load_table(spark, sf_dir, "embeddings").count()
+    n = _parquet_nrows(_os.path.join(sf_dir, "embeddings.parquet"))
     k, train_n, nprobe = _scaledk_params(n)
     return _exact_rerank(
         spark,
         sf_dir,
-        _ivf_trained_candidates(spark, sf_dir, k=k, train_n=train_n, nprobe=nprobe),
+        _ivf_trained_candidates_np(
+            spark, sf_dir, k=k, train_n=train_n, nprobe=nprobe
+        ),
     )
 
 
@@ -1836,24 +1986,24 @@ def _build_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     never leave a valid-looking marker over a mixed-generation index."""
     idx = _ivf_index_dir(sf_dir)
     _cat.marker_remove(idx, _IVF_MARKER)
-    n = load_table(spark, sf_dir, "embeddings").count()
+    # corpus size from the parquet footers — exact, no count() job
+    n = _parquet_nrows(_os.path.join(sf_dir, "embeddings.parquet"))
     k, train_n, _ = _scaledk_params(n)
-    # Train on the driver from the BOUNDED sample (_train_centroids_np —
-    # bit-identical to _kmeans_core's Lloyd loop, exhaustively asserted),
-    # then assign the corpus with the bit-identical numpy scan: the
-    # offline build is now numpy end-to-end — FAISS's actual shape — and
-    # the oracle still re-derives the whole chain independently. The
-    # in-flight lifecycle queries (ann_ivf_trained/scaledk_topk) keep the
-    # plan-native DataFrame forms they certify.
-    cent_df = _train_centroids_np(spark, sf_dir, k=k, train_n=train_n)
+    # Train on the driver from the BOUNDED sample (_train_centroids_np's
+    # Lloyd core — bit-identical to _kmeans_core's loop, exhaustively
+    # asserted), then assign the corpus with the bit-identical numpy
+    # scan: the offline build is numpy end-to-end — FAISS's actual shape
+    # — and the oracle still re-derives the whole chain independently.
+    # The in-flight lifecycle queries (ann_ivf_trained/scaledk_topk)
+    # certify the same math through the oracle-twin plans.
+    cids, S, cn = _train_centroids_arrays(spark, sf_dir, k=k, train_n=train_n)
     cent_path = _os.path.join(idx, "centroids")
-    cent_df.coalesce(1).write.mode("overwrite").parquet(cent_path)
+    _write_centroids_parquet(cent_path, cids, S, cn)
     # assign against the centroids as READ BACK from disk, so the
     # persisted lists are provably consistent with the persisted quantizer
-    cent = spark.read.parquet(cent_path)
     emb = load_table(spark, sf_dir, "embeddings")
     (
-        _assign_rows_scan_np(emb, cent, 1)
+        _assign_rows_scan_np(emb, cent_path, 1)
         .select("vec_id", "cluster_id")
         .repartition(F.col("cluster_id"))
         .write.mode("overwrite")
@@ -4898,31 +5048,34 @@ def _ivf_retrain(spark: SparkSession, sf_dir: str, idx: str, before_flip=None) -
     never in the re-assigned membership."""
     meta = _ivf_index_meta(idx)
     old_root = _ivf_gen_root(idx, meta)
-    members = spark.read.parquet(
-        _os.path.join(old_root, "assignments")
-    ).select("vec_id")
     dead = _cat.tombstones_side(
         spark, _os.path.join(old_root, _TOMBSTONES), "vec_id"
     )
-    if dead is not None:
-        members = members.join(dead, "vec_id", "left_anti")
-    n = members.count()
+    if dead is None:
+        # no pending takedowns: the live membership IS the marker's n
+        # (the append/delete paths keep it reconciled), so the retrain
+        # skips the assignments scan+count entirely (round-15 opt)
+        members = None
+        n = int(meta["n"])
+    else:
+        members = spark.read.parquet(
+            _os.path.join(old_root, "assignments")
+        ).select("vec_id").join(dead, "vec_id", "left_anti")
+        n = members.count()
     k, train_n, _ = _scaledk_params(n)
     new_gen = int(meta.get("gen", 0)) + 1
     new_root = _os.path.join(idx, f"gen-{new_gen}")
     _os.makedirs(new_root, exist_ok=True)
     cent_path = _os.path.join(new_root, "centroids")
-    _train_centroids_np(spark, sf_dir, k=k, train_n=train_n).coalesce(
-        1
-    ).write.mode("overwrite").parquet(cent_path)
+    cids, S, cn = _train_centroids_arrays(spark, sf_dir, k=k, train_n=train_n)
+    _write_centroids_parquet(cent_path, cids, S, cn)
     # assign against the NEW centroids as read back from disk (the
     # builders' consistency discipline), over the LIVE membership only
-    cent = spark.read.parquet(cent_path)
     emb = load_table(spark, sf_dir, "embeddings")
-    if dead is not None:
+    if members is not None:
         emb = emb.join(F.broadcast(members), "vec_id", "left_semi")
     (
-        _assign_rows_scan_np(emb, cent, 1)
+        _assign_rows_scan_np(emb, cent_path, 1)
         .select("vec_id", F.col("cluster_id").cast("bigint").alias("cluster_id"))
         .repartition(F.col("cluster_id"))
         .write.mode("overwrite")
@@ -4950,16 +5103,14 @@ def _build_stale_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     _atexit.register(_shutil.rmtree, work, ignore_errors=True)
     idx = _os.path.join(work, "index")
     _os.makedirs(idx)
-    n = load_table(spark, sf_dir, "embeddings").count()
+    n = _parquet_nrows(_os.path.join(sf_dir, "embeddings.parquet"))
     k_h, train_h, _ = _scaledk_params(max(2, n // 2))
     cent_path = _os.path.join(idx, "centroids")
-    _train_centroids_np(spark, sf_dir, k=k_h, train_n=train_h).coalesce(
-        1
-    ).write.mode("overwrite").parquet(cent_path)
-    cent = spark.read.parquet(cent_path)
+    cids, S, cn = _train_centroids_arrays(spark, sf_dir, k=k_h, train_n=train_h)
+    _write_centroids_parquet(cent_path, cids, S, cn)
     emb = load_table(spark, sf_dir, "embeddings")
     (
-        _assign_rows_scan_np(emb, cent, 1)
+        _assign_rows_scan_np(emb, cent_path, 1)
         .select("vec_id", F.col("cluster_id").cast("bigint").alias("cluster_id"))
         .repartition(F.col("cluster_id"))
         .write.mode("overwrite")

@@ -3858,7 +3858,10 @@ def _ivf_append_run(
         .format("parquet")
         .load(src_dir)
     )
-    cent = spark.read.parquet(os.path.join(idx, "centroids"))
+    # centroid path, not a DataFrame: _assign_rows_scan_np loads the
+    # K x d quantizer state with one driver pyarrow read per epoch
+    # instead of a groupBy+collect Spark job (round-15 opt)
+    cent = os.path.join(idx, "centroids")
 
     def append_batch(df, epoch_id: int) -> None:
         # exactly-once under micro-batch re-execution (ADVICE r13): skip
@@ -4069,7 +4072,10 @@ def _ivf_pq_append_run(
         .format("parquet")
         .load(src_dir)
     )
-    cent = spark.read.parquet(os.path.join(idx, "centroids"))
+    # centroid path, not a DataFrame: _assign_rows_scan_np loads the
+    # K x d quantizer state with one driver pyarrow read per epoch
+    # instead of a groupBy+collect Spark job (round-15 opt)
+    cent = os.path.join(idx, "centroids")
     codebook = spark.read.parquet(os.path.join(idx, "pq_codebook"))
 
     def append_batch(df, epoch_id: int) -> None:

@@ -1,0 +1,87 @@
+"""Round-15 OPTIMIZATION gates: the driver-side centroid IO fast paths
+and the vectorized assignment ranking must stay bit-identical to the
+Spark-job forms they replaced (the sweep certifies end-to-end values;
+these pin the helper-level equivalences so a future edit that breaks one
+fails here first, not in a 50-query sweep)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from kasper_spark.registry import load_all_operators
+from tests.conftest import SF_ORACLE  # noqa: F401
+
+load_all_operators()
+
+
+def test_parquet_nrows_matches_spark_count(spark):
+    from kasper_spark.operators.similarity import _parquet_nrows
+
+    path = os.path.join(SF_ORACLE, "embeddings.parquet")
+    assert _parquet_nrows(path) == spark.read.parquet(path).count()
+
+
+def test_centroid_write_read_roundtrip_and_state_equiv(spark, tmp_path):
+    """_write_centroids_parquet (pyarrow) must land a table that (a)
+    Spark reads with the exact rows/schema the old Spark write produced
+    and (b) _centroid_state loads identically via the path fast path and
+    the DataFrame path."""
+    from kasper_spark.operators.similarity import (
+        _centroid_state,
+        _train_centroids_arrays,
+        _train_centroids_np,
+        _write_centroids_parquet,
+    )
+
+    cids, S, n = _train_centroids_arrays(spark, SF_ORACLE, k=8, train_n=200)
+    path = str(tmp_path / "centroids")
+    _write_centroids_parquet(path, cids, S, n)
+
+    # (a) Spark-read rows == the long-form DataFrame the old write used
+    df_rows = sorted(
+        map(tuple, _train_centroids_np(spark, SF_ORACLE, k=8, train_n=200).collect())
+    )
+    disk_rows = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert disk_rows == df_rows
+    assert dict(spark.read.parquet(path).dtypes) == {
+        "cluster_id": "bigint", "dim": "int", "s": "bigint", "n": "bigint",
+    }
+
+    # (b) path fast path == DataFrame path, array-for-array
+    st_path = _centroid_state(path)
+    st_df = _centroid_state(spark.read.parquet(path))
+    for a, b in zip(st_path, st_df):
+        assert np.array_equal(a, b)
+
+
+@pytest.mark.parametrize("n_ranks", [1, 3])
+def test_assign_scan_path_equals_df_cent(spark, tmp_path, n_ranks):
+    """_assign_rows_scan_np over a centroid PATH must equal the same scan
+    over the centroid DataFrame (the pyarrow fast path the builders and
+    streaming append twins now use)."""
+    from kasper_spark.catalog import load_table
+    from kasper_spark.operators.similarity import (
+        _assign_rows_scan_np,
+        _train_centroids_arrays,
+        _write_centroids_parquet,
+    )
+
+    cids, S, n = _train_centroids_arrays(spark, SF_ORACLE, k=8, train_n=200)
+    path = str(tmp_path / "centroids")
+    _write_centroids_parquet(path, cids, S, n)
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    got = sorted(
+        map(tuple, _assign_rows_scan_np(emb, path, n_ranks).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            _assign_rows_scan_np(
+                emb, spark.read.parquet(path), n_ranks
+            ).collect(),
+        )
+    )
+    assert got == want
