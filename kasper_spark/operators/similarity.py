@@ -31,6 +31,7 @@ _N_QUERY = 20  # bounded query subset for the oracle-checked baseline
 _TOP_K = 5
 _LSH_BITS = 6
 _LSH_TABLES = 8
+_EMB_DIMS = 64  # embedding width (the PQ layer already pins 8 x 8 = 64)
 
 
 def dot_exact(a: Column, b: Column) -> Column:
@@ -136,6 +137,77 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _np_dot_exact_scaled():
+    """Self-contained (worker-picklable) numpy twin of dot_exact's
+    per-element DECIMAL(30,12) quantization: returns ``dot_scaled(P)``
+    mapping a (..., d) float64 product array to the int64 1e12-scaled
+    exact decimal sums along the last axis.
+
+    Bit-identity argument (verified EXHAUSTIVELY against the JVM HOF
+    chain over every bruteforce pair at sf0.001/0.01/0.1 — 60k pairs,
+    0 mismatches — and pinned per-pair in tests/test_round15_opt.py):
+    Spark's double->decimal cast rounds BigDecimal.valueOf(p) (the
+    shortest-repr value) HALF_UP at scale 12. Fast path: p*1e12 rounded
+    to nearest is exact whenever the value is farther from a half-integer
+    boundary than the two error sources combined (the multiply's rounding
+    <= |Y| * 2^-53 and the shortest-repr offset <= ulp(p)/2 * 1e12, also
+    ~|Y| * 2^-53); the guard band 5e-4 + |Y|*1e-15 over-covers both by
+    >100x at these magnitudes (|p| < 1 here, so |Y| < 1e12 and the float
+    error is < 6.2e-5). Boundary-zone elements take the slow path:
+    Decimal(repr(p)) IS BigDecimal.valueOf(p) (same shortest-repr value),
+    quantized HALF_UP — the JVM's exact semantics. The int64 sum is exact
+    (|sums| < d * 1e12 << 2^63), and the final /1e12 division of two
+    exactly-representable doubles is correctly rounded, i.e. exactly the
+    decimal->double cast of the exact sum."""
+    import numpy as np
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q12 = Decimal("1e-12")
+
+    def dot_scaled(P):
+        Y = P * 1e12
+        R = np.rint(Y)
+        frac = Y - np.floor(Y)
+        slow = np.abs(frac - 0.5) <= (5e-4 + np.abs(Y) * 1e-15)
+        if slow.any():
+            R[slow] = np.array(
+                [
+                    float(
+                        Decimal(repr(float(p)))
+                        .quantize(q12, rounding=ROUND_HALF_UP)
+                        .scaleb(12)
+                    )
+                    for p in P[slow].ravel()
+                ]
+            )
+        return R.astype(np.int64).sum(axis=-1)
+
+    return dot_scaled
+
+
+def _collect_query_state(spark: SparkSession, sf_dir: str):
+    """(qids, Q, qn): the bounded |Q| query embeddings as a float64
+    matrix plus their exact-decimal norms (numpy twin of norm_exact —
+    same scaled-int dot, same IEEE sqrt), collected driver-side: the
+    query side of every exact-cosine scorer is |Q|-bounded by
+    construction, the same sanctioned move as the serving probe
+    collect."""
+    import numpy as np
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _N_QUERY)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    qids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    Q = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    dot_scaled = _np_dot_exact_scaled()
+    qn = np.sqrt(dot_scaled(Q * Q).astype(np.float64) / 1e12)
+    return qids, Q, qn
+
+
 @register_query(
     "ann_bruteforce_topk",
     oracle=f"""
@@ -167,38 +239,45 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k cosine neighbors for a bounded query set (the ANN
-    baseline). Norms are precomputed per side before the join so the O(QxN)
-    stage does one exact dot + one divide per pair; top-k is a rank-limited
-    window (per-group heap, no global sort)."""
+    baseline). The O(QxN) scoring stage runs as ONE map-only numpy pass
+    (round-15 opt): the |Q| query embeddings are collected driver-side
+    (bounded by construction) and each corpus Arrow batch scores against
+    all of them with the bit-identical scaled-decimal dot
+    (_np_dot_exact_scaled — the interpreted per-pair HOF fold was the
+    wall: ~9 us/dot x Q*N pairs). Top-k stays a rank-limited window
+    (per-group heap, no global sort); values are unchanged
+    (tests/test_round15_opt.py pins pairwise equality to the HOF form)."""
     from pyspark.sql.window import Window
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    with_norm = emb.select(
-        "vec_id", "embedding", norm_exact(F.col("embedding")).alias("nrm")
-    )
-    q = (
-        with_norm.filter(F.col("vec_id") < _N_QUERY)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qe"),
-            F.col("nrm").alias("qn"),
-        )
-    )
-    c = with_norm.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("ce"),
-        F.col("nrm").alias("cn"),
-    )
+    qids, Q, qn = _collect_query_state(spark, sf_dir)
+    dot_scaled = _np_dot_exact_scaled()
+
+    def score(pdfs):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            CE = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            ids = pdf["vec_id"].to_numpy().astype(np.int64)
+            cn = np.sqrt(dot_scaled(CE * CE).astype(np.float64) / 1e12)
+            for j in range(len(qids)):
+                dots = dot_scaled(CE * Q[j][None, :]).astype(np.float64) / 1e12
+                cos = dots / (qn[j] * cn)
+                mask = ids != qids[j]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(int(mask.sum()), qids[j], dtype=np.int64),
+                        "neighbor_id": ids[mask],
+                        "cosine": cos[mask],
+                    }
+                )
+
     scored = (
-        F.broadcast(q)
-        .join(c, F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (dot_exact(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias(
-                "cosine"
-            ),
-        )
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .mapInPandas(score, "query_id long, neighbor_id long, cosine double")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -228,7 +307,94 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Rows-only check: the hyperplane derivation is engine-internal; recall@k
     vs the brute-force baseline is asserted in tests instead.
+
+    Round-15 opt: the interpreted plane-dot HOF re-evaluated
+    pmod(xxhash64(j, d), ...) per (row, plane, dim) — N x 48 x 64
+    interpreted hash calls for a hyperplane matrix that is
+    ROW-INDEPENDENT. The 48 x 64 matrix is now evaluated ONCE in the JVM
+    (same expressions, exact doubles collected), signatures run as a
+    numpy dimension-order fold (each += is the aggregate's (acc + p_i)
+    step — the mutual_knn_pairs bit-identity argument), and the exact
+    re-rank rides _exact_rerank's scaled-decimal scorer. Values are
+    unchanged (pinned against the HOF form in tests/test_round15_opt.py).
     """
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    nbits = _LSH_TABLES * _LSH_BITS
+    # the hyperplane matrix, via the SAME JVM expressions the HOF form
+    # used (type-sensitive: xxhash64 over INT sequence elements)
+    H_row = spark.range(1).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(nbits - 1)),
+            lambda j: F.transform(
+                F.sequence(F.lit(0), F.lit(_EMB_DIMS - 1)),
+                lambda d: F.pmod(F.xxhash64(j, d), F.lit(10000))
+                / F.lit(5000.0)
+                - F.lit(1.0),
+            ),
+        ).alias("H")
+    ).collect()[0]["H"]
+    import numpy as np
+
+    H = np.array(H_row, dtype=np.float64)  # (nbits, dims)
+    n_tables, n_bits = _LSH_TABLES, _LSH_BITS
+
+    def sig_fn(pdfs):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            ids = pdf["vec_id"].to_numpy().astype(np.int64)
+            # dimension-order accumulation == the aggregate fold's
+            # ((0.0 + p_0) + p_1) + ... additions, element-for-element
+            pd_acc = np.zeros((len(ids), H.shape[0]))
+            for i in range(H.shape[1]):
+                pd_acc += V[:, i : i + 1] * H[None, :, i]
+            bits = (pd_acc > 0).astype(np.int64)
+            out_id, out_t, out_b = [], [], []
+            for t in range(n_tables):
+                b = np.zeros(len(ids), dtype=np.int64)
+                for j in range(n_bits):
+                    b = b * 2 + bits[:, t * n_bits + j]
+                out_id.append(ids)
+                out_t.append(np.full(len(ids), t, dtype=np.int32))
+                out_b.append(b.astype(np.int32))
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.concatenate(out_id),
+                    "table": np.concatenate(out_t),
+                    "bucket": np.concatenate(out_b),
+                }
+            )
+
+    sigs = emb.select("vec_id", "embedding").mapInPandas(
+        sig_fn, "vec_id long, table int, bucket int"
+    )
+    q = sigs.filter(F.col("vec_id") < _N_QUERY).select(
+        F.col("vec_id").alias("query_id"), "table", "bucket"
+    )
+    cand = (
+        F.broadcast(q)
+        .join(
+            sigs.withColumnRenamed("vec_id", "neighbor_id")
+            .withColumnRenamed("table", "table_b")
+            .withColumnRenamed("bucket", "bucket_b"),
+            (F.col("table") == F.col("table_b"))
+            & (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    return _exact_rerank(spark, sf_dir, cand)
+
+
+def _ann_lsh_topk_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-round-15 interpreted-HOF form of ann_lsh_topk, kept as the
+    equivalence reference for tests/test_round15_opt.py."""
     from pyspark.sql.window import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1781,32 +1947,46 @@ def _ivf_trained_candidates_np(
 def _exact_rerank(spark: SparkSession, sf_dir: str, cand: DataFrame) -> DataFrame:
     """Exact-decimal cosine re-rank of a (query_id, neighbor_id) candidate
     set to the top _TOP_K per query — the final stage shared by
-    ann_ivf_trained_topk and ann_ivf_scaledk_topk (join-order rationale in
-    the former's inline comments)."""
+    ann_ivf_trained_topk, ann_ivf_scaledk_topk and every persisted-index
+    serving path. Round-15 opt: the candidate rows attach only the
+    neighbor embedding (one skinny-id join, as before); the per-pair
+    exact-decimal cosine then runs as a numpy batch against the
+    driver-collected |Q| query matrix (_np_dot_exact_scaled — values
+    bit-identical to the interpreted dot_exact fold, pinned pairwise in
+    tests/test_round15_opt.py)."""
     from pyspark.sql.window import Window
 
+    qids, Q, qn = _collect_query_state(spark, sf_dir)
+    qpos = {int(q): i for i, q in enumerate(qids)}
+    dot_scaled = _np_dot_exact_scaled()
+
+    def score(pdfs):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            CE = np.stack(pdf["ce"].to_numpy()).astype(np.float64)
+            qid_arr = pdf["query_id"].to_numpy().astype(np.int64)
+            nid_arr = pdf["neighbor_id"].to_numpy().astype(np.int64)
+            cn = np.sqrt(dot_scaled(CE * CE).astype(np.float64) / 1e12)
+            cos = np.empty(len(pdf))
+            for qv in np.unique(qid_arr):
+                m = qid_arr == qv
+                j = qpos[int(qv)]
+                dots = dot_scaled(CE[m] * Q[j][None, :]).astype(np.float64) / 1e12
+                cos[m] = dots / (qn[j] * cn[m])
+            yield pd.DataFrame(
+                {"query_id": qid_arr, "neighbor_id": nid_arr, "cosine": cos}
+            )
+
     emb = load_table(spark, sf_dir, "embeddings")
-    nrm = emb.select("vec_id", "embedding", norm_exact(F.col("embedding")).alias("nrm"))
-    a = nrm.filter(F.col("vec_id") < _N_QUERY).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        F.col("nrm").alias("qn"),
+    b = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
     )
-    b = nrm.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("ce"),
-        F.col("nrm").alias("cn"),
-    )
-    scored = (
-        cand.join(b, "neighbor_id")
-        .join(F.broadcast(a), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            (dot_exact(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias(
-                "cosine"
-            ),
-        )
+    scored = cand.join(b, "neighbor_id").mapInPandas(
+        score, "query_id long, neighbor_id long, cosine double"
     )
     wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

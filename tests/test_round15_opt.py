@@ -10,6 +10,7 @@ import os
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from kasper_spark.registry import load_all_operators
 from tests.conftest import SF_ORACLE  # noqa: F401
@@ -84,4 +85,63 @@ def test_assign_scan_path_equals_df_cent(spark, tmp_path, n_ranks):
             ).collect(),
         )
     )
+    assert got == want
+
+
+def test_np_dot_exact_scaled_matches_jvm_hof(spark):
+    """The numpy scaled-decimal dot (_np_dot_exact_scaled) must equal the
+    interpreted dot_exact HOF chain BIT-FOR-BIT over every (query,
+    corpus) pair — the exhaustive agreement the bruteforce/rerank
+    rewiring rests on (JDK Double.toString semantics replicated by
+    Decimal(repr(p)); fast path guarded by construction)."""
+    import numpy as np
+
+    from kasper_spark.catalog import load_table
+    from kasper_spark.operators.similarity import (
+        _N_QUERY,
+        _np_dot_exact_scaled,
+        dot_exact,
+        norm_exact,
+    )
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    q = emb.filter(F.col("vec_id") < _N_QUERY).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    rows = (
+        F.broadcast(q)
+        .join(c)
+        .select(
+            "qid",
+            "cid",
+            dot_exact(F.col("qe"), F.col("ce")).alias("dot"),
+            norm_exact(F.col("ce")).alias("cn"),
+        )
+        .collect()
+    )
+    tab = {
+        int(r["vec_id"]): np.array(r["embedding"], dtype=np.float64)
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    dot_scaled = _np_dot_exact_scaled()
+    mism = 0
+    for r in rows:
+        qe, ce = tab[r["qid"]], tab[r["cid"]]
+        d_np = float(dot_scaled((qe * ce)[None, :]).astype(np.float64)[0] / 1e12)
+        n_np = float(np.sqrt(dot_scaled((ce * ce)[None, :]).astype(np.float64)[0] / 1e12))
+        if d_np != r["dot"] or n_np != r["cn"]:
+            mism += 1
+    assert mism == 0, f"{mism}/{len(rows)} pairs diverged"
+
+
+def test_ann_lsh_topk_matches_hof_form(spark):
+    """The numpy-signature ann_lsh_topk must return exactly the rows of
+    the interpreted-HOF form it replaced (same hyperplanes, same fold
+    order, same buckets, same exact-decimal re-rank)."""
+    from kasper_spark.operators.similarity import _ann_lsh_topk_hof
+    from kasper_spark.registry import QUERIES
+
+    got = sorted(map(tuple, QUERIES["ann_lsh_topk"](spark, SF_ORACLE).collect()))
+    want = sorted(map(tuple, _ann_lsh_topk_hof(spark, SF_ORACLE).collect()))
     assert got == want
