@@ -230,6 +230,19 @@ def _run(noise_file) -> dict:
     # parquet footer/metadata readers for a small and the largest table
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    # round-15 warmup additions, declared per the measurement-change rule
+    # (OPTIMIZATION_r15.md): (a) one noop-sink write so the noop
+    # datasource lookup + committer init are session-warm like every
+    # other piece of engine infra (they are part of the MEASUREMENT
+    # harness, not of any benchmarked query — before this, the first
+    # headline key absorbed them); (b) one trivial mapInPandas so the
+    # Python worker pool is spawned once here, not inside the first
+    # Arrow-batch query (same rationale: worker processes are session
+    # infra, reused across all queries).
+    spark.range(1_000).write.format("noop").mode("overwrite").save()
+    spark.range(1_000).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

@@ -2962,9 +2962,14 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~3e9 baskets, so both factors cast to double FIRST (the Benford
     expected_n discipline)."""
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.select(
-        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
-    ).distinct()
+    # one materialization of the distinct basket set: FIVE subtrees read
+    # it (n_b, item_n, the kept join, and both self-join sides) — without
+    # the cut each re-ran the scan+distinct (round-15 audit)
+    baskets = cut_lineage(
+        li.select(
+            F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+        ).distinct()
+    )
     n_b = baskets.agg(
         F.count_distinct(F.col("basket")).cast("long").alias("n_baskets")
     )

@@ -671,7 +671,9 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_a, doc_b
     """,
 )
-def levenshtein_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def levenshtein_block_pairs(
+    spark: SparkSession, sf_dir: str, ordered: bool = True
+) -> DataFrame:
     """Edit-distance near-dup candidates with BLOCKING: compare document
     prefixes only within the same (source, lang, first-token) block — the
     classic record-linkage token-blocking recipe (block on a name token)
@@ -717,7 +719,7 @@ def levenshtein_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p").alias("pb"),
     )
     dist = F.levenshtein(F.col("pa"), F.col("pb"), 18)
-    return (
+    out = (
         a.join(
             b,
             (F.col("source") == F.col("source_b"))
@@ -728,8 +730,10 @@ def levenshtein_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dist", dist)
         .filter(F.col("dist") >= 0)
         .select("doc_a", "doc_b", "dist")
-        .orderBy("doc_a", "doc_b")
     )
+    if ordered:
+        out = out.orderBy("doc_a", "doc_b")
+    return out
 
 
 def _pagerank_oracle_sql(iters: int = 8, graph_cte: str | None = None) -> str:
@@ -2131,7 +2135,12 @@ def entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized)."""
     from pyspark.sql.window import Window
 
-    pairs = levenshtein_block_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # ordered=False: the closure consumes an unordered edge SET — the
+    # public query's presentation sort would cost a global range shuffle
+    # here for nothing (round-15 opt; the driver hash is order-insensitive)
+    pairs = levenshtein_block_pairs(spark, sf_dir, ordered=False).select(
+        "doc_a", "doc_b"
+    )
     cc = connected_components(pairs)
     w = Window.partitionBy("cluster_id")
     return cc.select(
@@ -2968,7 +2977,12 @@ def _build_lsh_index(spark: SparkSession, sf_dir: str) -> str:
 
     idx = _lsh_index_dir(sf_dir)
     _cat.marker_remove(idx, _LSH_IDX_MARKER)
-    sigs = _md5_sigs(spark, sf_dir).transform(cut_lineage)
+    # No lineage cut before the write: the parquet write IS the one
+    # materialization of the signature pass (banding below reads the
+    # sigs back from disk, never this plan) — the round-15 audit found
+    # the localCheckpoint here re-ran the full corpus pass once for
+    # blocks nothing re-read.
+    sigs = _md5_sigs(spark, sf_dir)
     # ONE array column, not 32 long columns: the signature is always read
     # whole (banding and verify both need every hash), so packing it keeps
     # the scan at 2 columns — the repo-wide <= 8-column scan gate — and

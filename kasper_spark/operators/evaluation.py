@@ -458,19 +458,31 @@ def _graded_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("total_tokens"),
     )
-    term_col = F.explode(F.array(*[F.lit(t) for t in _MRR_TERMS])).alias("term")
-    tf = base.select("doc_id", "dl", "t", term_col).select(
-        "doc_id",
-        "dl",
-        "term",
-        F.size(F.expr("filter(t, w -> w = term)")).cast("long").alias("tf"),
+    # Round-15 opt: SPARSE per-(doc, term) counts — one explode + one
+    # vocab-filtered groupBy — replace the dense doc x 13-term grid whose
+    # higher-order filter() re-scanned every doc's token array once per
+    # term. Equivalence to the dense form (oracle unchanged, dense):
+    # absent terms contributed EXACTLY decimal 0 to score_dec (decimal
+    # sums are exact, so dropping the zeros is value-identical), idf > 0
+    # and tf_part > 0 make every present contrib strictly positive (so
+    # `score_dec > 0` keeps exactly the docs with >= 1 present term =
+    # exactly the sparse rows), and dense min_tf was 0 iff ANY query term
+    # was absent — reproduced via the per-query term count.
+    tf_nz = (
+        base.select("doc_id", "dl", F.explode("t").alias("term"))
+        .filter(F.col("term").isin(*_MRR_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
-    df_t = tf.filter(F.col("tf") > 0).groupBy("term").agg(
+    df_t = tf_nz.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
     qt = spark.createDataFrame(
         [(qid, t) for qid, ts in _MRR_QUERIES for t in ts],
         "query_id long, term string",
+    )
+    n_terms = spark.createDataFrame(
+        [(qid, len(ts)) for qid, ts in _MRR_QUERIES], "query_id long, n_terms long"
     )
     avgdl = F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")
     idf = (
@@ -481,17 +493,28 @@ def _graded_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(_BM25_K1)
         * (F.lit(1.0 - _BM25_B) + (F.lit(_BM25_B) * F.col("dl").cast("double")) / avgdl)
     )
-    contrib = F.when(F.col("tf") > 0, (idf * tf_part).cast("decimal(30,12)")).otherwise(
-        F.lit(0).cast("decimal(30,12)")
-    )
+    contrib = (idf * tf_part).cast("decimal(30,12)")
     return (
-        tf.join(F.broadcast(df_t), "term")
+        tf_nz.join(F.broadcast(df_t), "term")
         .join(F.broadcast(qt), "term")
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "doc_id")
         .agg(
             F.sum(contrib).cast("decimal(30,12)").alias("score_dec"),
-            F.min("tf").cast("long").alias("min_tf"),
+            F.min("tf").cast("long").alias("min_tf_present"),
+            F.count(F.lit(1)).alias("n_present"),
+        )
+        .join(F.broadcast(n_terms), "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            "score_dec",
+            F.when(
+                F.col("n_present") == F.col("n_terms"), F.col("min_tf_present")
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("min_tf"),
         )
         .filter(F.col("score_dec") > 0)
     )

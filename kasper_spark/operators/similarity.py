@@ -531,6 +531,69 @@ _IVF_K = 32  # FIXED centroid count: the first _IVF_K vectors seed the lists
 _IVF_NPROBE = 4
 
 
+def _seedk_rank_scan(
+    spark: SparkSession,
+    sf_dir: str,
+    n_ranks: int,
+    queries_only: bool = False,
+    emit_res: bool = False,
+) -> DataFrame:
+    """BIT-IDENTICAL numpy twin of the seed-K (first _IVF_K vectors)
+    cosine ranking the fixed-K IVF family shares (ann_ivf_topk's
+    ``ranked`` / _residual_core's): one map-only pass ranking each row
+    against the 32 broadcast seed centroids — dot_double's left fold
+    reproduced by dimension-order accumulation, norms by the certified
+    scaled-decimal dot, (ccos DESC, cid ASC) ties by stable argsort over
+    cid-ascending columns (round-15 opt; the interpreted HOF join paid
+    N x K x d per query). ``emit_res`` additionally yields the rn=1
+    residual v - centroid(v) (the same float64 subtraction zip_with
+    performed). Equivalence to the HOF form is pinned in
+    tests/test_round15_opt.py."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    crows = (
+        emb.filter(F.col("vec_id") < _IVF_K).select("vec_id", "embedding").collect()
+    )
+    crows.sort(key=lambda r: r["vec_id"])
+    cids = np.array([r["vec_id"] for r in crows], dtype=np.int64)
+    C = np.array([r["embedding"] for r in crows], dtype=np.float64)
+    dot_scaled = _np_dot_exact_scaled()
+    cnrm = np.sqrt(dot_scaled(C * C).astype(np.float64) / 1e12)
+    kk = min(n_ranks, len(cids))
+
+    def fn(pdfs):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            ids = pdf["vec_id"].to_numpy().astype(np.int64)
+            nrm = np.sqrt(dot_scaled(V * V).astype(np.float64) / 1e12)
+            acc = np.zeros((len(ids), C.shape[0]))
+            for i in range(C.shape[1]):
+                acc += V[:, i : i + 1] * C[None, :, i]
+            cos = acc / (nrm[:, None] * cnrm[None, :])
+            order = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+            out = {
+                "vec_id": np.repeat(ids, kk),
+                "cid": cids[order].ravel(),
+                "rn": np.tile(np.arange(1, kk + 1, dtype=np.int32), len(ids)),
+            }
+            if emit_res:
+                RV = V - C[order[:, 0]]
+                out["rvec"] = list(np.repeat(RV, kk, axis=0))
+            yield pd.DataFrame(out)
+
+    src = emb.filter(F.col("vec_id") < _N_QUERY) if queries_only else emb
+    schema = "vec_id long, cid long, rn int"
+    if emit_res:
+        schema += ", rvec array<double>"
+    return src.select("vec_id", "embedding").mapInPandas(fn, schema)
+
+
 @register_query(
     "ann_ivf_topk",
     oracle=f"""
@@ -612,63 +675,21 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the vectors); the probe->candidates join shuffles by centroid id, so
     list sizes — not corpus size — bound each task. recall@k vs the
     brute-force baseline is asserted in tests."""
-    from pyspark.sql.window import Window
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id", "embedding", norm_exact(F.col("embedding")).alias("nrm"))
-    cent = e.filter(F.col("vec_id") < _IVF_K).select(
-        F.col("vec_id").alias("cid"),
-        F.col("embedding").alias("cemb"),
-        F.col("nrm").alias("cnrm"),
+    # Round-15 opt: assignment/probe ride the numpy seed-K rank scan
+    # (_seedk_rank_scan — bit-identical to the HOF broadcast ranking this
+    # replaced) and the exact re-rank rides _exact_rerank's scaled-decimal
+    # scorer; values unchanged (oracle-certified + equivalence tests).
+    assign = _seedk_rank_scan(spark, sf_dir, 1).select("vec_id", "cid")
+    probe = _seedk_rank_scan(
+        spark, sf_dir, _IVF_NPROBE, queries_only=True
+    ).select(F.col("vec_id").alias("query_id"), "cid")
+    cand = (
+        F.broadcast(probe)
+        .join(assign, "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )
-    # ranking-only cosine: double dot (bit-identical across engines for the
-    # left-to-right array fold — see dot_double) at ~10x less cost than the
-    # decimal-exact dot reserved for the hashed output column below
-    cos_to_cent = dot_double(F.col("embedding"), F.col("cemb")) / (
-        F.col("nrm") * F.col("cnrm")
-    )
-    rn_w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
-    ranked = (
-        e.join(F.broadcast(cent))
-        .select("vec_id", "embedding", "nrm", "cid", cos_to_cent.alias("ccos"))
-        .select("vec_id", "cid", F.row_number().over(rn_w).alias("rn"))
-    )
-    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cid")
-    probe = (
-        ranked.filter((F.col("vec_id") < _N_QUERY) & (F.col("rn") <= _IVF_NPROBE))
-        .select(F.col("vec_id").alias("query_id"), "cid")
-    )
-    cand = probe.join(assign, "cid").filter(
-        F.col("vec_id") != F.col("query_id")
-    ).select("query_id", F.col("vec_id").alias("neighbor_id"))
-    q = e.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        F.col("nrm").alias("qn"),
-    )
-    c = e.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("ce"),
-        F.col("nrm").alias("cn"),
-    )
-    scored = (
-        cand.join(F.broadcast(q), "query_id")
-        .join(c, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            (dot_exact(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias(
-                "cosine"
-            ),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.select(
-            "query_id", "neighbor_id", "cosine", F.row_number().over(w).alias("rank")
-        )
-        .filter(F.col("rank") <= _TOP_K)
-    )
+    return _exact_rerank(spark, sf_dir, cand)
 
 
 def _ivf_recall_oracle_sql() -> str:
@@ -2560,7 +2581,8 @@ def _pq_parts(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
     encoding, and the per-query exact-decimal ADC lookup table. Both
     consumers' oracles replicate these CTEs verbatim (keep in sync)."""
     codebook = _pq_codebook_df(emb)
-    return _pq_encode(emb, codebook), _pq_lut(emb, codebook)
+    # numpy-twin encode (r15 opt; bit-identity asserted in tests/test_round13_ops.py)
+    return _pq_encode_np(emb, codebook), _pq_lut(emb, codebook)
 
 
 # The PQ CTE chain (seeds/subs/codebook/slices/encoded/lut) is shared
@@ -3365,33 +3387,55 @@ def knn_label_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates."""
     from pyspark.sql.window import Window
 
+    # Round-15 opt: the O(Q x N) exact-cosine scoring runs as the same
+    # map-only scaled-decimal numpy pass as ann_bruteforce_topk (values
+    # bit-identical to the dot_exact HOF chain — _np_dot_exact_scaled's
+    # exhaustive certification); labels ride along, vote unchanged.
     emb = load_table(spark, sf_dir, "embeddings")
-    with_norm = emb.select(
-        "vec_id", "label", "embedding", norm_exact(F.col("embedding")).alias("nrm")
+    qrows = (
+        emb.filter(F.col("vec_id") < _N_QUERY)
+        .select("vec_id", "label", "embedding")
+        .collect()
     )
-    q = with_norm.filter(F.col("vec_id") < _N_QUERY).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").alias("q_label"),
-        F.col("embedding").alias("qe"),
-        F.col("nrm").alias("qn"),
-    )
-    c = with_norm.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("label").alias("c_label"),
-        F.col("embedding").alias("ce"),
-        F.col("nrm").alias("cn"),
-    )
+    qrows.sort(key=lambda r: r["vec_id"])
+    import numpy as np
+
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qlabels = np.array([r["label"] for r in qrows], dtype=np.int32)
+    Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    dot_scaled = _np_dot_exact_scaled()
+    qn = np.sqrt(dot_scaled(Q * Q).astype(np.float64) / 1e12)
+
+    def score(pdfs):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            CE = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            ids = pdf["vec_id"].to_numpy().astype(np.int64)
+            clab = pdf["label"].to_numpy().astype(np.int32)
+            cn = np.sqrt(dot_scaled(CE * CE).astype(np.float64) / 1e12)
+            for j in range(len(qids)):
+                dots = dot_scaled(CE * Q[j][None, :]).astype(np.float64) / 1e12
+                cos = dots / (qn[j] * cn)
+                m = ids != qids[j]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(int(m.sum()), qids[j], dtype=np.int64),
+                        "q_label": np.full(int(m.sum()), qlabels[j], dtype=np.int32),
+                        "neighbor_id": ids[m],
+                        "c_label": clab[m],
+                        "cosine": cos[m],
+                    }
+                )
+
     scored = (
-        F.broadcast(q)
-        .join(c, F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "q_label",
-            "neighbor_id",
-            "c_label",
-            (dot_exact(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias(
-                "cosine"
-            ),
+        emb.select("vec_id", "label", "embedding")
+        .mapInPandas(
+            score,
+            "query_id long, q_label int, neighbor_id long, c_label int, cosine double",
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -3926,7 +3970,7 @@ def ann_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid term is a |Q| x nprobe broadcast join."""
     core = _residual_core(spark, sf_dir)
     codebook = _pqres_codebook(core["res"])
-    encoded = _pqres_encode(core["res"], codebook)
+    encoded = _pqres_encode_np(core["res"], codebook)  # numpy twin (r15 opt)
     lut = _pqres_lut(core["e"], codebook)
     dqc = _pqres_dqc(core["e"], core["cent"], core["probe"])
     cand = (
@@ -3941,7 +3985,32 @@ def ann_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _residual_core(spark: SparkSession, sf_dir: str) -> dict:
     """{e, cent, assign, probe, res}: the fixed-K cosine coarse quantizer
     and per-vector residuals shared by ann_ivf_pq_residual, the persisted
-    residual-index build, and its serving query."""
+    residual-index build, and its serving query. Round-15 opt: the
+    assignment/probe ranking and the residual subtraction run in the
+    numpy seed-K scan (_seedk_rank_scan, values bit-identical to the
+    HOF broadcast ranking — pinned against _residual_core_hof in
+    tests/test_round15_opt.py); e/cent stay plan-native for the
+    LUT/centroid-term consumers."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "embedding", norm_exact(F.col("embedding")).alias("nrm"))
+    cent = e.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+    )
+    res = _seedk_rank_scan(spark, sf_dir, 1, emit_res=True).select(
+        "vec_id", "cid", "rvec"
+    )
+    assign = res.select("vec_id", "cid")
+    probe = _seedk_rank_scan(
+        spark, sf_dir, _IVF_NPROBE, queries_only=True
+    ).select(F.col("vec_id").alias("query_id"), "cid")
+    return {"e": e, "cent": cent, "assign": assign, "probe": probe, "res": res}
+
+
+def _residual_core_hof(spark: SparkSession, sf_dir: str) -> dict:
+    """The pre-round-15 interpreted-HOF form of _residual_core, kept as
+    the equivalence reference for tests/test_round15_opt.py."""
     from pyspark.sql.window import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -4031,6 +4100,55 @@ def _pqres_encode(res: DataFrame, codebook: DataFrame) -> DataFrame:
     )
 
 
+def _pqres_encode_np(res: DataFrame, codebook: DataFrame) -> DataFrame:
+    """BIT-IDENTICAL numpy twin of :func:`_pqres_encode` (the residual
+    analog of _pq_encode_np, same argument: per subspace the codeword
+    score c2 - 2.0 * dot(svec, cvec) with the dot accumulated in
+    dimension order, ties to the lower code_r via first-minimum).
+    Equivalence pinned in tests/test_round15_opt.py."""
+    rows = codebook.collect()
+    import numpy as np
+
+    by_sub: dict[int, list] = {}
+    for r in rows:
+        by_sub.setdefault(r["sub_j"], []).append(r)
+    subs = sorted(by_sub)
+    C, C2, CR = {}, {}, {}
+    for j in subs:
+        rs = sorted(by_sub[j], key=lambda r: r["code_r"])
+        C[j] = np.array([r["cvec"] for r in rs], dtype=np.float64)
+        C2[j] = np.array([r["c2"] for r in rs], dtype=np.float64)
+        CR[j] = np.array([r["code_r"] for r in rs], dtype=np.int64)
+
+    def encode(pdfs):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["rvec"].to_numpy()).astype(np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            out_vec, out_sub, out_code = [], [], []
+            for j in subs:
+                S = V[:, j * _PQ_SUBDIM : (j + 1) * _PQ_SUBDIM]
+                D = np.zeros((len(ids), C[j].shape[0]))
+                for i in range(_PQ_SUBDIM):
+                    D += S[:, i : i + 1] * C[j][None, :, i]
+                score = C2[j][None, :] - 2.0 * D
+                best = np.argmin(score, axis=1)  # first min = lower code_r
+                out_vec.extend(int(x) for x in ids)
+                out_sub.extend([j] * len(ids))
+                out_code.extend(int(CR[j][b]) for b in best)
+            yield pd.DataFrame(
+                {"vec_id": out_vec, "sub_j": out_sub, "code_r": out_code}
+            )
+
+    return res.select("vec_id", "rvec").mapInPandas(
+        encode, "vec_id long, sub_j int, code_r int"
+    )
+
+
 def _pqres_lut(e: DataFrame, codebook: DataFrame) -> DataFrame:
     """(query_id, sub_j, code_r, pdist): per-query exact-decimal ADC
     table — query slices are RAW vectors (the inner-product residual
@@ -4107,7 +4225,7 @@ def _build_pqres_index(spark: SparkSession, sf_dir: str) -> str:
     # discipline shared with _build_ivf_pq_index)
     codebook = spark.read.parquet(cb_path)
     (
-        _codes_array(_pqres_encode(core["res"], codebook))
+        _codes_array(_pqres_encode_np(core["res"], codebook))
         .join(core["assign"].select("vec_id", "cid"), "vec_id")
         .repartition(F.col("cid"))
         .write.mode("overwrite")

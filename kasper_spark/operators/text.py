@@ -1411,7 +1411,10 @@ def boilerplate_shingle_stats_cms(spark: SparkSession, sf_dir: str) -> DataFrame
             lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, _BOILER_N)),
         )
     )
-    sh = (
+    # materialized once (round-15 opt): THREE subtrees consume the
+    # shingle stream (the sketch build, the probe pass, the per-doc
+    # counts) — each re-ran the scan+tokenize+explode before the cut
+    sh = cut_lineage(
         docs.select("doc_id", toks.alias("t"))
         .filter(F.size("t") >= _BOILER_N)
         .select("doc_id", F.explode(shingles_arr).alias("shingle"))
