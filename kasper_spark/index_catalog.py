@@ -305,6 +305,15 @@ def fold_pending_epochs(
     return folded
 
 
+def _parquet_rows(path: str) -> int:
+    """Exact row count of a parquet table from its footers (committed
+    format metadata — equals a count() job by construction, without
+    running one; round-15 opt for the reclaim passes)."""
+    import pyarrow.dataset as _pads
+
+    return _pads.dataset(path, format="parquet").count_rows()
+
+
 def reclaim_tombstones(
     spark,
     idx: str,
@@ -351,7 +360,7 @@ def reclaim_tombstones(
         else:
             kept.write.mode("overwrite").parquet(tmp)
         if n_first < 0:
-            n_first = spark.read.parquet(tmp).count()
+            n_first = _parquet_rows(tmp)
         shutil.rmtree(src)
         os.rename(tmp, src)
     for f in glob.glob(os.path.join(tomb_dir, "*.parquet")):
@@ -397,18 +406,29 @@ def reclaim_tombstones_partial(
         return 0, []
     primary = next(iter(tables))
     dead_full = spark.read.parquet(tomb_dir)
-    dead_per_leaf = {
-        int(r["p"]): int(r["c"])
-        for r in dead_full.groupBy(F.col(part_col).cast("long").alias("p"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
-    }
+    # leaf bookkeeping from metadata, not Spark jobs (round-15 opt): the
+    # tombstone table is tiny by contract (one pyarrow read), and the
+    # primary table's per-leaf totals are parquet footer row counts per
+    # partition directory — both exact by the format.
+    import collections
+
+    import pyarrow.dataset as _pads
+
+    dead_per_leaf = dict(
+        collections.Counter(
+            int(v)
+            for v in _pads.dataset(tomb_dir, format="parquet")
+            .to_table(columns=[part_col])
+            .column(part_col)
+            .to_pylist()
+        )
+    )
     total_per_leaf = {
-        int(r["p"]): int(r["c"])
-        for r in spark.read.parquet(os.path.join(idx, primary))
-        .groupBy(F.col(part_col).cast("long").alias("p"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
+        int(os.path.basename(leaf).split("=", 1)[1]): _parquet_rows(leaf)
+        for leaf in glob.glob(
+            os.path.join(idx, primary, f"{part_col}=*")
+        )
+        if os.path.isdir(leaf)
     }
     dirty = sorted(
         p

@@ -774,7 +774,11 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     logit = F.lit(_CLF_BIAS) + F.aggregate(
         F.transform(toks, weight), F.lit(0).cast("bigint"), lambda acc, x: acc + x
     )
-    kept = (
+    # materialized once (round-15 opt): the per-token md5 classifier gate
+    # is the plan's priciest map stage and THREE subtrees consume its
+    # survivors (the contamination probe, the anti-join, and through it
+    # the quota/sample passes) — each re-ran the gate before the cut
+    kept = cut_lineage(
         docs.filter(F.col("doc_id") % 41 != 0)
         .filter(logit > 0)
         .select("doc_id", "source", "text")

@@ -572,8 +572,13 @@ def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
         .distinct()
         .transform(cut_lineage)
     )
-    def one_round(cur: DataFrame) -> DataFrame:
-        """One large-star + small-star contraction round (lineage cut)."""
+    def one_round(cur: DataFrame, cut: bool = True) -> DataFrame:
+        """One large-star + small-star contraction round (lineage cut).
+
+        ``cut=False`` (the one-shot verification round, round-15 opt):
+        no checkpoints — the round runs once over the already-cut
+        fixpoint, so its plan depth is bounded without them, and the two
+        materialization jobs they cost buy nothing."""
         # large-star: connect every larger neighbor v > u to min(N(u) + {u})
         nbrs = cur.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionAll(
             cur.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
@@ -589,20 +594,21 @@ def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
             .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
             .filter(F.col("hi") != F.col("lo"))
             .distinct()
-            .transform(cut_lineage)
         )
+        if cut:
+            ls = ls.transform(cut_lineage)
         # small-star: connect every smaller neighbor (and u itself) to the
         # min smaller neighbor; edges are already directed hi -> lo
         mins_s = ls.groupBy("hi").agg(F.min("lo").alias("m"))
-        return (
+        out = (
             ls.join(mins_s, "hi")
             .select(F.col("lo").alias("x"), F.col("m").alias("y"))
             .unionAll(mins_s.select(F.col("hi").alias("x"), F.col("m").alias("y")))
             .filter(F.col("x") != F.col("y"))
             .select(F.greatest("x", "y").alias("hi"), F.least("x", "y").alias("lo"))
             .distinct()
-            .transform(cut_lineage)
         )
+        return out.transform(cut_lineage) if cut else out
 
     for _ in range(max_rounds):
         ss = one_round(e)
@@ -621,8 +627,19 @@ def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
     # non-fixpoint. Re-run one round and demand set equality via exceptAll
     # (exact, not probabilistic) — restoring the 'loud, never a silent
     # mislabel' contract at the cost of one extra round, once.
-    verify = one_round(e)
-    if not (verify.exceptAll(e).isEmpty() and e.exceptAll(verify).isEmpty()):
+    # Exact set equality in ONE job (round-15 opt): both sides are
+    # distinct edge sets, so the signed multiset count per edge is 0
+    # everywhere iff the sets are equal — one union+groupBy replaces the
+    # two exceptAll shuffles + two isEmpty actions, same exactness.
+    verify = one_round(e, cut=False)
+    diff = (
+        verify.select("hi", "lo", F.lit(1).alias("w"))
+        .unionAll(e.select("hi", "lo", F.lit(-1).alias("w")))
+        .groupBy("hi", "lo")
+        .agg(F.sum("w").alias("s"))
+        .filter(F.col("s") != 0)
+    )
+    if not diff.isEmpty():
         raise RuntimeError(
             "connected_components: fingerprint signalled a fixpoint but the "
             "edge set is still changing (hash-sum collision) — rerun"

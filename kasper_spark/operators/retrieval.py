@@ -498,13 +498,18 @@ def _bm25_score_over_terms(docs, terms_df):
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("total_tokens"),
     )
-    tf = base.crossJoin(F.broadcast(terms_df)).select(
-        "doc_id",
-        "dl",
-        "term",
-        F.size(F.expr("filter(t, w -> w = term)")).cast("long").alias("tf"),
+    # Round-15 opt: SPARSE per-(doc, term) counts (explode + broadcast
+    # semi-join on the term table) replace the dense doc x term grid
+    # whose filter() HOF re-scanned every token array once per term —
+    # the dense form immediately dropped its tf=0 rows anyway, so the
+    # nonzero counts are value-identical.
+    tf = (
+        base.select("doc_id", "dl", F.explode("t").alias("term"))
+        .join(F.broadcast(terms_df), "term")
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
-    df_t = tf.filter(F.col("tf") > 0).groupBy("term").agg(
+    df_t = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
     avgdl = F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")
@@ -538,7 +543,11 @@ def _prf_expansion(spark: SparkSession, sf_dir: str):
     round1 = _bm25_ranked_cached(spark, sf_dir)
     fb = round1.filter(F.col("rank") <= _PRF_FB_DOCS).select("doc_id")
     toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
-    tok = docs.select("doc_id", F.explode(toks).alias("w"))
+    # materialized once (round-15 opt): both the feedback-tf and the
+    # corpus-df subtrees consume the token stream
+    from kasper_spark.lineage import cut_lineage
+
+    tok = cut_lineage(docs.select("doc_id", F.explode(toks).alias("w")))
     fbtf = (
         tok.join(F.broadcast(fb), "doc_id")
         .groupBy("w")

@@ -2350,7 +2350,10 @@ def _search_persisted_index(
     meta = _ivf_index_meta(idx)
     nprobe = _ivf_nprobe(meta)
     idx = _ivf_gen_root(idx, meta)
-    cent = spark.read.parquet(_os.path.join(idx, "centroids"))
+    # centroid PATH, not DataFrame: the probe ranking below runs the
+    # numpy twin against the pyarrow-loaded quantizer state (round-15
+    # opt — one HOF plan + groupBy/collect job less per search)
+    cent = _os.path.join(idx, "centroids")
     members = spark.read.parquet(_os.path.join(idx, "assignments"))
     if _glob.glob(_os.path.join(idx, _IVF_PENDING, "*.parquet")):
         # LSM tail under streaming maintenance: rows committed since the
@@ -2383,7 +2386,7 @@ def _search_persisted_index(
     # partition-type cast. This is exactly how FAISS serves: the query
     # knows its lists before the lists are read.
     probe_rows = (
-        _assign_rows_scan(emb.filter(F.col("vec_id") < _N_QUERY), cent, nprobe)
+        _assign_rows_scan_np(emb.filter(F.col("vec_id") < _N_QUERY), cent, nprobe)
         .select(F.col("vec_id").alias("query_id"), "cluster_id")
         .collect()
     )
@@ -3262,9 +3265,10 @@ def _search_pq_persisted_index(
     # probe parameters from the index marker — serving pays no corpus
     # scan, and nprobe keys off the stored k (see _ivf_nprobe), not n
     nprobe = _ivf_nprobe(_ivf_index_meta(idx))
-    cent = spark.read.parquet(_os.path.join(idx, "centroids"))
+    # centroid path -> numpy probe twin (round-15 opt, bit-identical)
+    cent = _os.path.join(idx, "centroids")
     probe_rows = (
-        _assign_rows_scan(emb.filter(F.col("vec_id") < _N_QUERY), cent, nprobe)
+        _assign_rows_scan_np(emb.filter(F.col("vec_id") < _N_QUERY), cent, nprobe)
         .select(F.col("vec_id").alias("query_id"), "cluster_id")
         .collect()
     )
