@@ -1287,7 +1287,64 @@ _LSH_GRAPH_CTE = _build_lsh_graph_cte()
 def _md5_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, m0..m31): the md5-family MinHash signatures over the
     documents table — the Spark twin of _LSH_BANDS_CTE's ``sigs``,
-    shared by _md5_lsh_pairs and the persisted LSH index build."""
+    shared by _md5_lsh_pairs and the persisted LSH index build.
+
+    Round-15 opt: one map-only Python pass per partition instead of the
+    32-wide md5/conv aggregate (the JVM form evaluated 32 codegen'd
+    md5+hex-conv chains per exploded shingle row). Bit-identity, pinned
+    against _md5_sigs_hof in tests/test_round15_opt.py: tokens =
+    split-on-space minus empties (str.split(" ") keeps consecutive-space
+    empties exactly like F.split's regex); shingles = 3-gram joins,
+    per-doc distinct, docs under 3 tokens absent; each m_i =
+    min over shingles of the first 15 hex digits of md5("{i}|" + s) as
+    an integer — int.from_bytes(digest[:8]) >> 4 IS int(hexdigest[:15],
+    16), and md5 prefix states are reused across shingles."""
+    par = spark.sparkContext.defaultParallelism
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(par)
+    )
+    nh, n = _NUM_HASHES, _SHINGLE_N
+
+    def sig_fn(pdfs):
+        import hashlib
+
+        import pandas as pd
+
+        prefs = [hashlib.md5(f"{i}|".encode()) for i in range(nh)]
+        for pdf in pdfs:
+            out: dict[str, list] = {"doc_id": []}
+            for i in range(nh):
+                out[f"m{i}"] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = [w for w in text.split(" ") if w != ""]
+                if len(toks) < n:
+                    continue
+                sh = {
+                    " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                }
+                mins = [None] * nh
+                for s in sh:
+                    b = s.encode()
+                    for i in range(nh):
+                        h = prefs[i].copy()
+                        h.update(b)
+                        v = int.from_bytes(h.digest()[:8], "big") >> 4
+                        if mins[i] is None or v < mins[i]:
+                            mins[i] = v
+                out["doc_id"].append(int(doc_id))
+                for i in range(nh):
+                    out[f"m{i}"].append(mins[i])
+            yield pd.DataFrame(out)
+
+    schema = "doc_id long, " + ", ".join(f"m{i} long" for i in range(nh))
+    return docs.mapInPandas(sig_fn, schema)
+
+
+def _md5_sigs_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-round-15 JVM-aggregate form of _md5_sigs, kept as the
+    equivalence reference for tests/test_round15_opt.py."""
     par = spark.sparkContext.defaultParallelism
     docs = load_table(spark, sf_dir, "documents").repartition(par)
     toks = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))

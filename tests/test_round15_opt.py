@@ -184,3 +184,13 @@ def test_pqres_encode_np_matches_hof(spark):
     got = sorted(map(tuple, _pqres_encode_np(core["res"], cb).collect()))
     want = sorted(map(tuple, _pqres_encode(core["res"], cb).collect()))
     assert got == want
+
+
+def test_md5_sigs_python_matches_jvm(spark):
+    """The Python-pass MinHash signatures must equal the 32-wide JVM
+    md5/conv aggregate row-for-row over the whole corpus."""
+    from kasper_spark.operators.dedup import _md5_sigs, _md5_sigs_hof
+
+    got = sorted(map(tuple, _md5_sigs(spark, SF_ORACLE).collect()))
+    want = sorted(map(tuple, _md5_sigs_hof(spark, SF_ORACLE).collect()))
+    assert got == want
