@@ -588,6 +588,11 @@ def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
             .agg(F.min("v").alias("mn"))
             .select("u", F.least("mn", F.col("u")).alias("m"))
         )
+        # ls is NOT checkpointed (round-15 opt): its two consumers below
+        # live in the SAME final plan, so Spark's ReuseExchange computes
+        # the subtree once; plan depth per round stays bounded by the
+        # round-output cut over the already-cut `cur`. This halves the
+        # materialization jobs per round (2 -> 1).
         ls = (
             nbrs.filter(F.col("v") > F.col("u"))
             .join(mins, "u")
@@ -595,8 +600,6 @@ def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
             .filter(F.col("hi") != F.col("lo"))
             .distinct()
         )
-        if cut:
-            ls = ls.transform(cut_lineage)
         # small-star: connect every smaller neighbor (and u itself) to the
         # min smaller neighbor; edges are already directed hi -> lo
         mins_s = ls.groupBy("hi").agg(F.min("lo").alias("m"))

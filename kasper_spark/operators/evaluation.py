@@ -596,25 +596,25 @@ def mrr_relevance_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = scored.select(
         "query_id", "doc_id", "min_tf", F.row_number().over(w).alias("rk")
     )
-    per_q = ranked.groupBy("query_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_retrieved")
+    # ONE pass over the ranking (round-15 opt): the retrieved count and
+    # the relevant count/first-rank were two groupBys + a left join, each
+    # re-running the whole scored+window chain; conditional aggregates
+    # fold them into one — a query with no relevant rows gets
+    # n_relevant = 0 and a NULL min, exactly the left join's null side.
+    rel_cond = F.col("min_tf") >= _MRR_REL_TF
+    per = ranked.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_retrieved"),
+        F.count(F.when(rel_cond, F.lit(1))).cast("long").alias("_n_rel"),
+        F.min(F.when(rel_cond, F.col("rk"))).cast("long").alias("_first_rel"),
     )
-    rel = (
-        ranked.filter(F.col("min_tf") >= _MRR_REL_TF)
-        .groupBy("query_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_relevant"),
-            F.min("rk").cast("long").alias("first_rel_rank"),
-        )
-    )
-    return per_q.join(rel, "query_id", "left").select(
+    return per.select(
         "query_id",
         "n_retrieved",
-        F.coalesce("n_relevant", F.lit(0)).cast("long").alias("n_relevant"),
-        F.coalesce("first_rel_rank", F.lit(0)).cast("long").alias("first_rel_rank"),
+        F.coalesce("_n_rel", F.lit(0)).cast("long").alias("n_relevant"),
+        F.coalesce("_first_rel", F.lit(0)).cast("long").alias("first_rel_rank"),
         F.when(
-            F.col("first_rel_rank").isNotNull() & (F.col("first_rel_rank") > 0),
-            F.lit(1.0) / F.col("first_rel_rank").cast("double"),
+            F.col("_first_rel").isNotNull() & (F.col("_first_rel") > 0),
+            F.lit(1.0) / F.col("_first_rel").cast("double"),
         )
         .otherwise(F.lit(0.0))
         .alias("rr"),
