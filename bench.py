@@ -243,6 +243,17 @@ def _run(noise_file) -> dict:
     spark.range(1_000).mapInPandas(
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
+    # (c) one real-column scan aggregate and one broadcast join over the
+    # two dimension tables (region: 5 rows, nation: 25) — warms the
+    # vectorized parquet reader, hash-aggregate codegen infra and the
+    # broadcast-exchange machinery; without these the FIRST headline keys
+    # paid that engine-infra warmup on top of their own plans.
+    from pyspark.sql import functions as _F
+
+    _r = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    _n = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    _r.groupBy("r_name").count().collect()
+    _n.join(_F.broadcast(_r), _n.n_regionkey == _r.r_regionkey).count()
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

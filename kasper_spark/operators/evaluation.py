@@ -707,13 +707,20 @@ def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = _toks(F.col("text"))
-    per_doc = docs.select(
-        "doc_id",
-        "source",
-        "lang",
-        F.md5(F.col("text")).alias("digest"),
-        F.size(toks).cast("long").alias("dl"),
-        _logit_expr().cast("bigint").alias("logit"),
+    # materialized once (round-15 opt): the language rollup and the final
+    # per-source join both consume per_doc, whose per-token md5 logit is
+    # the plan's priciest map expression
+    from kasper_spark.lineage import cut_lineage
+
+    per_doc = cut_lineage(
+        docs.select(
+            "doc_id",
+            "source",
+            "lang",
+            F.md5(F.col("text")).alias("digest"),
+            F.size(toks).cast("long").alias("dl"),
+            _logit_expr().cast("bigint").alias("logit"),
+        )
     )
     words = docs.select("doc_id", F.explode(_toks(F.col("text"))).alias("w"))
     wf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
