@@ -1791,9 +1791,14 @@ def _train_centroids_arrays(
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # no .distinct() before the md5-rank TakeOrdered (round-15 opt):
+    # vec_id is the table's unique key by data contract (every
+    # join/assignment path in this module already relies on it), so the
+    # distinct was a full shuffle selecting the identical sample set.
+    # (_kmeans_core keeps its distinct — there it runs over the LONG form,
+    # one row per dimension, mirroring the oracle's structure.)
     samp = (
         emb.select("vec_id")
-        .distinct()
         .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
         .limit(train_n)
     )
