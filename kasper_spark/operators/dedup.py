@@ -1321,6 +1321,8 @@ def _md5_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(nh):
                 out[f"m{i}"] = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue  # NULL text == empty shingle set == absent doc
                 toks = [w for w in text.split(" ") if w != ""]
                 if len(toks) < n:
                     continue
