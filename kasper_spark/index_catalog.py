@@ -430,6 +430,22 @@ def reclaim_tombstones_partial(
         )
         if os.path.isdir(leaf)
     }
+    # Layout guard (ADVICE r15): the per-leaf totals come from a glob of
+    # hive-style leaf dirs, so any rows living OUTSIDE that layout (loose
+    # part files at the table root, a differently-encoded partition)
+    # would be silently excluded where the replaced Spark groupBy counted
+    # them. Fail loudly on an unexpected layout instead. (A null
+    # partition's __HIVE_DEFAULT_PARTITION__ leaf already fails the int()
+    # above, also loudly.)
+    loose = glob.glob(os.path.join(idx, primary, "*.parquet"))
+    if loose or not total_per_leaf:
+        raise ValueError(
+            f"reclaim_tombstones_partial: unexpected layout under "
+            f"{os.path.join(idx, primary)!r} — "
+            f"{len(total_per_leaf)} {part_col}= leaves, "
+            f"{len(loose)} loose parquet files at the table root; the "
+            "dirty-leaf gate requires a pure hive-partitioned layout"
+        )
     dirty = sorted(
         p
         for p, dc in dead_per_leaf.items()

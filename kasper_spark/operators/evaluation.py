@@ -481,8 +481,14 @@ def _graded_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(qid, t) for qid, ts in _MRR_QUERIES for t in ts],
         "query_id long, term string",
     )
-    n_terms = spark.createDataFrame(
-        [(qid, len(ts)) for qid, ts in _MRR_QUERIES], "query_id long, n_terms long"
+    # n_terms counts the query terms PRESENT in the corpus (df > 0), not
+    # len(ts): the dense oracle's scored CTE inner-joins df USING (term),
+    # so a corpus-wide-absent term never enters MIN(f.tf) — counting it
+    # here would force min_tf = 0 for every doc of that query (ADVICE r15
+    # medium; the two agree whenever every term occurs somewhere, which
+    # is the case at the shipped SFs — this pins the df=0 edge).
+    n_terms = qt.join(df_t, "term").groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms")
     )
     avgdl = F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")
     idf = (

@@ -185,6 +185,28 @@ def _np_dot_exact_scaled():
     return dot_scaled
 
 
+def _assert_nonzero_norms(n, what: str) -> None:
+    """NONZERO-NORM data contract of the numpy ranking twins (ADVICE r15):
+    a zero-norm embedding makes cosine NaN/inf, and numpy's argsort
+    orders NaN LAST where Spark's F.desc window (and the oracle) order
+    NaN FIRST — the twins would silently diverge. No shipped SF contains
+    a zero-norm vector; fail LOUDLY if one ever appears instead of
+    returning a plausible-but-wrong ranking.
+
+    DRIVER-side call sites only: mapInPandas closures must stay
+    self-contained (pickle-by-value; a module-global reference breaks
+    workers launched from a foreign cwd), so worker-side scans inline the
+    same check instead of calling this."""
+    import numpy as np
+
+    if not bool(np.all(n > 0.0)):
+        raise ValueError(
+            f"zero-norm embedding in {what}: the exact-cosine ranking "
+            "twins require nonzero norms (NaN ordering diverges between "
+            "numpy and Spark window sort)"
+        )
+
+
 def _collect_query_state(spark: SparkSession, sf_dir: str):
     """(qids, Q, qn): the bounded |Q| query embeddings as a float64
     matrix plus their exact-decimal norms (numpy twin of norm_exact —
@@ -205,6 +227,7 @@ def _collect_query_state(spark: SparkSession, sf_dir: str):
     Q = np.array([r["embedding"] for r in rows], dtype=np.float64)
     dot_scaled = _np_dot_exact_scaled()
     qn = np.sqrt(dot_scaled(Q * Q).astype(np.float64) / 1e12)
+    _assert_nonzero_norms(qn, "query embeddings")
     return qids, Q, qn
 
 
@@ -262,6 +285,8 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             CE = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             ids = pdf["vec_id"].to_numpy().astype(np.int64)
             cn = np.sqrt(dot_scaled(CE * CE).astype(np.float64) / 1e12)
+            if not bool(np.all(cn > 0.0)):  # inline: closure stays picklable
+                raise ValueError("zero-norm corpus embedding (bruteforce)")
             for j in range(len(qids)):
                 dots = dot_scaled(CE * Q[j][None, :]).astype(np.float64) / 1e12
                 cos = dots / (qn[j] * cn)
@@ -560,6 +585,7 @@ def _seedk_rank_scan(
     C = np.array([r["embedding"] for r in crows], dtype=np.float64)
     dot_scaled = _np_dot_exact_scaled()
     cnrm = np.sqrt(dot_scaled(C * C).astype(np.float64) / 1e12)
+    _assert_nonzero_norms(cnrm, "seed centroids")
     kk = min(n_ranks, len(cids))
 
     def fn(pdfs):
@@ -572,6 +598,8 @@ def _seedk_rank_scan(
             V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             ids = pdf["vec_id"].to_numpy().astype(np.int64)
             nrm = np.sqrt(dot_scaled(V * V).astype(np.float64) / 1e12)
+            if not bool(np.all(nrm > 0.0)):  # inline: closure stays picklable
+                raise ValueError("zero-norm embedding (seed-K rank scan)")
             acc = np.zeros((len(ids), C.shape[0]))
             for i in range(C.shape[1]):
                 acc += V[:, i : i + 1] * C[None, :, i]
@@ -1997,6 +2025,8 @@ def _exact_rerank(spark: SparkSession, sf_dir: str, cand: DataFrame) -> DataFram
             qid_arr = pdf["query_id"].to_numpy().astype(np.int64)
             nid_arr = pdf["neighbor_id"].to_numpy().astype(np.int64)
             cn = np.sqrt(dot_scaled(CE * CE).astype(np.float64) / 1e12)
+            if not bool(np.all(cn > 0.0)):  # inline: closure stays picklable
+                raise ValueError("zero-norm neighbor embedding (exact rerank)")
             cos = np.empty(len(pdf))
             for qv in np.unique(qid_arr):
                 m = qid_arr == qv
@@ -3426,6 +3456,8 @@ def knn_label_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids = pdf["vec_id"].to_numpy().astype(np.int64)
             clab = pdf["label"].to_numpy().astype(np.int32)
             cn = np.sqrt(dot_scaled(CE * CE).astype(np.float64) / 1e12)
+            if not bool(np.all(cn > 0.0)):  # inline: closure stays picklable
+                raise ValueError("zero-norm corpus embedding (knn)")
             for j in range(len(qids)):
                 dots = dot_scaled(CE * Q[j][None, :]).astype(np.float64) / 1e12
                 cos = dots / (qn[j] * cn)
@@ -5358,16 +5390,29 @@ def _ivf_retrain(spark: SparkSession, sf_dir: str, idx: str, before_flip=None) -
     dead = _cat.tombstones_side(
         spark, _os.path.join(old_root, _TOMBSTONES), "vec_id"
     )
-    if dead is None:
-        # no pending takedowns: the live membership IS the marker's n
-        # (the append/delete paths keep it reconciled), so the retrain
-        # skips the assignments scan+count entirely (round-15 opt)
+    # The marker fast path additionally requires a DRAINED index (ADVICE
+    # r15): the append path's marker n counts recorded-but-unfolded
+    # pending epochs (log.total), while the assignments scan it replaced
+    # did not — retraining over an undrained tail would change n and
+    # hence k/train_n. With a pending tail present, take the scan path
+    # (the pre-r15 semantics, which every declared retrain query showed).
+    import glob as _glob
+
+    drained = not _glob.glob(
+        _os.path.join(old_root, _IVF_PENDING, "epoch-*.parquet")
+    )
+    if dead is None and drained:
+        # no pending takedowns, no pending tail: the live membership IS
+        # the marker's n (the append/delete paths keep it reconciled), so
+        # the retrain skips the assignments scan+count entirely (r15 opt)
         members = None
         n = int(meta["n"])
     else:
         members = spark.read.parquet(
             _os.path.join(old_root, "assignments")
-        ).select("vec_id").join(dead, "vec_id", "left_anti")
+        ).select("vec_id")
+        if dead is not None:
+            members = members.join(dead, "vec_id", "left_anti")
         n = members.count()
     k, train_n, _ = _scaledk_params(n)
     new_gen = int(meta.get("gen", 0)) + 1

@@ -622,7 +622,11 @@ def test_result_cache_equals_inflight_chains(spark):
         a = sorted(map(tuple, fresh_fn(spark, SF_SMOKE).collect()))
         b = sorted(map(tuple, cached_fn(spark, SF_SMOKE).collect()))
         assert a == b, f"cache {name} diverged from its in-flight chain"
-        marker = os.path.join(cache_dir(SF_SMOKE, name, "documents"), _MARKER)
+        # fresh_fn lives in the same module as cached_fn's internal build
+        # lambda, so it carries the same code token (the key is per-FILE)
+        marker = os.path.join(
+            cache_dir(SF_SMOKE, name, "documents", build=fresh_fn), _MARKER
+        )
         mt = os.path.getmtime(marker)
         cached_fn(spark, SF_SMOKE).collect()
         assert os.path.getmtime(marker) == mt, f"cache {name} was rebuilt"
