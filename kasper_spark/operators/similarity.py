@@ -556,6 +556,77 @@ _IVF_K = 32  # FIXED centroid count: the first _IVF_K vectors seed the lists
 _IVF_NPROBE = 4
 
 
+def _seedk_state(spark: SparkSession, sf_dir: str) -> tuple:
+    """(cids, C, cnrm): the collected seed-centroid state (first _IVF_K
+    corpus vectors — K x d driver-bounded by design) shared by the
+    distributed seed-K rank scan and its driver probe twin. cnrm uses
+    the certified scaled-decimal dot, exactly as the scan's per-row
+    norms do."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    crows = (
+        emb.filter(F.col("vec_id") < _IVF_K).select("vec_id", "embedding").collect()
+    )
+    crows.sort(key=lambda r: r["vec_id"])
+    cids = np.array([r["vec_id"] for r in crows], dtype=np.int64)
+    C = np.array([r["embedding"] for r in crows], dtype=np.float64)
+    dot_scaled = _np_dot_exact_scaled()
+    cnrm = np.sqrt(dot_scaled(C * C).astype(np.float64) / 1e12)
+    _assert_nonzero_norms(cnrm, "seed centroids")
+    return cids, C, cnrm
+
+
+def _seedk_probe_driver(qids, Q, qn, seed_state, nprobe: int) -> dict:
+    """Driver twin of ``_seedk_rank_scan(..., nprobe, queries_only=True)``
+    over the already-collected |Q| query matrix: the SAME operations in
+    the same order (dimension-order float64 accumulation, scaled-decimal
+    norms, stable argsort on -cos with cid-ascending ties), so the probe
+    pairs are bit-identical to the scan's — without a Spark job (the
+    query side is bounded by construction; pinned equal in
+    tests/test_round16_opt.py). Returns {cid: np.array of query POSITIONS
+    (indices into qids)} — the probe map the fused ADC scan consumes."""
+    import numpy as np
+
+    cids, C, cnrm = seed_state
+    acc = np.zeros((Q.shape[0], C.shape[0]))
+    for i in range(C.shape[1]):
+        acc += Q[:, i : i + 1] * C[None, :, i]
+    cos = acc / (qn[:, None] * cnrm[None, :])
+    kk = min(nprobe, len(cids))
+    order = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+    probe_map: dict[int, list] = {}
+    for qpos in range(len(qids)):
+        for c in cids[order[qpos]]:
+            probe_map.setdefault(int(c), []).append(qpos)
+    return {c: np.array(v, dtype=np.int64) for c, v in probe_map.items()}
+
+
+def _assign_probe_driver(qids, Q, cent, nprobe: int) -> dict:
+    """Driver twin of ``_assign_rows_scan_np(queries, cent, nprobe)`` +
+    collect — MIRRORS the scan kernel exactly (floor-quantize to int64,
+    exact integer distance f = (n^2 vv - 2n d + ss)/n^2, stable argsort
+    with cid-ascending ties; see _assign_rows_scan_np's bit-identity
+    argument) over the bounded |Q| query matrix, with no Spark job.
+    Pinned equal to the collected scan in tests/test_round16_opt.py.
+    Returns {cid: np.array of query positions}."""
+    import numpy as np
+
+    cids, nn, ss, S = _centroid_state(cent)
+    q = np.floor(Q * _KMEANS_QSCALE).astype(np.int64)
+    vv = (q * q).sum(axis=1)
+    d = q @ S.T
+    fnum = (nn * nn)[None, :] * vv[:, None] - 2 * nn[None, :] * d + ss[None, :]
+    f = fnum.astype(np.float64) / (nn * nn).astype(np.float64)[None, :]
+    kk = min(nprobe, f.shape[1])
+    order = np.argsort(f, axis=1, kind="stable")[:, :kk]
+    probe_map: dict[int, list] = {}
+    for qpos in range(len(qids)):
+        for c in cids[order[qpos]]:
+            probe_map.setdefault(int(c), []).append(qpos)
+    return {c: np.array(v, dtype=np.int64) for c, v in probe_map.items()}
+
+
 def _seedk_rank_scan(
     spark: SparkSession,
     sf_dir: str,
@@ -577,15 +648,8 @@ def _seedk_rank_scan(
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings")
-    crows = (
-        emb.filter(F.col("vec_id") < _IVF_K).select("vec_id", "embedding").collect()
-    )
-    crows.sort(key=lambda r: r["vec_id"])
-    cids = np.array([r["vec_id"] for r in crows], dtype=np.int64)
-    C = np.array([r["embedding"] for r in crows], dtype=np.float64)
+    cids, C, cnrm = _seedk_state(spark, sf_dir)
     dot_scaled = _np_dot_exact_scaled()
-    cnrm = np.sqrt(dot_scaled(C * C).astype(np.float64) / 1e12)
-    _assert_nonzero_norms(cnrm, "seed centroids")
     kk = min(n_ranks, len(cids))
 
     def fn(pdfs):
@@ -2543,7 +2607,9 @@ def _pq_encode(emb: DataFrame, codebook: DataFrame) -> DataFrame:
     )
 
 
-def _pq_encode_np(emb: DataFrame, codebook: DataFrame) -> DataFrame:
+def _pq_encode_np(
+    emb: DataFrame, codebook: DataFrame, packed: bool = False
+) -> DataFrame:
     """BIT-IDENTICAL numpy twin of :func:`_pq_encode` for the build /
     maintenance path (the same interpreted-HOF-to-numpy move as
     _assign_rows_scan_np, asserted exhaustively in
@@ -2551,20 +2617,25 @@ def _pq_encode_np(emb: DataFrame, codebook: DataFrame) -> DataFrame:
     c2 - 2.0 * dot(svec, cvec) is evaluated with the dot accumulated in
     dimension order (each += is the fold's (acc + p_i) step in float64,
     and numpy does not fuse multiply-add), ties to the lower codeword id
-    via first-minimum over code_r-ascending rows."""
-    rows = codebook.collect()
+    via first-minimum over code_r-ascending rows.
+
+    ``packed=True`` emits (vec_id, codes array<int> in sub_j order)
+    directly from the scan — the exact rows _codes_array(long form)
+    produces, without its groupBy shuffle (round-16 opt; pinned equal in
+    tests/test_round16_opt.py)."""
+    return _encode_np_impl(emb, codebook, "embedding", packed)
+
+
+def _encode_np_impl(
+    src: DataFrame, codebook: DataFrame, vec_col: str, packed: bool
+) -> DataFrame:
+    """Shared body of _pq_encode_np / _pqres_encode_np (identical kernel,
+    different input column)."""
     import numpy as np
 
-    by_sub: dict[int, list] = {}
-    for r in rows:
-        by_sub.setdefault(r["sub_j"], []).append(r)
-    subs = sorted(by_sub)
-    C, C2, CR = {}, {}, {}
-    for j in subs:
-        rs = sorted(by_sub[j], key=lambda r: r["code_r"])
-        C[j] = np.array([r["cvec"] for r in rs], dtype=np.float64)
-        C2[j] = np.array([r["c2"] for r in rs], dtype=np.float64)
-        CR[j] = np.array([r["code_r"] for r in rs], dtype=np.int64)
+    cb = _pq_cb_state(codebook.collect())
+    subs = sorted(cb)
+    subdim = _PQ_SUBDIM
 
     def encode(pdfs):
         import numpy as np
@@ -2573,26 +2644,42 @@ def _pq_encode_np(emb: DataFrame, codebook: DataFrame) -> DataFrame:
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             ids = pdf["vec_id"].to_numpy()
-            out_vec, out_sub, out_code = [], [], []
-            for j in subs:
-                S = V[:, j * _PQ_SUBDIM : (j + 1) * _PQ_SUBDIM]
-                D = np.zeros((len(ids), C[j].shape[0]))
-                for i in range(_PQ_SUBDIM):
-                    D += S[:, i : i + 1] * C[j][None, :, i]
-                score = C2[j][None, :] - 2.0 * D
+            codes = np.empty((len(ids), len(subs)), dtype=np.int64)
+            for jx, j in enumerate(subs):
+                Cj, C2j, CRj = cb[j]
+                S = V[:, j * subdim : (j + 1) * subdim]
+                D = np.zeros((len(ids), Cj.shape[0]))
+                for i in range(subdim):
+                    D += S[:, i : i + 1] * Cj[None, :, i]
+                score = C2j[None, :] - 2.0 * D
                 best = np.argmin(score, axis=1)  # first min = lower code_r
-                out_vec.extend(int(x) for x in ids)
-                out_sub.extend([j] * len(ids))
-                out_code.extend(int(CR[j][b]) for b in best)
-            yield pd.DataFrame(
-                {"vec_id": out_vec, "sub_j": out_sub, "code_r": out_code}
-            )
+                codes[:, jx] = CRj[best]
+            if packed:
+                yield pd.DataFrame(
+                    {
+                        "vec_id": ids.astype(np.int64),
+                        "codes": list(codes.astype(np.int32)),
+                    }
+                )
+            else:
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(ids.astype(np.int64), len(subs)),
+                        "sub_j": np.tile(
+                            np.array(subs, dtype=np.int32), len(ids)
+                        ),
+                        "code_r": codes.astype(np.int32).ravel(),
+                    }
+                )
 
-    return emb.select("vec_id", "embedding").mapInPandas(
-        encode, "vec_id long, sub_j int, code_r int"
+    schema = (
+        "vec_id long, codes array<int>"
+        if packed
+        else "vec_id long, sub_j int, code_r int"
     )
+    return src.select("vec_id", vec_col).mapInPandas(encode, schema)
 
 
 def _pq_lut(emb: DataFrame, codebook: DataFrame) -> DataFrame:
@@ -2621,6 +2708,229 @@ def _pq_parts(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
     codebook = _pq_codebook_df(emb)
     # numpy-twin encode (r15 opt; bit-identity asserted in tests/test_round13_ops.py)
     return _pq_encode_np(emb, codebook), _pq_lut(emb, codebook)
+
+
+# --- Round-16 opt (r15 verdict ticket #3): the fused numpy ADC pass. ----
+#
+# The ADC stage of every PQ serving chain was a join pyramid — candidates
+# x 8 exploded code rows, broadcast-joined to the |Q| x 8 x 16 LUT, then a
+# groupBy exchange summing 8 decimals per candidate. All of its inputs
+# except the candidate stream are DRIVER-BOUNDED by design (the query
+# matrix, the codebook, the probe pairs, the per-list centroid terms), so
+# the whole stage collapses to one map-only Arrow pass (§4.2): the LUT is
+# precomputed driver-side as 1e12-scaled int64 (the certified
+# _np_dot_exact_scaled quantization), each batch sums 8 int64 table
+# lookups per (candidate, probing query) — exact, order-independent — and
+# the final /1e12 (plus the one additive centroid-term float add for the
+# residual family) reproduces the decimal->double cast bit-for-bit, the
+# same argument _np_dot_exact_scaled certifies. Row-for-row equality to
+# the join-chain forms is pinned in tests/test_round16_opt.py; the chains
+# themselves stay in-tree (ann_ivf_pq_trained still rides them).
+
+
+def _pq_cb_state(rows) -> dict:
+    """{sub_j: (C, C2, CR)} code_r-ascending codeword arrays from
+    collected codebook rows (Rows or plain mappings) — the shared driver
+    state of the numpy encoders and the fused ADC scan."""
+    import numpy as np
+
+    by_sub: dict[int, list] = {}
+    for r in rows:
+        by_sub.setdefault(int(r["sub_j"]), []).append(r)
+    state = {}
+    for j in sorted(by_sub):
+        rs = sorted(by_sub[j], key=lambda r: r["code_r"])
+        state[j] = (
+            np.array([r["cvec"] for r in rs], dtype=np.float64),
+            np.array([r["c2"] for r in rs], dtype=np.float64),
+            np.array([r["code_r"] for r in rs], dtype=np.int64),
+        )
+    return state
+
+
+def _np_adc_lut(Q, cb_rows, subdim: int = _PQ_SUBDIM):
+    """L[qpos, sub_j, code_r] int64: the 1e12-scaled exact-decimal
+    partial dots of every query subspace slice with every codeword — the
+    driver twin of _pq_lut/_pqres_lut's pdist column (same certified
+    scaled-decimal quantization, so L[q, j, r] IS pdist's unscaled
+    decimal, exactly)."""
+    import numpy as np
+
+    dot_scaled = _np_dot_exact_scaled()
+    kmax = max(int(r["code_r"]) for r in cb_rows)
+    jmax = max(int(r["sub_j"]) for r in cb_rows)
+    L = np.zeros((Q.shape[0], jmax + 1, kmax + 1), dtype=np.int64)
+    for r in cb_rows:
+        j, cr = int(r["sub_j"]), int(r["code_r"])
+        cv = np.asarray(r["cvec"], dtype=np.float64)
+        L[:, j, cr] = dot_scaled(Q[:, j * subdim : (j + 1) * subdim] * cv[None, :])
+    return L
+
+
+def _np_adc_scan(
+    src: DataFrame,
+    qids,
+    L,
+    *,
+    cb_rows=None,
+    seed_state=None,
+    residual: bool = False,
+    probe_map=None,
+    dqc=None,
+    cid_col: str | None = None,
+    shortlist: int | None = None,
+) -> DataFrame:
+    """(query_id, neighbor_id, adc_score): the fused ADC pass.
+
+    Input modes:
+    - ``cb_rows=None``: ``src`` carries packed codes (vec_id,
+      codes array<int>[, cid_col]) — the persisted-index serving shape;
+    - ``cb_rows`` given: ``src`` carries (vec_id, embedding); each batch
+      encodes in-flight with the SAME kernel as _pq_encode_np (and, with
+      ``seed_state``, first resolves the row's seed-K list / residual
+      with the SAME kernel as _seedk_rank_scan).
+
+    ``probe_map`` ({cid: query positions}) restricts scoring to the
+    queries probing the row's list (the candidate semantics of the
+    probe-join it replaces); ``dqc`` adds the per-(query, list) centroid
+    term as ONE float64 add after the /1e12 (the residual family's
+    CAST(sum AS DOUBLE) + CAST(dqc AS DOUBLE)); ``shortlist`` applies a
+    per-(batch, query) partial top-k by (adc_score DESC, neighbor_id
+    ASC) — a strict superset of the global top-k the downstream window
+    selects, so results are unchanged while the window input shrinks
+    from candidates to <= shortlist x batches rows per query.
+
+    Exactness: every L entry is the certified scaled-decimal pdist; the
+    8-entry int64 sum is the exact decimal sum (guarded < 2^53); the
+    /1e12 of two exactly-representable doubles is correctly rounded,
+    i.e. exactly the DECIMAL(38,12) -> DOUBLE cast (the
+    _np_dot_exact_scaled argument). Self-pairs are dropped exactly as
+    the join chains' vec_id <> query_id filters did."""
+    import numpy as np
+
+    cb = _pq_cb_state(cb_rows) if cb_rows is not None else None
+    seed = seed_state
+    pm = probe_map
+    dq = dqc
+    cut = shortlist
+    res = residual
+    subdim = _PQ_SUBDIM
+    qids = np.asarray(qids, dtype=np.int64)
+    dot_scaled = _np_dot_exact_scaled() if seed is not None else None
+    subs = sorted(cb) if cb is not None else None
+
+    def scan(pdfs):
+        import numpy as np
+        import pandas as pd
+
+        nq = len(qids)
+
+        def encode_mat(V):
+            n = V.shape[0]
+            codes = np.empty((n, len(subs)), dtype=np.int64)
+            for jx, j in enumerate(subs):
+                Cj, C2j, CRj = cb[j]
+                S = V[:, j * subdim : (j + 1) * subdim]
+                D = np.zeros((n, Cj.shape[0]))
+                for i in range(subdim):
+                    D += S[:, i : i + 1] * Cj[None, :, i]
+                score = C2j[None, :] - 2.0 * D
+                best = np.argmin(score, axis=1)  # first min = lower code_r
+                codes[:, jx] = CRj[best]
+            return codes
+
+        def score_block(codes_b, qsel):
+            sc = np.zeros((len(qsel), codes_b.shape[0]), dtype=np.int64)
+            for jx in range(codes_b.shape[1]):
+                sc += L[qsel, jx, :][:, codes_b[:, jx]]
+            if sc.size and int(np.abs(sc).max()) >= (1 << 53):
+                raise ValueError("ADC scaled sum exceeds exact-double range")
+            return sc
+
+        def cut_topk(nb, s):
+            if cut is not None and len(nb) > cut:
+                o = np.lexsort((nb, -s))[:cut]
+                return nb[o], s[o]
+            return nb, s
+
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy().astype(np.int64)
+            if cb is None:
+                codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+                cids_row = (
+                    pdf[cid_col].to_numpy().astype(np.int64) if cid_col else None
+                )
+            else:
+                V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                cids_row = None
+                if seed is not None:
+                    scids, C, cnrm = seed
+                    nrm = np.sqrt(
+                        dot_scaled(V * V).astype(np.float64) / 1e12
+                    )
+                    if not bool(np.all(nrm > 0.0)):
+                        raise ValueError("zero-norm embedding (ADC scan)")
+                    acc = np.zeros((len(ids), C.shape[0]))
+                    for i in range(C.shape[1]):
+                        acc += V[:, i : i + 1] * C[None, :, i]
+                    cos = acc / (nrm[:, None] * cnrm[None, :])
+                    # rank-1 list: same stable (-cos, cid) rule as
+                    # _seedk_rank_scan
+                    order1 = np.argsort(-cos, axis=1, kind="stable")[:, 0]
+                    cids_row = scids[order1]
+                    if res:
+                        V = V - C[order1]
+                codes = encode_mat(V)
+            out_q, out_n, out_s = [], [], []
+            if pm is None:
+                adc = score_block(codes, np.arange(nq)).astype(np.float64) / 1e12
+                for qpos in range(nq):
+                    m = np.flatnonzero(ids != qids[qpos])
+                    nb, s = cut_topk(ids[m], adc[qpos, m])
+                    out_q.append(np.full(len(nb), qids[qpos], dtype=np.int64))
+                    out_n.append(nb)
+                    out_s.append(s)
+            else:
+                per_q: dict[int, tuple[list, list]] = {}
+                for cid in np.unique(cids_row):
+                    qsel = pm.get(int(cid))
+                    if qsel is None or len(qsel) == 0:
+                        continue
+                    m = np.flatnonzero(cids_row == cid)
+                    adc = score_block(codes[m], qsel).astype(np.float64) / 1e12
+                    for i, qpos in enumerate(qsel):
+                        s_row = adc[i]
+                        if dq is not None:
+                            s_row = s_row + dq[(int(qpos), int(cid))]
+                        keep = np.flatnonzero(ids[m] != qids[qpos])
+                        b = per_q.setdefault(int(qpos), ([], []))
+                        b[0].append(ids[m][keep])
+                        b[1].append(s_row[keep])
+                for qpos in sorted(per_q):
+                    idl, sl = per_q[qpos]
+                    nb, s = cut_topk(np.concatenate(idl), np.concatenate(sl))
+                    out_q.append(np.full(len(nb), qids[qpos], dtype=np.int64))
+                    out_n.append(nb)
+                    out_s.append(s)
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "adc_score": np.concatenate(out_s),
+                    }
+                )
+
+    cols = (
+        ["vec_id", "embedding"]
+        if cb is not None
+        else ["vec_id", "codes"] + ([cid_col] if cid_col else [])
+    )
+    return src.select(*cols).mapInPandas(
+        scan, "query_id long, neighbor_id long, adc_score double"
+    )
 
 
 # The PQ CTE chain (seeds/subs/codebook/slices/encoded/lut) is shared
@@ -2730,16 +3040,31 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     folds and decimal-exact output sums — see dot_exact).
 
     Scale: the codebook (128 rows) and per-query LUT (|Q| x 128 rows) are
-    broadcast — encoding and ADC are both broadcast joins with full
-    map-side partial aggregation, so nothing shuffles at corpus scale
-    except the grouped 8-code reduction (keyed by vec_id, uniform) and the
-    per-query top-shortlist. At 100 TB you compose with IVF (IVF-PQ:
-    probe centroid lists first, ADC only inside probed lists) — both
-    halves exist here and share the broadcast-codebook shape. The encode
-    explode is 8 rows per vector at 1/8 width each — no width blowup.
+    driver-bounded state — encoding AND ADC run fused in one map-only
+    Arrow pass over the corpus (round-16 opt, §4.2: the encode join, the
+    LUT broadcast join and the 8-code groupBy exchange all collapsed into
+    _np_adc_scan; scores bit-identical by the scaled-decimal argument,
+    pinned in tests/test_round16_opt.py), so nothing shuffles at corpus
+    scale except the per-query top-shortlist, whose input the scan's
+    per-batch partial top-k already bounds. At 100 TB you compose with
+    IVF (IVF-PQ: probe centroid lists first, ADC only inside probed
+    lists) — both halves exist here and share the driver-LUT shape.
 
     Reference anchor: the reference engine has no vector tier at all
     (store.go:16-31 stores opaque bytes); this is net-new capability."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb_rows = _pq_codebook_df(emb).collect()
+    qids, Q, _qn = _collect_query_state(spark, sf_dir)
+    L = _np_adc_lut(Q, cb_rows)
+    adc = _np_adc_scan(
+        emb, qids, L, cb_rows=cb_rows, shortlist=_PQ_SHORTLIST
+    )
+    return _pq_shortlist_rerank(spark, sf_dir, adc)
+
+
+def _ann_pq_topk_joinchain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-round-16 join-chain form of ann_pq_topk, kept as the
+    equivalence reference for tests/test_round16_opt.py."""
     from pyspark.sql.window import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2900,12 +3225,39 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the same two-engine hash discipline — exact-decimal ADC sums and
     rank-stable tiebreaks at every stage.
 
-    Scale: vs plain PQ, the ADC scan shrinks from the full corpus to the
-    probed lists (nprobe/|cent| of it); vs plain IVF, the candidate scoring
-    drops from full-vector cosine to code lookups — the broadcast LUT join
-    carries (candidates x 8) narrow rows into a partial-aggregated sum.
-    Centroids, codebook, and LUT all broadcast; nothing corpus-sized
-    shuffles except the bounded candidate stream keyed by (query, vec)."""
+    Scale: vs plain PQ, the ADC scan scores only the rows whose seed-K
+    list some query probes (nprobe/|cent| of the corpus); vs plain IVF,
+    candidate scoring drops from full-vector cosine to code lookups.
+    Round-16 opt (§4.2): assignment, encode and ADC run fused in ONE
+    map-only Arrow pass (_np_adc_scan with the seed-K kernel), the probe
+    pairs are resolved driver-side from the bounded |Q| matrix with the
+    same kernel (_seedk_probe_driver), and the whole former join pyramid
+    (assign/probe windows, candidate join, code join, LUT broadcast
+    join, 8-code groupBy) disappears from the plan — values
+    bit-identical, pinned in tests/test_round16_opt.py; nothing
+    corpus-sized shuffles except the shortlist window over the scan's
+    per-batch top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb_rows = _pq_codebook_df(emb).collect()
+    qids, Q, qn = _collect_query_state(spark, sf_dir)
+    seed_state = _seedk_state(spark, sf_dir)
+    probe_map = _seedk_probe_driver(qids, Q, qn, seed_state, _IVF_NPROBE)
+    L = _np_adc_lut(Q, cb_rows)
+    adc = _np_adc_scan(
+        emb,
+        qids,
+        L,
+        cb_rows=cb_rows,
+        seed_state=seed_state,
+        probe_map=probe_map,
+        shortlist=_PQ_SHORTLIST,
+    )
+    return _pq_shortlist_rerank(spark, sf_dir, adc)
+
+
+def _ann_ivf_pq_topk_joinchain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-round-16 join-chain form of ann_ivf_pq_topk, kept as the
+    equivalence reference for tests/test_round16_opt.py."""
     from pyspark.sql.window import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -3199,7 +3551,7 @@ def _build_ivf_pq_index(spark: SparkSession, sf_dir: str) -> str:
         "vec_id", F.col("cluster_id").cast("bigint").alias("cluster_id")
     )
     (
-        _codes_array(_pq_encode_np(emb, codebook))
+        _pq_encode_np(emb, codebook, packed=True)
         .join(assign, "vec_id")
         .repartition(F.col("cluster_id"))
         .write.mode("overwrite")
@@ -3296,30 +3648,34 @@ def _search_pq_persisted_index(
     """ann_ivf_pq_search_only's ADC serving body over an EXPLICIT index
     dir — shared with the streaming PQ-append twin's mid-stream serving
     check."""
-    emb = load_table(spark, sf_dir, "embeddings")
     # probe parameters from the index marker — serving pays no corpus
     # scan, and nprobe keys off the stored k (see _ivf_nprobe), not n
     nprobe = _ivf_nprobe(_ivf_index_meta(idx))
-    # centroid path -> numpy probe twin (round-15 opt, bit-identical)
+    # Round-16 opt: probe routing runs DRIVER-side over the bounded |Q|
+    # matrix with the exact _assign_rows_scan_np kernel (one pyarrow
+    # centroid read, no Spark job), the per-query LUT is driver state
+    # built from the on-disk codebook (one pyarrow read), and the whole
+    # candidate join + LUT join + 8-code groupBy collapses into ONE
+    # map-only pass over the statically pruned code partitions
+    # (_np_adc_scan; bit-identical, pinned in tests/test_round16_opt.py).
     cent = _os.path.join(idx, "centroids")
-    probe_rows = (
-        _assign_rows_scan_np(emb.filter(F.col("vec_id") < _N_QUERY), cent, nprobe)
-        .select(F.col("vec_id").alias("query_id"), "cluster_id")
-        .collect()
-    )
-    probed_lists = sorted({r["cluster_id"] for r in probe_rows})
-    probe = spark.createDataFrame(
-        [(r["query_id"], r["cluster_id"]) for r in probe_rows],
-        "query_id long, cluster_id long",
-    )
+    qids, Q, _qn = _collect_query_state(spark, sf_dir)
+    probe_map = _assign_probe_driver(qids, Q, cent, nprobe)
+    probed_lists = sorted(probe_map)
     import glob as _glob
+
+    import pyarrow.dataset as _pads
 
     # the PQ artifacts resolve through the PQ marker's GENERATION
     # (mirrors _ivf_gen_root): a codebook re-train builds gen-pq-{g}/
     # whole and flips this marker once — old codes serve until the flip
     pq_root = _pq_gen_root(idx, _cat.marker_read_ints(idx, _PQ_MARKER))
-    codebook = spark.read.parquet(_os.path.join(pq_root, "pq_codebook"))
-    lut = _pq_lut(emb, codebook)
+    cb_rows = (
+        _pads.dataset(_os.path.join(pq_root, "pq_codebook"), format="parquet")
+        .to_table()
+        .to_pylist()
+    )
+    L = _np_adc_lut(Q, cb_rows)
     codes = spark.read.parquet(_os.path.join(pq_root, "pq_codes"))
     if _glob.glob(_os.path.join(pq_root, _PQ_PENDING, "*.parquet")):
         # LSM tail under streaming maintenance (see _search_persisted_index)
@@ -3336,25 +3692,13 @@ def _search_pq_persisted_index(
             )
             .dropDuplicates(["vec_id"])
         )
-    cand_codes = (
-        codes.filter(F.col("cluster_id").isin(probed_lists))
-        .join(F.broadcast(probe), "cluster_id")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.posexplode("codes").alias("sub_j", "code_r"),
-        )
-    )
-    adc = (
-        cand_codes.join(F.broadcast(lut), ["query_id", "sub_j", "code_r"])
-        .groupBy("query_id", "neighbor_id")
-        .agg(
-            F.sum("pdist")
-            .cast("decimal(38,12)")
-            .cast("double")
-            .alias("adc_score")
-        )
+    adc = _np_adc_scan(
+        codes.filter(F.col("cluster_id").isin(probed_lists)),
+        qids,
+        L,
+        probe_map=probe_map,
+        cid_col="cluster_id",
+        shortlist=_PQ_SHORTLIST,
     )
     return _pq_shortlist_rerank(spark, sf_dir, adc)
 
@@ -4005,10 +4349,43 @@ def ann_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding on both engines. Assignment/probe reuse ann_ivf_topk's
     certified ranking verbatim.
 
-    Scale: identical plan shape to ann_ivf_pq_topk (fixed-K broadcast
-    assignment, broadcast codebook/LUT, list-bounded candidate stream) —
-    the residual subtraction is one map-side zip_with and the extra
-    centroid term is a |Q| x nprobe broadcast join."""
+    Scale: identical candidate semantics to ann_ivf_pq_topk. Round-16
+    opt (§4.2): after the one TakeOrdered job that materializes the
+    residual codebook, assignment, residual subtraction, encode, ADC
+    code-sum AND the additive centroid term run fused in ONE map-only
+    Arrow pass (_np_adc_scan residual mode) — probe pairs and the
+    |Q| x nprobe dqc terms are driver state (the same kernels, pinned in
+    tests/test_round16_opt.py); the former five-way join chain is gone
+    from the plan."""
+    res = _seedk_rank_scan(spark, sf_dir, 1, emit_res=True).select(
+        "vec_id", "cid", "rvec"
+    )
+    cb_rows = _pqres_codebook(res).collect()
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids, Q, qn = _collect_query_state(spark, sf_dir)
+    seed_state = _seedk_state(spark, sf_dir)
+    probe_map = _seedk_probe_driver(qids, Q, qn, seed_state, _IVF_NPROBE)
+    L = _np_adc_lut(Q, cb_rows)
+    dqc = _np_dqc(Q, seed_state, probe_map)
+    adc = _np_adc_scan(
+        emb,
+        qids,
+        L,
+        cb_rows=cb_rows,
+        seed_state=seed_state,
+        residual=True,
+        probe_map=probe_map,
+        dqc=dqc,
+        shortlist=_PQ_SHORTLIST,
+    )
+    return _pq_shortlist_rerank(spark, sf_dir, adc)
+
+
+def _ann_ivf_pq_residual_joinchain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The pre-round-16 join-chain form of ann_ivf_pq_residual, kept as
+    the equivalence reference for tests/test_round16_opt.py."""
     core = _residual_core(spark, sf_dir)
     codebook = _pqres_codebook(core["res"])
     encoded = _pqres_encode_np(core["res"], codebook)  # numpy twin (r15 opt)
@@ -4021,6 +4398,26 @@ def ann_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     adc = _pqres_adc(cand, encoded, lut, dqc)
     return _pq_shortlist_rerank(spark, sf_dir, adc)
+
+
+def _np_dqc(Q, seed_state, probe_map) -> dict:
+    """{(query position, cid): double}: the additive exact-decimal
+    <q, centroid> ADC term per probed list — the driver twin of
+    _pqres_dqc's dqc column (same certified scaled-decimal dot, same
+    correctly-rounded /1e12 = the DECIMAL -> DOUBLE cast), |Q| x nprobe
+    entries, bounded by construction."""
+    import numpy as np
+
+    cids, C, _cnrm = seed_state
+    cpos = {int(c): i for i, c in enumerate(cids)}
+    dot_scaled = _np_dot_exact_scaled()
+    out: dict[tuple[int, int], float] = {}
+    for cid, qsel in probe_map.items():
+        ci = cpos[int(cid)]
+        vals = dot_scaled(Q[qsel] * C[ci][None, :]).astype(np.float64) / 1e12
+        for i, qpos in enumerate(qsel):
+            out[(int(qpos), int(cid))] = float(vals[i])
+    return out
 
 
 def _residual_core(spark: SparkSession, sf_dir: str) -> dict:
@@ -4141,53 +4538,16 @@ def _pqres_encode(res: DataFrame, codebook: DataFrame) -> DataFrame:
     )
 
 
-def _pqres_encode_np(res: DataFrame, codebook: DataFrame) -> DataFrame:
+def _pqres_encode_np(
+    res: DataFrame, codebook: DataFrame, packed: bool = False
+) -> DataFrame:
     """BIT-IDENTICAL numpy twin of :func:`_pqres_encode` (the residual
     analog of _pq_encode_np, same argument: per subspace the codeword
     score c2 - 2.0 * dot(svec, cvec) with the dot accumulated in
     dimension order, ties to the lower code_r via first-minimum).
-    Equivalence pinned in tests/test_round15_opt.py."""
-    rows = codebook.collect()
-    import numpy as np
-
-    by_sub: dict[int, list] = {}
-    for r in rows:
-        by_sub.setdefault(r["sub_j"], []).append(r)
-    subs = sorted(by_sub)
-    C, C2, CR = {}, {}, {}
-    for j in subs:
-        rs = sorted(by_sub[j], key=lambda r: r["code_r"])
-        C[j] = np.array([r["cvec"] for r in rs], dtype=np.float64)
-        C2[j] = np.array([r["c2"] for r in rs], dtype=np.float64)
-        CR[j] = np.array([r["code_r"] for r in rs], dtype=np.int64)
-
-    def encode(pdfs):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            V = np.stack(pdf["rvec"].to_numpy()).astype(np.float64)
-            ids = pdf["vec_id"].to_numpy()
-            out_vec, out_sub, out_code = [], [], []
-            for j in subs:
-                S = V[:, j * _PQ_SUBDIM : (j + 1) * _PQ_SUBDIM]
-                D = np.zeros((len(ids), C[j].shape[0]))
-                for i in range(_PQ_SUBDIM):
-                    D += S[:, i : i + 1] * C[j][None, :, i]
-                score = C2[j][None, :] - 2.0 * D
-                best = np.argmin(score, axis=1)  # first min = lower code_r
-                out_vec.extend(int(x) for x in ids)
-                out_sub.extend([j] * len(ids))
-                out_code.extend(int(CR[j][b]) for b in best)
-            yield pd.DataFrame(
-                {"vec_id": out_vec, "sub_j": out_sub, "code_r": out_code}
-            )
-
-    return res.select("vec_id", "rvec").mapInPandas(
-        encode, "vec_id long, sub_j int, code_r int"
-    )
+    Equivalence pinned in tests/test_round15_opt.py; shares
+    _encode_np_impl with the raw-vector encoder (identical kernel)."""
+    return _encode_np_impl(res, codebook, "rvec", packed)
 
 
 def _pqres_lut(e: DataFrame, codebook: DataFrame) -> DataFrame:
@@ -4266,7 +4626,7 @@ def _build_pqres_index(spark: SparkSession, sf_dir: str) -> str:
     # discipline shared with _build_ivf_pq_index)
     codebook = spark.read.parquet(cb_path)
     (
-        _codes_array(_pqres_encode_np(core["res"], codebook))
+        _pqres_encode_np(core["res"], codebook, packed=True)
         .join(core["assign"].select("vec_id", "cid"), "vec_id")
         .repartition(F.col("cid"))
         .write.mode("overwrite")
@@ -4304,60 +4664,36 @@ def ann_ivf_pq_residual_search_only(spark: SparkSession, sf_dir: str) -> DataFra
     ENCODE of the corpus — the expensive pass — never runs at search
     time. Completes r12 verdict ticket #2's residual parenthetical:
     every ANN family (coarse IVF, IVF-PQ, residual IVF-PQ, LSH) now has
-    a persisted build and a serving-only path."""
-    from pyspark.sql.window import Window
+    a persisted build and a serving-only path.
 
+    Round-16 opt (§4.2): probe routing, LUT and the centroid terms are
+    driver state over the bounded |Q| matrix (same kernels as the
+    in-flight query, probe ranking pinned ≡ the HOF window it replaces
+    via the r15 _seedk_rank_scan certification); the ADC collapses to
+    ONE map-only pass over the statically pruned code partitions."""
     idx = _ensure_pqres_index(spark, sf_dir)
-    emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id", "embedding", norm_exact(F.col("embedding")).alias("nrm"))
-    cent = e.filter(F.col("vec_id") < _IVF_K).select(
-        F.col("vec_id").alias("cid"),
-        F.col("embedding").alias("cemb"),
-        F.col("nrm").alias("cnrm"),
+    import pyarrow.dataset as _pads
+
+    qids, Q, qn = _collect_query_state(spark, sf_dir)
+    seed_state = _seedk_state(spark, sf_dir)
+    probe_map = _seedk_probe_driver(qids, Q, qn, seed_state, _IVF_NPROBE)
+    probed_cids = sorted(probe_map)
+    cb_rows = (
+        _pads.dataset(_os.path.join(idx, "pqres_codebook"), format="parquet")
+        .to_table()
+        .to_pylist()
     )
-    cos_to_cent = dot_double(F.col("embedding"), F.col("cemb")) / (
-        F.col("nrm") * F.col("cnrm")
-    )
-    rn_w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
-    probe = (
-        e.filter(F.col("vec_id") < _N_QUERY)
-        .join(F.broadcast(cent))
-        .select("vec_id", "cid", cos_to_cent.alias("ccos"))
-        .select("vec_id", "cid", F.row_number().over(rn_w).alias("rn"))
-        .filter(F.col("rn") <= _IVF_NPROBE)
-        .select(F.col("vec_id").alias("query_id"), "cid")
-    )
-    probe_rows = probe.collect()  # |Q| x nprobe, bounded by construction
-    probed_cids = sorted({r["cid"] for r in probe_rows})
-    probe_df = spark.createDataFrame(
-        [(r["query_id"], r["cid"]) for r in probe_rows],
-        "query_id long, cid long",
-    )
-    codebook = spark.read.parquet(_os.path.join(idx, "pqres_codebook"))
-    lut = _pqres_lut(e, codebook)
-    dqc = _pqres_dqc(e, cent, probe_df)
+    L = _np_adc_lut(Q, cb_rows)
+    dqc = _np_dqc(Q, seed_state, probe_map)
     codes = spark.read.parquet(_os.path.join(idx, "pqres_codes"))
-    cand = (
-        codes.filter(F.col("cid").isin(probed_cids))
-        .join(F.broadcast(probe_df), "cid")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "cid",
-            F.col("vec_id").alias("neighbor_id"),
-            F.posexplode("codes").alias("sub_j", "code_r"),
-        )
-    )
-    adc = (
-        cand.join(F.broadcast(lut), ["query_id", "sub_j", "code_r"])
-        .join(F.broadcast(dqc), ["query_id", "cid"])
-        .groupBy("query_id", "neighbor_id")
-        .agg(
-            (
-                F.sum("pdist").cast("decimal(38,12)").cast("double")
-                + F.any_value(F.col("dqc")).cast("double")
-            ).alias("adc_score")
-        )
+    adc = _np_adc_scan(
+        codes.filter(F.col("cid").isin(probed_cids)),
+        qids,
+        L,
+        probe_map=probe_map,
+        dqc=dqc,
+        cid_col="cid",
+        shortlist=_PQ_SHORTLIST,
     )
     return _pq_shortlist_rerank(spark, sf_dir, adc)
 
@@ -5633,7 +5969,7 @@ def _pq_retrain(spark: SparkSession, sf_dir: str, idx: str, before_flip=None) ->
         "vec_id", F.col("cluster_id").cast("bigint").alias("cluster_id")
     )
     (
-        _codes_array(_pq_encode_np(emb, codebook))
+        _pq_encode_np(emb, codebook, packed=True)
         .join(assign, "vec_id")
         .repartition(F.col("cluster_id"))
         .write.mode("overwrite")
@@ -5679,7 +6015,7 @@ def _build_stale_pq_index(spark: SparkSession, sf_dir: str) -> str:
         "vec_id", F.col("cluster_id").cast("bigint").alias("cluster_id")
     )
     (
-        _codes_array(_pq_encode_np(emb, codebook))
+        _pq_encode_np(emb, codebook, packed=True)
         .join(assign, "vec_id")
         .repartition(F.col("cluster_id"))
         .write.mode("overwrite")

@@ -4115,7 +4115,7 @@ def _ivf_pq_append_run(
             # capped by maxRecordsPerTrigger in production), so the
             # codes<-list join broadcasts instead of shuffling per epoch
             codes = (
-                _codes_array(_pq_encode_np(df, codebook))
+                _pq_encode_np(df, codebook, packed=True)
                 .join(F.broadcast(routed.select("vec_id", "cluster_id")), "vec_id")
                 .persist()
             )

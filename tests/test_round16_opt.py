@@ -77,3 +77,144 @@ def test_result_cache_inflight_chains_carry_module_token():
         with open(mod.__file__, "rb") as f:
             want = hashlib.md5(f.read()).hexdigest()[:10]
         assert code_token(fn) == want
+
+# ---- Fused numpy ADC pass (r15 verdict ticket #3) ---------------------
+#
+# The five PQ serving chains collapsed their encode/LUT/groupBy join
+# pyramids into _np_adc_scan; the pre-round-16 join-chain forms stay
+# in-tree as references. These pins assert row-for-row equality of the
+# public results and of every driver-twin kernel the scan consumes.
+
+
+def test_ann_pq_topk_matches_joinchain(spark):
+    from kasper_spark.operators.similarity import _ann_pq_topk_joinchain
+    from kasper_spark.registry import QUERIES
+
+    got = sorted(map(tuple, QUERIES["ann_pq_topk"](spark, SF_ORACLE).collect()))
+    want = sorted(map(tuple, _ann_pq_topk_joinchain(spark, SF_ORACLE).collect()))
+    assert got == want
+
+
+def test_ann_ivf_pq_topk_matches_joinchain(spark):
+    from kasper_spark.operators.similarity import _ann_ivf_pq_topk_joinchain
+    from kasper_spark.registry import QUERIES
+
+    got = sorted(map(tuple, QUERIES["ann_ivf_pq_topk"](spark, SF_ORACLE).collect()))
+    want = sorted(
+        map(tuple, _ann_ivf_pq_topk_joinchain(spark, SF_ORACLE).collect())
+    )
+    assert got == want
+
+
+def test_ann_ivf_pq_residual_matches_joinchain(spark):
+    from kasper_spark.operators.similarity import _ann_ivf_pq_residual_joinchain
+    from kasper_spark.registry import QUERIES
+
+    got = sorted(
+        map(tuple, QUERIES["ann_ivf_pq_residual"](spark, SF_ORACLE).collect())
+    )
+    want = sorted(
+        map(tuple, _ann_ivf_pq_residual_joinchain(spark, SF_ORACLE).collect())
+    )
+    assert got == want
+
+
+def test_pq_encode_packed_matches_codes_array(spark):
+    """packed=True must emit exactly the rows _codes_array(long form)
+    produces — same vec_ids, same sub_j-ordered code arrays."""
+    from kasper_spark.catalog import load_table
+    from kasper_spark.operators.similarity import (
+        _codes_array,
+        _pq_codebook_df,
+        _pq_encode_np,
+    )
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    cb = _pq_codebook_df(emb)
+    got = {
+        r["vec_id"]: tuple(r["codes"])
+        for r in _pq_encode_np(emb, cb, packed=True).collect()
+    }
+    want = {
+        r["vec_id"]: tuple(r["codes"])
+        for r in _codes_array(_pq_encode_np(emb, cb)).collect()
+    }
+    assert got == want
+
+
+def test_pqres_encode_packed_matches_codes_array(spark):
+    from kasper_spark.operators.similarity import (
+        _codes_array,
+        _pqres_codebook,
+        _pqres_encode_np,
+        _residual_core,
+    )
+
+    core = _residual_core(spark, SF_ORACLE)
+    cb = _pqres_codebook(core["res"])
+    got = {
+        r["vec_id"]: tuple(r["codes"])
+        for r in _pqres_encode_np(core["res"], cb, packed=True).collect()
+    }
+    want = {
+        r["vec_id"]: tuple(r["codes"])
+        for r in _codes_array(_pqres_encode_np(core["res"], cb)).collect()
+    }
+    assert got == want
+
+
+def test_seedk_probe_driver_matches_scan(spark):
+    """The driver probe twin must produce exactly the (query, cid) pairs
+    of the distributed seed-K rank scan at nprobe."""
+    from kasper_spark.operators.similarity import (
+        _IVF_NPROBE,
+        _collect_query_state,
+        _seedk_probe_driver,
+        _seedk_rank_scan,
+        _seedk_state,
+    )
+
+    qids, Q, qn = _collect_query_state(spark, SF_ORACLE)
+    seed_state = _seedk_state(spark, SF_ORACLE)
+    pm = _seedk_probe_driver(qids, Q, qn, seed_state, _IVF_NPROBE)
+    got = {(int(qids[p]), int(cid)) for cid, ps in pm.items() for p in ps}
+    want = {
+        (r["vec_id"], r["cid"])
+        for r in _seedk_rank_scan(
+            spark, SF_ORACLE, _IVF_NPROBE, queries_only=True
+        ).collect()
+    }
+    assert got == want
+
+
+def test_assign_probe_driver_matches_scan(spark, tmp_path):
+    """The trained-centroid driver probe twin must equal the collected
+    _assign_rows_scan_np pairs over the query rows (same kernel, no
+    Spark job)."""
+    from pyspark.sql import functions as F
+
+    from kasper_spark.catalog import load_table
+    from kasper_spark.operators.similarity import (
+        _N_QUERY,
+        _assign_probe_driver,
+        _assign_rows_scan_np,
+        _collect_query_state,
+        _train_centroids_arrays,
+        _write_centroids_parquet,
+    )
+
+    cids, S, n = _train_centroids_arrays(spark, SF_ORACLE, k=8, train_n=200)
+    cent = str(tmp_path / "centroids")
+    _write_centroids_parquet(cent, cids, S, n)
+
+    qids, Q, _qn = _collect_query_state(spark, SF_ORACLE)
+    pm = _assign_probe_driver(qids, Q, cent, 3)
+    got = {(int(qids[p]), int(cid)) for cid, ps in pm.items() for p in ps}
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    want = {
+        (r["vec_id"], r["cluster_id"])
+        for r in _assign_rows_scan_np(
+            emb.filter(F.col("vec_id") < _N_QUERY), cent, 3
+        ).collect()
+    }
+    assert got == want
