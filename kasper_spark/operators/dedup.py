@@ -478,6 +478,13 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
+    return _simhash_df(docs)
+
+
+def _simhash_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash, bucket16) over any (doc_id, text) frame —
+    simhash_fingerprints' expression body, shared with its structural
+    contract's pinned fixture so the gate exercises the REAL fold."""
     toks = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
     hashes = toks.select(
         "doc_id", F.transform(F.col("toks"), lambda t: F.xxhash64(t)).alias("hs")
@@ -516,6 +523,88 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         fp.alias("simhash"),
     ).withColumn("bucket16", F.shiftrightunsigned(F.col("simhash"), 48))
+
+
+# Pinned md5 of the _simhash_df fixture rows (6 deterministic docs, SF-
+# independent): the tokenizer, bit-sum fold and fingerprint packing
+# changed iff this changes. Recompute via _simhash_fixture_fingerprint
+# after an INTENTIONAL algorithm change only.
+_SIMHASH_FIXTURE_MD5 = "49d472574bc1eaa5d33e0db3454e841a"
+
+
+def _simhash_fixture_docs():
+    return [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumped over a lazy dog"),
+        (2, "pack my box with five dozen liquor jugs"),
+        (3, "sphinx of black quartz judge my vow"),
+        (4, ""),
+        (5, "repeat repeat repeat repeat token weighting check"),
+    ]
+
+
+def _simhash_fixture_fingerprint(spark: SparkSession) -> str:
+    import hashlib
+
+    fx = spark.createDataFrame(_simhash_fixture_docs(), "doc_id long, text string")
+    rows = sorted(map(tuple, _simhash_df(fx).collect()))
+    return hashlib.md5(repr(rows).encode()).hexdigest()
+
+
+@register_query(
+    "simhash_fingerprints_contract",
+    oracle="""
+    SELECT CAST(0 AS BIGINT) AS n_rows_minus_docs,
+           CAST(0 AS BIGINT) AS n_dup_doc,
+           CAST(0 AS BIGINT) AS n_null_fp,
+           CAST(0 AS BIGINT) AS n_bucket_mismatch,
+           CAST(0 AS BIGINT) AS n_det_mismatch,
+           CAST(0 AS BIGINT) AS n_fixture_mismatch
+    """,
+)
+def simhash_fingerprints_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic structural gate for simhash_fingerprints (r15
+    verdict #8): the xxhash fold is not oracle-expressible, but its
+    invariants are — all-zero on a healthy build:
+
+    - exactly one non-null fingerprint row per document, no duplicates;
+    - bucket16 == simhash >> 48 (unsigned) on every row;
+    - two independent evaluations return identical rows (determinism);
+    - the fold reproduces the pinned SF-independent fixture fingerprint
+      (_SIMHASH_FIXTURE_MD5) — tokenizer/fold drift trips it."""
+    out = simhash_fingerprints(spark, sf_dir)
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("doc_id").alias("n_doc"),
+        F.sum(F.col("simhash").isNull().cast("long")).alias("n_null_fp"),
+        F.sum(
+            (
+                F.col("bucket16")
+                != F.shiftrightunsigned(F.col("simhash"), 48)
+            ).cast("long")
+        ).alias("n_bucket_mismatch"),
+    ).collect()[0]
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, simhash_fingerprints(spark, sf_dir).collect()))
+    n_det = 0 if a == b else 1
+    n_fixture = (
+        0 if _simhash_fixture_fingerprint(spark) == _SIMHASH_FIXTURE_MD5 else 1
+    )
+    return spark.createDataFrame(
+        [
+            (
+                agg["n"] - n_docs,
+                agg["n"] - agg["n_doc"],
+                agg["n_null_fp"] or 0,
+                agg["n_bucket_mismatch"] or 0,
+                n_det,
+                n_fixture,
+            )
+        ],
+        "n_rows_minus_docs long, n_dup_doc long, n_null_fp long, "
+        "n_bucket_mismatch long, n_det_mismatch long, n_fixture_mismatch long",
+    )
 
 
 def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:

@@ -88,11 +88,13 @@ def load_all_operators() -> None:
 # rows-only check). Any query rewired in round 16 is already in this
 # head (the r16 changes target the PQ ADC chain, the eval chain, ER and
 # the LSH build — all below).
-# Window arithmetic: 25 rewired + 25 r07-queue = 50.
+# Window arithmetic: 25 rewired + 2 r16 structural contracts + 23
+# r07-queue = 50.
 # r17 queue (oldest evidence after this round): the remaining r07 names
-# (neardup_clusters, session_window_native, sessionize_events,
-# streaming_lsh_dedup_twin, triangle_lsh_graph, xml_roundtrip_orders,
-# zorder_key_events), then the r08 cohort.
+# (neardup_clusters, q4_order_priority, q8_market_share,
+# session_window_native, sessionize_events, streaming_lsh_dedup_twin,
+# triangle_lsh_graph, xml_roundtrip_orders, zorder_key_events), then the
+# r08 cohort.
 DRIVER_SAMPLE_PRIORITY: list[str] = [
     # -- 0. r15-rewired, driver-unverified (25). Exact-cosine numpy
     #       consumers (_np_dot_exact_scaled / _exact_rerank):
@@ -128,6 +130,12 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     # r15-rewired with no oracle by design (hyperplane matrix + numpy
     # signature fold): the driver's rows-only check is the available gate
     "ann_lsh_topk",
+    # r16 structural contracts (verdict #8): all-zero invariant rows the
+    # oracle CAN express, ending the standing no_oracle asterisk on
+    # ann_lsh_topk / simhash_fingerprints (each slot displaces one r07
+    # TPC-H name to the r17 queue)
+    "ann_lsh_topk_contract",
+    "simhash_fingerprints_contract",
     # -- 1. The r07 cohort continuation (25 of the remaining 32; newest
     #       evidence r07), alphabetically — the queue the r15 rotation
     #       wrote down, minus minhash_lsh_candidates (in the head above)
@@ -157,8 +165,6 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "q21_waiting_suppliers",
     "q22_idle_rich_customers",
     "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q8_market_share",
 ]
 
 

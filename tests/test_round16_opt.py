@@ -218,3 +218,31 @@ def test_assign_probe_driver_matches_scan(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+# ---- Structural contracts for the two no_oracle queries (verdict #8) --
+
+
+def test_structural_contract_fixtures_pinned(spark):
+    """The SF-independent fixture fingerprints must match their pinned
+    values — any drift in the hyperplane derivation / signature fold /
+    simhash tokenizer+fold trips this before the driver window does."""
+    from kasper_spark.operators.dedup import (
+        _SIMHASH_FIXTURE_MD5,
+        _simhash_fixture_fingerprint,
+    )
+    from kasper_spark.operators.similarity import (
+        _LSH_FIXTURE_MD5,
+        _lsh_fixture_fingerprint,
+    )
+
+    assert _lsh_fixture_fingerprint(spark) == _LSH_FIXTURE_MD5
+    assert _simhash_fixture_fingerprint(spark) == _SIMHASH_FIXTURE_MD5
+
+
+def test_structural_contracts_all_zero(spark):
+    from kasper_spark.registry import QUERIES
+
+    for name in ("ann_lsh_topk_contract", "simhash_fingerprints_contract"):
+        row = QUERIES[name](spark, SF_ORACLE).collect()[0]
+        assert all(v == 0 for v in row.asDict().values()), (name, row)
