@@ -781,7 +781,7 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def levenshtein_block_pairs(
-    spark: SparkSession, sf_dir: str, ordered: bool = True
+    spark: SparkSession, sf_dir: str, ordered: bool = True, with_block: bool = False
 ) -> DataFrame:
     """Edit-distance near-dup candidates with BLOCKING: compare document
     prefixes only within the same (source, lang, first-token) block — the
@@ -828,7 +828,7 @@ def levenshtein_block_pairs(
         F.col("p").alias("pb"),
     )
     dist = F.levenshtein(F.col("pa"), F.col("pb"), 18)
-    out = (
+    keyed = (
         a.join(
             b,
             (F.col("source") == F.col("source_b"))
@@ -838,11 +838,68 @@ def levenshtein_block_pairs(
         )
         .withColumn("dist", dist)
         .filter(F.col("dist") >= 0)
-        .select("doc_a", "doc_b", "dist")
     )
+    if with_block:
+        return keyed.select("source", "lang", "w1", "doc_a", "doc_b", "dist")
+    out = keyed.select("doc_a", "doc_b", "dist")
     if ordered:
         out = out.orderBy("doc_a", "doc_b")
     return out
+
+
+def _cc_within_blocks(pairs: DataFrame, key_cols: list[str]) -> DataFrame:
+    """(doc_id, cluster_id = min id in component) via ONE per-block
+    union-find pass — the round-16 rewire of entity_resolution_pipeline's
+    transitive closure (r15 verdict #4, guide §2.4/§5).
+
+    Valid ONLY for edge sets whose endpoints never span ``key_cols``
+    groups (true by construction for blocking joins: both docs of a pair
+    carry the block key), so the global components are exactly the union
+    of per-block components and the O(log d) large/small-star loop's
+    ~2 jobs x rounds collapse into one shuffle + one Arrow pass. Union by
+    MIN root (the smaller root adopts the larger) makes each final root
+    the component minimum — the same cluster_id connected_components
+    labels; equality is pinned in tests/test_round16_opt.py and the ER
+    oracle's recursive-CTE closure re-certifies it end-to-end.
+
+    Scale: one task per block; blocks are bounded by the blocking design
+    (that is the point of blocking), and union-find is O(E a(E)) with
+    path compression, so a task costs ~the block's edge list. A corpus
+    whose hottest block outgrows a task should fall back to the
+    large/small-star loop — documented, not silently assumed."""
+
+    def cc_fn(pdf):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for x, y in zip(pdf["doc_a"].to_numpy(), pdf["doc_b"].to_numpy()):
+            rx, ry = find(int(x)), find(int(y))
+            if rx != ry:
+                if rx < ry:
+                    parent[ry] = rx
+                else:
+                    parent[rx] = ry
+        nodes = sorted(
+            set(int(v) for v in pdf["doc_a"]) | set(int(v) for v in pdf["doc_b"])
+        )
+        return pd.DataFrame(
+            {"doc_id": nodes, "cluster_id": [find(n) for n in nodes]}
+        )
+
+    return (
+        pairs.select(*key_cols, "doc_a", "doc_b")
+        .groupBy(*key_cols)
+        .applyInPandas(cc_fn, "doc_id long, cluster_id long")
+    )
 
 
 def _pagerank_oracle_sql(iters: int = 8, graph_cte: str | None = None) -> str:
@@ -1405,6 +1462,13 @@ def _md5_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         prefs = [hashlib.md5(f"{i}|".encode()) for i in range(nh)]
+        copies = [h.copy for h in prefs]
+        from_bytes = int.from_bytes
+        # Boilerplate shingles repeat heavily across documents (~90%
+        # corpus-wide at sf0.1), so memoize shingle -> 32-lane hash tuple
+        # per task (round-16 opt, §4.5 amortized state): repeated
+        # shingles hash once, values unchanged by construction.
+        memo: dict[str, tuple] = {}
         for pdf in pdfs:
             out: dict[str, list] = {"doc_id": []}
             for i in range(nh):
@@ -1420,11 +1484,18 @@ def _md5_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
                 mins = [None] * nh
                 for s in sh:
-                    b = s.encode()
+                    vs = memo.get(s)
+                    if vs is None:
+                        b = s.encode()
+                        vals = []
+                        for c in copies:
+                            h = c()
+                            h.update(b)
+                            vals.append(from_bytes(h.digest()[:8], "big") >> 4)
+                        vs = tuple(vals)
+                        memo[s] = vs
                     for i in range(nh):
-                        h = prefs[i].copy()
-                        h.update(b)
-                        v = int.from_bytes(h.digest()[:8], "big") >> 4
+                        v = vs[i]
                         if mins[i] is None or v < mins[i]:
                             mins[i] = v
                 out["doc_id"].append(int(doc_id))
@@ -2298,9 +2369,29 @@ def entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     together.
 
     Scale: inherits each stage's shape — per-block equi-join pair
-    generation (no all-pairs), O(log diameter) CC rounds with per-round
-    lineage cuts, and a size window over entities (entity-sized, not
-    corpus-sized)."""
+    generation (no all-pairs), the closure as ONE per-block union-find
+    pass (round-16 opt: edges cannot span blocks, so the ~15-job
+    large/small-star loop collapses to one shuffle + one Arrow task per
+    block — see _cc_within_blocks; the loop form stays in-tree as the
+    pinned reference), and a size window over entities (entity-sized,
+    not corpus-sized)."""
+    from pyspark.sql.window import Window
+
+    pairs = levenshtein_block_pairs(spark, sf_dir, with_block=True)
+    cc = _cc_within_blocks(pairs, ["source", "lang", "w1"])
+    w = Window.partitionBy("cluster_id")
+    return cc.select(
+        "doc_id",
+        F.col("cluster_id").alias("entity_id"),
+        (F.col("doc_id") == F.col("cluster_id")).cast("bigint").alias("is_canonical"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("entity_size"),
+    )
+
+
+def _entity_resolution_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-round-16 form of entity_resolution_pipeline (closure via
+    the large/small-star loop), kept as the equivalence reference for
+    tests/test_round16_opt.py."""
     from pyspark.sql.window import Window
 
     # ordered=False: the closure consumes an unordered edge SET — the
@@ -3105,15 +3196,40 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # - sigs: (doc_id, m0..m31) — the MinHash signatures (the verify side);
 # - bands: (doc_id, bsig) PARTITIONED BY (band, bucket) where
-#   bucket = xxhash64(bsig) mod _LSH_IDX_BUCKETS. band alone cannot prune
+#   bucket = xxhash64(bsig) mod n_buckets. band alone cannot prune
 #   (a query probes all 8 bands); the signature-hash sub-bucket makes the
 #   probe STATICALLY prunable: a |Q|-doc lookup opens exactly its
-#   |Q| x 8 (band, bucket) directories out of 8 x _LSH_IDX_BUCKETS —
+#   |Q| x 8 (band, bucket) directories out of 8 x n_buckets —
 #   the FAISS-style "know your lists before reading" move. The bucket is
 #   a pure storage detail (engine-internal hash): results join on
 #   (band, bsig) exactly, so the oracle never sees it.
+#
+# Round-16: n_buckets is SCALE-ADAPTIVE, derived from the corpus size at
+# build time so each (band, bucket) leaf lands near the §6 target file
+# size instead of a constant tuned for one scale (16 gave 128 near-empty
+# leaf files at sf0.1 — file-open/commit overhead locally, and at 100 TB
+# a fixed 16 would make every probed leaf ~1/128 of the corpus). The
+# built count is recorded in the index marker and every consumer
+# (serving, delete reclaim, the streaming append twin) reads it from
+# there, so layouts of any vintage serve correctly.
 
-_LSH_IDX_BUCKETS = 16
+_LSH_TARGET_LEAF_ROWS = 1_500_000  # ~128 MB of (doc_id, bsig) rows (§6)
+_LSH_IDX_BUCKETS_CAP = 4096
+
+
+def _lsh_n_buckets(n_sig_rows: int) -> int:
+    """Buckets per band for a corpus of ``n_sig_rows`` signatures: each
+    band holds one row per doc, so leaves hold n/buckets rows — target
+    _LSH_TARGET_LEAF_ROWS per leaf, at least 1, capped to keep the
+    directory count sane."""
+    return max(1, min(_LSH_IDX_BUCKETS_CAP, -(-n_sig_rows // _LSH_TARGET_LEAF_ROWS)))
+
+
+def _lsh_idx_buckets(idx: str) -> int:
+    """The bucket count this index was BUILT with (marker-recorded)."""
+    from kasper_spark import index_catalog as _cat
+
+    return _cat.marker_read_ints(idx, _LSH_IDX_MARKER)["buckets"]
 _LSH_IDX_QUERIES = 20  # bounded query-doc subset for the serving contract
 _LSH_IDX_MARKER = "_KASPER_LSH_READY"
 # The maintained index's flat LSM-style tail: epochs append ONE file here
@@ -3127,11 +3243,12 @@ def _lsh_index_dir(sf_dir: str) -> str:
 
     from kasper_spark import index_catalog as _cat
 
-    # v2: the on-disk LAYOUT version (packed sig array) is part of the
-    # key, so a code release that changes the layout abandons old dirs
-    # instead of misreading them — fingerprints cover data AND format.
+    # v3: the on-disk LAYOUT version is part of the key, so a code
+    # release that changes the layout abandons old dirs instead of
+    # misreading them — fingerprints cover data AND format (v2: packed
+    # sig array; v3: scale-adaptive band bucket count).
     return _cat.fingerprint_dir(
-        "kasper-lsh-index", os.path.join(sf_dir, "documents.parquet"), version="v2"
+        "kasper-lsh-index", os.path.join(sf_dir, "documents.parquet"), version="v3"
     )
 
 
@@ -3145,37 +3262,48 @@ def _build_lsh_index(spark: SparkSession, sf_dir: str) -> str:
 
     idx = _lsh_index_dir(sf_dir)
     _cat.marker_remove(idx, _LSH_IDX_MARKER)
-    # No lineage cut before the write: the parquet write IS the one
-    # materialization of the signature pass (banding below reads the
-    # sigs back from disk, never this plan) — the round-15 audit found
-    # the localCheckpoint here re-ran the full corpus pass once for
-    # blocks nothing re-read.
-    sigs = _md5_sigs(spark, sf_dir)
     # ONE array column, not 32 long columns: the signature is always read
     # whole (banding and verify both need every hash), so packing it keeps
     # the scan at 2 columns — the repo-wide <= 8-column scan gate — and
     # one column chunk per file instead of 32.
-    _pack_sig(sigs).write.mode("overwrite").parquet(os.path.join(idx, "sigs"))
-    # band from the sigs as READ BACK from disk (longs round-trip exactly;
-    # kept consistent with the persisted verify side by construction)
-    sigs_disk = _unpack_sig(spark.read.parquet(os.path.join(idx, "sigs")))
-    (
-        _band_sigs(sigs_disk)
-        .withColumn(
-            "bucket",
-            F.pmod(F.xxhash64(F.col("bsig")), F.lit(_LSH_IDX_BUCKETS)).cast("int"),
+    #
+    # Round-16 opt (§2.4/§5): the signature pass is persisted for the
+    # DURATION OF THE BUILD only (unpersisted in finally) so the sigs
+    # write materializes it once and the banding write reads the cached
+    # batches instead of re-reading sigs from disk — one fewer pass, and
+    # the bytes written are identical: banding long values from cache ==
+    # banding them after a parquet round-trip (longs round-trip exactly,
+    # the invariant the old read-back comment recorded).
+    sigs_packed = _pack_sig(_md5_sigs(spark, sf_dir)).persist()
+    try:
+        sigs_packed.write.mode("overwrite").parquet(os.path.join(idx, "sigs"))
+        # scale-adaptive bucket count from the just-written sig count
+        # (parquet footers — no job; see _lsh_n_buckets)
+        import pyarrow.dataset as _pads
+
+        n_sigs = _pads.dataset(
+            os.path.join(idx, "sigs"), format="parquet"
+        ).count_rows()
+        n_buckets = _lsh_n_buckets(n_sigs)
+        (
+            _band_sigs(_unpack_sig(sigs_packed))
+            .withColumn(
+                "bucket",
+                F.pmod(F.xxhash64(F.col("bsig")), F.lit(n_buckets)).cast("int"),
+            )
+            .repartition(F.col("band"), F.col("bucket"))
+            .write.mode("overwrite")
+            .partitionBy("band", "bucket")
+            .parquet(os.path.join(idx, "bands"))
         )
-        .repartition(F.col("band"), F.col("bucket"))
-        .write.mode("overwrite")
-        .partitionBy("band", "bucket")
-        .parquet(os.path.join(idx, "bands"))
-    )
+    finally:
+        sigs_packed.unpersist()
     _cat.marker_write(
         idx,
         _LSH_IDX_MARKER,
         hashes=_NUM_HASHES,
         bands=_BANDS,
-        buckets=_LSH_IDX_BUCKETS,
+        buckets=n_buckets,
     )
     return idx
 
@@ -3280,7 +3408,8 @@ def lsh_neardup_search_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     build-side certification.
 
     Scale: probes are |Q| x _BANDS rows; the bands scan is pruned to
-    |probes| directories of |corpus| / (8 x _LSH_IDX_BUCKETS) rows each;
+    |probes| directories of ~_LSH_TARGET_LEAF_ROWS rows each (the
+    marker-recorded scale-adaptive bucket count — see _lsh_n_buckets);
     the verify join touches only candidates. Partition pruning is
     plan-asserted in tests/test_round13_ops.py."""
     return _search_lsh_index(spark, _ensure_lsh_index(spark, sf_dir))
@@ -3313,7 +3442,9 @@ def _search_lsh_index(spark: SparkSession, idx: str) -> DataFrame:
         _band_sigs(sigs.filter(F.col("doc_id") < _LSH_IDX_QUERIES))
         .withColumn(
             "bucket",
-            F.pmod(F.xxhash64(F.col("bsig")), F.lit(_LSH_IDX_BUCKETS)).cast("int"),
+            F.pmod(F.xxhash64(F.col("bsig")), F.lit(_lsh_idx_buckets(idx))).cast(
+                "int"
+            ),
         )
         .collect()
     )

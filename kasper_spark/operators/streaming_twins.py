@@ -4237,11 +4237,11 @@ def _lsh_append_run(
 
     from kasper_spark.catalog import load_table
     from kasper_spark.operators.dedup import (
-        _LSH_IDX_BUCKETS,
         _LSH_IDX_MARKER,
         _LSH_PENDING,
         _band_sigs,
         _ensure_lsh_index,
+        _lsh_idx_buckets,
         _md5_sigs,
         _pack_sig,
     )
@@ -4271,6 +4271,9 @@ def _lsh_append_run(
     shutil.copyfile(
         os.path.join(real, _LSH_IDX_MARKER), os.path.join(idx, _LSH_IDX_MARKER)
     )
+    # append epochs bucket with the count the copied index was BUILT with
+    # (marker-recorded; scale-adaptive since round 16)
+    n_buckets = _lsh_idx_buckets(idx)
     log = _cat.EpochLog(idx)
     pending = os.path.join(idx, _LSH_PENDING)
     os.makedirs(pending, exist_ok=True)
@@ -4374,7 +4377,7 @@ def _lsh_append_run(
                 .withColumn(
                     "bucket",
                     F.pmod(
-                        F.xxhash64(F.col("bsig")), F.lit(_LSH_IDX_BUCKETS)
+                        F.xxhash64(F.col("bsig")), F.lit(n_buckets)
                     ).cast("int"),
                 )
                 .coalesce(1)
