@@ -2981,19 +2981,40 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = baskets.join(F.broadcast(item_n.select("item")), "item").select(
         "basket", "item"
     )
-    sized = (
-        kept.groupBy("basket")
-        .agg(F.count(F.lit(1)).alias("sz"))
-        .filter((F.col("sz") >= 2) & (F.col("sz") <= 12))
-        .select("basket")
-    )
-    a = kept.alias("a").join(sized.alias("s"), "basket")
+    # Round-16 opt (§2.4): ONE basket shuffle instead of three. The old
+    # form shuffled kept twice (both self-join sides) plus a third
+    # exchange for the basket-size gate; collecting each basket's
+    # (unique, frequent) items once and emitting the C(B,2) pairs with
+    # the same array-transform the LSH bucket pairer uses is
+    # value-identical — baskets is distinct so the array has unique
+    # items, array_sort makes collect_list order-free, and the sliced
+    # 13-item prefix decides size<=12 exactly while bounding the emitted
+    # array (per-group state is one basket's items, bounded by the
+    # order's line count). The oracle recomputes the pairs from scratch
+    # (a genuinely independent join-form reference), so the hash row
+    # certifies this rewrite end-to-end.
+    items_c = F.slice(F.array_sort(F.collect_list("item")), 1, 12 + 1)
     pairs = (
-        a.join(kept.alias("b"), "basket")
-        .filter(F.col("a.item") < F.col("b.item"))
-        .groupBy(
-            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        kept.groupBy("basket")
+        .agg(items_c.alias("items"))
+        .filter((F.size("items") >= 2) & (F.size("items") <= 12))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("items"),
+                        lambda m: F.transform(
+                            F.filter(F.col("items"), lambda x: x > m),
+                            lambda x: F.struct(
+                                m.alias("item_a"), x.alias("item_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
+        .select("p.item_a", "p.item_b")
+        .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).cast("long").alias("pair_baskets"))
         .filter(F.col("pair_baskets") >= 2)
     )

@@ -2162,9 +2162,15 @@ def _ivf_trained_candidates_np(
     state = (cids, cn, (S * S).sum(axis=1), S)
     emb = load_table(spark, sf_dir, "embeddings")
     members = _assign_rows_scan_np(emb, state, 1).select("vec_id", "cluster_id")
-    probe = (
-        _assign_rows_scan_np(emb.filter(F.col("vec_id") < _N_QUERY), state, nprobe)
-        .select(F.col("vec_id").alias("query_id"), "cluster_id")
+    # Round-16 opt: probe ranking runs DRIVER-side over the bounded |Q|
+    # matrix with the exact scan kernel (_assign_probe_driver, pinned in
+    # tests/test_round16_opt.py) — the broadcast side becomes a literal
+    # pair list instead of a second corpus-scan subtree.
+    qids, Q, _qn = _collect_query_state(spark, sf_dir)
+    pm = _assign_probe_driver(qids, Q, state, nprobe)
+    probe = spark.createDataFrame(
+        sorted((int(qids[p]), int(cid)) for cid, ps in pm.items() for p in ps),
+        "query_id long, cluster_id long",
     )
     # same no-distinct rationale as _ivf_trained_candidates: one cluster
     # per member, distinct probe ranks -> each pair arises at most once
@@ -2552,7 +2558,6 @@ def _search_persisted_index(
     both no-ops on a plain offline index (the files are absent)."""
     import glob as _glob
 
-    emb = load_table(spark, sf_dir, "embeddings")
     # probe parameters come from the index marker, not a corpus count —
     # serving must not pay a table scan to learn what the build knew;
     # nprobe keys off the marker's k (see _ivf_nprobe), never its n.
@@ -2597,12 +2602,16 @@ def _search_persisted_index(
     # which dynamic pruning could not guarantee through the int/long
     # partition-type cast. This is exactly how FAISS serves: the query
     # knows its lists before the lists are read.
-    probe_rows = (
-        _assign_rows_scan_np(emb.filter(F.col("vec_id") < _N_QUERY), cent, nprobe)
-        .select(F.col("vec_id").alias("query_id"), "cluster_id")
-        .collect()
-    )
-    probe_pairs = {(r["query_id"], r["cluster_id"]) for r in probe_rows}
+    # Round-16 opt: probe routing runs DRIVER-side over the bounded |Q|
+    # matrix with the exact _assign_rows_scan_np kernel
+    # (_assign_probe_driver, pinned equal in tests/test_round16_opt.py)
+    # — one fewer Spark job per search, and the |Q| collect below is the
+    # same one _exact_rerank's scorer already pays.
+    qids, Q, _qn = _collect_query_state(spark, sf_dir)
+    pm = _assign_probe_driver(qids, Q, cent, nprobe)
+    probe_pairs = {
+        (int(qids[p]), int(cid)) for cid, ps in pm.items() for p in ps
+    }
     split_pairs = _split_map_read(idx)
     if split_pairs:
         # expand each probed parent through the split-map to its
