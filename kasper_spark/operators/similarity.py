@@ -2144,6 +2144,7 @@ def _ivf_trained_candidates_np(
     k: int = _KMEANS_K,
     train_n: int = _KMEANS_TRAIN_N,
     nprobe: int = _IVF_TRAINED_NPROBE,
+    qstate=None,
 ) -> DataFrame:
     """BIT-IDENTICAL fast form of :func:`_ivf_trained_candidates`
     (round-15 opt): the driver Lloyd loop replaces the iterative
@@ -2166,7 +2167,9 @@ def _ivf_trained_candidates_np(
     # matrix with the exact scan kernel (_assign_probe_driver, pinned in
     # tests/test_round16_opt.py) — the broadcast side becomes a literal
     # pair list instead of a second corpus-scan subtree.
-    qids, Q, _qn = _collect_query_state(spark, sf_dir)
+    qids, Q, _qn = (
+        qstate if qstate is not None else _collect_query_state(spark, sf_dir)
+    )
     pm = _assign_probe_driver(qids, Q, state, nprobe)
     probe = spark.createDataFrame(
         sorted((int(qids[p]), int(cid)) for cid, ps in pm.items() for p in ps),
@@ -2181,7 +2184,9 @@ def _ivf_trained_candidates_np(
     )
 
 
-def _exact_rerank(spark: SparkSession, sf_dir: str, cand: DataFrame) -> DataFrame:
+def _exact_rerank(
+    spark: SparkSession, sf_dir: str, cand: DataFrame, qstate=None
+) -> DataFrame:
     """Exact-decimal cosine re-rank of a (query_id, neighbor_id) candidate
     set to the top _TOP_K per query — the final stage shared by
     ann_ivf_trained_topk, ann_ivf_scaledk_topk and every persisted-index
@@ -2190,10 +2195,15 @@ def _exact_rerank(spark: SparkSession, sf_dir: str, cand: DataFrame) -> DataFram
     exact-decimal cosine then runs as a numpy batch against the
     driver-collected |Q| query matrix (_np_dot_exact_scaled — values
     bit-identical to the interpreted dot_exact fold, pinned pairwise in
-    tests/test_round15_opt.py)."""
+    tests/test_round15_opt.py). ``qstate``: a pre-collected
+    _collect_query_state tuple from a caller that already paid the |Q|
+    collect (round-16: the driver probe routing reuses it — one collect
+    job per serve, not two)."""
     from pyspark.sql.window import Window
 
-    qids, Q, qn = _collect_query_state(spark, sf_dir)
+    qids, Q, qn = (
+        qstate if qstate is not None else _collect_query_state(spark, sf_dir)
+    )
     qpos = {int(q): i for i, q in enumerate(qids)}
     dot_scaled = _np_dot_exact_scaled()
 
@@ -2258,7 +2268,13 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast the |Q| query embeddings and immediately reduce each row
     # to (ids, cosine) — the wide arrays never cross a shuffle after that
     # stage.
-    return _exact_rerank(spark, sf_dir, _ivf_trained_candidates_np(spark, sf_dir))
+    qstate = _collect_query_state(spark, sf_dir)
+    return _exact_rerank(
+        spark,
+        sf_dir,
+        _ivf_trained_candidates_np(spark, sf_dir, qstate=qstate),
+        qstate=qstate,
+    )
 
 
 # --- Scaled-K trained IVF (round 11): K grows with the corpus ------------
@@ -2337,12 +2353,14 @@ def ann_ivf_scaledk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     at N = 10^9, ~64 sqrt(N) longs ~ 16 MB, still broadcast-sized."""
     n = _parquet_nrows(_os.path.join(sf_dir, "embeddings.parquet"))
     k, train_n, nprobe = _scaledk_params(n)
+    qstate = _collect_query_state(spark, sf_dir)
     return _exact_rerank(
         spark,
         sf_dir,
         _ivf_trained_candidates_np(
-            spark, sf_dir, k=k, train_n=train_n, nprobe=nprobe
+            spark, sf_dir, k=k, train_n=train_n, nprobe=nprobe, qstate=qstate
         ),
+        qstate=qstate,
     )
 
 
@@ -2607,7 +2625,8 @@ def _search_persisted_index(
     # (_assign_probe_driver, pinned equal in tests/test_round16_opt.py)
     # — one fewer Spark job per search, and the |Q| collect below is the
     # same one _exact_rerank's scorer already pays.
-    qids, Q, _qn = _collect_query_state(spark, sf_dir)
+    qstate = _collect_query_state(spark, sf_dir)
+    qids, Q, _qn = qstate
     pm = _assign_probe_driver(qids, Q, cent, nprobe)
     probe_pairs = {
         (int(qids[p]), int(cid)) for cid, ps in pm.items() for p in ps
@@ -2638,7 +2657,7 @@ def _search_persisted_index(
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )
-    return _exact_rerank(spark, sf_dir, cand)
+    return _exact_rerank(spark, sf_dir, cand, qstate=qstate)
 
 
 # --- Product quantization (PQ / ADC) -------------------------------------
