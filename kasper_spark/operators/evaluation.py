@@ -445,18 +445,15 @@ def _bm25_graded_scored_sql() -> str:
     )"""
 
 
-def _graded_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(query_id, doc_id, score_dec DECIMAL(30,12), min_tf), score_dec > 0
-    — the Spark twin of _bm25_graded_scored_sql's ``scored`` CTE, shared
-    by the whole ranking-eval family (MRR / nDCG / P-R@k)."""
+def _graded_base_tf(spark: SparkSession, sf_dir: str):
+    """(base, tf_nz) — the shared scan/tokenize projection and the sparse
+    per-(doc, term) nonzero counts over the MRR vocabulary. ONE definition
+    so the literal-inlined plan and the join-form reference (and the
+    driver-side df resolution) provably run the identical tf subtree."""
     docs = load_table(spark, sf_dir, "documents")
     toks = _toks(F.col("text"))
     base = docs.select(
         "doc_id", toks.alias("t"), F.size(toks).cast("long").alias("dl")
-    )
-    stats = base.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("dl").cast("long").alias("total_tokens"),
     )
     # Round-15 opt: SPARSE per-(doc, term) counts — one explode + one
     # vocab-filtered groupBy — replace the dense doc x 13-term grid whose
@@ -474,6 +471,154 @@ def _graded_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
+    return base, tf_nz
+
+
+def _graded_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, score_dec DECIMAL(30,12), min_tf), score_dec > 0
+    — the Spark twin of _bm25_graded_scored_sql's ``scored`` CTE, shared
+    by the whole ranking-eval family (MRR / nDCG / P-R@k).
+
+    Round-16 opt (guide §1.2 "pre-resolved literals" / r15-verdict floor
+    ticket): the corpus stats (2 longs), per-term df (<=13 rows) and the
+    per-query present-term counts are DRIVER-BOUNDED by construction, so
+    they are resolved in two small jobs up front and inlined as literal
+    maps. That collapses the cross join + three broadcast joins of the
+    join-form plan (kept below as _graded_scored_joinform, pinned
+    row-identical) into one linear explode -> filter -> agg -> agg chain:
+    fewer exchanges, far fewer codegen spans — which is where the cold
+    per-key wall of this family actually went (first-execution codegen,
+    measured 2.31 s -> see OPTIMIZATION_r16.md).
+
+    Bit-identity argument: idf and avgdl are plain IEEE-754 double
+    expressions over exact longs (< 2^53); Python and the JVM evaluate
+    the SAME operation tree ((n_docs - df) + 0.5, etc.) with the same
+    rounding, so inlining the Python-computed double literal is
+    bit-equal to the JVM-computed column it replaces. The per-row
+    tf_part * idf product and the DECIMAL(30,12) cast stay JVM-side,
+    unchanged. The qt fan-out becomes an explode over a literal
+    term -> [query_id] map (element_at misses yield NULL, and
+    explode(NULL) emits nothing — exactly the inner join's drop)."""
+    base, tf_nz = _graded_base_tf(spark, sf_dir)
+    # ONE resolution job: the corpus-stats aggregate and the per-term df
+    # aggregate are unioned into a single action, so their subtrees run
+    # inside one DAG (overlapping stages, one scheduling barrier) exactly
+    # like the join form's broadcast sides did — the values are the same
+    # aggregates, dispatched on the null term marker.
+    combo = (
+        tf_nz.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .select(
+            "term",
+            "df",
+            F.lit(None).cast("long").alias("n_docs"),
+            F.lit(None).cast("long").alias("total_tokens"),
+        )
+        .unionByName(
+            base.agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("dl").cast("long").alias("total_tokens"),
+            ).select(
+                F.lit(None).cast("string").alias("term"),
+                F.lit(None).cast("long").alias("df"),
+                "n_docs",
+                "total_tokens",
+            )
+        )
+        .collect()
+    )
+    stats_row = next(r for r in combo if r["term"] is None)
+    n_docs, total_tokens = stats_row["n_docs"], stats_row["total_tokens"]
+    df_by_term = {r["term"]: r["df"] for r in combo if r["term"] is not None}
+    if not df_by_term:
+        # no vocabulary term occurs anywhere (empty/degenerate corpus):
+        # literal maps would be empty — serve the reference form, whose
+        # inner joins produce the same (empty) result.
+        return _graded_scored_joinform(spark, sf_dir)
+    # n_terms counts the query terms PRESENT in the corpus (df > 0), not
+    # len(ts): the dense oracle's scored CTE inner-joins df USING (term),
+    # so a corpus-wide-absent term never enters MIN(f.tf) — counting it
+    # here would force min_tf = 0 for every doc of that query (ADVICE r15
+    # medium; the two agree whenever every term occurs somewhere, which
+    # is the case at the shipped SFs — this pins the df=0 edge).
+    avgdl = float(total_tokens) / float(n_docs)
+    idf_by_term = {
+        t: (float(n_docs) - float(df) + 0.5) / (float(df) + 0.5)
+        for t, df in df_by_term.items()
+    }
+    queries_by_term: dict[str, list[int]] = {}
+    for qid, ts in _MRR_QUERIES:
+        for t in ts:
+            queries_by_term.setdefault(t, []).append(qid)
+    n_terms_by_q = {
+        qid: sum(1 for t in ts if t in df_by_term) for qid, ts in _MRR_QUERIES
+    }
+    idf_map = F.create_map(
+        *[x for t, v in idf_by_term.items() for x in (F.lit(t), F.lit(v))]
+    )
+    q_map = F.create_map(
+        *[
+            x
+            for t, qs in queries_by_term.items()
+            for x in (F.lit(t), F.array(*[F.lit(q).cast("long") for q in qs]))
+        ]
+    )
+    nt_map = F.create_map(
+        *[
+            x
+            for q, n in n_terms_by_q.items()
+            for x in (F.lit(q).cast("long"), F.lit(n).cast("long"))
+        ]
+    )
+    tf_part = (F.col("tf").cast("double") * F.lit(_BM25_K1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + F.lit(_BM25_K1)
+        * (
+            F.lit(1.0 - _BM25_B)
+            + (F.lit(_BM25_B) * F.col("dl").cast("double")) / F.lit(avgdl)
+        )
+    )
+    contrib = (F.element_at(idf_map, F.col("term")) * tf_part).cast(
+        "decimal(30,12)"
+    )
+    return (
+        tf_nz.select(
+            "doc_id",
+            F.explode(F.element_at(q_map, F.col("term"))).alias("query_id"),
+            contrib.alias("contrib"),
+            "tf",
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("contrib").cast("decimal(30,12)").alias("score_dec"),
+            F.min("tf").cast("long").alias("min_tf_present"),
+            F.count(F.lit(1)).alias("n_present"),
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            "score_dec",
+            F.when(
+                F.col("n_present") == F.element_at(nt_map, F.col("query_id")),
+                F.col("min_tf_present"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("min_tf"),
+        )
+        .filter(F.col("score_dec") > 0)
+    )
+
+
+def _graded_scored_joinform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r15-certified broadcast-join form of _graded_scored, kept
+    in-tree as the executable equivalence reference (pinned row-identical
+    by tests/test_round16_opt.py) and as the degenerate-corpus fallback."""
+    base, tf_nz = _graded_base_tf(spark, sf_dir)
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_tokens"),
+    )
     df_t = tf_nz.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
@@ -481,12 +626,6 @@ def _graded_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(qid, t) for qid, ts in _MRR_QUERIES for t in ts],
         "query_id long, term string",
     )
-    # n_terms counts the query terms PRESENT in the corpus (df > 0), not
-    # len(ts): the dense oracle's scored CTE inner-joins df USING (term),
-    # so a corpus-wide-absent term never enters MIN(f.tf) — counting it
-    # here would force min_tf = 0 for every doc of that query (ADVICE r15
-    # medium; the two agree whenever every term occurs somewhere, which
-    # is the case at the shipped SFs — this pins the df=0 edge).
     n_terms = qt.join(df_t, "term").groupBy("query_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_terms")
     )

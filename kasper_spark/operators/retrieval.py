@@ -28,7 +28,7 @@ Cross-engine exactness discipline (same rules as functions/exact.py):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kasper_spark.catalog import load_table
@@ -101,19 +101,16 @@ _BM25_CORE_SQL = f"""
 """
 
 
-def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The shared BM25 plan: (doc_id, score_dec, rank) over docs matching
-    at least one query term — the Spark twin of _BM25_CORE_SQL."""
-    from pyspark.sql.window import Window
-
+def _bm25_base_tf(spark: SparkSession, sf_dir: str):
+    """(base, tf) — the shared scan/tokenize projection and the dense
+    per-(doc, term) counts over the 3 literal seed terms (computed inside
+    the scan stage, no token explode). ONE definition shared by the
+    literal-inlined plan, the join-form reference and the driver-side df
+    resolution."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
     base = docs.select(
         "doc_id", toks.alias("t"), F.size(toks).cast("long").alias("dl")
-    )
-    stats = base.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("dl").cast("long").alias("total_tokens"),
     )
     terms = F.explode(F.array(*[F.lit(t) for t in _BM25_TERMS])).alias("term")
     tf = base.select("doc_id", "dl", "t", terms).select(
@@ -122,6 +119,94 @@ def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "term",
         F.size(F.expr("filter(t, w -> w = term)")).cast("long").alias("tf"),
     )
+    return base, tf
+
+
+def _bm25_tf_part(avgdl_lit) -> Column:
+    """The per-row BM25 tf saturation term with avgdl supplied as a
+    pre-resolved double (literal or column) — byte-identical expression
+    tree in every caller."""
+    return (F.col("tf").cast("double") * F.lit(_BM25_K1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + F.lit(_BM25_K1)
+        * (
+            F.lit(1.0 - _BM25_B)
+            + (F.lit(_BM25_B) * F.col("dl").cast("double")) / avgdl_lit
+        )
+    )
+
+
+def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared BM25 plan: (doc_id, score_dec, rank) over docs matching
+    at least one query term — the Spark twin of _BM25_CORE_SQL.
+
+    Round-16 opt (guide §1.2 pre-resolved literals; same treatment as
+    evaluation._graded_scored, see the bit-identity argument there): the
+    corpus stats and the 3-term df table are driver-bounded, so they are
+    resolved in two small jobs and inlined as double literals / a 3-entry
+    literal map — the broadcast df join and the stats cross join leave
+    the plan, which becomes scan -> tf -> project -> one exchange ->
+    rank window. The join form is kept below (pinned row-identical)."""
+    from pyspark.sql.window import Window
+
+    base, tf = _bm25_base_tf(spark, sf_dir)
+    # ONE resolution job: the dense tf grid carries every doc exactly once
+    # per term, so each term group sees all docs — count(*) IS n_docs,
+    # sum(dl) IS total_tokens, and the conditional count IS the df the
+    # join form aggregated separately. One corpus pass where the join
+    # form's plan ran two subtree scans (stats + df side) beside the main
+    # one.
+    rows = (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.when(F.col("tf") > 0, F.lit(1))).cast("long").alias("df"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("total_tokens"),
+        )
+        .collect()
+    )
+    df_by_term = {r["term"]: r["df"] for r in rows if r["df"] > 0}
+    if not df_by_term:
+        return _bm25_ranked_joinform(spark, sf_dir)
+    n_docs = rows[0]["n_docs"]
+    total_tokens = rows[0]["total_tokens"]
+    avgdl = float(total_tokens) / float(n_docs)
+    idf_map = F.create_map(
+        *[
+            x
+            for t, df in df_by_term.items()
+            for x in (
+                F.lit(t),
+                F.lit((float(n_docs) - float(df) + 0.5) / (float(df) + 0.5)),
+            )
+        ]
+    )
+    contrib = tf.filter(F.col("tf") > 0).select(
+        "doc_id",
+        (F.element_at(idf_map, F.col("term")) * _bm25_tf_part(F.lit(avgdl)))
+        .cast("decimal(30,12)")
+        .alias("part"),
+    )
+    bm25 = contrib.groupBy("doc_id").agg(
+        F.sum("part").cast("decimal(30,12)").alias("score_dec")
+    )
+    w = Window.orderBy(F.desc("score_dec"), F.asc("doc_id"))
+    return bm25.select(
+        "doc_id", "score_dec", F.row_number().over(w).alias("rank")
+    )
+
+
+def _bm25_ranked_joinform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The broadcast-join form of _bm25_ranked, kept as the executable
+    equivalence reference (pinned row-identical in
+    tests/test_round16_opt.py) and the degenerate-corpus fallback."""
+    from pyspark.sql.window import Window
+
+    base, tf = _bm25_base_tf(spark, sf_dir)
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_tokens"),
+    )
     df_t = tf.filter(F.col("tf") > 0).groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
@@ -129,16 +214,14 @@ def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf = (
         F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5)
     ) / (F.col("df").cast("double") + F.lit(0.5))
-    tf_part = (F.col("tf").cast("double") * F.lit(_BM25_K1 + 1.0)) / (
-        F.col("tf").cast("double")
-        + F.lit(_BM25_K1)
-        * (F.lit(1.0 - _BM25_B) + (F.lit(_BM25_B) * F.col("dl").cast("double")) / avgdl)
-    )
     contrib = (
         tf.filter(F.col("tf") > 0)
         .join(F.broadcast(df_t), "term")
         .crossJoin(F.broadcast(stats))
-        .select("doc_id", (idf * tf_part).cast("decimal(30,12)").alias("part"))
+        .select(
+            "doc_id",
+            (idf * _bm25_tf_part(avgdl)).cast("decimal(30,12)").alias("part"),
+        )
     )
     bm25 = contrib.groupBy("doc_id").agg(
         F.sum("part").cast("decimal(30,12)").alias("score_dec")
@@ -486,8 +569,10 @@ _PRF_CORE_SQL = f"""
 
 def _bm25_score_over_terms(docs, terms_df):
     """Generalized BM25 (same k1/b/idf as _bm25_ranked) over a term set
-    given as a DataFrame — the data-dependent-query building block PRF
-    needs (the literal-terms path compiles to the same plan)."""
+    given as a DataFrame — the join-form building block, kept as the
+    executable equivalence reference for the literal-terms variant below
+    (pinned row-identical in tests/test_round16_opt.py) and as its
+    degenerate-corpus fallback."""
     from pyspark.sql.window import Window
 
     toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
@@ -516,16 +601,92 @@ def _bm25_score_over_terms(docs, terms_df):
     idf = (
         F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5)
     ) / (F.col("df").cast("double") + F.lit(0.5))
-    tf_part = (F.col("tf").cast("double") * F.lit(_BM25_K1 + 1.0)) / (
-        F.col("tf").cast("double")
-        + F.lit(_BM25_K1)
-        * (F.lit(1.0 - _BM25_B) + (F.lit(_BM25_B) * F.col("dl").cast("double")) / avgdl)
-    )
     contrib = (
         tf.filter(F.col("tf") > 0)
         .join(F.broadcast(df_t), "term")
         .crossJoin(F.broadcast(stats))
-        .select("doc_id", (idf * tf_part).cast("decimal(30,12)").alias("part"))
+        .select(
+            "doc_id",
+            (idf * _bm25_tf_part(avgdl)).cast("decimal(30,12)").alias("part"),
+        )
+    )
+    bm25 = contrib.groupBy("doc_id").agg(
+        F.sum("part").cast("decimal(30,12)").alias("score_dec")
+    )
+    w = Window.orderBy(F.desc("score_dec"), F.asc("doc_id"))
+    return bm25.select(
+        "doc_id", "score_dec", F.row_number().over(w).alias("rank")
+    )
+
+
+def _bm25_score_over_literal_terms(docs, terms: tuple[str, ...]):
+    """The literal-terms twin of _bm25_score_over_terms (round-16
+    pre-resolved-literals opt, same equivalence argument as _bm25_ranked):
+    the bounded term set arrives as Python strings, so the broadcast
+    semi-join becomes an isin filter, and df/stats resolve driver-side
+    into literals — one explode -> filter -> agg -> agg -> window chain.
+
+    tf equivalence: terms_df join vs isin over a duplicate-free term set
+    keep the identical exploded-token rows; groupBy count unchanged."""
+    from pyspark.sql.window import Window
+
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    base = docs.select(
+        "doc_id", toks.alias("t"), F.size(toks).cast("long").alias("dl")
+    )
+    tf = (
+        base.select("doc_id", "dl", F.explode("t").alias("term"))
+        .filter(F.col("term").isin(*terms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    # one resolution job (stats + df unioned — see _graded_scored)
+    combo = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .select(
+            "term",
+            "df",
+            F.lit(None).cast("long").alias("n_docs"),
+            F.lit(None).cast("long").alias("total_tokens"),
+        )
+        .unionByName(
+            base.agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("dl").cast("long").alias("total_tokens"),
+            ).select(
+                F.lit(None).cast("string").alias("term"),
+                F.lit(None).cast("long").alias("df"),
+                "n_docs",
+                "total_tokens",
+            )
+        )
+        .collect()
+    )
+    stats_row = next(r for r in combo if r["term"] is None)
+    n_docs, total_tokens = stats_row["n_docs"], stats_row["total_tokens"]
+    df_by_term = {r["term"]: r["df"] for r in combo if r["term"] is not None}
+    if not df_by_term:
+        return _bm25_score_over_terms(
+            docs,
+            docs.sparkSession.createDataFrame([(t,) for t in terms], ["term"]),
+        )
+    avgdl = float(total_tokens) / float(n_docs)
+    idf_map = F.create_map(
+        *[
+            x
+            for t, df in df_by_term.items()
+            for x in (
+                F.lit(t),
+                F.lit((float(n_docs) - float(df) + 0.5) / (float(df) + 0.5)),
+            )
+        ]
+    )
+    contrib = tf.filter(F.col("tf") > 0).select(
+        "doc_id",
+        (F.element_at(idf_map, F.col("term")) * _bm25_tf_part(F.lit(avgdl)))
+        .cast("decimal(30,12)")
+        .alias("part"),
     )
     bm25 = contrib.groupBy("doc_id").agg(
         F.sum("part").cast("decimal(30,12)").alias("score_dec")
@@ -618,15 +779,19 @@ def prf_query_expansion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: two BM25 passes (each a single scan with tf computed inside
     the scan stage — see bm25_keyword_topk) + the expansion selection;
-    the expanded term set reaches round 2 as a {len(_BM25_TERMS) + _PRF_EXP_TERMS}-row
-    broadcast, so round 2's plan is the seed plan with a broadcast term
-    table instead of literals."""
+    the expanded term set is {len(_BM25_TERMS) + _PRF_EXP_TERMS} rows by
+    construction, collected once and inlined, so round 2's plan is the
+    seed plan with literal terms (round-16 pre-resolved literals)."""
     expansion, docs = _prf_expansion(spark, sf_dir)
-    seeds = expansion.sparkSession.createDataFrame(
-        [(t,) for t in _BM25_TERMS], ["term"]
-    )
-    terms2 = seeds.unionByName(expansion.select("term"))
-    ranked2 = _bm25_score_over_terms(docs, terms2)
+    # Round-16 opt: the expansion is <= {seeds + exp} rows BY CONSTRUCTION
+    # (limit above), so collecting it here costs the same job the
+    # broadcast exchange of the identical subtree used to run — and round
+    # 2 then compiles against literal terms (no expansion lineage, no
+    # term broadcast in the serving plan; guide §1.2 pre-resolved
+    # literals). Seed terms are excluded from the expansion by its
+    # ~isin filter, so the concatenation is duplicate-free.
+    exp_terms = tuple(r["term"] for r in expansion.select("term").collect())
+    ranked2 = _bm25_score_over_literal_terms(docs, _BM25_TERMS + exp_terms)
     return ranked2.filter(F.col("rank") <= _BM25_TOPK).select(
         "doc_id",
         F.col("score_dec").cast("double").alias("bm25_score"),

@@ -291,6 +291,60 @@ def test_cc_within_blocks_matches_connected_components(spark):
     assert got == want
 
 
+# ---- Pre-resolved-literal BM25/eval chains (r15 verdict floor ticket #6)
+#
+# The driver-bounded stats/df/qt sides of the BM25 scoring plans are
+# resolved up front and inlined as literals; the broadcast-join forms
+# stay in-tree as references. These pins assert row-for-row equality
+# (including the DECIMAL(30,12) scores bit-for-bit, via tuple compare).
+
+
+def test_graded_scored_literal_matches_joinform(spark):
+    from kasper_spark.operators.evaluation import (
+        _graded_scored,
+        _graded_scored_joinform,
+    )
+
+    got = sorted(map(tuple, _graded_scored(spark, SF_ORACLE).collect()))
+    want = sorted(map(tuple, _graded_scored_joinform(spark, SF_ORACLE).collect()))
+    assert got and got == want
+
+
+def test_bm25_ranked_literal_matches_joinform(spark):
+    from kasper_spark.operators.retrieval import (
+        _bm25_ranked,
+        _bm25_ranked_joinform,
+    )
+
+    got = sorted(map(tuple, _bm25_ranked(spark, SF_ORACLE).collect()))
+    want = sorted(map(tuple, _bm25_ranked_joinform(spark, SF_ORACLE).collect()))
+    assert got and got == want
+
+
+def test_prf_round2_literal_matches_joinform(spark):
+    """The literal-terms round-2 scorer must equal the DataFrame-terms
+    join form over the same collected expansion set."""
+    from kasper_spark.operators.retrieval import (
+        _BM25_TERMS,
+        _bm25_score_over_literal_terms,
+        _bm25_score_over_terms,
+        _prf_expansion,
+    )
+
+    expansion, docs = _prf_expansion(spark, SF_ORACLE)
+    terms2 = _BM25_TERMS + tuple(
+        r["term"] for r in expansion.select("term").collect()
+    )
+    got = sorted(
+        map(tuple, _bm25_score_over_literal_terms(docs, terms2).collect())
+    )
+    terms_df = spark.createDataFrame([(t,) for t in terms2], ["term"])
+    want = sorted(
+        map(tuple, _bm25_score_over_terms(docs, terms_df).collect())
+    )
+    assert got and got == want
+
+
 def test_lsh_n_buckets_scale_adaptive():
     from kasper_spark.operators.dedup import (
         _LSH_IDX_BUCKETS_CAP,
