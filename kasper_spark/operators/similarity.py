@@ -2245,6 +2245,108 @@ def _exact_rerank(
     )
 
 
+def _ivf_trained_serve_fused(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _KMEANS_K,
+    train_n: int = _KMEANS_TRAIN_N,
+    nprobe: int = _IVF_TRAINED_NPROBE,
+) -> DataFrame:
+    """ONE-PASS fused serve of the trained-IVF topk pair (round-16 opt,
+    the f23b1df ADC-fusion pattern applied to the coarse path): train the
+    quantizer driver-side, route the |Q| probes driver-side
+    (_assign_probe_driver), then a single mapInPandas over the corpus
+    does assignment (rn=1, the `_assign_rows_scan_np` kk=1 kernel),
+    candidate fan-out (cluster in the query's probe set, self excluded)
+    AND the exact-decimal cosine (_exact_rerank's score kernel) — where
+    the composed form ran an assign scan, two broadcast joins and a
+    second Python pass. Only the per-query top-k window remains outside
+    the scan. Composition-equivalence is pinned row-for-row in
+    tests/test_round16_opt.py (every kernel piece was already
+    individually pinned: assignment in test_round13_ops, probe twins and
+    the scaled-dot in test_round15/16_opt).
+
+    Measured motivation: the composed plan's ~6 whole-stage-codegen
+    spans put a 2.4 s first-execution Janino floor on this key
+    (OPTIMIZATION_r16.md "Floor analysis"); the fused plan has 2."""
+    import numpy as np
+
+    from pyspark.sql.window import Window
+
+    qids, Q, qn = _collect_query_state(spark, sf_dir)
+    cids_, S_, cn_ = _train_centroids_arrays(spark, sf_dir, k=k, train_n=train_n)
+    state = (cids_, cn_, (S_ * S_).sum(axis=1), S_)
+    pm = _assign_probe_driver(qids, Q, state, nprobe)
+    cids, nn, ss, S = _centroid_state(state)
+    dot_scaled = _np_dot_exact_scaled()
+
+    def serve(pdfs):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            ids = pdf["vec_id"].to_numpy().astype(np.int64)
+            # assignment: the _assign_rows_scan_np kk=1 kernel verbatim
+            q = np.floor(V * _KMEANS_QSCALE).astype(np.int64)
+            vv = (q * q).sum(axis=1)
+            d = q @ S.T
+            fnum = (
+                (nn * nn)[None, :] * vv[:, None]
+                - 2 * nn[None, :] * d
+                + ss[None, :]
+            )
+            f = fnum.astype(np.float64) / (nn * nn).astype(np.float64)[None, :]
+            cl = cids[np.argmin(f, axis=1)]  # first min = lowest cid
+            # exact-cosine pieces: _exact_rerank's score kernel verbatim
+            cn = np.sqrt(dot_scaled(V * V).astype(np.float64) / 1e12)
+            if not bool(np.all(cn > 0.0)):  # inline: closure stays picklable
+                raise ValueError("zero-norm embedding (fused IVF serve)")
+            out_q, out_n, out_c = [], [], []
+            for c, qposs in pm.items():
+                m = cl == c
+                if not m.any():
+                    continue
+                CE, nid, cnm = V[m], ids[m], cn[m]
+                for qpos in qposs:
+                    dots = (
+                        dot_scaled(CE * Q[qpos][None, :]).astype(np.float64)
+                        / 1e12
+                    )
+                    cos = dots / (qn[qpos] * cnm)
+                    keep = nid != qids[qpos]
+                    out_q.append(
+                        np.full(int(keep.sum()), qids[qpos], dtype=np.int64)
+                    )
+                    out_n.append(nid[keep])
+                    out_c.append(cos[keep])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        serve, "query_id long, neighbor_id long, cosine double"
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return scored.select(
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        F.row_number().over(wr).alias("rank"),
+    ).filter(F.col("rank") <= _TOP_K)
+
+
 @register_query("ann_ivf_trained_topk", oracle=_ivf_trained_oracle_sql())
 def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search over TRAINED centroids — the full index lifecycle
@@ -2257,24 +2359,15 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break as training), candidates are that partition-pair's members,
     and exact float cosine re-ranks them (the dot_exact discipline).
 
-    Scale shape: one broadcast-sized centroid table for probe routing, a
-    partition-pruned candidate join (each query touches ~2/k of the
-    corpus), and the decimal-exact re-rank only on candidates — the
-    standard IVF cost model, with the training loop's integer arithmetic
-    guaranteeing the same index is built on any cluster layout."""
-    # join order matters at scale (inside _exact_rerank): attach the
-    # neighbor embedding while the candidate rows are still skinny ids
-    # (one shuffle of ids + the 1/10th-sized embedding table), THEN
-    # broadcast the |Q| query embeddings and immediately reduce each row
-    # to (ids, cosine) — the wide arrays never cross a shuffle after that
-    # stage.
-    qstate = _collect_query_state(spark, sf_dir)
-    return _exact_rerank(
-        spark,
-        sf_dir,
-        _ivf_trained_candidates_np(spark, sf_dir, qstate=qstate),
-        qstate=qstate,
-    )
+    Scale shape: one broadcast-sized centroid table for probe routing
+    (driver state in the fused form), the candidate expansion and the
+    decimal-exact scoring fused into the single corpus scan (each query
+    still touches ~nprobe/k of the corpus — rows outside a probed list
+    are dropped inside the scan), and only the bounded per-query top-k
+    crossing the one remaining exchange — the standard IVF cost model.
+    Composed reference form: _ivf_trained_candidates_np + _exact_rerank
+    (pinned row-identical)."""
+    return _ivf_trained_serve_fused(spark, sf_dir)
 
 
 # --- Scaled-K trained IVF (round 11): K grows with the corpus ------------
@@ -2347,20 +2440,15 @@ def ann_ivf_scaledk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SCALING.md scaled-K row.
 
     Scale shape: identical plan skeleton to ann_ivf_trained_topk (sample-
-    bounded Lloyd, ONE map-only broadcast assignment scan, skinny-id
-    candidate join, decimal-exact re-rank); only the K/train_n arithmetic
-    differs. The broadcast centroid row grows as sqrt(N)*dims integers —
-    at N = 10^9, ~64 sqrt(N) longs ~ 16 MB, still broadcast-sized."""
+    bounded Lloyd, one fused assign+probe+score corpus scan, per-query
+    top-k tail — see _ivf_trained_serve_fused); only the K/train_n
+    arithmetic differs. The quantizer state grows as sqrt(N)*dims
+    integers — at N = 10^9, ~64 sqrt(N) longs ~ 16 MB, still
+    task-broadcast-sized."""
     n = _parquet_nrows(_os.path.join(sf_dir, "embeddings.parquet"))
     k, train_n, nprobe = _scaledk_params(n)
-    qstate = _collect_query_state(spark, sf_dir)
-    return _exact_rerank(
-        spark,
-        sf_dir,
-        _ivf_trained_candidates_np(
-            spark, sf_dir, k=k, train_n=train_n, nprobe=nprobe, qstate=qstate
-        ),
-        qstate=qstate,
+    return _ivf_trained_serve_fused(
+        spark, sf_dir, k=k, train_n=train_n, nprobe=nprobe
     )
 
 

@@ -345,6 +345,46 @@ def test_prf_round2_literal_matches_joinform(spark):
     assert got and got == want
 
 
+def test_ivf_trained_fused_matches_composition(spark):
+    """The one-pass fused trained-IVF serve must return exactly the rows
+    of the composed form (probe candidates + exact re-rank) it replaced,
+    at both the fixed-K and the scaled-K parameterizations."""
+    import os
+
+    from kasper_spark.operators.similarity import (
+        _collect_query_state,
+        _exact_rerank,
+        _ivf_trained_candidates_np,
+        _ivf_trained_serve_fused,
+        _parquet_nrows,
+        _scaledk_params,
+    )
+
+    def composed(**kw):
+        qstate = _collect_query_state(spark, SF_ORACLE)
+        cand = _ivf_trained_candidates_np(spark, SF_ORACLE, qstate=qstate, **kw)
+        return _exact_rerank(spark, SF_ORACLE, cand, qstate=qstate)
+
+    got = sorted(map(tuple, _ivf_trained_serve_fused(spark, SF_ORACLE).collect()))
+    want = sorted(map(tuple, composed().collect()))
+    assert got and got == want
+
+    n = _parquet_nrows(os.path.join(SF_ORACLE, "embeddings.parquet"))
+    k, train_n, nprobe = _scaledk_params(n)
+    got = sorted(
+        map(
+            tuple,
+            _ivf_trained_serve_fused(
+                spark, SF_ORACLE, k=k, train_n=train_n, nprobe=nprobe
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, composed(k=k, train_n=train_n, nprobe=nprobe).collect())
+    )
+    assert got and got == want
+
+
 def test_lsh_n_buckets_scale_adaptive():
     from kasper_spark.operators.dedup import (
         _LSH_IDX_BUCKETS_CAP,
