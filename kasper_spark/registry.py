@@ -85,16 +85,19 @@ def load_all_operators() -> None:
 # trained-IVF in-flight family, all 7 PQ/residual keys, the BM25 eval
 # chain, and the lineage-cut text/relational pipelines), plus
 # ann_lsh_topk (r15-rewired; no oracle by design — earns the driver's
-# rows-only check). Any query rewired in round 16 is already in this
-# head (the r16 changes target the PQ ADC chain, the eval chain, ER and
-# the LSH build — all below).
-# Window arithmetic: 25 rewired + 2 r16 structural contracts + 23
-# r07-queue = 50.
+# rows-only check). Any query rewired in round 16 is in this head: the
+# r16 changes target the PQ ADC chain, ER and the LSH build (all
+# already below), plus — session 2 — the literal-inlined BM25 chains
+# (bm25/prf/rrf/hybrid join the window) and the fused trained-IVF serve
+# (its two recall contracts join the window).
+# Window arithmetic: 25 rewired + 2 r16 structural contracts + 6 r16
+# session-2 rewired/fused + 17 r07-queue = 50.
 # r17 queue (oldest evidence after this round): the remaining r07 names
 # (neardup_clusters, q4_order_priority, q8_market_share,
 # session_window_native, sessionize_events, streaming_lsh_dedup_twin,
-# triangle_lsh_graph, xml_roundtrip_orders, zorder_key_events), then the
-# r08 cohort.
+# triangle_lsh_graph, xml_roundtrip_orders, zorder_key_events, and the
+# six TPC-H tails q17/q19/q20/q21/q22/q2 displaced by the session-2
+# entries), then the r08 cohort.
 DRIVER_SAMPLE_PRIORITY: list[str] = [
     # -- 0. r15-rewired, driver-unverified (25). Exact-cosine numpy
     #       consumers (_np_dot_exact_scaled / _exact_rerank):
@@ -113,11 +116,25 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "ann_ivf_pq_residual_index_build",
     "ann_ivf_pq_residual_search_only",
     # BM25 eval chain (_graded_scored sparse rewrite + the round-16
-    # df=0 n_terms fix; mrr also the one-pass conditional aggregation)
+    # df=0 n_terms fix; mrr also the one-pass conditional aggregation).
+    # Round-16 session 2 rewired the WHOLE chain again (pre-resolved
+    # literals, OPTIMIZATION_r16.md #10), so every consumer — including
+    # the cache-served ones that rebuilt under the new code token — is
+    # in-window:
     "mrr_relevance_contract",
     "ndcg_relevance_contract",
     "precision_recall_at_k",
     "prf_query_expansion_topk",
+    "bm25_keyword_topk",
+    "prf_expansion_terms",
+    "rrf_fusion_topk",
+    "hybrid_search_topk",
+    # fused trained-IVF serve (OPTIMIZATION_r16.md #11): the two topk
+    # keys are already above; their recall contracts re-execute the
+    # fused scan and join the window (each r16 slot displaces one r07
+    # TPC-H tail name to the r17 queue)
+    "ann_ivf_trained_recall_contract",
+    "ann_ivf_scaledk_recall_contract",
     # md5 signature family (_md5_sigs Python pass) + lineage-cut pipelines
     "lsh_index_build",
     "market_basket_lift",
@@ -159,12 +176,9 @@ DRIVER_SAMPLE_PRIORITY: list[str] = [
     "q14_promo_revenue",
     "q15_top_supplier",
     "q16_supplier_part_count",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_excess_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_rich_customers",
-    "q2_min_cost_supplier",
+    # (q17/q19/q20/q21/q22/q2 displaced to the r17 queue by the six
+    # round-16-session-2 rewired/fused entries above — rewired-unverified
+    # outranks evidence refresh, the r15 verdict's standing rule)
 ]
 
 
